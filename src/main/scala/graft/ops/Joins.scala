@@ -1,0 +1,164 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join operators (SURVEY.md §2.C): equi inner/outer/semi/anti, theta,
+  * windowed stream-stream self-join, interval join.
+  *
+  * Scale notes (100 TB):
+  *  - Dimension sides (nation/region/customer-at-dim-scale, supplier) are
+  *    explicitly `broadcast()` — a 100 TB fact table never shuffles for a
+  *    dim join (map-side broadcast-hash join).
+  *  - Fact⋈fact (orders⋈lineitem) is a shuffle-on-key sort-merge join; AQE
+  *    converts to broadcast/skew-split at runtime when applicable. At 100 TB
+  *    both sides would be bucketed on the join key to skip the shuffle.
+  *  - The theta join is a broadcast nested-loop on the *small* dims only —
+  *    the shape is O(|part|·|supplier|) and is never applied to facts.
+  *  - The windowed self-join and interval join key the shuffle on
+  *    (user_id) with the time predicate evaluated inside the join —
+  *    at 100 TB the streaming twin bounds state with watermarks instead of
+  *    re-shuffling history.
+  */
+object Joins {
+
+  /** C1+C7 — fact ⋈ broadcast dims, aggregated by nation. */
+  def joinOrdersCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val c = customer(spark, dir)
+    val n = nation(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "inner")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("n_name")
+  }
+
+  /** C2 — left outer join: orders with no lineitem. */
+  def joinLeftOrdersWoLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val l = lineitem(spark, dir)
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left")
+      .where(l("l_orderkey").isNull)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** C3 — anti join: customers with no URGENT-priority order. (Unfiltered
+    * "no order at all" is empty at every sf — the filter keeps the anti join
+    * result non-degenerate while exercising the same plan shape.) */
+  def joinAntiCustomersNoOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir)
+    val o = orders(spark, dir).where(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** C4 — theta (non-equi) join over the two small dims: parts priced
+    * within ±10 of a supplier's account balance → BroadcastNestedLoopJoin. */
+  def joinThetaPriceBand(spark: SparkSession, dir: String): DataFrame = {
+    val p = part(spark, dir)
+    val s = supplier(spark, dir)
+    p.join(broadcast(s), abs(p("p_retailprice") - s("s_acctbal")) <= 10)
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_parts"), min(col("p_partkey")).as("min_partkey"))
+      .orderBy("s_suppkey")
+  }
+
+  /** C5 — windowed self-join: pairs of events of the same user inside the
+    * same 1h tumbling bucket (batch form of a windowed stream-stream join). */
+  def joinWindowEventsSelfpairs(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+              unix_micros(date_trunc("hour", col("ts"))).as("bucket_us"))
+    val e1 = ev.as("e1")
+    val e2 = ev.as("e2")
+    e1.join(e2,
+        col("e1.user_id") === col("e2.user_id") &&
+        col("e1.bucket_us") === col("e2.bucket_us") &&
+        col("e1.event_id") < col("e2.event_id"))
+      .groupBy(col("e1.user_id").as("user_id"), col("e1.bucket_us").as("bucket_us"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id", "bucket_us")
+  }
+
+  /** C6 — interval join: purchases within 15 minutes after a click by the
+    * same user (Flink `intervalJoin.between(0, 15min)` shape). */
+  def joinIntervalPurchaseAfterClick(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+              unix_micros(col("ts")).as("click_us"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+              unix_micros(col("ts")).as("purchase_us"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+        col("purchase_us") >= col("click_us") &&
+        col("purchase_us") <= col("click_us") + expr("15 * 60 * 1000000"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+              (col("purchase_us") - col("click_us")).as("delay_us"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_orders_customer" -> (joinOrdersCustomer _),
+    "join_left_orders_wo_lineitem" -> (joinLeftOrdersWoLineitem _),
+    "join_anti_customers_no_orders" -> (joinAntiCustomersNoOrders _),
+    "join_theta_price_band" -> (joinThetaPriceBand _),
+    "join_window_events_selfpairs" -> (joinWindowEventsSelfpairs _),
+    "join_interval_purchase_after_click" -> (joinIntervalPurchaseAfterClick _),
+  )
+
+  private val evTs = "CAST(ts AS TIMESTAMP)"
+  private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+
+  val oracles: Map[String, String] = Map(
+    "join_orders_customer" ->
+      s"""SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+          ${dsumSql("o_totalprice")} AS sum_price
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1 ORDER BY 1""",
+    "join_left_orders_wo_lineitem" ->
+      """SELECT o_orderkey, o_totalprice
+         FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE l_orderkey IS NULL ORDER BY o_orderkey""",
+    "join_anti_customers_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "join_theta_price_band" ->
+      """SELECT s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_parts,
+         MIN(p_partkey) AS min_partkey
+         FROM part JOIN supplier ON abs(p_retailprice - s_acctbal) <= 10
+         GROUP BY 1 ORDER BY 1""",
+    "join_window_events_selfpairs" ->
+      s"""WITH ev AS (SELECT event_id, user_id,
+            epoch_us(date_trunc('hour', $evTs)) AS bucket_us FROM events)
+          SELECT e1.user_id AS user_id, e1.bucket_us AS bucket_us,
+            CAST(COUNT(*) AS BIGINT) AS n_pairs
+          FROM ev e1 JOIN ev e2
+            ON e1.user_id = e2.user_id AND e1.bucket_us = e2.bucket_us
+            AND e1.event_id < e2.event_id
+          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "join_interval_purchase_after_click" ->
+      s"""WITH clicks AS (
+            SELECT user_id, event_id AS click_id, epoch_us($evTs) AS click_us
+            FROM events WHERE event_type = 'click'),
+          purchases AS (
+            SELECT user_id, event_id AS purchase_id, epoch_us($evTs) AS purchase_us
+            FROM events WHERE event_type = 'purchase')
+          SELECT c.user_id AS user_id, click_id, purchase_id,
+            purchase_us - click_us AS delay_us
+          FROM clicks c JOIN purchases p
+            ON c.user_id = p.user_id
+            AND purchase_us >= click_us
+            AND purchase_us <= click_us + 15 * 60 * 1000000
+          ORDER BY 1, 2, 3""",
+  )
+}

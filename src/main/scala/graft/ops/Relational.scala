@@ -1,0 +1,335 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operators: projections/filters (SURVEY.md §2.B),
+  * aggregations (§2.D), analytic windows (§2.E), sort/limit/top-k (§2.F),
+  * set operations (§2.G).
+  *
+  * Scale notes (100 TB):
+  *  - Filters/projections compile to parquet pushdown + column pruning
+  *    (verified in plan tests) — the scan reads only referenced columns and
+  *    skips row groups on pushed predicates.
+  *  - All groupBys get automatic partial aggregation; output keys here are
+  *    low-cardinality (event types, flags, users) so the shuffle carries
+  *    ~|keys|×|partitions| rows, not O(data).
+  *  - `orderBy` on final small results is a range-partitioned sort of an
+  *    already-aggregated (small) frame; `orderBy+limit` compiles to
+  *    TakeOrderedAndProject — no global sort of the fact table ever happens.
+  *  - Per-key analytic windows shuffle once on the partition key; a 100 TB
+  *    run keys by user_id (high cardinality → even spread; skew handled by
+  *    AQE skew-join/salting at the extreme).
+  */
+object Relational {
+
+  /** A2 batch surrogate — full scan of the stream table + checksums.
+    * Proves the ns-timestamp read path end to end. */
+  def srcEventsScan(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).agg(
+      count(lit(1)).as("n"),
+      sum(col("event_id")).as("id_sum"),
+      min(unix_micros(col("ts"))).as("ts_min_us"),
+      max(unix_micros(col("ts"))).as("ts_max_us"))
+
+  /** B1 — map: derive value_bucket + normalized event type per event. */
+  def mapEnrichValue(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        upper(col("event_type")).as("event_type_uc"),
+        floor(col("value") / 50).cast("long").as("value_bucket"),
+        round(col("value"), 2).as("value_r"))
+      .orderBy("event_id")
+
+  /** B2 — flatMap: classic WordCount over documents.text. */
+  def flatmapTokenize(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("word")
+
+  /** B3 — filter: compound predicate, pushed down to the parquet scan. */
+  def filterPurchases(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .where(col("event_type") === "purchase" && col("value") > 100)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy("event_id")
+
+  /** D1 — keyed aggregate: count/sum/avg/min/max of value per event type. */
+  def aggValueByType(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("value")).as("sum_value"),
+        davg(col("value")).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy("event_type")
+
+  /** D2 — TPC-H Q1-shaped pricing summary over lineitem. */
+  def aggPricingSummary(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** D3 — distinct + count-distinct per key. */
+  def aggDistinctUsersPerType(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** D4 — approx count-distinct (HLL++). Oracle intentionally omitted:
+    * HLL++'s small-range linear-counting estimate is not integer-exact even
+    * at low cardinality, so no DuckDB SQL reproduces it bit-for-bit
+    * (SURVEY.md §2.D4). The rows-only driver check + the exact-side unit
+    * test (approx within rsd of countDistinct) cover it. */
+  def aggApproxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy("event_type")
+
+  /** D5 — rollup over region→nation with customer facts. Rollup nulls are
+    * coalesced to 'ALL' so no null ordering ambiguity reaches the oracle. */
+  def aggRollupNationRegion(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir)
+    val n = nation(spark, dir)
+    val r = region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_acctbal"),
+           grouping_id().as("gid"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+              coalesce(col("n_name"), lit("ALL")).as("nation"),
+              col("gid"), col("n_cust"), col("sum_acctbal"))
+      .orderBy("gid", "region", "nation")
+  }
+
+  /** D6/K2 — custom typed UDAF: weighted average of event value, weighted by
+    * the JSON props key k (+1 to avoid zero weights). The Aggregator
+    * accumulates exact decimals so partial-merge order cannot perturb the
+    * result (same determinism contract as dsum). */
+  def aggUdafWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val weighted = events(spark, dir)
+      .select(col("user_id"),
+              col("value"),
+              (get_json_object(col("props"), "$.k").cast("long") + 1).cast("double").as("w"))
+    weighted
+      .groupBy("user_id")
+      .agg(Udafs.weightedAvg(col("value"), col("w")).as("wavg_value"),
+           count(lit(1)).as("n"))
+      .orderBy("user_id")
+  }
+
+  /** E2 — lag: per-user gap to previous event in microseconds. */
+  def winEventGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .select(col("event_id"), col("user_id"), col("gap_us"))
+      .orderBy("event_id")
+  }
+
+  /** E3 — running total frame: per-user cumulative sum of value by time. */
+  def winRunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .withColumn("running_value",
+        sum(col("value").cast("decimal(18,6)")).over(w).cast("double"))
+      .select(col("event_id"), col("user_id"), col("running_value"))
+      .orderBy("event_id")
+  }
+
+  /** F1+F2 — global sort + limit: compiles to TakeOrderedAndProject
+    * (top-k per partition + merge on driver; no global sort materialized). */
+  def topkOrdersByPrice(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** F3 — top-N per group (classic Flink Top-N pattern). */
+  def topkEventsPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("user_id"), col("rn"), col("event_id"), col("value"))
+      .orderBy("user_id", "rn")
+  }
+
+  /** G1 — union of two filtered streams with a provenance tag. */
+  def setopUnionHiLo(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val hi = ev.where(col("event_type") === "purchase" && col("value") > 150)
+      .select(col("event_id"), col("user_id"), lit("hi_purchase").as("tag"))
+    val err = ev.where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), lit("error").as("tag"))
+    hi.unionByName(err).orderBy("event_id", "tag")
+  }
+
+  /** G2 — intersect: users who both purchased and clicked. */
+  def setopIntersectBuyersClickers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    ev.where(col("event_type") === "purchase").select("user_id")
+      .intersect(ev.where(col("event_type") === "click").select("user_id"))
+      .orderBy("user_id")
+  }
+
+  /** G3 — except: distinct (user, hour-bucket) slots with views but no
+    * purchase. (Plain user-level except is empty at every sf — every user
+    * eventually purchases; the composite key keeps EXCEPT non-degenerate.) */
+  def setopExceptViewersNotBuyers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+              unix_micros(date_trunc("hour", col("ts"))).as("bucket_us"))
+    ev.where(col("event_type") === "view").select("user_id", "bucket_us")
+      .except(ev.where(col("event_type") === "purchase").select("user_id", "bucket_us"))
+      .orderBy("user_id", "bucket_us")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_events_scan" -> (srcEventsScan _),
+    "map_enrich_value" -> (mapEnrichValue _),
+    "flatmap_tokenize" -> (flatmapTokenize _),
+    "filter_purchases" -> (filterPurchases _),
+    "agg_value_by_type" -> (aggValueByType _),
+    "agg_pricing_summary" -> (aggPricingSummary _),
+    "agg_distinct_users_per_type" -> (aggDistinctUsersPerType _),
+    "agg_approx_distinct_users" -> (aggApproxDistinctUsers _),
+    "agg_rollup_nation_region" -> (aggRollupNationRegion _),
+    "agg_udaf_weighted_avg" -> (aggUdafWeightedAvg _),
+    "win_event_gaps" -> (winEventGaps _),
+    "win_running_total" -> (winRunningTotal _),
+    "topk_orders_by_price" -> (topkOrdersByPrice _),
+    "topk_events_per_user" -> (topkEventsPerUser _),
+    "setop_union_hi_lo" -> (setopUnionHiLo _),
+    "setop_intersect_buyers_clickers" -> (setopIntersectBuyersClickers _),
+    "setop_except_viewers_not_buyers" -> (setopExceptViewersNotBuyers _),
+  )
+
+  private val evTs = "CAST(ts AS TIMESTAMP)"
+  private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+  private def davgSql(e: String) =
+    s"${dsumSql(e)} / CAST(COUNT($e) AS DOUBLE)"
+
+  val oracles: Map[String, String] = Map(
+    "src_events_scan" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(event_id) AS BIGINT) AS id_sum,
+          MIN(epoch_us($evTs)) AS ts_min_us, MAX(epoch_us($evTs)) AS ts_max_us
+          FROM events""",
+    "map_enrich_value" ->
+      """SELECT event_id, user_id, upper(event_type) AS event_type_uc,
+         CAST(floor(value / 50) AS BIGINT) AS value_bucket,
+         round(value, 2) AS value_r
+         FROM events ORDER BY event_id""",
+    "flatmap_tokenize" ->
+      """SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         GROUP BY word ORDER BY word""",
+    "filter_purchases" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE event_type = 'purchase' AND value > 100 ORDER BY event_id""",
+    "agg_value_by_type" ->
+      s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          ${dsumSql("value")} AS sum_value, ${davgSql("value")} AS avg_value,
+          MIN(value) AS min_value, MAX(value) AS max_value
+          FROM events GROUP BY 1 ORDER BY 1""",
+    "agg_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+          ${dsumSql("l_quantity")} AS sum_qty,
+          ${dsumSql("l_extendedprice")} AS sum_base_price,
+          ${dsumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+          ${dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+          ${davgSql("l_quantity")} AS avg_qty,
+          ${davgSql("l_extendedprice")} AS avg_price,
+          ${davgSql("l_discount")} AS avg_disc,
+          CAST(COUNT(*) AS BIGINT) AS count_order
+          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "agg_distinct_users_per_type" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(COUNT(*) AS BIGINT) AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
+    // agg_approx_distinct_users: oracle omitted — see scaladoc (HLL++ not
+    // reproducible in DuckDB; driver records rows-only check).
+    "agg_rollup_nation_region" ->
+      s"""SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+          CAST(2 * GROUPING(r_name) + GROUPING(n_name) AS BIGINT) AS gid,
+          CAST(COUNT(*) AS BIGINT) AS n_cust, ${dsumSql("c_acctbal")} AS sum_acctbal
+          FROM customer
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY ROLLUP(r_name, n_name)
+          ORDER BY gid, region, nation""",
+    "agg_udaf_weighted_avg" ->
+      s"""SELECT user_id,
+          CAST(SUM(CAST(value * (CAST(json_extract_string(props, '$$.k') AS BIGINT) + 1) AS DECIMAL(18,6))) AS DOUBLE)
+            / CAST(SUM(CAST(CAST(json_extract_string(props, '$$.k') AS BIGINT) + 1 AS DECIMAL(18,6))) AS DOUBLE)
+            AS wavg_value,
+          CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1 ORDER BY 1""",
+    "win_event_gaps" ->
+      s"""SELECT event_id, user_id,
+          epoch_us($evTs) - lag(epoch_us($evTs), 1)
+            OVER (PARTITION BY user_id ORDER BY $evTs, event_id) AS gap_us
+          FROM events ORDER BY event_id""",
+    "win_running_total" ->
+      s"""SELECT event_id, user_id,
+          CAST(SUM(CAST(value AS DECIMAL(18,6)))
+            OVER (PARTITION BY user_id ORDER BY $evTs, event_id
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+          FROM events ORDER BY event_id""",
+    "topk_orders_by_price" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "topk_events_per_user" ->
+      """WITH ranked AS (
+           SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY value DESC, event_id ASC) AS rn
+           FROM events)
+         SELECT user_id, CAST(rn AS INT) AS rn, event_id, value
+         FROM ranked WHERE rn <= 3 ORDER BY user_id, rn""",
+    "setop_union_hi_lo" ->
+      """SELECT event_id, user_id, 'hi_purchase' AS tag FROM events
+         WHERE event_type = 'purchase' AND value > 150
+         UNION ALL
+         SELECT event_id, user_id, 'error' AS tag FROM events
+         WHERE event_type = 'error'
+         ORDER BY event_id, tag""",
+    "setop_intersect_buyers_clickers" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+         INTERSECT
+         SELECT user_id FROM events WHERE event_type = 'click'
+         ORDER BY user_id""",
+    "setop_except_viewers_not_buyers" ->
+      s"""SELECT user_id, epoch_us(date_trunc('hour', $evTs)) AS bucket_us
+          FROM events WHERE event_type = 'view'
+          EXCEPT
+          SELECT user_id, epoch_us(date_trunc('hour', $evTs)) AS bucket_us
+          FROM events WHERE event_type = 'purchase'
+          ORDER BY user_id, bucket_us""",
+  )
+}

@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check.py <verify_out_dir> <sf_dir>
+
+Reads <out>/oracle_sql.json, creates DuckDB views over the sf parquet
+tables, runs each oracle SQL, reads the Spark result parquet, sorts
+columns by name and rows by all columns, and compares cell values
+exactly. Prints PASS/FAIL per query.
+
+(Local development aid only — mirrors the driver-side gate; not part of
+the shipped Spark library.)
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main():
+    out, sf = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            mine = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df()
+            ref = con.sql(sql).df()
+            a, b = norm(mine), norm(ref)
+            if list(a.columns) != list(b.columns):
+                raise AssertionError(f"columns {list(a.columns)} != {list(b.columns)}")
+            if len(a) != len(b):
+                raise AssertionError(f"rows {len(a)} != {len(b)}")
+            for c in a.columns:
+                av, bv = a[c], b[c]
+                if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                    ok = ((av.isna() & bv.isna()) | (av == bv)).all()
+                else:
+                    ok = (av.fillna("\0N") == bv.fillna("\0N")).all() if av.dtype == object \
+                        else ((av.isna() & bv.isna()) | (av == bv)).all()
+                if not ok:
+                    bad = (~((av.isna() & bv.isna()) | (av == bv))).idxmax()
+                    raise AssertionError(
+                        f"col {c} differs, e.g. row {bad}: {av[bad]!r} != {bv[bad]!r}")
+            print(f"PASS {name} ({len(a)} rows)")
+            n_pass += 1
+        except Exception as e:
+            print(f"FAIL {name}: {str(e).splitlines()[0]}")
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
