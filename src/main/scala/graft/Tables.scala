@@ -79,8 +79,10 @@ object Tables {
   /** DuckDB SQL expression text equivalent to [[h48]] over expression `e`:
     * fold the 12 hex chars to a 48-bit int (DuckDB has no hex→int cast). */
   def h48Sql(e: String): String =
+    // lambda var deliberately obscure: callers embed this inside their own
+    // lambdas (e.g. over a dimension index i) and must not be shadowed
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      s"list_transform(range(1,13), i -> " +
-      s"CAST(strpos('0123456789abcdef', substr(md5($e),i,1)) - 1 AS BIGINT))), " +
-      s"(a,b) -> a*16 + b)"
+      s"list_transform(range(1,13), hx_i -> " +
+      s"CAST(strpos('0123456789abcdef', substr(md5($e),hx_i,1)) - 1 AS BIGINT))), " +
+      s"(hx_a,hx_b) -> hx_a*16 + hx_b)"
 }

@@ -1,11 +1,583 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
-/** LLM training-data pipeline operators (SURVEY.md §2.J) — filled in
-  * incrementally: dedup (exact/MinHash/SimHash/Jaccard/embedding),
-  * similarity search, text analysis, multimodal plumbing. */
+/** LLM training-data pipeline operators (SURVEY.md §2.J + builder
+  * north-star): deduplication (exact / MinHash-LSH / SimHash / n-gram
+  * Jaccard / embedding cosine), similarity search (brute-force + LSH-bucketed
+  * ANN), text analysis (language-ID, quality scoring, token counting,
+  * fingerprinting), and multimodal column plumbing.
+  *
+  * Cross-engine hashing: every hash-based operator uses the portable 48-bit
+  * hash [[graft.Tables.h48]] (md5-hex prefix) so the DuckDB oracle can
+  * reproduce signatures bit-for-bit — Spark's `xxhash64` has no DuckDB twin
+  * (SURVEY.md §7.5.3).
+  *
+  * Scale notes (100 TB):
+  *  - NO similarity operator here is O(n²) on the full corpus except the two
+  *    explicitly-bounded baselines (`llm_dedup_embed` brute-force top-k —
+  *    the correctness baseline for ANN — and `llm_dedup_jaccard`, bounded to
+  *    doc_id<20). The scale paths are the banded/bucketed variants:
+  *    MinHash-LSH bands, SimHash bands, and LSH hyperplane buckets all make
+  *    the *band/bucket value* the shuffle key, so candidate generation is an
+  *    equi-join (shuffle ∝ data, pairs ∝ collisions), never a cross join.
+  *  - Signature computation is row-local (map-side, no shuffle): array
+  *    higher-order functions over each document/embedding.
+  *  - Exact dedup shuffles once on the content hash — the canonical
+  *    100 TB dedup shape (hash-partitioned groupBy, ~zero skew since keys
+  *    are cryptographic hashes).
+  */
 object Llm {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracles: Map[String, String] = Map()
+
+  private val P = 1000000007L
+  /** MinHash affine-permutation multipliers (k=8) and offsets. */
+  private val MinhashA = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L)
+  private def minhashB(i: Int): Long = 1000003L * (i + 1)
+
+  private def wordsCol: Column = split(col("text"), " ")
+
+  /** Sequential-fold dot product of two float arrays, in double. */
+  private def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm of a float array, in double. */
+  private def normCol(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  // ------------------------------------------------------------------
+  // J1 — exact dedup
+  // ------------------------------------------------------------------
+
+  /** Exact dedup: normalize → sha256 → keep lowest doc_id per hash.
+    * Output is the full canonical keep-list (content_hash, keeper, copies). */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(sha2(lower(trim(col("text"))), 256).as("content_hash"), col("doc_id"))
+      .groupBy("content_hash")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("content_hash")
+
+  // ------------------------------------------------------------------
+  // J2 — MinHash + LSH near-dup
+  // ------------------------------------------------------------------
+
+  /** Per-doc MinHash signature (k=8) over distinct 3-word shingles. */
+  private def minhashSigs(spark: SparkSession, dir: String): DataFrame = {
+    val w = wordsCol
+    val shingles = array_distinct(transform(
+      sequence(lit(1), size(w) - 2),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+    val hashed = documents(spark, dir)
+      .where(size(w) >= 3)
+      .select(col("doc_id"), explode(shingles).as("s"))
+      .select(col("doc_id"), h48(col("s")).as("c"))
+    val aggs = MinhashA.zipWithIndex.map { case (a, i) =>
+      min((col("c") * a + minhashB(i)) % P).as(s"m$i")
+    }
+    hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Near-dup candidates: docs sharing ≥1 of 4 LSH bands (2 minhashes per
+    * band). The band value is the join key — this is the 100 TB shape. */
+  def dedupNear(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSigs(spark, dir)
+    val bands = sigs.select(col("doc_id"), explode(array(
+      (0 until 4).map { j =>
+        struct(lit(j).as("band"),
+          concat_ws("_", col(s"m${2 * j}"), col(s"m${2 * j + 1}")).as("sig"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
+    bands.as("b1").join(bands.as("b2"),
+        col("b1.band") === col("b2.band") && col("b1.sig") === col("b2.sig") &&
+        col("b1.doc_id") < col("b2.doc_id"))
+      .groupBy(col("b1.doc_id").as("doc1"), col("b2.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy("doc1", "doc2")
+  }
+
+  // ------------------------------------------------------------------
+  // J2b — SimHash near-dup
+  // ------------------------------------------------------------------
+
+  /** 48-bit SimHash per doc over distinct words + count of banded partners
+    * (docs sharing ≥1 of 4×12-bit bands). Bit sums are computed as 48
+    * aggregate expressions — no per-bit row explosion, map-side combinable. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val hashedWords = documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(wordsCol)).as("word"))
+      .select(col("doc_id"), h48(col("word")).as("hw"))
+    val bitSums = (0 until 48).map { b =>
+      sum(when(shiftright(col("hw"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$b")
+    }
+    val sig = hashedWords.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 48).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until 4).map { j =>
+        struct(lit(j).as("band"),
+          shiftright(col("simhash"), 12 * j).bitwiseAND(lit(4095L)).as("v"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.v").as("v"))
+    val partners = bands.as("b1").join(bands.as("b2"),
+        col("b1.band") === col("b2.band") && col("b1.v") === col("b2.v") &&
+        col("b1.doc_id") =!= col("b2.doc_id"))
+      .select(col("b1.doc_id").as("doc_id"), col("b2.doc_id").as("partner"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_partners"))
+    sig.join(partners, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("simhash"),
+        coalesce(col("n_partners"), lit(0L)).as("n_partners"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------
+  // J2c — n-gram (distinct-word) Jaccard similarity
+  // ------------------------------------------------------------------
+
+  /** Pairwise Jaccard over distinct words, relationally (explode + equi-join
+    * on word — the shape that scales; the doc_id<20 bound keeps the
+    * pair space small at any sf). Pairs sharing ≥1 word. */
+  def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val w = documents(spark, dir)
+      .where(col("doc_id") < 20)
+      .select(col("doc_id"), explode(array_distinct(wordsCol)).as("word"))
+    val sizes = w.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = w.as("w1").join(w.as("w2"),
+        col("w1.word") === col("w2.word") && col("w1.doc_id") < col("w2.doc_id"))
+      .groupBy(col("w1.doc_id").as("doc1"), col("w2.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("z1"), col("doc1") === col("z1.doc_id"))
+      .join(sizes.as("z2"), col("doc2") === col("z2.doc_id"))
+      .select(col("doc1"), col("doc2"), col("inter"),
+        (col("z1.sz") + col("z2.sz") - col("inter")).as("uni"),
+        round(col("inter").cast("double") /
+          (col("z1.sz") + col("z2.sz") - col("inter")).cast("double"), 6).as("jaccard"))
+      .orderBy("doc1", "doc2")
+  }
+
+  // ------------------------------------------------------------------
+  // J3 — similarity search
+  // ------------------------------------------------------------------
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", normCol(col("embedding")))
+
+  /** Brute-force cosine top-k: for each query vector (vec_id<10), the top-5
+    * nearest others. Ranking uses round(cos,6) with vec_id tiebreak so the
+    * order is stable across float summation differences. */
+  def simTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(embeddings(spark, dir))
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("nrm").as("qnrm"))
+    val cand = e.select(col("vec_id"), col("embedding"), col("nrm"))
+    val scored = q.join(cand, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(dotCol(col("qemb"), col("embedding")) / (col("qnrm") * col("nrm")), 6).as("cos_r"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+      .orderBy("qid", "rn")
+  }
+
+  /** Embedding-cosine near-dup: global top-20 most similar pairs.
+    * Brute-force baseline (bounded output); the scale path is [[annLsh]]. */
+  def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(embeddings(spark, dir))
+    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2"))
+    a.join(b, col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        round(dotCol(col("e1"), col("e2")) / (col("n1") * col("n2")), 6).as("cos_r"))
+      .orderBy(col("cos_r").desc, col("v1").asc, col("v2").asc)
+      .limit(20)
+  }
+
+  /** LSH-bucketed ANN: 6 deterministic random-hyperplane signature bits
+    * (weights derived from h48, portable to the oracle), bucket = 6-bit
+    * signature; candidates share the bucket (equi-join — the scale path),
+    * exact cosine re-rank inside the bucket. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    def hyperWeight(j: Int, d: Column): Column =
+      (conv(substring(md5(concat(lit(s"${j}_"), d.cast("string"))), 1, 12), 16, 10)
+        .cast("long") % 2001L - 1000L).cast("double")
+    def hyperDot(j: Int): Column =
+      aggregate(sequence(lit(1), lit(64)), lit(0.0),
+        (acc, d) => acc + element_at(col("embedding"), d).cast("double") * hyperWeight(j, d))
+    val bucketCol = (0 until 6)
+      .map(j => when(hyperDot(j) >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+    val e = withNorm(embeddings(spark, dir)).withColumn("bucket", bucketCol)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("nrm").as("qnrm"), col("bucket"))
+    val cand = e.select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"))
+    val scored = q.join(cand, Seq("bucket")).where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("bucket"), col("vec_id"),
+        round(dotCol(col("qemb"), col("embedding")) / (col("qnrm") * col("nrm")), 6).as("cos_r"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vec_id").asc)
+    val best = scored.withColumn("rn", row_number().over(w))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_candidates"),
+        min(when(col("rn") === 1, col("vec_id"))).as("best_id"),
+        min(when(col("rn") === 1, col("cos_r"))).as("best_cos"))
+    q.select(col("qid"), col("bucket"))
+      .join(best, Seq("qid"), "left")
+      .select(col("qid"), col("bucket"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("best_id"), col("best_cos"))
+      .orderBy("qid")
+  }
+
+  // ------------------------------------------------------------------
+  // J4 — text analysis
+  // ------------------------------------------------------------------
+
+  /** Per-language corpus stats + most frequent word (Top-N machinery). */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = documents(spark, dir)
+      .select(col("lang"), col("doc_id"), explode(wordsCol).as("word"))
+    val perLang = tokens.groupBy("lang").agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      count(lit(1)).as("n_words"),
+      countDistinct(col("word")).as("n_distinct_words"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("word").asc)
+    val top = tokens.groupBy("lang", "word").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("lang"), col("word").as("top_word"), col("n").as("top_word_n"))
+    perLang.join(top, Seq("lang")).orderBy("lang")
+  }
+
+  /** Language-ID: deterministic character-class heuristic (CJK / diacritic
+    * markers), reported as a (labeled lang × predicted lang) confusion
+    * matrix. The fixture text is ASCII word soup in every language, so the
+    * heuristic honestly predicts 'en' everywhere — the operator's value is
+    * the deterministic classification pipeline, verified by the oracle. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val pred = when(col("text").rlike("[一-鿿]"), "zh")
+      .when(col("text").rlike("[ñ¿¡]"), "es")
+      .when(col("text").rlike("[üßö]"), "de")
+      .when(col("text").rlike("[éèêç]"), "fr")
+      .otherwise("en")
+    documents(spark, dir)
+      .select(col("lang"), pred.as("pred_lang"))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  /** Per-document quality score: length + type-token ratio + stopword
+    * ratio, combined deterministically. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val w = wordsCol
+    val nWords = size(w).cast("long")
+    val nDistinct = size(array_distinct(w)).cast("long")
+    val nStop = size(filter(w, x => x === "the" || x === "a")).cast("long")
+    val ttr = round(nDistinct.cast("double") / nWords.cast("double"), 6)
+    val stopR = round(nStop.cast("double") / nWords.cast("double"), 6)
+    val score = round(
+      lit(0.4) * least(lit(1.0), nWords.cast("double") / 200.0) +
+        lit(0.3) * (nDistinct.cast("double") / nWords.cast("double")) +
+        lit(0.3) * (nStop.cast("double") / nWords.cast("double")), 6)
+    documents(spark, dir)
+      .select(col("doc_id"), nWords.as("n_words"), ttr.as("ttr"),
+        stopR.as("stop_ratio"), score.as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting per source: whitespace tokens, regex tokens
+    * (word-or-punct, a BPE-ish pre-tokenizer), and a chars/4 BPE estimate. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val nWs = size(wordsCol).cast("long")
+    val nRe = size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0))).cast("long")
+    val nBpe = ceil(col("n_chars") / 4.0).cast("long")
+    documents(spark, dir)
+      .select(col("source"), nWs.as("n_ws"), nRe.as("n_re"), nBpe.as("n_bpe"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_ws")).as("sum_ws"),
+        sum(col("n_re")).as("sum_re"), sum(col("n_bpe")).as("sum_bpe"))
+      .orderBy("source")
+  }
+
+  /** Document fingerprinting by winnowing: rolling window (w=4) minima over
+    * positional 3-gram shingle hashes; reports fingerprint-set size, xor
+    * fold and minimum. Entirely row-local (map-side, no shuffle). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val w = wordsCol
+    val shingles = transform(
+      sequence(lit(1), size(w) - 2),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
+    val hs = transform(shingles, s => conv(substring(md5(s), 1, 12), 16, 10).cast("long"))
+    documents(spark, dir)
+      .where(size(w) >= 6)
+      .withColumn("hs", hs)
+      .withColumn("fps", array_distinct(transform(
+        sequence(lit(1), size(col("hs")) - 3),
+        i => array_min(slice(col("hs"), i, lit(4))))))
+      .select(col("doc_id"),
+        size(col("hs")).cast("long").as("n_shingles"),
+        size(col("fps")).cast("long").as("n_fp"),
+        aggregate(col("fps"), lit(0L), (a, x) => a.bitwiseXOR(x)).as("fp_xor"),
+        array_min(col("fps")).as("fp_min"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------
+  // J5 — multimodal columns
+  // ------------------------------------------------------------------
+
+  /** Text ⋈ embedding modalities joined on id, aggregated per label. */
+  def multimodalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+    val e = withNorm(embeddings(spark, dir))
+    d.join(e, d("doc_id") === e("vec_id"), "inner")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        lavg(col("n_chars")).as("avg_chars"),
+        davg(col("nrm")).as("avg_norm"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("label")
+  }
+
+  /** Multimodal decode plumbing: treat the payload as opaque bytes and run a
+    * deterministic STUB decoder through `mapPartitions` over a typed
+    * Dataset — the real image/audio decode would replace
+    * [[MmDecode.decodeStub]]; schema, partitioning, and batch shape are the
+    * real Spark plumbing and are oracle-verified. */
+  def mmDecodeMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MmDecode.Payload]
+      .mapPartitions(it => it.map(MmDecode.decodeStub))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_exact" -> (dedupExact _),
+    "llm_dedup_near" -> (dedupNear _),
+    "llm_dedup_simhash" -> (dedupSimhash _),
+    "llm_dedup_jaccard" -> (dedupJaccard _),
+    "llm_dedup_embed" -> (dedupEmbed _),
+    "llm_sim_topk" -> (simTopk _),
+    "llm_ann_lsh" -> (annLsh _),
+    "llm_text_stats" -> (textStats _),
+    "llm_langid" -> (langId _),
+    "llm_quality_score" -> (qualityScore _),
+    "llm_token_count" -> (tokenCount _),
+    "llm_fingerprint" -> (fingerprint _),
+    "llm_multimodal_join" -> (multimodalJoin _),
+    "mm_decode_meta" -> (mmDecodeMeta _),
+  )
+
+  // ---- DuckDB oracles ----
+
+  private def h48S(e: String): String = graft.Tables.h48Sql(e)
+  private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+  /** DuckDB dot product of two FLOAT[] in doubles, index order. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1,65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def normSql(a: String): String =
+    s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  val oracles: Map[String, String] = Map(
+    "llm_dedup_exact" ->
+      """SELECT sha256(lower(trim(text))) AS content_hash,
+         MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "llm_dedup_near" -> {
+      val mins = MinhashA.zipWithIndex.map { case (a, i) =>
+        s"MIN((c*$a + ${minhashB(i)}) % $P) AS m$i"
+      }.mkString(", ")
+      val bandSelects = (0 until 4).map { j =>
+        s"SELECT doc_id, $j AS band, m${2 * j} || '_' || m${2 * j + 1} AS sig FROM m"
+      }.mkString(" UNION ALL ")
+      s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents
+            WHERE len(string_split(text,' ')) >= 3),
+          sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s FROM w),
+          h AS (SELECT doc_id, ${h48S("s")} AS c FROM sh),
+          m AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
+          bands AS ($bandSelects)
+          SELECT b1.doc_id AS doc1, b2.doc_id AS doc2, CAST(COUNT(*) AS BIGINT) AS n_bands
+          FROM bands b1 JOIN bands b2
+            ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id
+          GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
+    "llm_dedup_simhash" ->
+      s"""WITH wds AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS word
+            FROM documents),
+          h AS (SELECT doc_id, ${h48S("word")} AS hw FROM wds),
+          bits AS (SELECT doc_id, b,
+              SUM(CASE WHEN (hw >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM h CROSS JOIN (SELECT unnest(range(0,48)) AS b) bb GROUP BY 1, 2),
+          sig AS (SELECT doc_id,
+              CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY 1),
+          bands AS (SELECT doc_id, simhash, band, (simhash >> CAST(12*band AS INT)) & 4095 AS v
+            FROM sig CROSS JOIN (SELECT unnest(range(0,4)) AS band) b4),
+          pr AS (SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+            FROM bands b1 JOIN bands b2
+              ON b1.band = b2.band AND b1.v = b2.v AND b1.doc_id != b2.doc_id),
+          pc AS (SELECT d1 AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_partners FROM pr GROUP BY 1)
+          SELECT s.doc_id, s.simhash, COALESCE(pc.n_partners, 0) AS n_partners
+          FROM sig s LEFT JOIN pc ON s.doc_id = pc.doc_id ORDER BY s.doc_id""",
+    "llm_dedup_jaccard" ->
+      """WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS word
+           FROM documents WHERE doc_id < 20),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM w GROUP BY 1),
+         inter AS (SELECT w1.doc_id AS doc1, w2.doc_id AS doc2, COUNT(*) AS inter
+           FROM w w1 JOIN w w2 ON w1.word = w2.word AND w1.doc_id < w2.doc_id
+           GROUP BY 1, 2)
+         SELECT doc1, doc2, CAST(inter AS BIGINT) AS inter,
+           CAST(z1.sz + z2.sz - inter AS BIGINT) AS uni,
+           round(CAST(inter AS DOUBLE) / CAST(z1.sz + z2.sz - inter AS DOUBLE), 6) AS jaccard
+         FROM inter
+         JOIN sizes z1 ON doc1 = z1.doc_id
+         JOIN sizes z2 ON doc2 = z2.doc_id
+         ORDER BY doc1, doc2""",
+    "llm_sim_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+          scored AS (SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+              round(${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6) AS cos_r
+            FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id != c.vec_id),
+          ranked AS (SELECT qid, vec_id, cos_r,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id ASC) AS rn
+            FROM scored)
+          SELECT qid, vec_id, cos_r, CAST(rn AS INT) AS rn
+          FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
+    "llm_dedup_embed" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings)
+          SELECT a.vec_id AS v1, b.vec_id AS v2,
+            round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos_r
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+          ORDER BY cos_r DESC, v1 ASC, v2 ASC LIMIT 20""",
+    "llm_ann_lsh" -> {
+      val hw = s"(${h48S("(j || '_' || i)")} % 2001 - 1000)"
+      s"""WITH bits AS (
+            SELECT vec_id, j,
+              CASE WHEN list_sum(list_transform(range(1,65),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST($hw AS DOUBLE))) >= 0
+                THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END AS bit
+            FROM embeddings CROSS JOIN (SELECT unnest(range(0,6)) AS j) js),
+          buckets AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS bucket
+            FROM bits GROUP BY 1),
+          e AS (SELECT em.vec_id, embedding, ${normSql("embedding")} AS nrm, bucket
+            FROM embeddings em JOIN buckets b ON em.vec_id = b.vec_id),
+          scored AS (SELECT q.vec_id AS qid, q.bucket AS bucket, c.vec_id AS vec_id,
+              round(${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6) AS cos_r
+            FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+            WHERE q.vec_id < 10),
+          ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cos_r DESC, vec_id ASC) AS rn FROM scored),
+          best AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+              MIN(CASE WHEN rn = 1 THEN vec_id END) AS best_id,
+              MIN(CASE WHEN rn = 1 THEN cos_r END) AS best_cos
+            FROM ranked GROUP BY 1)
+          SELECT q.vec_id AS qid, q.bucket, COALESCE(best.n_candidates, 0) AS n_candidates,
+            best.best_id, best.best_cos
+          FROM e q LEFT JOIN best ON q.vec_id = best.qid
+          WHERE q.vec_id < 10 ORDER BY qid"""
+    },
+    "llm_text_stats" ->
+      """WITH tokens AS (SELECT lang, doc_id, unnest(string_split(text,' ')) AS word
+           FROM documents),
+         per_lang AS (SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct_words
+           FROM tokens GROUP BY 1),
+         wc AS (SELECT lang, word, COUNT(*) AS n FROM tokens GROUP BY 1, 2),
+         top AS (SELECT lang, word AS top_word, CAST(n AS BIGINT) AS top_word_n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, word ASC) AS rn
+           FROM wc)
+         SELECT p.lang, n_docs, n_words, n_distinct_words, top_word, top_word_n
+         FROM per_lang p JOIN top t ON p.lang = t.lang AND t.rn = 1
+         ORDER BY p.lang""",
+    "llm_langid" ->
+      """SELECT lang,
+         CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+              WHEN regexp_matches(text, '[ñ¿¡]') THEN 'es'
+              WHEN regexp_matches(text, '[üßö]') THEN 'de'
+              WHEN regexp_matches(text, '[éèêç]') THEN 'fr'
+              ELSE 'en' END AS pred_lang,
+         CAST(COUNT(*) AS BIGINT) AS n
+         FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+    "llm_quality_score" ->
+      """WITH t AS (SELECT doc_id,
+           CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
+           CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a'))) AS BIGINT) AS n_stop
+           FROM documents)
+         SELECT doc_id, n_words,
+           round(CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS ttr,
+           round(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS stop_ratio,
+           round(0.4 * least(1.0, CAST(n_words AS DOUBLE) / 200.0)
+             + 0.3 * (CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE))
+             + 0.3 * (CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE)), 6) AS score
+         FROM t ORDER BY doc_id""",
+    "llm_token_count" ->
+      """WITH t AS (SELECT source,
+           CAST(len(string_split(text,' ')) AS BIGINT) AS n_ws,
+           CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_re,
+           CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_bpe
+           FROM documents)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_ws) AS BIGINT) AS sum_ws, CAST(SUM(n_re) AS BIGINT) AS sum_re,
+           CAST(SUM(n_bpe) AS BIGINT) AS sum_bpe
+         FROM t GROUP BY 1 ORDER BY 1""",
+    "llm_fingerprint" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents
+            WHERE len(string_split(text,' ')) >= 6),
+          sh AS (SELECT doc_id, list_transform(range(1, len(ws)-1),
+              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles FROM w),
+          hs AS (SELECT doc_id, list_transform(shingles, s -> ${h48S("s")}) AS hs FROM sh),
+          fp AS (SELECT doc_id, hs, list_distinct(list_transform(range(1, len(hs)-2),
+              i -> list_min(hs[i:i+3]))) AS fps FROM hs)
+          SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_shingles,
+            CAST(len(fps) AS BIGINT) AS n_fp,
+            list_reduce(list_prepend(CAST(0 AS BIGINT), fps), (a, b) -> xor(a, b)) AS fp_xor,
+            list_min(fps) AS fp_min
+          FROM fp ORDER BY doc_id""",
+    "llm_multimodal_join" ->
+      s"""SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(n_chars) AS DOUBLE) AS avg_chars,
+          ${dsumSql(normSql("embedding"))} / CAST(COUNT(*) AS DOUBLE) AS avg_norm,
+          CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+          FROM documents JOIN embeddings ON doc_id = vec_id
+          GROUP BY 1 ORDER BY 1""",
+    "mm_decode_meta" -> {
+      val h = h48S("text")
+      s"""SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+          CAST($h % 640 AS INT) AS fake_w,
+          CAST(($h // 640) % 480 AS INT) AS fake_h,
+          (['jpeg','png','webp'])[CAST($h % 3 AS INT) + 1] AS fake_format
+          FROM documents ORDER BY doc_id"""
+    },
+  )
+}
+
+/** Typed rows for the multimodal decode stub ([[Llm.mmDecodeMeta]]). */
+object MmDecode {
+  case class Payload(doc_id: Long, payload: Array[Byte])
+  case class Meta(doc_id: Long, n_bytes: Int, fake_w: Int, fake_h: Int, fake_format: String)
+
+  private val Formats = Array("jpeg", "png", "webp")
+
+  /** Deterministic STAND-IN for a real image/audio decoder (decode libs are
+    * not in this container): derives metadata from the payload bytes via the
+    * same portable h48 hash the SQL side uses. Replace the body with a real
+    * codec call to productionize; the Spark plumbing stays identical. */
+  def decodeStub(p: Payload): Meta = {
+    val h = graft.Tables.h48jvm(new String(p.payload, "UTF-8"))
+    Meta(p.doc_id, p.payload.length, (h % 640L).toInt, ((h / 640L) % 480L).toInt,
+      Formats((h % 3L).toInt))
+  }
 }
