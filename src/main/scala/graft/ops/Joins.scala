@@ -56,12 +56,14 @@ object Joins {
       .orderBy("c_custkey")
   }
 
-  /** C4 — theta (non-equi) join over the two small dims: parts priced
-    * within ±10 of a supplier's account balance → BroadcastNestedLoopJoin. */
+  /** C4 — theta (non-equi) join over the two small dims: suppliers whose
+    * balance is 3×-5× a part's retail price → BroadcastNestedLoopJoin
+    * (band chosen to be non-degenerate at every fixture sf). */
   def joinThetaPriceBand(spark: SparkSession, dir: String): DataFrame = {
     val p = part(spark, dir)
     val s = supplier(spark, dir)
-    p.join(broadcast(s), abs(p("p_retailprice") - s("s_acctbal")) <= 10)
+    p.join(broadcast(s),
+        s("s_acctbal") >= p("p_retailprice") * 3 && s("s_acctbal") <= p("p_retailprice") * 5)
       .groupBy(col("s_suppkey"))
       .agg(count(lit(1)).as("n_parts"), min(col("p_partkey")).as("min_partkey"))
       .orderBy("s_suppkey")
@@ -135,7 +137,8 @@ object Joins {
     "join_theta_price_band" ->
       """SELECT s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_parts,
          MIN(p_partkey) AS min_partkey
-         FROM part JOIN supplier ON abs(p_retailprice - s_acctbal) <= 10
+         FROM part JOIN supplier
+           ON s_acctbal >= p_retailprice * 3 AND s_acctbal <= p_retailprice * 5
          GROUP BY 1 ORDER BY 1""",
     "join_window_events_selfpairs" ->
       s"""WITH ev AS (SELECT event_id, user_id,

@@ -1,0 +1,131 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming formulations of the SURVEY.md §2.I inventory — the
+  * (a) side of the dual-formulation rule. Each takes an unbounded events
+  * DataFrame/Dataset (from `readStream` / `MemoryStream`) and returns a
+  * streaming DataFrame; the batch twins live in [[graft.ops.StreamOps]] and
+  * share the same logical algebra (the Structured Streaming design premise:
+  * one declarative plan, incrementalized by the engine).
+  *
+  * Proven in `graft.StreamingSpec` with `MemoryStream`: watermark
+  * advancement, late-data drop, session merge, dedup-within-watermark,
+  * custom keyed state, and batch≡streaming result equality.
+  *
+  * Scale notes (100 TB/day stream): every stateful op is keyed on
+  * (window-bucket ×) user/key → state is hash-partitioned across executors;
+  * watermarks bound state size (old windows/sessions are evicted, dedup keys
+  * expire); no operator keeps unbounded history.
+  */
+object Streams {
+
+  /** Event record for typed streaming ops (mirrors the events table after
+    * the ns→µs read normalization). */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  /** I1+I2 — event-time tumbling window counts with a 10-minute
+    * out-of-orderness bound. Append mode emits a window only once the
+    * watermark passes its end; later-than-watermark rows are dropped (I8). */
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"))
+
+  /** I3 — sliding window (1h / 15min) average value. */
+  def slidingAvg(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
+      .select(col("w.start").as("ws"), col("n"), col("avg_value"))
+
+  /** I4 — session windows with a 30-minute gap; windows merge as events
+    * arrive, finalized when the watermark passes session end. */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes",
+                   watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  /** I7 — streaming exact dedup on (user_id, event_type); state for a key
+    * expires once the watermark passes, bounding memory at scale. */
+  def dedupFirst(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** I6 — KeyedProcessFunction analogue: per-user running first/last/count
+    * via mapGroupsWithState (Update mode). */
+  def userFirstLast(events: Dataset[Event]): Dataset[UserAccum] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserAccum, UserAccum](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[UserAccum]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val prev = state.getOption.getOrElse(UserAccum(uid, Long.MaxValue, Long.MinValue, 0L))
+          val next = sorted.foldLeft(prev) { (acc, e) =>
+            UserAccum(uid, math.min(acc.first_ms, e.ts.getTime),
+              math.max(acc.last_ms, e.ts.getTime), acc.n + 1)
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** I5 — per-user tumbling count window of `n`: buffers values in keyed
+    * state, emits (user, window-index, sum) every time the buffer fills.
+    * The Flink `countWindow(n)` analogue. */
+  def countWindowSum(events: Dataset[Event], n: Int): Dataset[CountWindow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CwState, CountWindow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[CwState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var s = state.getOption.getOrElse(CwState(0L, 0L, 0.0))
+          val out = Seq.newBuilder[CountWindow]
+          for (e <- sorted) {
+            s = CwState(s.emitted, s.inWindow + 1, s.sum + e.value)
+            if (s.inWindow == n) {
+              out += CountWindow(uid, s.emitted, s.sum)
+              s = CwState(s.emitted + 1, 0L, 0.0)
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
+  /** C5/C6 streaming side — watermarked stream-stream interval join:
+    * purchases within 15 minutes after a click by the same user. State on
+    * both sides is pruned by the watermark + time-range condition. */
+  def intervalJoin(events: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 15 MINUTES"))
+  }
+
+  case class UserAccum(user_id: Long, first_ms: Long, last_ms: Long, n: Long)
+  case class CwState(emitted: Long, inWindow: Long, sum: Double)
+  case class CountWindow(user_id: Long, window_idx: Long, sum_value: Double)
+}

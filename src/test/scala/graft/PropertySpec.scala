@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5.5) over generated event tables
+  * pushed through the same query shapes the engine ships. Uses ScalaCheck
+  * generators sampled under fixed seeds (5 cases per property — each case
+  * runs real Spark jobs). */
+class PropertySpec extends SparkTestBase {
+  import PropertySpec.GenEvent
+
+  private val genEvents: Gen[List[GenEvent]] = for {
+    n <- Gen.choose(1, 60)
+    evs <- Gen.listOfN(n, for {
+      id <- Gen.choose(0L, 100000L)
+      t <- Gen.choose(0L, 7L * 24 * 3600 * 1000) // a week in ms
+      uid <- Gen.choose(0L, 5L)
+      typ <- Gen.oneOf("click", "view", "purchase")
+      v <- Gen.choose(0.0, 1000.0)
+    } yield GenEvent(id, 1704067200000L + t, uid, typ, v))
+  } yield evs
+
+  /** Deterministic stand-in for forAll: 5 seeded samples per property. */
+  private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    (1 to 5).foreach { i =>
+      f(g.apply(Gen.Parameters.default, Seed(i.toLong))
+        .getOrElse(sys.error(s"generator failed for seed $i")))
+    }
+
+  private def toDf(evs: List[GenEvent]) = {
+    val s = spark
+    import s.implicits._
+    evs.toDF().withColumn("ts", timestamp_millis(col("ts_ms"))).drop("ts_ms")
+  }
+
+  test("tumbling window counts always sum to the input cardinality") {
+    forAll(genEvents) { evs =>
+      val df = toDf(evs)
+      val winSum = df.groupBy(window(col("ts"), "1 hour")).count()
+        .agg(sum("count")).head().getLong(0)
+      assert(winSum === evs.size.toLong)
+    }
+  }
+
+  test("dedup is idempotent and keeps ≤1 row per key") {
+    forAll(genEvents) { evs =>
+      val df = toDf(evs)
+      val once = df.dropDuplicates("user_id", "event_type")
+      val twice = once.dropDuplicates("user_id", "event_type")
+      assert(once.count() === twice.count())
+      assert(once.groupBy("user_id", "event_type").count()
+        .where(col("count") > 1).count() === 0)
+    }
+  }
+
+  test("union cardinality: |A ∪all B| = |A| + |B|") {
+    forAll(genEvents) { evs =>
+      val df = toDf(evs)
+      val a = df.where(col("event_type") === "click")
+      val b = df.where(col("event_type") =!= "click")
+      assert(a.unionByName(b).count() === df.count())
+    }
+  }
+
+  test("intersect ⊆ both sides; except ∩ right = ∅") {
+    forAll(genEvents) { evs =>
+      val df = toDf(evs)
+      val a = df.where(col("value") > 500).select("user_id")
+      val b = df.where(col("event_type") === "view").select("user_id")
+      val i = a.intersect(b)
+      assert(i.except(a.distinct()).count() === 0)
+      assert(i.except(b.distinct()).count() === 0)
+      assert(a.except(b).intersect(b.distinct()).count() === 0)
+    }
+  }
+
+  test("running total is monotone for non-negative values") {
+    forAll(genEvents) { evs =>
+      val s = spark
+      import s.implicits._
+      val df = toDf(evs)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val rt = df.withColumn("run", sum($"value").over(w))
+        .withColumn("prev", lag($"run", 1).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+            .orderBy($"ts", $"event_id")))
+      assert(rt.where($"prev".isNotNull && $"run" < $"prev" - 1e-9).count() === 0)
+    }
+  }
+
+  test("session count per user never exceeds event count and is ≥1") {
+    forAll(genEvents) { evs =>
+      val df = toDf(evs)
+      val sessions = df.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val perUser = sessions.groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("n").as("n_events"))
+      assert(perUser.where(col("n_sessions") > col("n_events")).count() === 0)
+      assert(perUser.agg(sum("n_events")).head().getLong(0) === df.count())
+    }
+  }
+}
+
+object PropertySpec {
+  /** Top-level so Spark can derive an Encoder (inner classes need an outer
+    * scope the executor side does not have). */
+  case class GenEvent(event_id: Long, ts_ms: Long, user_id: Long,
+                      event_type: String, value: Double)
+}

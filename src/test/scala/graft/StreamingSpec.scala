@@ -1,0 +1,213 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Structured Streaming semantics (SURVEY.md §2.I, the (a) side of the dual
+  * formulation): watermark advancement, late-data drop, session merge,
+  * streaming dedup, custom keyed state, stream-stream interval join, output
+  * modes, and batch≡streaming equality. All via MemoryStream — the idiomatic
+  * Spark analogue of Flink's MiniCluster harness. */
+class StreamingSpec extends SparkTestBase {
+
+  private def ev(id: Long, t: String, uid: Long, typ: String, v: Double) =
+    Event(id, ts(t), uid, typ, v)
+
+  private def runToTable(df: DataFrame, name: String, mode: String): StreamingQuery =
+    df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+
+  test("I2+I1: tumbling counts in append mode emit only watermark-finalized windows") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[Event]
+    val q = runToTable(Streams.tumblingCounts(ms.toDF()), "tumb_append", "append")
+    try {
+      ms.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 10:30:00", 1, "click", 2.0))
+      q.processAllAvailable()
+      // watermark still at epoch-ish: nothing finalized
+      assert(spark.table("tumb_append").count() === 0)
+      // advance event time past 11:00 + 10min watermark delay
+      ms.addData(ev(3, "2024-01-01 11:20:00", 1, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumb_append")
+        .select($"ws".cast("string"), $"event_type", $"n").as[(String, String, Long)]
+        .collect().toSet
+      assert(rows === Set(("2024-01-01 10:00:00", "click", 2L)))
+    } finally q.stop()
+  }
+
+  test("I8: rows later than the watermark are dropped, not re-fired") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[Event]
+    val q = runToTable(Streams.tumblingCounts(ms.toDF()), "tumb_late", "append")
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      ms.addData(ev(2, "2024-01-01 12:00:00", 1, "view", 1.0)) // wm → 11:50
+      q.processAllAvailable()
+      val afterClose = spark.table("tumb_late").count()
+      assert(afterClose === 1) // [10:00,11:00) closed with n=1
+      ms.addData(ev(3, "2024-01-01 10:05:00", 1, "click", 9.9)) // late: < wm
+      q.processAllAvailable()
+      assert(spark.table("tumb_late").count() === afterClose) // dropped
+    } finally q.stop()
+  }
+
+  test("I4: session windows merge events within gap and split across it") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[Event]
+    val q = runToTable(Streams.sessionStats(ms.toDF()), "sess", "append")
+    try {
+      ms.addData(
+        ev(1, "2024-01-01 10:00:00", 7, "click", 1.0),
+        ev(2, "2024-01-01 10:20:00", 7, "click", 1.0),
+        ev(3, "2024-01-01 10:40:00", 7, "click", 1.0), // same session (gaps 20min)
+        ev(4, "2024-01-01 11:50:00", 7, "click", 1.0)) // new session (gap 70min)
+      ms.addData(ev(5, "2024-01-01 14:00:00", 8, "view", 1.0)) // advance wm
+      q.processAllAvailable()
+      val rows = spark.table("sess").where($"user_id" === 7)
+        .select($"session_start".cast("string"), $"session_end".cast("string"), $"n_events")
+        .as[(String, String, Long)].collect().toSet
+      assert(rows === Set(
+        ("2024-01-01 10:00:00", "2024-01-01 11:10:00", 3L), // end = last + 30min gap
+        ("2024-01-01 11:50:00", "2024-01-01 12:20:00", 1L)))
+    } finally q.stop()
+  }
+
+  test("I7: dropDuplicatesWithinWatermark emits first occurrence only") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[Event]
+    val q = runToTable(Streams.dedupFirst(ms.toDF()), "dedup", "append")
+    try {
+      ms.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 10:01:00", 1, "click", 2.0), // dup key within batch
+        ev(3, "2024-01-01 10:02:00", 2, "click", 3.0))
+      q.processAllAvailable()
+      ms.addData(ev(4, "2024-01-01 10:03:00", 1, "click", 4.0)) // dup key later batch
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select($"event_id").as[Long].collect().toSet
+      assert(ids === Set(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("I6: mapGroupsWithState accumulates per-user first/last/count across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[Event]
+    val q = runToTable(Streams.userFirstLast(ms.toDS()).toDF(), "ufl", "update")
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      ms.addData(ev(2, "2024-01-01 12:00:00", 1, "view", 2.0),
+        ev(3, "2024-01-01 09:00:00", 1, "view", 3.0)) // out-of-order earlier event
+      q.processAllAvailable()
+      val last = spark.table("ufl").where($"user_id" === 1)
+        .orderBy($"n".desc).limit(1)
+        .select($"first_ms", $"last_ms", $"n").as[(Long, Long, Long)].head()
+      assert(last === ((ts("2024-01-01 09:00:00").getTime,
+        ts("2024-01-01 12:00:00").getTime, 3L)))
+    } finally q.stop()
+  }
+
+  test("I5: flatMapGroupsWithState count-window emits exactly full windows") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[Event]
+    val q = runToTable(Streams.countWindowSum(ms.toDS(), 3).toDF(), "cw", "append")
+    try {
+      ms.addData((1 to 4).map(i => ev(i, f"2024-01-01 10:0$i:00", 1, "click", i.toDouble)): _*)
+      q.processAllAvailable() // 4 events → one full window of 3 (sum 1+2+3)
+      ms.addData((5 to 7).map(i => ev(i, f"2024-01-01 10:0$i:00", 1, "click", i.toDouble)): _*)
+      q.processAllAvailable() // +3 events → second window (4+5+6), 7 buffered
+      val rows = spark.table("cw").select($"window_idx", $"sum_value")
+        .as[(Long, Double)].collect().toSet
+      assert(rows === Set((0L, 6.0), (1L, 15.0)))
+    } finally q.stop()
+  }
+
+  test("C6 streaming: watermarked stream-stream interval join matches pairs") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[Event]
+    val q = runToTable(Streams.intervalJoin(ms.toDF()), "ij", "append")
+    try {
+      ms.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 10:10:00", 1, "purchase", 5.0), // within 15min → match
+        ev(3, "2024-01-01 10:40:00", 1, "purchase", 6.0), // 40min later → no match
+        ev(4, "2024-01-01 10:05:00", 2, "purchase", 7.0)) // other user → no match
+      ms.addData(ev(9, "2024-01-01 13:00:00", 9, "view", 0.0)) // advance wm
+      q.processAllAvailable()
+      val pairs = spark.table("ij").select($"click_id", $"purchase_id")
+        .as[(Long, Long)].collect().toSet
+      assert(pairs === Set((1L, 2L)))
+    } finally q.stop()
+  }
+
+  test("I10+batch≡streaming: complete-mode aggregation equals the batch twin on the same data") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val batchEvents = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
+      .collect()
+    val ms = MemoryStream[Event]
+    val streamed = ms.toDF()
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros($"w.start").as("ws_us"), $"event_type", $"n")
+    val q = runToTable(streamed, "tumb_complete", "complete")
+    try {
+      ms.addData(batchEvents.toSeq: _*)
+      q.processAllAvailable()
+      val stream = spark.table("tumb_complete").orderBy("ws_us", "event_type").collect()
+      val batch = ops.StreamOps.tumblingCounts(spark, sf0001).collect()
+      assert(stream.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
+
+  test("I9: checkpointed query recovers state across restart") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val ms = MemoryStream[Event]
+    val df = Streams.tumblingCounts(ms.toDF())
+    // memory sink cannot recover from a checkpoint; the exactly-once file
+    // sink can — this is the I9 shape (checkpoint + idempotent parquet sink)
+    def start() = df.writeStream.format("parquet").option("path", outDir)
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    var q = start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 10:30:00", 1, "click", 2.0))
+      q.processAllAvailable()
+      q.stop() // simulate failure/restart; offsets+state live in ckpt
+      q = start()
+      ms.addData(ev(3, "2024-01-01 12:00:00", 1, "view", 1.0)) // wm closes 10:00 window
+      q.processAllAvailable()
+      val rows = spark.read.parquet(outDir)
+        .select($"ws".cast("string"), $"event_type", $"n").as[(String, String, Long)]
+        .collect().toSet
+      assert(rows.contains(("2024-01-01 10:00:00", "click", 2L)))
+    } finally q.stop()
+  }
+}
