@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.functions.sqrt
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expressions for array math on embedding columns.
+  *
+  * Why a custom Expression (SURVEY.md §4.3 extension point, exercised):
+  * Spark's higher-order functions (`zip_with` + `aggregate`) evaluate their
+  * lambdas interpreted — they are excluded from whole-stage codegen — and on
+  * O(pairs) similarity joins the per-pair lambda dispatch + intermediate
+  * array dominated runtime (llm_dedup_embed: ~12.5 s at sf0.1). This
+  * expression generates a tight primitive loop inside whole-stage codegen.
+  *
+  * Determinism: ascending-index sequential sum — bit-identical to the HOF
+  * fold it replaces and to the DuckDB oracle's index-order `list_sum`.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // Inputs are produced only by [[ArrayMath]] call sites and are always
+  // array<double>; no ExpectsInputTypes (AbstractDataType is private[sql]).
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = Math.min($x.numElements(), $y.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $x.getDouble($i) * $y.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayMath {
+  /** Column API: sequential-order dot product of two double arrays. */
+  def dotProduct(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** L2 norm via the same kernel (dot(a,a) then sqrt). */
+  def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
+}

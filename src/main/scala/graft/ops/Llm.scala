@@ -39,15 +39,22 @@ object Llm {
 
   private def wordsCol: Column = split(col("text"), " ")
 
-  /** Sequential-fold dot product of two float arrays, in double. */
-  private def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Embedding dimensionality (FIXTURES.md: fixed dim=64). */
+  private val Dim = 64
 
-  /** L2 norm of a float array, in double. */
+  /** Dot product of two DOUBLE arrays — native codegen'd kernel
+    * ([[graft.functions.DotProduct]]), ascending-index order, bit-identical
+    * to the oracle's index-order list_sum. Inputs are pre-cast to double
+    * once per *vector* (see [[withNorm]]), not once per pair.
+    * (Two alternatives measured at sf0.1 on llm_dedup_embed and rejected:
+    * `zip_with`+`aggregate` HOF fold = interpreted lambdas, ~12.5 s; a
+    * 64-term unrolled expression falls out of whole-stage codegen, ~51 s.) */
+  private def dotCol(a: Column, b: Column): Column =
+    graft.functions.ArrayMath.dotProduct(a, b)
+
+  /** L2 norm of a double array. */
   private def normCol(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+    graft.functions.ArrayMath.l2Norm(a)
 
   // ------------------------------------------------------------------
   // J1 — exact dedup
@@ -66,16 +73,21 @@ object Llm {
   // J2 — MinHash + LSH near-dup
   // ------------------------------------------------------------------
 
-  /** Per-doc MinHash signature (k=8) over distinct 3-word shingles. */
+  /** Per-doc MinHash signature (k=8) over distinct 3-word shingles.
+    * Shingles are built with codegen'd `lead` windows over exploded word
+    * positions rather than an interpreted array-lambda; dedup of repeated
+    * shingles happens in the same per-doc shuffle partition. */
   private def minhashSigs(spark: SparkSession, dir: String): DataFrame = {
-    val w = wordsCol
-    val shingles = array_distinct(transform(
-      sequence(lit(1), size(w) - 2),
-      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
-    val hashed = documents(spark, dir)
-      .where(size(w) >= 3)
-      .select(col("doc_id"), explode(shingles).as("s"))
-      .select(col("doc_id"), h48(col("s")).as("c"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val shingled = documents(spark, dir)
+      .where(size(wordsCol) >= 3)
+      .select(col("doc_id"), posexplode(wordsCol).as(Seq("pos", "word")))
+      .select(col("doc_id"), concat_ws(" ", col("word"),
+        lead(col("word"), 1).over(win), lead(col("word"), 2).over(win)).as("s"),
+        lead(col("word"), 2).over(win).isNotNull.as("full"))
+      .where(col("full"))
+      .dropDuplicates("doc_id", "s")
+    val hashed = shingled.select(col("doc_id"), h48(col("s")).as("c"))
     val aggs = MinhashA.zipWithIndex.map { case (a, i) =>
       min((col("c") * a + minhashB(i)) % P).as(s"m$i")
     }
@@ -83,7 +95,12 @@ object Llm {
   }
 
   /** Near-dup candidates: docs sharing ≥1 of 4 LSH bands (2 minhashes per
-    * band). The band value is the join key — this is the 100 TB shape. */
+    * band). Bucket-local pair generation: group docs by (band, sig), emit
+    * pairs inside each bucket from the sorted member list — ONE pass over
+    * the signature pipeline (a band-table self-join would recompute the
+    * whole MinHash lineage per side: measured 4.7 s → 2.0 s at sf0.1), and
+    * the 100 TB shape: the band value is the shuffle key, pair count ∝
+    * actual collisions, never O(n²). */
   def dedupNear(spark: SparkSession, dir: String): DataFrame = {
     val sigs = minhashSigs(spark, dir)
     val bands = sigs.select(col("doc_id"), explode(array(
@@ -92,10 +109,13 @@ object Llm {
           concat_ws("_", col(s"m${2 * j}"), col(s"m${2 * j + 1}")).as("sig"))
       }: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
-    bands.as("b1").join(bands.as("b2"),
-        col("b1.band") === col("b2.band") && col("b1.sig") === col("b2.sig") &&
-        col("b1.doc_id") < col("b2.doc_id"))
-      .groupBy(col("b1.doc_id").as("doc1"), col("b2.doc_id").as("doc2"))
+    val buckets = bands.groupBy("band", "sig")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+    val pairs = buckets.select(explode(flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        y => struct(x.as("doc1"), y.as("doc2")))))).as("p"))
+    pairs.groupBy(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
       .agg(count(lit(1)).as("n_bands"))
       .orderBy("doc1", "doc2")
   }
@@ -166,8 +186,11 @@ object Llm {
   // J3 — similarity search
   // ------------------------------------------------------------------
 
+  /** Cast the float embedding to double once per vector and attach its norm;
+    * all similarity math downstream is pure double folds. */
   private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("nrm", normCol(col("embedding")))
+    df.withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("nrm", normCol(col("embedding")))
 
   /** Brute-force cosine top-k: for each query vector (vec_id<10), the top-5
     * nearest others. Ranking uses round(cos,6) with vec_id tiebreak so the
@@ -203,12 +226,15 @@ object Llm {
     * signature; candidates share the bucket (equi-join — the scale path),
     * exact cosine re-rank inside the bucket. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    def hyperWeight(j: Int, d: Column): Column =
-      (conv(substring(md5(concat(lit(s"${j}_"), d.cast("string"))), 1, 12), 16, 10)
-        .cast("long") % 2001L - 1000L).cast("double")
+    // Hyperplane weights are data-independent → computed once on the driver
+    // (via the JVM h48 twin, bit-identical to the oracle's md5 fold — see
+    // OperatorSpec) and embedded as literals: no per-row md5 in the scan,
+    // and at cluster scale the planes ship inside the serialized plan.
+    def hyperWeight(j: Int, d: Int): Column =
+      lit((graft.Tables.h48jvm(s"${j}_$d") % 2001L - 1000L).toDouble)
     def hyperDot(j: Int): Column =
-      aggregate(sequence(lit(1), lit(64)), lit(0.0),
-        (acc, d) => acc + element_at(col("embedding"), d).cast("double") * hyperWeight(j, d))
+      (1 to Dim).map(d => element_at(col("embedding"), d).cast("double") * hyperWeight(j, d))
+        .reduce(_ + _)
     val bucketCol = (0 until 6)
       .map(j => when(hyperDot(j) >= 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
