@@ -159,6 +159,23 @@ class OperatorSpec extends SparkTestBase {
     assert(msr.getString(3) === "a")
   }
 
+  test("K1 scalar UDF: cosineSim agrees with the native DotProduct kernel") {
+    val s = spark
+    import s.implicits._
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("emb"))
+    val a = e.as("a"); val b = e.as("b")
+    val both = a.join(b, col("a.vec_id") + 1 === col("b.vec_id"))
+      .select(
+        ops.Udfs.cosineSim(col("a.emb"), col("b.emb")).as("viaUdf"),
+        (functions.ArrayMath.dotProduct(col("a.emb"), col("b.emb")) /
+          (functions.ArrayMath.l2Norm(col("a.emb")) * functions.ArrayMath.l2Norm(col("b.emb"))))
+          .as("viaExpr"))
+      .as[(Double, Double)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (u, x) => assert(math.abs(u - x) < 1e-12) }
+  }
+
   test("mm decode stub: JVM h48 twin is bit-identical to the SQL h48") {
     val s = spark
     import s.implicits._

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan regression guards (SURVEY.md §4.2 — "verify in plans,
+  * don't rebuild"): pushdown, pruning, join strategy, top-k, partial
+  * aggregation, and the custom codegen kernel. These lock in the
+  * scale-relevant plan shapes the scaladocs claim. */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString()
+
+  test("filter predicates are pushed down to the parquet scan") {
+    val p = plan(ops.Relational.filterPurchases(spark, sf0001))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("EqualTo(event_type,purchase)"), p)
+    assert(p.contains("GreaterThan(value,100.0)"), p)
+  }
+
+  test("column pruning: unreferenced columns never reach the scan") {
+    val p = plan(ops.Relational.mapEnrichValue(spark, sf0001))
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("props"), s"props should be pruned from scan:\n$p")
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side)") {
+    val p = plan(ops.Joins.joinOrdersCustomer(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("orderBy+limit compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan(ops.Relational.topkOrdersByPrice(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("aggregation is two-phase (map-side partial + final)") {
+    val p = plan(ops.Relational.aggValueByType(spark, sf0001))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("similarity joins run the native codegen'd dot-product kernel") {
+    val p = plan(ops.Llm.dedupEmbed(spark, sf0001))
+    assert(p.contains("graft_dot_product"), p)
+  }
+
+  test("date-bounded lineitem scan pushes the shipdate predicate") {
+    val p = plan(ops.Relational.aggPricingSummary(spark, sf0001))
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p)
+  }
+}

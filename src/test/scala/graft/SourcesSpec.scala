@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Source/sink surface beyond the parquet fixtures (SURVEY.md §2.A):
+  * collection sources, text-file source, rate streaming source, console/
+  * foreachBatch sinks. Kafka and socket sources are config-level wiring
+  * (`format("kafka"/"socket")`) that cannot run in this zero-egress
+  * container; their construction is documented in [[graft.streaming.Streams]]
+  * scaladoc and the README. */
+class SourcesSpec extends SparkTestBase {
+
+  test("A3: collection/element source (fromElements analogue)") {
+    val s = spark
+    import s.implicits._
+    val ds = spark.createDataset(Seq(("a", 1), ("b", 2)))
+    assert(ds.toDF("k", "v").agg(sum("v")).head().getLong(0) === 3L)
+  }
+
+  test("A4: text-file source (readTextFile analogue) + WordCount") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-text")
+    java.nio.file.Files.writeString(dir.resolve("a.txt"), "the quick fox\nthe lazy dog\n")
+    val counts = spark.read.text(dir.toString)
+      .select(explode(split(col("value"), " ")).as("word"))
+      .groupBy("word").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts("the") === 2L && counts("fox") === 1L)
+  }
+
+  test("A2: unbounded rate source streams rows") {
+    val q = spark.readStream.format("rate").option("rowsPerSecond", "500").load()
+      .writeStream.format("memory").queryName("rate_sink").outputMode("append").start()
+    try {
+      var n = 0L
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (n == 0 && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        n = spark.table("rate_sink").count()
+      }
+      assert(n > 0, "rate source produced no rows within 15s")
+    } finally q.stop()
+  }
+
+  test("A9: foreachBatch sink observes every micro-batch") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = ms.toDF().writeStream
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        seen.addAndGet(df.count()): Unit)
+      .start()
+    try {
+      ms.addData(1, 2, 3); q.processAllAvailable()
+      ms.addData(4); q.processAllAvailable()
+      assert(seen.get() === 4L)
+    } finally q.stop()
+  }
+}
