@@ -125,7 +125,39 @@ object Streams {
         col("p_ts") <= col("c_ts") + expr("INTERVAL 15 MINUTES"))
   }
 
+  /** I6 via the Spark 4 `transformWithState` API — the nearest 1:1 analogue
+    * of Flink's `KeyedProcessFunction` + `ValueState` (SURVEY.md §1.1).
+    * Requires the RocksDB state store provider (asserted in the spec). */
+  def userTotalsTws(events: Dataset[Event]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new UserTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** Per-user running (count, sum) in a RocksDB-backed ValueState. */
+  class UserTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserTotals] {
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var totals: streaming.ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)]("totals",
+        Encoders.product[(Long, Double)], streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: streaming.TimerValues): Iterator[UserTotals] = {
+      val prev = Option(totals.get()).getOrElse((0L, 0.0))
+      val next = rows.foldLeft(prev) { case ((n, s), e) => (n + 1, s + e.value) }
+      totals.update(next)
+      Iterator.single(UserTotals(key, next._1, next._2))
+    }
+  }
+
   case class UserAccum(user_id: Long, first_ms: Long, last_ms: Long, n: Long)
+  case class UserTotals(user_id: Long, n: Long, sum_value: Double)
   case class CwState(emitted: Long, inWindow: Long, sum: Double)
   case class CountWindow(user_id: Long, window_idx: Long, sum_value: Double)
 }

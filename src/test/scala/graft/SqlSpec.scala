@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** SQL entry point (SURVEY.md §3.4): the same capabilities through
+  * `spark.sql`, cross-checked against the DataFrame formulations — plus the
+  * D5 shapes the rollup query key doesn't cover (CUBE, GROUPING SETS). */
+class SqlSpec extends SparkTestBase {
+
+  private def withViews[A](f: => A): A = {
+    Seq("events", "orders", "customer", "nation").foreach { t =>
+      val df = if (t == "events") Tables.events(spark, sf0001)
+               else Tables.table(spark, sf0001, t)
+      df.createOrReplaceTempView(t)
+    }
+    f
+  }
+
+  private def sortedRows(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
+
+  test("SQL ≡ DataFrame: keyed aggregation") {
+    withViews {
+      val sql = spark.sql(
+        """SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(value) AS DOUBLE) AS avg_value,
+           MIN(value) AS min_value, MAX(value) AS max_value
+           FROM events GROUP BY event_type ORDER BY event_type""")
+      assert(sortedRows(sql) === sortedRows(ops.Relational.aggValueByType(spark, sf0001)))
+    }
+  }
+
+  test("SQL ≡ DataFrame: windowed top-3 per user") {
+    withViews {
+      val sql = spark.sql(
+        """SELECT user_id, rn, event_id, value FROM (
+             SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+             FROM events) WHERE rn <= 3 ORDER BY user_id, rn""")
+      assert(sortedRows(sql) === sortedRows(ops.Relational.topkEventsPerUser(spark, sf0001)))
+    }
+  }
+
+  test("SQL ≡ DataFrame: broadcast dim join aggregation") {
+    withViews {
+      val sql = spark.sql(
+        """SELECT n_name, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name ORDER BY n_name""")
+      assert(sortedRows(sql) === sortedRows(ops.Joins.joinOrdersCustomer(spark, sf0001)))
+    }
+  }
+
+  test("D5: CUBE and GROUPING SETS produce the expected group space") {
+    withViews {
+      val cube = spark.sql(
+        """SELECT event_type, user_id, COUNT(*) AS n, GROUPING(event_type) AS ge
+           FROM events GROUP BY CUBE(event_type, user_id)""")
+      val types = Tables.events(spark, sf0001).select("event_type").distinct().count()
+      val users = Tables.events(spark, sf0001).select("user_id").distinct().count()
+      // cube = all 4 grouping combinations
+      assert(cube.count() === (types * users) + types + users + 1)
+      val gs = spark.sql(
+        """SELECT event_type, user_id, COUNT(*) AS n
+           FROM events GROUP BY GROUPING SETS ((event_type), (user_id))""")
+      assert(gs.count() === types + users)
+    }
+  }
+
+  test("subquery decorrelation: correlated EXISTS matches semi-join") {
+    withViews {
+      val sql = spark.sql(
+        """SELECT c_custkey FROM customer c
+           WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""")
+      val c = Tables.customer(spark, sf0001)
+      val o = Tables.orders(spark, sf0001)
+      val df = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi").select("c_custkey")
+      assert(sortedRows(sql) === sortedRows(df))
+    }
+  }
+}

@@ -183,6 +183,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("I6 (Spark 4 transformWithState): RocksDB-backed ValueState accumulates per key") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event]
+    val q = runToTable(Streams.userTotalsTws(ms.toDS()).toDF(), "tws", "update")
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00", 1, "click", 1.5),
+        ev(2, "2024-01-01 10:01:00", 1, "click", 2.5))
+      q.processAllAvailable()
+      ms.addData(ev(3, "2024-01-01 10:02:00", 1, "view", 4.0))
+      q.processAllAvailable()
+      val last = spark.table("tws").where($"user_id" === 1)
+        .orderBy($"n".desc).limit(1).select($"n", $"sum_value")
+        .as[(Long, Double)].head()
+      assert(last === ((3L, 8.0)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("I9: checkpointed query recovers state across restart") {
     val s = spark
     import s.implicits._
