@@ -353,6 +353,35 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Composite training-data pipeline: exact-dedup → quality-filter →
+    * per-(lang, source) corpus stats. The realistic chained shape: each
+    * stage is one of the operators above, fused by Catalyst into a single
+    * plan (dedup shuffle on content hash, then map-side scoring, then one
+    * aggregation shuffle). */
+  def pipeline(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    val kept = documents(spark, dir)
+      .withColumn("h", sha2(lower(trim(col("text"))), 256))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+    val words = wordsCol
+    val nWords = size(words).cast("long")
+    val nDistinct = size(array_distinct(words)).cast("long")
+    val nStop = size(filter(words, x => x === "the" || x === "a")).cast("long")
+    val score = round(
+      lit(0.4) * least(lit(1.0), nWords.cast("double") / 200.0) +
+        lit(0.3) * (nDistinct.cast("double") / nWords.cast("double")) +
+        lit(0.3) * (nStop.cast("double") / nWords.cast("double")), 6)
+    kept
+      .withColumn("score", score)
+      .withColumn("n_ws", nWords)
+      .where(col("score") >= 0.28)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_ws")).as("sum_tokens"),
+        davg(col("score")).as("avg_score"))
+      .orderBy("lang", "source")
+  }
+
   // ------------------------------------------------------------------
   // J5 — multimodal columns
   // ------------------------------------------------------------------
@@ -401,6 +430,7 @@ object Llm {
     "llm_token_count" -> (tokenCount _),
     "llm_fingerprint" -> (fingerprint _),
     "llm_multimodal_join" -> (multimodalJoin _),
+    "llm_pipeline" -> (pipeline _),
     "mm_decode_meta" -> (mmDecodeMeta _),
   )
 
@@ -579,6 +609,26 @@ object Llm {
           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
           FROM documents JOIN embeddings ON doc_id = vec_id
           GROUP BY 1 ORDER BY 1""",
+    "llm_pipeline" ->
+      """WITH kept AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY sha256(lower(trim(text)))
+             ORDER BY doc_id) AS rn
+           FROM documents QUALIFY rn = 1),
+         scored AS (
+           SELECT lang, source,
+             CAST(len(string_split(text,' ')) AS BIGINT) AS n_ws,
+             round(0.4 * least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 200.0)
+               + 0.3 * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                        / CAST(len(string_split(text,' ')) AS DOUBLE))
+               + 0.3 * (CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a'))) AS DOUBLE)
+                        / CAST(len(string_split(text,' ')) AS DOUBLE)), 6) AS score
+           FROM kept)
+         SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_ws) AS BIGINT) AS sum_tokens,
+           CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(COUNT(score) AS DOUBLE) AS avg_score
+         FROM scored WHERE score >= 0.28
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "mm_decode_meta" -> {
       val h = h48S("text")
       s"""SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
