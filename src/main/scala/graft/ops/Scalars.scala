@@ -108,7 +108,7 @@ object Scalars {
          CAST(SUM(CAST(sqrt(list_sum(list_transform(embedding,
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS DECIMAL(18,6))) AS DOUBLE)
            / CAST(COUNT(*) AS DOUBLE) AS avg_norm,
-         MIN(len(embedding)) AS dim
+         CAST(MIN(len(embedding)) AS INT) AS dim
          FROM embeddings GROUP BY 1 ORDER BY 1""",
   )
 }
