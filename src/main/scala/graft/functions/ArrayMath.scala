@@ -59,6 +59,11 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object ArrayMath {
+  /** Expose the kernel to the SQL surface as `graft_dot_product(a, b)`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot_product", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+
   /** Column API: sequential-order dot product of two double arrays. */
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(

@@ -125,6 +125,34 @@ object Streams {
         col("p_ts") <= col("c_ts") + expr("INTERVAL 15 MINUTES"))
   }
 
+  /** A2/A8 — Kafka source/sink wiring (the canonical Flink
+    * KafkaSource/KafkaSink analogue). Returns the fully-configured
+    * reader/writer WITHOUT load()/start(): this container is zero-egress and
+    * ships no kafka connector jar, so the wiring is compile-checked and
+    * documented rather than executed. On a real cluster:
+    * `kafkaSource(spark, servers, topic).load()` yields the standard
+    * key/value/topic/partition/offset/timestamp schema. */
+  def kafkaSource(spark: org.apache.spark.sql.SparkSession, bootstrapServers: String,
+                  topic: String): org.apache.spark.sql.streaming.DataStreamReader =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+
+  /** A8 — exactly-once Kafka sink wiring (checkpointed). */
+  def kafkaSink(df: DataFrame, bootstrapServers: String, topic: String,
+                checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  /** A5 — socket text source wiring (the classic WordCount input). */
+  def socketSource(spark: org.apache.spark.sql.SparkSession, host: String,
+                   port: Int): org.apache.spark.sql.streaming.DataStreamReader =
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port.toString)
+
   /** I6 via the Spark 4 `transformWithState` API — the nearest 1:1 analogue
     * of Flink's `KeyedProcessFunction` + `ValueState` (SURVEY.md §1.1).
     * Requires the RocksDB state store provider (asserted in the spec). */

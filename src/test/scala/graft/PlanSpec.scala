@@ -43,6 +43,12 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("graft_dot_product"), p)
   }
 
+  test("llm token count scan prunes to the referenced document columns") {
+    val p = plan(ops.Llm.tokenCount(spark, sf0001))
+    assert(!p.contains("lang"), s"lang should be pruned:\n$p")
+    assert(!p.contains("doc_id"), s"doc_id should be pruned:\n$p")
+  }
+
   test("date-bounded lineitem scan pushes the shipdate predicate") {
     val p = plan(ops.Relational.aggPricingSummary(spark, sf0001))
     assert(p.contains("LessThanOrEqual(l_shipdate"), p)

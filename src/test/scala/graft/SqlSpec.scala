@@ -69,6 +69,17 @@ class SqlSpec extends SparkTestBase {
     }
   }
 
+  test("native kernel registered for SQL: graft_dot_product") {
+    functions.ArrayMath.register(spark)
+    Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS emb")
+      .createOrReplaceTempView("emb")
+    val r = spark.sql(
+      "SELECT vec_id, graft_dot_product(emb, emb) AS sq FROM emb ORDER BY vec_id LIMIT 1")
+      .collect()(0)
+    assert(r.getDouble(1) > 0.0)
+  }
+
   test("subquery decorrelation: correlated EXISTS matches semi-join") {
     withViews {
       val sql = spark.sql(
