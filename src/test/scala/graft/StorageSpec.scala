@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Storage-layout scale techniques, executed and plan-asserted at fixture
+  * scale: bucketed co-located joins (the 100 TB fact⋈fact shape — no
+  * shuffle on either side) and partitioned writes with partition pruning.
+  * These back the README's scale-design claims with running evidence. */
+class StorageSpec extends SparkTestBase {
+
+  test("bucketed fact tables sort-merge join with NO exchange on either side") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucketed")
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(bcast)
+    spark.conf.set(bcast, "-1") // force SMJ so the absent-shuffle claim is real
+    try {
+      Tables.orders(spark, sf0001).write
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$dir/o_b").mode("overwrite").saveAsTable("o_b")
+      Tables.lineitem(spark, sf0001).write
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$dir/l_b").mode("overwrite").saveAsTable("l_b")
+      val j = spark.table("o_b").join(spark.table("l_b"),
+        col("o_orderkey") === col("l_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString()
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      // and it computes the same thing as the plain join
+      val plain = Tables.orders(spark, sf0001).join(Tables.lineitem(spark, sf0001),
+        col("o_orderkey") === col("l_orderkey"))
+      assert(j.count() === plain.count())
+    } finally {
+      spark.conf.set(bcast, prev)
+      spark.sql("DROP TABLE IF EXISTS o_b")
+      spark.sql("DROP TABLE IF EXISTS l_b")
+    }
+  }
+
+  test("partitioned parquet write + partition pruning in the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.events(spark, sf0001).write
+      .partitionBy("event_type").mode("overwrite").parquet(dir)
+    val purchases = spark.read.parquet(dir).where(col("event_type") === "purchase")
+    val plan = purchases.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("event_type"), plan)
+    val expected = Tables.events(spark, sf0001)
+      .where(col("event_type") === "purchase").count()
+    assert(purchases.count() === expected)
+  }
+}
