@@ -159,6 +159,18 @@ class OperatorSpec extends SparkTestBase {
     assert(msr.getString(3) === "a")
   }
 
+  test("salted skew join is row-equivalent to the plain join") {
+    val o = Tables.orders(spark, sf0001)
+    val c = Tables.customer(spark, sf0001)
+    val plain = o.join(c, o("o_custkey") === c("c_custkey"))
+      .select("o_orderkey", "c_custkey")
+    val salted = ops.Skew.saltedJoin(o, c, "o_custkey", "c_custkey", 7)
+      .select("o_orderkey", "c_custkey")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
   test("K1 scalar UDF: cosineSim agrees with the native DotProduct kernel") {
     val s = spark
     import s.implicits._
