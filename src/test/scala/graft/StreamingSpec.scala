@@ -212,6 +212,24 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("I10: update mode re-emits a window's row as new data refines it") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[Event]
+    val q = runToTable(Streams.tumblingCounts(ms.toDF()), "tumb_update", "update")
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      ms.addData(ev(2, "2024-01-01 10:30:00", 1, "click", 2.0))
+      q.processAllAvailable()
+      val emitted = spark.table("tumb_update")
+        .where($"event_type" === "click").select($"n").as[Long].collect().sorted.toSeq
+      // same window emitted twice, refined: n=1 then n=2 (vs append: only final)
+      assert(emitted === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("I9: checkpointed query recovers state across restart") {
     val s = spark
     import s.implicits._
