@@ -147,6 +147,22 @@ object Streams {
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
 
+  /** A2 deserialization — parse a Kafka-style binary JSON `value` payload
+    * into typed event columns (the step after `kafkaSource(...).load()`;
+    * works identically on any binary/string JSON column, so it is fully
+    * testable without a broker — see StreamingSpec round-trip test). */
+  /** JSON timestamp format carrying full microseconds — Spark's default
+    * truncates to millis, which would corrupt event time on the wire. */
+  val WireTsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  def parseEventJson(df: DataFrame): DataFrame =
+    df.select(from_json(col("value").cast("string"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"),
+        Map("timestampFormat" -> WireTsFormat))
+      .as("e"))
+      .select("e.*")
+
   /** A5 — socket text source wiring (the classic WordCount input). */
   def socketSource(spark: org.apache.spark.sql.SparkSession, host: String,
                    port: Int): org.apache.spark.sql.streaming.DataStreamReader =

@@ -3,6 +3,7 @@ package graft
 import graft.streaming.Streams
 import graft.streaming.Streams.Event
 import org.apache.spark.sql.DataFrame
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -228,6 +229,21 @@ class StreamingSpec extends SparkTestBase {
       // same window emitted twice, refined: n=1 then n=2 (vs append: only final)
       assert(emitted === Seq(1L, 2L))
     } finally q.stop()
+  }
+
+  test("A2: kafka-style binary JSON payloads round-trip through parseEventJson") {
+    val s = spark
+    import s.implicits._
+    val original = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val wire = original // serialize exactly as a Kafka producer would
+      .select(to_json(struct($"event_id", $"ts", $"user_id", $"event_type", $"value"),
+          Map("timestampFormat" -> Streams.WireTsFormat).asJava)
+        .cast("binary").as("value"))
+    val parsed = Streams.parseEventJson(wire)
+    assert(parsed.schema === original.schema)
+    assert(parsed.exceptAll(original).count() === 0)
+    assert(original.exceptAll(parsed).count() === 0)
   }
 
   test("I9: checkpointed query recovers state across restart") {
