@@ -22,7 +22,7 @@ object Skew {
   def saltedJoin(large: DataFrame, small: DataFrame,
                  largeKey: String, smallKey: String, buckets: Int): DataFrame = {
     val salted = large.withColumn("_salt",
-      pmod(hash(large.columns.map(col): _*), lit(buckets)))
+      pmod(hash(large.columns.toIndexedSeq.map(col): _*), lit(buckets)))
     val replicated = small.withColumn("_salt",
       explode(array((0 until buckets).map(lit): _*)))
     salted.join(replicated,
