@@ -139,6 +139,21 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** E1 — ranking family: row_number / rank / dense_rank / percent_rank of
+    * each user's top-5 purchases by value. */
+  def winRankDense(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id").asc)
+    events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        round(percent_rank().over(w), 6).as("prnk"))
+      .where(col("rn") <= 5)
+      .orderBy("user_id", "rn")
+  }
+
   /** E2 — lag: per-user gap to previous event in microseconds. */
   def winEventGaps(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -219,6 +234,7 @@ object Relational {
     "agg_approx_distinct_users" -> (aggApproxDistinctUsers _),
     "agg_rollup_nation_region" -> (aggRollupNationRegion _),
     "agg_udaf_weighted_avg" -> (aggUdafWeightedAvg _),
+    "win_rank_dense" -> (winRankDense _),
     "win_event_gaps" -> (winEventGaps _),
     "win_running_total" -> (winRunningTotal _),
     "topk_orders_by_price" -> (topkOrdersByPrice _),
@@ -290,6 +306,17 @@ object Relational {
             AS wavg_value,
           CAST(COUNT(*) AS BIGINT) AS n
           FROM events GROUP BY 1 ORDER BY 1""",
+    "win_rank_dense" ->
+      s"""WITH ranked AS (
+            SELECT user_id, event_id, value,
+              ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk,
+              DENSE_RANK() OVER w AS drnk,
+              round(PERCENT_RANK() OVER w, 6) AS prnk
+            FROM events WHERE event_type = 'purchase'
+            WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC))
+          SELECT user_id, event_id, value, CAST(rn AS INT) AS rn,
+            CAST(rnk AS INT) AS rnk, CAST(drnk AS INT) AS drnk, prnk
+          FROM ranked WHERE rn <= 5 ORDER BY user_id, rn""",
     "win_event_gaps" ->
       s"""SELECT event_id, user_id,
           epoch_us($evTs) - lag(epoch_us($evTs), 1)
