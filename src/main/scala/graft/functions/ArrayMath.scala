@@ -71,4 +71,19 @@ object ArrayMath {
 
   /** L2 norm via the same kernel (dot(a,a) then sqrt). */
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
+
+  /** JVM twin of [[DotProduct]] for mapPartitions kernels — identical
+    * ascending-index addition order, bit-identical results. */
+  def dotJvm(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** JVM twin of Spark's `round(x, 6)` (BigDecimal HALF_UP, same as the
+    * Round expression's double path). */
+  def round6(x: Double): Double =
+    BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

