@@ -123,6 +123,18 @@ object Relational {
       .orderBy("gid", "region", "nation")
   }
 
+  /** D5b — cube over order status × priority (all 4 grouping combinations;
+    * rollup's sibling shape, nulls coalesced like the rollup query). */
+  def aggCubeStatusPriority(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+        grouping_id().as("gid"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("n"), col("sum_price"))
+      .orderBy("gid", "status", "priority")
+
   /** D6/K2 — custom typed UDAF: weighted average of event value, weighted by
     * the JSON props key k (+1 to avoid zero weights). The Aggregator
     * accumulates exact decimals so partial-merge order cannot perturb the
@@ -174,12 +186,32 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** E3b — time-based RANGE frame: per event, the user's rolling 1-hour
+    * sum of value (frame = all events within the preceding hour). */
+  def winRange1hSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600L * 1000000L, Window.currentRow)
+    events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("sum_1h",
+        sum(col("value").cast("decimal(18,6)")).over(w).cast("double"))
+      .select(col("event_id"), col("user_id"), col("sum_1h"))
+      .orderBy("event_id")
+  }
+
   /** F1+F2 — global sort + limit: compiles to TakeOrderedAndProject
     * (top-k per partition + merge on driver; no global sort materialized). */
   def topkOrdersByPrice(spark: SparkSession, dir: String): DataFrame =
     orders(spark, dir)
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** F2b — offset paging: the second page of the price ranking. */
+  def topkOrdersPage2(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .offset(10).limit(10)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
 
   /** F3 — top-N per group (classic Flink Top-N pattern). */
@@ -233,6 +265,9 @@ object Relational {
     "agg_distinct_users_per_type" -> (aggDistinctUsersPerType _),
     "agg_approx_distinct_users" -> (aggApproxDistinctUsers _),
     "agg_rollup_nation_region" -> (aggRollupNationRegion _),
+    "agg_cube_status_priority" -> (aggCubeStatusPriority _),
+    "win_range_1h_sum" -> (winRange1hSum _),
+    "topk_orders_page2" -> (topkOrdersPage2 _),
     "agg_udaf_weighted_avg" -> (aggUdafWeightedAvg _),
     "win_rank_dense" -> (winRankDense _),
     "win_event_gaps" -> (winEventGaps _),
@@ -299,6 +334,22 @@ object Relational {
           JOIN region ON n_regionkey = r_regionkey
           GROUP BY ROLLUP(r_name, n_name)
           ORDER BY gid, region, nation""",
+    "agg_cube_status_priority" ->
+      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+          COALESCE(o_orderpriority, 'ALL') AS priority,
+          CAST(2 * GROUPING(o_orderstatus) + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+          CAST(COUNT(*) AS BIGINT) AS n, ${dsumSql("o_totalprice")} AS sum_price
+          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+          ORDER BY gid, status, priority""",
+    "win_range_1h_sum" ->
+      s"""SELECT event_id, user_id,
+          CAST(SUM(CAST(value AS DECIMAL(18,6)))
+            OVER (PARTITION BY user_id ORDER BY epoch_us($evTs)
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_1h
+          FROM events ORDER BY event_id""",
+    "topk_orders_page2" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10 OFFSET 10""",
     "agg_udaf_weighted_avg" ->
       s"""SELECT user_id,
           CAST(SUM(CAST(value * (CAST(json_extract_string(props, '$$.k') AS BIGINT) + 1) AS DECIMAL(18,6))) AS DOUBLE)
