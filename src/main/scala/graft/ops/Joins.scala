@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join operators (SURVEY.md §2.C): equi inner/outer/semi/anti, theta,
@@ -105,7 +106,29 @@ object Joins {
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
+  /** C6b — AS-OF join: for every purchase, the same user's latest click
+    * at-or-before it. Formulated the scale-correct way: instead of a
+    * join + per-purchase argmax (two shuffles + a pair blowup), interleave
+    * both event kinds in ONE per-user time-ordered window and carry the
+    * last seen click forward with `last_value(..., ignoreNulls)` — a single
+    * shuffle on user_id regardless of data size. */
+  def joinAsofClickBeforePurchase(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .where(col("event_type").isin("click", "purchase"))
+      .withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_us",
+        last(when(col("event_type") === "click", unix_micros(col("ts"))), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("click_id"), (unix_micros(col("ts")) - col("click_us")).as("age_us"))
+      .orderBy("purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_asof_click_before_purchase" -> (joinAsofClickBeforePurchase _),
     "join_orders_customer" -> (joinOrdersCustomer _),
     "join_left_orders_wo_lineitem" -> (joinLeftOrdersWoLineitem _),
     "join_anti_customers_no_orders" -> (joinAntiCustomersNoOrders _),
@@ -118,6 +141,19 @@ object Joins {
   private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "join_asof_click_before_purchase" ->
+      s"""WITH tagged AS (
+            SELECT user_id, event_id, $evTs AS ts, event_type,
+              last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+                OVER w AS click_id,
+              last_value(CASE WHEN event_type = 'click' THEN epoch_us($evTs) END IGNORE NULLS)
+                OVER w AS click_us
+            FROM events WHERE event_type IN ('click', 'purchase')
+            WINDOW w AS (PARTITION BY user_id ORDER BY $evTs, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          SELECT user_id, event_id AS purchase_id, click_id,
+            epoch_us(ts) - click_us AS age_us
+          FROM tagged WHERE event_type = 'purchase' ORDER BY purchase_id""",
     "join_orders_customer" ->
       s"""SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
           ${dsumSql("o_totalprice")} AS sum_price

@@ -159,6 +159,26 @@ class OperatorSpec extends SparkTestBase {
     assert(msr.getString(3) === "a")
   }
 
+  test("C8: typed cogroup over two keyed streams (CoProcessFunction analogue)") {
+    val s = spark
+    import s.implicits._
+    val ev = Tables.events(spark, sf0001)
+      .select($"user_id", $"event_type", $"value")
+      .as[(Long, String, Double)]
+    val clicks = ev.filter(_._2 == "click").groupByKey(_._1)
+    val purchases = ev.filter(_._2 == "purchase").groupByKey(_._1)
+    val cogrouped = clicks.cogroup(purchases) { (uid, cs, ps) =>
+      Iterator.single((uid, cs.size, ps.size))
+    }.collect().map { case (u, c, p) => u -> ((c, p)) }.toMap
+    val expected = Tables.events(spark, sf0001)
+      .groupBy("user_id").agg(
+        sum(when($"event_type" === "click", 1).otherwise(0)).as("c"),
+        sum(when($"event_type" === "purchase", 1).otherwise(0)).as("p"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, c, p) => u -> ((c.toInt, p.toInt)) }.toMap
+    assert(cogrouped === expected.filter { case (_, (c, p)) => c > 0 || p > 0 })
+  }
+
   test("salted skew join is row-equivalent to the plain join") {
     val o = Tables.orders(spark, sf0001)
     val c = Tables.customer(spark, sf0001)
