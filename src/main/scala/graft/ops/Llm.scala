@@ -297,6 +297,28 @@ object Llm {
       .orderBy("qid")
   }
 
+  /** Embedding int8 quantization (symmetric, per-vector scale = 127/max|x|)
+    * + reconstruction-error report per label. The storage-compression step
+    * of an embedding pipeline (4× smaller at ~1e-5 MSE); entirely row-local
+    * map-side work, one aggregation shuffle for the report. */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val embD = transform(col("embedding"), x => x.cast("double"))
+    val maxAbs = array_max(transform(embD, x => abs(x)))
+    val scale = lit(127.0) / maxAbs
+    val q = transform(embD, x => round(x * scale, 0).cast("int"))
+    val mse = aggregate(
+      zip_with(embD, q, (x, qi) => {
+        val r = qi.cast("double") / scale; (x - r) * (x - r)
+      }),
+      lit(0.0), (acc, v) => acc + v) / size(col("embedding")).cast("double")
+    embeddings(spark, dir)
+      .withColumn("mse", mse)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), davg(col("mse")).as("avg_mse"),
+        min(round(maxAbs, 6)).as("min_maxabs"))
+      .orderBy("label")
+  }
+
   // ------------------------------------------------------------------
   // J4 — text analysis
   // ------------------------------------------------------------------
@@ -467,6 +489,7 @@ object Llm {
     "llm_fingerprint" -> (fingerprint _),
     "llm_multimodal_join" -> (multimodalJoin _),
     "llm_pipeline" -> (pipeline _),
+    "llm_embed_quantize" -> (embedQuantize _),
     "mm_decode_meta" -> (mmDecodeMeta _),
   )
 
@@ -665,6 +688,26 @@ object Llm {
              / CAST(COUNT(score) AS DOUBLE) AS avg_score
          FROM scored WHERE score >= 0.28
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "llm_embed_quantize" ->
+      """WITH t AS (
+           SELECT label,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs,
+             embedding
+           FROM embeddings),
+         m AS (
+           SELECT label, maxabs,
+             list_sum(list_transform(embedding, x ->
+               (CAST(x AS DOUBLE) - CAST(round(CAST(x AS DOUBLE) * (127.0 / maxabs), 0) AS INT)
+                  / (127.0 / maxabs))
+               * (CAST(x AS DOUBLE) - CAST(round(CAST(x AS DOUBLE) * (127.0 / maxabs), 0) AS INT)
+                  / (127.0 / maxabs))))
+             / CAST(len(embedding) AS DOUBLE) AS mse
+           FROM t)
+         SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(mse AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(COUNT(mse) AS DOUBLE) AS avg_mse,
+           MIN(round(maxabs, 6)) AS min_maxabs
+         FROM m GROUP BY 1 ORDER BY 1""",
     "mm_decode_meta" -> {
       val h = h48S("text")
       s"""SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
