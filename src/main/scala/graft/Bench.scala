@@ -25,10 +25,24 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver captures a bounded tail of stdout; a full-precision
+    // per-query map for 50+ queries overflows it and the JSON line gets
+    // truncated (round-1 BENCH parsed:null). Emit 3-decimal timings,
+    // slowest queries first, and cap the line under ~1800 chars so the
+    // whole line always survives the tail window.
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val entries = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    val budget = 1800
+    val kept = new scala.collection.mutable.ListBuffer[String]
+    var len = 120 + sfDir.length
+    entries.foreach { e =>
+      if (len + e.length + 1 <= budget) { kept += e; len += e.length + 1 }
+    }
+    val qs = kept.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

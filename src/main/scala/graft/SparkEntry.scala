@@ -21,7 +21,9 @@ object SparkEntry {
       ops.Relational.queries ++
       ops.Joins.queries ++
       ops.Scalars.queries ++
-      ops.Llm.queries
+      ops.Analytics.queries ++
+      ops.Llm.queries ++
+      ops.Llm2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +32,7 @@ object SparkEntry {
       ops.Relational.oracles ++
       ops.Joins.oracles ++
       ops.Scalars.oracles ++
-      ops.Llm.oracles
+      ops.Analytics.oracles ++
+      ops.Llm.oracles ++
+      ops.Llm2.oracles
 }

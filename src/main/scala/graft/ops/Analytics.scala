@@ -1,0 +1,373 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-2 relational/analytic coverage (SURVEY.md §2 D/E/F/G/H widening):
+  * pivot/unpivot reshaping, explicit GROUPING SETS, exact percentiles,
+  * deterministic second-moment statistics, ntile/cume_dist analytic ranks,
+  * value-navigation window functions (first/last/nth), full-outer and semi
+  * joins, multiset set-ops (INTERSECT/EXCEPT ALL), deterministic hash
+  * sampling, conditional scalar family, edit distance, and map/struct
+  * derivation (§2.H6).
+  *
+  * Scale notes (100 TB):
+  *  - `pivot` with an explicit value list is a single hash aggregation (no
+  *    distinct-values pre-pass, no extra shuffle); output width is fixed.
+  *  - `unpivot` is a row-local generator (1→4) — no shuffle at all.
+  *  - GROUPING SETS plans one aggregate per set over a single scan via
+  *    Catalyst's Expand operator: shuffle volume ∝ Σ|set keys|, not ×|sets|
+  *    full-data replays.
+  *  - Moment statistics ship as one partial-aggregable pass (six decimal
+  *    sums), the textbook map-side-combine shape; the algebraic formulas
+  *    run post-aggregation on grouped (tiny) data.
+  *  - The hash sample pushes nothing to the scan (md5 can't) but is
+  *    row-local and deterministic across engines and cluster layouts —
+  *    the property that matters for reproducible 100 TB pipeline runs.
+  *  - Semi/anti joins carry only the join key of the probe side; full-outer
+  *    joins run as shuffle joins on the key — both AQE-coalesced.
+  */
+object Analytics {
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot: per-user value sums reshaped one column per event type.
+    * The explicit value list avoids the extra distinct-values job Spark
+    * otherwise runs to discover pivot columns. */
+  def pivotValueByType(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .agg(dsum(col("value")))
+      .orderBy("user_id")
+
+  /** Unpivot (melt): lineitem measure columns to (measure, val) rows. */
+  def unpivotLineitemMeasures(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .where(col("l_orderkey") < 100)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "val")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
+  /** Explicit GROUPING SETS ((flag,status),(flag),()) via the SQL surface
+    * (rollup/cube siblings are covered in [[Relational]]). */
+  def aggGroupingSetsShip(spark: SparkSession, dir: String): DataFrame = {
+    lineitem(spark, dir).createOrReplaceTempView("gs_lineitem")
+    spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                coalesce(l_linestatus, 'ALL') AS status,
+                grouping_id() AS gid,
+                count(*) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+         FROM gs_lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         ORDER BY gid, flag, status""")
+  }
+
+  /** Exact interpolated percentiles of value per event type (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`: both interpolate linearly at
+    * rank (n-1)·p over the sorted values). */
+  def aggPercentilesValue(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.25)"), 6).as("p25"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.75)"), 6).as("p75"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"))
+      .orderBy("event_type")
+
+  /** Deterministic second-moment statistics per event type: sample
+    * variance/stddev of value and Pearson correlation with the JSON props
+    * key. Built from six exact decimal sums (order-independent partial
+    * aggregation) + algebraic formulas in double — bit-reproducible on both
+    * engines, unlike the engines' native single-pass var/corr kernels. */
+  def aggStatsMoments(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("value")
+    val y = get_json_object(col("props"), "$.k").cast("double")
+    val agged = events(spark, dir)
+      .select(col("event_type"), x.as("x"), y.as("y"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("x")).as("sx"), dsum(col("x") * col("x")).as("sxx"),
+        dsum(col("y")).as("sy"), dsum(col("y") * col("y")).as("syy"),
+        dsum(col("x") * col("y")).as("sxy"))
+    val nd = col("n").cast("double")
+    val varExpr = (col("sxx") - col("sx") * col("sx") / nd) / (nd - 1)
+    val corrExpr = (nd * col("sxy") - col("sx") * col("sy")) /
+      sqrt((nd * col("sxx") - col("sx") * col("sx")) * (nd * col("syy") - col("sy") * col("sy")))
+    agged.select(col("event_type"), col("n"),
+        round(varExpr, 6).as("var_value"),
+        round(sqrt(varExpr), 6).as("std_value"),
+        round(corrExpr, 6).as("corr_vk"))
+      .orderBy("event_type")
+  }
+
+  /** Distribution ranks: quartile bucket (ntile), percent_rank and
+    * cume_dist of each order's price within its priority class. */
+  def winNtileQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("prnk"),
+        round(cume_dist().over(w), 6).as("cdist"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Value navigation over the full per-user frame: first/last/2nd event
+    * value by time (frame = unbounded both ways; no arithmetic → no
+    * rounding needed). */
+  def winFirstLastNth(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        first(col("value")).over(w).as("first_value"),
+        last(col("value")).over(w).as("last_value"),
+        nth_value(col("value"), 2).over(w).as("second_value"))
+      .orderBy("event_id")
+  }
+
+  /** Full-outer join: every customer against their order rollup (customers
+    * with no orders keep a null/zero aggregate side; orphan orders — none
+    * under the FK, but the join form handles them — keep a null customer
+    * side). */
+  def joinFullOuterOrderCounts(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+    customer(spark, dir)
+      .join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_mktsegment").as("segment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        col("sum_price"))
+      .orderBy("custkey")
+  }
+
+  /** Left-semi join: customers with at least one 1995 order — carries only
+    * the probe key through the join, never duplicating the build side. */
+  def joinSemiActiveCustomers(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .join(orders(spark, dir).where(year(col("o_orderdate")) === 1995),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  private def valueBuckets(spark: SparkSession, dir: String, eventType: String): DataFrame =
+    events(spark, dir)
+      .where(col("event_type") === eventType)
+      .select(floor(col("value") / 10).cast("long").as("bucket"))
+
+  /** Multiset intersection: value-decile bags of purchases ∩ views,
+    * duplicates preserved (count = min of the two multiplicities). */
+  def setopIntersectAllBuckets(spark: SparkSession, dir: String): DataFrame =
+    valueBuckets(spark, dir, "purchase")
+      .intersectAll(valueBuckets(spark, dir, "view"))
+      .orderBy("bucket")
+
+  /** Multiset difference: purchase deciles minus view deciles, with
+    * multiplicity arithmetic (EXCEPT ALL). */
+  def setopExceptAllBuckets(spark: SparkSession, dir: String): DataFrame =
+    valueBuckets(spark, dir, "purchase")
+      .exceptAll(valueBuckets(spark, dir, "view"))
+      .orderBy("bucket")
+
+  /** Deterministic ~10% sample: rows whose portable content hash lands in
+    * [0,10) of 100 buckets. Unlike TABLESAMPLE this is reproducible across
+    * engines, partitionings, and cluster sizes — the property a 100 TB
+    * pipeline needs for auditable sampling. */
+  def sampleHashEvents(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .where(pmod(h48(col("event_id").cast("string")), lit(100)) < 10)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+
+  /** Conditional scalar family over lineitem: CASE tiers, NULLIF/COALESCE
+    * null plumbing, GREATEST/LEAST — aggregated per derived tier. */
+  def scalarCondTiers(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .select(
+        when(col("l_quantity") < 10, "low")
+          .when(col("l_quantity") < 30, "mid")
+          .otherwise("high").as("tier"),
+        coalesce(expr("nullif(l_returnflag, 'N')"), lit("NONE")).as("flag2"),
+        greatest(col("l_discount"), col("l_tax")).as("gx"),
+        least(col("l_discount"), col("l_tax")).as("lx"))
+      .groupBy("tier", "flag2")
+      .agg(count(lit(1)).as("n"), dsum(col("gx")).as("sum_hi"), dsum(col("lx")).as("sum_lo"))
+      .orderBy("tier", "flag2")
+
+  /** Edit distance between every pair of event-type names (Levenshtein —
+    * identical dynamic-programming definition in both engines). */
+  def scalarStringDistance(spark: SparkSession, dir: String): DataFrame = {
+    val t = events(spark, dir).select(col("event_type")).distinct()
+    t.select(col("event_type").as("t1"))
+      .crossJoin(t.select(col("event_type").as("t2")))
+      .select(col("t1"), col("t2"),
+        levenshtein(col("t1"), col("t2")).as("lev"),
+        (length(col("t1")) + length(col("t2"))).as("len_sum"))
+      .orderBy("t1", "t2")
+  }
+
+  /** Map/struct derivation (§2.H6 — fixtures have no map columns, so the
+    * map is built then consumed in-plan): per-type metrics packed with
+    * map_from_arrays and exploded back to (metric, val) rows. */
+  def scalarMapMetrics(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"))
+      .select(col("event_type"),
+        explode(map_from_arrays(
+          array(lit("n"), lit("users")),
+          array(col("n"), col("users")))).as(Seq("metric", "val")))
+      .orderBy("event_type", "metric")
+
+  // ------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pivot_value_by_type" -> (pivotValueByType _),
+    "unpivot_lineitem_measures" -> (unpivotLineitemMeasures _),
+    "agg_grouping_sets_ship" -> (aggGroupingSetsShip _),
+    "agg_percentiles_value" -> (aggPercentilesValue _),
+    "agg_stats_moments" -> (aggStatsMoments _),
+    "win_ntile_quartiles" -> (winNtileQuartiles _),
+    "win_first_last_nth" -> (winFirstLastNth _),
+    "join_full_outer_order_counts" -> (joinFullOuterOrderCounts _),
+    "join_semi_active_customers" -> (joinSemiActiveCustomers _),
+    "setop_intersect_all_buckets" -> (setopIntersectAllBuckets _),
+    "setop_except_all_buckets" -> (setopExceptAllBuckets _),
+    "sample_hash_events" -> (sampleHashEvents _),
+    "scalar_cond_tiers" -> (scalarCondTiers _),
+    "scalar_string_distance" -> (scalarStringDistance _),
+    "scalar_map_metrics" -> (scalarMapMetrics _),
+  )
+
+  private val evTs = "CAST(ts AS TIMESTAMP)"
+  private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+
+  val oracles: Map[String, String] = Map(
+    "pivot_value_by_type" -> {
+      val cols = EventTypes.map { t =>
+        s"CAST(SUM(CAST(CASE WHEN event_type = '$t' THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS \"$t\""
+      }.mkString(", ")
+      s"SELECT user_id, $cols FROM events GROUP BY 1 ORDER BY 1"
+    },
+    "unpivot_lineitem_measures" -> {
+      val arms = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { m =>
+        s"SELECT l_orderkey, l_linenumber, '$m' AS measure, $m AS val FROM lineitem WHERE l_orderkey < 100"
+      }.mkString(" UNION ALL ")
+      s"$arms ORDER BY l_orderkey, l_linenumber, measure"
+    },
+    "agg_grouping_sets_ship" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+          coalesce(l_linestatus, 'ALL') AS status,
+          CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT) AS gid,
+          CAST(COUNT(*) AS BIGINT) AS n, ${dsumSql("l_quantity")} AS sum_qty
+          FROM lineitem
+          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          ORDER BY gid, flag, status""",
+    "agg_percentiles_value" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         round(quantile_cont(CAST(value AS DOUBLE), 0.25), 6) AS p25,
+         round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS p50,
+         round(quantile_cont(CAST(value AS DOUBLE), 0.75), 6) AS p75,
+         round(quantile_cont(CAST(value AS DOUBLE), 0.9), 6) AS p90
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "agg_stats_moments" ->
+      s"""WITH t AS (SELECT event_type, value AS x,
+            CAST(json_extract_string(props, '$$.k') AS DOUBLE) AS y FROM events),
+          a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+            ${dsumSql("x")} AS sx, ${dsumSql("x * x")} AS sxx,
+            ${dsumSql("y")} AS sy, ${dsumSql("y * y")} AS syy,
+            ${dsumSql("x * y")} AS sxy
+            FROM t GROUP BY 1)
+          SELECT event_type, n,
+            round((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1), 6) AS var_value,
+            round(sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)), 6) AS std_value,
+            round((CAST(n AS DOUBLE) * sxy - sx * sy)
+              / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr_vk
+          FROM a ORDER BY event_type""",
+    "win_ntile_quartiles" ->
+      """SELECT o_orderkey, o_orderpriority,
+         CAST(ntile(4) OVER w AS INT) AS quartile,
+         round(percent_rank() OVER w, 6) AS prnk,
+         round(cume_dist() OVER w, 6) AS cdist
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+         ORDER BY o_orderkey""",
+    "win_first_last_nth" ->
+      s"""SELECT event_id, user_id,
+          first_value(value) OVER w AS first_value,
+          last_value(value) OVER w AS last_value,
+          nth_value(value, 2) OVER w AS second_value
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY $evTs, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          ORDER BY event_id""",
+    "join_full_outer_order_counts" ->
+      s"""SELECT coalesce(c_custkey, o_custkey) AS custkey,
+          c_mktsegment AS segment,
+          coalesce(n_orders, 0) AS n_orders, sum_price
+          FROM customer
+          FULL OUTER JOIN (
+            SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+              ${dsumSql("o_totalprice")} AS sum_price
+            FROM orders GROUP BY 1) o ON c_custkey = o_custkey
+          ORDER BY custkey""",
+    "join_semi_active_customers" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
+         ORDER BY c_custkey""",
+    "setop_intersect_all_buckets" ->
+      """SELECT CAST(floor(value / 10) AS BIGINT) AS bucket FROM events WHERE event_type = 'purchase'
+         INTERSECT ALL
+         SELECT CAST(floor(value / 10) AS BIGINT) AS bucket FROM events WHERE event_type = 'view'
+         ORDER BY bucket""",
+    "setop_except_all_buckets" ->
+      """SELECT CAST(floor(value / 10) AS BIGINT) AS bucket FROM events WHERE event_type = 'purchase'
+         EXCEPT ALL
+         SELECT CAST(floor(value / 10) AS BIGINT) AS bucket FROM events WHERE event_type = 'view'
+         ORDER BY bucket""",
+    "sample_hash_events" -> {
+      val h = graft.Tables.h48Sql("CAST(event_id AS VARCHAR)")
+      s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, ${dsumSql("value")} AS sum_value
+          FROM events WHERE $h % 100 < 10
+          GROUP BY 1 ORDER BY 1"""
+    },
+    "scalar_cond_tiers" ->
+      s"""WITH t AS (SELECT
+            CASE WHEN l_quantity < 10 THEN 'low'
+                 WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS tier,
+            coalesce(nullif(l_returnflag, 'N'), 'NONE') AS flag2,
+            greatest(l_discount, l_tax) AS gx, least(l_discount, l_tax) AS lx
+            FROM lineitem)
+          SELECT tier, flag2, CAST(COUNT(*) AS BIGINT) AS n,
+            ${dsumSql("gx")} AS sum_hi, ${dsumSql("lx")} AS sum_lo
+          FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
+    "scalar_string_distance" ->
+      """WITH t AS (SELECT DISTINCT event_type FROM events)
+         SELECT a.event_type AS t1, b.event_type AS t2,
+           CAST(levenshtein(a.event_type, b.event_type) AS INT) AS lev,
+           CAST(length(a.event_type) + length(b.event_type) AS INT) AS len_sum
+         FROM t a CROSS JOIN t b ORDER BY t1, t2""",
+    "scalar_map_metrics" ->
+      """SELECT event_type, 'n' AS metric, CAST(COUNT(*) AS BIGINT) AS val
+         FROM events GROUP BY event_type
+         UNION ALL
+         SELECT event_type, 'users' AS metric, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS val
+         FROM events GROUP BY event_type
+         ORDER BY event_type, metric""",
+  )
+}

@@ -1,0 +1,206 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-2 LLM-pipeline extensions (SURVEY.md §2.J widening):
+  * IVF-style ANN (the centroid-prune scale path next to [[Llm.annLsh]]'s
+  * hyperplane buckets), n-gram frequency analysis, approximate percentiles
+  * (sketch aggregate), and multimodal chunking plumbing.
+  *
+  * Scale notes (100 TB):
+  *  - IVF: centroid computation is one partial-aggregable pass over
+  *    (cell, dim) pairs — shuffle ∝ |cells|·dim, not data. Assignment is a
+  *    broadcast join against the (tiny) centroid table; the candidate
+  *    search is an equi-join on the cell id — never a cross join. With
+  *    k ≫ 10 cells the same plan holds: the centroid table stays
+  *    broadcast-sized (k·dim doubles) up to millions of cells.
+  *  - Bigram mining reuses the exploded-token + lead-window shape of the
+  *    MinHash shingler: one shuffle keyed by doc to order tokens, one
+  *    aggregation shuffle keyed by (lang, bigram) — both ∝ token count.
+  *  - approx_percentile is Spark's built-in KLL-ish quantile sketch:
+  *    mergeable partial state, constant memory per group — the only way to
+  *    do percentiles over 100 TB without a global sort.
+  *  - Chunking is a row-local 1→N generator (no shuffle), the exact
+  *    plumbing shape a binary media column needs for frame/segment
+  *    sampling; payload here is the text column as bytes-equivalent.
+  */
+object Llm2 {
+
+  /** Embedding dimensionality (FIXTURES.md: fixed dim=64). */
+  private val Dim = 64
+
+  private def dotCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    graft.functions.ArrayMath.dotProduct(a, b)
+  private def normCol(a: org.apache.spark.sql.Column) =
+    graft.functions.ArrayMath.l2Norm(a)
+
+  /** IVF (inverted-file) ANN: cells = label groups, centroid = exact
+    * decimal-mean per dimension (deterministic across engines and partition
+    * orders), probe = 1 nearest centroid, exact cosine re-rank inside the
+    * probed cell. Output: per query (vec_id<5) its probed cell and top-3
+    * neighbors there. */
+  def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+      .withColumn("emb", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("nrm", normCol(col("emb")))
+
+    // Centroids: mean per (label, dim) via exact decimal sums, reassembled
+    // into an ordered array per label. |labels|·64 rows — broadcastable.
+    val centroids = e
+      .select(col("label"), posexplode(col("emb")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(davg(col("x")).as("c"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cemb"))
+      .withColumn("cnrm", normCol(col("cemb")))
+
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
+
+    // Probe: nearest centroid by cosine (broadcast nested-loop over k rows).
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_c").desc, col("label").asc)
+    val probed = q.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qemb"), col("qnrm"), col("label"),
+        round(dotCol(col("qemb"), col("cemb")) / (col("qnrm") * col("cnrm")), 6).as("cos_c"))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") === 1)
+      .select(col("qid"), col("qemb"), col("qnrm"), col("label").as("cell"))
+
+    // Search: equi-join on the probed cell, exact cosine top-3.
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_r").desc, col("vec_id").asc)
+    probed.join(e, probed("cell") === e("label") && col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("cell"), col("vec_id"),
+        round(dotCol(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")), 6).as("cos_r"))
+      .withColumn("rn", row_number().over(wRank))
+      .where(col("rn") <= 3)
+      .orderBy("qid", "rn")
+  }
+
+  /** Top-3 bigrams per language (n-gram frequency mining). Bigrams are
+    * built with a codegen'd lead window over exploded word positions —
+    * same shape as the MinHash shingler. */
+  def ngramBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .select(col("lang"),
+        concat_ws(" ", col("word"), lead(col("word"), 1).over(win)).as("bg"),
+        lead(col("word"), 1).over(win).isNotNull.as("full"))
+      .where(col("full"))
+    val wTop = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bg").asc)
+    bigrams.groupBy("lang", "bg").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= 3)
+      .select(col("lang"), col("rn"), col("bg"), col("n"))
+      .orderBy("lang", "rn")
+  }
+
+  /** Approximate percentiles (quantile sketch) of value per event type.
+    * Oracle intentionally omitted: approx_percentile's sketch picks an
+    * actual sample value near the rank, not an interpolated quantile —
+    * no DuckDB SQL reproduces the sketch bit-for-bit (same contract as
+    * agg_approx_distinct_users). Accuracy vs the exact percentile is
+    * asserted in the unit suite; the driver records a rows-only check. */
+  def approxPercentileValue(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("approx_percentile(value, 0.5, 10000)").as("ap50"),
+        expr("approx_percentile(value, 0.9, 10000)").as("ap90"))
+      .orderBy("event_type")
+
+  /** Multimodal chunking: split each payload into fixed 256-char segments
+    * (frame/segment sampling plumbing for binary media columns): per chunk
+    * its index, length, and portable content hash. */
+  def mmChunkText(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .where(col("doc_id") < 50)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .select(col("doc_id"), col("text"),
+        // at least one chunk even for empty text: Spark's sequence(0,-1)
+        // would DESCEND ([0,-1]) while DuckDB's range(0,0) is empty
+        posexplode(sequence(lit(0),
+          greatest(lit(0L), ceil(col("n_chars").cast("double") / 256.0) - 1).cast("int"))).as(Seq("ord", "idx")))
+      .select(col("doc_id"), col("idx"),
+        expr("substr(text, idx * 256 + 1, 256)").as("chunk"))
+      .select(col("doc_id"), col("idx"),
+        length(col("chunk")).as("chunk_len"),
+        h48(col("chunk")).as("chunk_h48"))
+      .orderBy("doc_id", "idx")
+
+  // ------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ivf_ann" -> (ivfAnn _),
+    "llm_ngram_bigrams" -> (ngramBigrams _),
+    "agg_approx_percentile" -> (approxPercentileValue _),
+    "mm_chunk_text" -> (mmChunkText _),
+  )
+
+  private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+  /** DuckDB dot product over the first 64 positions, double index-order. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1,${Dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def normSql(a: String): String =
+    s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  val oracles: Map[String, String] = Map(
+    "llm_ivf_ann" ->
+      s"""WITH ex AS (SELECT label, vec_id,
+            CAST(unnest(embedding) AS DOUBLE) AS x,
+            CAST(unnest(range(0, len(embedding))) AS INT) AS pos
+          FROM embeddings),
+          cd AS (SELECT label, pos,
+            ${dsumSql("x")} / CAST(COUNT(x) AS DOUBLE) AS c
+          FROM ex GROUP BY 1, 2),
+          cent AS (SELECT label, list(c ORDER BY pos) AS cemb FROM cd GROUP BY 1),
+          centn AS (SELECT label, cemb, ${normSql("cemb")} AS cnrm FROM cent),
+          e AS (SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+          q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm FROM e WHERE vec_id < 5),
+          probed0 AS (SELECT qid, qemb, qnrm, c.label,
+              round(${dotSql("qemb", "c.cemb")} / (qnrm * c.cnrm), 6) AS cos_c,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY round(${dotSql("qemb", "c.cemb")} / (qnrm * c.cnrm), 6) DESC,
+                         c.label ASC) AS rn
+            FROM q CROSS JOIN centn c),
+          probed AS (SELECT qid, qemb, qnrm, label AS cell FROM probed0 WHERE rn = 1),
+          scored AS (SELECT qid, cell, e.vec_id,
+              round(${dotSql("qemb", "e.embedding")} / (qnrm * e.nrm), 6) AS cos_r
+            FROM probed JOIN e ON probed.cell = e.label AND qid != e.vec_id),
+          ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cos_r DESC, vec_id ASC) AS rn FROM scored)
+          SELECT qid, cell, vec_id, cos_r, CAST(rn AS INT) AS rn
+          FROM ranked WHERE rn <= 3 ORDER BY qid, rn""",
+    "llm_ngram_bigrams" ->
+      """WITH w AS (SELECT lang, doc_id, string_split(text, ' ') AS ws FROM documents),
+         bg AS (SELECT lang, unnest(list_transform(range(1, len(ws)),
+             i -> ws[i] || ' ' || ws[i+1])) AS bg
+           FROM w WHERE len(ws) >= 2),
+         cnt AS (SELECT lang, bg, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY 1, 2),
+         ranked AS (SELECT lang, bg, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bg ASC) AS rn
+           FROM cnt)
+         SELECT lang, CAST(rn AS INT) AS rn, bg, n
+         FROM ranked WHERE rn <= 3 ORDER BY lang, rn""",
+    // agg_approx_percentile: oracle omitted — sketch output (see scaladoc).
+    "mm_chunk_text" -> {
+      val h = graft.Tables.h48Sql("chunk")
+      s"""WITH c AS (SELECT doc_id,
+            CAST(unnest(range(0, greatest(1, CAST(ceil(n_chars / 256.0) AS INT)))) AS INT) AS idx,
+            text
+          FROM documents WHERE doc_id < 50),
+          ch AS (SELECT doc_id, idx, substr(text, idx * 256 + 1, 256) AS chunk FROM c)
+          SELECT doc_id, idx, CAST(length(chunk) AS INT) AS chunk_len,
+            $h AS chunk_h48
+          FROM ch ORDER BY doc_id, idx"""
+    },
+  )
+}

@@ -20,8 +20,9 @@ class OperatorSpec extends SparkTestBase {
 
   test("every query key has an oracle or a documented omission") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // agg_approx_distinct_users: HLL++ estimate not reproducible in DuckDB
-    assert(noOracle === Set("agg_approx_distinct_users"))
+    // agg_approx_distinct_users: HLL++ estimate not reproducible in DuckDB;
+    // agg_approx_percentile: quantile-sketch output, same contract
+    assert(noOracle === Set("agg_approx_distinct_users", "agg_approx_percentile"))
   }
 
   test("smoke: entry() flagship returns rows") {
