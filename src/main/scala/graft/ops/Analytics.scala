@@ -33,14 +33,19 @@ object Analytics {
 
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
-  /** Pivot: per-user value sums reshaped one column per event type.
-    * The explicit value list avoids the extra distinct-values job Spark
-    * otherwise runs to discover pivot columns. */
+  /** Pivot: per-user value sums reshaped one column per event type, as a
+    * single-shuffle conditional aggregation (`sum(CASE WHEN type=t)` per
+    * pivot value). The `Dataset.pivot` API plans a double aggregation —
+    * one extra exchange — for the identical result (equivalence asserted
+    * in Round2Spec); with an explicit value list the conditional form is
+    * the plan you want at 100 TB. */
   def pivotValueByType(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .groupBy("user_id")
-      .pivot("event_type", EventTypes)
-      .agg(dsum(col("value")))
+      .agg(
+        dsum(when(col("event_type") === EventTypes.head, col("value"))).as(EventTypes.head),
+        EventTypes.tail.map(t =>
+          dsum(when(col("event_type") === t, col("value"))).as(t)): _*)
       .orderBy("user_id")
 
   /** Unpivot (melt): lineitem measure columns to (measure, val) rows. */

@@ -53,4 +53,49 @@ class PlanSpec extends SparkTestBase {
     val p = plan(ops.Relational.aggPricingSummary(spark, sf0001))
     assert(p.contains("LessThanOrEqual(l_shipdate"), p)
   }
+
+  // ---- round-2 operators ----
+
+  test("pivot with explicit values is a single two-phase aggregation (no distinct pre-pass)") {
+    val p = plan(ops.Analytics.pivotValueByType(spark, sf0001))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // one shuffle for the groupBy, one for the final orderBy — nothing else
+    assert("Exchange".r.findAllIn(p).size <= 2, s"pivot should not add shuffles:\n$p")
+  }
+
+  test("unpivot is shuffle-free up to the final sort (row-local generator)") {
+    val p = plan(ops.Analytics.unpivotLineitemMeasures(spark, sf0001))
+    // only the rangepartitioning exchange of the deterministic orderBy
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,100)")
+      || p.contains("LessThan(l_orderkey,100)"), s"orderkey bound should push down:\n$p")
+  }
+
+  test("grouping sets plans a single scan through Expand (no per-set replay)") {
+    val p = plan(ops.Analytics.aggGroupingSetsShip(spark, sf0001))
+    assert(p.contains("Expand"), p)
+    assert("Scan parquet".r.findAllIn(p).size === 1, s"one scan only:\n$p")
+  }
+
+  test("semi join keeps the semi form in the physical plan") {
+    val p = plan(ops.Analytics.joinSemiActiveCustomers(spark, sf0001))
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("hash sample aggregates two-phase after the row-local filter") {
+    val p = plan(ops.Analytics.sampleHashEvents(spark, sf0001))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("IVF probe broadcasts the centroid table") {
+    val p = plan(ops.Llm2.ivfAnn(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("graft_dot_product"), p)
+  }
+
+  test("moment statistics are one partial-aggregable pass (six decimal sums, two-phase)") {
+    val p = plan(ops.Analytics.aggStatsMoments(spark, sf0001))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert("Scan parquet".r.findAllIn(p).size === 1, s"one scan only:\n$p")
+  }
 }

@@ -23,6 +23,16 @@ class Round2Spec extends SparkTestBase {
     assert(joined.count() === 0)
   }
 
+  test("Dataset.pivot API agrees with the single-shuffle conditional-aggregation pivot") {
+    val api = Tables.events(spark, sf0001)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(Tables.dsum(col("value")))
+      .orderBy("user_id").collect()
+    val ours = ops.Analytics.pivotValueByType(spark, sf0001).collect()
+    assert(api.toSeq === ours.toSeq)
+  }
+
   test("unpivot generates exactly 4 rows per input lineitem row") {
     val n = Tables.lineitem(spark, sf0001).where(col("l_orderkey") < 100).count()
     assert(ops.Analytics.unpivotLineitemMeasures(spark, sf0001).count() === 4 * n)
