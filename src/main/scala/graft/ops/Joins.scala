@@ -36,12 +36,17 @@ object Joins {
       .orderBy("n_name")
   }
 
-  /** C2 — left outer join: orders with no lineitem. */
+  /** C2 — left outer join: orders with no lineitem. The probe side is
+    * pre-aggregated to its distinct join keys first (map-side combinable),
+    * so the outer join matches 1:≤1 instead of materializing every
+    * order×lineitem pair it is about to discard — at 100 TB this turns a
+    * fact⋈fact row blowup into a key-set join of the same left-outer
+    * shape. */
   def joinLeftOrdersWoLineitem(spark: SparkSession, dir: String): DataFrame = {
     val o = orders(spark, dir)
-    val l = lineitem(spark, dir)
-    o.join(l, o("o_orderkey") === l("l_orderkey"), "left")
-      .where(l("l_orderkey").isNull)
+    val lKeys = lineitem(spark, dir).select(col("l_orderkey")).distinct()
+    o.join(lKeys, o("o_orderkey") === lKeys("l_orderkey"), "left")
+      .where(lKeys("l_orderkey").isNull)
       .select(col("o_orderkey"), col("o_totalprice"))
       .orderBy("o_orderkey")
   }

@@ -73,10 +73,15 @@ object Llm {
   // J2 — MinHash + LSH near-dup
   // ------------------------------------------------------------------
 
-  /** Per-doc MinHash signature (k=8) over distinct 3-word shingles.
+  /** Per-doc MinHash signature (k=8) over 3-word shingles.
     * Shingles are built with codegen'd `lead` windows over exploded word
-    * positions rather than an interpreted array-lambda; dedup of repeated
-    * shingles happens in the same per-doc shuffle partition. */
+    * positions rather than an interpreted array-lambda (the row-local
+    * array-HOF form was measured 4× slower — interpreted lambdas). No
+    * shingle dedup pass: MIN over the affine-permuted hashes is
+    * duplicate-insensitive, so repeated shingles cannot change any
+    * signature (the oracle's `list_distinct` is equally inert). Both
+    * aggregation steps stay in the window's doc_id partitioning — one
+    * shuffle total for signature computation. */
   private def minhashSigs(spark: SparkSession, dir: String): DataFrame = {
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val shingled = documents(spark, dir)
@@ -86,7 +91,6 @@ object Llm {
         lead(col("word"), 1).over(win), lead(col("word"), 2).over(win)).as("s"),
         lead(col("word"), 2).over(win).isNotNull.as("full"))
       .where(col("full"))
-      .dropDuplicates("doc_id", "s")
     val hashed = shingled.select(col("doc_id"), h48(col("s")).as("c"))
     val aggs = MinhashA.zipWithIndex.map { case (a, i) =>
       min((col("c") * a + minhashB(i)) % P).as(s"m$i")
