@@ -238,9 +238,51 @@ object Analytics {
           array(col("n"), col("users")))).as(Seq("metric", "val")))
       .orderBy("event_type", "metric")
 
+  /** Extrema-by aggregates (argmax/argmin): per event type, the user of
+    * the latest/earliest event by id. The order key (event_id) is unique,
+    * so ties — the nondeterminism hazard of max_by/min_by — cannot occur. */
+  def aggExtremaBy(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        max_by(col("user_id"), col("event_id")).as("latest_user"),
+        min_by(col("user_id"), col("event_id")).as("first_user"),
+        max(col("event_id")).as("max_id"),
+        min(col("event_id")).as("min_id"))
+      .orderBy("event_type")
+
+  /** Boolean + bitwise aggregates: per event type, value-domain predicates
+    * folded with bool_and/bool_or and user-id bit lattices with
+    * bit_and/or/xor — all map-side combinable single-pass aggregates. */
+  def aggBoolBit(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        bool_and(col("value") > 0).as("all_pos"),
+        bool_or(col("value") > 1000).as("any_big"),
+        expr("bit_and(user_id)").as("uid_band"),
+        expr("bit_or(user_id)").as("uid_bor"),
+        expr("bit_xor(user_id)").as("uid_bxor"))
+      .orderBy("event_type")
+
+  /** Ordered set concatenation (string_agg/listagg shape): per language,
+    * the sorted distinct sources joined into one string. collect_set +
+    * sort_array + concat_ws is deterministic regardless of partition
+    * order — the property a raw listagg without ORDER BY lacks. */
+  def aggStringConcat(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupBy("lang")
+      .agg(
+        concat_ws(",", sort_array(collect_set(col("source")))).as("sources"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_extrema_by" -> (aggExtremaBy _),
+    "agg_bool_bit" -> (aggBoolBit _),
+    "agg_string_concat" -> (aggStringConcat _),
     "pivot_value_by_type" -> (pivotValueByType _),
     "unpivot_lineitem_measures" -> (unpivotLineitemMeasures _),
     "agg_grouping_sets_ship" -> (aggGroupingSetsShip _),
@@ -262,6 +304,25 @@ object Analytics {
   private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "agg_extrema_by" ->
+      """SELECT event_type,
+         arg_max(user_id, event_id) AS latest_user,
+         arg_min(user_id, event_id) AS first_user,
+         MAX(event_id) AS max_id, MIN(event_id) AS min_id
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "agg_bool_bit" ->
+      """SELECT event_type,
+         bool_and(value > 0) AS all_pos,
+         bool_or(value > 1000) AS any_big,
+         bit_and(user_id) AS uid_band,
+         bit_or(user_id) AS uid_bor,
+         bit_xor(user_id) AS uid_bxor
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "agg_string_concat" ->
+      """SELECT lang,
+         string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+         FROM documents GROUP BY 1 ORDER BY 1""",
     "pivot_value_by_type" -> {
       val cols = EventTypes.map { t =>
         s"CAST(SUM(CAST(CASE WHEN event_type = '$t' THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS \"$t\""

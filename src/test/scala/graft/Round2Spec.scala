@@ -185,6 +185,31 @@ class Round2Spec extends SparkTestBase {
     }
   }
 
+  test("extrema-by agrees with the window-ranked formulation") {
+    val ours = ops.Analytics.aggExtremaBy(spark, sf0001)
+      .select("event_type", "latest_user").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = Tables.events(spark, sf0001)
+    val byRank = ev.groupBy("event_type").agg(max("event_id").as("event_id"))
+      .join(ev.select("event_id", "user_id"), "event_id")
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("user_id")).toMap
+    assert(ours === byRank)
+  }
+
+  test("bool/bit aggregates: all_pos holds (fixture values are positive)") {
+    val df = ops.Analytics.aggBoolBit(spark, sf0001)
+    assert(df.where(!col("all_pos")).count() === 0)
+    // bit_or is an upper bound of bit_and under the bit lattice
+    assert(df.where((col("uid_band").bitwiseAND(col("uid_bor"))) =!= col("uid_band")).count() === 0)
+  }
+
+  test("ordered set concat is sorted and duplicate-free") {
+    ops.Analytics.aggStringConcat(spark, sf0001).collect().foreach { r =>
+      val parts = r.getAs[String]("sources").split(",").toSeq
+      assert(parts === parts.distinct.sorted)
+    }
+  }
+
   test("chunking: chunk lengths sum to n_chars; all but last chunk are 256") {
     val back = ops.Llm2.mmChunkText(spark, sf0001)
       .groupBy("doc_id").agg(sum("chunk_len").as("total"), max("idx").as("last"))
