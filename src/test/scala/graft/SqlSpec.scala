@@ -80,6 +80,38 @@ class SqlSpec extends SparkTestBase {
     assert(r.getDouble(1) > 0.0)
   }
 
+  test("SQL ≡ DataFrame: conditional-aggregation pivot") {
+    withViews {
+      val arms = Seq("click", "error", "purchase", "signup", "view").map { t =>
+        s"CAST(SUM(CAST(CASE WHEN event_type = '$t' THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS $t"
+      }.mkString(", ")
+      val sql = spark.sql(s"SELECT user_id, $arms FROM events GROUP BY user_id ORDER BY user_id")
+      assert(sortedRows(sql) === sortedRows(ops.Analytics.pivotValueByType(spark, sf0001)))
+    }
+  }
+
+  test("SQL ≡ DataFrame: INTERSECT ALL multiset semantics") {
+    withViews {
+      val sql = spark.sql(
+        """SELECT CAST(floor(value / 10) AS BIGINT) AS bucket FROM events WHERE event_type = 'purchase'
+           INTERSECT ALL
+           SELECT CAST(floor(value / 10) AS BIGINT) AS bucket FROM events WHERE event_type = 'view'
+           ORDER BY bucket""")
+      assert(sortedRows(sql) === sortedRows(ops.Analytics.setopIntersectAllBuckets(spark, sf0001)))
+    }
+  }
+
+  test("SQL ≡ DataFrame: exact percentiles") {
+    withViews {
+      val sql = spark.sql(
+        """SELECT event_type, COUNT(*) AS n,
+           round(percentile(value, 0.25), 6) AS p25, round(percentile(value, 0.5), 6) AS p50,
+           round(percentile(value, 0.75), 6) AS p75, round(percentile(value, 0.9), 6) AS p90
+           FROM events GROUP BY event_type ORDER BY event_type""")
+      assert(sortedRows(sql) === sortedRows(ops.Analytics.aggPercentilesValue(spark, sf0001)))
+    }
+  }
+
   test("subquery decorrelation: correlated EXISTS matches semi-join") {
     withViews {
       val sql = spark.sql(
