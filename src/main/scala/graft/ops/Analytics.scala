@@ -277,9 +277,34 @@ object Analytics {
         count(lit(1)).as("n_docs"))
       .orderBy("lang")
 
+  /** Array higher-order predicates (§2.H5 widening): exists / forall /
+    * filter / slice+aggregate over the embedding vectors — all row-local
+    * codegen-free HOFs kept off hot paths (bounded to 20 rows). */
+  def scalarArrayOps(spark: SparkSession, dir: String): DataFrame = {
+    val emb = transform(col("embedding"), x => x.cast("double"))
+    embeddings(spark, dir)
+      .where(col("vec_id") < 20)
+      .select(col("vec_id"),
+        exists(emb, x => x < 0).as("any_neg"),
+        forall(emb, x => abs(x) < 10).as("all_small"),
+        size(filter(emb, x => x > 0)).as("n_pos"),
+        round(aggregate(slice(emb, 1, 3), lit(0.0), (a, x) => a + x), 6).as("first3_sum"))
+      .orderBy("vec_id")
+  }
+
+  /** Positional explode (UDTF surface §2.K3 as a declared query): word
+    * positions of a document subset. */
+  def flatmapPosexplodeWords(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .where(col("doc_id") < 20)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .orderBy("doc_id", "pos")
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_array_ops" -> (scalarArrayOps _),
+    "flatmap_posexplode_words" -> (flatmapPosexplodeWords _),
     "agg_extrema_by" -> (aggExtremaBy _),
     "agg_bool_bit" -> (aggBoolBit _),
     "agg_string_concat" -> (aggStringConcat _),
@@ -304,6 +329,18 @@ object Analytics {
   private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "scalar_array_ops" ->
+      """SELECT vec_id,
+         len(list_filter(embedding, x -> CAST(x AS DOUBLE) < 0)) > 0 AS any_neg,
+         len(list_filter(embedding, x -> NOT (abs(CAST(x AS DOUBLE)) < 10))) = 0 AS all_small,
+         CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0)) AS INT) AS n_pos,
+         round(list_sum(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE))), 6) AS first3_sum
+         FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""",
+    "flatmap_posexplode_words" ->
+      """SELECT doc_id,
+         CAST(unnest(range(0, len(string_split(text, ' ')))) AS INT) AS pos,
+         unnest(string_split(text, ' ')) AS word
+         FROM documents WHERE doc_id < 20 ORDER BY doc_id, pos""",
     "agg_extrema_by" ->
       """SELECT event_type,
          arg_max(user_id, event_id) AS latest_user,
