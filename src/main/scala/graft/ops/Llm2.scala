@@ -136,9 +136,37 @@ object Llm2 {
         h48(col("chunk")).as("chunk_h48"))
       .orderBy("doc_id", "idx")
 
+  /** Multimodal resize + feature-extract plumbing, chained on the decode
+    * stub's metadata: aspect-preserving resize to a 224-px bounding box
+    * (integer math, floor semantics identical in both engines) and a
+    * deterministic 4-dim "feature vector" derived from the content hash —
+    * the stand-ins for a real vision preprocess; the pipeline shape
+    * (decode → resize → featurize, all row-local) is the real thing. */
+  def mmResizeFeature(spark: SparkSession, dir: String): DataFrame = {
+    val h = h48(col("text"))
+    val w0 = (h % 640).cast("int")
+    val h0 = ((h / 640) % 480).cast("int")
+    // scale = 224 / max(w0, h0); keep integer math: floor(dim * 224 / maxdim)
+    val maxd = greatest(w0, h0)
+    documents(spark, dir)
+      .select(col("doc_id"), w0.as("w0"), h0.as("h0"), maxd.as("maxd"), h.as("h"))
+      .where(col("maxd") > 0)
+      .select(col("doc_id"), col("w0"), col("h0"),
+        // explicit floor: DuckDB CAST(double AS INT) rounds, Spark truncates
+        floor(col("w0") * 224 / col("maxd")).cast("int").as("rw"),
+        floor(col("h0") * 224 / col("maxd")).cast("int").as("rh"),
+        array((0 until 4).map(i =>
+          round((pmod(col("h") + i * 7919, lit(1000L))).cast("double") / 1000.0, 3)): _*)
+          .as("feat"))
+      .withColumn("feat_sum", round(aggregate(col("feat"), lit(0.0), (a, x) => a + x), 3))
+      .drop("feat")
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_resize_feature" -> (mmResizeFeature _),
     "llm_ivf_ann" -> (ivfAnn _),
     "llm_ngram_bigrams" -> (ngramBigrams _),
     "agg_approx_percentile" -> (approxPercentileValue _),
@@ -190,6 +218,23 @@ object Llm2 {
            FROM cnt)
          SELECT lang, CAST(rn AS INT) AS rn, bg, n
          FROM ranked WHERE rn <= 3 ORDER BY lang, rn""",
+    "mm_resize_feature" -> {
+      val h = graft.Tables.h48Sql("text")
+      s"""WITH d AS (SELECT doc_id, $h AS h FROM documents),
+          m AS (SELECT doc_id, h,
+              CAST(h % 640 AS INT) AS w0,
+              CAST((h // 640) % 480 AS INT) AS h0
+            FROM d),
+          g AS (SELECT *, greatest(w0, h0) AS maxd FROM m WHERE greatest(w0, h0) > 0)
+          SELECT doc_id, w0, h0,
+            CAST(floor(w0 * 224.0 / maxd) AS INT) AS rw,
+            CAST(floor(h0 * 224.0 / maxd) AS INT) AS rh,
+            round(round(((h + 0) % 1000) / 1000.0, 3)
+                + round(((h + 7919) % 1000) / 1000.0, 3)
+                + round(((h + 15838) % 1000) / 1000.0, 3)
+                + round(((h + 23757) % 1000) / 1000.0, 3), 3) AS feat_sum
+          FROM g ORDER BY doc_id"""
+    },
     // agg_approx_percentile: oracle omitted — sketch output (see scaladoc).
     "mm_chunk_text" -> {
       val h = graft.Tables.h48Sql("chunk")

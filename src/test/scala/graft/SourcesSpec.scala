@@ -43,6 +43,22 @@ class SourcesSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("A1/A7: CSV and JSON source/sink roundtrip preserves the events table") {
+    val ev = Tables.events(spark, sf0001)
+      .select("event_id", "user_id", "event_type", "value") // ts omitted: csv tz parsing is lossy by design
+    val base = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    ev.write.option("header", "true").mode("overwrite").csv(s"$base/csv")
+    ev.write.mode("overwrite").json(s"$base/json")
+    val backCsv = spark.read.option("header", "true")
+      .schema(ev.schema).csv(s"$base/csv")
+    val backJson = spark.read.schema(ev.schema).json(s"$base/json")
+    val key = ev.agg(sum("event_id"), sum("user_id")).head()
+    assert(backCsv.count() === ev.count())
+    assert(backJson.count() === ev.count())
+    assert(backCsv.agg(sum("event_id"), sum("user_id")).head() === key)
+    assert(backJson.agg(sum("event_id"), sum("user_id")).head() === key)
+  }
+
   test("A9: foreachBatch sink observes every micro-batch") {
     val s = spark
     import s.implicits._
