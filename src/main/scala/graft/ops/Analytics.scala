@@ -300,9 +300,29 @@ object Analytics {
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
       .orderBy("doc_id", "pos")
 
+  /** Time-series gap filling: densify each user's hourly activity series
+    * over [first, last] bucket, zero-filling empty hours. Scale shape: the
+    * dense axis is generated row-locally per key from one min/max
+    * aggregate (|rows| ∝ |keys|·span, no cross join), then a left join on
+    * (key, bucket) — both shuffles key-partitioned. */
+  def tsGapfillHourly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
+    val counts = ev.groupBy("user_id", "bucket").agg(count(lit(1)).as("n"))
+    val dense = ev.groupBy("user_id")
+      .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
+      .select(col("user_id"),
+        explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 HOUR"))).as("bucket"))
+    dense.join(counts, Seq("user_id", "bucket"), "left")
+      .select(col("user_id"), unix_micros(col("bucket")).as("bucket_us"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("user_id", "bucket_us")
+  }
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_gapfill_hourly" -> (tsGapfillHourly _),
     "scalar_array_ops" -> (scalarArrayOps _),
     "flatmap_posexplode_words" -> (flatmapPosexplodeWords _),
     "agg_extrema_by" -> (aggExtremaBy _),
@@ -329,6 +349,19 @@ object Analytics {
   private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "ts_gapfill_hourly" ->
+      s"""WITH ev AS (SELECT user_id, date_trunc('hour', $evTs) AS bucket FROM events),
+          counts AS (SELECT user_id, bucket, CAST(COUNT(*) AS BIGINT) AS n
+            FROM ev GROUP BY 1, 2),
+          spans AS (SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx
+            FROM ev GROUP BY 1),
+          dense AS (SELECT user_id,
+              unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+            FROM spans)
+          SELECT d.user_id, epoch_us(d.bucket) AS bucket_us, COALESCE(n, 0) AS n
+          FROM dense d LEFT JOIN counts c
+            ON d.user_id = c.user_id AND d.bucket = c.bucket
+          ORDER BY 1, 2""",
     "scalar_array_ops" ->
       """SELECT vec_id,
          len(list_filter(embedding, x -> CAST(x AS DOUBLE) < 0)) > 0 AS any_neg,
