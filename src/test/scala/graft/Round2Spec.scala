@@ -210,6 +210,30 @@ class Round2Spec extends SparkTestBase {
     }
   }
 
+  test("gapfill: dense series conserves event counts and spans full hour range") {
+    val dense = ops.Analytics.tsGapfillHourly(spark, sf0001)
+    val perUser = dense.groupBy("user_id")
+      .agg(sum("n").as("total"), count(lit(1)).as("n_buckets"),
+        min("bucket_us").as("mn"), max("bucket_us").as("mx"))
+    val actual = Tables.events(spark, sf0001).groupBy("user_id").agg(count(lit(1)).as("total"))
+    // zero-filling must not change any user's event count
+    val bad = perUser.as("d").join(actual.as("a"), "user_id")
+      .where(col("d.total") =!= col("a.total"))
+    assert(bad.count() === 0)
+    // bucket count == inclusive hour span
+    val spanBad = perUser
+      .where(col("n_buckets") =!= (col("mx") - col("mn")) / 3600000000L + 1)
+    assert(spanBad.count() === 0)
+    // and gaps actually exist (zero rows present) — otherwise the op is vacuous
+    assert(dense.where(col("n") === 0).count() > 0)
+  }
+
+  test("gapfill plan has no cartesian/nested-loop join") {
+    val p = ops.Analytics.tsGapfillHourly(spark, sf0001)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("chunking: chunk lengths sum to n_chars; all but last chunk are 256") {
     val back = ops.Llm2.mmChunkText(spark, sf0001)
       .groupBy("doc_id").agg(sum("chunk_len").as("total"), max("idx").as("last"))
