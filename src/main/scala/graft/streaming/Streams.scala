@@ -125,6 +125,33 @@ object Streams {
         col("p_ts") <= col("c_ts") + expr("INTERVAL 15 MINUTES"))
   }
 
+  /** C7 streaming side — stream-static broadcast join (Flink
+    * BroadcastProcessFunction analogue): enrich the unbounded stream
+    * against a bounded dimension. The static side is broadcast per
+    * micro-batch — no streaming state, no watermark requirement, and the
+    * dim table can be swapped between batches (slowly-changing control
+    * stream). */
+  def streamStaticEnrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
+  /** I8 — late-data side-output (Flink `OutputTag`/`sideOutputLateData`
+    * analogue, the documented SS semantics gap §2.I8): Structured Streaming
+    * drops late rows only at *stateful* operators, so a watermarked
+    * `foreachBatch` pass-through still sees every row; splitting each batch
+    * against the query's current watermark routes late rows to their own
+    * sink instead of silently losing them. `currentWatermark` is read per
+    * batch (from `query.lastProgress.eventTime`, or any external clock). */
+  def foreachBatchLateSplit(events: DataFrame, watermark: String,
+      currentWatermark: () => java.sql.Timestamp)(
+      onTime: DataFrame => Unit, late: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.withWatermark("ts", watermark).writeStream
+      .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val wm = currentWatermark()
+        late(df.toDF().where(col("ts") <= lit(wm)))
+        onTime(df.toDF().where(col("ts") > lit(wm)))
+      }
+
   /** A2/A8 — Kafka source/sink wiring (the canonical Flink
     * KafkaSource/KafkaSink analogue). Returns the fully-configured
     * reader/writer WITHOUT load()/start(): this container is zero-egress and

@@ -246,6 +246,60 @@ class StreamingSpec extends SparkTestBase {
     assert(original.exceptAll(parsed).count() === 0)
   }
 
+  test("C7: stream-static broadcast join enriches every micro-batch") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val ms = MemoryStream[Event]
+    val q = runToTable(
+      Streams.streamStaticEnrich(ms.toDF(), dim), "enriched", "append")
+    try {
+      ms.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 10:01:00", 2, "view", 1.0),
+        ev(3, "2024-01-01 10:02:00", 9, "view", 1.0)) // no dim row → null segment
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .select($"event_id", $"segment").as[(Long, Option[String])]
+        .collect().toMap
+      assert(rows === Map(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None))
+    } finally q.stop()
+  }
+
+  test("I8: foreachBatch side-output captures late rows instead of dropping them") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[Event]
+    val wm = new java.util.concurrent.atomic.AtomicReference(new java.sql.Timestamp(0L))
+    val lateIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val onTimeIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val q = Streams.foreachBatchLateSplit(ms.toDF(), "10 minutes", () => wm.get())(
+      onTime = df => df.select("event_id").collect().foreach(r => onTimeIds.add(r.getLong(0)): Unit),
+      late = df => df.select("event_id").collect().foreach(r => lateIds.add(r.getLong(0)): Unit)
+    ).start()
+    // progress reports the watermark USED by a batch (one batch behind);
+    // derive the post-batch value the engine's way: max event time - delay
+    def syncWm(): Unit = Option(q.lastProgress).foreach { p =>
+      Option(p.eventTime.get("max")).foreach { m =>
+        val inst = java.time.Instant.parse(m).minus(java.time.Duration.ofMinutes(10))
+        if (inst.toEpochMilli > wm.get().getTime)
+          wm.set(java.sql.Timestamp.from(inst))
+      }
+    }
+    try {
+      ms.addData(ev(1, "2024-01-01 12:00:00", 1, "click", 1.0))
+      q.processAllAvailable(); syncWm() // wm → 11:50
+      ms.addData(
+        ev(2, "2024-01-01 10:05:00", 1, "click", 9.9), // late: ts <= wm
+        ev(3, "2024-01-01 12:30:00", 1, "view", 1.0))  // on time
+      q.processAllAvailable()
+      assert(lateIds.asScala.toSet === Set(2L), s"late=$lateIds")
+      assert(onTimeIds.asScala.toSet === Set(1L, 3L), s"ontime=$onTimeIds")
+    } finally q.stop()
+  }
+
   test("I9: checkpointed query recovers state across restart") {
     val s = spark
     import s.implicits._
