@@ -82,6 +82,41 @@ object Llm2 {
       .orderBy("qid", "rn")
   }
 
+  /** One full k-means assignment step over the embedding corpus: centroids
+    * seeded from the label means (k=10, exact decimal means — same
+    * machinery as [[ivfAnn]]), EVERY vector assigned to its nearest
+    * centroid by cosine, then per-cluster size + mean member similarity.
+    * The canonical distributed-ML iteration shape: centroid table stays
+    * broadcast-sized, assignment is a broadcast nested-loop over k rows
+    * (never a shuffle of the corpus), the stats are one partial-aggregable
+    * pass. Iterating = re-running with recomputed centroids. */
+  def kmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+      .withColumn("emb", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("nrm", normCol(col("emb")))
+    val centroids = e
+      .select(col("label"), posexplode(col("emb")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(davg(col("x")).as("c"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cemb"))
+      .withColumn("cnrm", normCol(col("cemb")))
+      .select(col("label").as("cluster"), col("cemb"), col("cnrm"))
+
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cluster").asc)
+    e.crossJoin(broadcast(centroids))
+      .select(col("vec_id"),
+        col("cluster"),
+        round(dotCol(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")), 6).as("cos_c"))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_assigned"), davg(col("cos_c")).as("avg_cos"))
+      .orderBy("cluster")
+  }
+
   /** Top-3 bigrams per language (n-gram frequency mining). Bigrams are
     * built with a codegen'd lead window over exploded word positions —
     * same shape as the MinHash shingler. */
@@ -166,6 +201,7 @@ object Llm2 {
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_kmeans_step" -> (kmeansStep _),
     "mm_resize_feature" -> (mmResizeFeature _),
     "llm_ivf_ann" -> (ivfAnn _),
     "llm_ngram_bigrams" -> (ngramBigrams _),
@@ -218,6 +254,27 @@ object Llm2 {
            FROM cnt)
          SELECT lang, CAST(rn AS INT) AS rn, bg, n
          FROM ranked WHERE rn <= 3 ORDER BY lang, rn""",
+    "llm_kmeans_step" ->
+      s"""WITH ex AS (SELECT label, vec_id,
+            CAST(unnest(embedding) AS DOUBLE) AS x,
+            CAST(unnest(range(0, len(embedding))) AS INT) AS pos
+          FROM embeddings),
+          cd AS (SELECT label, pos,
+            ${dsumSql("x")} / CAST(COUNT(x) AS DOUBLE) AS c
+          FROM ex GROUP BY 1, 2),
+          cent AS (SELECT label AS cluster, list(c ORDER BY pos) AS cemb FROM cd GROUP BY 1),
+          centn AS (SELECT cluster, cemb, ${normSql("cemb")} AS cnrm FROM cent),
+          e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+          scored AS (SELECT e.vec_id, c.cluster,
+              round(${dotSql("e.embedding", "c.cemb")} / (e.nrm * c.cnrm), 6) AS cos_c,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY round(${dotSql("e.embedding", "c.cemb")} / (e.nrm * c.cnrm), 6) DESC,
+                         c.cluster ASC) AS rn
+            FROM e CROSS JOIN centn c)
+          SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+            ${dsumSql("cos_c")} / CAST(COUNT(cos_c) AS DOUBLE) AS avg_cos
+          FROM scored WHERE rn = 1
+          GROUP BY 1 ORDER BY 1""",
     "mm_resize_feature" -> {
       val h = graft.Tables.h48Sql("text")
       s"""WITH d AS (SELECT doc_id, $h AS h FROM documents),

@@ -175,6 +175,13 @@ class Round2Spec extends SparkTestBase {
     assert(hits >= 1, s"IVF found $hits/5 brute-force top-5 hits")
   }
 
+  test("kmeans step: assignments partition the corpus; similarities in [-1,1]") {
+    val df = ops.Llm2.kmeansStep(spark, sf0001)
+    val assigned = df.agg(sum("n_assigned")).head().getLong(0)
+    assert(assigned === Tables.embeddings(spark, sf0001).count())
+    assert(df.where(col("avg_cos") > 1.0 || col("avg_cos") < -1.0).count() === 0)
+  }
+
   test("bigrams: rn bounded 1..3, counts descending within lang") {
     val df = ops.Llm2.ngramBigrams(spark, sf0001).collect()
     df.groupBy(_.getAs[String]("lang")).foreach { case (_, rs) =>
