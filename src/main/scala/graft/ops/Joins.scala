@@ -51,6 +51,19 @@ object Joins {
       .orderBy("o_orderkey")
   }
 
+  /** C2b — right outer join: per order its lineitem count, orderless
+    * orders kept by the outer side with a zero count (the mirrored form
+    * of [[joinLeftOrdersWoLineitem]]'s left outer; COUNT(l_orderkey)
+    * counts only matched rows, so the null-side contributes 0). */
+  def joinRightOrdersItemCounts(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val l = lineitem(spark, dir).select(col("l_orderkey"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"), "right")
+      .groupBy(col("o_orderkey"))
+      .agg(count(col("l_orderkey")).as("n_items"))
+      .orderBy("o_orderkey")
+  }
+
   /** C3 — anti join: customers with no URGENT-priority order. (Unfiltered
     * "no order at all" is empty at every sf — the filter keeps the anti join
     * result non-degenerate while exercising the same plan shape.) */
@@ -136,6 +149,7 @@ object Joins {
     "join_asof_click_before_purchase" -> (joinAsofClickBeforePurchase _),
     "join_orders_customer" -> (joinOrdersCustomer _),
     "join_left_orders_wo_lineitem" -> (joinLeftOrdersWoLineitem _),
+    "join_right_orders_item_counts" -> (joinRightOrdersItemCounts _),
     "join_anti_customers_no_orders" -> (joinAntiCustomersNoOrders _),
     "join_theta_price_band" -> (joinThetaPriceBand _),
     "join_window_events_selfpairs" -> (joinWindowEventsSelfpairs _),
@@ -170,6 +184,11 @@ object Joins {
       """SELECT o_orderkey, o_totalprice
          FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
          WHERE l_orderkey IS NULL ORDER BY o_orderkey""",
+    "join_right_orders_item_counts" ->
+      """SELECT o_orderkey, CAST(COUNT(l_orderkey) AS BIGINT) AS n_items
+         FROM (SELECT l_orderkey FROM lineitem) l
+         RIGHT JOIN orders ON l.l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY 1""",
     "join_anti_customers_no_orders" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
