@@ -141,6 +141,32 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** Centered moving average (bounded ROWS frame, 2 preceding..2
+    * following): per-user smoothed value series — the frame shape
+    * win_running_total (unbounded) and win_range_1h (RANGE) don't cover. */
+  def winMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-2, 2)
+    events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        (sum(col("value").cast("decimal(18,6)")).over(w).cast("double")
+          / count(col("value")).over(w).cast("double")).as("mavg5"))
+      .orderBy("event_id")
+  }
+
+  /** Ratio-to-report: each event's share of its user's total value
+    * (whole-partition window aggregate, no ORDER BY frame). */
+  def winRatioToReport(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        // double division of the exact decimal total: decimal÷decimal would
+        // follow engine-specific result-scale rules and break oracle parity
+        round(col("value")
+          / sum(col("value").cast("decimal(18,6)")).over(w).cast("double"), 9).as("share"))
+      .orderBy("event_id")
+  }
+
   /** Full-outer join: every customer against their order rollup (customers
     * with no orders keep a null/zero aggregate side; orphan orders — none
     * under the FK, but the join form handles them — keep a null customer
@@ -334,6 +360,8 @@ object Analytics {
     "agg_percentiles_value" -> (aggPercentilesValue _),
     "agg_stats_moments" -> (aggStatsMoments _),
     "win_ntile_quartiles" -> (winNtileQuartiles _),
+    "win_moving_avg" -> (winMovingAvg _),
+    "win_ratio_to_report" -> (winRatioToReport _),
     "win_first_last_nth" -> (winFirstLastNth _),
     "join_full_outer_order_counts" -> (joinFullOuterOrderCounts _),
     "join_semi_active_customers" -> (joinSemiActiveCustomers _),
@@ -434,6 +462,19 @@ object Analytics {
             round((CAST(n AS DOUBLE) * sxy - sx * sy)
               / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr_vk
           FROM a ORDER BY event_type""",
+    "win_moving_avg" ->
+      s"""SELECT event_id, user_id,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+            / CAST(COUNT(value) OVER w AS DOUBLE) AS mavg5
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY $evTs, event_id
+            ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+          ORDER BY event_id""",
+    "win_ratio_to_report" ->
+      """SELECT event_id, user_id,
+         round(value / CAST(SUM(CAST(value AS DECIMAL(18,6)))
+           OVER (PARTITION BY user_id) AS DOUBLE), 9) AS share
+         FROM events ORDER BY event_id""",
     "win_ntile_quartiles" ->
       """SELECT o_orderkey, o_orderpriority,
          CAST(ntile(4) OVER w AS INT) AS quartile,
