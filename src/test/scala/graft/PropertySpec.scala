@@ -103,6 +103,74 @@ class PropertySpec extends SparkTestBase {
       assert(perUser.agg(sum("n_events")).head().getLong(0) === df.count())
     }
   }
+
+  // ---- round-2 operator properties ----
+
+  test("multiset identity: |A ∩all B| + |A \\all B| = |A| on random bags") {
+    forAll(genEvents) { evs =>
+      val df = toDf(evs)
+      val a = df.where(col("event_type") === "click").select("user_id")
+      val b = df.where(col("event_type") === "view").select("user_id")
+      assert(a.intersectAll(b).count() + a.exceptAll(b).count() === a.count())
+    }
+  }
+
+  test("pivot conserves mass: row sums equal the unpivoted per-user totals") {
+    forAll(genEvents) { evs =>
+      val df = toDf(evs)
+      val piv = df.groupBy("user_id")
+        .agg(Seq("click", "view", "purchase").map(t =>
+          sum(when(col("event_type") === t, col("value"))).as(t)).head,
+          Seq("view", "purchase").map(t =>
+            sum(when(col("event_type") === t, col("value"))).as(t)): _*)
+      val back = piv.select(col("user_id"),
+        (coalesce(col("click"), lit(0.0)) + coalesce(col("view"), lit(0.0)) +
+          coalesce(col("purchase"), lit(0.0))).as("total"))
+      val direct = df.groupBy("user_id").agg(sum("value").as("total"))
+      val bad = back.as("b").join(direct.as("d"), "user_id")
+        .where(abs(col("b.total") - col("d.total")) > 1e-6)
+      assert(bad.count() === 0)
+    }
+  }
+
+  test("exact percentile lies within [min, max] and is monotone in p") {
+    forAll(genEvents) { evs =>
+      val df = toDf(evs)
+      val r = df.agg(
+        min("value").as("mn"), max("value").as("mx"),
+        expr("percentile(value, 0.25)").as("p25"),
+        expr("percentile(value, 0.75)").as("p75")).head()
+      assert(r.getDouble(0) - 1e-9 <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(3)
+        && r.getDouble(3) <= r.getDouble(1) + 1e-9)
+    }
+  }
+
+  test("ratio-to-report shares sum to 1 per user (within fp tolerance)") {
+    forAll(genEvents) { evs =>
+      val df = toDf(evs)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      val shares = df
+        .withColumn("share", col("value") / sum(col("value")).over(w))
+        .groupBy("user_id").agg(sum("share").as("s"))
+      assert(shares.where(abs(col("s") - 1.0) > 1e-6).count() === 0)
+    }
+  }
+
+  test("gapfill never changes totals and only inserts zero rows") {
+    forAll(genEvents) { evs =>
+      val df = toDf(evs)
+      val ev = df.select(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
+      val counts = ev.groupBy("user_id", "bucket").agg(count(lit(1)).as("n"))
+      val dense = ev.groupBy("user_id")
+        .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
+        .select(col("user_id"),
+          explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 HOUR"))).as("bucket"))
+      val filled = dense.join(counts, Seq("user_id", "bucket"), "left")
+        .select(col("user_id"), coalesce(col("n"), lit(0L)).as("n"))
+      assert(filled.agg(sum("n")).head().getLong(0) === df.count())
+      assert(filled.count() >= counts.count())
+    }
+  }
 }
 
 object PropertySpec {
