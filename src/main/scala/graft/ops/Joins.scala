@@ -145,7 +145,33 @@ object Joins {
       .orderBy("purchase_id")
   }
 
+  /** CEP-analogue (Flink CEP `Pattern.begin("c1").next("c2").next("p")`
+    * within a 30-minute span): detect strictly-consecutive
+    * click→click→purchase triples per user. Spark has no CEP library; the
+    * idiomatic formulation is ordered per-key window navigation (lag over
+    * (user, time)) with the span predicate — one shuffle on the key, state
+    * bounded by the lag depth. The streaming twin is the same plan over a
+    * watermarked stream (lag depth ≤ 2 rows of per-key state). */
+  def cepClickClickPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("t1", lag(col("event_type"), 2).over(w))
+      .withColumn("t2", lag(col("event_type"), 1).over(w))
+      .withColumn("id1", lag(col("event_id"), 2).over(w))
+      .withColumn("id2", lag(col("event_id"), 1).over(w))
+      .withColumn("ts1", lag(col("ts_us"), 2).over(w))
+      .where(col("t1") === "click" && col("t2") === "click" &&
+        col("event_type") === "purchase" &&
+        col("ts_us") - col("ts1") <= 30L * 60 * 1000000)
+      .select(col("user_id"), col("id1"), col("id2"),
+        col("event_id").as("purchase_id"), (col("ts_us") - col("ts1")).as("span_us"))
+      .orderBy("purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cep_click_click_purchase" -> (cepClickClickPurchase _),
     "join_asof_click_before_purchase" -> (joinAsofClickBeforePurchase _),
     "join_orders_customer" -> (joinOrdersCustomer _),
     "join_left_orders_wo_lineitem" -> (joinLeftOrdersWoLineitem _),
@@ -160,6 +186,19 @@ object Joins {
   private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "cep_click_click_purchase" ->
+      s"""WITH seq AS (
+            SELECT user_id, event_id, event_type, epoch_us($evTs) AS ts_us,
+              lag(event_type, 2) OVER w AS t1, lag(event_type, 1) OVER w AS t2,
+              lag(event_id, 2) OVER w AS id1, lag(event_id, 1) OVER w AS id2,
+              lag(epoch_us($evTs), 2) OVER w AS ts1
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY $evTs, event_id))
+          SELECT user_id, id1, id2, event_id AS purchase_id, ts_us - ts1 AS span_us
+          FROM seq
+          WHERE t1 = 'click' AND t2 = 'click' AND event_type = 'purchase'
+            AND ts_us - ts1 <= 30 * 60 * 1000000
+          ORDER BY purchase_id""",
     "join_asof_click_before_purchase" ->
       s"""WITH tagged AS (
             SELECT user_id, event_id, $evTs AS ts, event_type,
