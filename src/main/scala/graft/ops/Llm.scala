@@ -74,24 +74,25 @@ object Llm {
   // ------------------------------------------------------------------
 
   /** Per-doc MinHash signature (k=8) over 3-word shingles.
-    * Shingles are built with codegen'd `lead` windows over exploded word
-    * positions rather than an interpreted array-lambda (the row-local
-    * array-HOF form was measured 4× slower — interpreted lambdas). No
-    * shingle dedup pass: MIN over the affine-permuted hashes is
-    * duplicate-insensitive, so repeated shingles cannot change any
-    * signature (the oracle's `list_distinct` is equally inert). Both
-    * aggregation steps stay in the window's doc_id partitioning — one
-    * shuffle total for signature computation. */
+    * Shingles are adjacent triples built from zipped shifted slices —
+    * pure codegen'd array builtins (`slice`/`arrays_zip`/`explode`), no
+    * interpreted lambda (the transform/element_at HOF form measured 4×
+    * slower) and no per-doc window shuffle (the posexplode+lead form
+    * needed a (doc,pos) sort first). No shingle dedup pass: MIN over the
+    * affine-permuted hashes is duplicate-insensitive, so repeated shingles
+    * cannot change any signature (the oracle's `list_distinct` is equally
+    * inert). One shuffle total — the signature groupBy. */
   private def minhashSigs(spark: SparkSession, dir: String): DataFrame = {
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val shingled = documents(spark, dir)
-      .where(size(wordsCol) >= 3)
-      .select(col("doc_id"), posexplode(wordsCol).as(Seq("pos", "word")))
-      .select(col("doc_id"), concat_ws(" ", col("word"),
-        lead(col("word"), 1).over(win), lead(col("word"), 2).over(win)).as("s"),
-        lead(col("word"), 2).over(win).isNotNull.as("full"))
-      .where(col("full"))
-    val hashed = shingled.select(col("doc_id"), h48(col("s")).as("c"))
+    val n3 = size(col("ws")) - 2
+    val hashed = documents(spark, dir)
+      .select(col("doc_id"), wordsCol.as("ws"))
+      .where(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("ws"), lit(1), n3),
+        slice(col("ws"), lit(2), n3),
+        slice(col("ws"), lit(3), n3))).as("sh"))
+      .select(col("doc_id"),
+        h48(concat_ws(" ", col("sh.0"), col("sh.1"), col("sh.2"))).as("c"))
     val aggs = MinhashA.zipWithIndex.map { case (a, i) =>
       min((col("c") * a + minhashB(i)) % P).as(s"m$i")
     }

@@ -121,14 +121,15 @@ object Llm2 {
     * built with a codegen'd lead window over exploded word positions —
     * same shape as the MinHash shingler. */
   def ngramBigrams(spark: SparkSession, dir: String): DataFrame = {
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val bigrams = documents(spark, dir)
-      .select(col("lang"), col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
-      .select(col("lang"),
-        concat_ws(" ", col("word"), lead(col("word"), 1).over(win)).as("bg"),
-        lead(col("word"), 1).over(win).isNotNull.as("full"))
-      .where(col("full"))
+      .select(col("lang"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 2)
+      // adjacent pairs via zipped shifted slices: pure codegen'd array
+      // builtins — no interpreted lambda, no per-doc window shuffle
+      .select(col("lang"), explode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1))).as("p"))
+      .select(col("lang"), concat_ws(" ", col("p.0"), col("p.1")).as("bg"))
     val wTop = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bg").asc)
     bigrams.groupBy("lang", "bg").agg(count(lit(1)).as("n"))
       .withColumn("rn", row_number().over(wTop))
