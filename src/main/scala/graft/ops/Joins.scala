@@ -146,8 +146,9 @@ object Joins {
   }
 
   /** CEP-analogue (Flink CEP `Pattern.begin("c1").next("c2").next("p")`
-    * within a 30-minute span): detect strictly-consecutive
-    * click→click→purchase triples per user. Spark has no CEP library; the
+    * within a 3-day span — sized so the pattern is non-degenerate at every
+    * fixture sf; sf0.001 has ~11h between a user's events): detect
+    * strictly-consecutive click→click→purchase triples per user. Spark has no CEP library; the
     * idiomatic formulation is ordered per-key window navigation (lag over
     * (user, time)) with the span predicate — one shuffle on the key, state
     * bounded by the lag depth. The streaming twin is the same plan over a
@@ -164,7 +165,7 @@ object Joins {
       .withColumn("ts1", lag(col("ts_us"), 2).over(w))
       .where(col("t1") === "click" && col("t2") === "click" &&
         col("event_type") === "purchase" &&
-        col("ts_us") - col("ts1") <= 30L * 60 * 1000000)
+        col("ts_us") - col("ts1") <= 3L * 24 * 3600 * 1000000)
       .select(col("user_id"), col("id1"), col("id2"),
         col("event_id").as("purchase_id"), (col("ts_us") - col("ts1")).as("span_us"))
       .orderBy("purchase_id")
@@ -197,7 +198,7 @@ object Joins {
           SELECT user_id, id1, id2, event_id AS purchase_id, ts_us - ts1 AS span_us
           FROM seq
           WHERE t1 = 'click' AND t2 = 'click' AND event_type = 'purchase'
-            AND ts_us - ts1 <= 30 * 60 * 1000000
+            AND ts_us - ts1 <= CAST(3 AS BIGINT) * 24 * 3600 * 1000000
           ORDER BY purchase_id""",
     "join_asof_click_before_purchase" ->
       s"""WITH tagged AS (
