@@ -112,6 +112,41 @@ class SqlSpec extends SparkTestBase {
     }
   }
 
+  test("SQL ≡ DataFrame: CEP pattern match via lag navigation") {
+    withViews {
+      val sql = spark.sql(
+        """WITH seq AS (
+             SELECT user_id, event_id, event_type, unix_micros(ts) AS ts_us,
+               lag(event_type, 2) OVER w AS t1, lag(event_type, 1) OVER w AS t2,
+               lag(event_id, 2) OVER w AS id1, lag(event_id, 1) OVER w AS id2,
+               lag(unix_micros(ts), 2) OVER w AS ts1
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY unix_micros(ts), event_id))
+           SELECT user_id, id1, id2, event_id AS purchase_id, ts_us - ts1 AS span_us
+           FROM seq
+           WHERE t1 = 'click' AND t2 = 'click' AND event_type = 'purchase'
+             AND ts_us - ts1 <= 3L * 24 * 3600 * 1000000
+           ORDER BY purchase_id""")
+      assert(sortedRows(sql) === sortedRows(ops.Joins.cepClickClickPurchase(spark, sf0001)))
+    }
+  }
+
+  test("SQL ≡ DataFrame: time-series gapfill via sequence generation") {
+    withViews {
+      val sql = spark.sql(
+        """WITH ev AS (SELECT user_id, date_trunc('hour', ts) AS bucket FROM events),
+           counts AS (SELECT user_id, bucket, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+           dense AS (SELECT user_id,
+               explode(sequence(MIN(bucket), MAX(bucket), INTERVAL 1 HOUR)) AS bucket
+             FROM ev GROUP BY user_id)
+           SELECT d.user_id, unix_micros(d.bucket) AS bucket_us, coalesce(n, 0L) AS n
+           FROM dense d LEFT JOIN counts c
+             ON d.user_id = c.user_id AND d.bucket = c.bucket
+           ORDER BY 1, 2""")
+      assert(sortedRows(sql) === sortedRows(ops.Analytics.tsGapfillHourly(spark, sf0001)))
+    }
+  }
+
   test("subquery decorrelation: correlated EXISTS matches semi-join") {
     withViews {
       val sql = spark.sql(
