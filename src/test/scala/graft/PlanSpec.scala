@@ -93,6 +93,26 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("graft_dot_product"), p)
   }
 
+  test("CEP pattern match shuffles once on the key (plus the final sort)") {
+    val p = plan(ops.Joins.cepClickClickPurchase(spark, sf0001))
+    assert("Exchange".r.findAllIn(p).size <= 2, s"one key shuffle + one sort:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("n-gram generation is shuffle-free before the count aggregation") {
+    val p = plan(ops.Llm2.ngramBigrams(spark, sf0001))
+    // bigram construction adds no exchange: count agg, top-N window, final
+    // sort only
+    assert("Exchange".r.findAllIn(p).size <= 3, p)
+    assert(!p.contains("WindowExec\n   +- Sort\n      +- Generate"),
+      "no per-doc window over exploded tokens expected")
+  }
+
+  test("extrema-by aggregates two-phase like any other aggregation") {
+    val p = plan(ops.Analytics.aggExtremaBy(spark, sf0001))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("moment statistics are one partial-aggregable pass (six decimal sums, two-phase)") {
     val p = plan(ops.Analytics.aggStatsMoments(spark, sf0001))
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
