@@ -224,6 +224,42 @@ object Analytics {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       .orderBy("event_type")
 
+  /** Stratified deterministic sampling: exactly 50 rows per event type,
+    * chosen by portable-hash rank within each stratum — balanced class
+    * representation regardless of stratum skew (what a training-data
+    * sampler needs), reproducible across engines and partitionings. One
+    * shuffle on the stratum key. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("hk").asc, col("event_id").asc)
+    events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        h48(col("event_id").cast("string")).as("hk"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 50)
+      .select(col("event_type"), col("rk"), col("event_id"), col("value"))
+      .orderBy("event_type", "rk")
+  }
+
+  /** Column profiling (data-quality pass over the stream table): one row
+    * per profiled column with count / nulls / distinct / min / max as
+    * strings — the schema-wide summary a pipeline health check emits.
+    * Single scan; each profile row is a set of partial-aggregable
+    * expressions. */
+  def profileEventsColumns(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    def prof(c: String) = ev.agg(
+      lit(c).as("column"),
+      count(lit(1)).as("n_rows"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+      countDistinct(col(c)).as("n_distinct"),
+      min(col(c).cast("string")).as("min_s"),
+      max(col(c).cast("string")).as("max_s"))
+    Seq("event_id", "user_id", "event_type")
+      .map(prof).reduce(_.unionByName(_))
+      .orderBy("column")
+  }
+
   /** Conditional scalar family over lineitem: CASE tiers, NULLIF/COALESCE
     * null plumbing, GREATEST/LEAST — aggregated per derived tier. */
   def scalarCondTiers(spark: SparkSession, dir: String): DataFrame =
@@ -368,6 +404,8 @@ object Analytics {
     "setop_intersect_all_buckets" -> (setopIntersectAllBuckets _),
     "setop_except_all_buckets" -> (setopExceptAllBuckets _),
     "sample_hash_events" -> (sampleHashEvents _),
+    "sample_stratified" -> (sampleStratified _),
+    "profile_events_columns" -> (profileEventsColumns _),
     "scalar_cond_tiers" -> (scalarCondTiers _),
     "scalar_string_distance" -> (scalarStringDistance _),
     "scalar_map_metrics" -> (scalarMapMetrics _),
@@ -522,6 +560,24 @@ object Analytics {
       s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, ${dsumSql("value")} AS sum_value
           FROM events WHERE $h % 100 < 10
           GROUP BY 1 ORDER BY 1"""
+    },
+    "sample_stratified" -> {
+      val h = graft.Tables.h48Sql("CAST(event_id AS VARCHAR)")
+      s"""WITH h AS (SELECT event_id, event_type, value, $h AS hk FROM events),
+          r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY hk ASC, event_id ASC) AS rk FROM h)
+          SELECT event_type, CAST(rk AS INT) AS rk, event_id, value
+          FROM r WHERE rk <= 50 ORDER BY event_type, rk"""
+    },
+    "profile_events_columns" -> {
+      val arms = Seq("event_id", "user_id", "event_type").map { c =>
+        s"""SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+            CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+            CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+            MIN(CAST($c AS VARCHAR)) AS min_s, MAX(CAST($c AS VARCHAR)) AS max_s
+            FROM events"""
+      }.mkString(" UNION ALL ")
+      s"""$arms ORDER BY "column""""
     },
     "scalar_cond_tiers" ->
       s"""WITH t AS (SELECT
