@@ -93,6 +93,22 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("graft_dot_product"), p)
   }
 
+  test("no query plans an unbounded cartesian/nested-loop join (bounded exceptions listed)") {
+    // Every allowed entry is a deliberately-bounded NLJ/cross documented at
+    // its definition site: small-dims theta band, 25-row string-distance
+    // matrix, bounded query-set similarity scans, k-row centroid probes.
+    val allowed = Set("join_theta_price_band", "scalar_string_distance",
+      "llm_sim_topk", "llm_ivf_ann", "llm_kmeans_step", "llm_dedup_embed",
+      "llm_ann_lsh")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (!allowed(name)) {
+        val p = plan(fn(spark, sf0001))
+        assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unbounded pair join:\n$p")
+      }
+    }
+  }
+
   test("CEP pattern match shuffles once on the key (plus the final sort)") {
     val p = plan(ops.Joins.cepClickClickPurchase(spark, sf0001))
     assert("Exchange".r.findAllIn(p).size <= 2, s"one key shuffle + one sort:\n$p")
