@@ -34,6 +34,20 @@ object StreamOps {
       .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"), col("n"))
       .orderBy("ws_us", "event_type")
 
+  /** I2b — non-keyed global window (Flink `windowAll` analogue): daily
+    * stream-wide stats with no grouping key. At scale the single global
+    * key is the textbook hot partition — partial aggregation collapses
+    * each input partition to one row before the 1-row-per-window shuffle,
+    * so the "hot key" carries |partitions| rows, not O(data). */
+  def dailyGlobalStats(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(unix_micros(col("w.start")).as("ws_us"), col("n"),
+        col("sum_value"), col("n_users"))
+      .orderBy("ws_us")
+
   /** I3 — sliding window (1h size, 15min slide) avg value per window. */
   def slidingAvg(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
@@ -96,6 +110,7 @@ object StreamOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_counts" -> (tumblingCounts _),
+    "stream_daily_global_stats" -> (dailyGlobalStats _),
     "stream_sliding_avg" -> (slidingAvg _),
     "stream_session_stats" -> (sessionStats _),
     "stream_count_window_sum" -> (countWindowSum _),
@@ -112,6 +127,12 @@ object StreamOps {
       s"""SELECT epoch_us(time_bucket(INTERVAL '1 hour', $evTs)) AS ws_us,
           event_type, CAST(COUNT(*) AS BIGINT) AS n
           FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "stream_daily_global_stats" ->
+      s"""SELECT epoch_us(time_bucket(INTERVAL '1 day', $evTs)) AS ws_us,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM events GROUP BY 1 ORDER BY 1""",
     "stream_sliding_avg" ->
       s"""SELECT epoch_us(time_bucket(INTERVAL '15 minutes', $evTs)
                  - k * INTERVAL '15 minutes') AS ws_us,
