@@ -69,6 +69,23 @@ class SqlSpec extends SparkTestBase {
     }
   }
 
+  test("Catalog.register exposes every table and the kernel to plain SQL") {
+    Catalog.register(spark, sf0001)
+    // one query touching several registered views + the normalized events ts
+    val r = spark.sql(
+      """SELECT (SELECT COUNT(*) FROM region) AS regions,
+                (SELECT COUNT(*) FROM documents) AS docs,
+                (SELECT COUNT(*) FROM events WHERE year(ts) = 2024) AS ev24,
+                (SELECT round(graft_dot_product(
+                   transform(embedding, x -> cast(x as double)),
+                   transform(embedding, x -> cast(x as double))), 3)
+                 FROM embeddings WHERE vec_id = 0) AS sq0""").head()
+    assert(r.getLong(0) === 5L)
+    assert(r.getLong(1) > 0L)
+    assert(r.getLong(2) > 0L)
+    assert(r.getDouble(3) > 0.0)
+  }
+
   test("native kernel registered for SQL: graft_dot_product") {
     functions.ArrayMath.register(spark)
     Tables.embeddings(spark, sf0001)
