@@ -23,7 +23,9 @@ object SparkEntry {
       ops.Scalars.queries ++
       ops.Analytics.queries ++
       ops.Llm.queries ++
-      ops.Llm2.queries
+      ops.Llm2.queries ++
+      ops.Llm3.queries ++
+      ops.Warehouse.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +36,7 @@ object SparkEntry {
       ops.Scalars.oracles ++
       ops.Analytics.oracles ++
       ops.Llm.oracles ++
-      ops.Llm2.oracles
+      ops.Llm2.oracles ++
+      ops.Llm3.oracles ++
+      ops.Warehouse.oracles
 }

@@ -244,19 +244,25 @@ object Analytics {
   /** Column profiling (data-quality pass over the stream table): one row
     * per profiled column with count / nulls / distinct / min / max as
     * strings — the schema-wide summary a pipeline health check emits.
-    * Single scan; each profile row is a set of partial-aggregable
-    * expressions. */
+    * Genuinely a single scan: ONE global agg computes all 3×6 metrics in
+    * a single row (Spark plans the three countDistincts via one Expand),
+    * then `stack` unpivots that row to one row per column — vs. a union
+    * of per-column aggs, which would scan the parquet once per column. */
   def profileEventsColumns(spark: SparkSession, dir: String): DataFrame = {
-    val ev = events(spark, dir)
-    def prof(c: String) = ev.agg(
-      lit(c).as("column"),
-      count(lit(1)).as("n_rows"),
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
-      countDistinct(col(c)).as("n_distinct"),
-      min(col(c).cast("string")).as("min_s"),
-      max(col(c).cast("string")).as("max_s"))
-    Seq("event_id", "user_id", "event_type")
-      .map(prof).reduce(_.unionByName(_))
+    val cs = Seq("event_id", "user_id", "event_type")
+    val aggs = cs.flatMap { c => Seq(
+      count(lit(1)).as(s"${c}__n_rows"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__n_null"),
+      countDistinct(col(c)).as(s"${c}__n_distinct"),
+      min(col(c).cast("string")).as(s"${c}__min_s"),
+      max(col(c).cast("string")).as(s"${c}__max_s")) }
+    val stackArgs = cs.map(c =>
+      s"'$c', ${c}__n_rows, ${c}__n_null, ${c}__n_distinct, ${c}__min_s, ${c}__max_s")
+      .mkString(", ")
+    events(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cs.size}, $stackArgs) as " +
+        "(column, n_rows, n_null, n_distinct, min_s, max_s)"))
       .orderBy("column")
   }
 

@@ -1,0 +1,176 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 LLM-pipeline widening: TF-IDF term scoring, corpus-level
+  * token frequency (the Zipf table every tokenizer build starts from),
+  * PII redaction, and connected-components clustering of near-duplicate
+  * pairs (the step after pair generation that every dedup pipeline needs:
+  * pairs → clusters → keep one representative per cluster).
+  *
+  * Scale notes (100 TB):
+  *  - TF-IDF and wordcount are explode → partial-aggregated groupBys —
+  *    the canonical map-side-combine shape; the corpus size N joins in as
+  *    a broadcast of a 1-row aggregate, never a driver-side collect.
+  *  - PII redaction is row-local regexp (whole-stage codegen'd), zero
+  *    shuffles — exactly the shape a 100 TB scrub pass needs.
+  *  - Connected components runs Pregel-style min-label propagation:
+  *    O(component diameter) rounds, each one join + one aggregate on the
+  *    (tiny relative to corpus) candidate-pair edge set, with
+  *    `localCheckpoint` truncating lineage between rounds. Edges here
+  *    come from the Jaccard pair generator; at warehouse scale the same
+  *    loop consumes MinHash-LSH candidate pairs (llm_dedup_near) —
+  *    the loop is agnostic to the pair source.
+  */
+object Llm3 {
+
+  private def wordsOf(df: DataFrame) =
+    df.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+
+  /** TF-IDF top terms: score = tf · ln((N+1)/(df+1)) (smoothed IDF), top-3
+    * terms per document for the first 30 docs (output bound only — tf and
+    * df are computed over the FULL corpus). Ranking and output use the
+    * 6dp-rounded score so cross-engine double noise cannot reorder. */
+  def tfidfTopterms(spark: SparkSession, dir: String): DataFrame = {
+    val w = wordsOf(documents(spark, dir))
+    val tf = w.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = w.distinct().groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "word").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("word"),
+        round(col("tf").cast("double") *
+          log((col("n_docs") + lit(1)).cast("double") / (col("df") + lit(1)).cast("double")),
+          6).as("tfidf"))
+    val rk = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("word").asc)
+    scored.where(col("doc_id") < 30)
+      .withColumn("rn", row_number().over(rk)).where(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("word"), col("tfidf"))
+      .orderBy("doc_id", "rn")
+  }
+
+  /** Corpus token frequency top-20 (Zipf head): the global wordcount that
+    * seeds tokenizer vocabularies. Partial aggregation collapses each
+    * partition's counts before the single shuffle on the word key. */
+  def wordcountTop20(spark: SparkSession, dir: String): DataFrame =
+    wordsOf(documents(spark, dir))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(20)
+
+  /** PII redaction pass (row-local scrub): digits masked to '#', digit
+    * count and a stable fingerprint retained for audit joins. The same
+    * shape extends to a bank of email/phone/ssn regexes at scale. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .select(col("c_custkey"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked_name"),
+        length(regexp_replace(col("c_name"), "[^0-9]", "")).as("n_digits"),
+        substring(md5(col("c_name")), 1, 8).as("name_fp"))
+      .orderBy("c_custkey")
+
+  /** Near-duplicate CLUSTERS: Jaccard≥0.9 pairs over the first 50 docs
+    * (bound keeps the oracle's transitive closure tractable; the Spark
+    * path takes any pair set) → connected components by iterative
+    * min-label propagation → (doc, cluster, cluster_size). Converges in
+    * O(diameter) rounds; each round is one shuffle join on the edge set. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir).where(col("doc_id") < 50)
+    val w = docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("word"))
+    val sizes = w.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val edges = w.as("w1").join(w.as("w2"),
+        col("w1.word") === col("w2.word") && col("w1.doc_id") < col("w2.doc_id"))
+      .groupBy(col("w1.doc_id").as("d1"), col("w2.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.as("z1"), col("d1") === col("z1.doc_id"))
+      .join(sizes.as("z2"), col("d2") === col("z2.doc_id"))
+      .where(col("inter").cast("double") /
+        (col("z1.sz") + col("z2.sz") - col("inter")).cast("double") >= 0.9)
+      .select(col("d1"), col("d2"))
+    val und = edges.union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val nb = und.join(labels, col("d2") === col("node"))
+        .groupBy(col("d1")).agg(min(col("label")).as("nb_min"))
+      val next = labels.join(nb, col("node") === col("d1"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.as("a").join(labels.as("b"), col("a.node") === col("b.node"))
+        .where(col("a.label") =!= col("b.label")).limit(1).count() == 0
+      labels = next
+      iter += 1
+    }
+    val cw = Window.partitionBy(col("cluster"))
+    labels
+      .select(col("node").as("doc_id"), col("label").as("cluster"))
+      .withColumn("cluster_size", count(lit(1)).over(cw))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_tfidf_topterms" -> (tfidfTopterms _),
+    "llm_wordcount_top20" -> (wordcountTop20 _),
+    "llm_pii_redact" -> (piiRedact _),
+    "llm_dedup_clusters" -> (dedupClusters _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "llm_tfidf_topterms" ->
+      """WITH w AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+         dfreq AS (SELECT word, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, word FROM w) GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT doc_id, word,
+             round(CAST(tf AS DOUBLE) *
+               ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)), 6) AS tfidf
+           FROM tf JOIN dfreq USING (word) CROSS JOIN n),
+         rk AS (
+           SELECT doc_id, word, tfidf, row_number() OVER (PARTITION BY doc_id
+             ORDER BY tfidf DESC, word) AS rn
+           FROM scored WHERE doc_id < 30)
+         SELECT doc_id, CAST(rn AS INT) AS rn, word, tfidf
+         FROM rk WHERE rn <= 3 ORDER BY doc_id, rn""",
+    "llm_wordcount_top20" ->
+      """SELECT word, COUNT(*) AS n
+         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         GROUP BY word ORDER BY n DESC, word LIMIT 20""",
+    "llm_pii_redact" ->
+      """SELECT c_custkey,
+         regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
+         CAST(length(regexp_replace(c_name, '[^0-9]', '', 'g')) AS INT) AS n_digits,
+         substring(md5(c_name), 1, 8) AS name_fp
+         FROM customer ORDER BY c_custkey""",
+    "llm_dedup_clusters" ->
+      """WITH RECURSIVE
+         w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+               FROM documents WHERE doc_id < 50),
+         sz AS (SELECT doc_id, COUNT(*) AS sz FROM w GROUP BY 1),
+         pairs AS (SELECT w1.doc_id AS d1, w2.doc_id AS d2, COUNT(*) AS i
+                   FROM w w1 JOIN w w2 ON w1.word = w2.word AND w1.doc_id < w2.doc_id
+                   GROUP BY 1, 2),
+         edges AS (SELECT d1, d2 FROM pairs
+                   JOIN sz a ON d1 = a.doc_id JOIN sz b ON d2 = b.doc_id
+                   WHERE CAST(i AS DOUBLE) / CAST(a.sz + b.sz - i AS DOUBLE) >= 0.9),
+         und AS (SELECT d1 AS src, d2 AS dst FROM edges
+                 UNION ALL SELECT d2, d1 FROM edges),
+         nodes AS (SELECT doc_id AS node FROM documents WHERE doc_id < 50),
+         reach(node, r) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT reach.node, und.dst FROM reach JOIN und ON reach.r = und.src),
+         cc AS (SELECT node AS doc_id, MIN(r) AS cluster FROM reach GROUP BY 1)
+         SELECT doc_id, cluster,
+           COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
+         FROM cc ORDER BY doc_id""",
+  )
+}

@@ -1,0 +1,445 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 warehouse coverage: classic TPC-H-shaped multi-way join
+  * queries (Q3/Q5/Q10 adapted to the fixture schema), CDC latest-record
+  * compaction, batch sessionization, time-weighted averages, day-over-day
+  * deltas, fixed-bin histograms, per-key z-score anomaly flagging, and
+  * distribution entropy.
+  *
+  * Scale notes (100 TB):
+  *  - The TPC-H joins are written filter-first so Catalyst pushes every
+  *    predicate into the parquet scan before the join; `nation`/`region`
+  *    are explicitly `broadcast()` (25/5 rows at EVERY scale — guaranteed
+  *    safe), everything else is left to AQE which picks
+  *    broadcast-vs-shuffle from runtime sizes; at 100 TB the
+  *    orders⋈lineitem legs become shuffle hash joins on the order key.
+  *  - CDC compaction / sessionization / TWA / z-score are one shuffle each
+  *    (hash partition by the entity key, then window math inside the
+  *    partition) — the optimal layout; nothing re-shuffles between the
+  *    window pass and the final per-key aggregate because the partitioning
+  *    is reused.
+  *  - The day-over-day lag runs on post-aggregate data (one row per day —
+  *    bounded at any scale) so its single-partition window is safe.
+  *  - The histogram is a row-local bin computation followed by a
+  *    partially-aggregated groupBy on ≤10 keys — map-side combine
+  *    collapses it before the (tiny) shuffle.
+  */
+object Warehouse {
+
+  // ------------------------------------------------------------------
+  // TPC-H-shaped multi-join analytics (§2.C widening)
+  // ------------------------------------------------------------------
+
+  /** TPC-H Q3 shape (shipping priority): segment-filtered customers ⋈
+    * date-filtered orders ⋈ lineitem, revenue per order, top 10. Both date
+    * predicates and the segment predicate reach the scans; the two joins
+    * shuffle on custkey/orderkey (AQE may broadcast the filtered customer
+    * side — 1/5 of customers and only the key column survive pruning). */
+  def tpchQ3(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir)
+      .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = orders(spark, dir)
+      .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = lineitem(spark, dir)
+      .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape (local supplier volume): 6-way star join region →
+    * nation → customer → orders → lineitem → supplier, restricted to one
+    * region/year and to lineitems whose supplier sits in the customer's
+    * nation. nation⋈region is pre-joined and broadcast (30 rows, safe at
+    * any scale); supplier is small relative to the fact legs so AQE
+    * broadcasts it at fixture scale and shuffles it at warehouse scale. */
+  def tpchQ5(spark: SparkSession, dir: String): DataFrame = {
+    val n = nation(spark, dir).join(region(spark, dir),
+        col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA")
+      .select("n_nationkey", "n_name")
+    val c = customer(spark, dir).select("c_custkey", "c_nationkey")
+    val o = orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val l = lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val s = supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    broadcast(n)
+      .join(c, col("c_nationkey") === col("n_nationkey"))
+      .join(o, col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  /** TPC-H Q10 shape (returned items): revenue lost to returns per
+    * customer over a 6-month order window, top 20 customers. The
+    * returnflag predicate prunes ~2/3 of lineitem at the scan; nation is
+    * broadcast. */
+  def tpchQ10(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val l = lineitem(spark, dir)
+      .where(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val c = customer(spark, dir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val n = nation(spark, dir).select("n_nationkey", "n_name")
+    c.join(o, col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  // ------------------------------------------------------------------
+  // CDC / sessionization / time series (§2.I batch analogues)
+  // ------------------------------------------------------------------
+
+  /** CDC changelog compaction (upsert materialization): the latest event
+    * per (user_id, event_type) key, ties broken by event_id — the batch
+    * form of a keyed `last_value` state store. One shuffle on the key;
+    * at 100 TB this is the standard log→table compaction shape. */
+  def cdcLatestPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id").as("last_event_id"),
+        unix_micros(col("ts")).as("last_ts_us"), col("value").as("last_value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Batch sessionization: a new session starts after a >2h silence per
+    * user (lag + cumulative-sum-of-boundaries), then per-session stats.
+    * The lag window and the groupBy reuse the same user_id hash
+    * partitioning — one shuffle total. */
+  def sessionizeEvents(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 2L * 3600 * 1000000, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new")).over(byUser))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"),
+        dsum(col("value")).as("sum_value"))
+      .withColumn("dur_us", col("end_us") - col("start_us"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** Time-weighted average of `value` per user: each reading is weighted
+    * by how long it was current (interval to the next reading). Decimal
+    * sums keep the weighted numerator deterministic across engines. */
+  def tsTimeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    events(spark, dir)
+      .withColumn("next_us", lead(unix_micros(col("ts")), 1).over(byUser))
+      .where(col("next_us").isNotNull)
+      .withColumn("dt_s", (col("next_us") - unix_micros(col("ts"))).cast("double") / lit(1000000.0))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        (dsum(col("value") * col("dt_s")) / dsum(col("dt_s"))).as("twa"))
+      .select(col("user_id"), col("n_intervals"), round(col("twa"), 6).as("twa"))
+      .orderBy("user_id")
+  }
+
+  /** Day-over-day percent change of total event value. The lag runs on
+    * post-aggregate data (≤31 rows at any scale), so its single-partition
+    * window is bounded by the date span, not the data volume. */
+  def tsPctChangeDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .agg(dsum(col("value")).as("total"))
+    val w = Window.orderBy(col("day"))
+    daily
+      .withColumn("prev", lag(col("total"), 1).over(w))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("total"),
+        round((col("total") - col("prev")) / col("prev"), 6).as("pct_change"))
+      .orderBy("day")
+  }
+
+  // ------------------------------------------------------------------
+  // Distribution / data-quality aggregates (§2.D widening)
+  // ------------------------------------------------------------------
+
+  /** Fixed-width histogram of event values: bin = floor(value/50) clamped
+    * to [0,9]. Row-local binning + a ≤10-key aggregate — the shuffle
+    * carries one row per (partition, bin) after map-side combine. */
+  def aggHistogramValue(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(least(floor(col("value") / 50).cast("int"), lit(9)).as("bin"), col("value"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"), dsum(col("value")).as("sum_v"))
+      .orderBy("bin")
+
+  /** Per-user z-score anomaly flagging: mean/std per user from decimal
+    * sums over a user-partitioned window (identical algebra to
+    * `agg_stats_moments`, so cross-engine deterministic), then count
+    * events with |z| > 2. The window pass and the final groupBy share the
+    * user_id partitioning — one shuffle. */
+  def anomalyZscoreEvents(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val nd = count(lit(1)).over(w).cast("double")
+    val mean = sum(col("value").cast("decimal(18,6)")).over(w).cast("double") / nd
+    val s2 = sum((col("value") * col("value")).cast("decimal(18,6)")).over(w).cast("double")
+    val variance = (s2 - nd * mean * mean) / (nd - lit(1.0))
+    events(spark, dir)
+      .withColumn("z", (col("value") - mean) / sqrt(variance))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(abs(col("z")) > 2, 1L).otherwise(0L)).as("n_anomalies"),
+        round(max(col("z")), 6).as("max_z"))
+      .orderBy("user_id")
+  }
+
+  /** Shannon entropy of each user's event-type distribution. Each
+    * p·ln(p) term is rounded to decimal(18,6) before the sum so 1-ulp
+    * `ln` differences between engines cannot reach the total. */
+  def aggUserEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val p = col("n").cast("double") / sum(col("n")).over(w).cast("double")
+    events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("term", (p * log(p)).cast("decimal(18,6)"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_types"), sum(col("n")).as("n_events"),
+        (-sum(col("term"))).cast("double").as("entropy"))
+      .orderBy("user_id")
+  }
+
+  /** Top-3 users by total value per tumbling 1-day event-time window —
+    * the batch surrogate of a per-window streaming Top-N (Flink
+    * windowed-rank pattern). Window agg then rank inside each day. */
+  def streamTopkPerWindow(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(window(col("ts"), "1 day").as("win"), col("user_id"))
+      .agg(dsum(col("value")).as("total"), count(lit(1)).as("n"))
+      .select(unix_micros(col("win.start")).as("win_us"), col("user_id"),
+        col("total"), col("n"))
+    val rk = Window.partitionBy(col("win_us"))
+      .orderBy(col("total").desc, col("user_id").asc)
+    daily.withColumn("rn", row_number().over(rk)).where(col("rn") <= 3)
+      .orderBy("win_us", "rn")
+  }
+
+  // ------------------------------------------------------------------
+  // Scalar families (§2.H widening)
+  // ------------------------------------------------------------------
+
+  /** String formatting family: pad/translate/reverse/repeat/case/concat —
+    * all row-local codegen'd builtins over the 25-row nation dim. */
+  def scalarStringFormat(spark: SparkSession, dir: String): DataFrame =
+    nation(spark, dir)
+      .select(col("n_name"),
+        lpad(col("n_name"), 20, ".").as("padded"),
+        rpad(col("n_name"), 20, "_").as("rpadded"),
+        translate(col("n_name"), "AEIOU", "aeiou").as("devoweled"),
+        reverse(col("n_name")).as("rev"),
+        repeat(substring(col("n_name"), 1, 3), 2).as("prefix2"),
+        concat_ws("-", lower(col("n_name")), upper(col("n_name"))).as("both_cases"),
+        length(col("n_name")).as("len"))
+      .orderBy("n_name")
+
+  /** Regex field extraction from the JSON-ish props string (the
+    * regexp-parse path next to scalar_json_props' JSON-path parse):
+    * pull the int k, aggregate its distribution per event type. */
+  def scalarRegexpExtract(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        regexp_extract(col("props"), "\"k\":\\s*([0-9]+)", 1).cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_matched"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"), davg(col("k")).as("avg_k"))
+      .orderBy("event_type")
+
+  // ------------------------------------------------------------------
+  // registry
+  // ------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q3_shipping_priority" -> (tpchQ3 _),
+    "tpch_q5_local_supplier" -> (tpchQ5 _),
+    "tpch_q10_returned_items" -> (tpchQ10 _),
+    "cdc_latest_per_key" -> (cdcLatestPerKey _),
+    "sessionize_events" -> (sessionizeEvents _),
+    "ts_time_weighted_avg" -> (tsTimeWeightedAvg _),
+    "ts_pct_change_daily" -> (tsPctChangeDaily _),
+    "agg_histogram_value" -> (aggHistogramValue _),
+    "anomaly_zscore_events" -> (anomalyZscoreEvents _),
+    "agg_user_entropy" -> (aggUserEntropy _),
+    "stream_topk_per_window" -> (streamTopkPerWindow _),
+    "scalar_string_format" -> (scalarStringFormat _),
+    "scalar_regexp_extract" -> (scalarRegexpExtract _),
+  )
+
+  private val evTs = "CAST(ts AS TIMESTAMP)"
+  private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+
+  val oracles: Map[String, String] = Map(
+    "tpch_q3_shipping_priority" ->
+      s"""SELECT l_orderkey, ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+          strftime(o_orderdate, '%Y-%m-%d') AS o_date
+          FROM customer JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1998-01-01'
+            AND l_shipdate > TIMESTAMP '1998-01-01'
+          GROUP BY l_orderkey, o_orderdate
+          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "tpch_q5_local_supplier" ->
+      s"""SELECT n_name, ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+          COUNT(*) AS n_items
+          FROM region JOIN nation ON n_regionkey = r_regionkey
+          JOIN customer ON c_nationkey = n_nationkey
+          JOIN orders ON o_custkey = c_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1997-01-01'
+          GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "tpch_q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+          ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+          FROM customer JOIN orders ON o_custkey = c_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE l_returnflag = 'R'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1996-07-01'
+          GROUP BY c_custkey, c_name, c_acctbal, n_name
+          ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "cdc_latest_per_key" ->
+      s"""SELECT user_id, event_type, last_event_id, last_ts_us, last_value FROM (
+            SELECT user_id, event_type, event_id AS last_event_id,
+              epoch_us($evTs) AS last_ts_us, value AS last_value,
+              row_number() OVER (PARTITION BY user_id, event_type
+                ORDER BY $evTs DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1 ORDER BY user_id, event_type""",
+    "sessionize_events" ->
+      s"""WITH t AS (
+            SELECT user_id, event_id, value, epoch_us($evTs) AS ts_us,
+              lag(epoch_us($evTs)) OVER (PARTITION BY user_id
+                ORDER BY $evTs, event_id) AS prev_us
+            FROM events),
+          b AS (
+            SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 7200000000
+              THEN 1 ELSE 0 END AS is_new FROM t),
+          s AS (
+            SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+              ORDER BY ts_us, event_id) AS session_idx FROM b)
+          SELECT user_id, session_idx, COUNT(*) AS n_events,
+            MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+            ${dsumSql("value")} AS sum_value,
+            MAX(ts_us) - MIN(ts_us) AS dur_us
+          FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
+    "ts_time_weighted_avg" ->
+      s"""WITH t AS (
+            SELECT user_id, value, epoch_us($evTs) AS ts_us,
+              lead(epoch_us($evTs)) OVER (PARTITION BY user_id
+                ORDER BY $evTs, event_id) AS next_us
+            FROM events),
+          d AS (
+            SELECT user_id, value,
+              CAST(next_us - ts_us AS DOUBLE) / 1000000.0 AS dt_s
+            FROM t WHERE next_us IS NOT NULL)
+          SELECT user_id, COUNT(*) AS n_intervals,
+            round(${dsumSql("value * dt_s")} / ${dsumSql("dt_s")}, 6) AS twa
+          FROM d GROUP BY user_id ORDER BY user_id""",
+    "ts_pct_change_daily" ->
+      s"""WITH daily AS (
+            SELECT date_trunc('day', $evTs) AS day, ${dsumSql("value")} AS total
+            FROM events GROUP BY 1)
+          SELECT strftime(day, '%Y-%m-%d') AS day, total,
+            round((total - lag(total) OVER (ORDER BY day))
+              / lag(total) OVER (ORDER BY day), 6) AS pct_change
+          FROM daily ORDER BY day""",
+    "agg_histogram_value" ->
+      s"""SELECT LEAST(CAST(FLOOR(value / 50) AS INT), 9) AS bin,
+          COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v,
+          ${dsumSql("value")} AS sum_v
+          FROM events GROUP BY 1 ORDER BY 1""",
+    "anomaly_zscore_events" ->
+      s"""WITH t AS (
+            SELECT user_id, value,
+              CAST(COUNT(*) OVER w AS DOUBLE) AS nd,
+              CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
+              CAST(SUM(CAST(value * value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s2
+            FROM events WINDOW w AS (PARTITION BY user_id)),
+          z AS (
+            SELECT user_id,
+              (value - s1 / nd) / sqrt((s2 - nd * (s1 / nd) * (s1 / nd)) / (nd - 1.0)) AS z
+            FROM t)
+          SELECT user_id, COUNT(*) AS n_events,
+            SUM(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END) AS n_anomalies,
+            round(MAX(z), 6) AS max_z
+          FROM z GROUP BY user_id ORDER BY user_id""",
+    "agg_user_entropy" ->
+      """WITH c AS (
+           SELECT user_id, event_type, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+         p AS (
+           SELECT user_id, n,
+             CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY user_id) AS DOUBLE) AS p
+           FROM c)
+         SELECT user_id, COUNT(*) AS n_types, SUM(n) AS n_events,
+           CAST(-SUM(CAST(p * ln(p) AS DECIMAL(18,6))) AS DOUBLE) AS entropy
+         FROM p GROUP BY user_id ORDER BY user_id""",
+    "stream_topk_per_window" ->
+      s"""SELECT win_us, user_id, total, n, rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY win_us
+              ORDER BY total DESC, user_id) AS rn FROM (
+              SELECT epoch_us(date_trunc('day', $evTs)) AS win_us, user_id,
+                ${dsumSql("value")} AS total, COUNT(*) AS n
+              FROM events GROUP BY 1, 2))
+          WHERE rn <= 3 ORDER BY win_us, rn""",
+    "scalar_string_format" ->
+      """SELECT n_name,
+         lpad(n_name, 20, '.') AS padded,
+         rpad(n_name, 20, '_') AS rpadded,
+         translate(n_name, 'AEIOU', 'aeiou') AS devoweled,
+         reverse(n_name) AS rev,
+         repeat(substring(n_name, 1, 3), 2) AS prefix2,
+         concat_ws('-', lower(n_name), upper(n_name)) AS both_cases,
+         CAST(length(n_name) AS INT) AS len
+         FROM nation ORDER BY n_name""",
+    "scalar_regexp_extract" ->
+      s"""WITH t AS (
+            SELECT event_type,
+              TRY_CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS INT) AS k
+            FROM events)
+          SELECT event_type, COUNT(k) AS n_matched, MIN(k) AS min_k,
+            MAX(k) AS max_k,
+            ${dsumSql("k")} / CAST(COUNT(k) AS DOUBLE) AS avg_k
+          FROM t GROUP BY event_type ORDER BY event_type""",
+  )
+}

@@ -148,8 +148,10 @@ object Streams {
     events.withWatermark("ts", watermark).writeStream
       .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val wm = currentWatermark()
-        late(df.toDF().where(col("ts") <= lit(wm)))
-        onTime(df.toDF().where(col("ts") > lit(wm)))
+        // strict `<`, matching the engine's own stateful-operator semantics:
+        // a row with ts exactly at the watermark is still on time
+        late(df.toDF().where(col("ts") < lit(wm)))
+        onTime(df.toDF().where(col("ts") >= lit(wm)))
       }
 
   /** A2/A8 — Kafka source/sink wiring (the canonical Flink

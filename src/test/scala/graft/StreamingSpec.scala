@@ -292,7 +292,7 @@ class StreamingSpec extends SparkTestBase {
       ms.addData(ev(1, "2024-01-01 12:00:00", 1, "click", 1.0))
       q.processAllAvailable(); syncWm() // wm → 11:50
       ms.addData(
-        ev(2, "2024-01-01 10:05:00", 1, "click", 9.9), // late: ts <= wm
+        ev(2, "2024-01-01 10:05:00", 1, "click", 9.9), // late: ts < wm
         ev(3, "2024-01-01 12:30:00", 1, "view", 1.0))  // on time
       q.processAllAvailable()
       assert(lateIds.asScala.toSet === Set(2L), s"late=$lateIds")
