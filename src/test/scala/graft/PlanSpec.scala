@@ -99,7 +99,9 @@ class PlanSpec extends SparkTestBase {
     // matrix, bounded query-set similarity scans, k-row centroid probes.
     val allowed = Set("join_theta_price_band", "scalar_string_distance",
       "llm_sim_topk", "llm_ivf_ann", "llm_kmeans_step", "llm_dedup_embed",
-      "llm_ann_lsh")
+      "llm_ann_lsh",
+      // 1-row corpus-size aggregate broadcast into the TF-IDF scorer
+      "llm_tfidf_topterms")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, sf0001))
@@ -133,5 +135,44 @@ class PlanSpec extends SparkTestBase {
     val p = plan(ops.Analytics.aggStatsMoments(spark, sf0001))
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
     assert("Scan parquet".r.findAllIn(p).size === 1, s"one scan only:\n$p")
+  }
+
+  // ---- round-3 operators ----
+
+  test("tpch q3: segment and ship-date predicates reach the scans") {
+    val p = plan(ops.Warehouse.tpchQ3(spark, sf0001))
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+    assert(p.contains("GreaterThan(l_shipdate"), p)
+  }
+
+  test("tpch q5: star join broadcasts every dimension leg at fixture scale") {
+    val p = plan(ops.Warehouse.tpchQ5(spark, sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch q10: returnflag predicate prunes lineitem at the scan") {
+    val p = plan(ops.Warehouse.tpchQ10(spark, sf0001))
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+  }
+
+  test("sessionization reuses one user_id shuffle for lag, cumsum and the session aggregate") {
+    val p = plan(ops.Warehouse.sessionizeEvents(spark, sf0001))
+    assert("Exchange".r.findAllIn(p).size <= 2, s"one key shuffle + final sort:\n$p")
+  }
+
+  test("cdc compaction is one key shuffle plus the final sort") {
+    val p = plan(ops.Warehouse.cdcLatestPerKey(spark, sf0001))
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("profile pass is genuinely one scan (single agg + stack unpivot)") {
+    val p = plan(ops.Analytics.profileEventsColumns(spark, sf0001))
+    assert("Scan parquet".r.findAllIn(p).size === 1, s"one scan only:\n$p")
+  }
+
+  test("histogram aggregates two-phase after row-local binning") {
+    val p = plan(ops.Warehouse.aggHistogramValue(spark, sf0001))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 }

@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-3 operator invariants (Warehouse + Llm3): semantic properties the
+  * DuckDB oracle hash-compare can't express — join-result sanity, session
+  * partition arithmetic, statistical bounds, cluster consistency. */
+class Round3Spec extends SparkTestBase {
+
+  // ---- TPC-H shapes ----
+
+  test("tpch_q3: top-10, revenue strictly ordered desc with key tiebreak, all positive") {
+    val rows = ops.Warehouse.tpchQ3(spark, sf0001).collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val rev = rows.map(_.getAs[Double]("revenue"))
+    assert(rev.forall(_ > 0))
+    assert(rev.zip(rev.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("tpch_q5: only ASIA nations appear, each at most once") {
+    val n = Tables.nation(spark, sf0001).join(Tables.region(spark, sf0001),
+        col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA")
+      .select("n_name").collect().map(_.getString(0)).toSet
+    val got = ops.Warehouse.tpchQ5(spark, sf0001).collect().map(_.getAs[String]("n_name"))
+    assert(got.toSet.subsetOf(n))
+    assert(got.length === got.toSet.size)
+  }
+
+  test("tpch_q10: revenue only from 'R' lineitems of window orders (spot-check top row)") {
+    val top = ops.Warehouse.tpchQ10(spark, sf0001).collect().head
+    val direct = Tables.customer(spark, sf0001)
+      .where(col("c_custkey") === top.getAs[Long]("c_custkey"))
+      .join(Tables.orders(spark, sf0001), col("o_custkey") === col("c_custkey"))
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      .join(Tables.lineitem(spark, sf0001), col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_returnflag") === "R")
+      .agg(Tables.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+      .head().getDouble(0)
+    assert(math.abs(top.getAs[Double]("revenue") - direct) < 1e-6)
+  }
+
+  // ---- CDC / sessions / time series ----
+
+  test("cdc compaction: one row per live (user,type) key; ts is that key's max") {
+    val cdc = ops.Warehouse.cdcLatestPerKey(spark, sf0001)
+    val maxTs = Tables.events(spark, sf0001)
+      .groupBy("user_id", "event_type")
+      .agg(max(unix_micros(col("ts"))).as("mx"))
+    assert(cdc.count() === maxTs.count())
+    val bad = cdc.join(maxTs, Seq("user_id", "event_type"))
+      .where(col("last_ts_us") =!= col("mx"))
+    assert(bad.count() === 0)
+  }
+
+  test("sessionization partitions events: session sizes sum to the event count; durations fit the span") {
+    val s = ops.Warehouse.sessionizeEvents(spark, sf0001)
+    val total = Tables.events(spark, sf0001).count()
+    assert(s.agg(sum("n_events")).head().getLong(0) === total)
+    assert(s.where(col("dur_us") < 0).count() === 0)
+    // single-event sessions have zero duration
+    assert(s.where(col("n_events") === 1 && col("dur_us") =!= 0).count() === 0)
+  }
+
+  test("time-weighted average lies within each user's value range") {
+    val t = ops.Warehouse.tsTimeWeightedAvg(spark, sf0001)
+    val rng = Tables.events(spark, sf0001).groupBy("user_id")
+      .agg(min("value").as("mn"), max("value").as("mx"))
+    val bad = t.join(rng, "user_id")
+      .where(col("twa") < col("mn") - lit(1e-6) || col("twa") > col("mx") + lit(1e-6))
+    assert(bad.count() === 0)
+  }
+
+  test("day-over-day pct change: first day null, others = total/prev - 1") {
+    val rows = ops.Warehouse.tsPctChangeDaily(spark, sf0001).collect()
+    assert(rows.head.isNullAt(rows.head.fieldIndex("pct_change")))
+    rows.sliding(2).foreach { case Array(prev, cur) =>
+      val expect = cur.getAs[Double]("total") / prev.getAs[Double]("total") - 1
+      assert(math.abs(cur.getAs[Double]("pct_change") - expect) < 1e-5)
+    case _ => ()
+    }
+  }
+
+  test("histogram: bins cover all rows, bin bounds respected") {
+    val h = ops.Warehouse.aggHistogramValue(spark, sf0001).collect()
+    assert(h.map(_.getAs[Long]("n")).sum === Tables.events(spark, sf0001).count())
+    h.foreach { r =>
+      val bin = r.getAs[Int]("bin")
+      assert(bin >= 0 && bin <= 9)
+      if (bin < 9) {
+        assert(r.getAs[Double]("min_v") >= bin * 50.0)
+        assert(r.getAs[Double]("max_v") < (bin + 1) * 50.0)
+      } else assert(r.getAs[Double]("min_v") >= 450.0)
+    }
+  }
+
+  test("z-score agrees with Spark's own stddev_samp formulation") {
+    val ours = ops.Warehouse.anomalyZscoreEvents(spark, sf0001)
+    val ev = Tables.events(spark, sf0001)
+    val stats = ev.groupBy("user_id")
+      .agg(avg("value").as("mu"), stddev_samp("value").as("sd"))
+    val ref = ev.join(stats, "user_id")
+      .groupBy("user_id")
+      .agg(sum(when(abs((col("value") - col("mu")) / col("sd")) > 2, 1L)
+        .otherwise(0L)).as("ref_anom"))
+    val bad = ours.join(ref, "user_id")
+      .where(col("n_anomalies") =!= col("ref_anom"))
+    assert(bad.count() === 0)
+  }
+
+  test("entropy bounded by ln(#types); uniform-ish users near the bound") {
+    val e = ops.Warehouse.aggUserEntropy(spark, sf0001).collect()
+    e.foreach { r =>
+      val ent = r.getAs[Double]("entropy")
+      val k = r.getAs[Long]("n_types")
+      assert(ent >= -1e-6 && ent <= math.log(k.toDouble) + 1e-6,
+        s"user ${r.get(0)}: entropy $ent outside [0, ln($k)]")
+    }
+  }
+
+  test("per-window top-k: rn in 1..3 and totals descend within each window") {
+    val rows = ops.Warehouse.streamTopkPerWindow(spark, sf0001).collect()
+    rows.groupBy(_.getAs[Long]("win_us")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rn"))
+      assert(sorted.length <= 3)
+      val ts = sorted.map(_.getAs[Double]("total"))
+      assert(ts.zip(ts.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  // ---- scalars ----
+
+  test("string format: pads hit exactly 20 chars; devoweling removes uppercase vowels") {
+    ops.Warehouse.scalarStringFormat(spark, sf0001).collect().foreach { r =>
+      assert(r.getAs[String]("padded").length === 20)
+      assert(r.getAs[String]("rpadded").length === 20)
+      assert(!r.getAs[String]("devoweled").exists("AEIOU".contains(_)))
+    }
+  }
+
+  test("regexp extraction matches every props row (fixture always carries k)") {
+    val g = ops.Warehouse.scalarRegexpExtract(spark, sf0001)
+    val perType = Tables.events(spark, sf0001).groupBy("event_type").count()
+    val bad = g.join(perType, "event_type").where(col("n_matched") =!= col("count"))
+    assert(bad.count() === 0)
+  }
+
+  // ---- LLM pipeline ----
+
+  test("tfidf: 3 ranked terms per doc, scores non-negative and descending") {
+    val rows = ops.Llm3.tfidfTopterms(spark, sf0001).collect()
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rn"))
+      val sc = sorted.map(_.getAs[Double]("tfidf"))
+      assert(sc.forall(_ >= 0))
+      assert(sc.zip(sc.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("wordcount top-20 head matches a direct recount") {
+    val top = ops.Llm3.wordcountTop20(spark, sf0001).collect()
+    assert(top.length === 20)
+    val head = top.head
+    val direct = Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") === head.getAs[String]("word")).count()
+    assert(head.getAs[Long]("n") === direct)
+  }
+
+  test("PII redaction: masked names carry no digits; digit counts preserved") {
+    ops.Llm3.piiRedact(spark, sf0001).collect().foreach { r =>
+      assert(!r.getAs[String]("masked_name").exists(_.isDigit))
+      assert(r.getAs[Int]("n_digits") === 9) // Customer#%09d fixture names
+    }
+  }
+
+  test("dedup clusters: labels are component-consistent and minimal") {
+    val labels = ops.Llm3.dedupClusters(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    // every cluster label is the min doc_id of its members
+    labels.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min === c, s"cluster $c min is ${members.keys.min}")
+    }
+    // recompute the edge set independently and check endpoint agreement
+    val docs = Tables.documents(spark, sf0001).where(col("doc_id") < 50)
+      .select(col("doc_id"), split(col("text"), " ").as("ws")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1).toSet).toMap
+    for ((a, wa) <- docs; (b, wb) <- docs if a < b) {
+      val j = wa.intersect(wb).size.toDouble / wa.union(wb).size.toDouble
+      if (j >= 0.9)
+        assert(labels(a) === labels(b), s"edge ($a,$b) j=$j split across clusters")
+    }
+  }
+}
