@@ -251,6 +251,21 @@ object Warehouse {
       .orderBy("win_us", "rn")
   }
 
+  /** Salted hot-key join, surfaced as a query: orders ⋈ customer with the
+    * fact side salted over 8 sub-partitions per key (ops.Skew.saltedJoin),
+    * then per-status totals. Result is multiset-equal to the plain join —
+    * the oracle IS the plain join — which proves the salt is semantics-
+    * preserving; the value is the shuffle layout: one whale key spreads
+    * over 8 partitions instead of stalling a single reducer at 100 TB. */
+  def joinSaltedHotkey(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedJoin(
+        orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+        customer(spark, dir).select("c_custkey", "c_mktsegment"),
+        "o_custkey", "c_custkey", 8)
+      .groupBy(col("o_orderstatus"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus", "c_mktsegment")
+
   // ------------------------------------------------------------------
   // Scalar families (§2.H widening)
   // ------------------------------------------------------------------
@@ -297,6 +312,7 @@ object Warehouse {
     "anomaly_zscore_events" -> (anomalyZscoreEvents _),
     "agg_user_entropy" -> (aggUserEntropy _),
     "stream_topk_per_window" -> (streamTopkPerWindow _),
+    "join_salted_hotkey" -> (joinSaltedHotkey _),
     "scalar_string_format" -> (scalarStringFormat _),
     "scalar_regexp_extract" -> (scalarRegexpExtract _),
   )
@@ -422,6 +438,12 @@ object Warehouse {
                 ${dsumSql("value")} AS total, COUNT(*) AS n
               FROM events GROUP BY 1, 2))
           WHERE rn <= 3 ORDER BY win_us, rn""",
+    "join_salted_hotkey" ->
+      s"""SELECT o_orderstatus, c_mktsegment, COUNT(*) AS n,
+          ${dsumSql("o_totalprice")} AS sum_price
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY o_orderstatus, c_mktsegment
+          ORDER BY o_orderstatus, c_mktsegment""",
     "scalar_string_format" ->
       """SELECT n_name,
          lpad(n_name, 20, '.') AS padded,

@@ -110,7 +110,8 @@ object Streams {
   /** C5/C6 streaming side — watermarked stream-stream interval join:
     * purchases within 15 minutes after a click by the same user. State on
     * both sides is pruned by the watermark + time-range condition. */
-  def intervalJoin(events: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+  def intervalJoin(events: DataFrame, watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val clicks = events.where(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts").as("c_ts"))
@@ -122,8 +123,17 @@ object Streams {
     clicks.join(purchases,
       col("c_user") === col("p_user") &&
         col("p_ts") >= col("c_ts") &&
-        col("p_ts") <= col("c_ts") + expr("INTERVAL 15 MINUTES"))
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 15 MINUTES"),
+      joinType)
   }
+
+  /** C6 variant — LEFT OUTER stream-stream interval join (Flink's outer
+    * interval join): a click with no purchase inside its 15-minute window
+    * emits a null-match row, but only once the watermark passes the end of
+    * that window (the engine must prove no future purchase can match
+    * before releasing the unmatched row from state). */
+  def intervalJoinLeftOuter(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    intervalJoin(events, watermark, "left_outer")
 
   /** C7 streaming side — stream-static broadcast join (Flink
     * BroadcastProcessFunction analogue): enrich the unbounded stream

@@ -162,6 +162,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("C6 streaming: LEFT OUTER interval join emits null-match rows after watermark passes") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[Event]
+    val q = runToTable(Streams.intervalJoinLeftOuter(ms.toDF()), "ijlo", "append")
+    try {
+      ms.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "click", 1.0), // matched within 15min
+        ev(2, "2024-01-01 10:10:00", 1, "purchase", 5.0),
+        ev(3, "2024-01-01 10:01:00", 2, "click", 1.0)) // never matched
+      q.processAllAvailable()
+      // the join watermark is min over BOTH sides, and each side only sees
+      // its own event_type — so advance clicks AND purchases past 10:16
+      // (click-3 window end + delay), then run one more batch for the
+      // state-eviction pass that emits the null row
+      ms.addData(ev(9, "2024-01-01 13:00:00", 9, "click", 0.0),
+        ev(10, "2024-01-01 13:01:00", 8, "purchase", 0.0))
+      q.processAllAvailable()
+      ms.addData(ev(11, "2024-01-01 14:00:00", 9, "click", 0.0),
+        ev(12, "2024-01-01 14:01:00", 8, "purchase", 0.0))
+      q.processAllAvailable()
+      // click 9's window end (13:15) is also behind the final watermark
+      // (13:50, via the no-data batch), so it null-emits too; click 11
+      // (window end 14:15) is still in state and must NOT emit
+      val pairs = spark.table("ijlo").select($"click_id", $"purchase_id")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(pairs === Set((1L, Some(2L)), (3L, None), (9L, None)))
+    } finally q.stop()
+  }
+
   test("I10+batch≡streaming: complete-mode aggregation equals the batch twin on the same data") {
     val s = spark
     import s.implicits._
