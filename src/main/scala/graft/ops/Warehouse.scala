@@ -154,6 +154,20 @@ object Warehouse {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Native `session_window` sessionization (the same 2h-gap sessions as
+    * `sessionize_events`, via Spark's built-in session operator — the one
+    * that also runs under Structured Streaming with watermark-merged
+    * state). Window end is the native semantics: last event + gap. The
+    * oracle derives identical sessions from the lag+cumsum formulation,
+    * proving the two agree. */
+  def sessionizeNativeWindow(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "2 hours").as("sw"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"), col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_us")
+
   /** Time-weighted average of `value` per user: each reading is weighted
     * by how long it was current (interval to the next reading). Decimal
     * sums keep the weighted numerator deterministic across engines. */
@@ -306,6 +320,7 @@ object Warehouse {
     "tpch_q10_returned_items" -> (tpchQ10 _),
     "cdc_latest_per_key" -> (cdcLatestPerKey _),
     "sessionize_events" -> (sessionizeEvents _),
+    "sessionize_native_window" -> (sessionizeNativeWindow _),
     "ts_time_weighted_avg" -> (tsTimeWeightedAvg _),
     "ts_pct_change_daily" -> (tsPctChangeDaily _),
     "agg_histogram_value" -> (aggHistogramValue _),
@@ -378,6 +393,22 @@ object Warehouse {
             ${dsumSql("value")} AS sum_value,
             MAX(ts_us) - MIN(ts_us) AS dur_us
           FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
+    "sessionize_native_window" ->
+      s"""WITH t AS (
+            SELECT user_id, event_id, value, epoch_us($evTs) AS ts_us,
+              lag(epoch_us($evTs)) OVER (PARTITION BY user_id
+                ORDER BY $evTs, event_id) AS prev_us
+            FROM events),
+          b AS (
+            SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 7200000000
+              THEN 1 ELSE 0 END AS is_new FROM t),
+          s AS (
+            SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+              ORDER BY ts_us, event_id) AS session_idx FROM b)
+          SELECT user_id, MIN(ts_us) AS start_us,
+            MAX(ts_us) + 7200000000 AS end_us,
+            COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
+          FROM s GROUP BY user_id, session_idx ORDER BY user_id, start_us""",
     "ts_time_weighted_avg" ->
       s"""WITH t AS (
             SELECT user_id, value, epoch_us($evTs) AS ts_us,

@@ -63,6 +63,15 @@ class Round3Spec extends SparkTestBase {
     assert(s.where(col("n_events") === 1 && col("dur_us") =!= 0).count() === 0)
   }
 
+  test("native session_window agrees with the lag+cumsum sessionization") {
+    val native = ops.Warehouse.sessionizeNativeWindow(spark, sf0001)
+      .select("user_id", "start_us", "n_events")
+    val manual = ops.Warehouse.sessionizeEvents(spark, sf0001)
+      .select("user_id", "start_us", "n_events")
+    assert(native.exceptAll(manual).count() === 0)
+    assert(manual.exceptAll(native).count() === 0)
+  }
+
   test("time-weighted average lies within each user's value range") {
     val t = ops.Warehouse.tsTimeWeightedAvg(spark, sf0001)
     val rng = Tables.events(spark, sf0001).groupBy("user_id")

@@ -48,4 +48,19 @@ class StorageSpec extends SparkTestBase {
       .where(col("event_type") === "purchase").count()
     assert(purchases.count() === expected)
   }
+
+  test("A5/A6: ORC source/sink roundtrip preserves the lineitem table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val src = Tables.lineitem(spark, sf0001)
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema === src.schema)
+    assert(back.count() === src.count())
+    // ORC predicate pushdown works like parquet's
+    val plan = back.where(col("l_returnflag") === "R")
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters"), plan)
+    assert(back.exceptAll(src).count() === 0)
+    assert(src.exceptAll(back).count() === 0)
+  }
 }
