@@ -90,10 +90,21 @@ object Llm3 {
       .where(col("inter").cast("double") /
         (col("z1.sz") + col("z2.sz") - col("inter")).cast("double") >= 0.9)
       .select(col("d1"), col("d2"))
+    // The candidate-pair graph is orders of magnitude smaller than the
+    // corpus (near-dup pairs), so the iteration state fits one partition
+    // here — coalesce(1) keeps each Pregel round at ~2 tasks instead of
+    // 32-task micro-stages. At warehouse scale, drop the coalesce and the
+    // same loop runs hash-partitioned on the node key.
     val und = edges.union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
-      .localCheckpoint()
-    var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("label"))
-      .localCheckpoint()
+      .coalesce(1).localCheckpoint()
+    // seed labels with min(node, min direct neighbor) — one aggregation
+    // that equals the first propagation round for free; near-dup
+    // components are clique-heavy, so most nodes start already converged
+    val nbMin = und.groupBy(col("d1")).agg(min(col("d2")).as("nb0"))
+    var labels = docs.select(col("doc_id").as("node"))
+      .join(nbMin, col("node") === col("d1"), "left")
+      .select(col("node"), least(col("node"), coalesce(col("nb0"), col("node"))).as("label"))
+      .coalesce(1).localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
