@@ -82,6 +82,40 @@ object Streams {
       }
   }
 
+  /** I6b — event-time TIMER (the Flink `KeyedProcessFunction.onTimer` /
+    * `registerEventTimeTimer` analogue): per-user gap sessions closed by an
+    * `EventTimeTimeout` that fires when the watermark passes
+    * last-event + gap. Each batch of events extends the open session and
+    * re-arms the timer; the timed-out callback (`state.hasTimedOut`) emits
+    * the closed session and clears state — so state stays bounded by the
+    * number of OPEN sessions, never total history. */
+  def timerSessions(events: Dataset[Event], gapMs: Long = 2L * 3600 * 1000,
+                    watermark: String = "10 minutes"): Dataset[TimerSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TimerSession, TimerSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[Event], state: GroupState[TimerSession]) =>
+          if (state.hasTimedOut) {
+            val closed = state.get
+            state.remove()
+            Iterator(closed)
+          } else {
+            val evs = it.toSeq
+            val prev = state.getOption.getOrElse(TimerSession(uid, 0L, 0.0, 0L))
+            val next = evs.foldLeft(prev) { (acc, e) =>
+              TimerSession(uid, acc.n_events + 1, acc.sum_value + e.value,
+                math.max(acc.last_ms, e.ts.getTime))
+            }
+            state.update(next)
+            state.setTimeoutTimestamp(next.last_ms + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** I5 — per-user tumbling count window of `n`: buffers values in keyed
     * state, emits (user, window-index, sum) every time the buffer fills.
     * The Flink `countWindow(n)` analogue. */
@@ -240,6 +274,9 @@ object Streams {
   }
 
   case class UserAccum(user_id: Long, first_ms: Long, last_ms: Long, n: Long)
+
+  case class TimerSession(user_id: Long, n_events: Long, sum_value: Double,
+                          last_ms: Long)
   case class UserTotals(user_id: Long, n: Long, sum_value: Double)
   case class CwState(emitted: Long, inWindow: Long, sum: Double)
   case class CountWindow(user_id: Long, window_idx: Long, sum_value: Double)

@@ -193,6 +193,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("I6b: event-time timer closes gap sessions when the watermark passes (onTimer analogue)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[Event]
+    val q = runToTable(
+      Streams.timerSessions(ms.toDS()).toDF(), "timer_sessions", "append")
+    try {
+      ms.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 10:30:00", 1, "view", 2.0), // same session as 1
+        ev(3, "2024-01-01 10:05:00", 2, "click", 5.0))
+      q.processAllAvailable()
+      // timers armed at last+2h: user1 → 12:30, user2 → 12:05. Advance the
+      // watermark past both (13:00 - 10min = 12:50), then one more batch
+      // so the timed-out callback runs.
+      ms.addData(ev(9, "2024-01-01 13:00:00", 3, "view", 0.0))
+      q.processAllAvailable()
+      ms.addData(ev(10, "2024-01-01 14:00:00", 3, "view", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("timer_sessions")
+        .select($"user_id", $"n_events", $"sum_value")
+        .as[(Long, Long, Double)].collect().toSet
+      // user 3's session is still open (no timer has passed) — not emitted
+      assert(rows === Set((1L, 2L, 3.0), (2L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("I10+batch≡streaming: complete-mode aggregation equals the batch twin on the same data") {
     val s = spark
     import s.implicits._
