@@ -217,4 +217,25 @@ class OperatorSpec extends SparkTestBase {
     val jvmSide = samples.map(Tables.h48jvm)
     assert(sqlSide.toSeq === jvmSide)
   }
+
+  test("async-enrichment analogue: batched per-partition lookups, result = broadcast-join truth") {
+    val s = spark
+    import s.implicits._
+    val events = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[graft.streaming.Streams.Event]
+      .repartition(4)
+    val calls = spark.sparkContext.longAccumulator("service_calls")
+    val svc: Seq[Long] => Map[Long, String] = { keys =>
+      calls.add(1)
+      keys.map(k => k -> s"seg${k % 3}").toMap
+    }
+    val enriched = ops.Async.enrichBatched(events, svc, batchSize = 100).collect()
+    val expected = events.collect()
+      .map(e => (e.event_id, e.user_id, s"seg${e.user_id % 3}")).toSet
+    assert(enriched.toSet === expected)
+    // 1000 rows in 4 partitions, 100-row batches → ~10-13 round trips,
+    // never per-row (1000 calls) — the whole point of the batching shape
+    assert(calls.value <= 16, s"service called ${calls.value} times")
+  }
 }
