@@ -1,0 +1,85 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+
+/** Engine session extensions (`SparkSessionExtensions`, the public plug-in
+  * API — enable with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)`):
+  *
+  *  1. `injectFunction` — the codegen'd [[graft.functions.DotProduct]]
+  *     kernel is registered as `graft_dot_product` in every session built
+  *     with the extension (no per-session [[graft.Catalog.register]] call
+  *     needed).
+  *  2. `injectCheckRule` — [[CartesianGuard]]: refuse, at analysis time,
+  *     any join that would execute as an unbounded cartesian /
+  *     nested-loop pair blowup. At 100 TB a single accidental cross join
+  *     (a dropped join key, a typo'd non-equi predicate) is a
+  *     cluster-week; failing the query at planning beats discovering it
+  *     in the shuffle metrics. Bounded patterns stay legal: a side whose
+  *     row bound (`maxRows`) is ≤ [[CartesianGuard.SmallSide]] — e.g. a
+  *     global-aggregate scalar (corpus size N in TF-IDF), an explicit
+  *     `limit(k)` probe set, or a literal small dim — is provably safe
+  *     to replicate.
+  *
+  * The shipped `SparkEntry.queries` run on plain sessions (the driver
+  * builds its own); the extension is the user-facing hardened entry
+  * point, exercised by ExtensionsSpec. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot_product"),
+      new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "graft_dot_product"),
+      (exprs: Seq[Expression]) => graft.functions.DotProduct(exprs.head, exprs(1))))
+    ext.injectCheckRule(_ => CartesianGuard)
+  }
+}
+
+/** Analysis-time guard against unbounded pair joins. A join is refused
+  * when (a) it is an inner/cross join with no equality conjunct linking
+  * the two sides — i.e. it can only execute as cartesian / nested-loop —
+  * and (b) neither side carries a row bound ≤ `SmallSide`. */
+object CartesianGuard extends (LogicalPlan => Unit) {
+
+  val SmallSide = 1000L
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def hasEquiConjunct(j: Join): Boolean =
+    j.condition.toSeq.flatMap(splitConjuncts).exists {
+      case EqualTo(l, r) => linksSides(j, l, r)
+      case EqualNullSafe(l, r) => linksSides(j, l, r)
+      case _ => false
+    }
+
+  private def linksSides(j: Join, l: Expression, r: Expression): Boolean = {
+    val leftOut = j.left.outputSet
+    val rightOut = j.right.outputSet
+    (l.references.subsetOf(leftOut) && r.references.subsetOf(rightOut) &&
+      l.references.nonEmpty && r.references.nonEmpty) ||
+    (l.references.subsetOf(rightOut) && r.references.subsetOf(leftOut) &&
+      l.references.nonEmpty && r.references.nonEmpty)
+  }
+
+  private def bounded(p: LogicalPlan): Boolean =
+    p.maxRows.exists(_ <= SmallSide)
+
+  override def apply(plan: LogicalPlan): Unit = plan.foreach {
+    case j: Join if (j.joinType == Inner || j.joinType == Cross) &&
+        !hasEquiConjunct(j) && !bounded(j.left) && !bounded(j.right) =>
+      throw new org.apache.spark.SparkException(
+        "[GRAFT_CARTESIAN_GUARD] join has no equality predicate linking its sides and " +
+          "neither side is provably small (maxRows <= " + SmallSide + "): " +
+          "this would execute as an unbounded cartesian/nested-loop pair join. " +
+          "Add a join key, or bound one side with limit(n).")
+    case _ => ()
+  }
+}
