@@ -193,6 +193,26 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("trigger AvailableNow: drains everything available, then stops on its own") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[Event]
+    ms.addData(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 11:00:00", 2, "view", 2.0))
+    val q = Streams.tumblingCounts(ms.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("avail_now")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(!q.isActive, "AvailableNow query must self-terminate")
+    // update mode: both open windows emitted from the single drained batch
+    val rows = spark.table("avail_now").select($"ws", $"n").collect()
+    assert(rows.length === 2 && rows.map(_.getLong(1)).sum === 2)
+  }
+
   test("I6b: event-time timer closes gap sessions when the watermark passes (onTimer analogue)") {
     val s = spark
     import s.implicits._
