@@ -126,7 +126,53 @@ object Llm3 {
       .orderBy("doc_id")
   }
 
+  /** Benchmark DECONTAMINATION (the training-data hygiene pass): flag
+    * corpus docs sharing ≥3 distinct word-trigrams with the held-out
+    * benchmark set (source = 'src0' stands in for an eval suite). Trigram
+    * construction is the codegen'd zipped-shifted-slices shape (zero
+    * shuffles); the benchmark gram set is orders of magnitude smaller than
+    * the corpus, so the gram equi-join broadcasts it — the standard
+    * n-gram-hash decontamination layout at 100 TB. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 2),
+        slice(col("ws"), lit(2), size(col("ws")) - 2),
+        slice(col("ws"), lit(3), size(col("ws")) - 2))).as("g"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("g.0"), col("g.1"), col("g.2")).as("gram"))
+    val docs = documents(spark, dir)
+    val bench = grams(docs.where(col("source") === "src0"))
+      .select(col("gram")).distinct()
+    val corpus = grams(docs.where(col("source") =!= "src0")).distinct()
+    corpus.join(broadcast(bench), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .withColumn("contaminated", col("n_shared_grams") >= 3)
+      .orderBy("doc_id")
+  }
+
+  /** Weighted dataset mixing: deterministic per-source sampling rates
+    * (0.05/0.10/0.15/0.20 cycling by source index — the "mixture weights"
+    * of a training-data recipe), membership decided by the cross-engine
+    * h48 hash so the sample is reproducible across engines, partitionings
+    * and reruns. Row-local decision → two-phase count; no shuffle of the
+    * unsampled data. */
+  def sampleWeightedMix(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("rate",
+        (substring(col("source"), 4, 8).cast("int") % 4 + 1).cast("double") * 0.05)
+      .groupBy(col("source"), col("rate"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(pmod(h48(col("doc_id").cast("string")), lit(10000)) <
+          col("rate") * 10000, 1L).otherwise(0L)).as("n_sampled"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_decontaminate" -> (decontaminate _),
+    "sample_weighted_mix" -> (sampleWeightedMix _),
     "llm_tfidf_topterms" -> (tfidfTopterms _),
     "llm_wordcount_top20" -> (wordcountTop20 _),
     "llm_pii_redact" -> (piiRedact _),
@@ -134,6 +180,28 @@ object Llm3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_decontaminate" ->
+      """WITH g AS (
+           SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+         tri AS (
+           SELECT doc_id, source,
+             unnest(list_transform(range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+           FROM g WHERE len(ws) >= 3),
+         bench AS (SELECT DISTINCT gram FROM tri WHERE source = 'src0'),
+         corp AS (SELECT DISTINCT doc_id, gram FROM tri WHERE source <> 'src0')
+         SELECT doc_id, COUNT(*) AS n_shared_grams, COUNT(*) >= 3 AS contaminated
+         FROM corp JOIN bench USING (gram)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "sample_weighted_mix" ->
+      s"""WITH t AS (
+            SELECT source, doc_id,
+              CAST(CAST(substring(source, 4, 8) AS INT) % 4 + 1 AS DOUBLE) * 0.05 AS rate
+            FROM documents)
+          SELECT source, rate, COUNT(*) AS n_total,
+            SUM(CASE WHEN (${graft.Tables.h48Sql("CAST(doc_id AS VARCHAR)")}) % 10000
+              < rate * 10000 THEN 1 ELSE 0 END) AS n_sampled
+          FROM t GROUP BY source, rate ORDER BY source""",
     "llm_tfidf_topterms" ->
       """WITH w AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

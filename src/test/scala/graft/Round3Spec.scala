@@ -184,6 +184,33 @@ class Round3Spec extends SparkTestBase {
     }
   }
 
+  test("decontamination: only non-benchmark docs flagged; overlap count verified for one doc") {
+    val rows = ops.Llm3.decontaminate(spark, sf0001).collect()
+    val src0 = Tables.documents(spark, sf0001).where(col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => !src0.contains(r.getAs[Long]("doc_id"))))
+    assert(rows.forall(r =>
+      r.getAs[Boolean]("contaminated") === (r.getAs[Long]("n_shared_grams") >= 3)))
+    // local recompute of one doc's trigram overlap
+    def tri(s: String): Set[String] =
+      s.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "text").collect()
+    val benchGrams = docs.filter(_.getString(1) == "src0")
+      .flatMap(r => tri(r.getString(2))).toSet
+    val probe = rows.head
+    val text = docs.find(_.getLong(0) == probe.getAs[Long]("doc_id")).get.getString(2)
+    assert(tri(text).count(benchGrams.contains).toLong === probe.getAs[Long]("n_shared_grams"))
+  }
+
+  test("weighted mix: rates cycle 0.05..0.20 by source index; sampled bounded by total") {
+    ops.Llm3.sampleWeightedMix(spark, sf0001).collect().foreach { r =>
+      val idx = r.getAs[String]("source").drop(3).toInt
+      assert(math.abs(r.getAs[Double]("rate") - (idx % 4 + 1) * 0.05) < 1e-12)
+      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_total"))
+    }
+  }
+
   test("dedup clusters: labels are component-consistent and minimal") {
     val labels = ops.Llm3.dedupClusters(spark, sf0001).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
