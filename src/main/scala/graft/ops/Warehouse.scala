@@ -280,6 +280,21 @@ object Warehouse {
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
       .orderBy("o_orderstatus", "c_mktsegment")
 
+  /** Top-k WITH TIES (SQL-standard `FETCH FIRST n ROWS WITH TIES`):
+    * `rank()` ≤ k keeps every row tied with the k-th — vs `row_number`'s
+    * arbitrary tie cut. Ranked on the 2dp-rounded price so ties actually
+    * occur; same TakeOrdered-friendly single-shuffle shape. */
+  def topkWithTies(spark: SparkSession, dir: String): DataFrame = {
+    val rk = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("price_k").desc)
+    orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        round(col("o_totalprice") / 1000, 0).as("price_k"))
+      .withColumn("rnk", rank().over(rk))
+      .where(col("rnk") <= 3)
+      .orderBy("o_orderstatus", "rnk", "o_orderkey")
+  }
+
   // ------------------------------------------------------------------
   // Scalar families (§2.H widening)
   // ------------------------------------------------------------------
@@ -328,6 +343,7 @@ object Warehouse {
     "agg_user_entropy" -> (aggUserEntropy _),
     "stream_topk_per_window" -> (streamTopkPerWindow _),
     "join_salted_hotkey" -> (joinSaltedHotkey _),
+    "topk_with_ties" -> (topkWithTies _),
     "scalar_string_format" -> (scalarStringFormat _),
     "scalar_regexp_extract" -> (scalarRegexpExtract _),
   )
@@ -469,6 +485,14 @@ object Warehouse {
                 ${dsumSql("value")} AS total, COUNT(*) AS n
               FROM events GROUP BY 1, 2))
           WHERE rn <= 3 ORDER BY win_us, rn""",
+    "topk_with_ties" ->
+      """SELECT o_orderstatus, o_orderkey, price_k, CAST(rnk AS INT) AS rnk FROM (
+           SELECT o_orderstatus, o_orderkey,
+             round(o_totalprice / 1000, 0) AS price_k,
+             rank() OVER (PARTITION BY o_orderstatus
+               ORDER BY round(o_totalprice / 1000, 0) DESC) AS rnk
+           FROM orders)
+         WHERE rnk <= 3 ORDER BY o_orderstatus, rnk, o_orderkey""",
     "join_salted_hotkey" ->
       s"""SELECT o_orderstatus, c_mktsegment, COUNT(*) AS n,
           ${dsumSql("o_totalprice")} AS sum_price

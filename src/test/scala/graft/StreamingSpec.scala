@@ -193,6 +193,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("chained stateful operators in one query: watermarked dedup then windowed count") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[Event]
+    val piped = Streams.dedupFirst(ms.toDF(), "10 minutes")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("ws"), $"event_type", $"n")
+    val q = runToTable(piped, "chained_stateful", "append")
+    try {
+      ms.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 10:05:00", 1, "click", 2.0), // dup key (user1,click) → dropped
+        ev(3, "2024-01-01 10:10:00", 2, "click", 3.0),
+        ev(4, "2024-01-01 10:20:00", 1, "view", 4.0))
+      // advance watermark past 11:00 so the 10:00 window finalizes
+      ms.addData(ev(9, "2024-01-01 12:00:00", 9, "error", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("chained_stateful")
+        .select($"event_type", $"n").as[(String, Long)].collect().toMap
+      // dedup keeps first (user,type): click→{u1,u2}=2, view→{u1}=1
+      assert(rows === Map("click" -> 2L, "view" -> 1L))
+    } finally q.stop()
+  }
+
   test("trigger AvailableNow: drains everything available, then stops on its own") {
     val s = spark
     import s.implicits._
