@@ -171,6 +171,50 @@ class PropertySpec extends SparkTestBase {
       assert(filled.count() >= counts.count())
     }
   }
+
+  test("salted join ≡ plain join for any salt bucket count") {
+    val genWithBuckets = for {
+      evs <- genEvents
+      buckets <- Gen.choose(1, 12)
+    } yield (evs, buckets)
+    forAll(genWithBuckets) { case (evs, buckets) =>
+      val df = toDf(evs)
+      val dim = toDf(evs.take(math.max(1, evs.size / 2)))
+        .select(col("user_id")).distinct()
+        .withColumn("segment", concat(lit("s"), col("user_id")))
+      val plain = df.join(dim, Seq("user_id")).select("event_id", "segment")
+      val salted = ops.Skew.saltedJoin(df, dim, "user_id", "user_id", buckets)
+        .select(df("event_id"), col("segment"))
+      assert(salted.exceptAll(plain).count() === 0)
+      assert(plain.exceptAll(salted).count() === 0)
+    }
+  }
+
+  test("sessionization invariants hold for any gap threshold") {
+    val genWithGap = for {
+      evs <- genEvents
+      gapH <- Gen.choose(1, 48)
+    } yield (evs, gapH)
+    forAll(genWithGap) { case (evs, gapH) =>
+      val df = toDf(evs)
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      val sessions = df
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("is_new", when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapH.toLong * 3600000000L, 1L)
+          .otherwise(0L))
+        .withColumn("sid", sum(col("is_new")).over(byUser))
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("dur_us"))
+      // sessions partition the events; durations are non-negative; a
+      // single-event session has zero duration
+      assert(sessions.agg(sum("n")).head().getLong(0) === df.count())
+      assert(sessions.where(col("dur_us") < 0).count() === 0)
+      assert(sessions.where(col("n") === 1 && col("dur_us") =!= 0).count() === 0)
+    }
+  }
 }
 
 object PropertySpec {
