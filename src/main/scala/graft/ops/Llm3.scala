@@ -119,6 +119,11 @@ object Llm3 {
       labels = next
       iter += 1
     }
+    // fail loudly rather than return split components: a chain longer than
+    // the iteration budget means wrong labels, not a slightly-worse answer
+    require(converged,
+      s"connected-components did not converge within $iter rounds — " +
+        "component diameter exceeds the iteration budget; raise the cap")
     val cw = Window.partitionBy(col("cluster"))
     labels
       .select(col("node").as("doc_id"), col("label").as("cluster"))

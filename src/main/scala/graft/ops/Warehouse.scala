@@ -204,11 +204,12 @@ object Warehouse {
   // ------------------------------------------------------------------
 
   /** Fixed-width histogram of event values: bin = floor(value/50) clamped
-    * to [0,9]. Row-local binning + a ≤10-key aggregate — the shuffle
-    * carries one row per (partition, bin) after map-side combine. */
+    * to [0,9] on both ends. Row-local binning + a ≤10-key aggregate — the
+    * shuffle carries one row per (partition, bin) after map-side combine. */
   def aggHistogramValue(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
-      .select(least(floor(col("value") / 50).cast("int"), lit(9)).as("bin"), col("value"))
+      .select(greatest(least(floor(col("value") / 50).cast("int"), lit(9)), lit(0))
+        .as("bin"), col("value"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"),
         max(col("value")).as("max_v"), dsum(col("value")).as("sum_v"))
@@ -319,7 +320,10 @@ object Warehouse {
   def scalarRegexpExtract(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .select(col("event_type"),
-        regexp_extract(col("props"), "\"k\":\\s*([0-9]+)", 1).cast("int").as("k"))
+        // try_cast, not cast: regexp_extract yields "" (not null) on a
+        // miss, and ANSI mode (the Spark 4 default) makes cast('') throw —
+        // mirror the oracle's TRY_CAST null-on-miss semantics
+        expr("try_cast(regexp_extract(props, '\"k\":\\\\s*([0-9]+)', 1) AS int)").as("k"))
       .groupBy("event_type")
       .agg(count(col("k")).as("n_matched"), min(col("k")).as("min_k"),
         max(col("k")).as("max_k"), davg(col("k")).as("avg_k"))
@@ -447,7 +451,7 @@ object Warehouse {
               / lag(total) OVER (ORDER BY day), 6) AS pct_change
           FROM daily ORDER BY day""",
     "agg_histogram_value" ->
-      s"""SELECT LEAST(CAST(FLOOR(value / 50) AS INT), 9) AS bin,
+      s"""SELECT GREATEST(LEAST(CAST(FLOOR(value / 50) AS INT), 9), 0) AS bin,
           COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v,
           ${dsumSql("value")} AS sum_v
           FROM events GROUP BY 1 ORDER BY 1""",

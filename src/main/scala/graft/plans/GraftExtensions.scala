@@ -34,7 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_dot_product"),
       new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "graft_dot_product"),
-      (exprs: Seq[Expression]) => graft.functions.DotProduct(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_dot_product expects exactly 2 arguments, got ${exprs.length}")
+        graft.functions.DotProduct(exprs.head, exprs(1))
+      }))
     ext.injectCheckRule(_ => CartesianGuard)
   }
 }
@@ -42,7 +46,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 /** Analysis-time guard against unbounded pair joins. A join is refused
   * when (a) it is an inner/cross join with no equality conjunct linking
   * the two sides — i.e. it can only execute as cartesian / nested-loop —
-  * and (b) neither side carries a row bound ≤ `SmallSide`. */
+  * and (b) neither side carries a row bound ≤ `SmallSide`.
+  *
+  * Because the rule runs at analysis time (before predicate pushdown),
+  * the equality conjunct may still sit in a `Filter` ABOVE the join —
+  * the classic comma-join `SELECT ... FROM a, b WHERE a.k = b.k` parses
+  * as Filter(Join(condition = None)). The guard therefore accepts a
+  * linking equality found in the join condition OR in any Filter in the
+  * plan (a predicate referencing both sides can only live above the
+  * join, and the optimizer will push it down into an equi join — erring
+  * permissive, which is the right direction for a guardrail). */
 object CartesianGuard extends (LogicalPlan => Unit) {
 
   val SmallSide = 1000L
@@ -53,8 +66,8 @@ object CartesianGuard extends (LogicalPlan => Unit) {
     case other => Seq(other)
   }
 
-  private def hasEquiConjunct(j: Join): Boolean =
-    j.condition.toSeq.flatMap(splitConjuncts).exists {
+  private def hasEquiConjunct(j: Join, filterConjuncts: Seq[Expression]): Boolean =
+    (j.condition.toSeq.flatMap(splitConjuncts) ++ filterConjuncts).exists {
       case EqualTo(l, r) => linksSides(j, l, r)
       case EqualNullSafe(l, r) => linksSides(j, l, r)
       case _ => false
@@ -72,14 +85,20 @@ object CartesianGuard extends (LogicalPlan => Unit) {
   private def bounded(p: LogicalPlan): Boolean =
     p.maxRows.exists(_ <= SmallSide)
 
-  override def apply(plan: LogicalPlan): Unit = plan.foreach {
+  override def apply(plan: LogicalPlan): Unit = {
+    val filterConjuncts = plan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        splitConjuncts(f.condition)
+    }.flatten
+    plan.foreach {
     case j: Join if (j.joinType == Inner || j.joinType == Cross) &&
-        !hasEquiConjunct(j) && !bounded(j.left) && !bounded(j.right) =>
+        !hasEquiConjunct(j, filterConjuncts) && !bounded(j.left) && !bounded(j.right) =>
       throw new org.apache.spark.SparkException(
         "[GRAFT_CARTESIAN_GUARD] join has no equality predicate linking its sides and " +
           "neither side is provably small (maxRows <= " + SmallSide + "): " +
           "this would execute as an unbounded cartesian/nested-loop pair join. " +
           "Add a join key, or bound one side with limit(n).")
     case _ => ()
+    }
   }
 }

@@ -85,10 +85,11 @@ object Streams {
   /** I6b — event-time TIMER (the Flink `KeyedProcessFunction.onTimer` /
     * `registerEventTimeTimer` analogue): per-user gap sessions closed by an
     * `EventTimeTimeout` that fires when the watermark passes
-    * last-event + gap. Each batch of events extends the open session and
-    * re-arms the timer; the timed-out callback (`state.hasTimedOut`) emits
-    * the closed session and clears state — so state stays bounded by the
-    * number of OPEN sessions, never total history. */
+    * last-event + gap. The data branch itself splits on in-batch gaps
+    * (two events more than `gapMs` apart in one batch emit the earlier
+    * session immediately — the timer only closes the LAST open session);
+    * out-of-order events within the gap fold into the open session. State
+    * stays bounded by the number of OPEN sessions, never total history. */
   def timerSessions(events: Dataset[Event], gapMs: Long = 2L * 3600 * 1000,
                     watermark: String = "10 minutes"): Dataset[TimerSession] = {
     import events.sparkSession.implicits._
@@ -103,15 +104,27 @@ object Streams {
             state.remove()
             Iterator(closed)
           } else {
-            val evs = it.toSeq
-            val prev = state.getOption.getOrElse(TimerSession(uid, 0L, 0.0, 0L))
-            val next = evs.foldLeft(prev) { (acc, e) =>
-              TimerSession(uid, acc.n_events + 1, acc.sum_value + e.value,
-                math.max(acc.last_ms, e.ts.getTime))
+            val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var open = state.getOption
+            val out = Seq.newBuilder[TimerSession]
+            for (e <- evs) open = open match {
+              case Some(s) if e.ts.getTime - s.last_ms > gapMs =>
+                out += s // in-batch gap: close the earlier session now
+                Some(TimerSession(uid, 1L, e.value, e.ts.getTime))
+              case Some(s) =>
+                Some(TimerSession(uid, s.n_events + 1, s.sum_value + e.value,
+                  math.max(s.last_ms, e.ts.getTime)))
+              case None =>
+                Some(TimerSession(uid, 1L, e.value, e.ts.getTime))
             }
-            state.update(next)
-            state.setTimeoutTimestamp(next.last_ms + gapMs)
-            Iterator.empty
+            open.foreach { s =>
+              state.update(s)
+              // the engine requires timeout > current watermark; a late
+              // burst can leave last+gap behind it
+              state.setTimeoutTimestamp(
+                math.max(s.last_ms + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
           }
       }
   }

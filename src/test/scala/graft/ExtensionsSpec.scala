@@ -61,6 +61,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(a.crossJoin(n).count() === 5000)
   }
 
+  test("guard accepts comma-join SQL whose equality lives in WHERE (pre-pushdown shape)") {
+    ext.range(5000).toDF("x").createOrReplaceTempView("guard_a")
+    ext.range(5000).toDF("y").createOrReplaceTempView("guard_b")
+    val n = ext.sql("SELECT count(*) FROM guard_a, guard_b WHERE x = y")
+      .head().getLong(0)
+    assert(n === 5000)
+  }
+
+  test("injected function rejects wrong arity with a clear message") {
+    val e = intercept[Exception] {
+      ext.sql("SELECT graft_dot_product(array(1.0d))").collect()
+    }
+    assert(e.getMessage.contains("exactly 2 arguments"), e.getMessage)
+  }
+
   test("base sessions stay unguarded (driver contract unaffected)") {
     val base = SparkTestSession.spark
     val a = base.range(5000).toDF("x")

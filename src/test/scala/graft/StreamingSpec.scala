@@ -250,7 +250,11 @@ class StreamingSpec extends SparkTestBase {
       ms.addData(
         ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
         ev(2, "2024-01-01 10:30:00", 1, "view", 2.0), // same session as 1
-        ev(3, "2024-01-01 10:05:00", 2, "click", 5.0))
+        ev(3, "2024-01-01 10:05:00", 2, "click", 5.0),
+        // user 5: two events >2h apart in ONE batch — the first session
+        // must close immediately from the data branch, no timer needed
+        ev(6, "2024-01-01 01:00:00", 5, "click", 7.0),
+        ev(7, "2024-01-01 09:00:00", 5, "view", 8.0))
       q.processAllAvailable()
       // timers armed at last+2h: user1 → 12:30, user2 → 12:05. Advance the
       // watermark past both (13:00 - 10min = 12:50), then one more batch
@@ -262,8 +266,9 @@ class StreamingSpec extends SparkTestBase {
       val rows = spark.table("timer_sessions")
         .select($"user_id", $"n_events", $"sum_value")
         .as[(Long, Long, Double)].collect().toSet
-      // user 3's session is still open (no timer has passed) — not emitted
-      assert(rows === Set((1L, 2L, 3.0), (2L, 1L, 5.0)))
+      // user 3's session is still open (no timer has passed) — not emitted;
+      // user 5's 01:00 session closed in-batch, its 09:00 session by timer
+      assert(rows === Set((1L, 2L, 3.0), (2L, 1L, 5.0), (5L, 1L, 7.0), (5L, 1L, 8.0)))
     } finally q.stop()
   }
 
