@@ -296,6 +296,37 @@ object Warehouse {
       .orderBy("o_orderstatus", "rnk", "o_orderkey")
   }
 
+  /** Correlated scalar subquery via the SQL entry point (§3.4 /
+    * Catalyst's RewriteCorrelatedScalarSubquery, §4.2): orders whose price
+    * exceeds 1.5× their own customer's average. The identical SQL runs in
+    * DuckDB; Catalyst decorrelates the subquery into an aggregate +
+    * equi-join — asserted in PlanSpec. Avg goes through the decimal-sum
+    * contract so the filter threshold is engine-deterministic. */
+  def sqlCorrelatedScalar(spark: SparkSession, dir: String): DataFrame = {
+    graft.Catalog.register(spark, dir)
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders o
+         WHERE o_totalprice > 1.5 * (
+           SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                  / COUNT(*)
+           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+         ORDER BY o_orderkey""")
+  }
+
+  /** Moving median (robust smoothing): exact interpolated median of value
+    * over a ±3-row window per user — an aggregate function used as a
+    * window function. Same single user-shuffle shape as the moving
+    * average. */
+  def winMovingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc).rowsBetween(-3, 3)
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        round(expr("percentile(value, 0.5)").over(w), 6).as("med7"))
+      .orderBy("user_id", "event_id")
+  }
+
   // ------------------------------------------------------------------
   // Scalar families (§2.H widening)
   // ------------------------------------------------------------------
@@ -348,6 +379,8 @@ object Warehouse {
     "stream_topk_per_window" -> (streamTopkPerWindow _),
     "join_salted_hotkey" -> (joinSaltedHotkey _),
     "topk_with_ties" -> (topkWithTies _),
+    "sql_correlated_scalar" -> (sqlCorrelatedScalar _),
+    "win_moving_median" -> (winMovingMedian _),
     "scalar_string_format" -> (scalarStringFormat _),
     "scalar_regexp_extract" -> (scalarRegexpExtract _),
   )
@@ -489,6 +522,20 @@ object Warehouse {
                 ${dsumSql("value")} AS total, COUNT(*) AS n
               FROM events GROUP BY 1, 2))
           WHERE rn <= 3 ORDER BY win_us, rn""",
+    "sql_correlated_scalar" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders o
+         WHERE o_totalprice > 1.5 * (
+           SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                  / COUNT(*)
+           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+         ORDER BY o_orderkey""",
+    "win_moving_median" ->
+      s"""SELECT user_id, event_id,
+          round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+            ORDER BY $evTs, event_id
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6) AS med7
+          FROM events ORDER BY user_id, event_id""",
     "topk_with_ties" ->
       """SELECT o_orderstatus, o_orderkey, price_k, CAST(rnk AS INT) AS rnk FROM (
            SELECT o_orderstatus, o_orderkey,

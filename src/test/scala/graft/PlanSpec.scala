@@ -175,4 +175,11 @@ class PlanSpec extends SparkTestBase {
     val p = plan(ops.Warehouse.aggHistogramValue(spark, sf0001))
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("correlated scalar subquery decorrelates to aggregate + join (no per-row re-execution)") {
+    val p = plan(ops.Warehouse.sqlCorrelatedScalar(spark, sf0001))
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("Join") || p.contains("HashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
