@@ -75,4 +75,46 @@ class SourcesSpec extends SparkTestBase {
       assert(seen.get() === 4L)
     } finally q.stop()
   }
+
+  test("A9b: idempotent foreachBatch sink skips replayed batch ids (exactly-once pattern)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+    // the committed-batch ledger a transactional sink would keep
+    val committed = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val written = new java.util.concurrent.atomic.AtomicLong(0)
+    def write(df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              batchId: Long): Unit =
+      if (committed.add(batchId)) written.addAndGet(df.count()): Unit
+      // else: replayed batch after recovery — already committed, skip
+    val q = ms.toDF().writeStream.foreachBatch(write _).start()
+    try {
+      ms.addData(1, 2, 3); q.processAllAvailable()
+      // simulate the replay a restart would produce: same batch, same id
+      val replayDf = Seq(1, 2, 3).toDF()
+      write(replayDf, 0L)
+      ms.addData(4); q.processAllAvailable()
+      assert(written.get() === 4L, "replayed batch 0 must not double-write")
+      assert(committed.size === 2)
+    } finally q.stop()
+  }
+
+  test("union of streams (DataStream.union analogue): one windowed agg over two sources") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val a = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+    val b = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+    val q = a.toDF().unionByName(b.toDF())
+      .groupBy().count()
+      .writeStream.format("memory").queryName("union_agg")
+      .outputMode("complete").start()
+    try {
+      a.addData(1, 2, 3)
+      b.addData(10, 20)
+      q.processAllAvailable()
+      assert(spark.table("union_agg").head().getLong(0) === 5L)
+    } finally q.stop()
+  }
 }
