@@ -107,7 +107,9 @@ object Llm3 {
       .coalesce(1).localCheckpoint()
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    // cap ≥ worst-case diameter of the bounded 50-doc pair graph; the loop
+    // exits at convergence, so a generous cap costs nothing in practice
+    while (!converged && iter < 60) {
       val nb = und.join(labels, col("d2") === col("node"))
         .groupBy(col("d1")).agg(min(col("label")).as("nb_min"))
       val next = labels.join(nb, col("node") === col("d1"), "left")

@@ -175,4 +175,15 @@ class SqlSpec extends SparkTestBase {
       assert(sortedRows(sql) === sortedRows(df))
     }
   }
+
+  test("SQL join hints steer the planner: BROADCAST and REPARTITION") {
+    Catalog.register(spark, sf0001)
+    val hinted = spark.sql(
+      """SELECT /*+ BROADCAST(c) */ o_orderkey
+         FROM orders o JOIN customer c ON o_custkey = c_custkey""")
+    assert(hinted.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val repart = spark.sql(
+      "SELECT /*+ REPARTITION(8) */ event_id FROM events")
+    assert(repart.rdd.getNumPartitions === 8)
+  }
 }
