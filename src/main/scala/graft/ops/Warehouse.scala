@@ -302,16 +302,20 @@ object Warehouse {
     * DuckDB; Catalyst decorrelates the subquery into an aggregate +
     * equi-join — asserted in PlanSpec. Avg goes through the decimal-sum
     * contract so the filter threshold is engine-deterministic. */
+  // single definition keeps the "identical SQL in both engines" guarantee
+  // structural: the Spark path and the oracle reference the same string
+  private val CorrelatedScalarSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+       FROM orders o
+       WHERE o_totalprice > 1.5 * (
+         SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                / COUNT(*)
+         FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+       ORDER BY o_orderkey"""
+
   def sqlCorrelatedScalar(spark: SparkSession, dir: String): DataFrame = {
     graft.Catalog.register(spark, dir)
-    spark.sql(
-      """SELECT o_orderkey, o_custkey, o_totalprice
-         FROM orders o
-         WHERE o_totalprice > 1.5 * (
-           SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
-                  / COUNT(*)
-           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
-         ORDER BY o_orderkey""")
+    spark.sql(CorrelatedScalarSql)
   }
 
   /** Moving median (robust smoothing): exact interpolated median of value
@@ -522,14 +526,7 @@ object Warehouse {
                 ${dsumSql("value")} AS total, COUNT(*) AS n
               FROM events GROUP BY 1, 2))
           WHERE rn <= 3 ORDER BY win_us, rn""",
-    "sql_correlated_scalar" ->
-      """SELECT o_orderkey, o_custkey, o_totalprice
-         FROM orders o
-         WHERE o_totalprice > 1.5 * (
-           SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
-                  / COUNT(*)
-           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
-         ORDER BY o_orderkey""",
+    "sql_correlated_scalar" -> CorrelatedScalarSql,
     "win_moving_median" ->
       s"""SELECT user_id, event_id,
           round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id

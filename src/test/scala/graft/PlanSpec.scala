@@ -177,9 +177,9 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("correlated scalar subquery decorrelates to aggregate + join (no per-row re-execution)") {
+    // (cartesian-freedom is covered by the global sweep above)
     val p = plan(ops.Warehouse.sqlCorrelatedScalar(spark, sf0001))
     assert(p.contains("HashAggregate"), p)
-    assert(p.contains("Join") || p.contains("HashJoin"), p)
-    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
   }
 }

@@ -76,7 +76,12 @@ class SourcesSpec extends SparkTestBase {
     } finally q.stop()
   }
 
-  test("A9b: idempotent foreachBatch sink skips replayed batch ids (exactly-once pattern)") {
+  // NOTE: the replay below is simulated by calling the sink function
+  // directly with a previously-committed batchId — MemoryStream cannot
+  // recover from a checkpoint (see I9 for the engine-driven restart path
+  // over a file sink), so this verifies the SINK-side idempotence pattern,
+  // not engine-side checkpoint replay.
+  test("A9b: idempotent foreachBatch sink pattern skips an already-committed batch id") {
     val s = spark
     import s.implicits._
     implicit val ctx = s.sqlContext
@@ -104,17 +109,23 @@ class SourcesSpec extends SparkTestBase {
     val s = spark
     import s.implicits._
     implicit val ctx = s.sqlContext
-    val a = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
-    val b = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
-    val q = a.toDF().unionByName(b.toDF())
-      .groupBy().count()
+    val a = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Int)]
+    val b = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Int)]
+    val q = a.toDF().toDF("ts", "v").unionByName(b.toDF().toDF("ts", "v"))
+      .groupBy(window($"ts", "1 hour").as("w")).agg(count(lit(1)).as("n"))
+      .select($"w.start".as("ws"), $"n")
       .writeStream.format("memory").queryName("union_agg")
       .outputMode("complete").start()
     try {
-      a.addData(1, 2, 3)
-      b.addData(10, 20)
+      a.addData((ts("2024-01-01 10:05:00"), 1), (ts("2024-01-01 10:10:00"), 2),
+        (ts("2024-01-01 11:05:00"), 3))
+      b.addData((ts("2024-01-01 10:20:00"), 10), (ts("2024-01-01 11:40:00"), 20))
       q.processAllAvailable()
-      assert(spark.table("union_agg").head().getLong(0) === 5L)
+      val rows = spark.table("union_agg").as[(java.sql.Timestamp, Long)]
+        .collect().toMap
+      // both sources land in the same windows: 10:00 → 3 events, 11:00 → 2
+      assert(rows === Map(ts("2024-01-01 10:00:00") -> 3L,
+        ts("2024-01-01 11:00:00") -> 2L))
     } finally q.stop()
   }
 }

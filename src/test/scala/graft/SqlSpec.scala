@@ -178,10 +178,21 @@ class SqlSpec extends SparkTestBase {
 
   test("SQL join hints steer the planner: BROADCAST and REPARTITION") {
     Catalog.register(spark, sf0001)
-    val hinted = spark.sql(
-      """SELECT /*+ BROADCAST(c) */ o_orderkey
-         FROM orders o JOIN customer c ON o_custkey = c_custkey""")
-    assert(hinted.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    // disable auto-broadcast so only the hint can produce a broadcast —
+    // otherwise tiny fixture dims broadcast anyway and the test is vacuous
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(bcast)
+    spark.conf.set(bcast, "-1")
+    try {
+      val unhinted = spark.sql(
+        """SELECT o_orderkey
+           FROM orders o JOIN customer c ON o_custkey = c_custkey""")
+      assert(!unhinted.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      val hinted = spark.sql(
+        """SELECT /*+ BROADCAST(c) */ o_orderkey
+           FROM orders o JOIN customer c ON o_custkey = c_custkey""")
+      assert(hinted.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    } finally spark.conf.set(bcast, prev)
     val repart = spark.sql(
       "SELECT /*+ REPARTITION(8) */ event_id FROM events")
     assert(repart.rdd.getNumPartitions === 8)
