@@ -200,6 +200,63 @@ object Warehouse {
   }
 
   // ------------------------------------------------------------------
+  // Product analytics over the stream table (DAU / retention / funnel)
+  // ------------------------------------------------------------------
+
+  /** Daily active users — THE canonical streaming metric: distinct users
+    * + event count per event-time day. A single distinct aggregate plans
+    * two-phase (partial distinct per partition, final merge). */
+  def dauDaily(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("dau"), count(lit(1)).as("n_events"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("dau"), col("n_events"))
+      .orderBy("day")
+
+  /** Day-1 retention cohort: of the users active on day D, the share also
+    * active on D+1. Two distinct-user sets self-joined one day apart —
+    * the standard cohort-retention shape; the daily-actives set is tiny
+    * relative to events, so the self-join is cheap at any scale. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .select(date_trunc("DAY", col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val retained = daily.as("a")
+      .join(daily.as("b"),
+        col("b.day") === col("a.day") + expr("INTERVAL 1 DAY") &&
+          col("b.user_id") === col("a.user_id"))
+      .groupBy(col("a.day").as("day"))
+      .agg(count(lit(1)).as("retained"))
+    daily.groupBy(col("day")).agg(count(lit(1)).as("active"))
+      .join(retained, Seq("day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("active"),
+        coalesce(col("retained"), lit(0L)).as("retained"),
+        round(coalesce(col("retained"), lit(0L)).cast("double") /
+          col("active").cast("double"), 6).as("rate"))
+      .orderBy("day")
+  }
+
+  /** Ordered funnel view → click → purchase: a user counts for a stage
+    * only if their first event of that stage follows their first event of
+    * the previous stage. One conditional-aggregation pass per user, then a
+    * single global rollup — two shuffles, the second on one row. */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+    perUser.agg(
+      sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("n_view"),
+      sum(when(col("t_view").isNotNull && col("t_click") > col("t_view"), 1L)
+        .otherwise(0L)).as("n_click_after_view"),
+      sum(when(col("t_view").isNotNull && col("t_click") > col("t_view") &&
+        col("t_purchase") > col("t_click"), 1L).otherwise(0L))
+        .as("n_purchase_after_click"))
+  }
+
+  // ------------------------------------------------------------------
   // Distribution / data-quality aggregates (§2.D widening)
   // ------------------------------------------------------------------
 
@@ -384,6 +441,9 @@ object Warehouse {
     "join_salted_hotkey" -> (joinSaltedHotkey _),
     "topk_with_ties" -> (topkWithTies _),
     "sql_correlated_scalar" -> (sqlCorrelatedScalar _),
+    "dau_daily" -> (dauDaily _),
+    "cohort_day1_retention" -> (cohortRetention _),
+    "funnel_stages" -> (funnelStages _),
     "win_moving_median" -> (winMovingMedian _),
     "scalar_string_format" -> (scalarStringFormat _),
     "scalar_regexp_extract" -> (scalarRegexpExtract _),
@@ -527,6 +587,37 @@ object Warehouse {
               FROM events GROUP BY 1, 2))
           WHERE rn <= 3 ORDER BY win_us, rn""",
     "sql_correlated_scalar" -> CorrelatedScalarSql,
+    "dau_daily" ->
+      s"""SELECT strftime(date_trunc('day', $evTs), '%Y-%m-%d') AS day,
+          COUNT(DISTINCT user_id) AS dau, COUNT(*) AS n_events
+          FROM events GROUP BY 1 ORDER BY 1""",
+    "cohort_day1_retention" ->
+      s"""WITH daily AS (
+            SELECT DISTINCT date_trunc('day', $evTs) AS day, user_id FROM events),
+          ret AS (
+            SELECT a.day, COUNT(*) AS retained
+            FROM daily a JOIN daily b
+              ON b.day = a.day + INTERVAL 1 DAY AND b.user_id = a.user_id
+            GROUP BY 1),
+          act AS (SELECT day, COUNT(*) AS active FROM daily GROUP BY 1)
+          SELECT strftime(act.day, '%Y-%m-%d') AS day, active,
+            COALESCE(retained, 0) AS retained,
+            round(CAST(COALESCE(retained, 0) AS DOUBLE) / CAST(active AS DOUBLE), 6) AS rate
+          FROM act LEFT JOIN ret ON act.day = ret.day ORDER BY 1""",
+    "funnel_stages" ->
+      s"""WITH pu AS (
+            SELECT user_id,
+              MIN(CASE WHEN event_type = 'view' THEN $evTs END) AS t_view,
+              MIN(CASE WHEN event_type = 'click' THEN $evTs END) AS t_click,
+              MIN(CASE WHEN event_type = 'purchase' THEN $evTs END) AS t_purchase
+            FROM events GROUP BY 1)
+          SELECT
+            SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
+            SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+              THEN 1 ELSE 0 END) AS n_click_after_view,
+            SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+              AND t_purchase > t_click THEN 1 ELSE 0 END) AS n_purchase_after_click
+          FROM pu""",
     "win_moving_median" ->
       s"""SELECT user_id, event_id,
           round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id

@@ -184,6 +184,23 @@ class Round3Spec extends SparkTestBase {
     }
   }
 
+  test("product analytics: DAU bounds, retention rate in [0,1], funnel monotone") {
+    val dau = ops.Warehouse.dauDaily(spark, sf0001).collect()
+    val nUsers = Tables.events(spark, sf0001).select("user_id").distinct().count()
+    dau.foreach { r =>
+      assert(r.getAs[Long]("dau") <= r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("dau") <= nUsers)
+    }
+    ops.Warehouse.cohortRetention(spark, sf0001).collect().foreach { r =>
+      assert(r.getAs[Long]("retained") <= r.getAs[Long]("active"))
+      val rate = r.getAs[Double]("rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    val f = ops.Warehouse.funnelStages(spark, sf0001).head()
+    assert(f.getAs[Long]("n_view") >= f.getAs[Long]("n_click_after_view"))
+    assert(f.getAs[Long]("n_click_after_view") >= f.getAs[Long]("n_purchase_after_click"))
+  }
+
   test("decontamination: only non-benchmark docs flagged; overlap count verified for one doc") {
     val rows = ops.Llm3.decontaminate(spark, sf0001).collect()
     val src0 = Tables.documents(spark, sf0001).where(col("source") === "src0")
