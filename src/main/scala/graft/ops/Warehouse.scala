@@ -114,6 +114,47 @@ object Warehouse {
       .limit(20)
   }
 
+  /** TPC-H Q14 shape (promotion effect): share of revenue from PROMO
+    * parts in one order-month. One join, one global conditional
+    * aggregate; the month predicate prunes lineitem at the scan and the
+    * part side carries only (key, type) after pruning. */
+  def tpchQ14(spark: SparkSession, dir: String): DataFrame = {
+    val l = lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val p = part(spark, dir).select("p_partkey", "p_type")
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(
+        dsum(when(col("p_type").startsWith("PROMO"),
+          col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0)))
+          .as("promo_revenue"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6)
+          .as("promo_pct"))
+  }
+
+  /** TPC-H Q18 shape (large-volume customers): orders whose total line
+    * quantity exceeds a threshold, joined back to customer, top 20 by
+    * quantity. The HAVING pre-aggregate runs BEFORE the joins, so only
+    * qualifying order keys (a tiny set) reach the join — the
+    * aggregate-then-join ordering that matters at 100 TB. */
+  def tpchQ18(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .where(col("total_qty") > 150)
+    bigOrders
+      .join(orders(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(customer(spark, dir), col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+      .limit(20)
+  }
+
   // ------------------------------------------------------------------
   // CDC / sessionization / time series (§2.I batch analogues)
   // ------------------------------------------------------------------
@@ -429,6 +470,8 @@ object Warehouse {
     "tpch_q3_shipping_priority" -> (tpchQ3 _),
     "tpch_q5_local_supplier" -> (tpchQ5 _),
     "tpch_q10_returned_items" -> (tpchQ10 _),
+    "tpch_q14_promo_effect" -> (tpchQ14 _),
+    "tpch_q18_large_volume" -> (tpchQ18 _),
     "cdc_latest_per_key" -> (cdcLatestPerKey _),
     "sessionize_events" -> (sessionizeEvents _),
     "sessionize_native_window" -> (sessionizeNativeWindow _),
@@ -486,6 +529,24 @@ object Warehouse {
             AND o_orderdate < TIMESTAMP '1996-07-01'
           GROUP BY c_custkey, c_name, c_acctbal, n_name
           ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "tpch_q14_promo_effect" ->
+      s"""SELECT
+          ${dsumSql("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} AS promo_revenue,
+          ${dsumSql("l_extendedprice * (1 - l_discount)")} AS total_revenue,
+          round(100.0 * ${dsumSql("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+            / ${dsumSql("l_extendedprice * (1 - l_discount)")}, 6) AS promo_pct
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'""",
+    "tpch_q18_large_volume" ->
+      s"""WITH big AS (
+            SELECT l_orderkey, ${dsumSql("l_quantity")} AS total_qty
+            FROM lineitem GROUP BY 1 HAVING total_qty > 150)
+          SELECT c_custkey, c_name, o_orderkey,
+            strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice, total_qty
+          FROM big JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          ORDER BY total_qty DESC, o_orderkey LIMIT 20""",
     "cdc_latest_per_key" ->
       s"""SELECT user_id, event_type, last_event_id, last_ts_us, last_value FROM (
             SELECT user_id, event_type, event_id AS last_event_id,
