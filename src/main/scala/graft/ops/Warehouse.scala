@@ -463,6 +463,63 @@ object Warehouse {
       .orderBy("event_type")
 
   // ------------------------------------------------------------------
+  // Modern SQL surfaces (Spark 4: VARIANT, LATERAL, WITH RECURSIVE)
+  // ------------------------------------------------------------------
+
+  /** VARIANT semi-structured path (Spark 4's binary JSON type — the
+    * modern lakehouse answer to string-JSON): parse props once into a
+    * variant, extract typed fields, aggregate. Unlike get_json_object
+    * (string re-parse per access), a variant column parses once and
+    * serves many typed extractions. */
+  def scalarVariantProps(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"), sum(col("k")).as("sum_k"))
+      .orderBy("event_type")
+
+  /** LATERAL correlated subquery (SQL:2016 LATERAL, Spark 4 SQL): per
+    * customer, their top-2 orders by price — the join-form of
+    * top-N-per-group, planned by Catalyst as a ranked join rather than a
+    * per-row re-execution. */
+  def sqlLateralTopn(spark: SparkSession, dir: String): DataFrame = {
+    graft.Catalog.register(spark, dir)
+    spark.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+         FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                  WHERE o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+         WHERE c.c_custkey < 50
+         ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")
+  }
+
+  /** WITH RECURSIVE date spine (Spark 4 recursive CTEs): the recursive
+    * formulation of the daily gapfill — generate every day in the event
+    * span, left-join daily counts, zero-fill. Same result shape as the
+    * `sequence()` formulation in ts_gapfill_hourly; this one exercises
+    * the recursive-CTE planner. */
+  def sqlRecursiveSpine(spark: SparkSession, dir: String): DataFrame = {
+    graft.Catalog.register(spark, dir)
+    spark.sql(
+      """WITH RECURSIVE spine(day) AS (
+           SELECT date_trunc('DAY', MIN(ts)) FROM events
+           UNION ALL
+           SELECT day + INTERVAL 1 DAY FROM spine
+           WHERE day < (SELECT date_trunc('DAY', MAX(ts)) FROM events)
+         ),
+         daily AS (
+           SELECT date_trunc('DAY', ts) AS day, COUNT(*) AS n
+           FROM events GROUP BY 1)
+         SELECT date_format(spine.day, 'yyyy-MM-dd') AS day,
+           COALESCE(n, 0) AS n
+         FROM spine LEFT JOIN daily ON spine.day = daily.day
+         ORDER BY day""")
+  }
+
+  // ------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------
 
@@ -485,6 +542,9 @@ object Warehouse {
     "topk_with_ties" -> (topkWithTies _),
     "sql_correlated_scalar" -> (sqlCorrelatedScalar _),
     "dau_daily" -> (dauDaily _),
+    "scalar_variant_props" -> (scalarVariantProps _),
+    "sql_lateral_topn" -> (sqlLateralTopn _),
+    "sql_recursive_spine" -> (sqlRecursiveSpine _),
     "cohort_day1_retention" -> (cohortRetention _),
     "funnel_stages" -> (funnelStages _),
     "win_moving_median" -> (winMovingMedian _),
@@ -648,6 +708,33 @@ object Warehouse {
               FROM events GROUP BY 1, 2))
           WHERE rn <= 3 ORDER BY win_us, rn""",
     "sql_correlated_scalar" -> CorrelatedScalarSql,
+    "scalar_variant_props" ->
+      """SELECT event_type, COUNT(k) AS n, MIN(k) AS min_k, MAX(k) AS max_k,
+         CAST(SUM(k) AS BIGINT) AS sum_k FROM (
+           SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
+           FROM events)
+         GROUP BY event_type ORDER BY event_type""",
+    "sql_lateral_topn" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+         FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                  WHERE o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+         WHERE c.c_custkey < 50
+         ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""",
+    "sql_recursive_spine" ->
+      s"""WITH RECURSIVE spine(day) AS (
+            SELECT date_trunc('day', MIN($evTs)) FROM events
+            UNION ALL
+            SELECT day + INTERVAL 1 DAY FROM spine
+            WHERE day < (SELECT date_trunc('day', MAX($evTs)) FROM events)
+          ),
+          daily AS (
+            SELECT date_trunc('day', $evTs) AS day, COUNT(*) AS n
+            FROM events GROUP BY 1)
+          SELECT strftime(spine.day, '%Y-%m-%d') AS day, COALESCE(n, 0) AS n
+          FROM spine LEFT JOIN daily ON spine.day = daily.day
+          ORDER BY day""",
     "dau_daily" ->
       s"""SELECT strftime(date_trunc('day', $evTs), '%Y-%m-%d') AS day,
           COUNT(DISTINCT user_id) AS dau, COUNT(*) AS n_events
