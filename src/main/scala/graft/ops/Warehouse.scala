@@ -447,6 +447,24 @@ object Warehouse {
         length(col("n_name")).as("len"))
       .orderBy("n_name")
 
+  /** Three-valued-logic family: null-safe equality (`<=>` / IS NOT
+    * DISTINCT FROM), its negation, null-skipping COUNT, and COALESCE
+    * defaults — over NULLIF-derived null columns, aggregated per ship
+    * year. Row-local, codegen'd, two-phase agg. */
+  def scalarNullSemantics(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .select(year(col("l_shipdate")).as("yr"),
+        expr("nullif(l_returnflag, 'N')").as("rf"),
+        expr("nullif(l_linestatus, 'F')").as("ls"))
+      .groupBy("yr")
+      .agg(count(lit(1)).as("n"),
+        count(col("rf")).as("n_rf_nonnull"),
+        sum(when(col("rf") <=> col("ls"), 1L).otherwise(0L)).as("n_null_safe_eq"),
+        sum(when(!(col("rf") <=> col("ls")), 1L).otherwise(0L)).as("n_distinct_from"),
+        sum(when(coalesce(col("rf"), lit("A")) === "A", 1L).otherwise(0L))
+          .as("n_coalesced_a"))
+      .orderBy("yr")
+
   /** Regex field extraction from the JSON-ish props string (the
     * regexp-parse path next to scalar_json_props' JSON-path parse):
     * pull the int k, aggregate its distribution per event type. */
@@ -550,6 +568,7 @@ object Warehouse {
     "win_moving_median" -> (winMovingMedian _),
     "scalar_string_format" -> (scalarStringFormat _),
     "scalar_regexp_extract" -> (scalarRegexpExtract _),
+    "scalar_null_semantics" -> (scalarNullSemantics _),
   )
 
   private val evTs = "CAST(ts AS TIMESTAMP)"
@@ -796,6 +815,16 @@ object Warehouse {
          concat_ws('-', lower(n_name), upper(n_name)) AS both_cases,
          CAST(length(n_name) AS INT) AS len
          FROM nation ORDER BY n_name""",
+    "scalar_null_semantics" ->
+      """WITH t AS (
+           SELECT CAST(year(l_shipdate) AS INT) AS yr,
+             NULLIF(l_returnflag, 'N') AS rf, NULLIF(l_linestatus, 'F') AS ls
+           FROM lineitem)
+         SELECT yr, COUNT(*) AS n, COUNT(rf) AS n_rf_nonnull,
+           SUM(CASE WHEN rf IS NOT DISTINCT FROM ls THEN 1 ELSE 0 END) AS n_null_safe_eq,
+           SUM(CASE WHEN rf IS DISTINCT FROM ls THEN 1 ELSE 0 END) AS n_distinct_from,
+           SUM(CASE WHEN COALESCE(rf, 'A') = 'A' THEN 1 ELSE 0 END) AS n_coalesced_a
+         FROM t GROUP BY yr ORDER BY yr""",
     "scalar_regexp_extract" ->
       s"""WITH t AS (
             SELECT event_type,

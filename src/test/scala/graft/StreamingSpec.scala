@@ -294,6 +294,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("batch≡streaming: timer sessions equal the batch sessionizer on the full fixture") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val batchEvents = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
+      .collect()
+    val ms = MemoryStream[Event]
+    val q = runToTable(Streams.timerSessions(ms.toDS()).toDF(), "timer_eq", "append")
+    try {
+      ms.addData(batchEvents.toSeq: _*)
+      q.processAllAvailable()
+      // sentinel far-future events push the watermark past every real
+      // session's end so every timer fires; two batches so eviction runs
+      ms.addData(ev(-1, "2030-01-01 00:00:00", -1, "click", 0.0))
+      q.processAllAvailable()
+      ms.addData(ev(-2, "2030-06-01 00:00:00", -1, "click", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("timer_eq")
+        .where($"user_id" >= 0) // drop the sentinel user
+        .select($"user_id", $"n_events", round($"sum_value", 6).as("sv"))
+        .as[(Long, Long, Double)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val batch = ops.Warehouse.sessionizeEvents(spark, sf0001)
+        .select($"user_id", $"n_events", round($"sum_value", 6).as("sv"))
+        .as[(Long, Long, Double)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("I6 (Spark 4 transformWithState): RocksDB-backed ValueState accumulates per key") {
     val s = spark
     import s.implicits._
