@@ -521,12 +521,14 @@ object Warehouse {
     * the recursive-CTE planner. */
   def sqlRecursiveSpine(spark: SparkSession, dir: String): DataFrame = {
     graft.Catalog.register(spark, dir)
+    // the recursion carries the upper bound as a column — a correlated
+    // `(SELECT MAX(ts) FROM events)` in the step predicate would re-scan
+    // the events table once PER DAY of recursion (measured 6.5 s vs ~1 s)
     spark.sql(
-      """WITH RECURSIVE spine(day) AS (
-           SELECT date_trunc('DAY', MIN(ts)) FROM events
+      """WITH RECURSIVE spine(day, hi) AS (
+           SELECT date_trunc('DAY', MIN(ts)), date_trunc('DAY', MAX(ts)) FROM events
            UNION ALL
-           SELECT day + INTERVAL 1 DAY FROM spine
-           WHERE day < (SELECT date_trunc('DAY', MAX(ts)) FROM events)
+           SELECT day + INTERVAL 1 DAY, hi FROM spine WHERE day < hi
          ),
          daily AS (
            SELECT date_trunc('DAY', ts) AS day, COUNT(*) AS n
@@ -742,11 +744,10 @@ object Warehouse {
          WHERE c.c_custkey < 50
          ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""",
     "sql_recursive_spine" ->
-      s"""WITH RECURSIVE spine(day) AS (
-            SELECT date_trunc('day', MIN($evTs)) FROM events
+      s"""WITH RECURSIVE spine(day, hi) AS (
+            SELECT date_trunc('day', MIN($evTs)), date_trunc('day', MAX($evTs)) FROM events
             UNION ALL
-            SELECT day + INTERVAL 1 DAY FROM spine
-            WHERE day < (SELECT date_trunc('day', MAX($evTs)) FROM events)
+            SELECT day + INTERVAL 1 DAY, hi FROM spine WHERE day < hi
           ),
           daily AS (
             SELECT date_trunc('day', $evTs) AS day, COUNT(*) AS n
