@@ -492,7 +492,10 @@ object Warehouse {
   def scalarVariantProps(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .select(col("event_type"),
-        expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+        // lenient twins (null on malformed/uncastable), mirroring the
+        // oracle's TRY_CAST — the strict forms would crash the whole run
+        // on one bad props row
+        expr("try_variant_get(try_parse_json(props), '$.k', 'int')").as("k"))
       .groupBy("event_type")
       .agg(count(col("k")).as("n"), min(col("k")).as("min_k"),
         max(col("k")).as("max_k"), sum(col("k")).as("sum_k"))

@@ -104,25 +104,25 @@ object Streams {
             state.remove()
             Iterator(closed)
           } else {
-            val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val evs = it.toSeq.sortBy(e => (microsOf(e.ts), e.event_id))
             var open = state.getOption
             val out = Seq.newBuilder[TimerSession]
             for (e <- evs) open = open match {
-              case Some(s) if e.ts.getTime - s.last_ms > gapMs =>
+              case Some(s) if microsOf(e.ts) - s.last_us > gapMs * 1000L =>
                 out += s // in-batch gap: close the earlier session now
-                Some(TimerSession(uid, 1L, e.value, e.ts.getTime))
+                Some(TimerSession(uid, 1L, e.value, microsOf(e.ts)))
               case Some(s) =>
                 Some(TimerSession(uid, s.n_events + 1, s.sum_value + e.value,
-                  math.max(s.last_ms, e.ts.getTime)))
+                  math.max(s.last_us, microsOf(e.ts))))
               case None =>
-                Some(TimerSession(uid, 1L, e.value, e.ts.getTime))
+                Some(TimerSession(uid, 1L, e.value, microsOf(e.ts)))
             }
             open.foreach { s =>
               state.update(s)
               // the engine requires timeout > current watermark; a late
               // burst can leave last+gap behind it
               state.setTimeoutTimestamp(
-                math.max(s.last_ms + gapMs, state.getCurrentWatermarkMs() + 1))
+                math.max(s.last_us / 1000L + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             out.result().iterator
           }
@@ -289,7 +289,13 @@ object Streams {
   case class UserAccum(user_id: Long, first_ms: Long, last_ms: Long, n: Long)
 
   case class TimerSession(user_id: Long, n_events: Long, sum_value: Double,
-                          last_ms: Long)
+                          last_us: Long)
+
+  /** Full-µs epoch of a Timestamp (`getTime` alone truncates to ms, which
+    * would mis-classify gaps within 1 ms of the session boundary vs the
+    * µs-precision batch sessionizer). */
+  private def microsOf(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
   case class UserTotals(user_id: Long, n: Long, sum_value: Double)
   case class CwState(emitted: Long, inWindow: Long, sum: Double)
   case class CountWindow(user_id: Long, window_idx: Long, sum_value: Double)
