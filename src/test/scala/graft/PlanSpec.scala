@@ -176,6 +176,26 @@ class PlanSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q18 aggregates BEFORE joining: the HAVING pre-filter sits under the join") {
+    val opt = ops.Warehouse.tpchQ18(spark, sf0001).queryExecution.optimizedPlan
+    val joins = opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.nonEmpty)
+    // some join input subtree must contain the lineitem aggregate — i.e.
+    // only qualifying order keys reach the join, not raw lineitem rows
+    val aggUnderJoin = joins.exists(j =>
+      (j.left.collect { case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a } ++
+        j.right.collect { case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a })
+        .nonEmpty)
+    assert(aggUnderJoin, opt.toString)
+  }
+
+  test("funnel is two aggregations with no join (per-user pass then global rollup)") {
+    val p = plan(ops.Warehouse.funnelStages(spark, sf0001))
+    assert("HashAggregate".r.findAllIn(p).size >= 3, p) // partial+final × 2 levels
+    assert(!p.contains("Join"), p)
+  }
+
   test("correlated scalar subquery decorrelates to aggregate + join (no per-row re-execution)") {
     // (cartesian-freedom is covered by the global sweep above)
     val p = plan(ops.Warehouse.sqlCorrelatedScalar(spark, sf0001))
