@@ -206,8 +206,8 @@ object Llm3 {
               CAST(CAST(substring(source, 4, 8) AS INT) % 4 + 1 AS DOUBLE) * 0.05 AS rate
             FROM documents)
           SELECT source, rate, COUNT(*) AS n_total,
-            SUM(CASE WHEN (${graft.Tables.h48Sql("CAST(doc_id AS VARCHAR)")}) % 10000
-              < rate * 10000 THEN 1 ELSE 0 END) AS n_sampled
+            CAST(SUM(CASE WHEN (${graft.Tables.h48Sql("CAST(doc_id AS VARCHAR)")}) % 10000
+              < rate * 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
           FROM t GROUP BY source, rate ORDER BY source""",
     "llm_tfidf_topterms" ->
       """WITH w AS (

@@ -323,9 +323,12 @@ object Warehouse {
     val nd = count(lit(1)).over(w).cast("double")
     val mean = sum(col("value").cast("decimal(18,6)")).over(w).cast("double") / nd
     val s2 = sum((col("value") * col("value")).cast("decimal(18,6)")).over(w).cast("double")
-    val variance = (s2 - nd * mean * mean) / (nd - lit(1.0))
+    // n=1 would divide 0/0 → NaN (and Spark sorts NaN above every double
+    // while DuckDB's NULL sorts differ); degenerate zero variance would
+    // give ±Inf/NaN z. Null z for both degenerate shapes, both engines.
+    val variance = when(nd > 1.0, (s2 - nd * mean * mean) / (nd - lit(1.0)))
     events(spark, dir)
-      .withColumn("z", (col("value") - mean) / sqrt(variance))
+      .withColumn("z", when(variance > 0.0, (col("value") - mean) / sqrt(variance)))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(when(abs(col("z")) > 2, 1L).otherwise(0L)).as("n_anomalies"),
@@ -648,8 +651,8 @@ object Warehouse {
             SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 7200000000
               THEN 1 ELSE 0 END AS is_new FROM t),
           s AS (
-            SELECT *, SUM(is_new) OVER (PARTITION BY user_id
-              ORDER BY ts_us, event_id) AS session_idx FROM b)
+            SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+              ORDER BY ts_us, event_id) AS BIGINT) AS session_idx FROM b)
           SELECT user_id, session_idx, COUNT(*) AS n_events,
             MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
             ${dsumSql("value")} AS sum_value,
@@ -706,10 +709,13 @@ object Warehouse {
             FROM events WINDOW w AS (PARTITION BY user_id)),
           z AS (
             SELECT user_id,
-              (value - s1 / nd) / sqrt((s2 - nd * (s1 / nd) * (s1 / nd)) / (nd - 1.0)) AS z
+              CASE WHEN nd > 1.0
+                    AND (s2 - nd * (s1 / nd) * (s1 / nd)) / (nd - 1.0) > 0.0
+                THEN (value - s1 / nd)
+                  / sqrt((s2 - nd * (s1 / nd) * (s1 / nd)) / (nd - 1.0)) END AS z
             FROM t)
           SELECT user_id, COUNT(*) AS n_events,
-            SUM(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END) AS n_anomalies,
+            CAST(SUM(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
             round(MAX(z), 6) AS max_z
           FROM z GROUP BY user_id ORDER BY user_id""",
     "agg_user_entropy" ->
@@ -720,7 +726,7 @@ object Warehouse {
            SELECT user_id, n,
              CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY user_id) AS DOUBLE) AS p
            FROM c)
-         SELECT user_id, COUNT(*) AS n_types, SUM(n) AS n_events,
+         SELECT user_id, COUNT(*) AS n_types, CAST(SUM(n) AS BIGINT) AS n_events,
            CAST(-SUM(CAST(p * ln(p) AS DECIMAL(18,6))) AS DOUBLE) AS entropy
          FROM p GROUP BY user_id ORDER BY user_id""",
     "stream_topk_per_window" ->
@@ -783,11 +789,11 @@ object Warehouse {
               MIN(CASE WHEN event_type = 'purchase' THEN $evTs END) AS t_purchase
             FROM events GROUP BY 1)
           SELECT
-            SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
-            SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-              THEN 1 ELSE 0 END) AS n_click_after_view,
-            SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-              AND t_purchase > t_click THEN 1 ELSE 0 END) AS n_purchase_after_click
+            CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+            CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after_view,
+            CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+              AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_after_click
           FROM pu""",
     "win_moving_median" ->
       s"""SELECT user_id, event_id,
@@ -825,9 +831,9 @@ object Warehouse {
              NULLIF(l_returnflag, 'N') AS rf, NULLIF(l_linestatus, 'F') AS ls
            FROM lineitem)
          SELECT yr, COUNT(*) AS n, COUNT(rf) AS n_rf_nonnull,
-           SUM(CASE WHEN rf IS NOT DISTINCT FROM ls THEN 1 ELSE 0 END) AS n_null_safe_eq,
-           SUM(CASE WHEN rf IS DISTINCT FROM ls THEN 1 ELSE 0 END) AS n_distinct_from,
-           SUM(CASE WHEN COALESCE(rf, 'A') = 'A' THEN 1 ELSE 0 END) AS n_coalesced_a
+           CAST(SUM(CASE WHEN rf IS NOT DISTINCT FROM ls THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe_eq,
+           CAST(SUM(CASE WHEN rf IS DISTINCT FROM ls THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct_from,
+           CAST(SUM(CASE WHEN COALESCE(rf, 'A') = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_coalesced_a
          FROM t GROUP BY yr ORDER BY yr""",
     "scalar_regexp_extract" ->
       s"""WITH t AS (

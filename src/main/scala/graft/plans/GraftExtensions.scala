@@ -52,10 +52,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * the equality conjunct may still sit in a `Filter` ABOVE the join —
   * the classic comma-join `SELECT ... FROM a, b WHERE a.k = b.k` parses
   * as Filter(Join(condition = None)). The guard therefore accepts a
-  * linking equality found in the join condition OR in any Filter in the
-  * plan (a predicate referencing both sides can only live above the
-  * join, and the optimizer will push it down into an equi join — erring
-  * permissive, which is the right direction for a guardrail). */
+  * linking equality found in the join condition OR in any Filter that is
+  * an ANCESTOR of the join (the optimizer will push such a predicate
+  * down into an equi join). Filters in sibling subtrees are ignored —
+  * they can never constrain this join's pairing.
+  *
+  * Known FROM-order limitation: a multi-way comma join is parsed
+  * left-deep in FROM order, so `FROM a, c, b WHERE a.k = b.k AND
+  * b.j = c.j` builds (a × c) first, and no single WHERE equality links
+  * a-to-c — the guard refuses it even though join reordering would find
+  * an equi plan. This is a deliberate conservative bias: reorder the
+  * FROM list (or use explicit JOIN ... ON) so each adjacent pair is
+  * linked. Pinned by ExtensionsSpec. */
 object CartesianGuard extends (LogicalPlan => Unit) {
 
   val SmallSide = 1000L
@@ -85,20 +93,23 @@ object CartesianGuard extends (LogicalPlan => Unit) {
   private def bounded(p: LogicalPlan): Boolean =
     p.maxRows.exists(_ <= SmallSide)
 
-  override def apply(plan: LogicalPlan): Unit = {
-    val filterConjuncts = plan.collect {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-        splitConjuncts(f.condition)
-    }.flatten
-    plan.foreach {
-    case j: Join if (j.joinType == Inner || j.joinType == Cross) &&
-        !hasEquiConjunct(j, filterConjuncts) && !bounded(j.left) && !bounded(j.right) =>
-      throw new org.apache.spark.SparkException(
-        "[GRAFT_CARTESIAN_GUARD] join has no equality predicate linking its sides and " +
-          "neither side is provably small (maxRows <= " + SmallSide + "): " +
-          "this would execute as an unbounded cartesian/nested-loop pair join. " +
-          "Add a join key, or bound one side with limit(n).")
-    case _ => ()
-    }
+  override def apply(plan: LogicalPlan): Unit = check(plan, Nil)
+
+  /** Walk the tree carrying only the conjuncts of ANCESTOR Filters:
+    * a Filter in a sibling branch must not vacuously whitelist this
+    * join (it cannot be pushed into it). */
+  private def check(p: LogicalPlan, inherited: Seq[Expression]): Unit = p match {
+    case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+      check(f.child, inherited ++ splitConjuncts(f.condition))
+    case j: Join =>
+      if ((j.joinType == Inner || j.joinType == Cross) &&
+          !hasEquiConjunct(j, inherited) && !bounded(j.left) && !bounded(j.right))
+        throw new org.apache.spark.SparkException(
+          "[GRAFT_CARTESIAN_GUARD] join has no equality predicate linking its sides and " +
+            "neither side is provably small (maxRows <= " + SmallSide + "): " +
+            "this would execute as an unbounded cartesian/nested-loop pair join. " +
+            "Add a join key, or bound one side with limit(n).")
+      j.children.foreach(check(_, inherited))
+    case other => other.children.foreach(check(_, inherited))
   }
 }

@@ -10,14 +10,25 @@ class RobustnessSpec extends SparkTestBase {
   private lazy val emptyDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
     // raw events carries int64-nanos; readable only under this conf (the
-    // empty copy is written as plain INT64, which loads under any conf)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tables = Catalog.TableNames :+ "events"
-    tables.foreach { t =>
-      // limit(0) preserves the schema exactly as our loaders see it
-      // (events keeps its raw int64-nanos ts column)
-      Tables.table(spark, sf0001, t).limit(0)
-        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    // empty copy is written as plain INT64, which loads under any conf).
+    // Scoped: restore the session's prior value so this shared-session
+    // fixture can't leak conf into suites that run after it.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val tables = Catalog.TableNames :+ "events"
+      tables.foreach { t =>
+        // limit(0) preserves the schema exactly as our loaders see it
+        // (events keeps its raw int64-nanos ts column)
+        Tables.table(spark, sf0001, t).limit(0)
+          .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      }
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
     dir
   }

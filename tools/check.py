@@ -15,6 +15,7 @@ import json
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -45,11 +46,30 @@ def main():
                 raise AssertionError(f"rows {len(a)} != {len(b)}")
             for c in a.columns:
                 av, bv = a[c], b[c]
-                if av.dtype.kind == "f" or bv.dtype.kind == "f":
-                    ok = ((av.isna() & bv.isna()) | (av == bv)).all()
-                else:
-                    ok = (av.fillna("\0N") == bv.fillna("\0N")).all() if av.dtype == object \
-                        else ((av.isna() & bv.isna()) | (av == bv)).all()
+                # dtype-faithful: DuckDB HUGEINT (SUM of ints) lands as
+                # float64 while Spark writes int64 — value-equal but the
+                # driver's hash sees different types. Fail loudly here.
+                if av.dtype.kind != bv.dtype.kind:
+                    raise AssertionError(
+                        f"col {c} dtype kind {av.dtype}/{bv.dtype} differs "
+                        f"(HUGEINT-vs-BIGINT? cast the oracle SUM to BIGINT)")
+                if av.dtype.kind == "f":
+                    # bit-exact after canonicalizing NaN: catches -0.0 vs
+                    # 0.0 and 1-ulp drift that == would mask.
+                    x = av.to_numpy(dtype="f8", na_value=np.nan).copy()
+                    y = bv.to_numpy(dtype="f8", na_value=np.nan).copy()
+                    x[np.isnan(x)] = np.nan
+                    y[np.isnan(y)] = np.nan
+                    xb, yb = x.view("u8"), y.view("u8")
+                    ok = bool((xb == yb).all())
+                    if not ok:
+                        bad = int(np.argmax(xb != yb))
+                        raise AssertionError(
+                            f"col {c} float bits differ, e.g. row {bad}: "
+                            f"{x[bad]!r} != {y[bad]!r}")
+                    continue
+                ok = (av.fillna("\0N") == bv.fillna("\0N")).all() if av.dtype == object \
+                    else ((av.isna() & bv.isna()) | (av == bv)).all()
                 if not ok:
                     bad = (~((av.isna() & bv.isna()) | (av == bv))).idxmax()
                     raise AssertionError(
