@@ -76,6 +76,20 @@ object Tables {
     java.lang.Long.parseLong(d.take(6).map(b => f"$b%02x").mkString, 16)
   }
 
+  /** Driver-side collect with an explicit cap — the ONLY sanctioned
+    * `collect()` on a query path (CollectGuardSpec greps the source tree
+    * for strays). `limit(max+1)` bounds the transfer itself, so an
+    * oversized input fails loudly here instead of OOMing the driver at
+    * warehouse scale. */
+  def boundedCollect[T](ds: org.apache.spark.sql.Dataset[T], maxRows: Int,
+      what: String): Array[T] = {
+    val rows = ds.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"$what exceeds the driver-collect cap ($maxRows rows) — " +
+        "use the banded/bucketed scale path instead of the brute baseline")
+    rows
+  }
+
   /** DuckDB SQL expression text equivalent to [[h48]] over expression `e`:
     * fold the 12 hex chars to a 48-bit int (DuckDB has no hex→int cast). */
   def h48Sql(e: String): String =

@@ -171,8 +171,56 @@ object Joins {
       .orderBy("purchase_id")
   }
 
+  /** CEP with a Kleene quantifier AND timeout semantics (Flink CEP
+    * `Pattern.begin("views").oneOrMore().consecutive().next("purchase")
+    * .within(2 days)` with timed-out partial matches emitted, à la
+    * `PatternStream.select(timeoutTag, ...)`): each MAXIMAL run of
+    * consecutive 'view' events per user is one partial match; it completes
+    * iff the event immediately after the run is a purchase within 2 days of
+    * the run's FIRST view, otherwise the run is emitted as a timed-out row
+    * (purchase_id/span_us null, matched=false) — the batch surrogate of the
+    * CEP timeout side-output.
+    *
+    * Shape: gaps-and-islands — one row_number + lag/lead pass, a running
+    * sum for the island id, island stats via windows over (user, island),
+    * keep each island's last view row. Everything reuses ONE user_id
+    * shuffle partitioning; state is bounded by lag/lead depth 1 plus the
+    * island window, exactly like the other window queries at 100 TB. */
+  def cepKleeneTimeout(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+    val seq = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .withColumn("next_id", lead(col("event_id"), 1).over(byUser))
+      .withColumn("next_ts", lead(col("ts_us"), 1).over(byUser))
+      .withColumn("is_start", when(col("event_type") === "view" &&
+        (col("prev_type").isNull || col("prev_type") =!= "view"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("is_start")).over(byUser))
+    val islandW = Window.partitionBy(col("user_id"), col("island"))
+    val islandOrd = islandW.orderBy(col("rn"))
+    val spanUs = 2L * 24 * 3600 * 1000000
+    val hit = col("next_type") === "purchase" &&
+      col("next_ts") - col("first_ts_us") <= spanUs
+    seq.where(col("event_type") === "view")
+      .withColumn("n_views", count(lit(1)).over(islandW))
+      .withColumn("first_view_id", first(col("event_id")).over(islandOrd))
+      .withColumn("first_ts_us", first(col("ts_us")).over(islandOrd))
+      // each island's LAST view is the only view whose successor is not a view
+      .where(col("next_type").isNull || col("next_type") =!= "view")
+      .select(col("user_id"), col("first_view_id"), col("n_views"),
+        coalesce(hit, lit(false)).as("matched"),
+        when(coalesce(hit, lit(false)), col("next_id")).as("purchase_id"),
+        when(coalesce(hit, lit(false)), col("next_ts") - col("first_ts_us")).as("span_us"))
+      .orderBy("user_id", "first_view_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cep_click_click_purchase" -> (cepClickClickPurchase _),
+    "cep_kleene_timeout" -> (cepKleeneTimeout _),
     "join_asof_click_before_purchase" -> (joinAsofClickBeforePurchase _),
     "join_orders_customer" -> (joinOrdersCustomer _),
     "join_left_orders_wo_lineitem" -> (joinLeftOrdersWoLineitem _),
@@ -187,6 +235,34 @@ object Joins {
   private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "cep_kleene_timeout" ->
+      s"""WITH seq AS (
+            SELECT user_id, event_id, event_type, epoch_us($evTs) AS ts_us,
+              row_number() OVER (PARTITION BY user_id ORDER BY $evTs, event_id) AS rn
+            FROM events),
+          x AS (
+            SELECT *,
+              lead(event_type) OVER w AS next_type,
+              lead(event_id) OVER w AS next_id,
+              lead(ts_us) OVER w AS next_ts,
+              CASE WHEN event_type = 'view' AND (lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> 'view') THEN 1 ELSE 0 END AS is_start
+            FROM seq WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+          y AS (SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY rn) AS island
+            FROM x),
+          v AS (
+            SELECT *, CAST(COUNT(*) OVER (PARTITION BY user_id, island) AS BIGINT) AS n_views,
+              first_value(event_id) OVER (PARTITION BY user_id, island ORDER BY rn) AS first_view_id,
+              first_value(ts_us) OVER (PARTITION BY user_id, island ORDER BY rn) AS first_ts_us
+            FROM y WHERE event_type = 'view')
+          SELECT user_id, first_view_id, n_views,
+            COALESCE(next_type = 'purchase' AND next_ts - first_ts_us <= 172800000000, false) AS matched,
+            CASE WHEN COALESCE(next_type = 'purchase' AND next_ts - first_ts_us <= 172800000000, false)
+              THEN next_id END AS purchase_id,
+            CASE WHEN COALESCE(next_type = 'purchase' AND next_ts - first_ts_us <= 172800000000, false)
+              THEN next_ts - first_ts_us END AS span_us
+          FROM v WHERE next_type IS NULL OR next_type <> 'view'
+          ORDER BY user_id, first_view_id""",
     "cep_click_click_purchase" ->
       s"""WITH seq AS (
             SELECT user_id, event_id, event_type, epoch_us($evTs) AS ts_us,

@@ -197,19 +197,80 @@ object Llm {
     df.withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
       .withColumn("nrm", normCol(col("embedding")))
 
-  /** Brute-force cosine top-k: for each query vector (vec_id<10), the top-5
-    * nearest others. Ranking uses round(cos,6) with vec_id tiebreak so the
-    * order is stable across float summation differences. */
+  /** Query vectors a [[simTopk]] run may broadcast; beyond this the query
+    * set itself should be bucketed (annLsh) rather than shipped whole. */
+  private val MaxQuerySet = 4096
+  /** Corpus rows the [[dedupEmbed]] brute baseline may pull to the driver
+    * (~50 MB of 64-dim doubles) before failing loudly. */
+  private val MaxBruteCorpus = 100000
+
+  /** Exact cosine top-k (k=5) for each query vector (vec_id<10) over the
+    * full corpus.
+    *
+    * Scale shape: broadcast the BOUNDED query set (cap asserted via
+    * [[graft.Tables.boundedCollect]]), stream the corpus once through
+    * `mapPartitions` keeping a per-partition top-k per query, then reduce
+    * the |partitions|·|Q|·k survivors with one tiny window — exact at any
+    * corpus size, O(|Q|·k) rows materialized per partition, no join node.
+    * The previous declarative form (`qid =!= vec_id` Q×N join) planned a
+    * BroadcastNestedLoopJoin that materialized every scored pair as a
+    * joined row — 2.1 s at sf0.1 and the flagged scale-killer.
+    *
+    * Why not LSH-prune + exact re-rank here: measured on this corpus
+    * (sf0.01 AND sf0.1), the true top-5 neighbors sit up to Hamming
+    * distance 5 (of 6 hyperplane bits) from the query's bucket — the
+    * embeddings are near-isotropic, so a multi-probe with exact recall
+    * must scan ≥98% of the corpus and prunes nothing. Exact top-k over
+    * isotropic vectors requires scoring all N candidates; the win
+    * available is removing the pair materialization, which this kernel
+    * does. For approximate semantics (and unbounded Q) the bucketed paths
+    * are [[annLsh]] and [[Llm2.ivfAnn]].
+    *
+    * JVM math is bit-identical to the declarative form (same
+    * ascending-index dot fold as [[graft.functions.DotProduct]], same
+    * HALF_UP round6), so the brute-force oracle is unchanged. */
   def simTopk(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(embeddings(spark, dir))
-    val q = e.where(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("nrm").as("qnrm"))
-    val cand = e.select(col("vec_id"), col("embedding"), col("nrm"))
-    val scored = q.join(cand, col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id"),
-        round(dotCol(col("qemb"), col("embedding")) / (col("qnrm") * col("nrm")), 6).as("cos_r"))
+    import graft.functions.ArrayMath.{dotJvm, round6}
+    import spark.implicits._
+    val k = 5
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .as[(Long, Array[Double])]
+    val bc = spark.sparkContext.broadcast(
+      boundedCollect(e.filter(col("vec_id") < 10), MaxQuerySet, "llm_sim_topk query set")
+        .sortBy(_._1).map { case (id, v) => (id, v, math.sqrt(dotJvm(v, v))) })
+    // "worse" ranks higher → heap head is the worst kept candidate; the
+    // (−cos, id) order mirrors the final (cos DESC, vec_id ASC) ranking
+    val worseFirst: Ordering[(Double, Long)] = Ordering.by { case (c, v) => (-c, v) }
+    val localTop = e.mapPartitions { rows =>
+      val queries = bc.value
+      val heaps = Array.fill(queries.length)(
+        scala.collection.mutable.PriorityQueue.empty(worseFirst))
+      for ((id2, v2) <- rows) {
+        val n2 = math.sqrt(dotJvm(v2, v2))
+        var i = 0
+        while (i < queries.length) {
+          val (qid, qv, qn) = queries(i)
+          if (qid != id2) {
+            val raw = dotJvm(qv, v2) / (qn * n2)
+            val heap = heaps(i)
+            // cheap reject before the (costly) BigDecimal rounding — see
+            // the identical bound argument in dedupEmbed
+            if (heap.size < k || raw >= heap.head._1 - 1e-6) {
+              val cand = (round6(raw), id2)
+              if (heap.size < k) heap.enqueue(cand)
+              else if (worseFirst.lt(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
+            }
+          }
+          i += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+        h.iterator.map { case (c, v) => (queries(i)._1, v, c) }
+      }
+    }.toDF("qid", "vec_id", "cos_r")
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vec_id").asc)
-    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+    localTop.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .orderBy("qid", "rn")
   }
 
@@ -233,7 +294,8 @@ object Llm {
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("emb"))
       .as[(Long, Array[Double])]
     val bc = spark.sparkContext.broadcast(
-      e.collect().sortBy(_._1).map { case (id, v) => (id, v, math.sqrt(dotJvm(v, v))) })
+      boundedCollect(e, MaxBruteCorpus, "llm_dedup_embed corpus (brute baseline)")
+        .sortBy(_._1).map { case (id, v) => (id, v, math.sqrt(dotJvm(v, v))) })
     // "worse" ranks higher → heap head is the worst kept candidate
     val worseFirst: Ordering[(Double, Long, Long)] =
       Ordering.by { case (c, v1, v2) => (-c, v1, v2) }
@@ -537,7 +599,7 @@ object Llm {
             FROM documents),
           h AS (SELECT doc_id, ${h48S("word")} AS hw FROM wds),
           bits AS (SELECT doc_id, b,
-              SUM(CASE WHEN (hw >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              CAST(SUM(CASE WHEN (hw >> b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s
             FROM h CROSS JOIN (SELECT unnest(range(0,48)) AS b) bb GROUP BY 1, 2),
           sig AS (SELECT doc_id,
               CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END) AS BIGINT) AS simhash

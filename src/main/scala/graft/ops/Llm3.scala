@@ -77,7 +77,17 @@ object Llm3 {
     * path takes any pair set) → connected components by iterative
     * min-label propagation → (doc, cluster, cluster_size). Converges in
     * O(diameter) rounds; each round is one shuffle join on the edge set. */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    dedupClustersAt(spark, dir, parallelism = 0)
+
+  /** [[dedupClusters]] with explicit round parallelism.
+    * @param parallelism partitions per Pregel round; 0 = choose by edge
+    *   count — 1 while the candidate-pair graph fits one task comfortably
+    *   (keeps each round at ~2 tasks instead of 32 micro-stages), else
+    *   `defaultParallelism` hash-partitioned on the node key. The count
+    *   is one extra action on the (tiny) pair set — noise next to the
+    *   iterative rounds it sizes. */
+  def dedupClustersAt(spark: SparkSession, dir: String, parallelism: Int): DataFrame = {
     val docs = documents(spark, dir).where(col("doc_id") < 50)
     val w = docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("word"))
     val sizes = w.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -91,20 +101,25 @@ object Llm3 {
         (col("z1.sz") + col("z2.sz") - col("inter")).cast("double") >= 0.9)
       .select(col("d1"), col("d2"))
     // The candidate-pair graph is orders of magnitude smaller than the
-    // corpus (near-dup pairs), so the iteration state fits one partition
-    // here — coalesce(1) keeps each Pregel round at ~2 tasks instead of
-    // 32-task micro-stages. At warehouse scale, drop the coalesce and the
-    // same loop runs hash-partitioned on the node key.
-    val und = edges.union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
-      .coalesce(1).localCheckpoint()
+    // corpus (near-dup pairs), so at fixture scale the iteration state
+    // fits one partition and a single-partition round beats 32-task
+    // micro-stages; past the threshold the same loop runs hash-partitioned
+    // on the node key. Parallelism is data-chosen, never hard-coded.
+    val p = if (parallelism > 0) parallelism
+      else if (edges.limit(100000).count() < 100000) 1
+      else spark.sparkContext.defaultParallelism
+    def part(df: DataFrame, key: String): DataFrame =
+      if (p == 1) df.coalesce(1) else df.repartition(p, col(key))
+    val und = part(edges.union(edges.select(col("d2").as("d1"), col("d1").as("d2"))), "d1")
+      .localCheckpoint()
     // seed labels with min(node, min direct neighbor) — one aggregation
     // that equals the first propagation round for free; near-dup
     // components are clique-heavy, so most nodes start already converged
     val nbMin = und.groupBy(col("d1")).agg(min(col("d2")).as("nb0"))
-    var labels = docs.select(col("doc_id").as("node"))
+    var labels = part(docs.select(col("doc_id").as("node"))
       .join(nbMin, col("node") === col("d1"), "left")
-      .select(col("node"), least(col("node"), coalesce(col("nb0"), col("node"))).as("label"))
-      .coalesce(1).localCheckpoint()
+      .select(col("node"), least(col("node"), coalesce(col("nb0"), col("node"))).as("label")),
+      "node").localCheckpoint()
     var converged = false
     var iter = 0
     // cap ≥ worst-case diameter of the bounded 50-doc pair graph; the loop

@@ -129,6 +129,64 @@ object Streams {
       }
   }
 
+  /** Streaming twin of the batch `cep_kleene_timeout` query (Flink CEP
+    * `begin("views").oneOrMore().consecutive().next("purchase")
+    * .within(span)` with a timeout side-output): keyed state holds the
+    * open run of consecutive views; a non-view event closes it (matched
+    * iff it is a purchase within `spanUs` of the run's FIRST view), and an
+    * event-time timer fires the timed-out partial match when the watermark
+    * passes first_view + span — exactly Flink's `PatternStream` timeout
+    * channel. Per-key state is one small case class regardless of run
+    * length. */
+  def kleeneViewsThenPurchase(events: Dataset[Event],
+      spanUs: Long = 2L * 24 * 3600 * 1000000L,
+      watermark: String = "10 minutes"): Dataset[KleeneMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ViewRun, KleeneMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[Event], state: GroupState[ViewRun]) =>
+          if (state.hasTimedOut) {
+            val r = state.get
+            state.remove()
+            Iterator(KleeneMatch(uid, r.first_view_id, r.n_views,
+              matched = false, None, None))
+          } else {
+            val evs = it.toSeq.sortBy(e => (microsOf(e.ts), e.event_id))
+            val out = Seq.newBuilder[KleeneMatch]
+            var open = state.getOption
+            for (e <- evs) {
+              val t = microsOf(e.ts)
+              if (e.event_type == "view") open = open match {
+                case Some(r) => Some(r.copy(n_views = r.n_views + 1))
+                case None => Some(ViewRun(e.event_id, t, 1L))
+              } else {
+                open.foreach { r =>
+                  val hit = e.event_type == "purchase" && t - r.first_ts_us <= spanUs
+                  out += KleeneMatch(uid, r.first_view_id, r.n_views, hit,
+                    if (hit) Some(e.event_id) else None,
+                    if (hit) Some(t - r.first_ts_us) else None)
+                }
+                open = None
+              }
+            }
+            open match {
+              case Some(r) =>
+                state.update(r)
+                // fire the timeout when event time passes first_view+span
+                // (engine requires a timestamp beyond the current watermark)
+                state.setTimeoutTimestamp(math.max(
+                  (r.first_ts_us + spanUs) / 1000L,
+                  state.getCurrentWatermarkMs() + 1))
+              case None => if (state.exists) state.remove()
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** I5 — per-user tumbling count window of `n`: buffers values in keyed
     * state, emits (user, window-index, sum) every time the buffer fills.
     * The Flink `countWindow(n)` analogue. */
@@ -218,20 +276,35 @@ object Streams {
     * documented rather than executed. On a real cluster:
     * `kafkaSource(spark, servers, topic).load()` yields the standard
     * key/value/topic/partition/offset/timestamp schema. */
+  /** A2 — Kafka source option wiring as a PURE builder so the config is
+    * unit-testable without a broker or the connector jar (neither exists
+    * in this zero-egress container — SourcesSpec asserts the map and pins
+    * the format-lookup failure mode instead). */
+  def kafkaSourceOptions(bootstrapServers: String, topic: String,
+      startingOffsets: String = "earliest",
+      failOnDataLoss: Boolean = true): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "subscribe" -> topic,
+    "startingOffsets" -> startingOffsets,
+    "failOnDataLoss" -> failOnDataLoss.toString)
+
   def kafkaSource(spark: org.apache.spark.sql.SparkSession, bootstrapServers: String,
                   topic: String): org.apache.spark.sql.streaming.DataStreamReader =
     spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
+      .options(kafkaSourceOptions(bootstrapServers, topic))
 
-  /** A8 — exactly-once Kafka sink wiring (checkpointed). */
+  /** A8 — exactly-once Kafka sink wiring (checkpointed); pure option
+    * builder for the same reason as [[kafkaSourceOptions]]. */
+  def kafkaSinkOptions(bootstrapServers: String, topic: String,
+      checkpoint: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "topic" -> topic,
+    "checkpointLocation" -> checkpoint)
+
   def kafkaSink(df: DataFrame, bootstrapServers: String, topic: String,
                 checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("topic", topic)
-      .option("checkpointLocation", checkpoint)
+      .options(kafkaSinkOptions(bootstrapServers, topic, checkpoint))
 
   /** A2 deserialization — parse a Kafka-style binary JSON `value` payload
     * into typed event columns (the step after `kafkaSource(...).load()`;
@@ -287,6 +360,11 @@ object Streams {
   }
 
   case class UserAccum(user_id: Long, first_ms: Long, last_ms: Long, n: Long)
+
+  /** Open run of consecutive views ([[kleeneViewsThenPurchase]] state). */
+  case class ViewRun(first_view_id: Long, first_ts_us: Long, n_views: Long)
+  case class KleeneMatch(user_id: Long, first_view_id: Long, n_views: Long,
+    matched: Boolean, purchase_id: Option[Long], span_us: Option[Long])
 
   case class TimerSession(user_id: Long, n_events: Long, sum_value: Double,
                           last_us: Long)

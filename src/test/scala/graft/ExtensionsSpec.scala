@@ -69,6 +69,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(n === 5000)
   }
 
+  test("guard three-table comma join: adjacent FROM order accepted, non-adjacent refused") {
+    ext.range(5000).toDF("x").createOrReplaceTempView("g3a")
+    ext.range(5000).toDF("y").createOrReplaceTempView("g3b")
+    ext.range(5000).toDF("z").createOrReplaceTempView("g3c")
+    // left-deep in FROM order: (a ⋈ b) linked by x=y, then ⋈ c linked by y=z
+    val n = ext.sql("SELECT count(*) FROM g3a, g3b, g3c WHERE x = y AND y = z")
+      .head().getLong(0)
+    assert(n === 5000)
+    // FROM a, c, b builds (a × c) first and no single WHERE equality links
+    // x-to-z — refused by design (the documented conservative FROM-order
+    // bias in CartesianGuard's scaladoc): reorder the FROM list or use
+    // explicit JOIN ... ON.
+    val e = intercept[Exception] {
+      ext.sql("SELECT count(*) FROM g3a, g3c, g3b WHERE x = y AND y = z").collect()
+    }
+    assert(e.getMessage.contains("GRAFT_CARTESIAN_GUARD"), e.getMessage)
+  }
+
   test("injected function rejects wrong arity with a clear message") {
     val e = intercept[Exception] {
       ext.sql("SELECT graft_dot_product(array(1.0d))").collect()

@@ -39,8 +39,15 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("similarity joins run the native codegen'd dot-product kernel") {
-    val p = plan(ops.Llm.simTopk(spark, sf0001))
+    val p = plan(ops.Llm.annLsh(spark, sf0001))
     assert(p.contains("graft_dot_product"), p)
+  }
+
+  test("exact similarity top-k runs the broadcast-Q kernel (no pair join)") {
+    val p = plan(ops.Llm.simTopk(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"sim_topk must not materialize the QxN pair join:\n$p")
+    assert(p.contains("MapPartitions"), p)
   }
 
   test("llm token count scan prunes to the referenced document columns") {
@@ -98,7 +105,7 @@ class PlanSpec extends SparkTestBase {
     // its definition site: small-dims theta band, 25-row string-distance
     // matrix, bounded query-set similarity scans, k-row centroid probes.
     val allowed = Set("join_theta_price_band", "scalar_string_distance",
-      "llm_sim_topk", "llm_ivf_ann", "llm_kmeans_step", "llm_dedup_embed",
+      "llm_ivf_ann", "llm_kmeans_step",
       "llm_ann_lsh",
       // 1-row corpus-size aggregate broadcast into the TF-IDF scorer
       "llm_tfidf_topterms")

@@ -10,6 +10,27 @@ import org.apache.spark.sql.functions._
   * scaladoc and the README. */
 class SourcesSpec extends SparkTestBase {
 
+  test("A2/A8: kafka option wiring is config-tested (no broker/jar in this container)") {
+    import graft.streaming.Streams
+    val src = Streams.kafkaSourceOptions("broker1:9092,broker2:9092", "events_topic")
+    assert(src("kafka.bootstrap.servers") === "broker1:9092,broker2:9092")
+    assert(src("subscribe") === "events_topic")
+    assert(src("startingOffsets") === "earliest")
+    assert(src("failOnDataLoss") === "true")
+    val snk = Streams.kafkaSinkOptions("b:9092", "out_topic", "/tmp/graft-ckpt")
+    assert(snk("kafka.bootstrap.servers") === "b:9092")
+    assert(snk("topic") === "out_topic")
+    assert(snk("checkpointLocation") === "/tmp/graft-ckpt")
+    // The connector jar is absent in the zero-egress container: pin the
+    // failure mode so the wiring is exercised up to the format-lookup
+    // boundary (on a real cluster the same call yields the standard
+    // key/value/topic/partition/offset/timestamp stream).
+    val e = intercept[Exception] {
+      Streams.kafkaSource(spark, "b:9092", "t").load()
+    }
+    assert(e.getMessage.toLowerCase.contains("kafka"), e.getMessage)
+  }
+
   test("A3: collection/element source (fromElements analogue)") {
     val s = spark
     import s.implicits._

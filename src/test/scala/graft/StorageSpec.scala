@@ -49,6 +49,40 @@ class StorageSpec extends SparkTestBase {
     assert(purchases.count() === expected)
   }
 
+  test("A4b: JSON-lines source roundtrip of documents, filter pushed to the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val docs = Tables.documents(spark, sf0001)
+    docs.write.mode("overwrite").json(dir)
+    // explicit schema: a schema-inference pass over 100 TB of JSONL is a
+    // full extra scan — never rely on it at scale
+    val back = spark.read.schema(docs.schema).json(dir)
+    assert(back.count() === docs.count())
+    val filtered = back.where(col("doc_id") < 10).select("doc_id", "lang")
+    val plan = filtered.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)"),
+      s"doc_id bound should reach the JSON scan:\n$plan")
+    assert(filtered.count() === docs.where(col("doc_id") < 10).count())
+  }
+
+  test("A4c: CSV source roundtrip of documents, filter pushed to the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    // quote/escape so free-text survives the delimited format
+    val docs = Tables.documents(spark, sf0001)
+    docs.write.mode("overwrite").option("header", "true")
+      .option("quoteAll", "true").csv(dir)
+    val back = spark.read.schema(docs.schema)
+      .option("header", "true").csv(dir)
+    assert(back.count() === docs.count())
+    val filtered = back.where(col("lang") === "en").select("doc_id", "lang")
+    val plan = filtered.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)"),
+      s"lang predicate should reach the CSV scan:\n$plan")
+    assert(filtered.count() === docs.where(col("lang") === "en").count())
+    // column pruning: the wide text column must not be parsed for this
+    // projection (CSV scan reports its pruned ReadSchema)
+    assert(!plan.contains("text"), s"text should be pruned from the CSV scan:\n$plan")
+  }
+
   test("A5/A6: ORC source/sink roundtrip preserves the lineitem table") {
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
     val src = Tables.lineitem(spark, sf0001)

@@ -125,6 +125,44 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("CEP Kleene twin: view+ runs close on the breaking event, time out via event-time timer") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[Event]
+    val q = runToTable(Streams.kleeneViewsThenPurchase(ms.toDS()).toDF(), "kleene", "append")
+    try {
+      // user 1: view,view,purchase within 2d → complete match (span 600 s);
+      // user 1 again: view broken by a click → failed row immediately;
+      // user 2: a lone view never followed → only the event-time timer
+      // (the CEP within() timeout channel) may emit it
+      ms.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+        ev(2, "2024-01-01 10:05:00", 1, "view", 1.0),
+        ev(3, "2024-01-01 10:10:00", 1, "purchase", 5.0),
+        ev(4, "2024-01-01 11:00:00", 1, "view", 1.0),
+        ev(5, "2024-01-01 11:30:00", 1, "click", 1.0),
+        ev(6, "2024-01-01 10:00:00", 2, "view", 1.0))
+      q.processAllAvailable()
+      val before = spark.table("kleene").where($"user_id" === 2).count()
+      assert(before === 0L, "timeout row must not fire before the watermark passes")
+      // advance the watermark past 2024-01-03 10:00 (user 2 first view + 2d),
+      // then one more batch so the fired timer's output is committed
+      ms.addData(ev(7, "2024-01-04 00:00:00", 3, "click", 1.0))
+      q.processAllAvailable()
+      ms.addData(ev(8, "2024-01-04 01:00:00", 3, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("kleene")
+        .select($"user_id", $"first_view_id", $"n_views", $"matched",
+          $"purchase_id", $"span_us")
+        .as[(Long, Long, Long, Boolean, Option[Long], Option[Long])].collect().toSet
+      assert(rows === Set(
+        (1L, 1L, 2L, true, Some(3L), Some(600L * 1000000L)),
+        (1L, 4L, 1L, false, None, None),
+        (2L, 6L, 1L, false, None, None)))
+    } finally q.stop()
+  }
+
   test("I5: flatMapGroupsWithState count-window emits exactly full windows") {
     val s = spark
     import s.implicits._

@@ -12,6 +12,7 @@ exactly. Prints PASS/FAIL per query.
 the shipped Spark library.)
 """
 import json
+import re
 import sys
 
 import duckdb
@@ -19,6 +20,34 @@ import numpy as np
 import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def lint_sum_casts(oracle: dict) -> list:
+    """Authoring-time guard for DuckDB HUGEINT-vs-Spark BIGINT schema
+    drift: an integer SUM(...) in oracle SQL lands as HUGEINT (pandas
+    float64) while Spark writes int64 — value-equal but hash-mismatched.
+    Flag every SUM over an integer expression that is not CAST-wrapped.
+    Window sums (SUM(...) OVER) are intermediates and exempt; sums over
+    DOUBLE/DECIMAL expressions return DOUBLE and are exempt."""
+    probs = []
+    for name, sql in sorted(oracle.items()):
+        for m in re.finditer(r"SUM\s*\(", sql, re.I):
+            pre = sql[:m.start()].rstrip()
+            if re.search(r"CAST\s*\($", pre, re.I):
+                continue  # CAST(SUM(...) AS ...) — already pinned
+            depth, i = 1, m.end()
+            while i < len(sql) and depth:
+                depth += sql[i] == "("
+                depth -= sql[i] == ")"
+                i += 1
+            inner = sql[m.end():i - 1]
+            if sql[i:].lstrip().upper().startswith("OVER"):
+                continue
+            if re.search(r"DOUBLE|DECIMAL|FLOAT|\d+\.\d", inner, re.I):
+                continue
+            probs.append(f"{name}: uncast integer SUM({inner[:60]}…) — "
+                         "wrap as CAST(SUM(...) AS BIGINT)")
+    return probs
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -35,6 +64,9 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
+    for p in lint_sum_casts(oracle):
+        print(f"LINT {p}")
+        n_fail += 1
     for name, sql in sorted(oracle.items()):
         try:
             mine = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df()
