@@ -192,7 +192,68 @@ object Llm3 {
           col("rate") * 10000, 1L).otherwise(0L)).as("n_sampled"))
       .orderBy("source")
 
+  /** Gopher-style repetition quality signal: per-document duplicate-word
+    * and duplicate-3-gram fractions plus a keep/drop verdict (the
+    * "repetitious documents are low quality" filter every pretraining
+    * pipeline runs before dedup).
+    *
+    * Scale shape: ENTIRELY row-local — words, distinct words and distinct
+    * 3-grams are array HOFs over the split text, so the pass is
+    * embarrassingly parallel with zero shuffles at any corpus size (the
+    * final orderBy is output determinism for the fixture dump only;
+    * a production run would write unordered). Fractions are compared
+    * UNROUNDED for the verdict and rounded to 6dp only for output, so the
+    * keep decision is engine-exact. */
+  def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    val ws = filter(split(col("text"), " "), w => w =!= lit(""))
+    val dupW = lit(1.0) - col("n_distinct_words").cast("double") / col("n_words")
+    // CaseWhen guards the division: under ANSI (Spark 4 default) a bare
+    // x/0 throws, and coalesce would still evaluate it for 0-gram docs
+    val dupG = when(col("n_grams") > 0,
+      lit(1.0) - col("n_distinct_grams").cast("double") / col("n_grams"))
+    documents(spark, dir)
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct_words"),
+        when(size(col("ws")) >= 3, size(col("ws")) - 2).otherwise(0)
+          .cast("long").as("n_grams"),
+        when(size(col("ws")) >= 3, size(array_distinct(
+          transform(sequence(lit(0), size(col("ws")) - 3), i => concat_ws(" ",
+            element_at(col("ws"), i + 1), element_at(col("ws"), i + 2),
+            element_at(col("ws"), i + 3)))))).otherwise(0)
+          .cast("long").as("n_distinct_grams"))
+      .where(col("n_words") > 0)
+      .select(col("doc_id"), col("n_words"),
+        round(dupW, 6).as("dup_word_frac"),
+        round(dupG, 6).as("dup_3gram_frac"),
+        (dupW <= 0.5 && coalesce(dupG, lit(0.0)) <= 0.2).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** One BPE merge-step pair count: the corpus-wide frequency of adjacent
+    * character pairs inside whitespace tokens — the statistic a byte-pair
+    * tokenizer build computes at every merge iteration. Top-20 by count
+    * with the pair string as tiebreak.
+    *
+    * Scale shape: explode words → explode in-word pairs (both row-local
+    * Generate nodes) → groupBy(pair) with map-side partial aggregation
+    * (pair cardinality is tiny — bounded by alphabet², so partial aggs
+    * collapse almost everything before the shuffle) → TakeOrderedAndProject
+    * for the top-20. This is the canonical two-phase count at 100 TB. */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_repetition_filter" -> (repetitionFilter _),
+    "llm_bpe_pairs" -> (bpePairs _),
     "llm_decontaminate" -> (decontaminate _),
     "sample_weighted_mix" -> (sampleWeightedMix _),
     "llm_tfidf_topterms" -> (tfidfTopterms _),
@@ -202,6 +263,37 @@ object Llm3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_repetition_filter" ->
+      """WITH g AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+             CAST(CASE WHEN len(ws) >= 3 THEN len(ws) - 2 ELSE 0 END AS BIGINT) AS n_grams,
+             CAST(CASE WHEN len(ws) >= 3 THEN len(list_distinct(
+               list_transform(range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) ELSE 0 END AS BIGINT)
+               AS n_distinct_grams
+           FROM g WHERE len(ws) > 0)
+         SELECT doc_id, n_words,
+           round(1.0 - CAST(n_distinct_words AS DOUBLE) / n_words, 6) AS dup_word_frac,
+           CASE WHEN n_grams > 0
+             THEN round(1.0 - CAST(n_distinct_grams AS DOUBLE) / n_grams, 6) END
+             AS dup_3gram_frac,
+           (1.0 - CAST(n_distinct_words AS DOUBLE) / n_words) <= 0.5
+             AND (CASE WHEN n_grams > 0
+               THEN 1.0 - CAST(n_distinct_grams AS DOUBLE) / n_grams
+               ELSE 0.0 END) <= 0.2 AS keep
+         FROM s ORDER BY doc_id""",
+    "llm_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+         p AS (SELECT substr(word, CAST(i AS INT), 2) AS pair
+               FROM w, LATERAL (SELECT unnest(range(1, length(word))) AS i) t
+               WHERE length(word) >= 2)
+         SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""",
     "llm_decontaminate" ->
       """WITH g AS (
            SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),

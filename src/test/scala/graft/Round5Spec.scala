@@ -39,6 +39,35 @@ class Round5Spec extends SparkTestBase {
     assert(auto.toSeq === par4.toSeq)
   }
 
+  test("repetition filter: fractions bounded, keep matches the thresholds, shuffle-free until output sort") {
+    val df = ops.Llm3.repetitionFilter(spark, sf0001)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val dupW = r.getDouble(r.fieldIndex("dup_word_frac"))
+      assert(dupW >= 0.0 && dupW <= 1.0, r.toString)
+      if (!r.isNullAt(r.fieldIndex("dup_3gram_frac"))) {
+        val dupG = r.getDouble(r.fieldIndex("dup_3gram_frac"))
+        assert(dupG >= 0.0 && dupG <= 1.0, r.toString)
+      }
+    }
+    // both verdicts must occur on the fixture or the threshold is vacuous
+    val keeps = rows.count(_.getBoolean(4))
+    assert(keeps > 0 && keeps < rows.length, s"keep=$keeps of ${rows.length}")
+    // row-local pass: the only exchange is the deterministic output sort
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("hashpartitioning"),
+      s"repetition filter must not shuffle on any key:\n$plan")
+  }
+
+  test("bpe pairs: 20 two-char pairs, counts non-increasing") {
+    val rows = ops.Llm3.bpePairs(spark, sf0001).collect()
+    assert(rows.length === 20)
+    assert(rows.forall(_.getString(0).length == 2), rows.mkString(","))
+    val cnts = rows.map(_.getLong(1))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b }, cnts.mkString(","))
+  }
+
   test("boundedCollect fails loudly past its cap and passes under it") {
     val df = spark.range(100).toDF("x")
     assert(Tables.boundedCollect(df, 100, "test").length === 100)
