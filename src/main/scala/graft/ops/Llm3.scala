@@ -251,7 +251,36 @@ object Llm3 {
       .orderBy(col("cnt").desc, col("pair").asc)
       .limit(20)
 
+  /** Context-window packing manifest (concat-then-chunk): documents are
+    * concatenated per source in doc_id order and cut every 4096
+    * whitespace tokens; each document is assigned to the context window
+    * (bin) its FIRST token lands in. Output per (source, bin): docs and
+    * tokens starting there plus the doc_id range — the shard manifest a
+    * packed-pretraining loader consumes.
+    *
+    * Scale shape: token counting is row-local; assignment is one running
+    * sum over the per-source ordered window, and the following groupBy
+    * reuses the same source partitioning — one shuffle + sort total, the
+    * minimum any order-sensitive packer needs. Packing is per-source
+    * (= per-shard), so there is no global coordination at 100 TB. */
+  def packContext(spark: SparkSession, dir: String): DataFrame = {
+    val binTokens = 4096.0
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(filter(split(col("text"), " "), t => t =!= lit("")))
+          .cast("long").as("n_tokens"))
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("start_tok") / lit(binTokens)).cast("long"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_pack_context" -> (packContext _),
     "llm_repetition_filter" -> (repetitionFilter _),
     "llm_bpe_pairs" -> (bpePairs _),
     "llm_decontaminate" -> (decontaminate _),
@@ -263,6 +292,22 @@ object Llm3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_pack_context" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+               AS n_tokens
+           FROM documents),
+         s AS (
+           SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+           FROM d)
+         SELECT source, CAST(FLOOR(start_tok / 4096.0) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
     "llm_repetition_filter" ->
       """WITH g AS (
            SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws

@@ -174,6 +174,31 @@ object Warehouse {
       .orderBy("user_id", "event_type")
   }
 
+  /** SCD type-2 history build from the event changelog: each user's
+    * event_type is tracked as a slowly-changing attribute — consecutive
+    * equal values compact into one validity interval `[valid_from_us,
+    * valid_to_us)`, the latest version left open (null valid_to,
+    * is_current). Change rows are found with `lag() ≠ current`; intervals
+    * close with `lead()` over the surviving change rows. Both window
+    * passes and the filter reuse ONE user_id hash partitioning — a single
+    * shuffle, which is the floor for any order-sensitive history build;
+    * at 100 TB this is the standard changelog → dimension-table shape. */
+  def cdcScd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(byUser).cast("long"))
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(byUser))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   /** Batch sessionization: a new session starts after a >2h silence per
     * user (lag + cumulative-sum-of-boundaries), then per-session stats.
     * The lag window and the groupBy reuse the same user_id hash
@@ -556,6 +581,7 @@ object Warehouse {
     "tpch_q14_promo_effect" -> (tpchQ14 _),
     "tpch_q18_large_volume" -> (tpchQ18 _),
     "cdc_latest_per_key" -> (cdcLatestPerKey _),
+    "cdc_scd2_intervals" -> (cdcScd2Intervals _),
     "sessionize_events" -> (sessionizeEvents _),
     "sessionize_native_window" -> (sessionizeNativeWindow _),
     "ts_time_weighted_avg" -> (tsTimeWeightedAvg _),
@@ -641,6 +667,20 @@ object Warehouse {
               row_number() OVER (PARTITION BY user_id, event_type
                 ORDER BY $evTs DESC, event_id DESC) AS rn
             FROM events) WHERE rn = 1 ORDER BY user_id, event_type""",
+    "cdc_scd2_intervals" ->
+      s"""WITH t AS (
+            SELECT user_id, event_id, epoch_us($evTs) AS ts_us, event_type,
+              lag(event_type) OVER (PARTITION BY user_id
+                ORDER BY $evTs, event_id) AS prev_type
+            FROM events),
+          c AS (SELECT * FROM t
+            WHERE prev_type IS NULL OR prev_type <> event_type)
+          SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version,
+            event_type, ts_us AS valid_from_us,
+            lead(ts_us) OVER w AS valid_to_us,
+            lead(ts_us) OVER w IS NULL AS is_current
+          FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+          ORDER BY user_id, version""",
     "sessionize_events" ->
       s"""WITH t AS (
             SELECT user_id, event_id, value, epoch_us($evTs) AS ts_us,

@@ -173,6 +173,11 @@ class PlanSpec extends SparkTestBase {
     assert("Exchange".r.findAllIn(p).size <= 2, p)
   }
 
+  test("scd2 history build reuses one user_id shuffle for both window passes") {
+    val p = plan(ops.Warehouse.cdcScd2Intervals(spark, sf0001))
+    assert("Exchange".r.findAllIn(p).size <= 2, s"one key shuffle + final sort:\n$p")
+  }
+
   test("profile pass is genuinely one scan (single agg + stack unpivot)") {
     val p = plan(ops.Analytics.profileEventsColumns(spark, sf0001))
     assert("Scan parquet".r.findAllIn(p).size === 1, s"one scan only:\n$p")

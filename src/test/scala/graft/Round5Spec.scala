@@ -68,6 +68,25 @@ class Round5Spec extends SparkTestBase {
     assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b }, cnts.mkString(","))
   }
 
+  test("context packing: bins partition the corpus, token totals conserved") {
+    val docs = Tables.documents(spark, sf0001)
+    val rows = ops.Llm3.packContext(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // every document lands in exactly one bin
+    assert(rows.map(_.getLong(2)).sum === docs.count())
+    // doc_id ranges are sane and bins start at 0 within each source
+    for (r <- rows) assert(r.getLong(4) <= r.getLong(5), r.toString)
+    val bySource = rows.groupBy(_.getString(0))
+    for ((_, rs) <- bySource) {
+      val bins = rs.map(_.getLong(1)).sorted
+      assert(bins.head === 0L, bins.mkString(","))
+      // concat-then-chunk: a new bin starts only after 4096 more tokens of
+      // prefix, so bin count never exceeds total_tokens/4096 + 1
+      val total = rs.map(_.getLong(3)).sum
+      assert(bins.length <= total / 4096 + 1, s"bins=${bins.length} tokens=$total")
+    }
+  }
+
   test("boundedCollect fails loudly past its cap and passes under it") {
     val df = spark.range(100).toDF("x")
     assert(Tables.boundedCollect(df, 100, "test").length === 100)

@@ -3,11 +3,11 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Source/sink surface beyond the parquet fixtures (SURVEY.md §2.A):
-  * collection sources, text-file source, rate streaming source, console/
-  * foreachBatch sinks. Kafka and socket sources are config-level wiring
-  * (`format("kafka"/"socket")`) that cannot run in this zero-egress
-  * container; their construction is documented in [[graft.streaming.Streams]]
-  * scaladoc and the README. */
+  * collection sources, text-file source, rate + socket streaming sources,
+  * console/foreachBatch sinks. The socket source runs END-TO-END against a
+  * loopback ServerSocket (zero-egress blocks external networking only);
+  * kafka remains config-level wiring (`format("kafka")` jar absent here),
+  * its construction documented in [[graft.streaming.Streams]] scaladoc. */
 class SourcesSpec extends SparkTestBase {
 
   test("A2/A8: kafka option wiring is config-tested (no broker/jar in this container)") {
@@ -48,6 +48,43 @@ class SourcesSpec extends SparkTestBase {
       .groupBy("word").count()
       .as[(String, Long)].collect().toMap
     assert(counts("the") === 2L && counts("fox") === 1L)
+  }
+
+  test("A5: socket source streams lines from a loopback server (zero-egress safe)") {
+    // zero-egress blocks external networking, not the loopback device: a
+    // local ServerSocket lets format("socket") run END-TO-END, upgrading
+    // A5 from doc-only wiring to an executed source.
+    val server = new java.net.ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+    val port = server.getLocalPort
+    @volatile var client: java.net.Socket = null
+    val feeder = new Thread(() => {
+      try {
+        client = server.accept()
+        val out = new java.io.PrintWriter(client.getOutputStream, true)
+        out.println("alpha"); out.println("beta"); out.println("gamma")
+        out.flush()
+      } catch { case _: Exception => () }
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    val q = spark.readStream.format("socket")
+      .option("host", "127.0.0.1").option("port", port.toString).load()
+      .writeStream.format("memory").queryName("sock_sink").outputMode("append").start()
+    try {
+      var n = 0L
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (n < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        n = spark.table("sock_sink").count()
+      }
+      assert(n === 3L, s"expected 3 socket lines, saw $n")
+      assert(spark.table("sock_sink").collect().map(_.getString(0)).toSet ===
+        Set("alpha", "beta", "gamma"))
+    } finally {
+      q.stop()
+      if (client != null) client.close()
+      server.close()
+    }
   }
 
   test("A2: unbounded rate source streams rows") {
