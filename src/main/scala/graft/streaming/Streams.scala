@@ -187,6 +187,40 @@ object Streams {
       }
   }
 
+  /** Streaming twin of the batch `cdc_scd2_intervals` query: keyed state
+    * holds the OPEN version (current event_type, its valid_from, version
+    * number); an event with a DIFFERENT type closes the open interval
+    * (emits it with valid_to = the new event's time) and opens the next
+    * version. Open versions live only in state — the batch query's
+    * null-valid_to rows, emitted on close instead (append mode cannot
+    * retract). Per-key state is one small case class regardless of
+    * history length, so state is bounded by key cardinality. */
+  def scd2Intervals(events: Dataset[Event]): Dataset[Scd2Row] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2Open, Scd2Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[Scd2Open]) =>
+          val evs = it.toSeq.sortBy(e => (microsOf(e.ts), e.event_id))
+          val out = Seq.newBuilder[Scd2Row]
+          var open = state.getOption
+          for (e <- evs) {
+            val t = microsOf(e.ts)
+            open match {
+              case Some(o) if o.event_type == e.event_type => ()
+              case Some(o) =>
+                out += Scd2Row(uid, o.version, o.event_type, o.valid_from_us, Some(t))
+                open = Some(Scd2Open(e.event_type, t, o.version + 1))
+              case None =>
+                open = Some(Scd2Open(e.event_type, t, 1L))
+            }
+          }
+          open.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** I5 — per-user tumbling count window of `n`: buffers values in keyed
     * state, emits (user, window-index, sum) every time the buffer fills.
     * The Flink `countWindow(n)` analogue. */
@@ -360,6 +394,11 @@ object Streams {
   }
 
   case class UserAccum(user_id: Long, first_ms: Long, last_ms: Long, n: Long)
+
+  /** Open SCD2 version ([[scd2Intervals]] state). */
+  case class Scd2Open(event_type: String, valid_from_us: Long, version: Long)
+  case class Scd2Row(user_id: Long, version: Long, event_type: String,
+    valid_from_us: Long, valid_to_us: Option[Long])
 
   /** Open run of consecutive views ([[kleeneViewsThenPurchase]] state). */
   case class ViewRun(first_view_id: Long, first_ts_us: Long, n_views: Long)

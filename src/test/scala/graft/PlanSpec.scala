@@ -178,6 +178,11 @@ class PlanSpec extends SparkTestBase {
     assert("Exchange".r.findAllIn(p).size <= 2, s"one key shuffle + final sort:\n$p")
   }
 
+  test("context packing: the bin aggregate reuses the source window partitioning") {
+    val p = plan(ops.Llm3.packContext(spark, sf0001))
+    assert("Exchange".r.findAllIn(p).size <= 2, s"one source shuffle + final sort:\n$p")
+  }
+
   test("profile pass is genuinely one scan (single agg + stack unpivot)") {
     val p = plan(ops.Analytics.profileEventsColumns(spark, sf0001))
     assert("Scan parquet".r.findAllIn(p).size === 1, s"one scan only:\n$p")

@@ -163,6 +163,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("SCD2 twin: versions close on type change, across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[Event]
+    val q = runToTable(Streams.scd2Intervals(ms.toDS()).toDF(), "scd2", "append")
+    try {
+      // v1: view (two consecutive views compact), closed by the click
+      ms.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+        ev(2, "2024-01-01 10:05:00", 1, "view", 1.0),
+        ev(3, "2024-01-01 10:10:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      // v2 (click) stays open in state across the batch boundary and is
+      // closed by the purchase in the NEXT micro-batch
+      ms.addData(ev(4, "2024-01-01 10:20:00", 1, "purchase", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("scd2")
+        .select($"user_id", $"version", $"event_type", $"valid_from_us", $"valid_to_us")
+        .as[(Long, Long, String, Long, Option[Long])].collect()
+        .map { case (u, v, t, f, to) => (u, v, t, to.map(_ - f)) }.toSet
+      assert(rows === Set(
+        (1L, 1L, "view", Some(600L * 1000000)),
+        (1L, 2L, "click", Some(600L * 1000000))))
+      // v3 (purchase) is the open current version: in state, not emitted
+      assert(spark.table("scd2").count() === 2L)
+    } finally q.stop()
+  }
+
   test("I5: flatMapGroupsWithState count-window emits exactly full windows") {
     val s = spark
     import s.implicits._
