@@ -183,6 +183,11 @@ class PlanSpec extends SparkTestBase {
     assert("Exchange".r.findAllIn(p).size <= 2, s"one source shuffle + final sort:\n$p")
   }
 
+  test("cep kleene: row_number, lag/lead and both island windows share one user_id shuffle") {
+    val p = plan(ops.Joins.cepKleeneTimeout(spark, sf0001))
+    assert("Exchange".r.findAllIn(p).size <= 2, s"one key shuffle + final sort:\n$p")
+  }
+
   test("profile pass is genuinely one scan (single agg + stack unpivot)") {
     val p = plan(ops.Analytics.profileEventsColumns(spark, sf0001))
     assert("Scan parquet".r.findAllIn(p).size === 1, s"one scan only:\n$p")
