@@ -5,11 +5,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-3 LLM-pipeline widening: TF-IDF term scoring, corpus-level
+/** LLM-pipeline widening (rounds 3–5): TF-IDF term scoring, corpus-level
   * token frequency (the Zipf table every tokenizer build starts from),
-  * PII redaction, and connected-components clustering of near-duplicate
+  * PII redaction, connected-components clustering of near-duplicate
   * pairs (the step after pair generation that every dedup pipeline needs:
-  * pairs → clusters → keep one representative per cluster).
+  * pairs → clusters → keep one representative per cluster), repetition
+  * quality filtering, BPE pair counting, and context-window packing.
   *
   * Scale notes (100 TB):
   *  - TF-IDF and wordcount are explode → partial-aggregated groupBys —
@@ -105,12 +106,16 @@ object Llm3 {
     // fits one partition and a single-partition round beats 32-task
     // micro-stages; past the threshold the same loop runs hash-partitioned
     // on the node key. Parallelism is data-chosen, never hard-coded.
+    // checkpoint the pair-gen result BEFORE the sizing count, or the
+    // (expensive) explode + self-join subtree executes twice — once for
+    // the count action and again when materializing the edge set
+    val edgesCk = edges.localCheckpoint()
     val p = if (parallelism > 0) parallelism
-      else if (edges.limit(100000).count() < 100000) 1
+      else if (edgesCk.limit(100000).count() < 100000) 1
       else spark.sparkContext.defaultParallelism
     def part(df: DataFrame, key: String): DataFrame =
       if (p == 1) df.coalesce(1) else df.repartition(p, col(key))
-    val und = part(edges.union(edges.select(col("d2").as("d1"), col("d1").as("d2"))), "d1")
+    val und = part(edgesCk.union(edgesCk.select(col("d2").as("d1"), col("d1").as("d2"))), "d1")
       .localCheckpoint()
     // seed labels with min(node, min direct neighbor) — one aggregation
     // that equals the first propagation round for free; near-dup
@@ -127,13 +132,15 @@ object Llm3 {
     while (!converged && iter < 60) {
       val nb = und.join(labels, col("d2") === col("node"))
         .groupBy(col("d1")).agg(min(col("label")).as("nb_min"))
+      // carry the previous label through the round so convergence is a
+      // filter over the ALREADY-materialized checkpoint — no extra
+      // next⋈labels comparison join per round
       val next = labels.join(nb, col("node") === col("d1"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("prev_label"),
           least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"))
         .localCheckpoint()
-      converged = next.as("a").join(labels.as("b"), col("a.node") === col("b.node"))
-        .where(col("a.label") =!= col("b.label")).limit(1).count() == 0
-      labels = next
+      converged = next.where(col("label") =!= col("prev_label")).limit(1).count() == 0
+      labels = next.select(col("node"), col("label"))
       iter += 1
     }
     // fail loudly rather than return split components: a chain longer than
