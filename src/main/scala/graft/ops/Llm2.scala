@@ -199,9 +199,30 @@ object Llm2 {
       .orderBy("doc_id")
   }
 
+  /** Multimodal video frame-sampling plumbing: the decode STUB maps each
+    * payload to a fake 25 fps frame sequence (1 frame per char — a real
+    * demuxer would replace this line only), then uniform-samples 4 frames
+    * at j·n/4 and emits one row per sampled frame with its index and
+    * timestamp. Row-local arithmetic + explode — the frame-sample pass of
+    * a video preprocessing pipeline shuffles nothing before its sink.
+    * Division is explicit /4.0 + floor: Spark `/` on integers is double
+    * division while DuckDB's is integer — the literal keeps both engines
+    * on the same (floor-of-double) semantics. */
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .where(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_frames"))
+      .withColumn("frame_idx", explode(array_distinct(
+        transform(sequence(lit(0), lit(3)),
+          j => floor(j * col("n_frames") / lit(4.0)).cast("long")))))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        (col("frame_idx") * lit(40L)).as("frame_ts_ms"))
+      .orderBy("doc_id", "frame_idx")
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_frame_sample" -> (mmFrameSample _),
     "llm_kmeans_step" -> (kmeansStep _),
     "mm_resize_feature" -> (mmResizeFeature _),
     "llm_ivf_ann" -> (ivfAnn _),
@@ -218,6 +239,17 @@ object Llm2 {
     s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
   val oracles: Map[String, String] = Map(
+    "mm_frame_sample" ->
+      """WITH f AS (
+           SELECT doc_id, CAST(n_chars AS BIGINT) AS n_frames
+           FROM documents WHERE n_chars > 0),
+         i AS (
+           SELECT doc_id, n_frames,
+             unnest(list_distinct(list_transform(range(0, 4),
+               j -> CAST(FLOOR(j * n_frames / 4.0) AS BIGINT)))) AS frame_idx
+           FROM f)
+         SELECT doc_id, n_frames, frame_idx, frame_idx * 40 AS frame_ts_ms
+         FROM i ORDER BY doc_id, frame_idx""",
     "llm_ivf_ann" ->
       s"""WITH ex AS (SELECT label, vec_id,
             CAST(unnest(embedding) AS DOUBLE) AS x,
