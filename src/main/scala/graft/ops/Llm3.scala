@@ -286,7 +286,23 @@ object Llm3 {
       .orderBy("source", "bin")
   }
 
+  /** Deterministic training-shard assignment + balance audit: doc →
+    * shard `h48(doc_id) % 16`, then per-shard doc and token totals — the
+    * layout check a distributed trainer runs before consuming shards.
+    * The portable h48 makes assignment reproducible across engines,
+    * partitionings and reruns; one groupBy on a 16-value key, which
+    * map-side combine collapses almost entirely before the shuffle. */
+  def shardAssign(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(pmod(h48(col("doc_id").cast("string")), lit(16L)).as("shard"),
+        size(filter(split(col("text"), " "), w => w =!= lit("")))
+          .cast("long").as("n_tokens"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy("shard")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_shard_assign" -> (shardAssign _),
     "llm_pack_context" -> (packContext _),
     "llm_repetition_filter" -> (repetitionFilter _),
     "llm_bpe_pairs" -> (bpePairs _),
@@ -299,6 +315,14 @@ object Llm3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "sample_shard_assign" ->
+      s"""WITH d AS (
+            SELECT (${graft.Tables.h48Sql("CAST(doc_id AS VARCHAR)")}) % 16 AS shard,
+              CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+                AS n_tokens
+            FROM documents)
+          SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+          FROM d GROUP BY shard ORDER BY shard""",
     "llm_pack_context" ->
       """WITH d AS (
            SELECT doc_id, source,
