@@ -218,8 +218,39 @@ object Joins {
       .orderBy("user_id", "first_view_id")
   }
 
+  /** CEP after-match SKIP strategies contrasted on one pattern (Flink
+    * `AfterMatchSkipStrategy.skipToNext()` vs `skipPastLastEvent()` for
+    * `click click`): within each MAXIMAL run of L consecutive clicks,
+    * skip-to-next admits every overlapping pair (L−1 matches) while
+    * skip-past-last restarts after each match (⌊L/2⌋ matches). Per user:
+    * both counts + the longest run. Same gaps-and-islands machinery as
+    * [[cepKleeneTimeout]]; the island aggregate and the per-user rollup
+    * both reuse the single user_id window shuffle. Division is explicit
+    * /2.0+floor for cross-engine parity. */
+  def cepSkipStrategies(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .withColumn("is_start", when(col("event_type") === "click" &&
+        (col("prev_type").isNull || col("prev_type") =!= "click"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("is_start")).over(byUser))
+      .where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len") - 1).as("n_skip_to_next"),
+        sum(floor(col("len") / lit(2.0)).cast("long")).as("n_skip_past_last"),
+        max(col("len")).as("longest_run"))
+      .where(col("n_skip_to_next") > 0)
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cep_click_click_purchase" -> (cepClickClickPurchase _),
+    "cep_skip_strategies" -> (cepSkipStrategies _),
     "cep_kleene_timeout" -> (cepKleeneTimeout _),
     "join_asof_click_before_purchase" -> (joinAsofClickBeforePurchase _),
     "join_orders_customer" -> (joinOrdersCustomer _),
@@ -235,6 +266,25 @@ object Joins {
   private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "cep_skip_strategies" ->
+      s"""WITH seq AS (
+            SELECT user_id, event_id, event_type, epoch_us($evTs) AS ts_us,
+              row_number() OVER w AS rn, lag(event_type) OVER w AS prev_type
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY $evTs, event_id)),
+          x AS (SELECT *, CASE WHEN event_type = 'click'
+              AND (prev_type IS NULL OR prev_type <> 'click')
+              THEN 1 ELSE 0 END AS is_start FROM seq),
+          y AS (SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY rn)
+              AS island FROM x),
+          runs AS (SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len
+            FROM y WHERE event_type = 'click' GROUP BY 1, 2)
+          SELECT user_id,
+            CAST(SUM(len - 1) AS BIGINT) AS n_skip_to_next,
+            CAST(SUM(CAST(FLOOR(len / 2.0) AS BIGINT)) AS BIGINT) AS n_skip_past_last,
+            MAX(len) AS longest_run
+          FROM runs GROUP BY user_id
+          HAVING CAST(SUM(len - 1) AS BIGINT) > 0
+          ORDER BY user_id""",
     "cep_kleene_timeout" ->
       s"""WITH seq AS (
             SELECT user_id, event_id, event_type, epoch_us($evTs) AS ts_us,
