@@ -188,6 +188,11 @@ class PlanSpec extends SparkTestBase {
     assert("Exchange".r.findAllIn(p).size <= 2, s"one key shuffle + final sort:\n$p")
   }
 
+  test("cep skip strategies: island agg and user rollup reuse the window shuffle") {
+    val p = plan(ops.Joins.cepSkipStrategies(spark, sf0001))
+    assert("Exchange".r.findAllIn(p).size <= 2, s"one key shuffle + final sort:\n$p")
+  }
+
   test("profile pass is genuinely one scan (single agg + stack unpivot)") {
     val p = plan(ops.Analytics.profileEventsColumns(spark, sf0001))
     assert("Scan parquet".r.findAllIn(p).size === 1, s"one scan only:\n$p")
