@@ -36,6 +36,43 @@ class StorageSpec extends SparkTestBase {
     }
   }
 
+  test("bucketed+sorted single-file-per-bucket join needs neither exchange NOR sort") {
+    // The full 100 TB fact⋈fact shape: when each bucket is ONE file written
+    // in sortBy order, the scan reports its sort order and the sort-merge
+    // join consumes it directly — the plan has no Exchange and no Sort, so
+    // the join cost is a pure streaming merge of co-located partitions.
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucketed1f")
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(bcast)
+    spark.conf.set(bcast, "-1")
+    try {
+      // repartition on the bucket column uses the same murmur3 pmod as
+      // bucketBy, so each task holds exactly one bucket → one file each
+      Tables.orders(spark, sf0001).repartition(8, col("o_orderkey")).write
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$dir/o_b1").mode("overwrite").saveAsTable("o_b1")
+      Tables.lineitem(spark, sf0001).repartition(8, col("l_orderkey")).write
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$dir/l_b1").mode("overwrite").saveAsTable("l_b1")
+      val j = spark.table("o_b1").join(spark.table("l_b1"),
+        col("o_orderkey") === col("l_orderkey"))
+      val plan = j.queryExecution.executedPlan
+      val planStr = plan.toString()
+      assert(planStr.contains("SortMergeJoin"), planStr)
+      assert(!planStr.contains("Exchange"), s"must not shuffle:\n$planStr")
+      val sorts = plan.collect { case s: org.apache.spark.sql.execution.SortExec => s }
+      assert(sorts.isEmpty, s"single-file sorted buckets must not re-sort:\n$planStr")
+      val expected = Tables.orders(spark, sf0001).join(
+        Tables.lineitem(spark, sf0001),
+        col("o_orderkey") === col("l_orderkey")).count()
+      assert(j.count() === expected)
+    } finally {
+      spark.conf.set(bcast, prev)
+      spark.sql("DROP TABLE IF EXISTS o_b1")
+      spark.sql("DROP TABLE IF EXISTS l_b1")
+    }
+  }
+
   test("partitioned parquet write + partition pruning in the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     Tables.events(spark, sf0001).write
@@ -79,8 +116,15 @@ class StorageSpec extends SparkTestBase {
       s"lang predicate should reach the CSV scan:\n$plan")
     assert(filtered.count() === docs.where(col("lang") === "en").count())
     // column pruning: the wide text column must not be parsed for this
-    // projection (CSV scan reports its pruned ReadSchema)
-    assert(!plan.contains("text"), s"text should be pruned from the CSV scan:\n$plan")
+    // projection. Assert on the scan's ReadSchema fragment specifically —
+    // a whole-plan substring match would trip on any incidental "text" in
+    // a temp path or codec name.
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema"))
+      .getOrElse(fail(s"no ReadSchema in CSV scan plan:\n$plan"))
+    assert(readSchema.contains("doc_id") && readSchema.contains("lang"), readSchema)
+    assert(!readSchema.contains("text"),
+      s"text should be pruned from the CSV ReadSchema: $readSchema")
   }
 
   test("A5/A6: ORC source/sink roundtrip preserves the lineitem table") {
