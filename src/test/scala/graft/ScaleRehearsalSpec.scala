@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal: the closest local proxy for the 100× question.
+  *
+  * Synthesizes a ~10× corpus from the sf0.01 fixtures (self-union with id
+  * remap — 100k events / 5k documents / 5k embeddings) into a temp dir with
+  * the fixture layout, then runs the heavy query family against it through
+  * the same `SparkEntry.queries` entry points the driver uses, asserting
+  * (a) completion within a wall bound that a quadratic blow-up would blast
+  * through, and (b) the plan invariants that make each shape scale-safe —
+  * no nested-loop/cartesian pair join, bounded Exchange counts — hold on
+  * the scaled data exactly as they do on the fixture.
+  *
+  * The replica structure is deliberately adversarial for the dedup family:
+  * each logical document appears 10× under distinct ids, so the banded
+  * candidate generators face dense 10-cliques of true duplicates — the
+  * worst realistic collision profile — rather than a diluted corpus.
+  */
+class ScaleRehearsalSpec extends SparkTestBase {
+
+  private val K = 10
+  private val sf001 = "/root/testdata/sf0.01"
+
+  private lazy val scaledDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scale10x").toString
+    // events.ts is parquet ns → read raw as long (the rewrite keeps ts as a
+    // plain int64 column, which Tables.events normalizes identically)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def times10(df: DataFrame, idCols: Seq[String]): DataFrame =
+      (0 until K).map { i =>
+        idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) * K + lit(i.toLong)))
+      }.reduce(_ union _)
+    times10(Tables.table(spark, sf001, "documents"), Seq("doc_id"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    times10(Tables.table(spark, sf001, "embeddings"), Seq("vec_id"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    times10(Tables.table(spark, sf001, "events"), Seq("event_id", "user_id"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, scaledDir).queryExecution.executedPlan.toString()
+
+  private def runTimed(name: String): (Long, Double) = {
+    val t0 = System.nanoTime()
+    val n = SparkEntry.queries(name)(spark, scaledDir).count()
+    (n, (System.nanoTime() - t0) / 1e9)
+  }
+
+  test("10x corpus materializes with the expected cardinalities") {
+    assert(Tables.table(spark, scaledDir, "documents").count() === 5000L)
+    assert(Tables.table(spark, scaledDir, "embeddings").count() === 5000L)
+    assert(Tables.events(spark, scaledDir).count() === 100000L)
+  }
+
+  test("llm_sim_topk at 10x: completes, still no pair-join node in the plan") {
+    val p = planOf("llm_sim_topk")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val (n, secs) = runTimed("llm_sim_topk")
+    assert(n > 0)
+    assert(secs < 60.0, s"sim_topk took $secs s at 10x — kernel no longer linear?")
+  }
+
+  test("llm_dedup_near at 10x duplicate density: banded path completes, finds the replica cliques") {
+    val p = planOf("llm_dedup_near")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val (n, secs) = runTimed("llm_dedup_near")
+    // every replica pair of a kept doc is an exact dup (J=1) → pairs must
+    // vastly exceed the single-copy fixture's count
+    assert(n > 1000L, s"expected dense replica-clique pairs, got $n")
+    assert(secs < 60.0, s"dedup_near took $secs s at 10x — banding broken?")
+  }
+
+  test("llm_dedup_clusters at 10x: Pregel rounds converge, components are replica-closed") {
+    val (n, secs) = runTimed("llm_dedup_clusters")
+    assert(n > 0)
+    assert(secs < 90.0, s"dedup_clusters took $secs s at 10x")
+    // replicas of the same source doc carry identical text → they must land
+    // in one component: no label group may split a replica family
+    val labels = SparkEntry.queries("llm_dedup_clusters")(spark, scaledDir)
+    val cols = labels.columns
+    val (node, lab) = (cols(0), cols(1))
+    val split = labels
+      .withColumn("family", (col(node) / K).cast("long"))
+      .groupBy("family").agg(countDistinct(col(lab)).as("nlab"))
+      .where(col("nlab") > 1).count()
+    assert(split === 0L, s"$split replica families split across components")
+  }
+
+  test("cdc_scd2_intervals at 10x users: one key shuffle + output sort, same as fixture") {
+    val p = planOf("cdc_scd2_intervals")
+    assert("Exchange".r.findAllIn(p).size <= 2, s"scd2 must stay within one key shuffle + sort:\n$p")
+    val (n, secs) = runTimed("cdc_scd2_intervals")
+    assert(n > 0)
+    assert(secs < 60.0, s"scd2 took $secs s at 10x")
+  }
+
+  test("no driver-collect cap is violated by the 10x corpus") {
+    // the bounded brute baselines must still fit their caps at 10x (5000
+    // rows ≪ the 100k boundedCollect cap / 4096 query cap) — this pins
+    // that the rehearsal exercises the REAL code path, not a fallback
+    val embBrute = SparkEntry.queries("llm_dedup_embed")(spark, scaledDir)
+    assert(embBrute.count() > 0)
+  }
+}
