@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.functions.sqrt
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Native Catalyst expressions for array math on embedding columns.
   *
@@ -58,16 +58,85 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection size of two SORTED, distinct-element string arrays via a
+  * two-pointer merge — no per-row hash-set build, no intermediate array.
+  *
+  * Why: `array_intersect` constructs a hash set per invocation; on the
+  * prefix-filtered Jaccard verify stage (4.2M candidate pairs at sf0.1)
+  * that measured ~5 µs/row and, evaluated both in the join condition and
+  * the projection, dominated the query (≈40 of 46 s). The merge loop is a
+  * straight comparison scan inside whole-stage codegen.
+  *
+  * Precondition (callers': see [[graft.ops.Llm.dedupJaccardPrefix]]): both
+  * arrays ascending-sorted with distinct non-null elements, as produced by
+  * `sort_array(collect_set(_))` — UTF8String binary order, the same order
+  * this merge compares by. */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sorted_intersect_size"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (n1, n2) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var s = 0L
+    while (i < n1 && j < n2) {
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { s += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n1 = ctx.freshName("n1")
+      val n2 = ctx.freshName("n2")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      s"""
+         |final int $n1 = $x.numElements();
+         |final int $n2 = $y.numElements();
+         |int $i = 0; int $j = 0; long $s = 0L;
+         |while ($i < $n1 && $j < $n2) {
+         |  final int $c = $x.getUTF8String($i).compareTo($y.getUTF8String($j));
+         |  if ($c == 0) { $s++; $i++; $j++; }
+         |  else if ($c < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
 object ArrayMath {
-  /** Expose the kernel to the SQL surface as `graft_dot_product(a, b)`. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Expose the kernels to the SQL surface. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot_product", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sorted_intersect_size",
+      exprs => SortedIntersectSize(exprs.head, exprs(1)), "built-in")
+  }
 
   /** Column API: sequential-order dot product of two double arrays. */
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API: |a ∩ b| for sorted distinct string arrays (see
+    * [[SortedIntersectSize]] preconditions). */
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SortedIntersectSize(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** L2 norm via the same kernel (dot(a,a) then sqrt). */
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))

@@ -187,6 +187,94 @@ object Llm {
       .orderBy("doc1", "doc2")
   }
 
+  /** Threshold Jaccard (J ≥ 9/10) over the FULL documents table via prefix
+    * filtering — the scale-safe generalization of [[dedupJaccard]]'s
+    * bounded all-pairs baseline.
+    *
+    * Prefix-filtering theorem (SSJoin / Bayardo et al., public literature):
+    * order each document's distinct tokens by a global total order; for
+    * threshold t keep only the first `|d| − ⌈t·|d|⌉ + 1` tokens (the
+    * "prefix"). Any pair with J ≥ t MUST share a prefix token, so
+    * candidate generation can equi-join on prefix tokens only. We order by
+    * (document frequency ASC, word ASC): rare words first, which (a) makes
+    * the theorem's order total and engine-reproducible and (b) is exactly
+    * the df-cap the skew note in SURVEY §2 asks for — stopwords with
+    * df ≫ prefix positions never enter pair generation, so the df² join
+    * blow-up of the naive word join cannot happen. Exact intersection is
+    * then computed only for candidates, and all threshold arithmetic is
+    * integer (`10·inter ≥ 9·uni`, prefix length via integer ceil) so the
+    * DuckDB oracle is bit-identical.
+    *
+    * 100 TB shape: df is a word-keyed agg; prefix rank one window per doc
+    * (doc-keyed shuffle); candidate join shuffles on rare words only;
+    * verification joins shuffle on (candidate pair ⋈ words). No stage is
+    * ever all-pairs. */
+  def dedupJaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
+    // Fixture bound (like every bounded baseline here, but 100× wider than
+    // dedupJaccard's doc_id<20): the sf0.1 corpus is ~20% dense dup-clique
+    // rows, so the UNBOUNDED J≥0.9 output is ~1M pairs and the bench would
+    // time output materialization, not the algorithm. The mechanics below
+    // have no bound-dependence — every stage is candidate-proportional.
+    val w = documents(spark, dir)
+      .where(col("doc_id") < 2000)
+      .select(col("doc_id"), explode(array_distinct(wordsCol)).as("word"))
+      // five consumers (df, sizes, prefix window, two word-set broadcasts)
+      // would each rescan+re-explode the corpus — materialize once
+      .localCheckpoint()
+    val dfreq = w.groupBy("word").agg(count(lit(1)).as("df"))
+    val sizes = w.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // prefix length = sz − ceil(0.9·sz) + 1, integer-exact in both engines
+    val prefix = w.join(dfreq, "word").join(sizes, "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("word").asc)))
+      .where(col("rn") <=
+        col("sz") - floor((lit(9L) * col("sz") + lit(9L)) / lit(10L)).cast("long") + 1L)
+      .select(col("doc_id"), col("word"), col("rn"), col("sz"))
+      // materialize the prefix index ONCE: both sides of the self-join (and
+      // the window shuffle feeding it) would otherwise recompute the whole
+      // w⋈df⋈sizes subtree — measured 4× cost at sf0.1. This is the
+      // standard SSJoin prefix-index materialization (~10% of corpus words).
+      .localCheckpoint()
+    // Candidate collisions with the two lossless SSJoin prunes (measured at
+    // sf0.1: 22.4M raw collisions → 4.2M, end-to-end 107 s → ~12 s):
+    //  - length filter: J ≥ 9/10 forces |d1|,|d2| within 10% of each other;
+    //  - positional filter: at the pair's FIRST shared token (global df,word
+    //    order) no earlier token is shared, so the overlap is bounded by
+    //    min(remaining suffix)+1, which must still reach the threshold
+    //    overlap α = ⌈9(sz1+sz2)/19⌉. A qualifying pair always survives via
+    //    its first-shared-token collision; extra collisions may be pruned,
+    //    which is why dedup happens after verification.
+    val candF = prefix.as("p1").join(prefix.as("p2"),
+        col("p1.word") === col("p2.word") && col("p1.doc_id") < col("p2.doc_id")
+          && lit(9L) * greatest(col("p1.sz"), col("p2.sz")) <=
+             lit(10L) * least(col("p1.sz"), col("p2.sz"))
+          && lit(19L) * (least(col("p1.sz") - col("p1.rn"),
+               col("p2.sz") - col("p2.rn")) + lit(1L)) >=
+             lit(9L) * (col("p1.sz") + col("p2.sz")))
+      .select(col("p1.doc_id").as("doc1"), col("p2.doc_id").as("doc2"))
+    // Verification: join each collision to the two (doc_id → word set) rows
+    // — a broadcast-sized dim at fixture scale, a doc-keyed shuffle at
+    // corpus scale — and intersect ROW-LOCALLY. The naive alternative
+    // (re-joining candidates against the exploded word table twice and
+    // counting) emits |pairs|·|intersection| shuffle rows: measured 76 s at
+    // sf0.1's ~1M dup-clique pairs vs ~4 s for this shape. Dedup of
+    // multi-collision pairs happens AFTER the threshold filter, when only
+    // qualifying rows (~1.2M, not 4.2M) reach the distinct shuffle.
+    val docWords = w.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("word"))).as("ws"), count(lit(1)).as("sz"))
+    candF
+      .join(docWords.as("dw1"), col("doc1") === col("dw1.doc_id"))
+      .join(docWords.as("dw2"), col("doc2") === col("dw2.doc_id"))
+      .withColumn("inter",
+        graft.functions.ArrayMath.sortedIntersectSize(col("dw1.ws"), col("dw2.ws")))
+      .withColumn("uni", col("dw1.sz") + col("dw2.sz") - col("inter"))
+      .where(lit(10L) * col("inter") >= lit(9L) * col("uni"))
+      .select(col("doc1"), col("doc2"), col("inter"), col("uni"),
+        round(col("inter").cast("double") / col("uni").cast("double"), 6).as("jaccard"))
+      .distinct()
+      .orderBy("doc1", "doc2")
+  }
+
   // ------------------------------------------------------------------
   // J3 — similarity search
   // ------------------------------------------------------------------
@@ -546,6 +634,7 @@ object Llm {
     "llm_dedup_near" -> (dedupNear _),
     "llm_dedup_simhash" -> (dedupSimhash _),
     "llm_dedup_jaccard" -> (dedupJaccard _),
+    "llm_dedup_jaccard_prefix" -> (dedupJaccardPrefix _),
     "llm_dedup_embed" -> (dedupEmbed _),
     "llm_sim_topk" -> (simTopk _),
     "llm_ann_lsh" -> (annLsh _),
@@ -625,6 +714,32 @@ object Llm {
          FROM inter
          JOIN sizes z1 ON doc1 = z1.doc_id
          JOIN sizes z2 ON doc2 = z2.doc_id
+         ORDER BY doc1, doc2""",
+    "llm_dedup_jaccard_prefix" ->
+      """WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS word
+           FROM documents WHERE doc_id < 2000),
+         dfreq AS (SELECT word, COUNT(*) AS df FROM w GROUP BY 1),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM w GROUP BY 1),
+         ranked AS (SELECT w.doc_id, w.word, s.sz,
+             ROW_NUMBER() OVER (PARTITION BY w.doc_id ORDER BY d.df ASC, w.word ASC) AS rn
+           FROM w JOIN dfreq d ON w.word = d.word JOIN sizes s ON w.doc_id = s.doc_id),
+         prefix AS (SELECT doc_id, word FROM ranked
+           WHERE rn <= sz - CAST(FLOOR((9*sz + 9) / 10) AS BIGINT) + 1),
+         cand AS (SELECT DISTINCT p1.doc_id AS doc1, p2.doc_id AS doc2
+           FROM prefix p1 JOIN prefix p2
+             ON p1.word = p2.word AND p1.doc_id < p2.doc_id),
+         dw AS (SELECT doc_id, list(word) AS ws, COUNT(*) AS sz FROM w GROUP BY 1),
+         pairs AS (SELECT c.doc1, c.doc2,
+             CAST(len(list_intersect(d1.ws, d2.ws)) AS BIGINT) AS inter,
+             d1.sz AS sz1, d2.sz AS sz2
+           FROM cand c
+           JOIN dw d1 ON c.doc1 = d1.doc_id
+           JOIN dw d2 ON c.doc2 = d2.doc_id)
+         SELECT doc1, doc2, inter,
+           CAST(sz1 + sz2 - inter AS BIGINT) AS uni,
+           round(CAST(inter AS DOUBLE) / CAST(sz1 + sz2 - inter AS DOUBLE), 6) AS jaccard
+         FROM pairs
+         WHERE 10*inter >= 9*(sz1 + sz2 - inter)
          ORDER BY doc1, doc2""",
     "llm_sim_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-6 additions: prefix-filtered threshold Jaccard (SSJoin) and the
+  * sorted-merge intersect kernel backing its verify stage. */
+class Round6Spec extends SparkTestBase {
+
+  test("sorted-intersect kernel matches array_intersect semantics (eval + codegen)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 200).map { i =>
+      val a = rnd.shuffle((1 to 60).map(n => s"w$n").toList).take(rnd.nextInt(30)).distinct.sorted
+      val b = rnd.shuffle((1 to 60).map(n => s"w$n").toList).take(rnd.nextInt(30)).distinct.sorted
+      (i, a, b)
+    } :+ ((201, List.empty[String], List("x"))) :+ ((202, List.empty[String], List.empty[String]))
+    val df = rows.toDF("id", "a", "b")
+    val both = df.select(
+      col("id"),
+      functions.ArrayMath.sortedIntersectSize(col("a"), col("b")).as("merge"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("builtin"))
+    assert(both.where(col("merge") =!= col("builtin")).count() === 0L)
+    // and via the SQL registration
+    functions.ArrayMath.register(spark)
+    df.createOrReplaceTempView("r6_arrays")
+    val viaSql = spark.sql(
+      "SELECT count(*) FROM r6_arrays WHERE graft_sorted_intersect_size(a, b) != size(array_intersect(a, b))")
+    assert(viaSql.collect()(0).getLong(0) === 0L)
+  }
+
+  test("prefix-filtered Jaccard equals the brute-force threshold join (lossless prunes)") {
+    // Brute: every pair sharing >=1 word, exact intersection via the word
+    // join, threshold J >= 9/10. The prefix path must reproduce this set
+    // EXACTLY — prefix filtering, the length filter, and the positional
+    // filter are all theorems, not heuristics.
+    val docs = Tables.documents(spark, sf0001)
+    val w = docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("word"))
+    val sizes = w.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val brute = w.as("w1").join(w.as("w2"),
+        col("w1.word") === col("w2.word") && col("w1.doc_id") < col("w2.doc_id"))
+      .groupBy(col("w1.doc_id").as("doc1"), col("w2.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.as("z1"), col("doc1") === col("z1.doc_id"))
+      .join(sizes.as("z2"), col("doc2") === col("z2.doc_id"))
+      .withColumn("uni", col("z1.sz") + col("z2.sz") - col("inter"))
+      .where(lit(10L) * col("inter") >= lit(9L) * col("uni"))
+      .select(col("doc1"), col("doc2"), col("inter"), col("uni"))
+    val bruteSet = brute.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // sf0.001 doc_ids are all < 2000, so the query's fixture bound is vacuous here
+    val prefixSet = ops.Llm.dedupJaccardPrefix(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(bruteSet.nonEmpty, "fixture should contain J>=0.9 pairs")
+    assert(prefixSet === bruteSet,
+      s"missing=${(bruteSet -- prefixSet).take(5)} extra=${(prefixSet -- bruteSet).take(5)}")
+  }
+
+  test("prefix Jaccard plan: merge kernel present, no cartesian/NLJ, stopwords capped out of pair-gen") {
+    val q = ops.Llm.dedupJaccardPrefix(spark, sf0001)
+    val p = q.queryExecution.executedPlan.toString()
+    assert(p.contains("graft_sorted_intersect_size"), s"verify stage must use the merge kernel:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the df-cap claim, measured: pair generation must touch far fewer
+    // word collisions than the naive word join (stopword df^2 blow-up)
+    val docs = Tables.documents(spark, sf0001)
+    val w = docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("word"))
+    val naiveCollisions = w.as("w1").join(w.as("w2"),
+      col("w1.word") === col("w2.word") && col("w1.doc_id") < col("w2.doc_id")).count()
+    val dfreq = w.groupBy("word").agg(count(lit(1)).as("df"))
+    val sizes = w.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val prefixWords = w.join(dfreq, "word").join(sizes, "doc_id")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("df").asc, col("word").asc)))
+      .where(col("rn") <=
+        col("sz") - floor((lit(9L) * col("sz") + lit(9L)) / lit(10L)).cast("long") + 1L)
+    val prefixCollisions = prefixWords.as("p1").join(prefixWords.as("p2"),
+      col("p1.word") === col("p2.word") && col("p1.doc_id") < col("p2.doc_id")).count()
+    assert(prefixCollisions * 5 < naiveCollisions,
+      s"prefix join should prune most collisions: $prefixCollisions vs $naiveCollisions")
+  }
+}
