@@ -283,6 +283,22 @@ object Streams {
   def streamStaticEnrich(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), Seq("user_id"), "left")
 
+  /** C7 completion — UPDATING broadcast state (Flink's broadcast stream can
+    * mutate the dimension mid-stream): re-resolve the dimension from
+    * storage at EVERY micro-batch inside `foreachBatch`, so batch N joins
+    * the dimension as of batch N, not as of query start. This is the
+    * closest Structured Streaming analogue to a broadcast-state update;
+    * the per-batch re-read is a small broadcast dim by contract (the same
+    * size class Flink holds in per-task broadcast state). */
+  def foreachBatchDimRefresh(events: DataFrame, dimPath: String)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val dim = batch.sparkSession.read.parquet(dimPath)
+        sink(batch.toDF().join(broadcast(dim), Seq("user_id"), "left"), id)
+      }
+
   /** I8 — late-data side-output (Flink `OutputTag`/`sideOutputLateData`
     * analogue, the documented SS semantics gap §2.I8): Structured Streaming
     * drops late rows only at *stateful* operators, so a watermarked

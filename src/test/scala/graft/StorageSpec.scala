@@ -127,6 +127,26 @@ class StorageSpec extends SparkTestBase {
       s"text should be pruned from the CSV ReadSchema: $readSchema")
   }
 
+  test("avro wire format: failure mode pinned (spark-avro module jar absent zero-egress)") {
+    // The canonical Flink-example wire format. Spark ships avro-1.12.1.jar
+    // (the core library) but NOT the spark-avro module that registers
+    // format("avro") / from_avro / to_avro, and this container is
+    // zero-egress — so, as with kafka (SourcesSpec A2/A8), the honest
+    // ceiling is pinning the format-lookup failure so the gap is explicit
+    // and the wiring is exercised to the DataSource-resolution boundary.
+    // On a cluster with spark-avro on the classpath the same calls
+    // round-trip like the ORC/CSV/JSONL cases above.
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro").toString
+    val e = intercept[Exception] {
+      Tables.region(spark, sf0001).write.format("avro").mode("overwrite").save(dir)
+    }
+    assert(e.getMessage.toLowerCase.contains("avro"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.read.format("avro").load(dir)
+    }
+    assert(e2.getMessage.toLowerCase.contains("avro"), e2.getMessage)
+  }
+
   test("A5/A6: ORC source/sink roundtrip preserves the lineitem table") {
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
     val src = Tables.lineitem(spark, sf0001)

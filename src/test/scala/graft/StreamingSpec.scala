@@ -475,6 +475,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("C7: updating broadcast dim — batch N joins the dim as refreshed before batch N") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dim").toString
+    Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+      .write.mode("overwrite").parquet(dimDir)
+    val ms = MemoryStream[Event]
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    val q = Streams.foreachBatchDimRefresh(ms.toDF(), dimDir) { (df, _) =>
+      df.select($"event_id", $"segment").collect()
+        .foreach(r => seen.put(r.getLong(0), Option(r.getString(1)).getOrElse("none")): Unit)
+    }.start()
+    try {
+      ms.addData(ev(1, "2024-01-01 12:00:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(seen.asScala.toMap === Map(1L -> "gold"))
+      // control-stream update: the dimension changes BETWEEN micro-batches
+      Seq((1L, "platinum"), (2L, "silver")).toDF("user_id", "segment")
+        .write.mode("overwrite").parquet(dimDir)
+      ms.addData(ev(2, "2024-01-01 12:01:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(seen.asScala.toMap === Map(1L -> "gold", 2L -> "platinum"),
+        s"batch 2 must see the refreshed dim: $seen")
+    } finally q.stop()
+  }
+
   test("I8: foreachBatch side-output captures late rows instead of dropping them") {
     val s = spark
     import s.implicits._
