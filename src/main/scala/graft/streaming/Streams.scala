@@ -137,7 +137,18 @@ object Streams {
     * event-time timer fires the timed-out partial match when the watermark
     * passes first_view + span — exactly Flink's `PatternStream` timeout
     * channel. Per-key state is one small case class regardless of run
-    * length. */
+    * length.
+    *
+    * Known twin divergence (deliberate): if a view run's INTERNAL span
+    * exceeds `spanUs`, the event-time timer can fire mid-run (watermark
+    * advanced by other keys), emitting the run as timed-out and clearing
+    * state — a later view then starts a NEW run, where the batch query
+    * treats all consecutive views as ONE maximal run. This matches Flink's
+    * `within()` contract (a pattern instance cannot outlive its span), so
+    * the streaming side is the more faithful CEP semantics; the batch
+    * surrogate is the relational approximation. StreamingSpec exercises
+    * the twin on data whose runs fit inside the span, where the two
+    * semantics coincide. */
   def kleeneViewsThenPurchase(events: Dataset[Event],
       spanUs: Long = 2L * 24 * 3600 * 1000000L,
       watermark: String = "10 minutes"): Dataset[KleeneMatch] = {

@@ -17,11 +17,15 @@ class CollectGuardSpec extends AnyFunSuite {
   }
 
   test("src/main has no bare collect() outside Tables.boundedCollect") {
-    val hits = for {
-      f <- scalaFiles(new java.io.File("src/main/scala"))
-      (line, i) <- scala.io.Source.fromFile(f, "UTF-8").getLines().zipWithIndex
-      if line.contains(".collect()") || line.contains(".collectAsList()")
-    } yield s"${f.getPath}:${i + 1}: ${line.trim}"
+    val hits = scalaFiles(new java.io.File("src/main/scala")).flatMap { f =>
+      scala.util.Using.resource(scala.io.Source.fromFile(f, "UTF-8")) { src =>
+        src.getLines().zipWithIndex.collect {
+          case (line, i)
+              if line.contains(".collect()") || line.contains(".collectAsList()") =>
+            s"${f.getPath}:${i + 1}: ${line.trim}"
+        }.toList // materialize before the Source closes
+      }
+    }
     val allowed = hits.filter(h =>
       h.contains("Tables.scala") && h.contains("ds.limit(maxRows + 1).collect()"))
     assert(hits == allowed,

@@ -29,12 +29,27 @@ def lint_sum_casts(oracle: dict) -> list:
     Flag every SUM over an integer expression that is not CAST-wrapped.
     Window sums (SUM(...) OVER) are intermediates and exempt; sums over
     DOUBLE/DECIMAL expressions return DOUBLE and are exempt."""
+    # value-preserving wrappers that may legitimately sit between the CAST
+    # and the SUM, e.g. CAST(COALESCE(SUM(x), 0) AS BIGINT)
+    wrappers = {"COALESCE", "ROUND", "ABS", "NULLIF", "GREATEST", "LEAST"}
+
+    def cast_wrapped(pre: str) -> bool:
+        while True:
+            mm = re.search(r"([A-Za-z_]+)\s*\($", pre.rstrip())
+            if not mm:
+                return False
+            fn = mm.group(1).upper()
+            if fn == "CAST":
+                return True
+            if fn not in wrappers:
+                return False
+            pre = pre.rstrip()[:mm.start()]
+
     probs = []
     for name, sql in sorted(oracle.items()):
         for m in re.finditer(r"SUM\s*\(", sql, re.I):
-            pre = sql[:m.start()].rstrip()
-            if re.search(r"CAST\s*\($", pre, re.I):
-                continue  # CAST(SUM(...) AS ...) — already pinned
+            if cast_wrapped(sql[:m.start()]):
+                continue  # CAST(…SUM(...)…) — already pinned
             depth, i = 1, m.end()
             while i < len(sql) and depth:
                 depth += sql[i] == "("
