@@ -69,13 +69,20 @@ case class DotProduct(left: Expression, right: Expression)
   *
   * Precondition (callers': see [[graft.ops.Llm.dedupJaccardPrefix]]): both
   * arrays ascending-sorted with distinct non-null elements, as produced by
-  * `sort_array(collect_set(_))` — UTF8String binary order, the same order
-  * this merge compares by. */
+  * `sort_array(collect_set(_))`. Supports `array<string>` (UTF8String
+  * binary order — sort_array's own order) and `array<bigint>` (numeric
+  * order; the preferred form at scale — primitive `getLong` comparisons,
+  * zero per-element allocation, vs a UTF8String wrapper per element). */
 case class SortedIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_sorted_intersect_size"
+
+  private lazy val longElements: Boolean = left.dataType match {
+    case org.apache.spark.sql.types.ArrayType(LongType, _) => true
+    case _ => false
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -83,7 +90,9 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     val (n1, n2) = (x.numElements(), y.numElements())
     var i = 0; var j = 0; var s = 0L
     while (i < n1 && j < n2) {
-      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      val c =
+        if (longElements) java.lang.Long.compare(x.getLong(i), y.getLong(j))
+        else x.getUTF8String(i).compareTo(y.getUTF8String(j))
       if (c == 0) { s += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
       else j += 1
@@ -99,12 +108,15 @@ case class SortedIntersectSize(left: Expression, right: Expression)
       val n2 = ctx.freshName("n2")
       val s = ctx.freshName("s")
       val c = ctx.freshName("c")
+      val cmp =
+        if (longElements) s"Long.compare($x.getLong($i), $y.getLong($j))"
+        else s"$x.getUTF8String($i).compareTo($y.getUTF8String($j))"
       s"""
          |final int $n1 = $x.numElements();
          |final int $n2 = $y.numElements();
          |int $i = 0; int $j = 0; long $s = 0L;
          |while ($i < $n1 && $j < $n2) {
-         |  final int $c = $x.getUTF8String($i).compareTo($y.getUTF8String($j));
+         |  final int $c = $cmp;
          |  if ($c == 0) { $s++; $i++; $j++; }
          |  else if ($c < 0) { $i++; } else { $j++; }
          |}

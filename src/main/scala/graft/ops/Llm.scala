@@ -215,11 +215,20 @@ object Llm {
     // rows, so the UNBOUNDED J≥0.9 output is ~1M pairs and the bench would
     // time output materialization, not the algorithm. The mechanics below
     // have no bound-dependence — every stage is candidate-proportional.
+    // Words are hashed to portable 48-bit ids up front (the same h48 the
+    // whole MinHash/fingerprint family uses): every downstream compare,
+    // shuffle key, sort and merge is then primitive-long. The string form
+    // of the verify kernel measured 6.1 s end-to-end at sf0.1 against
+    // 1.7 s hashed — UTF8String wrapper allocation per element compare is
+    // the entire difference. DuckDB hashes identically (h48Sql), so a
+    // 48-bit collision — ~1e-6/corpus — would alter both engines equally.
     val w = documents(spark, dir)
       .where(col("doc_id") < 2000)
-      .select(col("doc_id"), explode(array_distinct(wordsCol)).as("word"))
+      .select(col("doc_id"), explode(array_distinct(wordsCol)).as("word_raw"))
+      .select(col("doc_id"), graft.Tables.h48(col("word_raw")).as("word"))
+      .distinct()
       // five consumers (df, sizes, prefix window, two word-set broadcasts)
-      // would each rescan+re-explode the corpus — materialize once
+      // would each rescan+re-explode+re-hash the corpus — materialize once
       .localCheckpoint()
     val dfreq = w.groupBy("word").agg(count(lit(1)).as("df"))
     val sizes = w.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -716,8 +725,9 @@ object Llm {
          JOIN sizes z2 ON doc2 = z2.doc_id
          ORDER BY doc1, doc2""",
     "llm_dedup_jaccard_prefix" ->
-      """WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS word
+      s"""WITH wr AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS word
            FROM documents WHERE doc_id < 2000),
+         w AS (SELECT DISTINCT doc_id, ${h48S("word")} AS word FROM wr),
          dfreq AS (SELECT word, COUNT(*) AS df FROM w GROUP BY 1),
          sizes AS (SELECT doc_id, COUNT(*) AS sz FROM w GROUP BY 1),
          ranked AS (SELECT w.doc_id, w.word, s.sz,

@@ -47,7 +47,11 @@ class Round6Spec extends SparkTestBase {
       .where(lit(10L) * col("inter") >= lit(9L) * col("uni"))
       .select(col("doc1"), col("doc2"), col("inter"), col("uni"))
     val bruteSet = brute.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
-    // sf0.001 doc_ids are all < 2000, so the query's fixture bound is vacuous here
+    // sf0.001 doc_ids are all < 2000, so the query's fixture bound is
+    // vacuous here. The brute side works on RAW WORDS while the query
+    // hashes words to 48-bit ids first — equality therefore also proves
+    // the hashing introduced no effective collision on this corpus (a
+    // collision would show up as an inflated `inter` on the prefix side).
     val prefixSet = ops.Llm.dedupJaccardPrefix(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(bruteSet.nonEmpty, "fixture should contain J>=0.9 pairs")
