@@ -93,6 +93,16 @@ class ScaleRehearsalSpec extends SparkTestBase {
     assert(split === 0L, s"$split replica families split across components")
   }
 
+  test("llm_dedup_jaccard_prefix at 10x duplicate density: SSJoin completes, no pair explosion") {
+    val p = planOf("llm_dedup_jaccard_prefix")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val (n, secs) = runTimed("llm_dedup_jaccard_prefix")
+    // replica families are exact dups (J=1): the threshold set must be
+    // dense with the 10-clique pairs the remap manufactured
+    assert(n > 1000L, s"expected replica-clique pairs, got $n")
+    assert(secs < 60.0, s"jaccard_prefix took $secs s at 10x — prefix filtering broken?")
+  }
+
   test("cdc_scd2_intervals at 10x users: one key shuffle + output sort, same as fixture") {
     val p = planOf("cdc_scd2_intervals")
     assert("Exchange".r.findAllIn(p).size <= 2, s"scd2 must stay within one key shuffle + sort:\n$p")
