@@ -284,6 +284,60 @@ object Llm {
       .orderBy("doc1", "doc2")
   }
 
+  /** SemDeDup (public method: Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication"): cluster the
+    * embedding space, then prune vectors that have a too-similar neighbor
+    * WITHIN their cluster — O(Σ n_c²) cosine pairs instead of O(N²).
+    *
+    * Determinism adaptations for the oracle gate: centroids are the 16
+    * lowest vec_ids (production seeds from k-means — [[Llm2.kmeansStep]]
+    * is the iteration step); the kept representative is the LOWEST vec_id
+    * of a similar group (the paper keeps a random/centroid-far one); the
+    * prune threshold 0.35 is fixture-calibrated (this corpus is
+    * near-isotropic — max pairwise cos 0.51, so the paper's τ≈0.95 would
+    * never fire; on real embeddings set τ high).
+    *
+    * Scale shape: the centroid table is tiny BY CONSTRUCTION (k-means k),
+    * so it is pulled through [[graft.Tables.boundedCollect]] and inlined
+    * as a literal array — assignment is then a row-local `posexplode` +
+    * argmax window, no join node at all (a constant-key equi-join folds to
+    * a BroadcastNestedLoopJoin, which the plan guards rightly ban). Pair
+    * generation shuffles on the CELL key only, so pairs are
+    * cluster-proportional, never all-pairs; the final decision is a left
+    * join back on vec_id. Output: one row per vector (vec_id, cell,
+    * pruned) — rows>0 at any τ. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tau = 0.35
+    val e = withNorm(embeddings(spark, dir).where(col("vec_id") < 2000))
+    val centRows = boundedCollect(
+      e.where(col("vec_id") < 16)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+        .as[(Long, Array[Double], Double)],
+      64, "llm_semdedup centroids").sortBy(_._1).toSeq
+    val assigned = e
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(typedlit(centRows)))
+      .withColumn("cos_c", round(
+        graft.functions.ArrayMath.dotProduct(col("embedding"), col("col._2")) /
+          (col("nrm") * col("col._3")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("col._1").asc)))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("col._1").as("cell"), col("embedding"), col("nrm"))
+    val pruned = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
+      .where(round(
+        graft.functions.ArrayMath.dotProduct(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")), 6) >= tau)
+      .select(col("a.vec_id")).distinct()
+      .withColumn("is_pruned", lit(true))
+    assigned.join(pruned, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("is_pruned"), lit(false)).as("pruned"))
+      .orderBy("vec_id")
+  }
+
   // ------------------------------------------------------------------
   // J3 — similarity search
   // ------------------------------------------------------------------
@@ -644,6 +698,7 @@ object Llm {
     "llm_dedup_simhash" -> (dedupSimhash _),
     "llm_dedup_jaccard" -> (dedupJaccard _),
     "llm_dedup_jaccard_prefix" -> (dedupJaccardPrefix _),
+    "llm_semdedup" -> (semDedup _),
     "llm_dedup_embed" -> (dedupEmbed _),
     "llm_sim_topk" -> (simTopk _),
     "llm_ann_lsh" -> (annLsh _),
@@ -751,6 +806,25 @@ object Llm {
          FROM pairs
          WHERE 10*inter >= 9*(sz1 + sz2 - inter)
          ORDER BY doc1, doc2""",
+    "llm_semdedup" ->
+      s"""WITH ee AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+            FROM embeddings WHERE vec_id < 2000),
+          cent AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+            FROM ee WHERE vec_id < 16),
+          x AS (SELECT e.vec_id, c.cid,
+              round(${dotSql("e.embedding", "c.cemb")} / (e.nrm * c.cnrm), 6) AS cos_c
+            FROM ee e CROSS JOIN cent c),
+          assign AS (SELECT vec_id, cid AS cell FROM
+            (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY cos_c DESC, cid ASC) AS rn FROM x) WHERE rn = 1),
+          pr AS (SELECT DISTINCT a.vec_id
+            FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id > b.vec_id
+            JOIN ee ea ON ea.vec_id = a.vec_id
+            JOIN ee eb ON eb.vec_id = b.vec_id
+            WHERE round(${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm), 6) >= 0.35)
+          SELECT a.vec_id, a.cell, (pr.vec_id IS NOT NULL) AS pruned
+          FROM assign a LEFT JOIN pr ON a.vec_id = pr.vec_id
+          ORDER BY a.vec_id""",
     "llm_sim_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
           scored AS (SELECT q.vec_id AS qid, c.vec_id AS vec_id,

@@ -59,6 +59,25 @@ class Round6Spec extends SparkTestBase {
       s"missing=${(bruteSet -- prefixSet).take(5)} extra=${(prefixSet -- bruteSet).take(5)}")
   }
 
+  test("semdedup: cluster-bounded pruning, keep-lowest invariant, no cartesian in the plan") {
+    val q = ops.Llm.semDedup(spark, sf0001)
+    val p = q.queryExecution.executedPlan.toString()
+    // the 16-row centroid fan-out is a broadcast equi-join on a constant
+    // key, and pair-gen is an equi-join on the cell — never a cartesian
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val rows = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length === 500)
+    assert(rows.count(_._3) > 0, "fixture-calibrated tau must exercise the prune branch")
+    // deterministic keep rule: the lowest vec_id of every cell survives
+    // (it has no lower-id partner to be pruned by)
+    rows.groupBy(_._2).foreach { case (cell, members) =>
+      val lowest = members.minBy(_._1)
+      assert(!lowest._3, s"cell $cell pruned its lowest member $lowest")
+    }
+    // every cell is non-empty and cells partition the corpus
+    assert(rows.map(_._2).distinct.length === 16)
+  }
+
   test("prefix Jaccard plan: merge kernel present, no cartesian/NLJ, stopwords capped out of pair-gen") {
     val q = ops.Llm.dedupJaccardPrefix(spark, sf0001)
     val p = q.queryExecution.executedPlan.toString()
