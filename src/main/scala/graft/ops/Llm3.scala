@@ -183,6 +183,44 @@ object Llm3 {
       .orderBy("doc_id")
   }
 
+  /** Duplicated-span fraction (the cross-corpus substring-duplication
+    * metric of Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", public): for each document, the fraction of
+    * its distinct 3-word shingles that also occur in at least one OTHER
+    * document. This is the measurement that decides how aggressive a
+    * span-level dedup pass must be — distinct from [[Llm.fingerprint]]
+    * (per-doc winnowing sketch, no cross-doc comparison) and
+    * [[decontaminate]] (overlap vs a fixed benchmark set).
+    *
+    * Scale shape: one shingle-keyed aggregation for document frequency
+    * (map-side combinable — shingles repeat heavily), one equi-join of the
+    * per-doc shingle set against it, one doc-keyed aggregation. Shuffle
+    * volume ∝ distinct (doc, shingle) pairs; nothing is pairwise. */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    // zipped-shifted-slices trigrams (codegen'd; an element_at lambda over
+    // `sequence` re-evaluates the split per element — measured 6.9 s vs
+    // 1.3 s at sf0.1), then distinct per (doc, shingle)
+    val sh = documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 2),
+        slice(col("ws"), lit(2), size(col("ws")) - 2),
+        slice(col("ws"), lit(3), size(col("ws")) - 2))).as("g"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("g.0"), col("g.1"), col("g.2")).as("s"))
+      .distinct()
+    // df counts DOCS per shingle (rows are distinct per doc already)
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    sh.join(dfreq, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_shingles").cast("double"), 6))
+      .orderBy("doc_id")
+  }
+
   /** Weighted dataset mixing: deterministic per-source sampling rates
     * (0.05/0.10/0.15/0.20 cycling by source index — the "mixture weights"
     * of a training-data recipe), membership decided by the cross-engine
@@ -307,6 +345,7 @@ object Llm3 {
     "llm_repetition_filter" -> (repetitionFilter _),
     "llm_bpe_pairs" -> (bpePairs _),
     "llm_decontaminate" -> (decontaminate _),
+    "llm_dup_spans" -> (dupSpans _),
     "sample_weighted_mix" -> (sampleWeightedMix _),
     "llm_tfidf_topterms" -> (tfidfTopterms _),
     "llm_wordcount_top20" -> (wordcountTop20 _),
@@ -383,6 +422,20 @@ object Llm3 {
          SELECT doc_id, COUNT(*) AS n_shared_grams, COUNT(*) >= 3 AS contaminated
          FROM corp JOIN bench USING (gram)
          GROUP BY doc_id ORDER BY doc_id""",
+    "llm_dup_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+             WHERE len(string_split(text, ' ')) >= 3),
+         sh AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+           FROM d),
+         dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           round(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+         FROM sh JOIN dfreq USING (s)
+         GROUP BY 1 ORDER BY 1""",
     "sample_weighted_mix" ->
       s"""WITH t AS (
             SELECT source, doc_id,
