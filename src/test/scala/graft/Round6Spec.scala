@@ -78,6 +78,34 @@ class Round6Spec extends SparkTestBase {
     assert(rows.map(_._2).distinct.length === 16)
   }
 
+  test("dup-span fraction: bounds, exact-dup pair implies frac 1.0 on both sides") {
+    val s = spark
+    import s.implicits._
+    val rows = ops.Llm3.dupSpans(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, dup, frac) =>
+      assert(dup <= n && frac >= 0.0 && frac <= 1.0, s"doc $id: $dup/$n frac=$frac")
+    }
+    // hand fixture: two identical docs → every shingle duplicated (frac
+    // 1.0); an unrelated doc shares nothing (frac 0.0)
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q")
+    ).toDF("doc_id", "text")
+    val ws = split(col("text"), " ")
+    val sh = docs.select(col("doc_id"), explode(arrays_zip(
+        slice(ws, lit(1), size(ws) - 2), slice(ws, lit(2), size(ws) - 2),
+        slice(ws, lit(3), size(ws) - 2))).as("g"))
+      .select(col("doc_id"), concat_ws(" ", col("g.0"), col("g.1"), col("g.2")).as("s"))
+      .distinct()
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val got = sh.join(dfreq, "s").groupBy("doc_id")
+      .agg((sum(when(col("df") >= 2, 1L).otherwise(0L)).cast("double") /
+        count(lit(1)).cast("double")).as("frac"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === Map(1L -> 1.0, 2L -> 1.0, 3L -> 0.0))
+  }
+
   test("prefix Jaccard plan: merge kernel present, no cartesian/NLJ, stopwords capped out of pair-gen") {
     val q = ops.Llm.dedupJaccardPrefix(spark, sf0001)
     val p = q.queryExecution.executedPlan.toString()
