@@ -106,6 +106,17 @@ class Round6Spec extends SparkTestBase {
     assert(got === Map(1L -> 1.0, 2L -> 1.0, 3L -> 0.0))
   }
 
+  test("round-6 queries: shuffle budgets pinned") {
+    // dup_spans: (doc,shingle) distinct + shingle-df agg + join alignment +
+    // doc agg + output sort — 6 Exchanges, all key-proportional
+    val p1 = ops.Llm3.dupSpans(spark, sf0001).queryExecution.executedPlan.toString()
+    assert("Exchange".r.findAllIn(p1).size <= 6, s"dup_spans grew a shuffle:\n$p1")
+    // semdedup: argmax window + cell pair join alignment + prune distinct +
+    // decision join + output sort — 5 Exchanges
+    val p2 = ops.Llm.semDedup(spark, sf0001).queryExecution.executedPlan.toString()
+    assert("Exchange".r.findAllIn(p2).size <= 5, s"semdedup grew a shuffle:\n$p2")
+  }
+
   test("prefix Jaccard plan: merge kernel present, no cartesian/NLJ, stopwords capped out of pair-gen") {
     val q = ops.Llm.dedupJaccardPrefix(spark, sf0001)
     val p = q.queryExecution.executedPlan.toString()
