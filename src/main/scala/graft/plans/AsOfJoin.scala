@@ -1,0 +1,165 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.DatasetBridge
+import org.apache.spark.sql.types.LongType
+
+/** The full custom-operator extension point (SURVEY §4.3 preference tier
+  * (c): LogicalPlan + SparkStrategy + SparkPlan, injected via
+  * `SparkSessionExtensions.injectPlannerStrategy`) exercised on the one
+  * operator Spark's planner genuinely lacks: a LEFT AS-OF JOIN executed as
+  * a single streaming merge.
+  *
+  * Semantics: for every left row, attach the LAST right row of the same
+  * key whose (time, tiebreak) is ≤ the left row's (time, tiebreak) —
+  * lexicographically, exactly the `last(...) over (partition by key order
+  * by time, tie rows unbounded preceding..current)` window the composed
+  * form uses ([[graft.ops.Joins.joinAsofClickBeforePurchase]], which
+  * AsOfSpec proves row-identical). Unmatched left rows keep nulls.
+  *
+  * Why a physical operator at 100 TB: the composed window form must
+  * UNION both sides into one shuffle and sort the union, then filter the
+  * probe side back out — every right row is carried through the window
+  * state machine. This exec declares `requiredChildDistribution`
+  * (co-hash-partitioned by key) + `requiredChildOrdering` ((key, time,
+  * tie) ascending), so EnsureRequirements plans each side its own
+  * exchange+sort and the join itself is a zero-allocation per-partition
+  * merge holding ONE buffered right row and ONE remembered match — the
+  * classic sort-merge-as-of kernel, state O(1) regardless of key width.
+  *
+  * Scope: key/time/tie are LongType columns (the fixture's id/µs-epoch
+  * shapes); the driver-facing queries keep using the composed form (it
+  * needs no session extension), while this node is the user-facing
+  * hardened path, active in any session built `.withExtensions(new
+  * GraftExtensions)`.
+  */
+case class GraftAsOfJoin(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Attribute, rightKey: Attribute,
+    leftTime: Attribute, rightTime: Attribute,
+    leftTie: Attribute, rightTie: Attribute) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): GraftAsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner rule: swap the logical node for its exec. `planLater` leaves
+  * the children to Spark's own strategies. */
+object GraftAsOfStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case j: GraftAsOfJoin =>
+      GraftAsOfJoinExec(planLater(j.left), planLater(j.right),
+        j.leftKey, j.rightKey, j.leftTime, j.rightTime, j.leftTie, j.rightTie) :: Nil
+    case _ => Nil
+  }
+}
+
+case class GraftAsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Attribute, rightKey: Attribute,
+    leftTime: Attribute, rightTime: Attribute,
+    leftTie: Attribute, rightTie: Attribute) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // co-hash-partition both sides on the key, sort by (key, time, tie):
+  // EnsureRequirements inserts the exchanges/sorts, AQE may satisfy them
+  // from reused shuffles — the merge below only ever sees aligned input
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending),
+      SortOrder(leftTie, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
+      SortOrder(rightTie, Ascending)))
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): GraftAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  private def ordinal(attrs: Seq[Attribute], a: Attribute): Int = {
+    val i = attrs.indexWhere(_.exprId == a.exprId)
+    require(i >= 0, s"attribute $a not found in $attrs")
+    i
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lki = ordinal(left.output, leftKey)
+    val lti = ordinal(left.output, leftTime)
+    val lci = ordinal(left.output, leftTie)
+    val rki = ordinal(right.output, rightKey)
+    val rti = ordinal(right.output, rightTime)
+    val rci = ordinal(right.output, rightTie)
+    val rightLen = right.output.length
+    val outAttrs = output
+    // bind against the NULLABLE right attrs: binding by the child's own
+    // (non-null) attributes would codegen away the null check and read 0s
+    // out of the all-null unmatched row
+    val inAttrs = left.output ++ right.output.map(_.withNullability(true))
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val proj = UnsafeProjection.create(outAttrs, inAttrs)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rightLen)
+      var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
+      var lastMatch: InternalRow = null
+      var lastKey = 0L
+      lIter.map { l =>
+        val lk = l.getLong(lki)
+        val lt = l.getLong(lti)
+        val lc = l.getLong(lci)
+        if (lastMatch != null && lastKey != lk) lastMatch = null
+        var scanning = true
+        while (scanning && rHead != null) {
+          val rk = rHead.getLong(rki)
+          val take = rk < lk || (rk == lk && {
+            val rt = rHead.getLong(rti)
+            rt < lt || (rt == lt && rHead.getLong(rci) <= lc)
+          })
+          if (take) {
+            // only same-key rows are candidate matches; smaller-key rows
+            // are merely drained (their left partners were earlier or absent)
+            if (rk == lk) { lastMatch = rHead.copy(); lastKey = lk }
+            rHead = if (rIter.hasNext) rIter.next() else null
+          } else scanning = false
+        }
+        proj(joined(l,
+          if (lastMatch != null && lastKey == lk) lastMatch else nullRight))
+      }
+    }
+  }
+}
+
+/** User-facing constructor: `AsOf.join(purchases, clicks, ...)`. Columns
+  * are named per side; all six must be LongType. The session must carry
+  * [[GraftExtensions]] (which injects [[GraftAsOfStrategy]]) or the
+  * planner will reject the node. */
+object AsOf {
+  def join(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      leftTie: String, rightTie: String): DataFrame = {
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not in [${p.output.map(_.name).mkString(", ")}]"))
+    val attrs = Seq(attr(lp, leftKey), attr(rp, rightKey), attr(lp, leftTime),
+      attr(rp, rightTime), attr(lp, leftTie), attr(rp, rightTie))
+    attrs.foreach(a => require(a.dataType == LongType,
+      s"as-of join columns must be LongType; ${a.name} is ${a.dataType}"))
+    DatasetBridge.ofRows(left.sparkSession,
+      GraftAsOfJoin(lp, rp, attrs(0), attrs(1), attrs(2), attrs(3), attrs(4), attrs(5)))
+  }
+}

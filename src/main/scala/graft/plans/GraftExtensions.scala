@@ -40,6 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.DotProduct(exprs.head, exprs(1))
       }))
     ext.injectCheckRule(_ => CartesianGuard)
+    // tier-(c) extension point: the custom as-of join physical operator
+    // ([[GraftAsOfJoinExec]]) becomes plannable in this session
+    ext.injectPlannerStrategy(_ => GraftAsOfStrategy)
   }
 }
 

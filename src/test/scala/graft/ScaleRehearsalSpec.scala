@@ -103,6 +103,16 @@ class ScaleRehearsalSpec extends SparkTestBase {
     assert(secs < 60.0, s"jaccard_prefix took $secs s at 10x — prefix filtering broken?")
   }
 
+  test("llm_dup_spans at 10x duplicate density: df-join stays shingle-proportional") {
+    val (n, secs) = runTimed("llm_dup_spans")
+    assert(n === 5000L, s"one row per (non-trivial) doc expected, got $n")
+    assert(secs < 60.0, s"dup_spans took $secs s at 10x")
+    // replica docs share all shingles → their dup_frac must be 1.0
+    val frac1 = SparkEntry.queries("llm_dup_spans")(spark, scaledDir)
+      .where(col("dup_frac") === 1.0).count()
+    assert(frac1 === 5000L, s"all docs are 10x replicas, got $frac1 at frac 1.0")
+  }
+
   test("cdc_scd2_intervals at 10x users: one key shuffle + output sort, same as fixture") {
     val p = planOf("cdc_scd2_intervals")
     assert("Exchange".r.findAllIn(p).size <= 2, s"scd2 must stay within one key shuffle + sort:\n$p")
