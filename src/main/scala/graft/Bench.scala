@@ -48,7 +48,11 @@ object Bench {
         try fn(spark, sfDir).count()
         catch { case _: Throwable => failed = true }
         val dt = (System.nanoTime() - t0) / 1e9
-        if (dt < best) best = dt
+        // a failing rep's duration must never become the query's timing
+        // (a fast exception would read as a phantom speedup); it is used
+        // only when NO rep succeeded, so the total stays meaningful
+        if (!failed && dt < best) best = dt
+        else if (failed && best == Double.MaxValue) best = dt
         r += 1
       }
       if (failed) errors += 1
@@ -70,10 +74,15 @@ object Bench {
     val sorted = results.toSeq.sortBy(-_._2)
     val entries = sorted.take(topK)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    // stop at the FIRST entry that doesn't fit: kept must stay a prefix of
+    // the sorted list or the rest-rollup below would drop the skipped
+    // entry's time and double-count a later kept one
     val kept = new scala.collection.mutable.ListBuffer[String]
     var len = 200 + sfDir.length
+    var fits = true
     entries.foreach { e =>
-      if (len + e.length + 1 <= budget) { kept += e; len += e.length + 1 }
+      if (fits && len + e.length + 1 <= budget) { kept += e; len += e.length + 1 }
+      else fits = false
     }
     val qs = kept.mkString("{", ",", "}")
     val restSeq = sorted.drop(kept.size)

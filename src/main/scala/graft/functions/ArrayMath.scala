@@ -79,6 +79,24 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_sorted_intersect_size"
 
+  // Registered on the SQL surface, so inputs are user-controlled: accept
+  // exactly two equal-element-type arrays of string or bigint. Without
+  // this, a mismatched pair (array<bigint>, array<string>) would dispatch
+  // off the left side only and silently read garbage.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    (left.dataType, right.dataType) match {
+      case (ArrayType(l, _), ArrayType(r, _))
+          if l == r && (l == StringType || l == LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<string> or two array<bigint> " +
+          s"arguments, got $l and $r")
+    }
+  }
+
   private lazy val longElements: Boolean = left.dataType match {
     case org.apache.spark.sql.types.ArrayType(LongType, _) => true
     case _ => false

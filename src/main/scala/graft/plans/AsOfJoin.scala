@@ -111,30 +111,60 @@ case class GraftAsOfJoinExec(
       val proj = UnsafeProjection.create(outAttrs, inAttrs)
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightLen)
+      // Null semantics mirror the window-composed twin exactly: the
+      // required child ordering is Ascending = NULLS FIRST, a null key is
+      // its own group (window partitionBy groups nulls together), and a
+      // null (time, tie) field sorts before any value. Encode each field
+      // as (isNull, value) and compare null-first; getLong on a null slot
+      // would otherwise silently read 0 and merge null keys into key 0.
+      def cmp(aNull: Boolean, a: Long, bNull: Boolean, b: Long): Int =
+        if (aNull && bNull) 0
+        else if (aNull) -1
+        else if (bNull) 1
+        else java.lang.Long.compare(a, b)
       var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
       var lastMatch: InternalRow = null
+      var lastKeyNull = false
       var lastKey = 0L
+      var hasMatch = false
       lIter.map { l =>
-        val lk = l.getLong(lki)
-        val lt = l.getLong(lti)
-        val lc = l.getLong(lci)
-        if (lastMatch != null && lastKey != lk) lastMatch = null
+        val lkNull = l.isNullAt(lki)
+        val lk = if (lkNull) 0L else l.getLong(lki)
+        val ltNull = l.isNullAt(lti)
+        val lt = if (ltNull) 0L else l.getLong(lti)
+        val lcNull = l.isNullAt(lci)
+        val lc = if (lcNull) 0L else l.getLong(lci)
+        if (hasMatch && cmp(lastKeyNull, lastKey, lkNull, lk) != 0) {
+          hasMatch = false; lastMatch = null
+        }
         var scanning = true
         while (scanning && rHead != null) {
-          val rk = rHead.getLong(rki)
-          val take = rk < lk || (rk == lk && {
-            val rt = rHead.getLong(rti)
-            rt < lt || (rt == lt && rHead.getLong(rci) <= lc)
+          val rkNull = rHead.isNullAt(rki)
+          val rk = if (rkNull) 0L else rHead.getLong(rki)
+          val keyCmp = cmp(rkNull, rk, lkNull, lk)
+          val take = keyCmp < 0 || (keyCmp == 0 && {
+            val rtNull = rHead.isNullAt(rti)
+            val rt = if (rtNull) 0L else rHead.getLong(rti)
+            val tCmp = cmp(rtNull, rt, ltNull, lt)
+            tCmp < 0 || (tCmp == 0 && {
+              val rcNull = rHead.isNullAt(rci)
+              val rc = if (rcNull) 0L else rHead.getLong(rci)
+              cmp(rcNull, rc, lcNull, lc) <= 0
+            })
           })
           if (take) {
             // only same-key rows are candidate matches; smaller-key rows
             // are merely drained (their left partners were earlier or absent)
-            if (rk == lk) { lastMatch = rHead.copy(); lastKey = lk }
+            if (keyCmp == 0) {
+              lastMatch = rHead.copy(); lastKeyNull = lkNull; lastKey = lk
+              hasMatch = true
+            }
             rHead = if (rIter.hasNext) rIter.next() else null
           } else scanning = false
         }
         proj(joined(l,
-          if (lastMatch != null && lastKey == lk) lastMatch else nullRight))
+          if (hasMatch && cmp(lastKeyNull, lastKey, lkNull, lk) == 0) lastMatch
+          else nullRight))
       }
     }
   }
@@ -151,6 +181,14 @@ object AsOf {
       leftTie: String, rightTie: String): DataFrame = {
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
+    // Dataset.join dedups shared exprIds through the analyzer; this
+    // constructor bypasses it, and UnsafeProjection binds by exprId, so a
+    // same-lineage pair would silently read right columns out of left
+    // positions. Refuse instead of corrupting.
+    val shared = lp.outputSet.intersect(rp.outputSet)
+    require(shared.isEmpty,
+      s"left and right share attribute lineage (${shared.mkString(", ")}); " +
+        "alias every column of one side (select(col(...).as(...))) before AsOf.join")
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(

@@ -77,6 +77,34 @@ class AsOfSpec extends AnyFunSuite {
       (2L, 50L, 7L, null))) // no right rows for key 2
   }
 
+  test("null keys and times follow the window twin's NULLS FIRST grouping") {
+    val s = ext
+    import s.implicits._
+    // null key is its own group; null right time sorts before everything
+    val left = Seq((Some(1L), 10L, 2L), (None, 10L, 3L))
+      .toDF("k", "t", "id")
+    val right = Seq((Some(1L), 5L, 1L), (None, 5L, 9L), (Some(2L), 1L, 4L))
+      .toDF("rk", "rt", "rid")
+    val j = plans.AsOf.join(left, right, "k", "rk", "t", "rt", "id", "rid")
+      .select(col("id"), col("rid"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1))).toSet
+    // left key 1 matches right key 1 (not key 2, not null); left null key
+    // matches the null-key right row, never key 0 or key 1
+    assert(j === Set((2L, 1L), (3L, 9L)))
+  }
+
+  test("same-lineage inputs are refused instead of silently mis-binding") {
+    val s = ext
+    import s.implicits._
+    val base = Seq((1L, 2L, 3L)).toDF("k", "t", "id")
+    val e = intercept[IllegalArgumentException] {
+      plans.AsOf.join(base.where(col("t") > 0), base.where(col("t") < 10),
+        "k", "k", "t", "t", "id", "id")
+    }
+    assert(e.getMessage.contains("alias"), e.getMessage)
+  }
+
   test("non-long columns are rejected at construction") {
     val s = ext
     import s.implicits._

@@ -23,6 +23,39 @@ class BenchSpec extends SparkTestBase {
     assert(results("ok") >= 0.0)
   }
 
+  test("a failing rep never becomes the query's timing (no phantom speedup)") {
+    val s = spark
+    import s.implicits._
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val flaky: (SparkSession, String) => DataFrame = (_, _) => {
+      if (calls.getAndIncrement() == 0) { Thread.sleep(60); Seq(1).toDF("x") }
+      else throw new RuntimeException("flaky second rep")
+    }
+    val (results, errors) = Bench.timeQueries(spark, sf0001,
+      Map("flaky" -> flaky), reps = 2)
+    assert(errors === 1)
+    // the recorded time must be rep 0's slow success, not the fast failure
+    assert(results("flaky") >= 0.06, s"got ${results("flaky")}")
+  }
+
+  test("renderLine rollup stays consistent when a long name hits the budget cutoff") {
+    // names of very different lengths around the cutoff: every timing must
+    // appear EXACTLY once across queries + rest (no drop, no double count)
+    val results = (1 to 120).map {
+      i => (if (i % 3 == 0) s"very_long_query_name_padding_${"x" * 40}_$i" else s"q$i") -> i / 10.0
+    }.toMap
+    val line = Bench.renderLine(results, errors = 0, sfDir = "/tmp/sf", topK = 120, budget = 1200)
+    val parsed = line.split("\"queries\":")(1)
+    val kept = "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(parsed.split("},\"rest\"")(0))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val restSum = "\"rest\":\\{\"n\":(\\d+),\"sum\":([0-9.]+)".r
+      .findFirstMatchIn(line).map(m => (m.group(1).toInt, m.group(2).toDouble)).get
+    assert(kept.size + restSum._1 === 120, s"kept=${kept.size} rest_n=${restSum._1}")
+    val total = BigDecimal(results.values.sum).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val acct = BigDecimal(kept.values.sum + restSum._2).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    assert((total - acct).abs < 0.1, s"total=$total accounted=$acct")
+  }
+
   test("timeQueries reports zero errors on healthy queries") {
     val s = spark
     import s.implicits._

@@ -27,6 +27,15 @@ class Round6Spec extends SparkTestBase {
     val viaSql = spark.sql(
       "SELECT count(*) FROM r6_arrays WHERE graft_sorted_intersect_size(a, b) != size(array_intersect(a, b))")
     assert(viaSql.collect()(0).getLong(0) === 0L)
+    // long arrays dispatch to the primitive path and agree too
+    val viaLongs = spark.sql(
+      "SELECT graft_sorted_intersect_size(array(1L,3L,5L), array(3L,4L,5L))")
+    assert(viaLongs.collect()(0).getLong(0) === 2L)
+    // mismatched element types are an analysis error, not garbage output
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_sorted_intersect_size(array(1L,2L), array('a','b'))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("array"), e.getMessage)
   }
 
   test("prefix-filtered Jaccard equals the brute-force threshold join (lossless prunes)") {
@@ -87,22 +96,15 @@ class Round6Spec extends SparkTestBase {
     rows.foreach { case (id, n, dup, frac) =>
       assert(dup <= n && frac >= 0.0 && frac <= 1.0, s"doc $id: $dup/$n frac=$frac")
     }
-    // hand fixture: two identical docs → every shingle duplicated (frac
-    // 1.0); an unrelated doc shares nothing (frac 0.0)
-    val docs = Seq(
-      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q")
-    ).toDF("doc_id", "text")
-    val ws = split(col("text"), " ")
-    val sh = docs.select(col("doc_id"), explode(arrays_zip(
-        slice(ws, lit(1), size(ws) - 2), slice(ws, lit(2), size(ws) - 2),
-        slice(ws, lit(3), size(ws) - 2))).as("g"))
-      .select(col("doc_id"), concat_ws(" ", col("g.0"), col("g.1"), col("g.2")).as("s"))
-      .distinct()
-    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
-    val got = sh.join(dfreq, "s").groupBy("doc_id")
-      .agg((sum(when(col("df") >= 2, 1L).otherwise(0L)).cast("double") /
-        count(lit(1)).cast("double")).as("frac"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // hand fixture THROUGH THE PRODUCTION FUNCTION (written as a fixture-
+    // layout temp dir): two identical docs → every shingle duplicated
+    // (frac 1.0); an unrelated doc shares nothing (frac 0.0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-dupspan").toString
+    Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = ops.Llm3.dupSpans(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(got === Map(1L -> 1.0, 2L -> 1.0, 3L -> 0.0))
   }
 
