@@ -145,6 +145,38 @@ object Joins {
       .orderBy("purchase_id")
   }
 
+  /** C6b through the CUSTOM PHYSICAL OPERATOR (SURVEY §4.3 tier (c),
+    * [[graft.plans.GraftAsOfJoinExec]]): identical as-of semantics to
+    * [[joinAsofClickBeforePurchase]] — for every purchase, the same
+    * user's latest click at-or-before it on the (ts, event_id) order —
+    * but planned as a real sort-merge-as-of node: EnsureRequirements
+    * gives each side its own hash exchange + sort on user_id, and the
+    * exec merges with O(1) state (one buffered right row, one remembered
+    * match). Versus the composed form's single union-both-sides window
+    * shuffle, this shape never carries probe rows through window state
+    * and keeps each side's exchange independently AQE-coalescible — the
+    * classic two-table as-of layout for fact⋈fact at scale. Shares the
+    * window twin's DuckDB oracle, so the operator itself (not a
+    * surrogate) is hash-verified by the driver on a plain session. */
+  def joinAsofPhysical(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_us"))
+    // fresh aliases on every right column: AsOf.join refuses shared
+    // attribute lineage (both sides scan the same events table)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts_us").as("click_us"))
+    graft.plans.AsOf.join(purchases, clicks,
+        "user_id", "c_user", "ts_us", "click_us", "purchase_id", "click_id")
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (col("ts_us") - col("click_us")).as("age_us"))
+      .orderBy("purchase_id")
+  }
+
   /** CEP-analogue (Flink CEP `Pattern.begin("c1").next("c2").next("p")`
     * within a 3-day span — sized so the pattern is non-degenerate at every
     * fixture sf; sf0.001 has ~11h between a user's events): detect
@@ -253,6 +285,7 @@ object Joins {
     "cep_skip_strategies" -> (cepSkipStrategies _),
     "cep_kleene_timeout" -> (cepKleeneTimeout _),
     "join_asof_click_before_purchase" -> (joinAsofClickBeforePurchase _),
+    "join_asof_physical" -> (joinAsofPhysical _),
     "join_orders_customer" -> (joinOrdersCustomer _),
     "join_left_orders_wo_lineitem" -> (joinLeftOrdersWoLineitem _),
     "join_right_orders_item_counts" -> (joinRightOrdersItemCounts _),
@@ -327,6 +360,21 @@ object Joins {
             AND ts_us - ts1 <= CAST(3 AS BIGINT) * 24 * 3600 * 1000000
           ORDER BY purchase_id""",
     "join_asof_click_before_purchase" ->
+      s"""WITH tagged AS (
+            SELECT user_id, event_id, $evTs AS ts, event_type,
+              last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+                OVER w AS click_id,
+              last_value(CASE WHEN event_type = 'click' THEN epoch_us($evTs) END IGNORE NULLS)
+                OVER w AS click_us
+            FROM events WHERE event_type IN ('click', 'purchase')
+            WINDOW w AS (PARTITION BY user_id ORDER BY $evTs, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          SELECT user_id, event_id AS purchase_id, click_id,
+            epoch_us(ts) - click_us AS age_us
+          FROM tagged WHERE event_type = 'purchase' ORDER BY purchase_id""",
+    // the physical-operator route has the SAME contract as the window
+    // form — one oracle text, two Spark plans, both must hash-match it
+    "join_asof_physical" ->
       s"""WITH tagged AS (
             SELECT user_id, event_id, $evTs AS ts, event_type,
               last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)

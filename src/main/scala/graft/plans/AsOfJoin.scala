@@ -34,10 +34,11 @@ import org.apache.spark.sql.types.LongType
   * classic sort-merge-as-of kernel, state O(1) regardless of key width.
   *
   * Scope: key/time/tie are LongType columns (the fixture's id/µs-epoch
-  * shapes); the driver-facing queries keep using the composed form (it
-  * needs no session extension), while this node is the user-facing
-  * hardened path, active in any session built `.withExtensions(new
-  * GraftExtensions)`.
+  * shapes). Driver-facing entry: `join_asof_physical`
+  * ([[graft.ops.Joins.joinAsofPhysical]]) routes through this exec on a
+  * plain session ([[AsOf.join]] self-installs the strategy) and shares
+  * the window twin's DuckDB oracle, so the operator is oracle-verified
+  * end-to-end, not just spec-tested.
   */
 case class GraftAsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
@@ -171,14 +172,20 @@ case class GraftAsOfJoinExec(
 }
 
 /** User-facing constructor: `AsOf.join(purchases, clicks, ...)`. Columns
-  * are named per side; all six must be LongType. The session must carry
-  * [[GraftExtensions]] (which injects [[GraftAsOfStrategy]]) or the
-  * planner will reject the node. */
+  * are named per side; all six must be LongType. Works on ANY session:
+  * the strategy self-installs through the public
+  * `spark.experimental.extraStrategies` hook if the session was not built
+  * with [[GraftExtensions]] (which injects [[GraftAsOfStrategy]] at
+  * construction). */
 object AsOf {
   def join(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       leftTie: String, rightTie: String): DataFrame = {
+    val session = left.sparkSession
+    if (!session.experimental.extraStrategies.contains(GraftAsOfStrategy))
+      session.experimental.extraStrategies =
+        session.experimental.extraStrategies :+ GraftAsOfStrategy
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     // Dataset.join dedups shared exprIds through the analyzer; this

@@ -77,6 +77,20 @@ class AsOfSpec extends AnyFunSuite {
       (2L, 50L, 7L, null))) // no right rows for key 2
   }
 
+  test("driver entry join_asof_physical: plain session, custom exec planned, twin parity") {
+    // the driver's Verify/Bench sessions carry NO extensions — the
+    // strategy must self-install via experimental.extraStrategies
+    val s = SparkTestSession.spark
+    val mine = ops.Joins.joinAsofPhysical(s, sf0001)
+    val plan = mine.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftAsOfJoin"), plan)
+    // two side exchanges + the final orderBy range exchange, nothing more
+    assert("Exchange".r.findAllIn(plan).size <= 3, plan)
+    val a = mine.collect().map(_.toSeq).toSeq
+    val b = ops.Joins.joinAsofClickBeforePurchase(s, sf0001).collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
   test("null keys and times follow the window twin's NULLS FIRST grouping") {
     val s = ext
     import s.implicits._
