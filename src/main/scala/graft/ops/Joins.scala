@@ -177,6 +177,42 @@ object Joins {
       .orderBy("purchase_id")
   }
 
+  /** C6c — RANGE join with NO equi key (cross-user impact analysis):
+    * every click within 1h after ANY high-severity error, regardless of
+    * user. The naive predicate-only formulation can only plan as a
+    * BroadcastNestedLoopJoin — O(|clicks|·|errors|) pair evaluations,
+    * a cluster-killer at 100 TB (and banned outright by our
+    * CartesianGuard). Scale shape: quantize the time axis into
+    * window-sized buckets. An interval of span W crosses at most 2
+    * buckets of width W, so the interval side is exploded to its ≤2
+    * covering buckets (`array_distinct` collapses the aligned case) and
+    * the point side maps to exactly ONE bucket — the join becomes a
+    * plain equi join on the bucket id with the exact range predicate as
+    * residual. Candidate count is proportional to true temporal
+    * collocation, never |C|·|E|; each true pair is produced exactly once
+    * (the point's single bucket matches at most one of the two interval
+    * copies), so no dedup pass is needed. Generalizes to any band/range
+    * predicate: bucket width = band width. */
+  def joinRangeBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val w = 3600L * 1000000L // 1h in µs = bucket width = window span
+    val ev = events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+    val errors = ev.where(col("event_type") === "error" && col("value") >= 150)
+      .select(col("event_id").as("err_id"), col("ts_us").as("err_us"))
+      .withColumn("bucket", explode(array_distinct(array(
+        expr(s"err_us div ${w}L"), expr(s"(err_us + ${w}L) div ${w}L")))))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts_us").as("click_us"),
+        expr(s"ts_us div ${w}L").as("bucket"))
+    clicks.join(errors, Seq("bucket"))
+      .where(col("click_us") >= col("err_us") &&
+        col("click_us") < col("err_us") + w)
+      .select(col("click_id"), col("err_id"),
+        (col("click_us") - col("err_us")).as("lag_us"))
+      .orderBy("click_id", "err_id")
+  }
+
   /** CEP-analogue (Flink CEP `Pattern.begin("c1").next("c2").next("p")`
     * within a 3-day span — sized so the pattern is non-degenerate at every
     * fixture sf; sf0.001 has ~11h between a user's events): detect
@@ -293,6 +329,7 @@ object Joins {
     "join_theta_price_band" -> (joinThetaPriceBand _),
     "join_window_events_selfpairs" -> (joinWindowEventsSelfpairs _),
     "join_interval_purchase_after_click" -> (joinIntervalPurchaseAfterClick _),
+    "join_range_bucketed" -> (joinRangeBucketed _),
   )
 
   private val evTs = "CAST(ts AS TIMESTAMP)"
@@ -387,6 +424,15 @@ object Joins {
           SELECT user_id, event_id AS purchase_id, click_id,
             epoch_us(ts) - click_us AS age_us
           FROM tagged WHERE event_type = 'purchase' ORDER BY purchase_id""",
+    "join_range_bucketed" ->
+      s"""WITH e AS (SELECT event_id AS err_id, epoch_us($evTs) AS err_us
+            FROM events WHERE event_type = 'error' AND value >= 150),
+          c AS (SELECT event_id AS click_id, epoch_us($evTs) AS click_us
+            FROM events WHERE event_type = 'click')
+          SELECT click_id, err_id, click_us - err_us AS lag_us
+          FROM c JOIN e ON click_us >= err_us
+            AND click_us < err_us + CAST(3600 AS BIGINT) * 1000000
+          ORDER BY click_id, err_id""",
     "join_orders_customer" ->
       s"""SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
           ${dsumSql("o_totalprice")} AS sum_price

@@ -38,6 +38,31 @@ class Round6Spec extends SparkTestBase {
     assert(e.getMessage.toLowerCase.contains("array"), e.getMessage)
   }
 
+  test("bucketed range join: equals brute force, one output per pair, no pair-join node") {
+    val s = spark
+    val got = ops.Joins.joinRangeBucketed(s, sf0001)
+    val plan = got.queryExecution.executedPlan.toString
+    // the whole point: an equi join on the bucket, never a BNLJ/cartesian
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"), plan)
+    assert(plan.contains("bucket"), plan)
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // exactly-once by construction (point side has ONE bucket): no dedup pass
+    assert(rows.length === rows.distinct.length)
+    // brute-force reference — legal at fixture scale only
+    val ev = Tables.events(s, sf0001).select(col("event_id"), col("event_type"),
+      col("value"), unix_micros(col("ts")).as("ts_us"))
+    val e = ev.where(col("event_type") === "error" && col("value") >= 150)
+      .select(col("event_id").as("err_id"), col("ts_us").as("err_us"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts_us").as("click_us"))
+    val brute = c.join(e, col("click_us") >= col("err_us") &&
+        col("click_us") < col("err_us") + 3600L * 1000000L)
+      .select("click_id", "err_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(t => (t._1, t._2)).toSet === brute)
+  }
+
   test("prefix-filtered Jaccard equals the brute-force threshold join (lossless prunes)") {
     // Brute: every pair sharing >=1 word, exact intersection via the word
     // join, threshold J >= 9/10. The prefix path must reproduce this set
