@@ -277,6 +277,39 @@ object Streams {
       joinType)
   }
 
+  /** C6c streaming twin — the bucketed RANGE join with NO natural equi
+    * key ([[graft.ops.Joins.joinRangeBucketed]]), stream-stream. Spark
+    * refuses an inner stream-stream join without an equality conjunct
+    * (state could never be partitioned or pruned); the time-axis
+    * quantization that makes the batch shape scale ALSO supplies the
+    * missing equi key: the interval side explodes to its ≤2 covering
+    * 1h buckets, the point side maps to exactly one, and the watermark +
+    * event-time range residual bound both state stores. Same
+    * exactly-once-per-pair property as the batch twin. */
+  def rangeJoinBucketed(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    val w = 3600L * 1000000L
+    val errors = events
+      .where(col("event_type") === "error" && col("value") >= 150)
+      .select(col("event_id").as("err_id"), col("ts").as("e_ts"),
+        unix_micros(col("ts")).as("err_us"))
+      .withWatermark("e_ts", watermark)
+      .withColumn("e_bucket", explode(array_distinct(array(
+        expr(s"err_us div ${w}L"), expr(s"(err_us + ${w}L) div ${w}L")))))
+    val clicks = events
+      .where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("c_ts"),
+        unix_micros(col("ts")).as("click_us"))
+      .withWatermark("c_ts", watermark)
+      .withColumn("c_bucket", expr(s"click_us div ${w}L"))
+    clicks.join(errors,
+        col("c_bucket") === col("e_bucket") &&
+          col("c_ts") >= col("e_ts") &&
+          col("c_ts") < col("e_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("err_id"),
+        (col("click_us") - col("err_us")).as("lag_us"))
+  }
+
   /** C6 variant — LEFT OUTER stream-stream interval join (Flink's outer
     * interval join): a click with no purchase inside its 15-minute window
     * emits a null-match row, but only once the watermark passes the end of

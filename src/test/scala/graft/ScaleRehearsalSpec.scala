@@ -113,6 +113,17 @@ class ScaleRehearsalSpec extends SparkTestBase {
     assert(frac1 === 5000L, s"all docs are 10x replicas, got $frac1 at frac 1.0")
   }
 
+  test("join_range_bucketed at 10x temporal density: still bucket-equi, no pair join") {
+    // the remap multiplies ids but keeps ts — 10x errors AND 10x clicks
+    // share the same time axis, so true pair density rises ~100x: the
+    // worst case for any range join that isn't candidate-proportional
+    val p = planOf("join_range_bucketed")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val (n, secs) = runTimed("join_range_bucketed")
+    assert(n > 10000L, s"expected ~100x fixture pair density, got $n")
+    assert(secs < 60.0, s"range join took $secs s at 10x")
+  }
+
   test("cdc_scd2_intervals at 10x users: one key shuffle + output sort, same as fixture") {
     val p = planOf("cdc_scd2_intervals")
     assert("Exchange".r.findAllIn(p).size <= 2, s"scd2 must stay within one key shuffle + sort:\n$p")

@@ -229,6 +229,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("C6c streaming: bucketed range join joins across buckets with no natural equi key") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[Event]
+    val q = runToTable(Streams.rangeJoinBucketed(ms.toDF()), "rjb", "append")
+    try {
+      ms.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "error", 200.0),  // severe incident
+        ev(2, "2024-01-01 10:30:00", 2, "click", 1.0),    // same bucket → match
+        ev(3, "2024-01-01 11:30:00", 3, "click", 1.0),    // >1h after id1 (residual drop) but ≤1h after id5
+        ev(4, "2024-01-01 10:45:00", 4, "error", 100.0),  // below severity → ignored
+        ev(5, "2024-01-01 10:50:00", 5, "error", 300.0),  // spans buckets 10h and 11h
+        ev(6, "2024-01-01 11:20:00", 6, "click", 1.0),    // matches id5 via its 2nd bucket
+        ev(7, "2024-01-01 09:50:00", 7, "click", 1.0))    // before any error → no match
+      ms.addData(ev(9, "2024-01-02 13:00:00", 9, "view", 0.0)) // advance watermark
+      q.processAllAvailable()
+      val got = spark.table("rjb").select($"click_id", $"err_id", $"lag_us")
+        .as[(Long, Long, Long)].collect()
+      // exactly-once per pair even though error id5 is in state twice
+      assert(got.length === got.distinct.length)
+      assert(got.map(t => (t._1, t._2)).toSet ===
+        Set((2L, 1L), (3L, 5L), (6L, 5L)), got.mkString(", "))
+      // click 6 matched error 5 through the error's SECOND covering bucket
+      assert(got.find(_._1 == 6L).get._3 === 30L * 60 * 1000000)
+    } finally q.stop()
+  }
+
   test("C6 streaming: LEFT OUTER interval join emits null-match rows after watermark passes") {
     val s = spark
     import s.implicits._
