@@ -339,6 +339,43 @@ object Llm3 {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
       .orderBy("shard")
 
+  /** Corpus-to-corpus similarity via the custom MinHash-signature SKETCH
+    * ([[graft.functions.MinHashSig]], a TypedImperativeAggregate): one
+    * 16-component signature per source over its distinct shingle set,
+    * then the Broder estimate (fraction of agreeing components) for
+    * every source pair. The 100 TB story is the whole point of the
+    * sketch: the per-source state is O(k) longs however large the
+    * corpus, partials combine map-side (ObjectHashAggregate
+    * partial/final — plan-asserted), and the pairwise stage joins k·S
+    * signature rows, never the shingle sets themselves. Estimator
+    * arithmetic is exact integer math mirrored by the DuckDB oracle, so
+    * this sketch IS hash-verified, unlike the tolerance-gated built-ins
+    * (HLL++, quantile sketch). */
+  def minhashSourceSim(spark: SparkSession, dir: String): DataFrame = {
+    val sh = documents(spark, dir)
+      .select(col("source"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 3)
+      .select(col("source"), explode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 2),
+        slice(col("ws"), lit(2), size(col("ws")) - 2),
+        slice(col("ws"), lit(3), size(col("ws")) - 2))).as("g"))
+      .select(col("source"),
+        graft.Tables.h48(
+          concat_ws(" ", col("g.0"), col("g.1"), col("g.2"))).as("x"))
+      .distinct()
+    val sigs = sh.groupBy("source")
+      .agg(graft.functions.MinHash.sig(col("x"), 16).as("sig"))
+      .limit(1000) // |sources| is tiny; the bound makes the pair join provably safe
+    val a = sigs.select(col("source").as("source_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("source").as("source_b"), col("sig").as("sig_b"))
+    a.join(b, col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1.0).otherwise(0.0)),
+          lit(0.0), _ + _) / 16.0).as("est_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_shard_assign" -> (shardAssign _),
     "llm_pack_context" -> (packContext _),
@@ -351,9 +388,26 @@ object Llm3 {
     "llm_wordcount_top20" -> (wordcountTop20 _),
     "llm_pii_redact" -> (piiRedact _),
     "llm_dedup_clusters" -> (dedupClusters _),
+    "llm_minhash_src_sim" -> (minhashSourceSim _),
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_minhash_src_sim" ->
+      s"""WITH d AS (SELECT source, string_split(text, ' ') AS ws FROM documents
+             WHERE len(string_split(text, ' ')) >= 3),
+          sh AS (SELECT DISTINCT source,
+              unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+            FROM d),
+          hx AS (SELECT DISTINCT source, ${graft.Tables.h48Sql("s")} AS x FROM sh),
+          mins AS (SELECT source, i,
+              MIN(${graft.functions.MinHash.sigSqlComponent("x", "i")}) AS m
+            FROM hx, range(16) t(i) GROUP BY 1, 2)
+          SELECT a.source AS source_a, b.source AS source_b,
+            CAST(SUM(CASE WHEN a.m = b.m THEN 1.0 ELSE 0.0 END) / 16.0 AS DOUBLE)
+              AS est_jaccard
+          FROM mins a JOIN mins b ON a.i = b.i AND a.source < b.source
+          GROUP BY 1, 2 ORDER BY 1, 2""",
     "sample_shard_assign" ->
       s"""WITH d AS (
             SELECT (${graft.Tables.h48Sql("CAST(doc_id AS VARCHAR)")}) % 16 AS shard,

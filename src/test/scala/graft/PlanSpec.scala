@@ -108,7 +108,10 @@ class PlanSpec extends SparkTestBase {
       "llm_ivf_ann", "llm_kmeans_step",
       "llm_ann_lsh",
       // 1-row corpus-size aggregate broadcast into the TF-IDF scorer
-      "llm_tfidf_topterms")
+      "llm_tfidf_topterms",
+      // |sources|-row signature table (limit(1000)-bounded) paired with
+      // itself — the sketch exists precisely so this side stays tiny
+      "llm_minhash_src_sim")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, sf0001))

@@ -38,6 +38,50 @@ class Round6Spec extends SparkTestBase {
     assert(e.getMessage.toLowerCase.contains("array"), e.getMessage)
   }
 
+  test("minhash sketch aggregate: exact parity with per-permutation mins, partials combine") {
+    val s = spark
+    import s.implicits._
+    val p = functions.MinHashSig.P
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 500).map(_ => (rnd.nextInt(4).toLong, rnd.nextInt(1000).toLong))
+      .toDF("g", "x").repartition(8) // force real partial/merge across partitions
+    val sig = df.groupBy("g").agg(functions.MinHash.sig(col("x"), 8).as("sig"))
+    // reference: the same affine permutations as explicit column math
+    val ref = df.select(col("g"), col("x"),
+        explode(sequence(lit(0), lit(7))).as("i"))
+      .withColumn("h",
+        (((lit(2L) * col("i") + 1L) * 1299721L % p) * (col("x") % p) +
+          (col("i") * 15485863L + 11L) % p) % p)
+      .groupBy("g", "i").agg(min("h").as("m"))
+      .groupBy("g").agg(sort_array(collect_list(struct(col("i"), col("m")))).as("ms"))
+      .select(col("g"), expr("transform(ms, e -> e.m)").as("sig2"))
+    assert(sig.join(ref, "g").where(expr("sig != sig2")).count() === 0L)
+    // the sketch must partial-aggregate (map-side combine), like any sum
+    val plan = sig.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_minhash_sig"), plan)
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final ObjectHashAggregate:\n$plan")
+  }
+
+  test("llm_minhash_src_sim: all source pairs, estimates bounded, replica source estimates 1.0") {
+    val out = SparkEntry.queries("llm_minhash_src_sim")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(out.length === 190, s"C(20,2) source pairs expected, got ${out.length}")
+    out.foreach { case (_, _, e) => assert(e >= 0.0 && e <= 1.0) }
+    // a corpus IS its own twin: signature agreement must be total
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhsig").toString
+    Tables.documents(spark, sf0001)
+      .where(col("source").isin("src0", "src1"))
+      .withColumn("source", concat(col("source"), lit("copy")))
+      .union(Tables.documents(spark, sf0001)
+        .where(col("source").isin("src0", "src1")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val twin = ops.Llm3.minhashSourceSim(spark, dir)
+      .where(col("source_a") === "src0" && col("source_b") === "src0copy")
+      .collect()
+    assert(twin.length === 1 && twin(0).getDouble(2) === 1.0, twin.mkString(", "))
+  }
+
   test("bucketed range join: equals brute force, one output per pair, no pair-join node") {
     val s = spark
     val got = ops.Joins.joinRangeBucketed(s, sf0001)
