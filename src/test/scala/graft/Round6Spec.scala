@@ -186,6 +186,16 @@ class Round6Spec extends SparkTestBase {
     // decision join + output sort — 5 Exchanges
     val p2 = ops.Llm.semDedup(spark, sf0001).queryExecution.executedPlan.toString()
     assert("Exchange".r.findAllIn(p2).size <= 5, s"semdedup grew a shuffle:\n$p2")
+    // minhash source sim: the signature pipeline (shingle distinct +
+    // source agg + limit collapse) appears TWICE pre-AQE — both pair-join
+    // branches derive from the same subplan — and must collapse to one
+    // at runtime via exchange reuse; the pair join itself adds none
+    // (broadcast over the bounded signature table)
+    val q3 = ops.Llm3.minhashSourceSim(spark, sf0001)
+    q3.collect() // materialize THIS queryExecution so AQE finalizes reuse
+    val p3 = q3.queryExecution.executedPlan.toString()
+    assert(p3.contains("ReusedExchange"),
+      s"the twin signature pipelines should share their exchanges:\n$p3")
   }
 
   test("prefix Jaccard plan: merge kernel present, no cartesian/NLJ, stopwords capped out of pair-gen") {
