@@ -56,8 +56,13 @@ object ZOrder {
     val r = bounds.head
     def bucket(c: Column, lo: Double, hi: Double): Column =
       if (hi <= lo) lit(0L)
-      else least(lit(65535L),
-        floor((c.cast("double") - lit(lo)) / lit(hi - lo) * 65536.0).cast("long"))
+      else {
+        val raw = floor((c.cast("double") - lit(lo)) / lit(hi - lo) * 65536.0)
+          .cast("long")
+        // when/otherwise, NOT least(): least skips nulls and would place a
+        // null dimension in the top bucket instead of nulling the key
+        when(raw > 65535L, 65535L).otherwise(raw)
+      }
     df.withColumn(zCol, interleave16(
       bucket(col(cx), r.getDouble(0), r.getDouble(1)),
       bucket(col(cy), r.getDouble(2), r.getDouble(3))))

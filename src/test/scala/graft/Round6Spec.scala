@@ -38,6 +38,29 @@ class Round6Spec extends SparkTestBase {
     assert(e.getMessage.toLowerCase.contains("array"), e.getMessage)
   }
 
+  test("z-order key: known morton values, degenerate constant dim, null propagation") {
+    val s = spark
+    import s.implicits._
+    // hand-checkable morton codes: x fills even bits, y odd
+    val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L), (65535L, 65535L))
+      .toDF("x", "y")
+      .select(functions.ZOrder.interleave16(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0))
+    assert(got.sameElements(Array(0L, 1L, 2L, 15L, 4294967295L)), got.mkString(","))
+    // constant dimension: every row lands in bucket 0 there, so the z key
+    // degrades to a plain sort on the live dimension (monotone in it)
+    val zs = functions.ZOrder
+      .withZKey(Seq((1L, 10L), (1L, 20L), (1L, 30L)).toDF("a", "b"), "a", "b")
+      .orderBy("b").collect().map(_.getLong(2))
+    assert(zs.sameElements(zs.sorted) && zs.distinct.length == zs.length, zs.mkString(","))
+    // a null in either dimension nulls the key (its own leading file range)
+    val zn = functions.ZOrder
+      .withZKey(Seq((Some(1L), Some(2L)), (None, Some(3L)), (Some(4L), Some(5L)))
+        .toDF("a", "b"), "a", "b")
+      .where(col("a").isNull).collect()
+    assert(zn.length === 1 && zn(0).isNullAt(2))
+  }
+
   test("minhash sketch aggregate: exact parity with per-permutation mins, partials combine") {
     val s = spark
     import s.implicits._
