@@ -229,6 +229,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("minhash sketch aggregates across micro-batches (streaming state = the O(k) buffer)") {
+    // the TypedImperativeAggregate's serialized buffer IS the streaming
+    // state: each micro-batch merges into it, and the final signature must
+    // equal the batch signature over the union of all batches — the
+    // mergeability the sketch exists for, exercised through the state store
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    val sig = ms.toDF().toDF("g", "x").groupBy("g")
+      .agg(functions.MinHash.sig(col("x"), 8).as("sig"))
+    val q = runToTable(sig, "mh_stream", "update")
+    try {
+      ms.addData(("a", 10L), ("a", 20L), ("b", 30L))
+      q.processAllAvailable()
+      ms.addData(("a", 5L), ("b", 40L), ("b", 7L))
+      q.processAllAvailable()
+      // update mode re-emits refined rows; keep the LAST row per group
+      val got = spark.table("mh_stream").collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).groupBy(_._1)
+        .map { case (g, rows) => g -> rows.last._2 }
+      val batch = Seq(("a", 10L), ("a", 20L), ("a", 5L),
+          ("b", 30L), ("b", 40L), ("b", 7L)).toDF("g", "x")
+        .groupBy("g").agg(functions.MinHash.sig(col("x"), 8).as("sig"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(got === batch, s"got=$got batch=$batch")
+    } finally q.stop()
+  }
+
   test("C6c streaming: bucketed range join joins across buckets with no natural equi key") {
     val s = spark
     import s.implicits._
