@@ -196,6 +196,52 @@ object Llm3 {
     * (map-side combinable — shingles repeat heavily), one equi-join of the
     * per-doc shingle set against it, one doc-keyed aggregation. Shuffle
     * volume ∝ distinct (doc, shingle) pairs; nothing is pairwise. */
+  /** Duplicated-span REMOVAL — the actionable counterpart of the
+    * [[dupSpans]] metric (Lee et al. 2022: span-level dedup beats
+    * document-level on memorization): scrub from every document the
+    * words covered by a 3-word shingle that also occurs in ANOTHER
+    * document, keeping the rest in order. Shapes, all
+    * shingle-proportional (no pairwise work anywhere):
+    * positional shingles (posexplode over zipped slices) → cross-doc df
+    * (distinct doc–shingle, two-phase agg) → covered word indices
+    * (interval explode + distinct) → anti join against the positional
+    * word list → ordered rebuild per doc (sort_array over (idx, word)
+    * structs). Docs shorter than 3 words carry no shingles and survive
+    * whole; a doc whose every word is covered comes back as the empty
+    * string (left join + coalesce, not a dropped row). */
+  def dupSpanRemoval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    // positional shingles: i is the 1-based index of the span start
+    val sh = docs.where(size(col("ws")) >= 3)
+      .select(col("doc_id"), posexplode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 2),
+        slice(col("ws"), lit(2), size(col("ws")) - 2),
+        slice(col("ws"), lit(3), size(col("ws")) - 2))))
+      .select(col("doc_id"), (col("pos") + 1).as("i"),
+        concat_ws(" ", col("col.0"), col("col.1"), col("col.2")).as("s"))
+    val dfreq = sh.select(col("doc_id"), col("s")).distinct()
+      .groupBy("s").agg(count(lit(1)).as("df"))
+    // word indices covered by any cross-document duplicated span
+    val covered = sh.join(dfreq.where(col("df") >= 2), "s")
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + 2)).as("j"))
+      .distinct()
+    val words = docs.select(col("doc_id"), posexplode(col("ws")))
+      .select(col("doc_id"), (col("pos") + 1).as("j"), col("col").as("w"))
+    val kept = words.join(covered, Seq("doc_id", "j"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("j"), col("w")))),
+          e => e.getField("w")), " ").as("clean_text"))
+    docs.select(col("doc_id"), size(col("ws")).cast("long").as("n_words"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   def dupSpans(spark: SparkSession, dir: String): DataFrame = {
     // zipped-shifted-slices trigrams (codegen'd; an element_at lambda over
     // `sequence` re-evaluates the split per element — measured 6.9 s vs
@@ -389,9 +435,33 @@ object Llm3 {
     "llm_pii_redact" -> (piiRedact _),
     "llm_dedup_clusters" -> (dedupClusters _),
     "llm_minhash_src_sim" -> (minhashSourceSim _),
+    "llm_dup_span_removal" -> (dupSpanRemoval _),
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_dup_span_removal" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           base AS (SELECT doc_id, ws, len(ws) AS n FROM d),
+           sh AS (SELECT doc_id, unnest(list_transform(range(1, n - 1),
+                    i -> {'i': i, 's': ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]})) AS u
+                  FROM base WHERE n >= 3),
+           sh2 AS (SELECT doc_id, u.i AS i, u.s AS s FROM sh),
+           dfq AS (SELECT s, COUNT(DISTINCT doc_id) AS df FROM sh2 GROUP BY 1),
+           cov AS (SELECT DISTINCT doc_id, j FROM (
+                     SELECT sh2.doc_id, unnest([i, i + 1, i + 2]) AS j
+                     FROM sh2 JOIN dfq USING (s) WHERE dfq.df >= 2)),
+           w AS (SELECT doc_id, unnest(list_transform(range(1, n + 1),
+                   j -> {'j': j, 'w': ws[j]})) AS u FROM base),
+           w2 AS (SELECT doc_id, u.j AS j, u.w AS w FROM w),
+           kept AS (SELECT w2.doc_id, w2.j, w2.w FROM w2
+                    WHERE NOT EXISTS (SELECT 1 FROM cov
+                      WHERE cov.doc_id = w2.doc_id AND cov.j = w2.j)),
+           agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   string_agg(w, ' ' ORDER BY j) AS clean_text FROM kept GROUP BY 1)
+         SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_words,
+           CAST(b.n - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(a.clean_text, '') AS clean_text
+         FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""",
     "llm_minhash_src_sim" ->
       s"""WITH d AS (SELECT source, string_split(text, ' ') AS ws FROM documents
              WHERE len(string_split(text, ' ')) >= 3),

@@ -105,6 +105,28 @@ class Round6Spec extends SparkTestBase {
     assert(twin.length === 1 && twin(0).getDouble(2) === 1.0, twin.mkString(", "))
   }
 
+  test("span removal: exact dups vanish, unique docs survive whole, shared spans excise exactly") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-spanrm").toString
+    Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"),
+        (4L, "p q r a b c s t u"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = ops.Llm3.dupSpanRemoval(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    // identical docs: every span duplicated → all words removed, row kept
+    assert(got(1L) === ((5L, "")) && got(2L) === ((5L, "")), got)
+    // unique doc: untouched
+    assert(got(3L) === ((0L, "x y z w q")), got)
+    // doc 4 shares only the span "a b c" → exactly its 3 words excised
+    assert(got(4L) === ((3L, "p q r s t u")), got)
+    // plan: shingle-proportional joins only, no pair work
+    val p = ops.Llm3.dupSpanRemoval(spark, sf0001)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("bucketed range join: equals brute force, one output per pair, no pair-join node") {
     val s = spark
     val got = ops.Joins.joinRangeBucketed(s, sf0001)
