@@ -56,6 +56,32 @@ object StreamOps {
       .select(unix_micros(col("w.start")).as("ws_us"), col("n"), col("avg_value"))
       .orderBy("ws_us")
 
+  /** I3b — CUMULATE window (the third Flink window TVF alongside
+    * TUMBLE/HOP: windows share a span-aligned start and GROW by `step`
+    * until the span closes — "today so far, every 15 minutes"). Spark
+    * has no cumulate primitive; the Spark-first shape assigns each event
+    * to its ≤ span/step covering ends via a row-local `sequence` explode
+    * (the first covering end is ceil-aligned, so fan-out is only the
+    * REMAINING ends, averaging (span/step+1)/2 ≈ 2.5 rows here), then
+    * partial-aggregates per (window_start, window_end) — the same
+    * map-side-combine collapse as any keyed window. Early ends report
+    * fewer events than later ends of the same span by construction. */
+  def cumulateCounts(spark: SparkSession, dir: String): DataFrame = {
+    val span = 3600L * 1000000L // 1h, aligned
+    val step = 900L * 1000000L  // growing in 15min increments
+    events(spark, dir)
+      .select(unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("ws_us", expr(s"ts_us div ${span}L") * span)
+      .withColumn("we_us", explode(sequence(
+        // first end covering ts must be STRICTLY past it (an event on a
+        // step boundary belongs to the NEXT end): ws + (⌊off/step⌋+1)·step
+        col("ws_us") + (expr(s"(ts_us - ws_us) div ${step}L") + 1) * step,
+        col("ws_us") + span, lit(step))))
+      .groupBy("ws_us", "we_us")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("ws_us", "we_us")
+  }
+
   /** I4 — session windows (30min gap) per user: session stats.
     * Uses the built-in `session_window`; the oracle reproduces the same
     * sessionization with gaps-and-islands SQL. */
@@ -112,6 +138,7 @@ object StreamOps {
     "stream_tumbling_counts" -> (tumblingCounts _),
     "stream_daily_global_stats" -> (dailyGlobalStats _),
     "stream_sliding_avg" -> (slidingAvg _),
+    "stream_cumulate_counts" -> (cumulateCounts _),
     "stream_session_stats" -> (sessionStats _),
     "stream_count_window_sum" -> (countWindowSum _),
     "stream_user_first_last" -> (userFirstLast _),
@@ -141,6 +168,16 @@ object StreamOps {
             / CAST(COUNT(value) AS DOUBLE) AS avg_value
           FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) shifts
           GROUP BY 1 ORDER BY 1""",
+    "stream_cumulate_counts" ->
+      s"""WITH e AS (SELECT epoch_us($evTs) AS ts_us, value FROM events),
+            b AS (SELECT ts_us, value,
+                (ts_us // 3600000000) * 3600000000 AS ws_us FROM e),
+            x AS (SELECT ws_us, value, unnest(range(
+                ws_us + ((ts_us - ws_us) // 900000000 + 1) * 900000000,
+                ws_us + 3600000001, 900000000)) AS we_us FROM b)
+          SELECT ws_us, we_us, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+          FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
     "stream_session_stats" ->
       s"""WITH flagged AS (
             SELECT user_id, $evTs AS ts,

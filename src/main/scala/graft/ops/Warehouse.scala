@@ -183,7 +183,12 @@ object Warehouse {
     * passes and the filter reuse ONE user_id hash partitioning — a single
     * shuffle, which is the floor for any order-sensitive history build;
     * at 100 TB this is the standard changelog → dimension-table shape. */
-  def cdcScd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+  def cdcScd2Intervals(spark: SparkSession, dir: String): DataFrame =
+    scd2Dim(spark, dir).orderBy("user_id", "version")
+
+  /** Unordered SCD2 dimension (shared by the history query above and the
+    * temporal join below, which must not inherit the output sort). */
+  private def scd2Dim(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us").asc, col("event_id").asc)
     events(spark, dir)
@@ -196,7 +201,32 @@ object Warehouse {
       .select(col("user_id"), col("version"), col("event_type"),
         col("ts_us").as("valid_from_us"), col("valid_to_us"),
         col("valid_to_us").isNull.as("is_current"))
-      .orderBy("user_id", "version")
+  }
+
+  /** Temporal (versioned-dimension) join — the Flink
+    * `FOR SYSTEM_TIME AS OF` surface: every purchase joined to the SCD2
+    * version that was valid AT PURCHASE TIME (`valid_from ≤ ts <
+    * valid_to`, open version catches the tail). Because the dimension's
+    * half-open intervals partition each user's timeline and every probe
+    * ts lies inside the user's covered range, each probe matches EXACTLY
+    * one version — cardinality-preserving by construction. Scale shape:
+    * equi join on user_id with the interval predicate as residual (SMJ
+    * on the key; the dim is the compacted changelog, orders of magnitude
+    * smaller than the event stream), plus the dim's own single-shuffle
+    * window build. No bucketization needed — the equi key is natural
+    * here, unlike the keyless `join_range_bucketed`. */
+  def cdcTemporalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val probes = events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        unix_micros(col("ts")).as("p_ts_us"))
+    probes.join(scd2Dim(spark, dir),
+        col("p_user") === col("user_id") &&
+          col("p_ts_us") >= col("valid_from_us") &&
+          (col("valid_to_us").isNull || col("p_ts_us") < col("valid_to_us")))
+      .select(col("purchase_id"), col("user_id"), col("version"),
+        col("event_type").as("type_at_purchase"), col("valid_from_us"))
+      .orderBy("purchase_id")
   }
 
   /** Batch sessionization: a new session starts after a >2h silence per
@@ -582,6 +612,7 @@ object Warehouse {
     "tpch_q18_large_volume" -> (tpchQ18 _),
     "cdc_latest_per_key" -> (cdcLatestPerKey _),
     "cdc_scd2_intervals" -> (cdcScd2Intervals _),
+    "cdc_temporal_join" -> (cdcTemporalJoin _),
     "sessionize_events" -> (sessionizeEvents _),
     "sessionize_native_window" -> (sessionizeNativeWindow _),
     "ts_time_weighted_avg" -> (tsTimeWeightedAvg _),
@@ -681,6 +712,27 @@ object Warehouse {
             lead(ts_us) OVER w IS NULL AS is_current
           FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
           ORDER BY user_id, version""",
+    "cdc_temporal_join" ->
+      s"""WITH t AS (
+            SELECT user_id, event_id, epoch_us($evTs) AS ts_us, event_type,
+              lag(event_type) OVER (PARTITION BY user_id
+                ORDER BY $evTs, event_id) AS prev_type
+            FROM events),
+          c AS (SELECT * FROM t
+            WHERE prev_type IS NULL OR prev_type <> event_type),
+          dim AS (SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version,
+            event_type, ts_us AS valid_from_us,
+            lead(ts_us) OVER w AS valid_to_us
+          FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+          p AS (SELECT event_id AS purchase_id, user_id,
+              epoch_us($evTs) AS p_ts_us
+            FROM events WHERE event_type = 'purchase')
+          SELECT p.purchase_id, p.user_id, dim.version,
+            dim.event_type AS type_at_purchase, dim.valid_from_us
+          FROM p JOIN dim ON p.user_id = dim.user_id
+            AND p.p_ts_us >= dim.valid_from_us
+            AND (dim.valid_to_us IS NULL OR p.p_ts_us < dim.valid_to_us)
+          ORDER BY purchase_id""",
     "sessionize_events" ->
       s"""WITH t AS (
             SELECT user_id, event_id, value, epoch_us($evTs) AS ts_us,

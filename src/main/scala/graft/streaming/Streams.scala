@@ -277,6 +277,25 @@ object Streams {
       joinType)
   }
 
+  /** I3b streaming twin — CUMULATE windows (Flink's third window TVF:
+    * span-aligned shared start, end GROWING by step — "this hour so far,
+    * every 15 minutes"). The row-local covering-ends explode
+    * ([[graft.ops.StreamOps.cumulateCounts]]) turns cumulate into a plain
+    * keyed streaming aggregation on (window_start, window_end); update
+    * mode emits refined counts as events arrive, and state retires with
+    * the span like any windowed agg. */
+  def cumulateCounts(events: DataFrame): DataFrame = {
+    val span = 3600L * 1000000L
+    val step = 900L * 1000000L
+    events.select(unix_micros(col("ts")).as("ts_us"))
+      .withColumn("ws_us", expr(s"ts_us div ${span}L") * span)
+      .withColumn("we_us", explode(sequence(
+        col("ws_us") + (expr(s"(ts_us - ws_us) div ${step}L") + 1) * step,
+        col("ws_us") + span, lit(step))))
+      .groupBy("ws_us", "we_us")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** C6c streaming twin — the bucketed RANGE join with NO natural equi
     * key ([[graft.ops.Joins.joinRangeBucketed]]), stream-stream. Spark
     * refuses an inner stream-stream join without an equality conjunct

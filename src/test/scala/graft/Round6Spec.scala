@@ -152,6 +152,28 @@ class Round6Spec extends SparkTestBase {
     assert(rows.map(t => (t._1, t._2)).toSet === brute)
   }
 
+  test("temporal join: exactly one dim version per probe, equi-key plan, version truth") {
+    val s = spark
+    val q = ops.Warehouse.cdcTemporalJoin(s, sf0001)
+    val got = q.collect()
+    // half-open intervals partition each user's timeline → one row per purchase
+    val nPurchases = Tables.events(s, sf0001)
+      .where(col("event_type") === "purchase").count()
+    assert(got.length.toLong === nPurchases)
+    assert(got.map(_.getLong(0)).distinct.length === got.length)
+    // no row may claim a version that only starts AFTER the purchase
+    val probe = ops.Warehouse.cdcTemporalJoin(s, sf0001)
+      .join(Tables.events(s, sf0001).where(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            unix_micros(col("ts")).as("true_ts")),
+        Seq("purchase_id"))
+      .where(col("valid_from_us") > col("true_ts")).count()
+    assert(probe === 0L)
+    // plan: SMJ/shuffled equi join on user_id, no pair-join node
+    val p = q.queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("prefix-filtered Jaccard equals the brute-force threshold join (lossless prunes)") {
     // Brute: every pair sharing >=1 word, exact intersection via the word
     // join, threshold J >= 9/10. The prefix path must reproduce this set

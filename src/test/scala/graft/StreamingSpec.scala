@@ -229,6 +229,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("I3b: cumulate windows grow within the span and refine across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[Event]
+    val q = runToTable(Streams.cumulateCounts(ms.toDF()), "cumu", "update")
+    try {
+      ms.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "click", 1.0), // span-start event
+        ev(2, "2024-01-01 10:20:00", 2, "view", 1.0))
+      q.processAllAvailable()
+      ms.addData(ev(3, "2024-01-01 10:50:00", 3, "click", 1.0))
+      q.processAllAvailable()
+      val tenAm = ts("2024-01-01 10:00:00").getTime * 1000L
+      val got = spark.table("cumu").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(t => (t._1, t._2)).map { case (k, rows) => k -> rows.last._3 }
+      val step = 900L * 1000000L
+      // ends grow monotonically: :15 saw only the start event, :30/:45 add
+      // the 10:20 event, the full hour adds the late 10:50 one
+      assert(got((tenAm, tenAm + step)) === 1L)
+      assert(got((tenAm, tenAm + 2 * step)) === 2L)
+      assert(got((tenAm, tenAm + 3 * step)) === 2L)
+      assert(got((tenAm, tenAm + 4 * step)) === 3L)
+    } finally q.stop()
+  }
+
   test("minhash sketch aggregates across micro-batches (streaming state = the O(k) buffer)") {
     // the TypedImperativeAggregate's serialized buffer IS the streaming
     // state: each micro-batch merges into it, and the final signature must
