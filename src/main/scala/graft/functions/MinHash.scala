@@ -41,6 +41,17 @@ case class MinHashSig(
 
   require(k >= 1 && k <= 256, s"signature width k must be in [1, 256], got $k")
 
+  // analysis-time type gate (mirrors SortedIntersectSize): without it a
+  // non-long child analyzes fine and then ClassCastExceptions per row
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a BIGINT input (pre-hash with h48), " +
+        s"got ${child.dataType}")
+  }
+
   // a_i in [1, p): (2i+1) is odd and < p, 1299721 is prime — product mod p
   // never 0, so every permutation is a genuine bijection on Z_p
   private val as: Array[Long] = Array.tabulate(k)(i => ((2L * i + 1) * 1299721L) % P)
@@ -51,7 +62,11 @@ case class MinHashSig(
   override def update(buf: Array[Long], row: InternalRow): Array[Long] = {
     val v = child.eval(row)
     if (v != null) {
-      val xm = v.asInstanceOf[Long] % P // h48 input is nonnegative
+      // floorMod, not %: a negative input must map into [0, P) like any
+      // other value rather than poisoning every component minimum with a
+      // negative "hash" (the SQL mirror assumes nonnegative h48 inputs,
+      // which stay identical under either operator)
+      val xm = java.lang.Math.floorMod(v.asInstanceOf[Long], P)
       var i = 0
       while (i < k) {
         val h = (as(i) * xm + bs(i)) % P // < p² ≈ 2^62: no 64-bit overflow

@@ -51,21 +51,22 @@ object ZOrder {
       df.agg(min(col(cx)).cast("double"), max(col(cx)).cast("double"),
         min(col(cy)).cast("double"), max(col(cy)).cast("double")),
       maxRows = 1, what = "z-order global min/max row")
-    if (bounds.isEmpty || bounds.head.isNullAt(0))
-      return df.withColumn(zCol, lit(0L)) // empty or all-null input
+    if (bounds.isEmpty) return df.withColumn(zCol, lit(0L)) // empty input
     val r = bounds.head
-    def bucket(c: Column, lo: Double, hi: Double): Column =
-      if (hi <= lo) lit(0L)
+    // per-dimension null bounds: an ALL-null dimension is a constant
+    // dimension (bucket 0 — the key degrades to a sort on the other one);
+    // a partially-null dimension keeps per-row null propagation below
+    def bucket(c: Column, loIdx: Int, hiIdx: Int): Column =
+      if (r.isNullAt(loIdx) || r.getDouble(hiIdx) <= r.getDouble(loIdx)) lit(0L)
       else {
+        val (lo, hi) = (r.getDouble(loIdx), r.getDouble(hiIdx))
         val raw = floor((c.cast("double") - lit(lo)) / lit(hi - lo) * 65536.0)
           .cast("long")
         // when/otherwise, NOT least(): least skips nulls and would place a
         // null dimension in the top bucket instead of nulling the key
         when(raw > 65535L, 65535L).otherwise(raw)
       }
-    df.withColumn(zCol, interleave16(
-      bucket(col(cx), r.getDouble(0), r.getDouble(1)),
-      bucket(col(cy), r.getDouble(2), r.getDouble(3))))
+    df.withColumn(zCol, interleave16(bucket(col(cx), 0, 1), bucket(col(cy), 2, 3)))
   }
 
   /** Write `df` z-ordered on (`cx`, `cy`) as `nFiles` z-range files:

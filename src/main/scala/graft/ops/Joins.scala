@@ -200,11 +200,11 @@ object Joins {
         unix_micros(col("ts")).as("ts_us"))
     val errors = ev.where(col("event_type") === "error" && col("value") >= 150)
       .select(col("event_id").as("err_id"), col("ts_us").as("err_us"))
-      .withColumn("bucket", explode(array_distinct(array(
-        expr(s"err_us div ${w}L"), expr(s"(err_us + ${w}L) div ${w}L")))))
+      .withColumn("bucket",
+        explode(graft.functions.TimeBuckets.coveringBuckets("err_us", w)))
     val clicks = ev.where(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("ts_us").as("click_us"),
-        expr(s"ts_us div ${w}L").as("bucket"))
+        graft.functions.TimeBuckets.bucketOf("ts_us", w).as("bucket"))
     clicks.join(errors, Seq("bucket"))
       .where(col("click_us") >= col("err_us") &&
         col("click_us") < col("err_us") + w)

@@ -71,12 +71,10 @@ object StreamOps {
     val step = 900L * 1000000L  // growing in 15min increments
     events(spark, dir)
       .select(unix_micros(col("ts")).as("ts_us"), col("value"))
-      .withColumn("ws_us", expr(s"ts_us div ${span}L") * span)
-      .withColumn("we_us", explode(sequence(
-        // first end covering ts must be STRICTLY past it (an event on a
-        // step boundary belongs to the NEXT end): ws + (⌊off/step⌋+1)·step
-        col("ws_us") + (expr(s"(ts_us - ws_us) div ${step}L") + 1) * step,
-        col("ws_us") + span, lit(step))))
+      .withColumn("ws_us",
+        graft.functions.TimeBuckets.bucketOf("ts_us", span) * span)
+      .withColumn("we_us", explode(
+        graft.functions.TimeBuckets.cumulateEnds("ts_us", "ws_us", span, step)))
       .groupBy("ws_us", "we_us")
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       .orderBy("ws_us", "we_us")

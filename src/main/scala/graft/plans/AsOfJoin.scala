@@ -183,9 +183,14 @@ object AsOf {
       leftTime: String, rightTime: String,
       leftTie: String, rightTie: String): DataFrame = {
     val session = left.sparkSession
-    if (!session.experimental.extraStrategies.contains(GraftAsOfStrategy))
-      session.experimental.extraStrategies =
-        session.experimental.extraStrategies :+ GraftAsOfStrategy
+    // planner.strategies covers BOTH install paths (extension-injected and
+    // experimental), so a GraftExtensions session is not double-registered;
+    // synchronized closes the read-modify-write race on the shared var
+    AsOf.synchronized {
+      if (!session.sessionState.planner.strategies.contains(GraftAsOfStrategy))
+        session.experimental.extraStrategies =
+          session.experimental.extraStrategies :+ GraftAsOfStrategy
+    }
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     // Dataset.join dedups shared exprIds through the analyzer; this

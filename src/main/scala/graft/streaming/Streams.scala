@@ -288,10 +288,10 @@ object Streams {
     val span = 3600L * 1000000L
     val step = 900L * 1000000L
     events.select(unix_micros(col("ts")).as("ts_us"))
-      .withColumn("ws_us", expr(s"ts_us div ${span}L") * span)
-      .withColumn("we_us", explode(sequence(
-        col("ws_us") + (expr(s"(ts_us - ws_us) div ${step}L") + 1) * step,
-        col("ws_us") + span, lit(step))))
+      .withColumn("ws_us",
+        graft.functions.TimeBuckets.bucketOf("ts_us", span) * span)
+      .withColumn("we_us", explode(
+        graft.functions.TimeBuckets.cumulateEnds("ts_us", "ws_us", span, step)))
       .groupBy("ws_us", "we_us")
       .agg(count(lit(1)).as("n"))
   }
@@ -313,14 +313,14 @@ object Streams {
       .select(col("event_id").as("err_id"), col("ts").as("e_ts"),
         unix_micros(col("ts")).as("err_us"))
       .withWatermark("e_ts", watermark)
-      .withColumn("e_bucket", explode(array_distinct(array(
-        expr(s"err_us div ${w}L"), expr(s"(err_us + ${w}L) div ${w}L")))))
+      .withColumn("e_bucket",
+        explode(graft.functions.TimeBuckets.coveringBuckets("err_us", w)))
     val clicks = events
       .where(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("ts").as("c_ts"),
         unix_micros(col("ts")).as("click_us"))
       .withWatermark("c_ts", watermark)
-      .withColumn("c_bucket", expr(s"click_us div ${w}L"))
+      .withColumn("c_bucket", graft.functions.TimeBuckets.bucketOf("click_us", w))
     clicks.join(errors,
         col("c_bucket") === col("e_bucket") &&
           col("c_ts") >= col("e_ts") &&

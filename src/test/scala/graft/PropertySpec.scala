@@ -252,10 +252,11 @@ class PropertySpec extends SparkTestBase {
         .select(col("event_id").as("iid"), col("ts_us").as("i_us"))
       val points = df.where(col("event_type") === "click")
         .select(col("event_id").as("pid"), col("ts_us").as("p_us"))
-      // the production shape: explode intervals to ≤2 covering buckets
-      val bucketed = points.withColumn("bucket", expr(s"p_us div ${w}L"))
-        .join(intervals.withColumn("bucket", explode(array_distinct(array(
-            expr(s"i_us div ${w}L"), expr(s"(i_us + ${w}L) div ${w}L"))))),
+      // the production helpers (brute force below is the independent side)
+      val bucketed = points
+        .withColumn("bucket", functions.TimeBuckets.bucketOf("p_us", w))
+        .join(intervals.withColumn("bucket",
+            explode(functions.TimeBuckets.coveringBuckets("i_us", w))),
           "bucket")
         .where(col("p_us") >= col("i_us") && col("p_us") < col("i_us") + w)
         .select("pid", "iid")

@@ -59,6 +59,14 @@ class Round6Spec extends SparkTestBase {
         .toDF("a", "b"), "a", "b")
       .where(col("a").isNull).collect()
     assert(zn.length === 1 && zn(0).isNullAt(2))
+    // an ALL-null dimension is a constant dimension, not an NPE: the key
+    // stays non-null and monotone in the live dimension
+    val za = functions.ZOrder
+      .withZKey(Seq((Option.empty[Long], 10L), (None, 30L), (None, 20L))
+        .toDF("a", "b"), "a", "b")
+      .orderBy("b").collect().map(_.getLong(2))
+    assert(za.sameElements(za.sorted) && za.distinct.length === za.length,
+      za.mkString(","))
   }
 
   test("minhash sketch aggregate: exact parity with per-permutation mins, partials combine") {
@@ -84,6 +92,16 @@ class Round6Spec extends SparkTestBase {
     assert(plan.contains("graft_minhash_sig"), plan)
     assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
       s"expected partial+final ObjectHashAggregate:\n$plan")
+    // a non-long input is an analysis error, not a per-row cast crash
+    intercept[Exception] {
+      df.groupBy("g")
+        .agg(functions.MinHash.sig(col("x").cast("string"), 4)).collect()
+    }
+    // negative inputs map into [0, P) instead of poisoning the minima
+    val neg = Seq(("n", -5L)).toDF("g", "x").groupBy("g")
+      .agg(functions.MinHash.sig(col("x"), 4).as("sig"))
+      .collect()(0).getSeq[Long](1)
+    assert(neg.forall(v => v >= 0 && v < functions.MinHashSig.P), neg.mkString(","))
   }
 
   test("llm_minhash_src_sim: all source pairs, estimates bounded, replica source estimates 1.0") {
@@ -138,6 +156,13 @@ class Round6Spec extends SparkTestBase {
     assert(rows.nonEmpty)
     // exactly-once by construction (point side has ONE bucket): no dedup pass
     assert(rows.length === rows.distinct.length)
+    // a span-aligned interval covers exactly ONE bucket ([ts, ts+w) ends at
+    // ts+w-1), a mid-span interval two — the array_distinct is live
+    import s.implicits._
+    val nb = Seq(7200000000L, 7200000001L).toDF("t")
+      .select(size(functions.TimeBuckets.coveringBuckets("t", 3600000000L)))
+      .collect().map(_.getInt(0))
+    assert(nb.sameElements(Array(1, 2)), nb.mkString(","))
     // brute-force reference — legal at fixture scale only
     val ev = Tables.events(s, sf0001).select(col("event_id"), col("event_type"),
       col("value"), unix_micros(col("ts")).as("ts_us"))
