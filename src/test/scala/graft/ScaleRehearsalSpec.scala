@@ -132,6 +132,29 @@ class ScaleRehearsalSpec extends SparkTestBase {
     assert(secs < 60.0, s"scd2 took $secs s at 10x")
   }
 
+  test("cdc_temporal_join at 10x users: cardinality-preserving, equi-key plan") {
+    val p = planOf("cdc_temporal_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val (n, secs) = runTimed("cdc_temporal_join")
+    // one version per purchase regardless of scale
+    val purchases = graft.Tables.events(spark, scaledDir)
+      .where(col("event_type") === "purchase").count()
+    assert(n === purchases, s"temporal join must stay cardinality-preserving: $n vs $purchases")
+    assert(secs < 60.0, s"temporal join took $secs s at 10x")
+  }
+
+  test("llm_minhash_src_sim at 10x corpus: signature state stays O(k), estimates unchanged") {
+    // 10x replica docs add NO new shingles per source — the signature (a
+    // set sketch) must be bit-identical to the fixture's, at any scale
+    val fixture = SparkEntry.queries("llm_minhash_src_sim")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    val (_, secs) = runTimed("llm_minhash_src_sim")
+    val scaled = SparkEntry.queries("llm_minhash_src_sim")(spark, scaledDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(scaled === fixture, "replica corpus must not move any source signature")
+    assert(secs < 60.0, s"minhash sim took $secs s at 10x")
+  }
+
   test("no driver-collect cap is violated by the 10x corpus") {
     // the bounded brute baselines must still fit their caps at 10x (5000
     // rows ≪ the 100k boundedCollect cap / 4096 query cap) — this pins
