@@ -472,6 +472,41 @@ object Streams {
     }
   }
 
+  /** I6c — keyed-state TTL (Flink `StateTtlConfig` analogue): the same
+    * running totals, but the ValueState EXPIRES after `ttlMs` of
+    * processing time — the idiomatic bound for keyed state that must not
+    * grow forever under key churn (Spark 4 `TTLConfig`; requires
+    * `TimeMode.ProcessingTime`). A key seen again after its state
+    * expired restarts from zero rather than resuming. */
+  def userTotalsTwsTtl(events: Dataset[Event], ttlMs: Long): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new UserTotalsTtlProcessor(ttlMs),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Update())
+  }
+
+  class UserTotalsTtlProcessor(ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserTotals] {
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var totals: streaming.ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)]("totals",
+        Encoders.product[(Long, Double)],
+        streaming.TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: streaming.TimerValues): Iterator[UserTotals] = {
+      // an expired value reads as null — the key restarts from zero
+      val prev = Option(totals.get()).getOrElse((0L, 0.0))
+      val next = rows.foldLeft(prev) { case ((n, s), e) => (n + 1, s + e.value) }
+      totals.update(next)
+      Iterator.single(UserTotals(key, next._1, next._2))
+    }
+  }
+
   case class UserAccum(user_id: Long, first_ms: Long, last_ms: Long, n: Long)
 
   /** Open SCD2 version ([[scd2Intervals]] state). */

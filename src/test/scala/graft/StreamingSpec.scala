@@ -505,6 +505,58 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("I6c: value state expires after its TTL — the key restarts instead of resuming") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event]
+    // discrete single-batch runs over one checkpoint: the realistic
+    // incremental shape for processing-time TTL, and the only settle-able
+    // one — a ProcessingTime-mode query keeps scheduling no-data batches
+    // (measured: 612 epochs in 2 min under AvailableNow), so neither
+    // processAllAvailable nor AvailableNow ever drains
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ttl-ckpt").toString
+    // memory sink cannot recover a checkpoint; foreachBatch can
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]()
+    def runOnce(): Unit = {
+      val q = Streams.userTotalsTwsTtl(ms.toDS(), ttlMs = 1500).toDF()
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.where(col("user_id") === 1).collect()
+            .foreach(r => out.add((r.getLong(1), r.getDouble(2))))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .start()
+      assert(q.awaitTermination(120000), "single-batch run did not finish")
+    }
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00", 1, "click", 1.5),
+        ev(2, "2024-01-01 10:01:00", 1, "click", 2.5))
+      runOnce()
+      val r1 = out.toArray(Array.empty[(Long, Double)])
+      assert(r1.contains((2L, 4.0)), r1.mkString(", "))
+      out.clear()
+      Thread.sleep(2500) // let the processing-time TTL lapse
+      ms.addData(ev(3, "2024-01-01 10:02:00", 1, "view", 4.0))
+      runOnce()
+      // expired state restarts the key at (1, 4.0); live state would
+      // have resumed to (3, 8.0)
+      val r2 = out.toArray(Array.empty[(Long, Double)])
+      assert(r2.contains((1L, 4.0)) && !r2.contains((3L, 8.0)),
+        r2.mkString(", "))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("I10: update mode re-emits a window's row as new data refines it") {
     val s = spark
     import s.implicits._
