@@ -453,18 +453,23 @@ object Streams {
         OutputMode.Update())
   }
 
-  /** Per-user running (count, sum) in a RocksDB-backed ValueState. */
-  class UserTotalsProcessor
+  /** Per-user running (count, sum) in a RocksDB-backed ValueState. One
+    * class serves both the unbounded (TTLConfig.NONE) and the TTL'd
+    * variant — a single accumulation body, so the twins cannot drift. */
+  class UserTotalsProcessor(
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserTotals] {
     import org.apache.spark.sql.{Encoders, streaming}
     @transient private var totals: streaming.ValueState[(Long, Double)] = _
 
     override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit =
       totals = getHandle.getValueState[(Long, Double)]("totals",
-        Encoders.product[(Long, Double)], streaming.TTLConfig.NONE)
+        Encoders.product[(Long, Double)], ttl)
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timerValues: streaming.TimerValues): Iterator[UserTotals] = {
+      // an expired value reads as null — the key restarts from zero
       val prev = Option(totals.get()).getOrElse((0L, 0.0))
       val next = rows.foldLeft(prev) { case ((n, s), e) => (n + 1, s + e.value) }
       totals.update(next)
@@ -482,29 +487,11 @@ object Streams {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .transformWithState(new UserTotalsTtlProcessor(ttlMs),
+      .transformWithState(
+        new UserTotalsProcessor(org.apache.spark.sql.streaming.TTLConfig(
+          java.time.Duration.ofMillis(ttlMs))),
         org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
         OutputMode.Update())
-  }
-
-  class UserTotalsTtlProcessor(ttlMs: Long)
-      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserTotals] {
-    import org.apache.spark.sql.{Encoders, streaming}
-    @transient private var totals: streaming.ValueState[(Long, Double)] = _
-
-    override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit =
-      totals = getHandle.getValueState[(Long, Double)]("totals",
-        Encoders.product[(Long, Double)],
-        streaming.TTLConfig(java.time.Duration.ofMillis(ttlMs)))
-
-    override def handleInputRows(key: Long, rows: Iterator[Event],
-        timerValues: streaming.TimerValues): Iterator[UserTotals] = {
-      // an expired value reads as null — the key restarts from zero
-      val prev = Option(totals.get()).getOrElse((0L, 0.0))
-      val next = rows.foldLeft(prev) { case ((n, s), e) => (n + 1, s + e.value) }
-      totals.update(next)
-      Iterator.single(UserTotals(key, next._1, next._2))
-    }
   }
 
   case class UserAccum(user_id: Long, first_ms: Long, last_ms: Long, n: Long)

@@ -148,9 +148,10 @@ class ScaleRehearsalSpec extends SparkTestBase {
     // set sketch) must be bit-identical to the fixture's, at any scale
     val fixture = SparkEntry.queries("llm_minhash_src_sim")(spark, sf001)
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
-    val (_, secs) = runTimed("llm_minhash_src_sim")
+    val t0 = System.nanoTime()
     val scaled = SparkEntry.queries("llm_minhash_src_sim")(spark, scaledDir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    val secs = (System.nanoTime() - t0) / 1e9
     assert(scaled === fixture, "replica corpus must not move any source signature")
     assert(secs < 60.0, s"minhash sim took $secs s at 10x")
   }

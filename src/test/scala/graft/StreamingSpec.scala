@@ -532,7 +532,9 @@ class StreamingSpec extends SparkTestBase {
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.Once())
         .start()
-      assert(q.awaitTermination(120000), "single-batch run did not finish")
+      // a hung run must not outlive the assertion and poison later suites
+      try assert(q.awaitTermination(120000), "single-batch run did not finish")
+      finally if (q.isActive) q.stop()
     }
     try {
       ms.addData(ev(1, "2024-01-01 10:00:00", 1, "click", 1.5),
