@@ -87,9 +87,62 @@ class BenchSpec extends SparkTestBase {
     assert(line.contains("\"errors\":3"))
   }
 
-  test("renderFull contains every query key") {
-    val results = (1 to 130).map(i => s"q$i" -> i / 100.0).toMap
-    val full = Bench.renderFull(results, errors = 0, sfDir = "/tmp/sf")
+  test("renderFull contains every query key with time and shuffle volume fields") {
+    val stats = (1 to 130).map { i =>
+      s"q$i" -> Bench.QueryStat(i / 100.0, i * 1.0, i * 0.9, 0.0, 0.0, 2)
+    }.toMap
+    val full = Bench.renderFull(stats, errors = 0, sfDir = "/tmp/sf")
     (1 to 130).foreach(i => assert(full.contains("\"q" + i + "\":")))
+    assert(full.contains("\"sec\":"))
+    assert(full.contains("\"shuffle_read_mb\":"))
+    assert(full.contains("\"shuffle_write_mb\":"))
+    assert(full.contains("\"spill_disk_mb\":"))
+    // file-level totals so cross-round shuffle regressions need no jq pass
+    assert(full.contains("\"shuffle_read_mb\":" + Bench.fmt(stats.values.map(_.shuffleReadMb).sum)))
+  }
+
+  test("adaptive rep: a >2x disagreement between the base reps triggers exactly one extra rep") {
+    val s = spark
+    import s.implicits._
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val spiky: (SparkSession, String) => DataFrame = (_, _) => {
+      // rep 0 simulates a contention spike; later reps are fast
+      if (calls.getAndIncrement() == 0) Thread.sleep(300) else Thread.sleep(20)
+      Seq(1).toDF("x")
+    }
+    val (stats, errors) =
+      Bench.timeQueriesDetailed(spark, sf0001, Map("spiky" -> spiky), reps = 2)
+    assert(errors === 0)
+    assert(calls.get() === 3, "2 base reps + 1 adaptive retry expected")
+    assert(stats("spiky").reps === 3)
+    assert(stats("spiky").sec < 0.3, "min must come from a fast rep, not the spike")
+  }
+
+  test("adaptive rep: agreeing base reps do NOT trigger a retry") {
+    val s = spark
+    import s.implicits._
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val steady: (SparkSession, String) => DataFrame = (_, _) => {
+      calls.getAndIncrement(); Thread.sleep(150); Seq(1).toDF("x")
+    }
+    val (stats, _) =
+      Bench.timeQueriesDetailed(spark, sf0001, Map("steady" -> steady), reps = 2)
+    assert(calls.get() === 2, "no retry when reps agree within the ratio")
+    assert(stats("steady").reps === 2)
+  }
+
+  test("shuffle tally: a grouped aggregate reports more shuffle write than a bare count") {
+    val scan: (SparkSession, String) => DataFrame =
+      (s, dir) => Tables.events(s, dir).select("event_id")
+    val grouped: (SparkSession, String) => DataFrame =
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.collect_list("event_type"))
+    val (stats, errors) = Bench.timeQueriesDetailed(spark, sf0001,
+      Map("scan" -> scan, "grouped" -> grouped), reps = 1)
+    assert(errors === 0)
+    assert(stats("grouped").shuffleWriteMb > 0.0, "grouped agg must shuffle")
+    assert(stats("grouped").shuffleWriteMb > stats("scan").shuffleWriteMb,
+      s"grouped=${stats("grouped").shuffleWriteMb} scan=${stats("scan").shuffleWriteMb}")
+    assert(stats("grouped").shuffleReadMb > 0.0, "the read side of the same exchange")
   }
 }

@@ -1,0 +1,56 @@
+package graft
+
+/** Hard byte bounds on the data motion of the bench cost tail.
+  *
+  * Wall time on this sandbox is load-noisy; shuffle bytes are
+  * plan-deterministic. Each bound below is ~3× the volume measured at
+  * sf0.1 when the plan was audited (round 7 calibration run:
+  * llm_dup_spans 4.9 MB, llm_decontaminate 4.4 MB, llm_dedup_jaccard_prefix
+  * 2.2 MB, cep family 2.0 MB, sessionize/ts 1.9 MB, cdc 1.8 MB,
+  * tpch_q18 1.6 MB, 38.5 MB across all 139 queries) — so a plan regression
+  * that starts moving corpus-squared data (a lost pushdown, a broadcast
+  * that became a shuffle join, a candidate explosion in a dedup pipeline)
+  * trips the bound long before it is visible through timing noise.
+  *
+  * The proportionality arguments (candidates not corpus², shingles not
+  * pairs) live in ScaleRehearsalSpec's 10× runs; this spec pins the
+  * absolute volumes at the driver's bench scale factor.
+  */
+class ShuffleVolumeSpec extends SparkTestBase {
+
+  private val sf01 = "/root/testdata/sf0.1"
+
+  /** (query, max shuffle-read MB at sf0.1). */
+  private val bounds: Seq[(String, Double)] = Seq(
+    "llm_dup_spans" -> 15.0,
+    "llm_decontaminate" -> 14.0,
+    "llm_dedup_jaccard_prefix" -> 8.0,
+    "cep_kleene_timeout" -> 6.0,
+    "ts_time_weighted_avg" -> 6.0,
+    "sessionize_events" -> 6.0,
+    "cdc_temporal_join" -> 6.0,
+    "cdc_scd2_intervals" -> 6.0,
+    "tpch_q18_large_volume" -> 5.0,
+    "llm_dedup_near" -> 3.0
+  )
+
+  private lazy val measured: Map[String, Bench.QueryStat] = {
+    val qs = bounds.map { case (name, _) => name -> SparkEntry.queries(name) }.toMap
+    val (stats, errors) = Bench.timeQueriesDetailed(spark, sf01, qs, reps = 1)
+    assert(errors === 0, "a cost-tail query failed at sf0.1")
+    stats
+  }
+
+  bounds.foreach { case (name, maxMb) =>
+    test(s"$name moves < $maxMb MB of shuffle at sf0.1") {
+      val s = measured(name)
+      assert(s.shuffleReadMb < maxMb,
+        s"$name shuffled ${s.shuffleReadMb} MB (bound $maxMb) — plan regression?")
+    }
+  }
+
+  test("no cost-tail query spills to disk at sf0.1") {
+    val spilled = measured.filter(_._2.spillDiskMb > 0.0)
+    assert(spilled.isEmpty, s"disk spill at bench scale: $spilled")
+  }
+}
