@@ -209,6 +209,12 @@ object Llm {
     * (doc-keyed shuffle); candidate join shuffles on rare words only;
     * verification joins shuffle on (candidate pair ⋈ words). No stage is
     * ever all-pairs. */
+  /** The previous [[dedupJaccardPrefix]] invocation's persisted word table
+    * and prefix index, dropped at the next invocation's entry (a lazily
+    * returned DataFrame leaves no later point to unpersist at). */
+  private val jaccardPrefixCache =
+    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
+
   def dedupJaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
     // Fixture bound (like every bounded baseline here, but 100× wider than
     // dedupJaccard's doc_id<20): the sf0.1 corpus is ~20% dense dup-clique
@@ -222,14 +228,22 @@ object Llm {
     // 1.7 s hashed — UTF8String wrapper allocation per element compare is
     // the entire difference. DuckDB hashes identically (h48Sql), so a
     // 48-bit collision — ~1e-6/corpus — would alter both engines equally.
+    //
+    // Materialization is persist(MEMORY_AND_DISK), not localCheckpoint():
+    // both stop the five consumers (df, sizes, prefix window, two word-set
+    // dims) from each rescanning+re-exploding the corpus, but an
+    // executor-local checkpoint is NOT fault-tolerant — on a real cluster a
+    // lost executor kills the query, while a persisted plan just recomputes
+    // the lost partitions from lineage. The previous invocation's cache is
+    // dropped on entry so repeated runs (bench reps, verify) each pay the
+    // full build — caching may never quietly change what the bench times.
+    jaccardPrefixCache.getAndSet(Nil).foreach(_.unpersist(false))
     val w = documents(spark, dir)
       .where(col("doc_id") < 2000)
       .select(col("doc_id"), explode(array_distinct(wordsCol)).as("word_raw"))
       .select(col("doc_id"), graft.Tables.h48(col("word_raw")).as("word"))
       .distinct()
-      // five consumers (df, sizes, prefix window, two word-set broadcasts)
-      // would each rescan+re-explode+re-hash the corpus — materialize once
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = w.groupBy("word").agg(count(lit(1)).as("df"))
     val sizes = w.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // prefix length = sz − ceil(0.9·sz) + 1, integer-exact in both engines
@@ -242,8 +256,10 @@ object Llm {
       // materialize the prefix index ONCE: both sides of the self-join (and
       // the window shuffle feeding it) would otherwise recompute the whole
       // w⋈df⋈sizes subtree — measured 4× cost at sf0.1. This is the
-      // standard SSJoin prefix-index materialization (~10% of corpus words).
-      .localCheckpoint()
+      // standard SSJoin prefix-index materialization (~10% of corpus words);
+      // persist (recomputable) rather than localCheckpoint, as above.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    jaccardPrefixCache.set(Seq(w, prefix))
     // Candidate collisions with the two lossless SSJoin prunes (measured at
     // sf0.1: 22.4M raw collisions → 4.2M, end-to-end 107 s → ~12 s):
     //  - length filter: J ≥ 9/10 forces |d1|,|d2| within 10% of each other;

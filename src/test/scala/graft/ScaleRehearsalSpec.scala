@@ -113,6 +113,27 @@ class ScaleRehearsalSpec extends SparkTestBase {
     assert(frac1 === 5000L, s"all docs are 10x replicas, got $frac1 at frac 1.0")
   }
 
+  test("llm_semdedup at 10x replica density: cell-proportional pairs, one keeper per family") {
+    // replicas of one original share an identical embedding, so they are
+    // assigned to the SAME cell (argmax ties break on centroid index) and
+    // every non-lowest replica sees a lower vec_id at cos=1.0 ≥ τ — the
+    // worst realistic prune density for the within-cell pair generator
+    val p = planOf("llm_semdedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val (n, secs) = runTimed("llm_semdedup")
+    // vec_id<2000 under the ×10 remap = 200 original vectors × 10 replicas
+    assert(n === 2000L, s"one row per in-bound vector expected, got $n")
+    assert(secs < 60.0, s"semdedup took $secs s at 10x — pair gen no longer cell-proportional?")
+    val rows = SparkEntry.queries("llm_semdedup")(spark, scaledDir)
+    // a family may lose even its lowest id to a cross-family neighbor, but
+    // two survivors within one identical-embedding family would mean the
+    // within-cell prune rule itself broke at density
+    val multiKeep = rows.where(!col("pruned"))
+      .withColumn("family", (col("vec_id") / K).cast("long"))
+      .groupBy("family").count().where(col("count") > 1).count()
+    assert(multiKeep === 0L, s"$multiKeep replica families kept >1 member")
+  }
+
   test("join_range_bucketed at 10x temporal density: still bucket-equi, no pair join") {
     // the remap multiplies ids but keeps ts — 10x errors AND 10x clicks
     // share the same time axis, so true pair density rises ~100x: the

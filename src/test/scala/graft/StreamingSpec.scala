@@ -559,6 +559,70 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("I9b/I6d: RocksDB state store + changelog checkpointing recovers windowed-agg state across a restart") {
+    // The Flink-RocksDB-backend analogue, and the only state-backend knob a
+    // 100 TB streaming deployment actually flips: RocksDBStateStoreProvider
+    // moves keyed state off-heap (state size no longer bounded by executor
+    // heap), and changelog checkpointing makes the per-commit upload
+    // O(batch delta) instead of O(full state snapshot). A classic windowed
+    // aggregation — which defaults to the HDFS-backed heap provider, unlike
+    // transformWithState which requires RocksDB — is run against it over a
+    // stop/restart so the recovery path (changelog replay on top of the
+    // last snapshot) is exercised, not just the happy path.
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val changelogKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevP = spark.conf.getOption(providerKey)
+    val prevC = spark.conf.getOption(changelogKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(changelogKey, "true")
+    val ms = MemoryStream[Event]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rocksdb-ckpt").toString
+    // memory sink cannot recover a checkpoint; foreachBatch can (same
+    // discrete single-batch-run shape as the TTL case above)
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    def runOnce(): Unit = {
+      val q = Streams.tumblingCounts(ms.toDF())
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.collect().foreach(r => out.add((r.getString(1), r.getLong(2))))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .start()
+      try assert(q.awaitTermination(120000), "single-batch run did not finish")
+      finally if (q.isActive) q.stop()
+    }
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 10:10:00", 2, "click", 2.0))
+      runOnce()
+      val r1 = out.toArray(Array.empty[(String, Long)])
+      assert(r1.contains(("click", 2L)), r1.mkString(", "))
+      out.clear()
+      // restart from the same checkpoint: the 10:00 window's n=2 must come
+      // back via changelog replay, so one more click refines it to 3 —
+      // lost state would restart the window at 1
+      ms.addData(ev(3, "2024-01-01 10:20:00", 3, "click", 3.0))
+      runOnce()
+      val r2 = out.toArray(Array.empty[(String, Long)])
+      assert(r2.contains(("click", 3L)) && !r2.contains(("click", 1L)),
+        r2.mkString(", "))
+    } finally {
+      prevP match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+      prevC match {
+        case Some(v) => spark.conf.set(changelogKey, v)
+        case None => spark.conf.unset(changelogKey)
+      }
+    }
+  }
+
   test("I10: update mode re-emits a window's row as new data refines it") {
     val s = spark
     import s.implicits._
