@@ -25,6 +25,7 @@ object SparkEntry {
       ops.Llm.queries ++
       ops.Llm2.queries ++
       ops.Llm3.queries ++
+      ops.Llm4.queries ++
       ops.Warehouse.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -38,5 +39,6 @@ object SparkEntry {
       ops.Llm.oracles ++
       ops.Llm2.oracles ++
       ops.Llm3.oracles ++
+      ops.Llm4.oracles ++
       ops.Warehouse.oracles
 }

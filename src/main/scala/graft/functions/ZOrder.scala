@@ -44,7 +44,9 @@ object ZOrder {
     * row is the only driver transfer). A constant column lands wholly in
     * bucket 0 — the z-key degrades to a plain sort on the other
     * dimension. Null in either dimension yields a null z-key (sorts
-    * first, i.e. its own leading file range). */
+    * first, i.e. its own leading file range) — except when that whole
+    * dimension is null, which is treated as constant, since per-row
+    * propagation would null every key. */
   def withZKey(df: DataFrame, cx: String, cy: String,
       zCol: String = "z"): DataFrame = {
     val bounds = graft.Tables.boundedCollect(
@@ -53,11 +55,18 @@ object ZOrder {
       maxRows = 1, what = "z-order global min/max row")
     if (bounds.isEmpty) return df.withColumn(zCol, lit(0L)) // empty input
     val r = bounds.head
-    // per-dimension null bounds: an ALL-null dimension is a constant
-    // dimension (bucket 0 — the key degrades to a sort on the other one);
-    // a partially-null dimension keeps per-row null propagation below
+    // per-dimension degenerate bounds, two distinct cases:
+    //  - ALL-null dimension: the column carries no ordering information at
+    //    all, so every row gets bucket 0 and the key degrades to a sort on
+    //    the other dimension (per-row propagation would null EVERY key);
+    //  - constant non-null dimension: non-null rows land in bucket 0, but
+    //    null rows STILL null the key, matching the per-row null
+    //    propagation of the linear branch below (a constant dimension must
+    //    not quietly give partially-null rows a real z-key)
     def bucket(c: Column, loIdx: Int, hiIdx: Int): Column =
-      if (r.isNullAt(loIdx) || r.getDouble(hiIdx) <= r.getDouble(loIdx)) lit(0L)
+      if (r.isNullAt(loIdx)) lit(0L)
+      else if (r.getDouble(hiIdx) <= r.getDouble(loIdx))
+        when(c.isNull, lit(null)).otherwise(lit(0L))
       else {
         val (lo, hi) = (r.getDouble(loIdx), r.getDouble(hiIdx))
         val raw = floor((c.cast("double") - lit(lo)) / lit(hi - lo) * 65536.0)

@@ -398,6 +398,15 @@ object Llm3 {
     * this sketch IS hash-verified, unlike the tolerance-gated built-ins
     * (HLL++, quantile sketch). */
   def minhashSourceSim(spark: SparkSession, dir: String): DataFrame = {
+    // |sources| bounds the S² pair join; fail loudly past the bound (the
+    // repo's boundedCollect convention) rather than limit(1000), which
+    // would nondeterministically DROP sources from the similarity matrix
+    // and silently diverge from the oracle. The count probe is one tiny
+    // distinct on the source column, far cheaper than the shingle agg.
+    val nSrc = documents(spark, dir).select(col("source")).distinct().count()
+    require(nSrc <= 1000,
+      s"llm_minhash_src_sim: $nSrc sources exceed the 1000-source pair-join " +
+        "bound; band the signature join (as llm_dedup_near does) before lifting it")
     val sh = documents(spark, dir)
       .select(col("source"), split(col("text"), " ").as("ws"))
       .where(size(col("ws")) >= 3)
@@ -411,7 +420,6 @@ object Llm3 {
       .distinct()
     val sigs = sh.groupBy("source")
       .agg(graft.functions.MinHash.sig(col("x"), 16).as("sig"))
-      .limit(1000) // |sources| is tiny; the bound makes the pair join provably safe
     val a = sigs.select(col("source").as("source_a"), col("sig").as("sig_a"))
     val b = sigs.select(col("source").as("source_b"), col("sig").as("sig_b"))
     a.join(b, col("source_a") < col("source_b"))

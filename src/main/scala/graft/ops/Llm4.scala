@@ -1,0 +1,140 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline widening, round 7: corpus-order n-gram novelty (the
+  * curriculum/dedup-aware "how much of this document is first-seen"
+  * signal), a unigram-LM log-probability quality proxy (the cheap
+  * perplexity stand-in run before any neural scorer), and
+  * temperature-based source mix rebalancing (the `p ∝ n^α` recipe used to
+  * up-weight small high-quality sources in pretraining mixtures).
+  *
+  * Scale notes (100 TB):
+  *  - Novelty: distinct (doc, shingle) rows → shingle-keyed min-doc agg →
+  *    join back on shingle → doc-keyed agg. Everything is
+  *    shingle-proportional (the same budget dupSpans runs on); nothing is
+  *    pairwise. First-occurrence is an associative MIN, so the map-side
+  *    partial collapses each partition's duplicates before the shuffle.
+  *  - Unigram log-prob: token-keyed count with map-side combine (the
+  *    Zipf-head shuffle is vocabulary-sized, not corpus-sized), corpus
+  *    total as a broadcast 1-row aggregate, then a doc-keyed avg. Log
+  *    terms are decimal-quantized before summation ([[graft.Tables.dsum]])
+  *    so the result is independent of partition/summation order.
+  *  - Temperature mix: one source-keyed count (map-side combined to
+  *    |sources| rows) + a broadcast 1-row total; everything after is
+  *    row-local arithmetic. At any corpus size the shuffled data is the
+  *    source cardinality.
+  */
+object Llm4 {
+
+  /** Corpus-order 3-gram novelty per document: the fraction of a doc's
+    * distinct word-trigrams whose FIRST corpus occurrence (min doc_id) is
+    * this document. Exact-dup docs of earlier content score 0; the
+    * doc_id order stands in for ingestion order. Docs need ≥3 words. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    // zipped-shifted-slices trigrams — same codegen'd kernel as dupSpans
+    // (an element_at lambda over `sequence` re-evaluates the split per
+    // element; measured there: 6.9 s vs 1.3 s at sf0.1)
+    val sh = documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 2),
+        slice(col("ws"), lit(2), size(col("ws")) - 2),
+        slice(col("ws"), lit(3), size(col("ws")) - 2))).as("g"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("g.0"), col("g.1"), col("g.2")).as("s"))
+      .distinct()
+    val firstDoc = sh.groupBy("s").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstDoc, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles").cast("double"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** Unigram-LM average log-probability per document (doc_id < 100 output
+    * bound; the language model itself — token frequencies and the corpus
+    * total — is fit on the FULL corpus): avg over the doc's tokens of
+    * ln(count(token)/total_tokens). The classic cheap quality proxy —
+    * gibberish and rare-token soup score far below fluent text. Log terms
+    * go through [[graft.Tables.dsum]]'s decimal quantization so the sum
+    * is partition-order independent and DuckDB-reproducible. */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val w = documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val freq = w.groupBy("word").agg(count(lit(1)).as("c"))
+    val tot = w.agg(count(lit(1)).as("t"))
+    w.where(col("doc_id") < 100)
+      .join(freq, "word")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(dsum(log(col("c").cast("double") / col("t").cast("double"))) /
+          count(lit(1)).cast("double"), 6).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  /** Temperature-rebalanced source mixture (α = 0.5): sampling probability
+    * p_s ∝ n_s^α, flattening the source distribution toward small
+    * high-quality sources (α=1 is proportional, α=0 uniform). Output also
+    * scales p into expected document counts for a 1000-doc epoch. The
+    * weight total uses [[graft.Tables.dsum]]'s decimal quantization, so
+    * p is summation-order independent. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val s = documents(spark, dir)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("wt", sqrt(col("n_docs").cast("double")))
+    val tot = s.agg(dsum(col("wt")).as("tw"))
+    s.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        round(col("wt") / col("tw"), 6).as("p"),
+        round(col("wt") / col("tw") * 1000, 0).cast("long").as("expected_docs"))
+      .orderBy("source")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ngram_novelty" -> (ngramNovelty _),
+    "llm_unigram_logprob" -> (unigramLogprob _),
+    "llm_temperature_mix" -> (temperatureMix _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "llm_ngram_novelty" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           base AS (SELECT doc_id, ws, len(ws) AS n FROM d WHERE len(ws) >= 3),
+           sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_distinct(list_transform(range(1, n - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+                  FROM base),
+           fo AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+         SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*), 6) AS novelty
+         FROM sh JOIN fo USING (s) GROUP BY 1 ORDER BY 1""",
+    "llm_unigram_logprob" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                    FROM documents),
+           freq AS (SELECT word, COUNT(*) AS c FROM w GROUP BY 1),
+           tot AS (SELECT COUNT(*) AS t FROM w)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(LN(CAST(c AS DOUBLE) / t) AS DECIMAL(18,6)))
+             AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+         FROM w JOIN freq USING (word) CROSS JOIN tot
+         WHERE doc_id < 100 GROUP BY doc_id ORDER BY doc_id""",
+    "llm_temperature_mix" ->
+      """WITH s AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+           w AS (SELECT source, n_docs, SQRT(CAST(n_docs AS DOUBLE)) AS wt FROM s),
+           tot AS (SELECT CAST(SUM(CAST(wt AS DECIMAL(18,6))) AS DOUBLE) AS tw FROM w)
+         SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           ROUND(wt / tw, 6) AS p,
+           CAST(ROUND(wt / tw * 1000, 0) AS BIGINT) AS expected_docs
+         FROM w CROSS JOIN tot ORDER BY source""",
+  )
+}

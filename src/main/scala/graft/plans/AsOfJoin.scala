@@ -201,10 +201,17 @@ object AsOf {
     require(shared.isEmpty,
       s"left and right share attribute lineage (${shared.mkString(", ")}); " +
         "alias every column of one side (select(col(...).as(...))) before AsOf.join")
-    def attr(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $n not in [${p.output.map(_.name).mkString(", ")}]"))
+    // strict like the lineage/type checks around it: a duplicate column
+    // name must not silently bind to whichever attribute happens first
+    def attr(p: LogicalPlan, n: String): Attribute = {
+      val hits = p.output.filter(_.name == n)
+      if (hits.isEmpty) throw new IllegalArgumentException(
+        s"column $n not in [${p.output.map(_.name).mkString(", ")}]")
+      require(hits.size == 1,
+        s"column $n is ambiguous (${hits.size} attributes of that name); " +
+          "rename the duplicates before AsOf.join")
+      hits.head
+    }
     val attrs = Seq(attr(lp, leftKey), attr(rp, rightKey), attr(lp, leftTime),
       attr(rp, rightTime), attr(lp, leftTie), attr(rp, rightTie))
     attrs.foreach(a => require(a.dataType == LongType,

@@ -382,6 +382,35 @@ object Streams {
         onTime(df.toDF().where(col("ts") >= lit(wm)))
       }
 
+  /** `DataStream.iterate` analogue at micro-batch granularity (SURVEY
+    * §2.I iterate-gap construct (b), made concrete): a feedback edge
+    * closed through the SOURCE directory. Each micro-batch is mapped
+    * through `step`; nonempty results are appended back into `dir`, which
+    * the file source discovers as a new micro-batch — so records loop
+    * until a round emits nothing and the query drains (a fixpoint, which
+    * `processAllAvailable` can therefore wait for). Honest scope vs
+    * Flink: per-micro-batch (one trigger of latency per round) and
+    * at-least-once, not per-record in-flight; the empty-round guard is
+    * the termination rule Flink leaves to timeouts. The batch analogue
+    * (driver-side loop, L67 Pregel) remains the right shape for
+    * iterate-to-convergence workloads.
+    */
+  def iterateFeedback(spark: org.apache.spark.sql.SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      step: DataFrame => DataFrame)(
+      observe: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream.schema(schema).parquet(dir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        observe(batch.toDF())
+        val next = step(batch.toDF())
+        // an empty write would still create a part file, which the source
+        // would read as one more (empty) round, forever — the guard IS the
+        // loop's termination condition
+        if (!next.isEmpty) next.write.mode("append").parquet(dir)
+      }
+
   /** A2/A8 — Kafka source/sink wiring (the canonical Flink
     * KafkaSource/KafkaSink analogue). Returns the fully-configured
     * reader/writer WITHOUT load()/start(): this container is zero-egress and

@@ -623,6 +623,33 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("iterate analogue: foreachBatch feedback loop halves values to fixpoint and drains") {
+    // DataStream.iterate gap construct (b): records feed back through the
+    // source dir until a round emits nothing. Seed {8, 5}; step halves
+    // values > 1 → rounds {4, 2}, {2, 1}, {1}, {} — the observed multiset
+    // is the full iteration trace, independent of file/batch grouping.
+    val dir = java.nio.file.Files.createTempDirectory("graft-iterate").toString
+    val s = spark
+    import s.implicits._
+    Seq(8L, 5L).toDF("value").write.mode("append").parquet(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.LongType)))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = Streams.iterateFeedback(spark, dir, schema,
+      step = df => df.where($"value" > 1L).select(($"value" / 2).cast("long").as("value")))(
+      observe = df => df.select($"value").as[Long].collect().foreach(seen.add))
+      .start()
+    try {
+      // processAllAvailable blocks until no new files remain — i.e. until
+      // the feedback loop has genuinely reached its fixpoint
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val trace = seen.asScala.toSeq.groupBy(x => x).view.mapValues(_.size).toMap
+      assert(trace === Map(8L -> 1, 5L -> 1, 4L -> 1, 2L -> 2, 1L -> 2), trace)
+    } finally q.stop()
+  }
+
   test("I10: update mode re-emits a window's row as new data refines it") {
     val s = spark
     import s.implicits._
