@@ -26,7 +26,8 @@ object SparkEntry {
       ops.Llm2.queries ++
       ops.Llm3.queries ++
       ops.Llm4.queries ++
-      ops.Warehouse.queries
+      ops.Warehouse.queries ++
+      ops.Warehouse2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +41,6 @@ object SparkEntry {
       ops.Llm2.oracles ++
       ops.Llm3.oracles ++
       ops.Llm4.oracles ++
-      ops.Warehouse.oracles
+      ops.Warehouse.oracles ++
+      ops.Warehouse2.oracles
 }

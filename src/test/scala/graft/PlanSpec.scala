@@ -109,7 +109,9 @@ class PlanSpec extends SparkTestBase {
       "llm_ann_lsh",
       // 1-row corpus-size aggregate broadcast into the TF-IDF scorer
       "llm_tfidf_topterms",
-      // |sources|-row signature table (limit(1000)-bounded) paired with
+      // 1-row decimal-total broadcasts (corpus token count / weight sum)
+      "llm_unigram_logprob", "llm_temperature_mix",
+      // |sources|-row signature table (loud 1000-source bound) paired with
       // itself — the sketch exists precisely so this side stays tiny
       "llm_minhash_src_sim")
     SparkEntry.queries.foreach { case (name, fn) =>

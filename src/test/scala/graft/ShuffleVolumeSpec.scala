@@ -22,6 +22,11 @@ class ShuffleVolumeSpec extends SparkTestBase {
 
   /** (query, max shuffle-read MB at sf0.1). */
   private val bounds: Seq[(String, Double)] = Seq(
+    // round-7 additions: q21's (orderkey, suppkey) pre-agg moves the whole
+    // pair table once (12.4 MB measured — the decorrelation's one pass);
+    // novelty's distinct (doc, shingle) index is dupSpans-sized (4.9 MB)
+    "tpch_q21_sole_blame" -> 37.0,
+    "llm_ngram_novelty" -> 15.0,
     "llm_dup_spans" -> 15.0,
     "llm_decontaminate" -> 14.0,
     "llm_dedup_jaccard_prefix" -> 8.0,
