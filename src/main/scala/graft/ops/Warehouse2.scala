@@ -22,28 +22,73 @@ object Warehouse2 {
 
   /** TPC-H Q7 (volume shipping): revenue between the (NATION_12,
     * NATION_10) pair — chosen so every fixture SF has cross-volume —
-    * both directions, by ship year 1996–1997. */
+    * both directions, by ship year 1996–1997.
+    *
+    * The pair restriction is applied to the DIMENSIONS first: supplier
+    * and customer are inner-joined to the 2-nation slice before touching
+    * lineitem, so the first fact join already drops ~92% of lineitem (at
+    * 100 TB that pruning, not the aggregate, is the whole game); only the
+    * cross-direction OR stays as a residual filter after both sides are
+    * known. */
   def tpchQ7(spark: SparkSession, dir: String): DataFrame = {
-    val n1 = nation(spark, dir).select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
-    val n2 = nation(spark, dir).select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
-    val l = lineitem(spark, dir)
+    val pair = Seq("NATION_12", "NATION_10")
+    val n1 = nation(spark, dir).where(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    val n2 = nation(spark, dir).where(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+    val s = supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(n1), col("s_nationkey") === col("sk"))
+      .select("s_suppkey", "supp_nation")
+    val c = customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(n2), col("c_nationkey") === col("ck"))
+      .select("c_custkey", "cust_nation")
+    lineitem(spark, dir)
       .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
-    supplier(spark, dir).select("s_suppkey", "s_nationkey")
-      .join(l, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
       .join(orders(spark, dir).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(customer(spark, dir).select("c_custkey", "c_nationkey"),
-        col("o_custkey") === col("c_custkey"))
-      .join(broadcast(n1), col("s_nationkey") === col("sk"))
-      .join(broadcast(n2), col("c_nationkey") === col("ck"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .where((col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_10") ||
         (col("supp_nation") === "NATION_10" && col("cust_nation") === "NATION_12"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("long").as("l_year"))
       .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q6 (forecasting revenue change): one pure scan-filter-aggregate
+    * — every predicate sits on the lineitem scan, zero joins; the classic
+    * pushdown/vectorization benchmark. */
+  def tpchQ6(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q19 (discounted revenue, disjunctive brand/size/quantity
+    * bands): the OR-of-ANDs predicate spans both sides of the part join,
+    * so it stays a residual on a broadcast join — part is dimension-sized
+    * at any scale — while the per-band part slices remain
+    * broadcast-prunable. Bands widened to the fixture's 200-part
+    * catalog. */
+  def tpchQ19(spark: SparkSession, dir: String): DataFrame = {
+    val p = part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(1, 25)) ||
+        (col("p_brand") === "Brand#25" && col("p_size").between(1, 30) &&
+          col("l_quantity").between(10, 35)) ||
+        (col("p_brand") === "Brand#22" && col("p_size").between(1, 40) &&
+          col("l_quantity").between(20, 50)))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
   }
 
   /** TPC-H Q8 (national market share): NATION_3's share of ECONOMY-part
@@ -144,6 +189,8 @@ object Warehouse2 {
     "tpch_q8_market_share" -> (tpchQ8 _),
     "tpch_q4_priority_returns" -> (tpchQ4 _),
     "tpch_q21_sole_blame" -> (tpchQ21 _),
+    "tpch_q6_forecast_revenue" -> (tpchQ6 _),
+    "tpch_q19_discount_bands" -> (tpchQ19 _),
   )
 
   private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
@@ -180,6 +227,23 @@ object Warehouse2 {
           JOIN nation sn ON s_nationkey = sn.n_nationkey
           WHERE r_name = 'ASIA' AND p_type LIKE 'ECONOMY%'
           GROUP BY 1 ORDER BY 1""",
+    "tpch_q6_forecast_revenue" ->
+      s"""SELECT ${dsumSql("l_extendedprice * l_discount")} AS revenue,
+            COUNT(*) AS n_items
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+            AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "tpch_q19_discount_bands" ->
+      s"""SELECT ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+            COUNT(*) AS n_items
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+                 AND l_quantity BETWEEN 1 AND 25)
+             OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 30
+                 AND l_quantity BETWEEN 10 AND 35)
+             OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 40
+                 AND l_quantity BETWEEN 20 AND 50)""",
     "tpch_q4_priority_returns" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
          FROM orders
