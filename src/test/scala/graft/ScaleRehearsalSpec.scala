@@ -134,6 +134,21 @@ class ScaleRehearsalSpec extends SparkTestBase {
     assert(multiKeep === 0L, s"$multiKeep replica families kept >1 member")
   }
 
+  test("llm_ngram_novelty at 10x replica density: non-first replicas score exactly 0") {
+    // every shingle of replica k·10+i (i>0) already occurs in replica k·10,
+    // whose doc_id is strictly smaller — so first-occurrence novelty MUST
+    // be exactly 0.0 for every non-lowest replica; any nonzero value means
+    // the min-doc first-occurrence join lost rows under density
+    val p = planOf("llm_ngram_novelty")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val (n, secs) = runTimed("llm_ngram_novelty")
+    assert(n === 5000L, s"one row per >=3-word doc expected, got $n")
+    assert(secs < 60.0, s"novelty took $secs s at 10x")
+    val nonzero = SparkEntry.queries("llm_ngram_novelty")(spark, scaledDir)
+      .where(col("doc_id") % K =!= 0 && col("novelty") =!= 0.0).count()
+    assert(nonzero === 0L, s"$nonzero non-first replicas scored novelty > 0")
+  }
+
   test("join_range_bucketed at 10x temporal density: still bucket-equi, no pair join") {
     // the remap multiplies ids but keeps ts — 10x errors AND 10x clicks
     // share the same time axis, so true pair density rises ~100x: the
