@@ -93,13 +93,22 @@ object Warehouse2 {
 
   /** TPC-H Q8 (national market share): NATION_3's share of ECONOMY-part
     * revenue among ASIA-region customers, by order year. The share is a
-    * conditional-sum ratio over one aggregation — no second pass. */
+    * conditional-sum ratio over one aggregation — no second pass. Every
+    * dimension restriction (ECONOMY parts, ASIA customers, supplier
+    * nation name) is applied to the dimension BEFORE its fact join, so
+    * each broadcast join both maps and prunes — the q7 lesson. */
   def tpchQ8(spark: SparkSession, dir: String): DataFrame = {
     val asia = nation(spark, dir)
       .join(broadcast(region(spark, dir).where(col("r_name") === "ASIA")),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("n_nationkey").as("ck"))
+    val c = customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(asia), col("c_nationkey") === col("ck"))
+      .select("c_custkey")
     val sn = nation(spark, dir).select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    val s = supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(sn), col("s_nationkey") === col("sk"))
+      .select("s_suppkey", "supp_nation")
     val p = part(spark, dir).where(col("p_type").startsWith("ECONOMY"))
       .select("p_partkey")
     lineitem(spark, dir)
@@ -107,12 +116,8 @@ object Warehouse2 {
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .join(orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(customer(spark, dir).select("c_custkey", "c_nationkey"),
-        col("o_custkey") === col("c_custkey"))
-      .join(broadcast(asia), col("c_nationkey") === col("ck"))
-      .join(supplier(spark, dir).select("s_suppkey", "s_nationkey"),
-        col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(sn), col("s_nationkey") === col("sk"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(
         dsum(when(col("supp_nation") === "NATION_3",
