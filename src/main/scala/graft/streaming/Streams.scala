@@ -523,6 +523,57 @@ object Streams {
         OutputMode.Update())
   }
 
+  /** I6e — the remaining two Flink keyed-state primitives (`ListState`,
+    * `MapState`) on the Spark 4 `transformWithState` surface, completing
+    * the ValueState/ListState/MapState triple a DataStream migration
+    * reaches for: a bounded recent-event buffer (ListState, Flink's
+    * buffer-last-N pattern) and per-event-type counts (MapState, Flink's
+    * keyed sub-map pattern). Both live in the RocksDB store and persist
+    * across micro-batches; rows are folded in event_id order so output
+    * is batch-partitioning independent. */
+  def userProfileTws(events: Dataset[Event], keepN: Int = 3): Dataset[UserProfile] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new UserProfileProcessor(keepN),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  case class UserProfile(user_id: Long, recent: Seq[Long],
+    type_counts: Seq[(String, Long)])
+
+  class UserProfileProcessor(keepN: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserProfile] {
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var recent: streaming.ListState[Long] = _
+    @transient private var byType: streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit = {
+      recent = getHandle.getListState[Long]("recent",
+        Encoders.scalaLong, streaming.TTLConfig.NONE)
+      byType = getHandle.getMapState[String, Long]("by_type",
+        Encoders.STRING, Encoders.scalaLong, streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: streaming.TimerValues): Iterator[UserProfile] = {
+      rows.toSeq.sortBy(_.event_id).foreach { e =>
+        recent.appendValue(e.event_id)
+        val prev = if (byType.containsKey(e.event_type))
+          byType.getValue(e.event_type) else 0L
+        byType.updateValue(e.event_type, prev + 1L)
+      }
+      // ListState has no head-drop; rebuild the bounded buffer when it
+      // overflows (keepN is small — the rebuild is O(keepN), not O(history))
+      val all = recent.get().toSeq
+      val trimmed = all.takeRight(keepN)
+      if (trimmed.size != all.size) recent.put(trimmed.toArray)
+      Iterator.single(UserProfile(key, trimmed,
+        byType.iterator().toSeq.sortBy(_._1)))
+    }
+  }
+
   case class UserAccum(user_id: Long, first_ms: Long, last_ms: Long, n: Long)
 
   /** Open SCD2 version ([[scd2Intervals]] state). */

@@ -505,6 +505,38 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("I6e: ListState buffer stays bounded and MapState counts accumulate across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event]
+    val q = runToTable(Streams.userProfileTws(ms.toDS(), keepN = 3).toDF(), "profile", "update")
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 10:01:00", 1, "view", 1.0))
+      q.processAllAvailable()
+      ms.addData(ev(3, "2024-01-01 10:02:00", 1, "click", 1.0),
+        ev(4, "2024-01-01 10:03:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      val last = spark.table("profile").where($"user_id" === 1)
+        .as[Streams.UserProfile].collect().maxBy(_.recent.sum)
+      // buffer holds the LAST 3 ids only (1 was evicted); counts span
+      // BOTH batches — list trimmed, map accumulated, both in RocksDB
+      assert(last.recent === Seq(2L, 3L, 4L), last.recent)
+      assert(last.type_counts === Seq(("click", 3L), ("view", 1L)), last.type_counts)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("I6c: value state expires after its TTL — the key restarts instead of resuming") {
     val s = spark
     import s.implicits._
