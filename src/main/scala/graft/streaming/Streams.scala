@@ -411,6 +411,46 @@ object Streams {
         if (!next.isEmpty) next.write.mode("append").parquet(dir)
       }
 
+  /** A10 — CDC UPSERT sink (Flink upsert-kafka / JDBC-upsert sink
+    * analogue): each micro-batch is merged into a keyed parquet table,
+    * keeping the latest row per key by (`orderCol`, event_id) — the
+    * materialized "current state" table a changelog stream maintains.
+    *
+    * Publish protocol: merge into a staging directory, then swap it into
+    * place. On a posix filesystem the swap is near-atomic; on an object
+    * store the production form is a manifest/table-format commit (the
+    * same place Flink's exactly-once JDBC sink reaches for transactions).
+    * The merge is idempotent (keep-latest of a union is stable under
+    * batch replay), which is what makes the checkpointed foreachBatch
+    * at-least-once replay safe end-to-end. */
+  def foreachBatchUpsert(events: DataFrame, tablePath: String,
+      keys: Seq[String], orderCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val cur = new java.io.File(tablePath)
+        val existing =
+          if (cur.isDirectory) spark.read.parquet(tablePath)
+          else spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)
+          .orderBy(col(orderCol).desc, col("event_id").desc)
+        val merged = existing.unionByName(batch.toDF())
+          .withColumn("_rn", row_number().over(w))
+          .where(col("_rn") === 1).drop("_rn")
+        val staging = new java.io.File(tablePath + s".staging-$id")
+        merged.write.mode("overwrite").parquet(staging.getPath)
+        // swap: remove the old table dir, move staging into place
+        def rmRec(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rmRec)
+          f.delete(); ()
+        }
+        if (cur.exists) rmRec(cur)
+        require(staging.renameTo(cur), s"staging swap failed for batch $id")
+      }
+
   /** A2/A8 — Kafka source/sink wiring (the canonical Flink
     * KafkaSource/KafkaSink analogue). Returns the fully-configured
     * reader/writer WITHOUT load()/start(): this container is zero-egress and
@@ -571,6 +611,60 @@ object Streams {
       if (trimmed.size != all.size) recent.put(trimmed.toArray)
       Iterator.single(UserProfile(key, trimmed,
         byType.iterator().toSeq.sortBy(_._1)))
+    }
+  }
+
+  /** I6f — event-time TIMERS on the Spark 4 `transformWithState` surface
+    * (Flink `ctx.timerService().registerEventTimeTimer` analogue,
+    * completing the new-API feature set after state/TTL/List/Map):
+    * gap-based sessions closed by a timer that fires when the watermark
+    * passes session-end + gap. Stale timers (a session extended after an
+    * earlier registration — Spark never auto-deletes them) are detected
+    * and ignored by re-checking the expiry against current state, the
+    * same guard Flink programs write. */
+  def timerSessionsTws(events: Dataset[Event],
+      gapMs: Long = 2L * 3600 * 1000): Dataset[TimerSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new TimerSessionProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  class TimerSessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, TimerSession] {
+    import org.apache.spark.sql.{Encoders, streaming}
+    // (n_events, sum_value, last_us)
+    @transient private var sess: streaming.ValueState[(Long, Double, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Double, Long)]("sess",
+        Encoders.product[(Long, Double, Long)], streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: streaming.TimerValues): Iterator[TimerSession] = {
+      var st = Option(sess.get()).getOrElse((0L, 0.0, Long.MinValue))
+      rows.toSeq.sortBy(e => microsOf(e.ts)).foreach { e =>
+        st = (st._1 + 1, st._2 + e.value, math.max(st._3, microsOf(e.ts)))
+      }
+      sess.update(st)
+      getHandle.registerTimer(st._3 / 1000 + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timerValues: streaming.TimerValues,
+        expiredTimerInfo: streaming.ExpiredTimerInfo): Iterator[TimerSession] = {
+      val st = sess.get()
+      // a stale timer fires before last_event + gap: session still open
+      if (st == null || expiredTimerInfo.getExpiryTimeInMs < st._3 / 1000 + gapMs)
+        Iterator.empty
+      else {
+        sess.clear()
+        Iterator.single(TimerSession(key, st._1, st._2, st._3))
+      }
     }
   }
 

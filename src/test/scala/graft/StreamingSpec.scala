@@ -537,6 +537,75 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("A10: upsert sink keeps the latest row per key across batches (staging swap)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString + "/current"
+    val ms = MemoryStream[Event]
+    val q = Streams.foreachBatchUpsert(ms.toDF(), dir,
+      keys = Seq("user_id", "event_type"), orderCol = "ts").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 10:01:00", 2, "view", 2.0))
+      q.processAllAvailable()
+      // batch 2 updates (1, click), adds (3, view); (2, view) untouched
+      ms.addData(ev(3, "2024-01-01 11:00:00", 1, "click", 9.0),
+        ev(4, "2024-01-01 11:01:00", 3, "view", 3.0))
+      q.processAllAvailable()
+      val table = spark.read.parquet(dir)
+        .select($"user_id", $"event_type", $"value")
+        .as[(Long, String, Double)].collect().toSet
+      assert(table === Set((1L, "click", 9.0), (2L, "view", 2.0), (3L, "view", 3.0)), table)
+    } finally q.stop()
+  }
+
+  test("I6f: transformWithState event-time timers close gap sessions; stale timers ignored") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event]
+    val q = runToTable(Streams.timerSessionsTws(ms.toDS()).toDF(), "tws_timer", "append")
+    try {
+      // session 1: two events 5 min apart; the second batch EXTENDS the
+      // session after the first batch's timer (10:00+2h) was registered →
+      // that earlier timer must fire stale (expiry < last+gap) and emit
+      // nothing; only the 12:05 timer closes the session
+      ms.addData(ev(1, "2024-01-01 10:00:00", 1, "click", 1.5))
+      q.processAllAvailable()
+      ms.addData(ev(2, "2024-01-01 10:05:00", 1, "view", 2.5))
+      q.processAllAvailable()
+      // sentinel batches push the watermark past 12:05 so both timers
+      // fire BEFORE the next real event (watermark lags one batch —
+      // two sentinel batches, as in I6b)
+      ms.addData(ev(-1, "2024-01-01 13:00:00", -1, "click", 0.0))
+      q.processAllAvailable()
+      ms.addData(ev(-2, "2024-01-01 13:30:00", -1, "click", 0.0))
+      q.processAllAvailable()
+      // session 2 for the same key after the state was cleared
+      ms.addData(ev(3, "2024-01-01 15:00:00", 1, "click", 4.0))
+      q.processAllAvailable()
+      // far-future sentinels close session 2 (and user -1's own sessions)
+      ms.addData(ev(-3, "2030-01-01 00:00:00", -1, "click", 0.0))
+      q.processAllAvailable()
+      ms.addData(ev(-4, "2030-06-01 00:00:00", -1, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("tws_timer").where($"user_id" === 1)
+        .select($"n_events", $"sum_value").as[(Long, Double)].collect().toSet
+      assert(got === Set((2L, 4.0), (1L, 4.0)), got)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("I6c: value state expires after its TTL — the key restarts instead of resuming") {
     val s = spark
     import s.implicits._
