@@ -668,6 +668,49 @@ object Streams {
     }
   }
 
+  /** I6g — state BOOTSTRAP (Flink savepoint-bootstrap / State Processor
+    * API analogue, the last `transformWithState` feature after
+    * state/TTL/List/Map/timers): a batch-computed (count, sum) per key
+    * seeds the keyed state before the first micro-batch, so a migrated
+    * job resumes totals instead of restarting from zero — exactly the
+    * cutover story for porting a running Flink job with its state. */
+  def userTotalsBootstrapped(events: Dataset[Event],
+      initial: Dataset[(Long, Long, Double)]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    val init = initial.groupByKey(_._1).mapValues(t => (t._2, t._3))
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new UserTotalsBootstrapProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update(), init)
+  }
+
+  /** Same accumulation body as [[UserTotalsProcessor]], plus the
+    * initial-state hook that installs pre-computed totals for keys the
+    * stream has not yet seen. */
+  class UserTotalsBootstrapProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, Event, UserTotals, (Long, Double)] {
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var totals: streaming.ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)]("totals",
+        Encoders.product[(Long, Double)], streaming.TTLConfig.NONE)
+
+    override def handleInitialState(key: Long, initialState: (Long, Double),
+        timerValues: streaming.TimerValues): Unit =
+      totals.update(initialState)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: streaming.TimerValues): Iterator[UserTotals] = {
+      val prev = Option(totals.get()).getOrElse((0L, 0.0))
+      val next = rows.foldLeft(prev) { case ((n, s), e) => (n + 1, s + e.value) }
+      totals.update(next)
+      Iterator.single(UserTotals(key, next._1, next._2))
+    }
+  }
+
   case class UserAccum(user_id: Long, first_ms: Long, last_ms: Long, n: Long)
 
   /** Open SCD2 version ([[scd2Intervals]] state). */

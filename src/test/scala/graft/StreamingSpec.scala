@@ -606,6 +606,37 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("I6g: initial state bootstraps keyed totals — a migrated job resumes, not restarts") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event]
+    // "savepoint": user 1 had (2 events, 10.0) before the cutover
+    val seed = Seq((1L, 2L, 10.0)).toDS()
+    val q = runToTable(Streams.userTotalsBootstrapped(ms.toDS(), seed).toDF(),
+      "tws_boot", "update")
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00", 1, "click", 1.5),
+        ev(2, "2024-01-01 10:01:00", 2, "view", 2.0))
+      q.processAllAvailable()
+      val got = spark.table("tws_boot")
+        .select($"user_id", $"n", $"sum_value").as[(Long, Long, Double)]
+        .collect().toSet
+      // user 1 RESUMES from the seeded (2, 10.0); unseeded user 2 starts fresh
+      assert(got === Set((1L, 3L, 11.5), (2L, 1L, 2.0)), got)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("I6c: value state expires after its TTL — the key restarts instead of resuming") {
     val s = spark
     import s.implicits._
