@@ -100,6 +100,28 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("graft_dot_product"), p)
   }
 
+  test("round-7 TPC-H shapes: broadcast dims, bounded shuffle-exchange counts") {
+    // "(?<!Broadcast)Exchange" counts SHUFFLE exchanges only — a
+    // BroadcastExchange is the cheap dim ship these shapes exist to use
+    def shuffles(name: String): Int =
+      "(?<!Broadcast)Exchange".r
+        .findAllIn(plan(SparkEntry.queries(name)(spark, sf0001))).size
+    // q6 is a pure scan-filter-agg: only the single-partition final agg
+    assert(shuffles("tpch_q6_forecast_revenue") <= 1)
+    assert(!plan(SparkEntry.queries("tpch_q6_forecast_revenue")(spark, sf0001))
+      .contains("Join"), "q6 must have no join at all")
+    // q7/q8: every dim broadcast; shuffles = final agg + output sort only
+    assert(shuffles("tpch_q7_nation_volume") <= 3)
+    assert(shuffles("tpch_q8_market_share") <= 3)
+    // q19: one broadcast part join + the single-partition agg
+    assert(shuffles("tpch_q19_discount_bands") <= 1)
+    assert(plan(SparkEntry.queries("tpch_q19_discount_bands")(spark, sf0001))
+      .contains("BroadcastHashJoin"))
+    // q21 decorrelation: pair agg + order agg + name agg + sort, and the
+    // orderkey semi join — must never exceed the one-lineitem-pass budget
+    assert(shuffles("tpch_q21_sole_blame") <= 6)
+  }
+
   test("no query plans an unbounded cartesian/nested-loop join (bounded exceptions listed)") {
     // Every allowed entry is a deliberately-bounded NLJ/cross documented at
     // its definition site: small-dims theta band, 25-row string-distance
