@@ -39,6 +39,19 @@ class ScaleRehearsalSpec extends SparkTestBase {
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     times10(Tables.table(spark, sf001, "events"), Seq("event_id", "user_id"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // TPC-H facts: orderkey/custkey remap in lockstep keeps referential
+    // integrity WITHIN each replica (replica i's lineitems join replica
+    // i's orders join replica i's customers); supplier/part/nation dims
+    // are shared, so per-supplier aggregates scale exactly 10x
+    times10(Tables.lineitem(spark, sf001), Seq("l_orderkey"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    times10(Tables.orders(spark, sf001), Seq("o_orderkey", "o_custkey"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    times10(Tables.customer(spark, sf001), Seq("c_custkey"))
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    for (t <- Seq("supplier", "part", "nation", "region"))
+      Tables.table(spark, sf001, t)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
     dir
   }
 
@@ -190,6 +203,23 @@ class ScaleRehearsalSpec extends SparkTestBase {
     val secs = (System.nanoTime() - t0) / 1e9
     assert(scaled === fixture, "replica corpus must not move any source signature")
     assert(secs < 60.0, s"minhash sim took $secs s at 10x")
+  }
+
+  test("tpch_q21 at 10x facts: per-supplier blame counts scale EXACTLY 10x") {
+    // replica-local referential integrity means every sole-blame order
+    // replicates 10x while the shared supplier dim does not — so each
+    // supplier's numwait must be exactly 10x the fixture value, in the
+    // same rank order. Anything else means the decorrelated aggregate
+    // miscounts under density.
+    val fixture = SparkEntry.queries("tpch_q21_sole_blame")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val t0 = System.nanoTime()
+    val scaled = SparkEntry.queries("tpch_q21_sole_blame")(spark, scaledDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(scaled === fixture.map { case (s, n) => (s, n * K) },
+      s"fixture=$fixture scaled=$scaled")
+    assert(secs < 60.0, s"q21 took $secs s at 10x")
   }
 
   test("no driver-collect cap is violated by the 10x corpus") {
