@@ -191,7 +191,8 @@ object Bench {
     val totals = s""""total":${fmt(stats.values.map(_.sec).sum)},""" +
       s""""shuffle_read_mb":${fmt(stats.values.map(_.shuffleReadMb).sum)},""" +
       s""""shuffle_write_mb":${fmt(stats.values.map(_.shuffleWriteMb).sum)},""" +
-      s""""spill_disk_mb":${fmt(stats.values.map(_.spillDiskMb).sum)}"""
+      s""""spill_disk_mb":${fmt(stats.values.map(_.spillDiskMb).sum)},""" +
+      s""""spill_mem_mb":${fmt(stats.values.map(_.spillMemMb).sum)}"""
     s"""{"sf":"$sfDir","errors":$errors,"n_queries":${stats.size},$totals,"queries":{\n$body\n}}"""
   }
 

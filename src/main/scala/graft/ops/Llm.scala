@@ -211,11 +211,40 @@ object Llm {
     * ever all-pairs. */
   /** The previous [[dedupJaccardPrefix]] invocation's persisted word table
     * and prefix index, dropped at the next invocation's entry (a lazily
-    * returned DataFrame leaves no later point to unpersist at). */
+    * returned DataFrame leaves no later point to unpersist at).
+    *
+    * CONTRACT of the global-cache path: each returned DataFrame must be
+    * FULLY CONSUMED before the next call, and calls must not overlap
+    * across threads — a later entry unpersists the earlier invocation's
+    * frames, so a still-lazy earlier result silently falls back to
+    * lineage recompute (correct, but it re-pays the 4× rescan the
+    * persist exists to avoid), and two concurrent invocations can drop
+    * each other's live caches. Verify and Bench both satisfy this (one
+    * query at a time, result drained to parquet/count before the next).
+    * Callers that can't guarantee it use [[withDedupJaccardPrefix]],
+    * which scopes the persisted frames to the invocation. */
   private val jaccardPrefixCache =
     new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
 
   def dedupJaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
+    jaccardPrefixCache.getAndSet(Nil).foreach(_.unpersist(false))
+    val (res, frames) = jaccardPrefixBuild(spark, dir)
+    jaccardPrefixCache.set(frames)
+    res
+  }
+
+  /** Invocation-scoped variant (no global state): runs `use` with the
+    * result and unpersists this invocation's frames before returning, so
+    * concurrent callers cannot interfere and nothing leaks past the call.
+    * The result must be consumed inside `use`. */
+  def withDedupJaccardPrefix[A](spark: SparkSession, dir: String)(
+      use: DataFrame => A): A = {
+    val (res, frames) = jaccardPrefixBuild(spark, dir)
+    try use(res) finally frames.foreach(_.unpersist(false))
+  }
+
+  private def jaccardPrefixBuild(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) = {
     // Fixture bound (like every bounded baseline here, but 100× wider than
     // dedupJaccard's doc_id<20): the sf0.1 corpus is ~20% dense dup-clique
     // rows, so the UNBOUNDED J≥0.9 output is ~1M pairs and the bench would
@@ -237,7 +266,6 @@ object Llm {
     // the lost partitions from lineage. The previous invocation's cache is
     // dropped on entry so repeated runs (bench reps, verify) each pay the
     // full build — caching may never quietly change what the bench times.
-    jaccardPrefixCache.getAndSet(Nil).foreach(_.unpersist(false))
     val w = documents(spark, dir)
       .where(col("doc_id") < 2000)
       .select(col("doc_id"), explode(array_distinct(wordsCol)).as("word_raw"))
@@ -259,7 +287,6 @@ object Llm {
       // standard SSJoin prefix-index materialization (~10% of corpus words);
       // persist (recomputable) rather than localCheckpoint, as above.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    jaccardPrefixCache.set(Seq(w, prefix))
     // Candidate collisions with the two lossless SSJoin prunes (measured at
     // sf0.1: 22.4M raw collisions → 4.2M, end-to-end 107 s → ~12 s):
     //  - length filter: J ≥ 9/10 forces |d1|,|d2| within 10% of each other;
@@ -287,7 +314,7 @@ object Llm {
     // qualifying rows (~1.2M, not 4.2M) reach the distinct shuffle.
     val docWords = w.groupBy("doc_id")
       .agg(sort_array(collect_set(col("word"))).as("ws"), count(lit(1)).as("sz"))
-    candF
+    val res = candF
       .join(docWords.as("dw1"), col("doc1") === col("dw1.doc_id"))
       .join(docWords.as("dw2"), col("doc2") === col("dw2.doc_id"))
       .withColumn("inter",
@@ -298,6 +325,7 @@ object Llm {
         round(col("inter").cast("double") / col("uni").cast("double"), 6).as("jaccard"))
       .distinct()
       .orderBy("doc1", "doc2")
+    (res, Seq(w, prefix))
   }
 
   /** SemDeDup (public method: Abbas et al. 2023, "SemDeDup: Data-efficient

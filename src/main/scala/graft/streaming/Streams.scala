@@ -404,11 +404,19 @@ object Streams {
       .writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         observe(batch.toDF())
+        // persist before the emptiness probe: `step` must run once per
+        // round, not once for isEmpty and again for the write — an
+        // expensive step would double per-round cost, and a
+        // non-deterministic one could pass the probe yet write a
+        // different (even empty) batch, adding spurious rounds
         val next = step(batch.toDF())
-        // an empty write would still create a part file, which the source
-        // would read as one more (empty) round, forever — the guard IS the
-        // loop's termination condition
-        if (!next.isEmpty) next.write.mode("append").parquet(dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // an empty write would still create a part file, which the source
+          // would read as one more (empty) round, forever — the guard IS the
+          // loop's termination condition
+          if (!next.isEmpty) next.write.mode("append").parquet(dir)
+        } finally { next.unpersist(); () }
       }
 
   /** A10 — CDC UPSERT sink (Flink upsert-kafka / JDBC-upsert sink
@@ -417,17 +425,64 @@ object Streams {
     * materialized "current state" table a changelog stream maintains.
     *
     * Publish protocol: merge into a staging directory, then swap it into
-    * place. On a posix filesystem the swap is near-atomic; on an object
-    * store the production form is a manifest/table-format commit (the
-    * same place Flink's exactly-once JDBC sink reaches for transactions).
-    * The merge is idempotent (keep-latest of a union is stable under
-    * batch replay), which is what makes the checkpointed foreachBatch
-    * at-least-once replay safe end-to-end. */
+    * place WITHOUT a window where no copy of the table exists — the live
+    * dir is renamed aside (`.old-<id>`), staging is renamed in, and only
+    * then is the old copy deleted. A crash between the two renames leaves
+    * the table recoverable from the `.old` dir; [[recoverUpsertTable]]
+    * runs at every batch entry and performs that restore (and sweeps
+    * fully-published leftovers). On a posix filesystem each rename is
+    * atomic; on an object store the production form is a manifest/
+    * table-format commit (the same place Flink's exactly-once JDBC sink
+    * reaches for transactions). The merge is idempotent (keep-latest of a
+    * union is stable under batch replay), which is what makes the
+    * checkpointed foreachBatch at-least-once replay safe end-to-end. */
+  private def rmRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmRec)
+    f.delete(); ()
+  }
+
+  /** Leftover `.old-<id>` / `.staging-<id>` siblings of `tablePath`. */
+  private def upsertLeftovers(cur: java.io.File, tag: String): Array[java.io.File] = {
+    val parent = Option(cur.getParentFile).getOrElse(new java.io.File("."))
+    Option(parent.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.startsWith(cur.getName + s".$tag-"))
+  }
+
+  /** Crash recovery for the [[foreachBatchUpsert]] publish protocol. If the
+    * live dir is absent but an `.old-<id>` copy exists (crash landed between
+    * rename-aside and rename-in), the newest `.old` IS the table — restore
+    * it. If the live dir exists, any `.old` leftovers are from a crash after
+    * a completed publish — delete them. Stale `.staging` dirs are always
+    * safe to drop: a staging dir only becomes the table by rename, and the
+    * replayed batch rebuilds its own staging from scratch. */
+  private[graft] def recoverUpsertTable(tablePath: String): Unit = {
+    val cur = new java.io.File(tablePath)
+    val olds = upsertLeftovers(cur, "old")
+    if (!cur.isDirectory && olds.nonEmpty) {
+      val newest = olds.maxBy(_.getName.stripPrefix(cur.getName + ".old-").toLong)
+      require(newest.renameTo(cur), s"upsert recovery rename failed: $newest")
+      olds.filterNot(_ == newest).foreach(rmRec)
+    } else olds.foreach(rmRec)
+    upsertLeftovers(cur, "staging").foreach(rmRec)
+  }
+
+  /** Publish `staging` as the new content of `cur`: rename the live copy
+    * aside, rename staging in, then delete the old copy. At every instant
+    * at least one complete copy of the table exists on disk. */
+  private[graft] def publishUpsertTable(cur: java.io.File, staging: java.io.File,
+      id: Long): Unit = {
+    val old = new java.io.File(cur.getPath + s".old-$id")
+    if (cur.exists) require(cur.renameTo(old), s"rename-aside failed for batch $id")
+    require(staging.renameTo(cur), s"staging swap failed for batch $id")
+    if (old.exists) rmRec(old)
+  }
+
   def foreachBatchUpsert(events: DataFrame, tablePath: String,
       keys: Seq[String], orderCol: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        recoverUpsertTable(tablePath)
         val spark = batch.sparkSession
         val cur = new java.io.File(tablePath)
         val existing =
@@ -442,13 +497,7 @@ object Streams {
           .where(col("_rn") === 1).drop("_rn")
         val staging = new java.io.File(tablePath + s".staging-$id")
         merged.write.mode("overwrite").parquet(staging.getPath)
-        // swap: remove the old table dir, move staging into place
-        def rmRec(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rmRec)
-          f.delete(); ()
-        }
-        if (cur.exists) rmRec(cur)
-        require(staging.renameTo(cur), s"staging swap failed for batch $id")
+        publishUpsertTable(cur, staging, id)
       }
 
   /** A2/A8 — Kafka source/sink wiring (the canonical Flink

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-8 pins for the four ADVICE items: the upsert sink's crash-safe
+  * publish protocol (never a moment with zero table copies on disk, and
+  * recovery from every crash window), the single-evaluation iterate
+  * feedback step, the invocation-scoped jaccard prefix cache, and the
+  * bench totals carrying spill_mem_mb. */
+class Round8Spec extends SparkTestBase {
+
+  private def mkTable(path: java.io.File, tag: String): Unit = {
+    path.mkdirs()
+    val f = new java.io.FileWriter(new java.io.File(path, "data.txt"))
+    f.write(tag); f.close()
+  }
+  private def readTag(path: java.io.File): String = {
+    val src = scala.io.Source.fromFile(new java.io.File(path, "data.txt"))
+    try src.mkString finally src.close()
+  }
+
+  test("upsert publish: rename-aside, swap, delete — no window with zero copies") {
+    val root = java.nio.file.Files.createTempDirectory("graft-r8-pub").toFile
+    val cur = new java.io.File(root, "current")
+    val staging = new java.io.File(root, "current.staging-7")
+    mkTable(cur, "v1"); mkTable(staging, "v2")
+    streaming.Streams.publishUpsertTable(cur, staging, 7L)
+    assert(readTag(cur) === "v2")
+    assert(root.listFiles().map(_.getName).toSet === Set("current"),
+      root.listFiles().map(_.getName).mkString(","))
+  }
+
+  test("upsert recovery: crash between rename-aside and swap restores from .old") {
+    // the exact window the round-7 ADVICE flagged: cur was renamed aside,
+    // staging never made it in (crash / renameTo failure) → the ONLY copy
+    // is the .old dir; the old code had deleted cur outright here
+    val root = java.nio.file.Files.createTempDirectory("graft-r8-rec").toFile
+    mkTable(new java.io.File(root, "current.old-3"), "v1")
+    mkTable(new java.io.File(root, "current.staging-3"), "v2-incomplete")
+    streaming.Streams.recoverUpsertTable(new java.io.File(root, "current").getPath)
+    val cur = new java.io.File(root, "current")
+    assert(readTag(cur) === "v1") // the last fully-published version
+    assert(root.listFiles().map(_.getName).toSet === Set("current"))
+  }
+
+  test("upsert recovery: crash after swap but before old-delete keeps the NEW version") {
+    val root = java.nio.file.Files.createTempDirectory("graft-r8-rec2").toFile
+    mkTable(new java.io.File(root, "current"), "v2")
+    mkTable(new java.io.File(root, "current.old-3"), "v1")
+    streaming.Streams.recoverUpsertTable(new java.io.File(root, "current").getPath)
+    assert(readTag(new java.io.File(root, "current")) === "v2")
+    assert(root.listFiles().map(_.getName).toSet === Set("current"))
+  }
+
+  test("iterate feedback evaluates step exactly once per round (accumulator-counted)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-r8-iter").toString
+    val s = spark
+    import s.implicits._
+    Seq(4L, 2L).toDF("value").write.mode("append").parquet(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.LongType)))
+    val evals = spark.sparkContext.longAccumulator("step-evals")
+    val q = streaming.Streams.iterateFeedback(spark, dir, schema,
+      step = df => {
+        val ds = df.as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        ds.map { v => evals.add(1); v / 2 }(org.apache.spark.sql.Encoders.scalaLong)
+          .toDF("value").where($"value" > 0L)
+      })(observe = _ => ())
+      .start()
+    try {
+      q.processAllAvailable()
+      // rounds process {4,2} -> {2,1} -> {1} -> {} : 2+2+1 = 5 input rows;
+      // the un-persisted form evaluated each round twice (isEmpty + write)
+      assert(evals.value === 5L, s"step evaluated ${evals.value} times, want 5")
+    } finally q.stop()
+  }
+
+  test("withDedupJaccardPrefix matches the global-cache path and leaks no persisted RDDs") {
+    // the global path legitimately leaves ITS two frames persisted until the
+    // next invocation; capture the baseline after it has settled
+    val expected = ops.Llm.dedupJaccardPrefix(spark, sf0001).collect().toSeq
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val got = ops.Llm.withDedupJaccardPrefix(spark, sf0001)(_.collect().toSeq)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(got === expected)
+    // invocation-scoped: everything the with-variant persisted is gone
+    assert((after -- before).isEmpty, s"with-variant leaked: ${after -- before}")
+  }
+
+  test("bench full-file totals include spill_mem_mb") {
+    val stats = Map("q" -> Bench.QueryStat(1.0, 2.0, 3.0, 4.0, 5.0, 2))
+    val json = Bench.renderFull(stats, 0, "/tmp/sf")
+    val totals = json.substring(0, json.indexOf("\"queries\""))
+    assert(totals.contains("\"spill_mem_mb\":"), totals)
+  }
+}
