@@ -27,7 +27,8 @@ object SparkEntry {
       ops.Llm3.queries ++
       ops.Llm4.queries ++
       ops.Warehouse.queries ++
-      ops.Warehouse2.queries
+      ops.Warehouse2.queries ++
+      ops.Warehouse3.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -42,5 +43,6 @@ object SparkEntry {
       ops.Llm3.oracles ++
       ops.Llm4.oracles ++
       ops.Warehouse.oracles ++
-      ops.Warehouse2.oracles
+      ops.Warehouse2.oracles ++
+      ops.Warehouse3.oracles
 }

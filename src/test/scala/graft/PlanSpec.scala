@@ -135,7 +135,10 @@ class PlanSpec extends SparkTestBase {
       "llm_unigram_logprob", "llm_temperature_mix",
       // |sources|-row signature table (loud 1000-source bound) paired with
       // itself — the sketch exists precisely so this side stays tiny
-      "llm_minhash_src_sim")
+      "llm_minhash_src_sim",
+      // 1-row scalar-subquery broadcasts: Q11's global stock-value total
+      // and Q22's average positive balance (see Warehouse3 scaladoc)
+      "tpch_q11_important_parts", "tpch_q22_idle_customers")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, sf0001))
