@@ -205,6 +205,71 @@ class ScaleRehearsalSpec extends SparkTestBase {
     assert(secs < 60.0, s"minhash sim took $secs s at 10x")
   }
 
+  test("tpch_q15 at 10x facts: same top supplier, revenue EXACTLY 10x") {
+    // suppliers are shared dims while lineitems replicate with remapped
+    // orderkeys — per-supplier revenue is a decimal sum, so it scales
+    // bit-exactly 10x and the view-max equality join must pick the SAME
+    // supplier(s) at 10x density
+    val fixture = SparkEntry.queries("tpch_q15_top_supplier")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val scaled = SparkEntry.queries("tpch_q15_top_supplier")(spark, scaledDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(scaled.map(t => (t._1, t._2)) === fixture.map(t => (t._1, t._2)),
+      s"top-supplier set changed: fixture=$fixture scaled=$scaled")
+    fixture.zip(scaled).foreach { case ((_, _, fr), (_, _, sr)) =>
+      // decimal sum scales exactly; the final decimal→double casts round
+      // independently, so allow ulps
+      assert(math.abs(sr - fr * K) <= math.ulp(fr * K) * 4, s"revenue: $sr vs ${fr * K}")
+    }
+  }
+
+  test("tpch_q13 at 10x customers: per-customer counts invariant, custdist EXACTLY 10x") {
+    // customers and their orders replicate in lockstep — each replica
+    // customer keeps its fixture order count, so the distribution's
+    // c_count axis is unchanged and every custdist frequency is exactly
+    // 10x. A left-join miscount under density (dropped null rows,
+    // duplicated matches) would bend the distribution's shape.
+    val fixture = SparkEntry.queries("tpch_q13_cust_distribution")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val scaled = SparkEntry.queries("tpch_q13_cust_distribution")(spark, scaledDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(scaled === fixture.map { case (c, d) => (c, d * K) },
+      s"fixture=$fixture scaled=$scaled")
+  }
+
+  test("tpch_q11 at 10x facts: fraction threshold selects the SAME part set, values 10x") {
+    // per-part value and the global total both scale 10x (decimal-exact),
+    // so `value > 0.001 * total` is scale-invariant: the important-parts
+    // SET must be identical, values exactly 10x. This is the property
+    // that makes a fraction-of-total HAVING meaningful at 100 TB — an
+    // absolute threshold would silently select everything.
+    val fixture = SparkEntry.queries("tpch_q11_important_parts")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val scaled = SparkEntry.queries("tpch_q11_important_parts")(spark, scaledDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(scaled.keySet === fixture.keySet,
+      s"threshold not scale-invariant: only-fixture=${fixture.keySet -- scaled.keySet} only-scaled=${scaled.keySet -- fixture.keySet}")
+    fixture.foreach { case (k, v) =>
+      assert(math.abs(scaled(k) - v * K) <= math.ulp(v * K) * 4, s"part $k: ${scaled(k)} vs ${v * K}")
+    }
+  }
+
+  test("tpch_q2 at 10x facts: average prices are scale-free — result IDENTICAL") {
+    // each (part, supplier) offer replicates 10x with the same price, so
+    // davg is unchanged (up to one double-division ulp) and the min-price
+    // supplier per part must be the same set — the aggregate that should
+    // NOT grow under replication, complementing q15/q21's exact-10x pins
+    val fixture = SparkEntry.queries("tpch_q2_min_cost_supp")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val scaled = SparkEntry.queries("tpch_q2_min_cost_supp")(spark, scaledDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(scaled.map(t => (t._1, t._2)) === fixture.map(t => (t._1, t._2)),
+      s"min-cost supplier set changed under replication")
+    fixture.zip(scaled).foreach { case ((_, _, fp), (_, _, sp)) =>
+      assert(math.abs(sp - fp) <= math.ulp(fp) * 8, s"price drifted: $fp vs $sp")
+    }
+  }
+
   test("tpch_q21 at 10x facts: per-supplier blame counts scale EXACTLY 10x") {
     // replica-local referential integrity means every sole-blame order
     // replicates 10x while the shared supplier dim does not — so each

@@ -36,7 +36,12 @@ class ShuffleVolumeSpec extends SparkTestBase {
     "cdc_temporal_join" -> 6.0,
     "cdc_scd2_intervals" -> 6.0,
     "tpch_q18_large_volume" -> 5.0,
-    "llm_dedup_near" -> 3.0
+    "llm_dedup_near" -> 3.0,
+    // round-8 additions: the only two new TPC-H shapes that shuffle at
+    // all (q2's offer aggregate 0.76 MB, q11's per-part value 0.60 MB —
+    // everything else broadcasts below 0.1 MB at sf0.1)
+    "tpch_q2_min_cost_supp" -> 3.0,
+    "tpch_q11_important_parts" -> 2.0
   )
 
   private lazy val measured: Map[String, Bench.QueryStat] = {
