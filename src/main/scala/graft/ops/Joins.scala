@@ -316,7 +316,38 @@ object Joins {
       .orderBy("user_id")
   }
 
+  /** CEP ABSENCE pattern (Flink `begin("click").notFollowedBy("purchase")
+    * .within(30 min)`): clicks with NO same-user purchase in the following
+    * 30 minutes — the abandoned-cart alert. Flink CEP detects absence with
+    * a timer that fires unless the forbidden event arrives; the batch
+    * surrogate asks the same question of the next following purchase.
+    *
+    * Shape: one user-keyed window pass — the earliest FOLLOWING purchase
+    * timestamp per event via `min(when(purchase, ts))` over
+    * (1 following, unbounded) — then a row-local absence test. EXISTS over
+    * a time range collapses to a running extremum, so the whole pattern
+    * costs exactly one user shuffle + sort at any corpus size (the same
+    * budget every other CEP query here runs on); no self-join, nothing
+    * pairwise. Streaming twin: [[graft.streaming.Streams.absenceAlerts]]
+    * (timer fires at click+30min unless a purchase cancels it). */
+  def cepNotFollowedBy(spark: SparkSession, dir: String): DataFrame = {
+    val following = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("next_purchase_us",
+        min(when(col("event_type") === "purchase", col("ts_us"))).over(following))
+      .where(col("event_type") === "click" &&
+        (col("next_purchase_us").isNull ||
+          col("next_purchase_us") - col("ts_us") > 30L * 60 * 1000000))
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts_us"))
+      .orderBy("click_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cep_not_followed_by" -> (cepNotFollowedBy _),
     "cep_click_click_purchase" -> (cepClickClickPurchase _),
     "cep_skip_strategies" -> (cepSkipStrategies _),
     "cep_kleene_timeout" -> (cepKleeneTimeout _),
@@ -336,6 +367,18 @@ object Joins {
   private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "cep_not_followed_by" ->
+      s"""WITH seq AS (SELECT user_id, event_id, event_type,
+              epoch_us($evTs) AS ts_us FROM events)
+          SELECT user_id, event_id AS click_id, ts_us
+          FROM seq c
+          WHERE event_type = 'click' AND NOT EXISTS (
+            SELECT 1 FROM seq p
+            WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+              AND (p.ts_us > c.ts_us
+                OR (p.ts_us = c.ts_us AND p.event_id > c.event_id))
+              AND p.ts_us - c.ts_us <= 1800000000)
+          ORDER BY click_id""",
     "cep_skip_strategies" ->
       s"""WITH seq AS (
             SELECT user_id, event_id, event_type, epoch_us($evTs) AS ts_us,

@@ -97,13 +97,62 @@ object Llm4 {
       .orderBy("source")
   }
 
+  /** kNN majority-label classification over the embedding space (the
+    * label-propagation / weak-supervision step of a curation pipeline:
+    * score unlabeled pool items by their nearest labeled neighbors).
+    * Composes [[Llm.simTopk]]'s broadcast-Q + per-partition-heap top-5 —
+    * no join node touches the full pool — then votes: majority label of
+    * the 5 neighbors, ties to the smallest label (deterministic).
+    *
+    * 100 TB: the vote is a (query, label)-keyed count over k·|Q| rows —
+    * negligible next to the scan simTopk already bounds; the label dim
+    * joins the k·|Q|-row top-k table, not the pool. */
+  def knnLabel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val topk = Llm.simTopk(spark, dir).select("qid", "vec_id")
+    val lab = embeddings(spark, dir).select(col("vec_id").as("cid"), col("label"))
+    topk.join(lab, col("vec_id") === col("cid"))
+      .groupBy(col("qid"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("votes").desc, col("label").asc)))
+      .where(col("rk") === 1)
+      .select(col("qid"), col("label").as("pred_label"), col("votes"))
+      .orderBy("qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ngram_novelty" -> (ngramNovelty _),
     "llm_unigram_logprob" -> (unigramLogprob _),
     "llm_temperature_mix" -> (temperatureMix _),
+    "llm_knn_label" -> (knnLabel _),
   )
 
+  /** DuckDB dot/norm over FLOAT[] in doubles, index order (same forms as
+    * the Llm.scala embedding oracles). */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1,65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def normSql(a: String): String =
+    s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
   val oracles: Map[String, String] = Map(
+    "llm_knn_label" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+              FROM embeddings),
+          scored AS (SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+              round(${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6) AS cos_r
+            FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id != c.vec_id),
+          ranked AS (SELECT qid, vec_id,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id ASC) AS rn
+            FROM scored),
+          votes AS (SELECT r.qid, emb.label, COUNT(*) AS votes
+            FROM ranked r JOIN embeddings emb ON r.vec_id = emb.vec_id
+            WHERE r.rn <= 5 GROUP BY 1, 2),
+          best AS (SELECT qid, label, votes,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, label ASC) AS rk
+            FROM votes)
+          SELECT qid, label AS pred_label, CAST(votes AS BIGINT) AS votes
+          FROM best WHERE rk = 1 ORDER BY qid""",
     "llm_ngram_novelty" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
            base AS (SELECT doc_id, ws, len(ws) AS n FROM d WHERE len(ws) >= 3),

@@ -783,4 +783,70 @@ object Streams {
   case class UserTotals(user_id: Long, n: Long, sum_value: Double)
   case class CwState(emitted: Long, inWindow: Long, sum: Double)
   case class CountWindow(user_id: Long, window_idx: Long, sum_value: Double)
+
+  case class AbsenceAlert(user_id: Long, click_id: Long, click_us: Long)
+
+  /** I6h — CEP ABSENCE via timers (Flink
+    * `begin("click").notFollowedBy("purchase").within(30 min)`, the
+    * abandoned-cart alert, and the pattern Flink CEP implements with
+    * exactly this machinery: a timer that fires UNLESS the forbidden
+    * event arrives first). Each click registers an event-time timer at
+    * click + within; a following same-user purchase inside the window
+    * cancels the pending click; when the watermark passes an uncancelled
+    * deadline the alert is emitted. Batch twin (hash-verified against
+    * the DuckDB NOT-EXISTS oracle): [[graft.ops.Joins.cepNotFollowedBy]].
+    * State per user is the pending-click list — bounded by the within
+    * window, exactly Flink's NFA partial-match buffer. */
+  def absenceAlerts(events: Dataset[Event],
+      withinMs: Long = 30L * 60 * 1000): Dataset[AbsenceAlert] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new AbsenceProcessor(withinMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  class AbsenceProcessor(withinMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, AbsenceAlert] {
+    import org.apache.spark.sql.{Encoders, streaming}
+    // pending (click_id, click_us) — clicks whose window is still open
+    @transient private var pending: streaming.ListState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit =
+      pending = getHandle.getListState[(Long, Long)]("pending",
+        Encoders.product[(Long, Long)], streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: streaming.TimerValues): Iterator[AbsenceAlert] = {
+      // same-batch rows must apply in event order: a purchase only cancels
+      // clicks that PRECEDE it (ts, then event_id — the batch twin's order)
+      rows.toSeq.sortBy(e => (microsOf(e.ts), e.event_id)).foreach { e =>
+        val us = microsOf(e.ts)
+        if (e.event_type == "click") {
+          pending.appendValue((e.event_id, us))
+          getHandle.registerTimer(us / 1000 + withinMs)
+        } else if (e.event_type == "purchase") {
+          val keep = pending.get().toSeq.filterNot { case (_, cUs) =>
+            cUs <= us && us - cUs <= withinMs * 1000
+          }
+          if (keep.isEmpty) pending.clear() else pending.put(keep.toArray)
+        }
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timerValues: streaming.TimerValues,
+        expiredTimerInfo: streaming.ExpiredTimerInfo): Iterator[AbsenceAlert] = {
+      // fire every pending click whose deadline the watermark has passed;
+      // clicks added after a (now-stale) timer registration stay pending
+      val (fire, keep) = pending.get().toSeq.partition { case (_, cUs) =>
+        cUs / 1000 + withinMs <= expiredTimerInfo.getExpiryTimeInMs
+      }
+      if (keep.isEmpty) pending.clear() else pending.put(keep.toArray)
+      fire.sortBy(_._1).iterator.map { case (id, us) => AbsenceAlert(key, id, us) }
+    }
+  }
 }

@@ -755,6 +755,44 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("I6h: absence alerts — timer fires for uncancelled clicks only (notFollowedBy)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event]
+    val q = runToTable(Streams.absenceAlerts(ms.toDS()).toDF(), "absence", "append")
+    try {
+      // user 1: click 10:00 followed by purchase 10:10 (cancelled);
+      // user 1: click 10:20 with NO purchase within 30 min (alerts);
+      // user 2: purchase 10:05 only (never alerts — no click)
+      ms.addData(ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 10:10:00", 1, "purchase", 5.0),
+        ev(3, "2024-01-01 10:20:00", 1, "click", 1.0),
+        ev(4, "2024-01-01 10:05:00", 2, "purchase", 2.0))
+      q.processAllAvailable()
+      // watermark still at 10:20 — no deadline passed yet
+      assert(spark.table("absence").count() === 0)
+      // advance the watermark past 10:50 (click 3's deadline)
+      ms.addData(ev(5, "2024-01-01 11:30:00", 3, "view", 0.0))
+      q.processAllAvailable()
+      ms.addData(ev(6, "2024-01-01 12:00:00", 3, "view", 0.0))
+      q.processAllAvailable()
+      val alerts = spark.table("absence")
+        .select($"user_id", $"click_id").as[(Long, Long)].collect().toSet
+      assert(alerts === Set((1L, 3L)), s"got $alerts")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("iterate analogue: foreachBatch feedback loop halves values to fixpoint and drains") {
     // DataStream.iterate gap construct (b): records feed back through the
     // source dir until a round emits nothing. Seed {8, 5}; step halves
