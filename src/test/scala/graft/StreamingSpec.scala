@@ -793,6 +793,43 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("batch≡streaming: absence alerts equal cep_not_followed_by on the full fixture") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val batchEvents = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
+      .collect()
+    val ms = MemoryStream[Event]
+    val q = runToTable(Streams.absenceAlerts(ms.toDS()).toDF(), "absence_eq", "append")
+    try {
+      ms.addData(batchEvents.toSeq: _*)
+      q.processAllAvailable()
+      // sentinel far-future views push the watermark past every deadline
+      // ('view' neither alerts nor cancels); two batches so every timer fires
+      ms.addData(ev(-1, "2030-01-01 00:00:00", -1, "view", 0.0))
+      q.processAllAvailable()
+      ms.addData(ev(-2, "2030-06-01 00:00:00", -1, "view", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("absence_eq").where($"user_id" >= 0)
+        .select($"user_id", $"click_id").as[(Long, Long)].collect().toSet
+      val batch = ops.Joins.cepNotFollowedBy(spark, sf0001)
+        .select($"user_id", $"click_id").as[(Long, Long)].collect().toSet
+      assert(streamed === batch,
+        s"only-streamed=${streamed -- batch} only-batch=${batch -- streamed}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("iterate analogue: foreachBatch feedback loop halves values to fixpoint and drains") {
     // DataStream.iterate gap construct (b): records feed back through the
     // source dir until a round emits nothing. Seed {8, 5}; step halves
