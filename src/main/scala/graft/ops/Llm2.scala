@@ -90,7 +90,12 @@ object Llm2 {
     * broadcast-sized, assignment is a broadcast nested-loop over k rows
     * (never a shuffle of the corpus), the stats are one partial-aggregable
     * pass. Iterating = re-running with recomputed centroids. */
-  def kmeansStep(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared by [[kmeansStep]] and [[centroidAccuracy]]: every vector
+    * assigned to its nearest label-mean centroid by cosine. Returns
+    * (vec_id, label [the TRUE label], cluster [the assigned one], cos_c).
+    * Centroid table stays broadcast-sized; the assignment is a broadcast
+    * nested-loop over k rows — never a shuffle of the corpus. */
+  private def centroidAssignment(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddings(spark, dir)
       .withColumn("emb", transform(col("embedding"), x => x.cast("double")))
       .withColumn("nrm", normCol(col("emb")))
@@ -107,15 +112,32 @@ object Llm2 {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos_c").desc, col("cluster").asc)
     e.crossJoin(broadcast(centroids))
-      .select(col("vec_id"),
-        col("cluster"),
+      .select(col("vec_id"), col("label"), col("cluster"),
         round(dotCol(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")), 6).as("cos_c"))
       .withColumn("rn", row_number().over(wAssign))
       .where(col("rn") === 1)
+  }
+
+  def kmeansStep(spark: SparkSession, dir: String): DataFrame =
+    centroidAssignment(spark, dir)
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_assigned"), davg(col("cos_c")).as("avg_cos"))
       .orderBy("cluster")
-  }
+
+  /** Nearest-class-mean classification accuracy (the standard cheap probe
+    * of embedding quality before training a real classifier: how often is
+    * a vector's nearest label-centroid its OWN label?). Per true label:
+    * membership count, correctly-assigned count, accuracy. The aggregate
+    * runs on the |corpus|-row assignment — one label-keyed shuffle of
+    * three columns; the centroid machinery is [[centroidAssignment]]'s
+    * broadcast shape, so nothing here grows super-linearly. */
+  def centroidAccuracy(spark: SparkSession, dir: String): DataFrame =
+    centroidAssignment(spark, dir)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cluster") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("acc", round(col("n_correct").cast("double") / col("n").cast("double"), 6))
+      .orderBy("label")
 
   /** Top-3 bigrams per language (n-gram frequency mining). Bigrams are
     * built with a codegen'd lead window over exploded word positions —
@@ -229,6 +251,7 @@ object Llm2 {
     "llm_ngram_bigrams" -> (ngramBigrams _),
     "agg_approx_percentile" -> (approxPercentileValue _),
     "mm_chunk_text" -> (mmChunkText _),
+    "llm_centroid_accuracy" -> (centroidAccuracy _),
   )
 
   private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
@@ -239,6 +262,29 @@ object Llm2 {
     s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
   val oracles: Map[String, String] = Map(
+    "llm_centroid_accuracy" ->
+      s"""WITH ex AS (SELECT label, vec_id,
+            CAST(unnest(embedding) AS DOUBLE) AS x,
+            CAST(unnest(range(0, len(embedding))) AS INT) AS pos
+          FROM embeddings),
+          cd AS (SELECT label, pos,
+            ${dsumSql("x")} / CAST(COUNT(x) AS DOUBLE) AS c
+          FROM ex GROUP BY 1, 2),
+          cent AS (SELECT label AS cluster, list(c ORDER BY pos) AS cemb FROM cd GROUP BY 1),
+          centn AS (SELECT cluster, cemb, ${normSql("cemb")} AS cnrm FROM cent),
+          e AS (SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm
+            FROM embeddings),
+          scored AS (SELECT e.vec_id, e.label, c.cluster,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY round(${dotSql("e.embedding", "c.cemb")} / (e.nrm * c.cnrm), 6) DESC,
+                         c.cluster ASC) AS rn
+            FROM e CROSS JOIN centn c)
+          SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CASE WHEN cluster = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+            round(CAST(SUM(CASE WHEN cluster = label THEN 1 ELSE 0 END) AS DOUBLE)
+              / COUNT(*), 6) AS acc
+          FROM scored WHERE rn = 1
+          GROUP BY 1 ORDER BY 1""",
     "mm_frame_sample" ->
       """WITH f AS (
            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_frames

@@ -430,7 +430,27 @@ object Llm3 {
       .orderBy("source_a", "source_b")
   }
 
+  /** Leakage-safe train/val/test split: the split key is the near-dup
+    * CLUSTER, not the document — so two near-duplicates can never land on
+    * opposite sides of a train/test boundary (the contamination that
+    * silently inflates eval scores). Assignment is the deterministic h48
+    * of the cluster representative: 0-7 train, 8 val, 9 test. Cost on top
+    * of [[dedupClusters]] is one row-local hash — no extra shuffle; at
+    * corpus scale the split inherits the CC machinery's O(diameter)
+    * rounds, which the 10× rehearsal already bounds. */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(spark, dir)
+      .withColumn("bucket",
+        pmod(graft.Tables.h48(concat(lit("split:"), col("cluster").cast("string"))),
+          lit(10L)))
+      .withColumn("split",
+        when(col("bucket") < 8, "train").when(col("bucket") === 8, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("cluster"), col("split"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_leakage_safe_split" -> (leakageSafeSplit _),
     "sample_shard_assign" -> (shardAssign _),
     "llm_pack_context" -> (packContext _),
     "llm_repetition_filter" -> (repetitionFilter _),
@@ -447,6 +467,32 @@ object Llm3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_leakage_safe_split" -> {
+      val h = graft.Tables.h48Sql("'split:' || CAST(cluster AS VARCHAR)")
+      s"""WITH RECURSIVE
+         w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+               FROM documents WHERE doc_id < 50),
+         sz AS (SELECT doc_id, COUNT(*) AS sz FROM w GROUP BY 1),
+         pairs AS (SELECT w1.doc_id AS d1, w2.doc_id AS d2, COUNT(*) AS i
+                   FROM w w1 JOIN w w2 ON w1.word = w2.word AND w1.doc_id < w2.doc_id
+                   GROUP BY 1, 2),
+         edges AS (SELECT d1, d2 FROM pairs
+                   JOIN sz a ON d1 = a.doc_id JOIN sz b ON d2 = b.doc_id
+                   WHERE CAST(i AS DOUBLE) / CAST(a.sz + b.sz - i AS DOUBLE) >= 0.9),
+         und AS (SELECT d1 AS src, d2 AS dst FROM edges
+                 UNION ALL SELECT d2, d1 FROM edges),
+         nodes AS (SELECT doc_id AS node FROM documents WHERE doc_id < 50),
+         reach(node, r) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT reach.node, und.dst FROM reach JOIN und ON reach.r = und.src),
+         cc AS (SELECT node AS doc_id, MIN(r) AS cluster FROM reach GROUP BY 1)
+         SELECT doc_id, cluster,
+           CASE WHEN ($h) % 10 < 8 THEN 'train'
+                WHEN ($h) % 10 = 8 THEN 'val'
+                ELSE 'test' END AS split
+         FROM cc ORDER BY doc_id"""
+    },
     "llm_dup_span_removal" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
            base AS (SELECT doc_id, ws, len(ws) AS n FROM d),
