@@ -82,7 +82,31 @@ object Llm {
     * affine-permuted hashes is duplicate-insensitive, so repeated shingles
     * cannot change any signature (the oracle's `list_distinct` is equally
     * inert). One shuffle total — the signature groupBy. */
-  private def minhashSigs(spark: SparkSession, dir: String): DataFrame = {
+  /** JVM twin of [[minhashSigs]]'s per-doc signature — bit-identical to
+    * the SQL form (same 3-word shingles, same h48, same (c·a+b) mod P
+    * permutations; Round8Spec asserts equality on fixture docs). Powers
+    * the STREAMING near-dup detector, which computes signatures row-local
+    * in a flatMap rather than through a relational aggregate. Returns
+    * empty for docs under 3 words (the SQL form drops them too). */
+  private[graft] def minhashSigJvm(text: String): Array[Long] = {
+    val ws = text.split(" ")
+    if (ws.length < 3) return Array.empty
+    var mins = MinhashA.map(_ => Long.MaxValue).toArray
+    var i = 0
+    while (i + 2 < ws.length) {
+      val c = graft.Tables.h48jvm(ws(i) + " " + ws(i + 1) + " " + ws(i + 2))
+      var j = 0
+      while (j < mins.length) {
+        val v = (c * MinhashA(j) + minhashB(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    mins
+  }
+
+  private[graft] def minhashSigs(spark: SparkSession, dir: String): DataFrame = {
     val n3 = size(col("ws")) - 2
     val hashed = documents(spark, dir)
       .select(col("doc_id"), wordsCol.as("ws"))

@@ -786,6 +786,77 @@ object Streams {
 
   case class AbsenceAlert(user_id: Long, click_id: Long, click_us: Long)
 
+  case class StreamDoc(doc_id: Long, text: String)
+  case class BandedDoc(bucket: String, doc_id: Long, sig: Seq[Long])
+  case class NearDupAlert(doc_id: Long, dup_of: Long, n_equal: Int)
+
+  /** ONLINE near-duplicate detection — the streaming form of
+    * [[graft.ops.Llm.dedupNear]]'s MinHash+LSH (each arriving document is
+    * checked against everything already ingested, the way a crawl
+    * pipeline dedups in-flight; Flink would run the same keyed-state
+    * design). Signatures are [[graft.ops.Llm.minhashSigJvm]] — bit-equal
+    * to the batch aggregate — banded 4×2 exactly like the batch bucket
+    * key, so a pair that collides in batch collides here. Keyed state per
+    * LSH bucket holds the (doc_id, signature) list: state is
+    * bucket-occupancy-bounded, the same quantity the batch LSH argument
+    * bounds, and never the corpus. A colliding pair may alert from
+    * several buckets — consumers dedupe on (doc_id, dup_of), as the batch
+    * form dedupes after candidate generation.
+    *
+    * Alert rule: estimated J (fraction of equal minima over the 8
+    * permutations) ≥ 1/2; `dup_of` is the EARLIEST prior doc (smallest
+    * id) among the bucket's matches, mirroring batch keep-first. */
+  def streamingNearDup(docs: Dataset[StreamDoc]): Dataset[NearDupAlert] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { d =>
+      val sig = graft.ops.Llm.minhashSigJvm(d.text)
+      if (sig.isEmpty) Iterator.empty
+      else (0 until 4).iterator.map { j =>
+        BandedDoc(j.toString + ":" + sig(2 * j) + "_" + sig(2 * j + 1),
+          d.doc_id, sig.toSeq)
+      }
+    }
+      .groupByKey(_.bucket)
+      .transformWithState(new NearDupProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  class NearDupProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, BandedDoc, NearDupAlert] {
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var seen: streaming.ListState[(Long, Seq[Long])] = _
+
+    override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit =
+      seen = getHandle.getListState[(Long, Seq[Long])]("seen",
+        Encoders.product[(Long, Seq[Long])], streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[BandedDoc],
+        timerValues: streaming.TimerValues): Iterator[NearDupAlert] = {
+      // doc order = arrival order within the batch (id order keeps the
+      // keep-first rule deterministic when a batch carries both copies)
+      val prior = scala.collection.mutable.ArrayBuffer
+        .from(seen.get().map { case (id, s) => (id, s.toArray) })
+      val out = scala.collection.mutable.ArrayBuffer.empty[NearDupAlert]
+      rows.toSeq.sortBy(_.doc_id).foreach { d =>
+        val matches = prior.iterator
+          .filter(_._1 != d.doc_id)
+          .map { case (pid, psig) =>
+            (pid, psig.zip(d.sig).count { case (x, y) => x == y })
+          }
+          .filter(_._2 * 2 >= d.sig.length) // est J >= 1/2
+          .toSeq
+        if (matches.nonEmpty) {
+          val (dupOf, nEq) = matches.minBy(_._1)
+          out += NearDupAlert(d.doc_id, dupOf, nEq)
+        }
+        prior += ((d.doc_id, d.sig.toArray))
+        seen.appendValue((d.doc_id, d.sig))
+      }
+      out.iterator
+    }
+  }
+
   /** I6h — CEP ABSENCE via timers (Flink
     * `begin("click").notFollowedBy("purchase").within(30 min)`, the
     * abandoned-cart alert, and the pattern Flink CEP implements with

@@ -88,6 +88,49 @@ class Round8Spec extends SparkTestBase {
     assert((after -- before).isEmpty, s"with-variant leaked: ${after -- before}")
   }
 
+  test("leakage-safe split: no cluster straddles a split; near-dup pairs co-located") {
+    val s = spark
+    import s.implicits._
+    val split = ops.Llm3.leakageSafeSplit(spark, sf0001)
+    // every cluster maps to exactly one split
+    val perCluster = split.groupBy("cluster")
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .where(col("n_splits") > 1)
+    assert(perCluster.count() === 0, "a near-dup cluster straddles a split boundary")
+    // and therefore every WORD-Jaccard>=0.9 pair (the exact edge rule the
+    // clusters build on — dedupJaccard's n-gram pairs are a DIFFERENT
+    // similarity and may legitimately split) is co-located
+    val bySplit = split.select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val pairs = ops.Llm.withDedupJaccardPrefix(spark, sf0001)(
+      _.select($"doc1", $"doc2").as[(Long, Long)].collect().toSeq)
+      .filter { case (a, b) => bySplit.contains(a) && bySplit.contains(b) }
+    assert(pairs.nonEmpty, "fixture should have near-dup pairs under doc_id<20")
+    pairs.foreach { case (a, b) =>
+      assert(bySplit(a) === bySplit(b), s"pair ($a,$b) split across ${bySplit(a)}/${bySplit(b)}")
+    }
+    // all three splits are reachable by the hash (sanity on the 50-doc bound)
+    assert(split.select("split").distinct().count() >= 2)
+  }
+
+  test("minhashSigJvm is bit-equal to the SQL signature aggregate on fixture docs") {
+    val s = spark
+    import s.implicits._
+    val sql = ops.Llm.minhashSigs(spark, sf0001)
+      .where(col("doc_id") < 200)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toSeq).toMap
+    val texts = Tables.documents(spark, sf0001).where(col("doc_id") < 200)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    assert(texts.nonEmpty)
+    texts.foreach { case (id, text) =>
+      val jvm = ops.Llm.minhashSigJvm(text).toSeq
+      sql.get(id) match {
+        case Some(expect) => assert(jvm === expect, s"doc $id")
+        case None => assert(jvm.isEmpty, s"doc $id: SQL dropped it (<3 words), JVM did not")
+      }
+    }
+  }
+
   test("bench full-file totals include spill_mem_mb") {
     val stats = Map("q" -> Bench.QueryStat(1.0, 2.0, 3.0, 4.0, 5.0, 2))
     val json = Bench.renderFull(stats, 0, "/tmp/sf")

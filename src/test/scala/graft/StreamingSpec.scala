@@ -830,6 +830,59 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("online near-dup: exact replicas alert in-stream; every alert is a batch LSH candidate") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the sf0.001 corpus has NO exact duplicates (its near-dups are weak
+    // band-collision pairs) — plant replicas of five fixture docs under
+    // fresh ids to give the detector true positives with known answers
+    val fixture = Tables.documents(spark, sf0001).where($"doc_id" < 300)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => Streams.StreamDoc(id, t) }.sortBy(_.doc_id)
+    val planted = Seq(3L, 57L, 120L, 121L, 250L).map { orig =>
+      Streams.StreamDoc(10000L + orig, fixture.find(_.doc_id == orig).get.text)
+    }
+    val ms = MemoryStream[Streams.StreamDoc]
+    val q = runToTable(Streams.streamingNearDup(ms.toDS()).toDF(), "near_dup_stream", "append")
+    try {
+      // replicas arrive in a LATER batch: the match must cross the batch
+      // boundary through RocksDB state
+      ms.addData(fixture.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(planted: _*)
+      q.processAllAvailable()
+      val alerts = spark.table("near_dup_stream")
+        .select($"doc_id", $"dup_of", $"n_equal").as[(Long, Long, Int)].collect().toSet
+      // every planted replica alerts against its original (identical text →
+      // identical signature → est J = 8/8); dup_of may be an even-earlier
+      // near-identical doc, so assert the batch-equivalence of the target
+      planted.foreach { p =>
+        val mine = alerts.filter(_._1 == p.doc_id)
+        assert(mine.nonEmpty, s"replica ${p.doc_id} never alerted")
+        assert(mine.exists(_._3 === 8), s"replica ${p.doc_id}: no 8/8 match in $mine")
+      }
+      // fixture-internal alerts (if any) must be batch LSH candidate pairs
+      // (streaming additionally requires est-J >= 1/2 ⇒ alerts ⊆ candidates)
+      val batchPairs = ops.Llm.dedupNear(spark, sf0001)
+        .select($"doc1", $"doc2").as[(Long, Long)].collect().toSet
+      val fixtureAlerts = alerts.filter(_._1 < 10000L)
+      val bad = fixtureAlerts.map { case (d, of, _) =>
+        (math.min(d, of), math.max(d, of)) } -- batchPairs
+      assert(bad.isEmpty, s"streamed alerts missing from batch candidates: $bad")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("iterate analogue: foreachBatch feedback loop halves values to fixpoint and drains") {
     // DataStream.iterate gap construct (b): records feed back through the
     // source dir until a round emits nothing. Seed {8, 5}; step halves
