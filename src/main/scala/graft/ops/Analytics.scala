@@ -391,7 +391,47 @@ object Analytics {
 
   // ------------------------------------------------------------------
 
+  /** One PageRank power-iteration step over the supplier→customer trade
+    * graph (edges = distinct (l_suppkey, o_custkey) pairs; the graph
+    * analogue of [[graft.ops.Llm3.dedupClusters]]'s Pregel loop, here as
+    * the relational-algebra iteration primitive: iterating = re-running
+    * with the previous ranks). Uniform start rank 1/N over all nodes;
+    * damping 0.85; customers (sinks) accumulate, suppliers keep the
+    * teleport term. Top 20 nodes by new rank.
+    *
+    * 100 TB shape: outdegree is one src-keyed agg over the edge set; the
+    * contribution pass is edge ⋈ broadcast-or-shuffled rank table on src,
+    * then one dst-keyed agg — everything edge-proportional, the textbook
+    * distributed PageRank step. Contributions are decimal-quantized
+    * (dsum) so the result is summation-order independent. */
+  def pagerankStep(spark: SparkSession, dir: String): DataFrame = {
+    val edges = lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("src"), (col("o_custkey") + lit(1000000L)).as("dst"))
+      .distinct()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val n = nodes.agg(count(lit(1)).as("n_nodes"))
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // contribution of each edge: r0/deg with r0 = 1/N (uniform start)
+    val contrib = edges.join(outdeg, "src")
+      .crossJoin(broadcast(n))
+      .select(col("dst"),
+        (lit(1.0) / col("n_nodes").cast("double") / col("deg").cast("double"))
+          .as("c"))
+    val inbound = contrib.groupBy(col("dst").as("node")).agg(dsum(col("c")).as("in_sum"))
+    nodes.join(inbound, Seq("node"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("node"),
+        round(lit(0.15) / col("n_nodes").cast("double") +
+          lit(0.85) * coalesce(col("in_sum"), lit(0.0)), 6).as("rank"))
+      .orderBy(col("rank").desc, col("node").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank_step" -> (pagerankStep _),
     "ts_gapfill_hourly" -> (tsGapfillHourly _),
     "scalar_array_ops" -> (scalarArrayOps _),
     "flatmap_posexplode_words" -> (flatmapPosexplodeWords _),
@@ -423,6 +463,23 @@ object Analytics {
   private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "graph_pagerank_step" ->
+      s"""WITH edges AS (
+            SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          nodes AS (SELECT src AS node FROM edges
+            UNION SELECT dst FROM edges),
+          n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_nodes FROM nodes),
+          outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+          contrib AS (
+            SELECT dst, 1.0 / n.n_nodes / CAST(deg AS DOUBLE) AS c
+            FROM edges JOIN outdeg USING (src) CROSS JOIN n),
+          inbound AS (SELECT dst AS node, ${dsumSql("c")} AS in_sum
+            FROM contrib GROUP BY 1)
+          SELECT node,
+            round(0.15 / n.n_nodes + 0.85 * COALESCE(in_sum, 0.0), 6) AS rank
+          FROM nodes LEFT JOIN inbound USING (node) CROSS JOIN n
+          ORDER BY rank DESC, node ASC LIMIT 20""",
     "ts_gapfill_hourly" ->
       s"""WITH ev AS (SELECT user_id, date_trunc('hour', $evTs) AS bucket FROM events),
           counts AS (SELECT user_id, bucket, CAST(COUNT(*) AS BIGINT) AS n

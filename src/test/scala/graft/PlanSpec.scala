@@ -140,7 +140,9 @@ class PlanSpec extends SparkTestBase {
       "llm_minhash_src_sim",
       // 1-row scalar-subquery broadcasts: Q11's global stock-value total
       // and Q22's average positive balance (see Warehouse3 scaladoc)
-      "tpch_q11_important_parts", "tpch_q22_idle_customers")
+      "tpch_q11_important_parts", "tpch_q22_idle_customers",
+      // 1-row node-count broadcast (teleport term 1/N)
+      "graph_pagerank_step")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, sf0001))
