@@ -41,7 +41,13 @@ class ShuffleVolumeSpec extends SparkTestBase {
     // all (q2's offer aggregate 0.76 MB, q11's per-part value 0.60 MB —
     // everything else broadcasts below 0.1 MB at sf0.1)
     "tpch_q2_min_cost_supp" -> 3.0,
-    "tpch_q11_important_parts" -> 2.0
+    "tpch_q11_important_parts" -> 2.0,
+    // pagerank moves the 587k-pair edge set through its distinct +
+    // inbound aggregates (10.3 MB measured — edge-proportional, the
+    // textbook bound for a PageRank step); the CEP absence pass is one
+    // user-keyed window shuffle of the event table (2.2 MB)
+    "graph_pagerank_step" -> 31.0,
+    "cep_not_followed_by" -> 7.0
   )
 
   private lazy val measured: Map[String, Bench.QueryStat] = {
