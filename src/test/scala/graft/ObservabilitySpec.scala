@@ -58,4 +58,36 @@ class ObservabilitySpec extends SparkTestBase {
       assert(metrics.get("batch_stats").getAs[Long]("rows") === 4L)
     } finally q.stop()
   }
+
+  test("state-store metrics: stateOperators report rows+memory; watermark surfaces in progress") {
+    // the Flink state-size / watermark metrics analogue: every stateful
+    // streaming operator self-reports its state rows and memory through
+    // StreamingQueryProgress — the signal a 100 TB deployment alerts on
+    // when keyed state starts growing without bound
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[streaming.Streams.Event]
+    val agg = ms.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("state_metrics")
+      .outputMode("update").start()
+    try {
+      def ev(id: Long, t: String) = streaming.Streams.Event(id, ts(t), 1L, "click", 1.0)
+      ms.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 11:00:00"))
+      q.processAllAvailable()
+      ms.addData(ev(3, "2024-01-01 12:00:00"))
+      q.processAllAvailable()
+      val p = q.lastProgress
+      assert(p.stateOperators.nonEmpty, "stateful agg must expose a state operator")
+      val st = p.stateOperators.head
+      assert(st.numRowsTotal > 0, s"state rows: ${st.numRowsTotal}")
+      assert(st.memoryUsedBytes > 0, s"state memory: ${st.memoryUsedBytes}")
+      // the watermark the second batch established (12:00 - 10 min)
+      val wm = p.eventTime.get("watermark")
+      assert(wm != null && wm.startsWith("2024-01-01T11:50"), s"watermark: $wm")
+    } finally q.stop()
+  }
 }

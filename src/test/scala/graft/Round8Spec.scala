@@ -131,6 +131,31 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  test("q15 view-max equality join surfaces ALL tied top suppliers") {
+    // the reference's Q15 is famous for this: revenue = (SELECT MAX...)
+    // is a set filter, not a top-1 — construct an exact two-way tie and
+    // require both rows (a window-rank rewrite with rn=1 would also pass;
+    // a limit(1) implementation would not)
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q15-tie").toString
+    // two suppliers with identical in-window revenue, one below
+    Seq(
+      (1L, 10L, ts("1996-02-01 00:00:00"), 100.0, 0.0),
+      (2L, 20L, ts("1996-02-01 00:00:00"), 50.0, 0.0),
+      (3L, 20L, ts("1996-02-01 00:00:00"), 50.0, 0.0),
+      (4L, 30L, ts("1996-02-01 00:00:00"), 10.0, 0.0),
+      (5L, 10L, ts("1999-01-01 00:00:00"), 999.0, 0.0)) // outside the window
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .withColumn("l_quantity", lit(1.0))
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((10L, "SUPP_A"), (20L, "SUPP_B"), (30L, "SUPP_C"))
+      .toDF("s_suppkey", "s_name").write.parquet(s"$dir/supplier.parquet")
+    val got = ops.Warehouse3.tpchQ15(spark, dir)
+      .select($"s_suppkey", $"total_revenue").as[(Long, Double)].collect().toSet
+    assert(got === Set((10L, 100.0), (20L, 100.0)), got)
+  }
+
   test("bench full-file totals include spill_mem_mb") {
     val stats = Map("q" -> Bench.QueryStat(1.0, 2.0, 3.0, 4.0, 5.0, 2))
     val json = Bench.renderFull(stats, 0, "/tmp/sf")
