@@ -414,12 +414,15 @@ object Analytics {
     // round anyway — there you persist/checkpoint the edges once, as
     // Llm3's Pregel CC loop does. The single-step demo keeps the
     // recompute form because it is what the measurement favors.
+    // customer nodes live in the NEGATIVE id space (-custkey - 1): disjoint
+    // from the non-negative supplier keys for ANY key range — an additive
+    // offset would silently collide once custkeys outgrow it at scale
     val edges = lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
       .join(orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_suppkey").as("src"), (col("o_custkey") + lit(1000000L)).as("dst"))
+      .select(col("l_suppkey").as("src"), (-col("o_custkey") - lit(1L)).as("dst"))
       .distinct()
-    // src (suppliers) and dst (customers + 1e6) are DISJOINT id spaces, so
+    // src (suppliers) and dst (negated customers) are DISJOINT id spaces, so
     // N = |distinct src| + |distinct dst| in one aggregate — no
     // union-distinct pass over the edge set; and the bipartite direction
     // means suppliers never receive contributions, so the final
@@ -483,7 +486,7 @@ object Analytics {
   val oracles: Map[String, String] = Map(
     "graph_pagerank_step" ->
       s"""WITH edges AS (
-            SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+            SELECT DISTINCT l_suppkey AS src, -o_custkey - 1 AS dst
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
           nodes AS (SELECT src AS node FROM edges
             UNION SELECT dst FROM edges),
