@@ -203,7 +203,15 @@ object Llm {
     * check is row-local — the same verify-after-band shape the MinHash
     * and prefix-filter families use. */
   def dedupSimhashVerified(spark: SparkSession, dir: String): DataFrame = {
-    val (sig, bands) = simhashSigBands(spark, dir)
+    // Output-materialization bound (doc_id < 1000, tighter than
+    // dedupJaccardPrefix's 2000 because 12-bit bands collide ~3x denser
+    // than prefix tokens on this shared-vocab corpus — sf0.1 unbounded is
+    // ~3M candidate pairs and the bench would time output writing, not
+    // the verify kernel). The mechanics are bound-independent; every
+    // stage below is candidate-proportional.
+    val (sigAll, bandsAll) = simhashSigBands(spark, dir)
+    val sig = sigAll.where(col("doc_id") < 1000)
+    val bands = bandsAll.where(col("doc_id") < 1000)
     val cand = bands.as("b1").join(bands.as("b2"),
         col("b1.band") === col("b2.band") && col("b1.v") === col("b2.v") &&
         col("b1.doc_id") < col("b2.doc_id"))
@@ -870,7 +878,7 @@ object Llm {
           FROM sig s LEFT JOIN pc ON s.doc_id = pc.doc_id ORDER BY s.doc_id""",
     "llm_dedup_simhash_verified" ->
       s"""WITH wds AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS word
-            FROM documents),
+            FROM documents WHERE doc_id < 1000),
           h AS (SELECT doc_id, ${h48S("word")} AS hw FROM wds),
           bits AS (SELECT doc_id, b,
               CAST(SUM(CASE WHEN (hw >> b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s
