@@ -270,6 +270,26 @@ class ScaleRehearsalSpec extends SparkTestBase {
     }
   }
 
+  test("llm_dedup_simhash_verified at 10x replica density: every replica pair alerts at hamming 0") {
+    // replicas carry IDENTICAL text → identical 48-bit signatures → every
+    // within-bound replica pair must collide in all 4 bands and verify at
+    // hamming 0; candidates stay collision-proportional (no BNLJ appears)
+    val out = SparkEntry.queries("llm_dedup_simhash_verified")(spark, scaledDir)
+    val plan = planOf("llm_dedup_simhash_verified")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gotSet = got.map(t => (t._1, t._2)).toSet
+    // fixture docs 0..99 replicate to ids {d*10+i}; all fall under the
+    // 1000 bound → every C(10,2) pair per family must be present at h=0
+    val missing = (for {
+      d <- 0 until 100; i <- 0 until 10; j <- (i + 1) until 10
+    } yield (d * 10 + i.toLong, d * 10 + j.toLong)).filterNot(gotSet)
+    assert(missing.isEmpty, s"${missing.size} replica pairs missing, e.g. ${missing.take(3)}")
+    got.filter { case (a, b, _) => a / 10 == b / 10 }.foreach { case (a, b, h) =>
+      assert(h === 0L, s"replica pair ($a,$b) hamming $h")
+    }
+  }
+
   test("tpch_q21 at 10x facts: per-supplier blame counts scale EXACTLY 10x") {
     // replica-local referential integrity means every sole-blame order
     // replicates 10x while the shared supplier dim does not — so each
