@@ -290,6 +290,38 @@ class ScaleRehearsalSpec extends SparkTestBase {
     }
   }
 
+  test("tpch_q9 at 10x facts: per-(nation,year) profit scales 10x; q12 counts exactly 10x") {
+    // q9: lineitems replicate against shared part/supplier dims — each
+    // (nation, order-year) cell's decimal profit sum scales 10x (double
+    // cast allows ulps). q12: priority counts are longs — exactly 10x.
+    val q9f = SparkEntry.queries("tpch_q9_profit")(spark, sf001)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+    val q9s = SparkEntry.queries("tpch_q9_profit")(spark, scaledDir)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(q9s.keySet === q9f.keySet)
+    q9f.foreach { case (k, v) =>
+      assert(math.abs(q9s(k) - v * K) <= math.ulp(v * K) * 8, s"$k: ${q9s(k)} vs ${v * K}")
+    }
+    val q12f = SparkEntry.queries("tpch_q12_ship_delay")(spark, sf001)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val q12s = SparkEntry.queries("tpch_q12_ship_delay")(spark, scaledDir)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(q12s === q12f.map { case (k, (h, l)) => (k, (h * K, l * K)) },
+      s"fixture=$q12f scaled=$q12s")
+  }
+
+  test("tpch_q16 at 10x facts: distinct supplier counts are INVARIANT (dims shared)") {
+    // the distinct-count complement of the exact-10x pins: replicating
+    // facts against the SAME supplier dim must leave every (brand, type,
+    // size) supplier count unchanged — a distinct-count that grew under
+    // replication would mean the anti-join or the Expand double-counts
+    val fixture = SparkEntry.queries("tpch_q16_supplier_cnt")(spark, sf001)
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getInt(2)), r.getLong(3))).toMap
+    val scaled = SparkEntry.queries("tpch_q16_supplier_cnt")(spark, scaledDir)
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getInt(2)), r.getLong(3))).toMap
+    assert(scaled === fixture, s"only-fixture=${fixture.toSet -- scaled.toSet} only-scaled=${scaled.toSet -- fixture.toSet}")
+  }
+
   test("tpch_q21 at 10x facts: per-supplier blame counts scale EXACTLY 10x") {
     // replica-local referential integrity means every sole-blame order
     // replicates 10x while the shared supplier dim does not — so each
