@@ -19,7 +19,22 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
     if (args.contains("explain")) fn(spark, sfDir).explain("formatted")
-    else {
+    else if (args.contains("phases")) {
+      // Split a rep into plan time (analysis+optimization+physical planning,
+      // forced via executedPlan) and execution time (count on the planned
+      // frame) — Bench reps pay both, so attributing a regression needs the
+      // split. One warmup rep first (JIT + file-index cache).
+      fn(spark, sfDir).count()
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val df = fn(spark, sfDir)
+        df.queryExecution.executedPlan // force planning
+        val t1 = System.nanoTime()
+        val n = df.count()
+        val t2 = System.nanoTime()
+        println(f"[benchone] $name rep$i: plan ${(t1 - t0) / 1e9}%.3f s, exec ${(t2 - t1) / 1e9}%.3f s, $n rows")
+      }
+    } else {
       fn(spark, sfDir).count() // warmup
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()

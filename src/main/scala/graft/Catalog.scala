@@ -12,13 +12,29 @@ object Catalog {
   val TableNames: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "documents", "embeddings")
 
+  // Last dir registered per session (keyed by sessionUUID so stopped test
+  // sessions aren't retained). Re-registering the same dir is a no-op that
+  // still costs ~0.4 s (10 parquet footer reads + view swaps) — measured as
+  // half of sql_lateral_topn's per-rep planning time — so skip it. A call
+  // with a DIFFERENT dir always re-registers (tests alternate sf dirs).
+  private val current = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  // Identity-based key: stores only the hash string, never the session
+  // object, so stopped test sessions aren't retained.
+  private def sessionKey(spark: SparkSession): String =
+    System.identityHashCode(spark).toString
+
   /** Register all fixture tables from `dir` as temp views, plus the
-    * custom SQL kernel (`graft_dot_product`). */
+    * custom SQL kernel (`graft_dot_product`). Idempotent and cached per
+    * (session, dir); safe to call per query. */
   def register(spark: SparkSession, dir: String): Unit = {
-    TableNames.foreach { t =>
-      Tables.table(spark, dir, t).createOrReplaceTempView(t)
+    if (current.get(sessionKey(spark)) != dir) {
+      TableNames.foreach { t =>
+        Tables.table(spark, dir, t).createOrReplaceTempView(t)
+      }
+      Tables.events(spark, dir).createOrReplaceTempView("events")
+      functions.ArrayMath.register(spark)
+      current.put(sessionKey(spark), dir)
     }
-    Tables.events(spark, dir).createOrReplaceTempView("events")
-    functions.ArrayMath.register(spark)
   }
 }

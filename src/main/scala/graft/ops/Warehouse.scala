@@ -561,15 +561,24 @@ object Warehouse {
 
   /** LATERAL correlated subquery (SQL:2016 LATERAL, Spark 4 SQL): per
     * customer, their top-2 orders by price — the join-form of
-    * top-N-per-group, planned by Catalyst as a ranked join rather than a
-    * per-row re-execution. */
+    * top-N-per-group. Catalyst decorrelates it to a ranked join
+    * (WindowGroupLimit + row_number + broadcast join), NOT per-row
+    * re-execution — pinned in PlanSpec. The `o_custkey < 50` bound is
+    * stated INSIDE the lateral: constraint propagation infers it from
+    * the outer `c_custkey < 50` but only places it ABOVE the window
+    * (the full orders table would be sorted + window-limited first);
+    * written inside, it reaches the orders scan as a pushed filter
+    * (measured 1.5 s → 0.5 s warm at sf0.1). At 100 TB the bound is
+    * whatever predicate keys the probe side — without one, the window
+    * side is a full-corpus partial top-k, which is still
+    * shuffle-proportional and safe, just not scan-pruned. */
   def sqlLateralTopn(spark: SparkSession, dir: String): DataFrame = {
     graft.Catalog.register(spark, dir)
     spark.sql(
       """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
          FROM customer c,
          LATERAL (SELECT o_orderkey, o_totalprice FROM orders
-                  WHERE o_custkey = c.c_custkey
+                  WHERE o_custkey = c.c_custkey AND o_custkey < 50
                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
          WHERE c.c_custkey < 50
          ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")

@@ -263,4 +263,18 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), p)
     assert(p.contains("Join"), p)
   }
+
+  test("LATERAL top-n decorrelates to a ranked join with the bound pushed to the scan") {
+    // Round-9 pin (VERDICT r8 #1): the correlated ORDER BY … LIMIT 2 must
+    // plan as WindowGroupLimit (partial top-k before the group shuffle) +
+    // a broadcast equi-join — NOT per-outer-row re-execution — and the
+    // custkey bound must reach the orders scan as a pushed filter (without
+    // it, the whole orders table is sorted + window-limited first).
+    val p = plan(ops.Warehouse.sqlLateralTopn(spark, sf0001))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the orders-side scan carries the custkey bound as a pushed filter
+    assert("LessThan\\(o_custkey,50\\)".r.findFirstIn(p).nonEmpty, p)
+  }
 }
