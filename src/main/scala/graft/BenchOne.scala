@@ -17,6 +17,19 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (name == "jaccard_split") {
+      // Attribution probe (VERDICT r8 #3): inside one invocation the
+      // persisted w/prefix frames stay live, so count#1 = index build +
+      // probe join, count#2 = probe join only; build = #1 − #2.
+      for (i <- 1 to 3) // rep1 = cold JVM (JIT + scan setup), rep3 ≈ bench-warm
+        ops.Llm.withDedupJaccardPrefix(spark, sfDir) { df =>
+          val t0 = System.nanoTime(); val n1 = df.count()
+          val t1 = System.nanoTime(); val n2 = df.count()
+          val t2 = System.nanoTime()
+          println(f"[benchone] jaccard_split rep$i: build+probe ${(t1 - t0) / 1e9}%.3f s, probe ${(t2 - t1) / 1e9}%.3f s, $n1/$n2 rows")
+        }
+      spark.stop(); return
+    }
     val fn = SparkEntry.queries(name)
     if (args.contains("explain")) fn(spark, sfDir).explain("formatted")
     else if (args.contains("phases")) {

@@ -869,10 +869,11 @@ object Streams {
     * State per user is the pending-click list — bounded by the within
     * window, exactly Flink's NFA partial-match buffer. */
   def absenceAlerts(events: Dataset[Event],
-      withinMs: Long = 30L * 60 * 1000): Dataset[AbsenceAlert] = {
+      withinMs: Long = 30L * 60 * 1000,
+      watermarkDelay: String = "0 seconds"): Dataset[AbsenceAlert] = {
     import events.sparkSession.implicits._
     events
-      .withWatermark("ts", "0 seconds")
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .transformWithState(new AbsenceProcessor(withinMs),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
@@ -899,8 +900,14 @@ object Streams {
           pending.appendValue((e.event_id, us))
           getHandle.registerTimer(us / 1000 + withinMs)
         } else if (e.event_type == "purchase") {
-          val keep = pending.get().toSeq.filterNot { case (_, cUs) =>
-            cUs <= us && us - cUs <= withinMs * 1000
+          // strict-follows tiebreak on (ts, event_id), matching the batch
+          // twin cepNotFollowedBy: an equal-timestamp purchase cancels a
+          // click only when the click's event_id is smaller — without it,
+          // a same-µs pair split across micro-batches could cancel in the
+          // wrong order (round-8 ADVICE).
+          val keep = pending.get().toSeq.filterNot { case (cId, cUs) =>
+            (cUs < us || (cUs == us && cId < e.event_id)) &&
+              us - cUs <= withinMs * 1000
           }
           if (keep.isEmpty) pending.clear() else pending.put(keep.toArray)
         }

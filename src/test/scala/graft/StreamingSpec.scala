@@ -793,6 +793,51 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("I6i: absence tiebreak — same-µs purchase in a LATER batch cancels only when its event_id is larger") {
+    // Round-8 ADVICE: within one batch the sort hides the (ts, event_id)
+    // strict-follows tiebreak; across batches it must be applied from
+    // state. user 1: click(id 10) then same-µs purchase(id 5) in the NEXT
+    // micro-batch — purchase does NOT follow the click, so the click still
+    // alerts. user 2: click(id 20) then same-µs purchase(id 25) — follows,
+    // cancels.
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event]
+    // 10-min watermark delay: with the default 0s, batch 1 advances the
+    // watermark TO the clicks' timestamp, and the same-µs batch-2
+    // purchases would be dropped as late instead of reaching the tiebreak
+    val q = runToTable(
+      Streams.absenceAlerts(ms.toDS(), watermarkDelay = "10 minutes").toDF(),
+      "absence_tie", "append")
+    try {
+      ms.addData(ev(10, "2024-01-01 10:00:00", 1, "click", 1.0),
+        ev(20, "2024-01-01 10:00:00", 2, "click", 1.0))
+      q.processAllAvailable()
+      ms.addData(ev(5, "2024-01-01 10:00:00", 1, "purchase", 5.0),
+        ev(25, "2024-01-01 10:00:00", 2, "purchase", 5.0))
+      q.processAllAvailable()
+      // push the watermark past both deadlines (two batches so timers fire)
+      ms.addData(ev(-1, "2024-01-01 12:00:00", 3, "view", 0.0))
+      q.processAllAvailable()
+      ms.addData(ev(-2, "2024-01-01 13:00:00", 3, "view", 0.0))
+      q.processAllAvailable()
+      val alerts = spark.table("absence_tie")
+        .select($"user_id", $"click_id").as[(Long, Long)].collect().toSet
+      assert(alerts === Set((1L, 10L)), s"got $alerts")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("batch≡streaming: absence alerts equal cep_not_followed_by on the full fixture") {
     val s = spark
     import s.implicits._
