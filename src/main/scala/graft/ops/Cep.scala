@@ -1,0 +1,211 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic CEP pattern compiler (round-9, VERDICT r8 #5): a small pattern
+  * AST — sequence, Kleene one-or-more, absence (notFollowedBy), within
+  * span, after-match skip strategy — compiled onto the SAME single
+  * user-shuffle window/gaps-and-islands machinery the four specialized
+  * CEP queries in [[Joins]] hand-roll (L47 sequence, L99 Kleene+timeout,
+  * L111 skip strategies, L156 absence). Round9Spec proves the compiler
+  * reproduces each of those shapes row-for-row from its AST form.
+  *
+  * Supported fragment (the MATCH_RECOGNIZE-ish subset every template
+  * needs; unsupported shapes throw at compile time rather than silently
+  * mis-matching):
+  *   - all-Exact sequences `A{a} B{b} …` (strictly consecutive, Flink
+  *     `next()`), optional `within`;
+  *   - `A+ B` (greedy consecutive one-or-more then next), optional
+  *     `within`, optionally emitting timed-out partial matches;
+  *   - `A` + absence (`notFollowedBy(B).within(w)`);
+  *   - homogeneous `A{n}` enumeration counts under skip-to-next vs
+  *     skip-past-last ([[matchCounts]]).
+  *
+  * Scale shape: every compiled plan is one hash shuffle on user_id
+  * reused by all window passes plus the final sort — identical to the
+  * specialized queries' budget; nothing pairwise, state bounded by the
+  * pattern length (lag depth) or the island window. */
+object Cep {
+
+  sealed trait Quant
+  /** exactly `n` consecutive events of the group's type (n ≥ 1). */
+  final case class Exact(n: Int) extends Quant
+  /** greedy MAXIMAL run of ≥1 consecutive events (Flink
+    * `oneOrMore().consecutive().greedy()`). */
+  case object OneOrMore extends Quant
+
+  final case class Group(eventType: String, quant: Quant = Exact(1))
+
+  /** Trailing negation: the match survives only if NO event of
+    * `eventType` occurs within `withinUs` µs after the matched event
+    * (Flink `notFollowedBy(...).within(...)`). */
+  final case class Absence(eventType: String, withinUs: Long)
+
+  sealed trait Skip
+  case object SkipToNext extends Skip
+  case object SkipPastLast extends Skip
+
+  final case class Pattern(
+      groups: Seq[Group],
+      withinUs: Option[Long] = None,
+      absence: Option[Absence] = None,
+      emitTimeouts: Boolean = false)
+
+  /** Canonical match schema: one row per match —
+    * (user_id, g_first_id, g_last_id, g_count: per-group arrays,
+    * first_ts_us, last_ts_us, span_us, matched). Timed-out partial
+    * matches (Kleene mode with emitTimeouts) carry null for the
+    * unmatched tail group and matched=false. */
+  def matches(events: DataFrame, p: Pattern): DataFrame = {
+    require(p.groups.nonEmpty, "empty pattern")
+    (p.groups.map(_.quant), p.absence) match {
+      case (qs, None) if qs.forall(_.isInstanceOf[Exact]) =>
+        require(!p.emitTimeouts, "emitTimeouts requires a Kleene group")
+        compileSequence(events, p)
+      case (Seq(OneOrMore, Exact(1)), None) =>
+        compileKleeneNext(events, p)
+      case (Seq(Exact(1)), Some(abs)) =>
+        require(p.withinUs.isEmpty && !p.emitTimeouts,
+          "absence carries its own within")
+        compileAbsence(events, p.groups.head.eventType, abs)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported pattern fragment: $other (see Cep scaladoc)")
+    }
+  }
+
+  /** Per-user enumeration counts of the homogeneous pattern `A{n}` under
+    * BOTH after-match skip strategies, plus the longest run: within a
+    * maximal run of length L there are max(L−n+1, 0) skip-to-next
+    * (overlapping) matches and ⌊L/n⌋ skip-past-last (restarting)
+    * matches. Output: (user_id, n_skip_to_next, n_skip_past_last,
+    * longest_run). */
+  def matchCounts(events: DataFrame, eventType: String, n: Int): DataFrame = {
+    require(n >= 1)
+    islands(events, eventType)
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(greatest(col("len") - (n - 1), lit(0L))).as("n_skip_to_next"),
+        sum(floor(col("len") / lit(n.toDouble)).cast("long")).as("n_skip_past_last"),
+        max(col("len")).as("longest_run"))
+  }
+
+  // ------------------------------------------------------------------
+
+  private def seqCols(events: DataFrame): DataFrame =
+    events.select(col("user_id"), col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+
+  private def byUser: org.apache.spark.sql.expressions.WindowSpec =
+    Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+
+  /** The shared gaps-and-islands pass: rows of `eventType` tagged with a
+    * per-user island id (consecutive runs of that type). */
+  private def islands(events: DataFrame, eventType: String): DataFrame =
+    seqCols(events)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .withColumn("is_start", when(col("event_type") === eventType &&
+        (col("prev_type").isNull || col("prev_type") =!= eventType), 1L)
+        .otherwise(0L))
+      .withColumn("island", sum(col("is_start")).over(byUser))
+      .where(col("event_type") === eventType)
+
+  /** All-Exact strictly-consecutive sequence: expand the groups to a flat
+    * type list of length L, anchor on the LAST event, and test the L−1
+    * preceding events with lag — the L47 template, arbitrary types and
+    * counts. One window pass, lag depth = pattern length. */
+  private def compileSequence(events: DataFrame, p: Pattern): DataFrame = {
+    val expanded: Seq[String] =
+      p.groups.flatMap(g => Seq.fill(g.quant.asInstanceOf[Exact].n)(g.eventType))
+    val L = expanded.size
+    def at(pos: Int, c: String): Column = // pos 0..L-1 over the match, anchor = L-1
+      if (pos == L - 1) col(c) else lag(col(c), L - 1 - pos).over(byUser)
+    val typed = seqCols(events)
+      .withColumn("first_ts_us", at(0, "ts_us"))
+      .withColumn("cond", expanded.zipWithIndex.map { case (t, j) =>
+        at(j, "event_type") === t
+      }.reduce(_ && _))
+    // group j spans expanded positions [starts(j), starts(j)+n_j)
+    val starts = p.groups.scanLeft(0)((acc, g) =>
+      acc + g.quant.asInstanceOf[Exact].n).init
+    val firstIds = p.groups.zip(starts).map { case (_, s) => at(s, "event_id") }
+    val lastIds = p.groups.zip(starts).map { case (g, s) =>
+      at(s + g.quant.asInstanceOf[Exact].n - 1, "event_id") }
+    val counts = p.groups.map(g => lit(g.quant.asInstanceOf[Exact].n.toLong))
+    val span = col("ts_us") - col("first_ts_us")
+    typed
+      .withColumn("g_first_id", array(firstIds: _*))
+      .withColumn("g_last_id", array(lastIds: _*))
+      .withColumn("g_count", array(counts: _*))
+      .where(col("cond") && p.withinUs.map(span <= _).getOrElse(lit(true)))
+      .select(col("user_id"), col("g_first_id"), col("g_last_id"),
+        col("g_count"), col("first_ts_us"), col("ts_us").as("last_ts_us"),
+        span.as("span_us"), lit(true).as("matched"))
+  }
+
+  /** `A+ B within w`: maximal islands of A; the event immediately after
+    * the island must be B within w of the island's first event — the L99
+    * template with arbitrary types; timed-out islands optionally kept. */
+  private def compileKleeneNext(events: DataFrame, p: Pattern): DataFrame = {
+    val Seq(kleene, next) = p.groups
+    val byUserRn = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+    val seq = seqCols(events)
+      .withColumn("rn", row_number().over(byUser))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUserRn))
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUserRn))
+      .withColumn("next_id", lead(col("event_id"), 1).over(byUserRn))
+      .withColumn("next_ts", lead(col("ts_us"), 1).over(byUserRn))
+      .withColumn("is_start", when(col("event_type") === kleene.eventType &&
+        (col("prev_type").isNull || col("prev_type") =!= kleene.eventType), 1L)
+        .otherwise(0L))
+      .withColumn("island", sum(col("is_start")).over(byUserRn))
+    val islandW = Window.partitionBy(col("user_id"), col("island"))
+    val islandOrd = islandW.orderBy(col("rn"))
+    val hit = col("next_type") === next.eventType &&
+      p.withinUs.map(w => col("next_ts") - col("first_ts_us") <= w)
+        .getOrElse(lit(true))
+    val matched = coalesce(hit, lit(false))
+    val out = seq.where(col("event_type") === kleene.eventType)
+      .withColumn("n_run", count(lit(1)).over(islandW))
+      .withColumn("first_id", first(col("event_id")).over(islandOrd))
+      .withColumn("first_ts_us", first(col("ts_us")).over(islandOrd))
+      // the island's LAST row is the only one whose successor is not an A
+      .where(col("next_type").isNull || col("next_type") =!= kleene.eventType)
+      .select(col("user_id"),
+        array(col("first_id"), when(matched, col("next_id"))).as("g_first_id"),
+        array(col("event_id"), when(matched, col("next_id"))).as("g_last_id"),
+        array(col("n_run"), when(matched, lit(1L))).as("g_count"),
+        col("first_ts_us"),
+        when(matched, col("next_ts")).as("last_ts_us"),
+        when(matched, col("next_ts") - col("first_ts_us")).as("span_us"),
+        matched.as("matched"))
+    if (p.emitTimeouts) out else out.where(col("matched"))
+  }
+
+  /** `A notFollowedBy B within w`: every A event with no same-user B in
+    * the following window — the L156 template. EXISTS over the time range
+    * collapses to a running following-extremum: one window pass. */
+  private def compileAbsence(events: DataFrame, anchor: String,
+      abs: Absence): DataFrame = {
+    val following = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    seqCols(events)
+      .withColumn("next_banned_us",
+        min(when(col("event_type") === abs.eventType, col("ts_us")))
+          .over(following))
+      .where(col("event_type") === anchor &&
+        (col("next_banned_us").isNull ||
+          col("next_banned_us") - col("ts_us") > abs.withinUs))
+      .select(col("user_id"),
+        array(col("event_id")).as("g_first_id"),
+        array(col("event_id")).as("g_last_id"),
+        array(lit(1L)).as("g_count"),
+        col("ts_us").as("first_ts_us"), col("ts_us").as("last_ts_us"),
+        lit(0L).as("span_us"), lit(true).as("matched"))
+  }
+}

@@ -346,7 +346,25 @@ object Joins {
       .orderBy("click_id")
   }
 
+  /** The generic compiler ([[Cep]]) driving a pattern none of the
+    * specialized queries cover — strictly-consecutive view→click→purchase
+    * within 3 days — flattened from the canonical match schema. The four
+    * specialized shapes are reproduced from their AST forms in Round9Spec;
+    * this key proves the compiler end-to-end against its own oracle. */
+  def cepPatternGeneric(spark: SparkSession, dir: String): DataFrame =
+    Cep.matches(events(spark, dir),
+        Cep.Pattern(
+          Seq(Cep.Group("view"), Cep.Group("click"), Cep.Group("purchase")),
+          withinUs = Some(3L * 24 * 3600 * 1000000)))
+      .select(col("user_id"),
+        col("g_first_id")(0).as("view_id"),
+        col("g_first_id")(1).as("click_id"),
+        col("g_first_id")(2).as("purchase_id"),
+        col("span_us"))
+      .orderBy("purchase_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cep_pattern_generic" -> (cepPatternGeneric _),
     "cep_not_followed_by" -> (cepNotFollowedBy _),
     "cep_click_click_purchase" -> (cepClickClickPurchase _),
     "cep_skip_strategies" -> (cepSkipStrategies _),
@@ -367,6 +385,20 @@ object Joins {
   private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "cep_pattern_generic" ->
+      s"""WITH seq AS (
+            SELECT user_id, event_id, event_type, epoch_us($evTs) AS ts_us,
+              lag(event_type, 2) OVER w AS t1, lag(event_type, 1) OVER w AS t2,
+              lag(event_id, 2) OVER w AS id1, lag(event_id, 1) OVER w AS id2,
+              lag(epoch_us($evTs), 2) OVER w AS ts1
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY $evTs, event_id))
+          SELECT user_id, id1 AS view_id, id2 AS click_id,
+            event_id AS purchase_id, ts_us - ts1 AS span_us
+          FROM seq
+          WHERE t1 = 'view' AND t2 = 'click' AND event_type = 'purchase'
+            AND ts_us - ts1 <= CAST(3 AS BIGINT) * 24 * 3600 * 1000000
+          ORDER BY purchase_id""",
     "cep_not_followed_by" ->
       s"""WITH seq AS (SELECT user_id, event_id, event_type,
               epoch_us($evTs) AS ts_us FROM events)

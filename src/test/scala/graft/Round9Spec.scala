@@ -35,4 +35,77 @@ class Round9Spec extends SparkTestBase {
     assert(ops.Llm.minhashSigJvm("alpha beta gamma ").toSeq !==
       ops.Llm.minhashSigJvm("alpha beta gamma").toSeq)
   }
+
+  // ---- generic CEP compiler ≡ the four specialized shapes (VERDICT r8 #5)
+
+  import ops.Cep
+  import ops.Cep.{Absence, Exact, Group, OneOrMore, Pattern}
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("Cep compiler reproduces L47: click{2} purchase within 3d ≡ cepClickClickPurchase") {
+    val ev = Tables.events(spark, sf0001)
+    val generic = Cep.matches(ev, Pattern(
+        Seq(Group("click", Exact(2)), Group("purchase")),
+        withinUs = Some(3L * 24 * 3600 * 1000000)))
+      .select(col("user_id"), col("g_first_id")(0).as("id1"),
+        col("g_last_id")(0).as("id2"), col("g_first_id")(1).as("purchase_id"),
+        col("span_us"))
+    val specialized = ops.Joins.cepClickClickPurchase(spark, sf0001)
+    assert(specialized.count() > 0)
+    assert(rows(generic) === rows(specialized))
+  }
+
+  test("Cep compiler reproduces L99: view+ purchase within 2d + timeouts ≡ cepKleeneTimeout") {
+    val ev = Tables.events(spark, sf0001)
+    val generic = Cep.matches(ev, Pattern(
+        Seq(Group("view", OneOrMore), Group("purchase")),
+        withinUs = Some(2L * 24 * 3600 * 1000000), emitTimeouts = true))
+      .select(col("user_id"), col("g_first_id")(0).as("first_view_id"),
+        col("g_count")(0).as("n_views"), col("matched"),
+        col("g_first_id")(1).as("purchase_id"), col("span_us"))
+    val specialized = ops.Joins.cepKleeneTimeout(spark, sf0001)
+    assert(specialized.count() > 0)
+    assert(rows(generic) === rows(specialized))
+  }
+
+  test("Cep compiler reproduces L111: click{2} skip-strategy counts ≡ cepSkipStrategies") {
+    val ev = Tables.events(spark, sf0001)
+    val generic = Cep.matchCounts(ev, "click", 2)
+      .where(col("n_skip_to_next") > 0)
+      .select("user_id", "n_skip_to_next", "n_skip_past_last", "longest_run")
+    val specialized = ops.Joins.cepSkipStrategies(spark, sf0001)
+    assert(specialized.count() > 0)
+    assert(rows(generic) === rows(specialized))
+  }
+
+  test("Cep compiler reproduces L156: click notFollowedBy purchase 30m ≡ cepNotFollowedBy") {
+    val ev = Tables.events(spark, sf0001)
+    val generic = Cep.matches(ev, Pattern(Seq(Group("click")),
+        absence = Some(Absence("purchase", 30L * 60 * 1000000))))
+      .select(col("user_id"), col("g_first_id")(0).as("click_id"),
+        col("first_ts_us").as("ts_us"))
+    val specialized = ops.Joins.cepNotFollowedBy(spark, sf0001)
+    assert(specialized.count() > 0)
+    assert(rows(generic) === rows(specialized))
+  }
+
+  test("Cep compiler rejects unsupported fragments loudly") {
+    val ev = Tables.events(spark, sf0001)
+    intercept[IllegalArgumentException] {
+      Cep.matches(ev, Pattern(Seq(Group("a", OneOrMore), Group("b", OneOrMore))))
+    }
+    intercept[IllegalArgumentException] {
+      Cep.matches(ev, Pattern(Seq(Group("a"), Group("b")),
+        absence = Some(Absence("c", 1L))))
+    }
+  }
+
+  test("cep_pattern_generic plans one user shuffle like the specialized CEP queries") {
+    val p = ops.Joins.cepPatternGeneric(spark, sf0001)
+      .queryExecution.executedPlan.toString()
+    assert("Exchange".r.findAllIn(p).size <= 2, s"one key shuffle + final sort:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
