@@ -208,30 +208,25 @@ object Llm2 {
         h48(col("chunk")).as("chunk_h48"))
       .orderBy("doc_id", "idx")
 
-  /** Multimodal resize + feature-extract plumbing, chained on the decode
-    * stub's metadata: aspect-preserving resize to a 224-px bounding box
-    * (integer math, floor semantics identical in both engines) and a
-    * deterministic 4-dim "feature vector" derived from the content hash —
-    * the stand-ins for a real vision preprocess; the pipeline shape
-    * (decode → resize → featurize, all row-local) is the real thing. */
+  /** REAL multimodal resize + feature extraction (round-9; the hash-derived
+    * stand-in retired with [[graft.ops.MmDecode]]): decode the synthesized
+    * PNG/BMP payload with `javax.imageio`, resize through Graphics2D to an
+    * aspect-preserving 224-px bounding box (reported dims are what the
+    * resized raster actually measures), and extract per-channel raster
+    * means as the feature vector. The oracle predicts every column in
+    * closed form (dims from n_chars, means as exact-integer-sum averages
+    * over the deterministic pixels), so a codec or raster-walk regression
+    * fails the hash gate. Row-local end-to-end. */
   def mmResizeFeature(spark: SparkSession, dir: String): DataFrame = {
-    val h = h48(col("text"))
-    val w0 = (h % 640).cast("int")
-    val h0 = ((h / 640) % 480).cast("int")
-    // scale = 224 / max(w0, h0); keep integer math: floor(dim * 224 / maxdim)
-    val maxd = greatest(w0, h0)
+    import spark.implicits._
     documents(spark, dir)
-      .select(col("doc_id"), w0.as("w0"), h0.as("h0"), maxd.as("maxd"), h.as("h"))
-      .where(col("maxd") > 0)
-      .select(col("doc_id"), col("w0"), col("h0"),
-        // explicit floor: DuckDB CAST(double AS INT) rounds, Spark truncates
-        floor(col("w0") * 224 / col("maxd")).cast("int").as("rw"),
-        floor(col("h0") * 224 / col("maxd")).cast("int").as("rh"),
-        array((0 until 4).map(i =>
-          round((pmod(col("h") + i * 7919, lit(1000L))).cast("double") / 1000.0, 3)): _*)
-          .as("feat"))
-      .withColumn("feat_sum", round(aggregate(col("feat"), lit(0.0), (a, x) => a + x), 3))
-      .drop("feat")
+      .select(col("doc_id"), col("n_chars").cast("int").as("n_chars"))
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (id, nc) =>
+        graft.ops.MmDecode.resizeFeature(
+          graft.ops.MmDecode.Payload(id, graft.ops.MmDecode.synthesize(id, nc)))
+      })
+      .toDF()
       .orderBy("doc_id")
   }
 
@@ -368,23 +363,28 @@ object Llm2 {
             ${dsumSql("cos_c")} / CAST(COUNT(cos_c) AS DOUBLE) AS avg_cos
           FROM scored WHERE rn = 1
           GROUP BY 1 ORDER BY 1""",
-    "mm_resize_feature" -> {
-      val h = graft.Tables.h48Sql("text")
-      s"""WITH d AS (SELECT doc_id, $h AS h FROM documents),
-          m AS (SELECT doc_id, h,
-              CAST(h % 640 AS INT) AS w0,
-              CAST((h // 640) % 480 AS INT) AS h0
-            FROM d),
-          g AS (SELECT *, greatest(w0, h0) AS maxd FROM m WHERE greatest(w0, h0) > 0)
-          SELECT doc_id, w0, h0,
-            CAST(floor(w0 * 224.0 / maxd) AS INT) AS rw,
-            CAST(floor(h0 * 224.0 / maxd) AS INT) AS rh,
-            round(round(((h + 0) % 1000) / 1000.0, 3)
-                + round(((h + 7919) % 1000) / 1000.0, 3)
-                + round(((h + 15838) % 1000) / 1000.0, 3)
-                + round(((h + 23757) % 1000) / 1000.0, 3), 3) AS feat_sum
-          FROM g ORDER BY doc_id"""
-    },
+    "mm_resize_feature" ->
+      // closed-form prediction of the REAL decode: dims from n_chars,
+      // channel means as exact-integer-sum averages over the synthetic
+      // pixels r=(id+y)%256 (x-invariant), g=(2id+x)%256 (y-invariant),
+      // b=(3id+x+y)%256 (full raster). All sums are exact in double, so
+      // the single final division matches the JVM bit-for-bit.
+      """WITH d AS (SELECT doc_id,
+            CAST(n_chars % 64 + 1 AS INT) AS w0,
+            CAST((n_chars // 64) % 48 + 1 AS INT) AS h0
+          FROM documents)
+        SELECT doc_id, w0, h0,
+          CAST(w0 * 224 // greatest(w0, h0) AS INT) AS rw,
+          CAST(h0 * 224 // greatest(w0, h0) AS INT) AS rh,
+          list_sum(list_transform(range(h0),
+            y -> CAST((doc_id + y) % 256 AS DOUBLE))) / h0 AS mean_r,
+          list_sum(list_transform(range(w0),
+            x -> CAST((doc_id * 2 + x) % 256 AS DOUBLE))) / w0 AS mean_g,
+          list_sum(list_transform(range(h0), y ->
+            list_sum(list_transform(range(w0),
+              x -> CAST((doc_id * 3 + x + y) % 256 AS DOUBLE)))))
+            / (w0 * h0) AS mean_b
+        FROM d ORDER BY doc_id""",
     "agg_approx_percentile" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
          round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS p50,
