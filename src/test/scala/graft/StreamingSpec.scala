@@ -1069,6 +1069,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("I8b: lateRowsTap tracks the watermark itself — no caller-side progress polling") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[Event]
+    val lateIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val onTimeIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val q = Streams.lateRowsTap(ms.toDF(), java.time.Duration.ofMinutes(10))(
+      onTime = df => df.select("event_id").collect().foreach(r => onTimeIds.add(r.getLong(0)): Unit),
+      late = df => df.select("event_id").collect().foreach(r => lateIds.add(r.getLong(0)): Unit)
+    ).start()
+    try {
+      // batch 1: no watermark yet → everything on time (engine semantics)
+      ms.addData(ev(1, "2024-01-01 12:00:00", 1, "click", 1.0))
+      q.processAllAvailable() // internal wm → 11:50
+      ms.addData(
+        ev(2, "2024-01-01 10:05:00", 1, "click", 9.9), // ts < 11:50 → late
+        ev(3, "2024-01-01 11:50:00", 1, "view", 1.0),  // exactly at wm → on time
+        ev(4, "2024-01-01 12:30:00", 1, "view", 1.0))  // on time, advances wm
+      q.processAllAvailable() // internal wm → 12:20
+      ms.addData(ev(5, "2024-01-01 12:10:00", 1, "click", 1.0)) // < 12:20 → late
+      q.processAllAvailable()
+      assert(lateIds.asScala.toSet === Set(2L, 5L), s"late=$lateIds")
+      assert(onTimeIds.asScala.toSet === Set(1L, 3L, 4L), s"ontime=$onTimeIds")
+    } finally q.stop()
+  }
+
   test("I9: checkpointed query recovers state across restart") {
     val s = spark
     import s.implicits._
