@@ -17,6 +17,15 @@ import org.apache.spark.sql.functions._
   * mis-matching):
   *   - all-Exact sequences `A{a} B{b} …` (strictly consecutive, Flink
   *     `next()`), optional `within`;
+  *   - RELAXED-contiguity singleton chains `A ~> B ~> C` (Flink
+  *     `followedBy()` — unrelated events may interleave), optional
+  *     `within`: latest-predecessor selection — each anchor (last-stage
+  *     event) emits at most ONE match, built from the latest preceding
+  *     stage event that itself owns a valid prefix chain, ties broken by
+  *     event_id; `within` filters the finished chain's span. Flink's
+  *     NO_SKIP full enumeration (every combination) is deliberately not
+  *     offered — it is pairwise-explosive at scale, and the tightest
+  *     chain is the one every funnel/attribution query wants;
   *   - `A+ B` (greedy consecutive one-or-more then next), optional
   *     `within`, optionally emitting timed-out partial matches;
   *   - `A` + absence (`notFollowedBy(B).within(w)`);
@@ -51,7 +60,8 @@ object Cep {
       groups: Seq[Group],
       withinUs: Option[Long] = None,
       absence: Option[Absence] = None,
-      emitTimeouts: Boolean = false)
+      emitTimeouts: Boolean = false,
+      relaxed: Boolean = false)
 
   /** Canonical match schema: one row per match —
     * (user_id, g_first_id, g_last_id, g_count: per-group arrays,
@@ -60,6 +70,12 @@ object Cep {
     * unmatched tail group and matched=false. */
   def matches(events: DataFrame, p: Pattern): DataFrame = {
     require(p.groups.nonEmpty, "empty pattern")
+    if (p.relaxed) {
+      require(p.groups.size >= 2 && p.groups.forall(_.quant == Exact(1)) &&
+        p.absence.isEmpty && !p.emitTimeouts,
+        "relaxed contiguity supports singleton chains A ~> B ~> … only")
+      return compileRelaxed(events, p)
+    }
     (p.groups.map(_.quant), p.absence) match {
       case (qs, None) if qs.forall(_.isInstanceOf[Exact]) =>
         require(!p.emitTimeouts, "emitTimeouts requires a Kleene group")
@@ -144,6 +160,54 @@ object Cep {
       .where(col("cond") && p.withinUs.map(span <= _).getOrElse(lit(true)))
       .select(col("user_id"), col("g_first_id"), col("g_last_id"),
         col("g_count"), col("first_ts_us"), col("ts_us").as("last_ts_us"),
+        span.as("span_us"), lit(true).as("matched"))
+  }
+
+  /** Relaxed-contiguity singleton chain `t0 ~> t1 ~> … ~> t(k-1)` (Flink
+    * `followedBy`): each stage-j row carries a struct
+    * `(ts_us, event_id, prev)` where `prev` is the LATEST preceding
+    * stage-(j−1) struct that itself completed its prefix — one running
+    * struct-max window pass per edge, every pass on the SAME user_id
+    * shuffle (lexicographic struct order ≡ (ts_us, event_id) order since
+    * ids are unique, so `prev` never participates in the comparison).
+    * Anchors of the last stage with a non-null chain emit the match;
+    * `within` bounds the whole chain's span AFTER selection — the
+    * tightest (latest-predecessor) chain either passes or the anchor
+    * yields nothing, which keeps one-row-per-anchor determinism. k−1
+    * window passes, state = one struct of depth k per row: linear,
+    * nothing pairwise. */
+  private def compileRelaxed(events: DataFrame, p: Pattern): DataFrame = {
+    val types = p.groups.map(_.eventType)
+    val k = types.size
+    val preceding = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    var df = seqCols(events).withColumn("s0",
+      when(col("event_type") === types.head,
+        struct(col("ts_us"), col("event_id"))))
+    for (j <- 1 until k) {
+      df = df.withColumn(s"p${j - 1}", max(col(s"s${j - 1}")).over(preceding))
+      if (j < k - 1)
+        df = df.withColumn(s"s$j",
+          when(col("event_type") === types(j) && col(s"p${j - 1}").isNotNull,
+            struct(col("ts_us"), col("event_id"),
+              col(s"p${j - 1}").as("prev"))))
+    }
+    val chain = col(s"p${k - 2}")
+    // stage j's struct sits (k-2-j) `prev` hops down from the chain head
+    def stage(j: Int): Column =
+      (0 until (k - 2 - j)).foldLeft(chain)((c, _) => c.getField("prev"))
+    val ids = (0 until k - 1).map(j => stage(j).getField("event_id")) :+
+      col("event_id")
+    val firstTs = stage(0).getField("ts_us")
+    val span = col("ts_us") - firstTs
+    df.where(col("event_type") === types.last && chain.isNotNull &&
+        p.withinUs.map(span <= _).getOrElse(lit(true)))
+      .select(col("user_id"),
+        array(ids: _*).as("g_first_id"),
+        array(ids: _*).as("g_last_id"),
+        array(Seq.fill(k)(lit(1L)): _*).as("g_count"),
+        firstTs.as("first_ts_us"), col("ts_us").as("last_ts_us"),
         span.as("span_us"), lit(true).as("matched"))
   }
 

@@ -363,7 +363,30 @@ object Joins {
         col("span_us"))
       .orderBy("purchase_id")
 
+  /** RELAXED-contiguity chain through the compiler (Flink `followedBy` —
+    * the default CEP contiguity mode, where unrelated events may sit
+    * between stages): view ~> click ~> purchase within 3 days,
+    * latest-predecessor selection (at most one match per purchase — the
+    * tightest chain; see [[Cep]] scaladoc for why full NO_SKIP
+    * enumeration is deliberately not offered). The strict `next()` twin
+    * is [[cepPatternGeneric]]; every strict match is provably also a
+    * relaxed match with identical ids (Round9Spec pins the containment
+    * on the fixture). */
+  def cepFollowedByRelaxed(spark: SparkSession, dir: String): DataFrame =
+    Cep.matches(events(spark, dir),
+        Cep.Pattern(
+          Seq(Cep.Group("view"), Cep.Group("click"), Cep.Group("purchase")),
+          withinUs = Some(3L * 24 * 3600 * 1000000),
+          relaxed = true))
+      .select(col("user_id"),
+        col("g_first_id")(0).as("view_id"),
+        col("g_first_id")(1).as("click_id"),
+        col("g_first_id")(2).as("purchase_id"),
+        col("span_us"))
+      .orderBy("purchase_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cep_followed_by_relaxed" -> (cepFollowedByRelaxed _),
     "cep_pattern_generic" -> (cepPatternGeneric _),
     "cep_not_followed_by" -> (cepNotFollowedBy _),
     "cep_click_click_purchase" -> (cepClickClickPurchase _),
@@ -385,6 +408,25 @@ object Joins {
   private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "cep_followed_by_relaxed" ->
+      s"""WITH t AS (SELECT user_id, event_id, event_type,
+              epoch_us($evTs) AS us FROM events)
+          SELECT p.user_id, v.view_id, c.click_id,
+            p.event_id AS purchase_id, p.us - v.view_us AS span_us
+          FROM (SELECT * FROM t WHERE event_type = 'purchase') p,
+          LATERAL (SELECT c.event_id AS click_id, c.us AS click_us FROM t c
+                   WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                     AND (c.us < p.us OR (c.us = p.us AND c.event_id < p.event_id))
+                     AND EXISTS (SELECT 1 FROM t v WHERE v.user_id = c.user_id
+                                 AND v.event_type = 'view'
+                                 AND (v.us < c.us OR (v.us = c.us AND v.event_id < c.event_id)))
+                   ORDER BY c.us DESC, c.event_id DESC LIMIT 1) c,
+          LATERAL (SELECT v.event_id AS view_id, v.us AS view_us FROM t v
+                   WHERE v.user_id = p.user_id AND v.event_type = 'view'
+                     AND (v.us < c.click_us OR (v.us = c.click_us AND v.event_id < c.click_id))
+                   ORDER BY v.us DESC, v.event_id DESC LIMIT 1) v
+          WHERE p.us - v.view_us <= CAST(3 AS BIGINT) * 24 * 3600 * 1000000
+          ORDER BY purchase_id""",
     "cep_pattern_generic" ->
       s"""WITH seq AS (
             SELECT user_id, event_id, event_type, epoch_us($evTs) AS ts_us,

@@ -141,4 +141,60 @@ class Round9Spec extends SparkTestBase {
     assert("Exchange".r.findAllIn(p).size <= 2, s"one key shuffle + final sort:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  // ---- relaxed contiguity (followedBy) ----
+
+  test("Cep relaxed: interleaved noise allowed, latest-predecessor selection, within filter") {
+    val s = spark
+    import s.implicits._
+    def t(m: String) = java.sql.Timestamp.valueOf(m)
+    val ev = Seq(
+      // user 1: view(1) error(2) click(3) view(4) click(5) purchase(6) —
+      // the anchor must chain 5 (latest click) and 4 (latest view < 5),
+      // NOT the earlier 1/3 pair, and the error row must not break it
+      (1L, t("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, t("2024-01-01 10:05:00"), 1L, "error"),
+      (3L, t("2024-01-01 10:10:00"), 1L, "click"),
+      (4L, t("2024-01-01 10:20:00"), 1L, "view"),
+      (5L, t("2024-01-01 10:30:00"), 1L, "click"),
+      (6L, t("2024-01-01 10:40:00"), 1L, "purchase"),
+      // user 2: click precedes any view → clickless-prefix, no match
+      (7L, t("2024-01-01 09:00:00"), 2L, "click"),
+      (8L, t("2024-01-01 09:10:00"), 2L, "purchase"),
+      // user 3: only (tightest) chain spans 5 days > within 3 → dropped
+      (9L, t("2024-01-01 00:00:00"), 3L, "view"),
+      (10L, t("2024-01-05 00:00:00"), 3L, "click"),
+      (11L, t("2024-01-06 00:00:00"), 3L, "purchase"),
+      // user 4: plain in-order chain with a gap in event_ids (14 unused)
+      (12L, t("2024-01-02 08:00:00"), 4L, "view"),
+      (13L, t("2024-01-02 08:30:00"), 4L, "click"),
+      (15L, t("2024-01-02 09:00:00"), 4L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Cep.matches(ev, Pattern(
+        Seq(Group("view"), Group("click"), Group("purchase")),
+        withinUs = Some(3L * 24 * 3600 * 1000000L), relaxed = true))
+      .select(col("user_id"), col("g_first_id"), col("span_us"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSet
+    assert(out === Set(
+      (1L, Seq(4L, 5L, 6L), 20L * 60 * 1000000),
+      (4L, Seq(12L, 13L, 15L), 60L * 60 * 1000000)))
+  }
+
+  test("Cep relaxed: strict next() matches are a subset with identical ids (fixture)") {
+    // a strictly-consecutive v,c,p triple means c is the latest click
+    // before p and v the latest view before c — so the relaxed compile
+    // must reproduce the strict match verbatim for those anchors
+    val strict = rows(ops.Joins.cepPatternGeneric(spark, sf0001))
+    val relaxed = rows(ops.Joins.cepFollowedByRelaxed(spark, sf0001))
+    assert(strict.nonEmpty && relaxed.size > strict.size,
+      s"strict=${strict.size} relaxed=${relaxed.size}")
+    assert(strict.subsetOf(relaxed))
+  }
+
+  test("cep_followed_by_relaxed plans one user shuffle — k−1 window passes, no join") {
+    val p = ops.Joins.cepFollowedByRelaxed(spark, sf0001)
+      .queryExecution.executedPlan.toString()
+    assert("Exchange".r.findAllIn(p).size <= 2, s"one key shuffle + final sort:\n$p")
+    assert(!p.contains("Join"), s"relaxed chain must not plan a join:\n$p")
+  }
 }
