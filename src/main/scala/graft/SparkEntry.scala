@@ -26,6 +26,7 @@ object SparkEntry {
       ops.Llm2.queries ++
       ops.Llm3.queries ++
       ops.Llm4.queries ++
+      ops.Llm5.queries ++
       ops.Warehouse.queries ++
       ops.Warehouse2.queries ++
       ops.Warehouse3.queries
@@ -42,6 +43,7 @@ object SparkEntry {
       ops.Llm2.oracles ++
       ops.Llm3.oracles ++
       ops.Llm4.oracles ++
+      ops.Llm5.oracles ++
       ops.Warehouse.oracles ++
       ops.Warehouse2.oracles ++
       ops.Warehouse3.oracles

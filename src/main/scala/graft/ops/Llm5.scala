@@ -1,0 +1,178 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline widening, round 9: product quantization (PQ) — the
+  * compression half of the FAISS-style IVF-PQ index that is the standard
+  * billion-vector ANN layout (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011). Completes the ANN family next
+  * to `llm_ann_lsh` (hyperplane buckets), `llm_ivf_ann` (centroid
+  * pruning) and `llm_sim_topk` (exact): IVF prunes WHICH vectors a query
+  * scans; PQ compresses WHAT is scanned (64 floats = 256 B → M=8 codes),
+  * and search runs against codes only via an asymmetric-distance LUT.
+  *
+  * Deterministic "training" (same framing as `llm_kmeans_step`): the
+  * per-subspace codebooks are one assignment step from fixed seeds — the
+  * K=16 subvectors of vec_id 0..15 — not an iterated k-means, so both
+  * engines derive identical codebooks from the data alone.
+  *
+  * Scale notes (100 TB):
+  *  - Codebook: M·K = 128 rows — broadcast everywhere, never shuffled.
+  *  - Encode: subspace explode (M rows/vec) ⋈ broadcast codebook, then a
+  *    (vec,s)-keyed lexicographic struct-min — shuffle is M·N compact
+  *    rows, map-side partial min applies, nothing pairwise. The codes
+  *    table IS the persisted index: M bytes/vector at int8 width vs 4·D
+  *    for raw floats (32× smaller — the difference between an index that
+  *    fits executor memory at 10^9 vectors and one that doesn't).
+  *  - Search (ADC): the query-side LUT (|Q|·M·K = 640 rows) is computed
+  *    once and broadcast; each stored code row joins its LUT cell
+  *    row-locally, then a (q,vec)-keyed decimal sum (map-side combined)
+  *    and a per-query top-k. Scan work is O(|Q|·N·M) byte-sized lookups —
+  *    the PQ promise — and |Q| is bounded by the same contract as
+  *    `llm_sim_topk` (unbounded-Q path: its per-partition heap).
+  *  - Determinism: all distances are index-order double sums (codegen'd
+  *    [[graft.functions.ArrayMath.dotProduct]] ≡ DuckDB `list_sum` index
+  *    order), rounded to 6 dp BEFORE argmin/ranking; ADC sums quantize
+  *    through [[graft.Tables.dsum]] so partition order can't flip a rank.
+  */
+object Llm5 {
+
+  private val M = 8   // subspaces
+  private val Dsub = 8 // dims per subspace (M * Dsub = 64 = fixture dim)
+  private val K = 16  // centroids per subspace (seeds: vec_id < K)
+
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.ArrayMath.dotProduct(a, b)
+
+  /** (vec_id, label, s, sub: array<double>[Dsub], snn=‖sub‖²) — one row
+    * per vector per subspace. */
+  private def subvectors(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .withColumn("emb", transform(col("embedding"), x => x.cast("double")))
+      .select(col("vec_id"), col("label"),
+        explode(sequence(lit(0), lit(M - 1))).as("s"), col("emb"))
+      .select(col("vec_id"), col("label"), col("s"),
+        slice(col("emb"), col("s") * Dsub + 1, lit(Dsub)).as("sub"))
+      .withColumn("snn", dot(col("sub"), col("sub")))
+
+  /** Per-(vector, subspace) nearest codebook entry:
+    * (vec_id, label, s, code, d2) with d2 = round(‖sub − c‖², 6) and ties
+    * broken to the smallest centroid id by a lexicographic struct-min. */
+  private def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val sub = subvectors(spark, dir)
+    val cb = sub.where(col("vec_id") < K)
+      .select(col("s"), col("vec_id").cast("int").as("j"),
+        col("sub").as("cemb"), col("snn").as("cnn"))
+    sub.join(broadcast(cb), "s")
+      .withColumn("d2",
+        round(col("snn") - lit(2) * dot(col("sub"), col("cemb")) + col("cnn"), 6))
+      .groupBy(col("vec_id"), col("label"), col("s"))
+      .agg(min(struct(col("d2"), col("j"))).as("m"))
+      .select(col("vec_id"), col("label"), col("s"),
+        col("m.j").as("code"), col("m.d2").as("d2"))
+  }
+
+  /** PQ encode audit per label cell: vector count, mean reconstruction
+    * error (total quantization distortion / vector — THE quality metric a
+    * PQ deployment monitors; a codebook drift or argmin bug moves it),
+    * and the number of distinct (subspace, code) cells in use (codebook
+    * utilization — near M·K means healthy spread, near M means collapse). */
+  def pqEncode(spark: SparkSession, dir: String): DataFrame =
+    pqCodes(spark, dir)
+      .groupBy("label")
+      .agg(countDistinct(col("vec_id")).as("n_vecs"),
+        round(dsum(col("d2")) / countDistinct(col("vec_id")).cast("double"), 6)
+          .as("avg_recon_d2"),
+        countDistinct(col("s") * K + col("code")).as("n_codes_used"))
+      .orderBy("label")
+
+  /** Asymmetric-distance (ADC) top-3 per query (vec_id < 5, self
+    * excluded): dist(q, y) ≈ Σ_s ‖q_s − c_{s, code_y[s]}‖² — the query
+    * stays full-precision, the corpus is codes only. Exactly the FAISS
+    * ADC search loop as a declarative plan. */
+  def pqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("vec_id").asc)
+    adcDistances(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .orderBy("qid", "rn")
+  }
+
+  /** Full ADC table (qid, vec_id, adc) before the top-k — the piece
+    * Round9Spec pins against independently computed exact distances on
+    * lossless (seed) targets. */
+  private[graft] def adcDistances(spark: SparkSession, dir: String): DataFrame = {
+    val sub = subvectors(spark, dir)
+    val cb = sub.where(col("vec_id") < K)
+      .select(col("s"), col("vec_id").cast("int").as("j"),
+        col("sub").as("cemb"), col("snn").as("cnn"))
+    // query-side LUT: |Q|·M·K rows, each round(‖q_s − c_{s,j}‖², 6)
+    val lut = sub.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("s"), col("sub"), col("snn"))
+      .join(broadcast(cb), "s")
+      .select(col("qid"), col("s"), col("j"),
+        round(col("snn") - lit(2) * dot(col("sub"), col("cemb")) + col("cnn"), 6)
+          .as("dr"))
+    val codes = pqCodes(spark, dir)
+    codes
+      .join(broadcast(lut),
+        codes("s") === lut("s") && codes("code") === lut("j") &&
+          lut("qid") =!= codes("vec_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(dsum(col("dr")).as("adc"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_pq_encode" -> (pqEncode _),
+    "llm_pq_ann" -> (pqAnn _),
+  )
+
+  /** DuckDB twins: same subspace slicing, same left-to-right double
+    * arithmetic (`snn - 2*dot + cnn`), same 6-dp rounding before
+    * argmin/rank, same decimal-quantized ADC sum. */
+  private val subSql =
+    s"""sub AS (SELECT vec_id, label, ss.s AS s,
+          list_transform(range(1, ${Dsub + 1}),
+            d -> CAST(embedding[ss.s * $Dsub + d] AS DOUBLE)) AS sv
+        FROM embeddings, (SELECT unnest(range(0, $M)) AS s) ss),
+        subn AS (SELECT vec_id, label, s, sv,
+          list_sum(list_transform(sv, x -> CAST(x * x AS DOUBLE))) AS snn
+          FROM sub),
+        cb AS (SELECT s, vec_id AS j, sv AS cemb, snn AS cnn
+          FROM subn WHERE vec_id < $K),
+        d2s AS (SELECT v.vec_id, v.label, v.s, c.j,
+          round(v.snn - 2 * list_sum(list_transform(range(1, ${Dsub + 1}),
+            i -> CAST(v.sv[i] * c.cemb[i] AS DOUBLE))) + c.cnn, 6) AS d2
+        FROM subn v JOIN cb c USING (s)),
+        codes AS (SELECT vec_id, label, s, j AS code, d2 FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+            ORDER BY d2 ASC, j ASC) AS rk FROM d2s) WHERE rk = 1)"""
+
+  val oracles: Map[String, String] = Map(
+    "llm_pq_encode" ->
+      s"""WITH $subSql
+          SELECT label, COUNT(DISTINCT vec_id) AS n_vecs,
+            round(CAST(SUM(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE)
+              / COUNT(DISTINCT vec_id), 6) AS avg_recon_d2,
+            COUNT(DISTINCT s * $K + code) AS n_codes_used
+          FROM codes GROUP BY label ORDER BY label""",
+    "llm_pq_ann" ->
+      s"""WITH $subSql,
+          lut AS (SELECT v.vec_id AS qid, v.s, c.j,
+            round(v.snn - 2 * list_sum(list_transform(range(1, ${Dsub + 1}),
+              i -> CAST(v.sv[i] * c.cemb[i] AS DOUBLE))) + c.cnn, 6) AS dr
+          FROM subn v JOIN cb c USING (s) WHERE v.vec_id < 5),
+          adc AS (SELECT l.qid, y.vec_id,
+            CAST(SUM(CAST(l.dr AS DECIMAL(18,6))) AS DOUBLE) AS adc
+          FROM codes y JOIN lut l ON y.s = l.s AND y.code = l.j
+            AND l.qid != y.vec_id
+          GROUP BY 1, 2),
+          ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY adc ASC, vec_id ASC) AS rn FROM adc)
+          SELECT qid, vec_id, adc, CAST(rn AS INT) AS rn
+          FROM ranked WHERE rn <= 3 ORDER BY qid, rn""",
+  )
+}
