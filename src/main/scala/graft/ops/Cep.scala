@@ -17,15 +17,17 @@ import org.apache.spark.sql.functions._
   * mis-matching):
   *   - all-Exact sequences `A{a} B{b} …` (strictly consecutive, Flink
   *     `next()`), optional `within`;
-  *   - RELAXED-contiguity singleton chains `A ~> B ~> C` (Flink
-  *     `followedBy()` — unrelated events may interleave), optional
-  *     `within`: latest-predecessor selection — each anchor (last-stage
-  *     event) emits at most ONE match, built from the latest preceding
-  *     stage event that itself owns a valid prefix chain, ties broken by
-  *     event_id; `within` filters the finished chain's span. Flink's
-  *     NO_SKIP full enumeration (every combination) is deliberately not
-  *     offered — it is pairwise-explosive at scale, and the tightest
-  *     chain is the one every funnel/attribution query wants;
+  *   - RELAXED-contiguity chains of strict blocks `A{a} ~> B{b} ~> C`
+  *     (Flink `times(n).consecutive()` blocks joined by `followedBy()` —
+  *     unrelated events may interleave BETWEEN blocks, never inside
+  *     one), optional `within`: latest-predecessor selection — each
+  *     anchor (last-block completion) emits at most ONE match, built
+  *     from the latest preceding block completion that itself owns a
+  *     valid prefix chain, ties broken by event_id; `within` filters the
+  *     finished chain's span. Flink's NO_SKIP full enumeration (every
+  *     combination) is deliberately not offered — it is
+  *     pairwise-explosive at scale, and the tightest chain is the one
+  *     every funnel/attribution query wants;
   *   - `A+ B` (greedy consecutive one-or-more then next), optional
   *     `within`, optionally emitting timed-out partial matches;
   *   - `A` + absence (`notFollowedBy(B).within(w)`);
@@ -71,9 +73,9 @@ object Cep {
   def matches(events: DataFrame, p: Pattern): DataFrame = {
     require(p.groups.nonEmpty, "empty pattern")
     if (p.relaxed) {
-      require(p.groups.size >= 2 && p.groups.forall(_.quant == Exact(1)) &&
+      require(p.groups.size >= 2 && p.groups.forall(_.quant.isInstanceOf[Exact]) &&
         p.absence.isEmpty && !p.emitTimeouts,
-        "relaxed contiguity supports singleton chains A ~> B ~> … only")
+        "relaxed contiguity supports chains of Exact blocks A{a} ~> B{b} ~> … only")
       return compileRelaxed(events, p)
     }
     (p.groups.map(_.quant), p.absence) match {
@@ -163,50 +165,73 @@ object Cep {
         span.as("span_us"), lit(true).as("matched"))
   }
 
-  /** Relaxed-contiguity singleton chain `t0 ~> t1 ~> … ~> t(k-1)` (Flink
-    * `followedBy`): each stage-j row carries a struct
-    * `(ts_us, event_id, prev)` where `prev` is the LATEST preceding
-    * stage-(j−1) struct that itself completed its prefix — one running
-    * struct-max window pass per edge, every pass on the SAME user_id
-    * shuffle (lexicographic struct order ≡ (ts_us, event_id) order since
-    * ids are unique, so `prev` never participates in the comparison).
-    * Anchors of the last stage with a non-null chain emit the match;
-    * `within` bounds the whole chain's span AFTER selection — the
-    * tightest (latest-predecessor) chain either passes or the anchor
-    * yields nothing, which keeps one-row-per-anchor determinism. k−1
-    * window passes, state = one struct of depth k per row: linear,
-    * nothing pairwise. */
+  /** Relaxed-contiguity chain of strict blocks
+    * `t0{n0} ~> t1{n1} ~> … ~> t(k-1){n(k-1)}` (Flink
+    * `times(n).consecutive()` blocks joined by `followedBy` — unrelated
+    * events may sit BETWEEN blocks, never inside one): a row COMPLETES
+    * block j when it and its n_j−1 immediate predecessors are all t_j
+    * (lag checks, same pass as the strict compiler); each completion
+    * carries a struct `(ts_us, event_id, first_ts, first_id, prev)`
+    * where `prev` is the LATEST preceding stage-(j−1) completion that
+    * itself owns a valid prefix — one running struct-max window pass per
+    * edge, every pass on the SAME user_id shuffle (lexicographic struct
+    * order ≡ (ts_us, event_id) order since ids are unique, so the tail
+    * fields never participate in the comparison). The stage-j frame ends
+    * at offset −n_j, so the predecessor block provably ends strictly
+    * before this block's first row — blocks cannot overlap. Anchors of
+    * the last stage with a non-null chain emit the match; `within`
+    * bounds the whole chain's span AFTER selection — the tightest
+    * (latest-predecessor) chain either passes or the anchor yields
+    * nothing, which keeps one-row-per-anchor determinism. k−1 window
+    * passes, state = one struct of depth k per row plus max(n_j) lag
+    * depth: linear, nothing pairwise. */
   private def compileRelaxed(events: DataFrame, p: Pattern): DataFrame = {
     val types = p.groups.map(_.eventType)
+    val ns = p.groups.map(_.quant.asInstanceOf[Exact].n)
     val k = types.size
-    val preceding = Window.partitionBy(col("user_id"))
+    def frameEnding(n: Int) = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+      .rowsBetween(Window.unboundedPreceding, -n)
+    // completes(j): this row is the LAST row of a strict n_j-run of t_j
+    def completes(j: Int): Column =
+      (0 until ns(j)).map {
+        case 0 => col("event_type") === types(j)
+        case i => lag(col("event_type"), i).over(byUser) === types(j)
+      }.reduce(_ && _)
+    def blockFirst(j: Int, c: String): Column =
+      if (ns(j) == 1) col(c) else lag(col(c), ns(j) - 1).over(byUser)
     var df = seqCols(events).withColumn("s0",
-      when(col("event_type") === types.head,
-        struct(col("ts_us"), col("event_id"))))
+      when(completes(0),
+        struct(col("ts_us"), col("event_id"),
+          blockFirst(0, "ts_us").as("first_ts"),
+          blockFirst(0, "event_id").as("first_id"))))
     for (j <- 1 until k) {
-      df = df.withColumn(s"p${j - 1}", max(col(s"s${j - 1}")).over(preceding))
+      df = df.withColumn(s"p${j - 1}",
+        max(col(s"s${j - 1}")).over(frameEnding(ns(j))))
       if (j < k - 1)
         df = df.withColumn(s"s$j",
-          when(col("event_type") === types(j) && col(s"p${j - 1}").isNotNull,
+          when(completes(j) && col(s"p${j - 1}").isNotNull,
             struct(col("ts_us"), col("event_id"),
+              blockFirst(j, "ts_us").as("first_ts"),
+              blockFirst(j, "event_id").as("first_id"),
               col(s"p${j - 1}").as("prev"))))
     }
     val chain = col(s"p${k - 2}")
     // stage j's struct sits (k-2-j) `prev` hops down from the chain head
     def stage(j: Int): Column =
       (0 until (k - 2 - j)).foldLeft(chain)((c, _) => c.getField("prev"))
-    val ids = (0 until k - 1).map(j => stage(j).getField("event_id")) :+
+    val firstIds = (0 until k - 1).map(j => stage(j).getField("first_id")) :+
+      blockFirst(k - 1, "event_id")
+    val lastIds = (0 until k - 1).map(j => stage(j).getField("event_id")) :+
       col("event_id")
-    val firstTs = stage(0).getField("ts_us")
+    val firstTs = stage(0).getField("first_ts")
     val span = col("ts_us") - firstTs
-    df.where(col("event_type") === types.last && chain.isNotNull &&
+    df.where(completes(k - 1) && chain.isNotNull &&
         p.withinUs.map(span <= _).getOrElse(lit(true)))
       .select(col("user_id"),
-        array(ids: _*).as("g_first_id"),
-        array(ids: _*).as("g_last_id"),
-        array(Seq.fill(k)(lit(1L)): _*).as("g_count"),
+        array(firstIds: _*).as("g_first_id"),
+        array(lastIds: _*).as("g_last_id"),
+        array(ns.map(n => lit(n.toLong)): _*).as("g_count"),
         firstTs.as("first_ts_us"), col("ts_us").as("last_ts_us"),
         span.as("span_us"), lit(true).as("matched"))
   }

@@ -385,7 +385,27 @@ object Joins {
         col("span_us"))
       .orderBy("purchase_id")
 
+  /** Strict block chained relaxedly (Flink `times(2).consecutive()` then
+    * `followedBy`): two strictly consecutive clicks (a double-click, no
+    * interleaved event), then a purchase anywhere within 3 days —
+    * latest-predecessor selection as in [[cepFollowedByRelaxed]]. The
+    * missing cell of the contiguity matrix: L47 is strict×strict, L167
+    * relaxed×singletons, this is relaxed×blocks. */
+  def cepRelaxedBlocks(spark: SparkSession, dir: String): DataFrame =
+    Cep.matches(events(spark, dir),
+        Cep.Pattern(
+          Seq(Cep.Group("click", Cep.Exact(2)), Cep.Group("purchase")),
+          withinUs = Some(3L * 24 * 3600 * 1000000),
+          relaxed = true))
+      .select(col("user_id"),
+        col("g_first_id")(0).as("click1_id"),
+        col("g_last_id")(0).as("click2_id"),
+        col("g_first_id")(1).as("purchase_id"),
+        col("span_us"))
+      .orderBy("purchase_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cep_relaxed_blocks" -> (cepRelaxedBlocks _),
     "cep_followed_by_relaxed" -> (cepFollowedByRelaxed _),
     "cep_pattern_generic" -> (cepPatternGeneric _),
     "cep_not_followed_by" -> (cepNotFollowedBy _),
@@ -408,6 +428,28 @@ object Joins {
   private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "cep_relaxed_blocks" ->
+      s"""WITH t AS (SELECT user_id, event_id, event_type,
+              epoch_us($evTs) AS us,
+              ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY epoch_us($evTs), event_id) AS rn
+            FROM events),
+          c2 AS (SELECT cur.user_id, prev.event_id AS first_id,
+              prev.us AS first_us, cur.event_id AS last_id,
+              cur.us AS last_us, cur.rn
+            FROM t cur JOIN t prev ON prev.user_id = cur.user_id
+              AND prev.rn = cur.rn - 1
+            WHERE cur.event_type = 'click' AND prev.event_type = 'click'),
+          p AS (SELECT * FROM t WHERE event_type = 'purchase'),
+          sel AS (SELECT p.user_id, b.first_id AS click1_id,
+              b.last_id AS click2_id, p.event_id AS purchase_id,
+              p.us - b.first_us AS span_us
+            FROM p, LATERAL (SELECT * FROM c2
+              WHERE c2.user_id = p.user_id AND c2.rn <= p.rn - 1
+              ORDER BY c2.last_us DESC, c2.last_id DESC LIMIT 1) b)
+          SELECT * FROM sel
+          WHERE span_us <= CAST(3 AS BIGINT) * 24 * 3600 * 1000000
+          ORDER BY purchase_id""",
     "cep_followed_by_relaxed" ->
       s"""WITH t AS (SELECT user_id, event_id, event_type,
               epoch_us($evTs) AS us FROM events)

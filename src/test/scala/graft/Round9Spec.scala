@@ -197,4 +197,90 @@ class Round9Spec extends SparkTestBase {
     assert("Exchange".r.findAllIn(p).size <= 2, s"one key shuffle + final sort:\n$p")
     assert(!p.contains("Join"), s"relaxed chain must not plan a join:\n$p")
   }
+
+  test("Cep relaxed blocks: strict runs inside, interleave between, latest completion wins") {
+    val s = spark
+    import s.implicits._
+    def t(m: String) = java.sql.Timestamp.valueOf(m)
+    val ev = Seq(
+      // user 1: click click view purchase — pair (1,2), view between is fine
+      (1L, t("2024-01-01 10:00:00"), 1L, "click"),
+      (2L, t("2024-01-01 10:01:00"), 1L, "click"),
+      (3L, t("2024-01-01 10:02:00"), 1L, "view"),
+      (4L, t("2024-01-01 10:03:00"), 1L, "purchase"),
+      // user 2: click error click purchase — no strict pair, no match
+      (5L, t("2024-01-01 09:00:00"), 2L, "click"),
+      (6L, t("2024-01-01 09:01:00"), 2L, "error"),
+      (7L, t("2024-01-01 09:02:00"), 2L, "click"),
+      (8L, t("2024-01-01 09:03:00"), 2L, "purchase"),
+      // user 3: click click click purchase — completions at rows 2 and 3;
+      // the LATEST pair (10,11) must win, not (9,10)
+      (9L, t("2024-01-02 08:00:00"), 3L, "click"),
+      (10L, t("2024-01-02 08:01:00"), 3L, "click"),
+      (11L, t("2024-01-02 08:02:00"), 3L, "click"),
+      (12L, t("2024-01-02 08:03:00"), 3L, "purchase"),
+      // user 4: pair then purchase 4 days later — over within, dropped
+      (13L, t("2024-01-03 00:00:00"), 4L, "click"),
+      (14L, t("2024-01-03 00:01:00"), 4L, "click"),
+      (15L, t("2024-01-07 00:00:00"), 4L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Cep.matches(ev, Pattern(
+        Seq(Group("click", Exact(2)), Group("purchase")),
+        withinUs = Some(3L * 24 * 3600 * 1000000L), relaxed = true))
+      .select(col("user_id"), col("g_first_id"), col("g_last_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2))).toSet
+    assert(out === Set(
+      (1L, Seq(1L, 4L), Seq(2L, 4L)),
+      (3L, Seq(10L, 12L), Seq(11L, 12L))))
+  }
+
+  // ---- product quantization (L168/L169) ----
+
+  test("PQ encode: seeds are lossless (d2=0 on every subspace) and codes cover [0,16)") {
+    val enc = ops.Llm5.pqEncode(spark, sf0001).collect()
+    assert(enc.map(_.getAs[Long]("n_vecs")).sum === 500L)
+    // every label cell uses >1 codebook cell per subspace on this data
+    enc.foreach(r => assert(r.getAs[Long]("n_codes_used") > 8,
+      s"codebook collapse in label ${r.getAs[Int]("label")}"))
+    // seeds quantize to themselves: their reconstruction error is exactly 0,
+    // so no label's avg_recon can be 0 (non-seeds dominate) but all ≥ 0
+    enc.foreach(r => assert(r.getAs[Double]("avg_recon_d2") > 0))
+  }
+
+  test("PQ ADC equals the true squared distance when the target is a seed (lossless codes)") {
+    // For a seed vector y (vec_id<16) every code reconstructs y exactly, so
+    // ADC(q, y) must equal Σ_s round(‖q_s − y_s‖², 6) — the decimal sum of
+    // the 8 exact per-subspace distances. Pins the whole LUT-join-sum path
+    // against an independently computed exact value.
+    val s = spark
+    val e = graft.Tables.embeddings(s, sf0001)
+      .withColumn("emb", transform(col("embedding"), x => x.cast("double")))
+      .where(col("vec_id") < 16)
+      .select(col("vec_id"), col("emb"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def d2(q: Seq[Double], y: Seq[Double]): Double =
+      (0 until 8).map { sIdx =>
+        var acc = 0.0
+        var i = 0
+        while (i < 8) { val d = q(sIdx * 8 + i) - y(sIdx * 8 + i); acc += d * d; i += 1 }
+        // Spark round() is HALF_UP — mirror it, not rint's HALF_EVEN
+        BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+      }.sum // 8 six-dp terms — sum error ≪ the 1e-9 tolerance below
+    val adc = ops.Llm5.adcDistances(spark, sf0001)
+      .where(col("vec_id") < 16).collect()
+    assert(adc.length === 5 * 15, "5 queries × 15 non-self seed targets")
+    adc.foreach { r =>
+      val expect = d2(e(r.getAs[Long]("qid")), e(r.getAs[Long]("vec_id")))
+      assert(math.abs(r.getAs[Double]("adc") - expect) < 1e-9,
+        s"qid=${r.getAs[Long]("qid")} vec=${r.getAs[Long]("vec_id")}")
+    }
+  }
+
+  test("llm_pq_ann plans broadcast-only joins with WindowGroupLimit top-k pruning") {
+    val p = ops.Llm5.pqAnn(spark, sf0001).queryExecution.executedPlan.toString()
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), s"top-k must prune pre-shuffle:\n$p")
+  }
 }
