@@ -919,6 +919,84 @@ object Streams {
         OutputMode.Append())
   }
 
+  /** One emitted relaxed-chain (funnel) match — the streaming twin of
+    * [[graft.ops.Cep]]'s relaxed singleton-chain output row. */
+  case class ChainMatch(user_id: Long, ids: Seq[Long], first_ts_us: Long,
+      last_ts_us: Long, span_us: Long)
+
+  /** I6j — the relaxed-contiguity CEP chain ON A STREAM (Flink
+    * `begin(A).followedBy(B).followedBy(C)…` — CEP is first a streaming
+    * feature, and this is the funnel/attribution query run live):
+    * latest-predecessor selection, identical to the batch compiler
+    * ([[graft.ops.Cep]] `relaxed=true`, singleton stages). Per-user state
+    * is ONE struct per non-final stage — (ts, id, chain-head ts, chain
+    * ids) — exactly Flink's NFA partial-match buffer for this pattern,
+    * bounded by the pattern length, O(k) per event, nothing pairwise; a
+    * match emits the instant its anchor arrives, no watermark wait.
+    *
+    * Ordering contract (same as [[absenceAlerts]]): same-batch rows are
+    * applied in (ts, event_id) order; across micro-batches arrival order
+    * must respect event order per user — a predecessor arriving in a
+    * LATER batch than its anchor is missed (the batch twin would have
+    * counted it). That is the standard SS trade: buffering until the
+    * watermark would delay every match to watermark lag; Flink CEP makes
+    * the same in-order assumption unless `withLateFiring` is configured. */
+  def relaxedChainMatches(events: Dataset[Event], types: Seq[String],
+      withinUs: Option[Long] = None): Dataset[ChainMatch] = {
+    import events.sparkSession.implicits._
+    require(types.size >= 2, "chain needs at least two stages")
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RelaxedChainProcessor(types, withinUs),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  class RelaxedChainProcessor(types: Seq[String], withinUs: Option[Long])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, ChainMatch] {
+    import org.apache.spark.sql.{Encoders, streaming}
+    private val k = types.size
+    // stage j (0..k−2): latest completion owning a valid prefix —
+    // (ts_us, event_id, chain-head ts_us, chain event_ids)
+    @transient private var stages:
+      Array[streaming.ValueState[(Long, Long, Long, Seq[Long])]] = _
+
+    override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit =
+      stages = Array.tabulate(k - 1)(j =>
+        getHandle.getValueState[(Long, Long, Long, Seq[Long])](s"stage$j",
+          Encoders.product[(Long, Long, Long, Seq[Long])],
+          streaming.TTLConfig.NONE))
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: streaming.TimerValues): Iterator[ChainMatch] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[ChainMatch]
+      rows.toSeq.sortBy(e => (microsOf(e.ts), e.event_id)).foreach { e =>
+        val us = microsOf(e.ts)
+        // DESCENDING stages: when adjacent stages share an event type, the
+        // higher stage must read the lower one's state BEFORE this event
+        // updates it — the batch compiler's strictly-preceding frame.
+        (k - 1).to(0, -1).foreach { j =>
+          if (types(j) == e.event_type) {
+            if (j == k - 1) {
+              Option(stages(k - 2).get()).foreach { case (_, _, firstTs, ids) =>
+                val span = us - firstTs
+                if (withinUs.forall(span <= _))
+                  out += ChainMatch(key, ids :+ e.event_id, firstTs, us, span)
+              }
+            } else if (j == 0) {
+              stages(0).update((us, e.event_id, us, Seq(e.event_id)))
+            } else {
+              Option(stages(j - 1).get()).foreach { case (_, _, firstTs, ids) =>
+                stages(j).update((us, e.event_id, firstTs, ids :+ e.event_id))
+              }
+            }
+          }
+        }
+      }
+      out.iterator
+    }
+  }
+
   class AbsenceProcessor(withinMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, AbsenceAlert] {
     import org.apache.spark.sql.{Encoders, streaming}

@@ -838,6 +838,48 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("batch≡streaming: relaxed chain matches equal cep_followed_by_relaxed, state crossing batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ordered = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val ms = MemoryStream[Event]
+    val q = runToTable(
+      Streams.relaxedChainMatches(ms.toDS(), Seq("view", "click", "purchase"),
+        withinUs = Some(3L * 24 * 3600 * 1000000L)).toDF(),
+      "chain_eq", "append")
+    try {
+      // three chronological micro-batches: most fixture chains must cross
+      // a batch boundary through RocksDB state to be found
+      ordered.grouped((ordered.length + 2) / 3).foreach { chunk =>
+        ms.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("chain_eq")
+        .select($"user_id", $"ids", $"span_us").as[(Long, Seq[Long], Long)]
+        .collect().map { case (u, ids, sp) => (u, ids.mkString(","), sp) }.toSet
+      val batch = ops.Joins.cepFollowedByRelaxed(spark, sf0001)
+        .select($"user_id", $"view_id", $"click_id", $"purchase_id", $"span_us")
+        .as[(Long, Long, Long, Long, Long)]
+        .collect().map { case (u, v, c, p, sp) => (u, s"$v,$c,$p", sp) }.toSet
+      assert(streamed === batch,
+        s"only-streamed=${(streamed -- batch).take(5)} only-batch=${(batch -- streamed).take(5)}")
+      assert(streamed.nonEmpty)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("batch≡streaming: absence alerts equal cep_not_followed_by on the full fixture") {
     val s = spark
     import s.implicits._
