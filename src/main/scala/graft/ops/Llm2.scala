@@ -37,12 +37,12 @@ object Llm2 {
   private def normCol(a: org.apache.spark.sql.Column) =
     graft.functions.ArrayMath.l2Norm(a)
 
-  /** IVF (inverted-file) ANN: cells = label groups, centroid = exact
-    * decimal-mean per dimension (deterministic across engines and partition
-    * orders), probe = 1 nearest centroid, exact cosine re-rank inside the
-    * probed cell. Output: per query (vec_id<5) its probed cell and top-3
-    * neighbors there. */
-  def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
+  /** The IVF probe stage, shared with [[Llm5.ivfpqAnn]]: per query
+    * (vec_id<5) its nearest cell centroid — cells = label groups,
+    * centroid = exact decimal-mean per dimension (deterministic across
+    * engines and partition orders), probe = cosine over the broadcast
+    * |labels|-row centroid table. Returns (qid, qemb, qnrm, cell). */
+  private[graft] def ivfProbe(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddings(spark, dir)
       .withColumn("emb", transform(col("embedding"), x => x.cast("double")))
       .withColumn("nrm", normCol(col("emb")))
@@ -64,12 +64,24 @@ object Llm2 {
     // Probe: nearest centroid by cosine (broadcast nested-loop over k rows).
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("cos_c").desc, col("label").asc)
-    val probed = q.crossJoin(broadcast(centroids))
+    q.crossJoin(broadcast(centroids))
       .select(col("qid"), col("qemb"), col("qnrm"), col("label"),
         round(dotCol(col("qemb"), col("cemb")) / (col("qnrm") * col("cnrm")), 6).as("cos_c"))
       .withColumn("rn", row_number().over(wProbe))
       .where(col("rn") === 1)
       .select(col("qid"), col("qemb"), col("qnrm"), col("label").as("cell"))
+  }
+
+  /** IVF (inverted-file) ANN: cells = label groups, centroid = exact
+    * decimal-mean per dimension (deterministic across engines and partition
+    * orders), probe = 1 nearest centroid, exact cosine re-rank inside the
+    * probed cell. Output: per query (vec_id<5) its probed cell and top-3
+    * neighbors there. */
+  def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+      .withColumn("emb", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("nrm", normCol(col("emb")))
+    val probed = ivfProbe(spark, dir)
 
     // Search: equi-join on the probed cell, exact cosine top-3.
     val wRank = Window.partitionBy(col("qid"))

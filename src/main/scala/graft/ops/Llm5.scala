@@ -101,21 +101,26 @@ object Llm5 {
       .orderBy("qid", "rn")
   }
 
-  /** Full ADC table (qid, vec_id, adc) before the top-k — the piece
-    * Round9Spec pins against independently computed exact distances on
-    * lossless (seed) targets. */
-  private[graft] def adcDistances(spark: SparkSession, dir: String): DataFrame = {
+  /** Query-side ADC lookup table: (qid, s, j, dr) — |Q|·M·K rows, each
+    * round(‖q_s − c_{s,j}‖², 6). Broadcast by every consumer. */
+  private def queryLut(spark: SparkSession, dir: String): DataFrame = {
     val sub = subvectors(spark, dir)
     val cb = sub.where(col("vec_id") < K)
       .select(col("s"), col("vec_id").cast("int").as("j"),
         col("sub").as("cemb"), col("snn").as("cnn"))
-    // query-side LUT: |Q|·M·K rows, each round(‖q_s − c_{s,j}‖², 6)
-    val lut = sub.where(col("vec_id") < 5)
+    sub.where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("s"), col("sub"), col("snn"))
       .join(broadcast(cb), "s")
       .select(col("qid"), col("s"), col("j"),
         round(col("snn") - lit(2) * dot(col("sub"), col("cemb")) + col("cnn"), 6)
           .as("dr"))
+  }
+
+  /** Full ADC table (qid, vec_id, adc) before the top-k — the piece
+    * Round9Spec pins against independently computed exact distances on
+    * lossless (seed) targets. */
+  private[graft] def adcDistances(spark: SparkSession, dir: String): DataFrame = {
+    val lut = queryLut(spark, dir)
     val codes = pqCodes(spark, dir)
     codes
       .join(broadcast(lut),
@@ -125,9 +130,38 @@ object Llm5 {
       .agg(dsum(col("dr")).as("adc"))
   }
 
+  /** IVF-PQ — the composition actually deployed at 10^9+ vectors (FAISS
+    * `IndexIVFPQ`): the IVF probe ([[Llm2.ivfProbe]], broadcast centroid
+    * table) prunes WHICH cell a query scans, PQ codes compress WHAT is
+    * scanned inside it, ADC ranks — so scan work is
+    * O(|Q| · |cell| · M) byte lookups instead of O(|Q| · N · D) float
+    * mults. The cell filter lands BEFORE the ADC join (codes ⋈ broadcast
+    * 5-row probe table), so non-probed cells are never read past the
+    * code scan — at deployment scale, cell-partitioned storage turns
+    * that filter into partition pruning. */
+  def ivfpqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val probed = Llm2.ivfProbe(spark, dir)
+      .select(col("qid").as("pqid"), col("cell"))
+    val lut = queryLut(spark, dir)
+    val codes = pqCodes(spark, dir)
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("vec_id").asc)
+    codes
+      .join(broadcast(probed), codes("label") === col("cell"))
+      .join(broadcast(lut),
+        codes("s") === lut("s") && codes("code") === lut("j") &&
+          col("pqid") === lut("qid") && lut("qid") =!= codes("vec_id"))
+      .groupBy(col("qid"), col("cell"), col("vec_id"))
+      .agg(dsum(col("dr")).as("adc"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("qid"), col("cell"), col("vec_id"), col("adc"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_pq_encode" -> (pqEncode _),
     "llm_pq_ann" -> (pqAnn _),
+    "llm_ivfpq_ann" -> (ivfpqAnn _),
   )
 
   /** DuckDB twins: same subspace slicing, same left-to-right double
@@ -151,6 +185,36 @@ object Llm5 {
           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
             ORDER BY d2 ASC, j ASC) AS rk FROM d2s) WHERE rk = 1)"""
 
+  private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, ${M * Dsub + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def normSql(a: String): String =
+    s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  /** The IVF probe as DuckDB CTEs — text-identical math to the
+    * `llm_ivf_ann` oracle in [[Llm2]] (decimal-mean centroids, 6-dp
+    * rounded cosine, label-asc tiebreak). Ends in `probed(qid, cell)`. */
+  private val ivfProbeSql =
+    s"""ex AS (SELECT label, vec_id,
+            CAST(unnest(embedding) AS DOUBLE) AS x,
+            CAST(unnest(range(0, len(embedding))) AS INT) AS pos
+          FROM embeddings),
+          cd AS (SELECT label, pos,
+            ${dsumSql("x")} / CAST(COUNT(x) AS DOUBLE) AS c
+          FROM ex GROUP BY 1, 2),
+          cent AS (SELECT label, list(c ORDER BY pos) AS cemb FROM cd GROUP BY 1),
+          centn AS (SELECT label, cemb, ${normSql("cemb")} AS cnrm FROM cent),
+          e2 AS (SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm
+            FROM embeddings),
+          q2 AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm
+            FROM e2 WHERE vec_id < 5),
+          probed0 AS (SELECT qid, c.label,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY round(${dotSql("qemb", "c.cemb")} / (qnrm * c.cnrm), 6) DESC,
+                         c.label ASC) AS rn
+            FROM q2 CROSS JOIN centn c),
+          probed AS (SELECT qid, label AS cell FROM probed0 WHERE rn = 1)"""
+
   val oracles: Map[String, String] = Map(
     "llm_pq_encode" ->
       s"""WITH $subSql
@@ -173,6 +237,23 @@ object Llm5 {
           ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
             ORDER BY adc ASC, vec_id ASC) AS rn FROM adc)
           SELECT qid, vec_id, adc, CAST(rn AS INT) AS rn
+          FROM ranked WHERE rn <= 3 ORDER BY qid, rn""",
+    "llm_ivfpq_ann" ->
+      s"""WITH $subSql,
+          $ivfProbeSql,
+          lut AS (SELECT v.vec_id AS qid, v.s, c.j,
+            round(v.snn - 2 * list_sum(list_transform(range(1, ${Dsub + 1}),
+              i -> CAST(v.sv[i] * c.cemb[i] AS DOUBLE))) + c.cnn, 6) AS dr
+          FROM subn v JOIN cb c USING (s) WHERE v.vec_id < 5),
+          adc AS (SELECT l.qid, p.cell, y.vec_id,
+            CAST(SUM(CAST(l.dr AS DECIMAL(18,6))) AS DOUBLE) AS adc
+          FROM codes y JOIN probed p ON y.label = p.cell
+            JOIN lut l ON y.s = l.s AND y.code = l.j AND l.qid = p.qid
+            AND l.qid != y.vec_id
+          GROUP BY 1, 2, 3),
+          ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY adc ASC, vec_id ASC) AS rn FROM adc)
+          SELECT qid, cell, vec_id, adc, CAST(rn AS INT) AS rn
           FROM ranked WHERE rn <= 3 ORDER BY qid, rn""",
   )
 }

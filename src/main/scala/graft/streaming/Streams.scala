@@ -919,6 +919,75 @@ object Streams {
         OutputMode.Append())
   }
 
+  /** Tagged-union envelope for two CONNECTED heterogeneous streams (§2.C8,
+    * Flink `DataStream.connect` + `CoProcessFunction`): a control stream
+    * and a data stream share a key and one keyed state. Spark has no
+    * two-input operator, and needs none — the union IS the connect, and
+    * the `isControl` tag is the `processElement1/2` dispatch. */
+  case class ConnectEnvelope(key: String, isControl: Boolean, event_id: Long,
+      ts: java.sql.Timestamp, value: Double, threshold: Double)
+
+  /** A data-stream event that passed the threshold active at its time. */
+  case class PassedEvent(key: String, event_id: Long, value: Double,
+      threshold: Double)
+
+  def asData(events: Dataset[Event]): Dataset[ConnectEnvelope] = {
+    import events.sparkSession.implicits._
+    events.map(e => ConnectEnvelope(e.event_type, isControl = false,
+      e.event_id, e.ts, e.value, 0.0))
+  }
+
+  def asControl(rules: Dataset[(String, java.sql.Timestamp, Double)])
+      : Dataset[ConnectEnvelope] = {
+    import rules.sparkSession.implicits._
+    rules.map { case (key, ts, thr) =>
+      ConnectEnvelope(key, isControl = true, -1L, ts, 0.0, thr) }
+  }
+
+  /** C8 — the canonical Flink connect example run on SS: a control stream
+    * updates a per-key threshold in keyed state; the data stream filters
+    * against the CURRENT threshold. SAME-batch rows apply in (ts,
+    * controls-first, event_id) order — a rule and a reading landing in one
+    * micro-batch at the same instant see the rule first, deterministically.
+    * ACROSS separately-sourced batches arrival order is not guaranteed —
+    * exactly Flink connect's contract (`processElement1/2` have no
+    * cross-stream order); a data event with no rule yet seen for its key
+    * is dropped (Flink's buffer-or-drop choice, drop arm). State: one
+    * double per key, forever-bounded. */
+  def connectedThresholdFilter(env: Dataset[ConnectEnvelope])
+      : Dataset[PassedEvent] = {
+    import env.sparkSession.implicits._
+    env.groupByKey(_.key)
+      .transformWithState(new ThresholdProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  class ThresholdProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, ConnectEnvelope, PassedEvent] {
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var threshold: streaming.ValueState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit =
+      threshold = getHandle.getValueState[Double]("threshold",
+        Encoders.scalaDouble, streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[ConnectEnvelope],
+        timerValues: streaming.TimerValues): Iterator[PassedEvent] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[PassedEvent]
+      rows.toSeq
+        .sortBy(e => (microsOf(e.ts), !e.isControl, e.event_id))
+        .foreach { e =>
+          if (e.isControl) threshold.update(e.threshold)
+          else if (threshold.exists()) {
+            val thr = threshold.get()
+            if (e.value >= thr) out += PassedEvent(key, e.event_id, e.value, thr)
+          }
+        }
+      out.iterator
+    }
+  }
+
   /** One emitted relaxed-chain (funnel) match — the streaming twin of
     * [[graft.ops.Cep]]'s relaxed singleton-chain output row. */
   case class ChainMatch(user_id: Long, ids: Seq[Long], first_ts_us: Long,

@@ -277,6 +277,30 @@ class Round9Spec extends SparkTestBase {
     }
   }
 
+  test("IVF-PQ composes exactly: per query, top-3 of full ADC restricted to the probed cell") {
+    val s = spark
+    import s.implicits._
+    val cellOf = graft.Tables.embeddings(s, sf0001)
+      .select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probe = ops.Llm2.ivfProbe(s, sf0001).select(col("qid"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val full = ops.Llm5.adcDistances(s, sf0001)
+      .select(col("qid"), col("vec_id"), col("adc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = full.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      rows.filter(r => cellOf(r._2) == probe(qid))
+        .sortBy(r => (r._3, r._2)).take(3)
+        .zipWithIndex.map { case ((_, v, adc), i) => (qid, v, adc, i + 1) }
+    }.toSet
+    val got = ops.Llm5.ivfpqAnn(s, sf0001)
+      .select(col("qid"), col("vec_id"), col("adc"), col("rn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(got === expect)
+    assert(got.size === 15)
+  }
+
   test("llm_pq_ann plans broadcast-only joins with WindowGroupLimit top-k pruning") {
     val p = ops.Llm5.pqAnn(spark, sf0001).queryExecution.executedPlan.toString()
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)

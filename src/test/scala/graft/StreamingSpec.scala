@@ -838,6 +838,54 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("C8: connected control+data streams — rules update keyed thresholds across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def t(m: String) = java.sql.Timestamp.valueOf(m)
+    val data = MemoryStream[Event]
+    val ctrl = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val env = Streams.asData(data.toDS())
+      .union(Streams.asControl(ctrl.toDS()))
+    val q = runToTable(Streams.connectedThresholdFilter(env).toDF(),
+      "c8_connect", "append")
+    try {
+      // Cross-stream arrival order between separate sources is NOT
+      // guaranteed (exactly Flink connect's contract), so rules and
+      // readings go through in alternating batches: what IS asserted is
+      // that rules persist in keyed state across batches and that a
+      // rule-less key drops its readings.
+      ctrl.addData(("click", t("2024-01-01 10:00:00"), 50.0))
+      q.processAllAvailable()
+      data.addData(
+        ev(1, "2024-01-01 10:01:00", 1, "click", 60.0), // rule 50: pass
+        ev(2, "2024-01-01 10:02:00", 1, "click", 40.0), // rule 50: drop
+        ev(3, "2024-01-01 10:03:00", 2, "view", 99.0))  // no view rule: drop
+      q.processAllAvailable()
+      // rules retighten + a new key's rule arrives
+      ctrl.addData(("click", t("2024-01-01 11:00:00"), 70.0),
+        ("view", t("2024-01-01 11:00:00"), 10.0))
+      q.processAllAvailable()
+      data.addData(
+        ev(4, "2024-01-01 11:01:00", 1, "click", 65.0), // rule now 70: drop
+        ev(5, "2024-01-01 11:02:00", 2, "view", 20.0))  // view rule 10: pass
+      q.processAllAvailable()
+      val out = spark.table("c8_connect")
+        .select($"event_id", $"threshold").as[(Long, Double)].collect().toSet
+      assert(out === Set((1L, 50.0), (5L, 10.0)), s"got $out")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("batch≡streaming: relaxed chain matches equal cep_followed_by_relaxed, state crossing batches") {
     val s = spark
     import s.implicits._
