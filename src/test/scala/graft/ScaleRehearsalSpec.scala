@@ -79,6 +79,27 @@ class ScaleRehearsalSpec extends SparkTestBase {
     assert(secs < 60.0, s"sim_topk took $secs s at 10x — kernel no longer linear?")
   }
 
+  test("PQ family at 10x corpus: broadcast-only plans hold, encode linear, ADC completes") {
+    // At 10x the vec_id remap makes the 16 seed subvectors heavily
+    // duplicated (replicas of only 2 original vectors) — a deliberately
+    // degenerate codebook; ties resolve to the smallest centroid id, the
+    // plans must not care, and nothing may fall back to a pair join.
+    for (q <- Seq("llm_pq_encode", "llm_pq_ann", "llm_ivfpq_ann")) {
+      val p = planOf(q)
+      assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    val (nE, tE) = runTimed("llm_pq_encode")
+    assert(nE === 10L, s"label cells: $nE") // labels are shared across replicas
+    assert(tE < 60.0, s"pq_encode took $tE s at 10x — encode no longer linear?")
+    val (nA, tA) = runTimed("llm_pq_ann")
+    assert(nA === 15L, s"5 queries x top-3: $nA")
+    assert(tA < 60.0, s"pq_ann took $tA s at 10x")
+    val (nC, tC) = runTimed("llm_ivfpq_ann")
+    assert(nC === 15L, s"5 queries x top-3: $nC")
+    assert(tC < 60.0, s"ivfpq_ann took $tC s at 10x")
+  }
+
   test("llm_dedup_near at 10x duplicate density: banded path completes, finds the replica cliques") {
     val p = planOf("llm_dedup_near")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
