@@ -993,6 +993,24 @@ object Streams {
   case class ChainMatch(user_id: Long, ids: Seq[Long], first_ts_us: Long,
       last_ts_us: Long, span_us: Long)
 
+  /** Blocks variant of [[ChainMatch]]: per-group first/last event ids —
+    * the streaming twin of the batch compiler's g_first_id/g_last_id. */
+  case class BlockChainMatch(user_id: Long, first_ids: Seq[Long],
+      last_ids: Seq[Long], first_ts_us: Long, last_ts_us: Long, span_us: Long)
+
+  /** Latest stage-j block completion owning a valid prefix: completion
+    * (ts, id), chain-head ts, and the flattened per-group (first, last)
+    * id pairs of the whole chain so far. `us < 0` is the absent
+    * sentinel (needed because snapshots embed one slot per stage). */
+  case class BlockStage(us: Long, id: Long, firstTs: Long, ids: Seq[Long])
+
+  /** One row of the current strict same-type run, with the stage states
+    * photographed BEFORE this row was processed — the batch compiler's
+    * `rowsBetween(…, -n)` frame, replayed: a block completing k rows
+    * later reads its predecessor from the snapshot at the block's FIRST
+    * row, so the predecessor provably ended strictly before it. */
+  case class RunEntry(id: Long, us: Long, snap: Seq[BlockStage])
+
   /** I6j — the relaxed-contiguity CEP chain ON A STREAM (Flink
     * `begin(A).followedBy(B).followedBy(C)…` — CEP is first a streaming
     * feature, and this is the funnel/attribution query run live):
@@ -1013,50 +1031,90 @@ object Streams {
   def relaxedChainMatches(events: Dataset[Event], types: Seq[String],
       withinUs: Option[Long] = None): Dataset[ChainMatch] = {
     import events.sparkSession.implicits._
-    require(types.size >= 2, "chain needs at least two stages")
+    relaxedBlockMatches(events, types.map((_, 1)), withinUs)
+      .map(m => ChainMatch(m.user_id, m.first_ids, m.first_ts_us,
+        m.last_ts_us, m.span_us))
+  }
+
+  /** The general form: strict `Exact(n)` blocks chained relaxedly —
+    * streaming twin of the batch compiler's `relaxed=true` arm for
+    * arbitrary block sizes ([[graft.ops.Cep]] L170). Per-user state: the
+    * current strict same-type run (last max(n_j) rows, each with its
+    * pre-row stage snapshot) plus one struct per non-final stage —
+    * bounded by pattern size, O(k·maxN) per event, nothing pairwise. */
+  def relaxedBlockMatches(events: Dataset[Event],
+      pattern: Seq[(String, Int)],
+      withinUs: Option[Long] = None): Dataset[BlockChainMatch] = {
+    import events.sparkSession.implicits._
+    require(pattern.size >= 2, "chain needs at least two stages")
+    require(pattern.forall(_._2 >= 1), "block sizes must be >= 1")
     events
       .groupByKey(_.user_id)
-      .transformWithState(new RelaxedChainProcessor(types, withinUs),
+      .transformWithState(new RelaxedChainProcessor(pattern, withinUs),
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Append())
   }
 
-  class RelaxedChainProcessor(types: Seq[String], withinUs: Option[Long])
-      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, ChainMatch] {
+  class RelaxedChainProcessor(pattern: Seq[(String, Int)], withinUs: Option[Long])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, BlockChainMatch] {
     import org.apache.spark.sql.{Encoders, streaming}
+    private val types = pattern.map(_._1)
+    private val ns = pattern.map(_._2)
     private val k = types.size
-    // stage j (0..k−2): latest completion owning a valid prefix —
-    // (ts_us, event_id, chain-head ts_us, chain event_ids)
-    @transient private var stages:
-      Array[streaming.ValueState[(Long, Long, Long, Seq[Long])]] = _
+    private val maxN = ns.max
+    private val absent = BlockStage(-1L, -1L, -1L, Nil)
+    // stage j (0..k−2): latest block completion owning a valid prefix
+    @transient private var stages: Array[streaming.ValueState[BlockStage]] = _
+    // the current strict same-type run: (type, last maxN entries)
+    @transient private var run: streaming.ValueState[(String, Seq[RunEntry])] = _
 
-    override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit = {
       stages = Array.tabulate(k - 1)(j =>
-        getHandle.getValueState[(Long, Long, Long, Seq[Long])](s"stage$j",
-          Encoders.product[(Long, Long, Long, Seq[Long])],
-          streaming.TTLConfig.NONE))
+        getHandle.getValueState[BlockStage](s"stage$j",
+          Encoders.product[BlockStage], streaming.TTLConfig.NONE))
+      run = getHandle.getValueState[(String, Seq[RunEntry])]("run",
+        Encoders.product[(String, Seq[RunEntry])], streaming.TTLConfig.NONE)
+    }
+
+    private def stageOr(j: Int): BlockStage =
+      Option(stages(j).get()).getOrElse(absent)
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
-        timerValues: streaming.TimerValues): Iterator[ChainMatch] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[ChainMatch]
+        timerValues: streaming.TimerValues): Iterator[BlockChainMatch] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[BlockChainMatch]
       rows.toSeq.sortBy(e => (microsOf(e.ts), e.event_id)).foreach { e =>
         val us = microsOf(e.ts)
-        // DESCENDING stages: when adjacent stages share an event type, the
-        // higher stage must read the lower one's state BEFORE this event
-        // updates it — the batch compiler's strictly-preceding frame.
+        // 1. snapshot the stage states BEFORE this row touches them, and
+        //    extend (or reset) the strict same-type run
+        val snap = (0 until k - 1).map(stageOr)
+        val entry = RunEntry(e.event_id, us, snap)
+        val prevRun = Option(run.get())
+        val entries = prevRun match {
+          case Some((t, es)) if t == e.event_type => (es :+ entry).takeRight(maxN)
+          case _ => Seq(entry)
+        }
+        run.update((e.event_type, entries))
+        // 2. every stage whose block this row completes, reading the
+        //    predecessor from the snapshot at the block's FIRST row — the
+        //    batch compiler's −n_j frame, so blocks cannot overlap
         (k - 1).to(0, -1).foreach { j =>
-          if (types(j) == e.event_type) {
-            if (j == k - 1) {
-              Option(stages(k - 2).get()).foreach { case (_, _, firstTs, ids) =>
-                val span = us - firstTs
+          if (types(j) == e.event_type && entries.size >= ns(j)) {
+            val first = entries(entries.size - ns(j))
+            val prev = if (j == 0) absent else first.snap(j - 1)
+            if (j == 0) {
+              stages(0).update(BlockStage(us, e.event_id, first.us,
+                Seq(first.id, e.event_id)))
+            } else if (prev.us >= 0) {
+              val ids = prev.ids ++ Seq(first.id, e.event_id)
+              if (j == k - 1) {
+                val span = us - prev.firstTs
                 if (withinUs.forall(span <= _))
-                  out += ChainMatch(key, ids :+ e.event_id, firstTs, us, span)
-              }
-            } else if (j == 0) {
-              stages(0).update((us, e.event_id, us, Seq(e.event_id)))
-            } else {
-              Option(stages(j - 1).get()).foreach { case (_, _, firstTs, ids) =>
-                stages(j).update((us, e.event_id, firstTs, ids :+ e.event_id))
+                  out += BlockChainMatch(key,
+                    ids.grouped(2).map(_.head).toSeq,
+                    ids.grouped(2).map(_.last).toSeq,
+                    prev.firstTs, us, span)
+              } else {
+                stages(j).update(BlockStage(us, e.event_id, prev.firstTs, ids))
               }
             }
           }
