@@ -27,6 +27,7 @@ object SparkEntry {
       ops.Llm3.queries ++
       ops.Llm4.queries ++
       ops.Llm5.queries ++
+      ops.Llm6.queries ++
       ops.Warehouse.queries ++
       ops.Warehouse2.queries ++
       ops.Warehouse3.queries
@@ -44,6 +45,7 @@ object SparkEntry {
       ops.Llm3.oracles ++
       ops.Llm4.oracles ++
       ops.Llm5.oracles ++
+      ops.Llm6.oracles ++
       ops.Warehouse.oracles ++
       ops.Warehouse2.oracles ++
       ops.Warehouse3.oracles

@@ -1,0 +1,317 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.BinaryType
+
+/** LLM-pipeline widening, round 9 continuation: the two sketch-backed
+  * corpus operators every at-scale pipeline runs before its exact passes
+  * (Bloom-prefiltered decontamination, count-min heavy hitters) and the
+  * third real multimodal codec (WAV audio next to the PNG/BMP images of
+  * [[graft.ops.MmDecode]]).
+  */
+object Llm6 {
+
+  // ------------------------------------------------------------------
+  // Bloom-prefiltered decontamination
+  // ------------------------------------------------------------------
+
+  /** Word-trigram stream per doc — same construction as
+    * [[Llm3.decontaminate]] (zipped shifted slices, codegen'd). */
+  private def grams(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+    .where(size(col("ws")) >= 3)
+    .select(col("doc_id"), col("source"), explode(arrays_zip(
+      slice(col("ws"), lit(1), size(col("ws")) - 2),
+      slice(col("ws"), lit(2), size(col("ws")) - 2),
+      slice(col("ws"), lit(3), size(col("ws")) - 2))).as("g"))
+    .select(col("doc_id"), col("source"),
+      concat_ws(" ", col("g.0"), col("g.1"), col("g.2")).as("gram"))
+
+  /** `might_contain(bloomBytes, xxhash64(gram))` as a Column. The Bloom
+    * side must be a CONSTANT (the expression contract Spark's own runtime
+    * filters obey — `InjectRuntimeFilter` feeds it a scalar subquery), so
+    * the distributed `bloom_filter_agg` result is collected once — the
+    * sketch IS dim-sized by design, that being its entire point — and
+    * re-embedded as a literal. Codegen'd on the probe side; no UDF. */
+  private def mightContain(bloomBytes: Array[Byte], gram: Column): Column =
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType),
+      ColumnBridge.expression(xxhash64(gram))))
+
+  /** Bloom-PREFILTERED benchmark decontamination — the scale-path variant
+    * of [[Llm3.decontaminate]]. At 100 TB the corpus-side gram stream is
+    * the expensive half of the confirm join's shuffle: the Bloom
+    * prefilter (built distributed over the benchmark grams by the
+    * engine's own `bloom_filter_agg`, shipped to every probe task as a
+    * fixed ~50 KB bit array) discards non-member grams BEFORE any
+    * shuffle, at a row-local `xxhash64` + bit-probe per gram. False
+    * positives (~2% at these dimensions) pass the prefilter and die in
+    * the exact broadcast-confirm join, so the RESULT is exact — the
+    * oracle is pure SQL with no bloom replica — while the shuffle volume
+    * drops from all-grams to true-matches + ε.
+    *
+    * Output is the per-source hygiene summary a mixture owner consumes
+    * (docs checked / contaminated / clean per source), not the per-doc
+    * flags [[Llm3.decontaminate]] already declares. */
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val g = grams(docs)
+    val bench = g.where(col("source") === "src0")
+      .select(col("gram")).distinct()
+    // distributed build; one compact binary back to the driver (guarded)
+    // the engine's own BloomFilterAggregate (what InjectRuntimeFilter
+    // builds); not in the SQL FunctionRegistry, hence the bridge
+    val bloomAgg = ColumnBridge.column(BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(col("gram"))),
+      Literal(50000L), Literal(400000L), 0, 0).toAggregateExpression())
+    val skRow = boundedCollect(bench.agg(bloomAgg.as("sk")), 1, "bloom sketch")
+    val skBytes: Option[Array[Byte]] =
+      Option(skRow.head.getAs[Array[Byte]]("sk"))
+    val corpus = g.where(col("source") =!= "src0")
+      .select(col("doc_id"), col("gram")).distinct()
+    val cand = skBytes match {
+      case Some(bytes) => corpus.where(mightContain(bytes, col("gram")))
+      case None => corpus.where(lit(false)) // empty benchmark ⇒ all clean
+    }
+    val shared = cand.join(broadcast(bench), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    docs.where(col("source") =!= "src0")
+      .select(col("doc_id"), col("source"))
+      .join(shared, Seq("doc_id"), "left")
+      .withColumn("contaminated",
+        coalesce(col("n_shared") >= 3, lit(false)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
+        sum(when(col("contaminated"), 0L).otherwise(1L)).as("n_clean"))
+      .orderBy("source")
+  }
+
+  // ------------------------------------------------------------------
+  // Count-min heavy hitters
+  // ------------------------------------------------------------------
+
+  private val CmsDepth = 4
+  private val CmsWidth = 16
+
+  /** Heavy hitters THROUGH the count-min sketch: the top-20 tokens by
+    * exact count, each carrying the CMS point estimate and its overcount
+    * (est − exact ≥ 0 always — CMS never underestimates). The sketch is
+    * one [[graft.functions.CountMinAgg]] pass (fixed depth·width longs of
+    * state regardless of stream length, partial/merge = cell-wise adds),
+    * deliberately sized at width 16 < |vocab| = 31 so collisions — and
+    * therefore nonzero overcounts — provably occur on the fixtures.
+    *
+    * Because the hash family is portable integer arithmetic, the oracle
+    * rebuilds every counter AND every estimate exactly in SQL: this
+    * sketch is hash-gated, not tolerance-gated (same bar as
+    * `llm_minhash_src_sim`, stronger than the `approx_*` verdict rows).
+    * The estimate probe is `element_at`/`least` over the broadcast 1-row
+    * sketch — codegen'd, no UDF, no driver loop. */
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val tok = documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val sk = tok.agg(
+      graft.functions.CountMin.sketch(h48(col("token")), CmsDepth, CmsWidth)
+        .as("sk"))
+    val top = tok.groupBy("token").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("token").asc)
+      .limit(20)
+    top.crossJoin(broadcast(sk)) // 1-row broadcast: CartesianGuard-exempt
+      .withColumn("n_cms", graft.functions.CountMin.estimate(
+        col("sk"), h48(col("token")), CmsDepth, CmsWidth))
+      .select(col("token"), col("n_exact"), col("n_cms"),
+        (col("n_cms") - col("n_exact")).as("overcount"))
+      .orderBy(col("n_exact").desc, col("token").asc)
+  }
+
+  // ------------------------------------------------------------------
+  // Real WAV audio codec path
+  // ------------------------------------------------------------------
+
+  /** Audio decode + feature extraction over a REAL binary WAV column —
+    * the audio sibling of [[Llm.mmDecodeMeta]]: stage 1 synthesizes a
+    * genuine RIFF/WAVE container per document ([[MmAudio.synthesize]] —
+    * no audio fixtures ship in the container), stage 2 parses it back
+    * with `javax.sound.sampled.AudioSystem` (header sniff, format parse,
+    * PCM frame read) and reports true encoding/rate/frames plus the
+    * standard first-pass audio features (peak, mean |s|, RMS). The
+    * waveform is a closed-form integer sawtooth, so the oracle predicts
+    * every output — including both double-valued features, which are
+    * exact rationals under 2^53 — without any decimal quantization. A
+    * codec regression (header misparse, byte-order flip, frame
+    * truncation) fails the hash gate. Row-local end-to-end: nothing
+    * shuffles before the final sort at any corpus size. */
+  def mmAudioDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").cast("int").as("n_chars"))
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (id, nc) =>
+        MmAudio.Wav(id, MmAudio.synthesize(id, nc))
+      })
+      .mapPartitions(_.map(MmAudio.decode))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_bloom_decontaminate" -> (bloomDecontaminate _),
+    "llm_cms_heavy_hitters" -> (cmsHeavyHitters _),
+    "mm_audio_decode" -> (mmAudioDecode _),
+  )
+
+  private def h48S(e: String): String = graft.Tables.h48Sql(e)
+
+  val oracles: Map[String, String] = Map(
+    // exact SQL — the bloom prefilter is a physical optimization whose
+    // false positives the exact confirm join removes
+    "llm_bloom_decontaminate" ->
+      """WITH g AS (
+           SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+         tri AS (
+           SELECT doc_id, source,
+             unnest(list_transform(range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+           FROM g WHERE len(ws) >= 3),
+         bench AS (SELECT DISTINCT gram FROM tri WHERE source = 'src0'),
+         corp AS (SELECT DISTINCT doc_id, gram FROM tri WHERE source <> 'src0'),
+         shared AS (SELECT doc_id, COUNT(*) AS n FROM corp
+           JOIN bench USING (gram) GROUP BY 1),
+         flags AS (SELECT d.doc_id, d.source, COALESCE(s.n, 0) >= 3 AS cont
+           FROM (SELECT doc_id, source FROM documents WHERE source <> 'src0') d
+           LEFT JOIN shared s USING (doc_id))
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN cont THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           CAST(SUM(CASE WHEN cont THEN 0 ELSE 1 END) AS BIGINT) AS n_clean
+         FROM flags GROUP BY source ORDER BY source""",
+    "llm_cms_heavy_hitters" -> {
+      val w = CmsWidth
+      val cell = graft.functions.CountMin.cellSql("h", "j", w)
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+             FROM documents),
+           counts AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1),
+           ch AS (SELECT token, n, ${h48S("token")} AS h FROM counts),
+           cells AS (SELECT token, n, j, $cell AS cell
+             FROM ch CROSS JOIN (SELECT unnest(range(0, $CmsDepth)) AS j) js),
+           sketch AS (SELECT j, cell, CAST(SUM(n) AS BIGINT) AS v
+             FROM cells GROUP BY 1, 2),
+           est AS (SELECT c.token, MIN(s.v) AS n_cms
+             FROM cells c JOIN sketch s USING (j, cell) GROUP BY 1),
+           top AS (SELECT token, CAST(n AS BIGINT) AS n_exact FROM counts
+             ORDER BY n DESC, token LIMIT 20)
+           SELECT t.token, t.n_exact, e.n_cms,
+             CAST(e.n_cms - t.n_exact AS BIGINT) AS overcount
+           FROM top t JOIN est e USING (token)
+           ORDER BY n_exact DESC, token"""
+    },
+    "mm_audio_decode" ->
+      """WITH d AS (SELECT doc_id, 256 + (n_chars % 512) AS n,
+             8000 + 1000 * (doc_id % 3) AS rate,
+             (doc_id % 37) + 3 AS st
+           FROM documents),
+         s AS (SELECT doc_id, ((i * st + doc_id) % 4001) - 2000 AS v
+           FROM (SELECT doc_id, st, unnest(range(0, n)) AS i FROM d)),
+         agg AS (SELECT doc_id, MAX(abs(v)) AS peak,
+             CAST(SUM(abs(v)) AS DOUBLE) AS sabs,
+             CAST(SUM(v * v) AS DOUBLE) AS ssq,
+             COUNT(*) AS cnt
+           FROM s GROUP BY 1)
+         SELECT d.doc_id, 'PCM_SIGNED' AS encoding,
+           CAST(d.rate AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+           CAST(16 AS INT) AS bits, CAST(d.n AS BIGINT) AS n_frames,
+           CAST((d.n * 1000000) // d.rate AS BIGINT) AS duration_us,
+           CAST(a.peak AS INT) AS peak,
+           a.sabs / d.n AS mean_abs,
+           sqrt(a.ssq / d.n) AS rms
+         FROM d JOIN agg a USING (doc_id) ORDER BY d.doc_id""",
+  )
+}
+
+/** REAL audio codec for [[Llm6.mmAudioDecode]] (see its scaladoc): the
+  * container ships no audio fixtures, so each document's payload is
+  * SYNTHESIZED as a genuine RIFF/WAVE container (PCM16 mono little-endian,
+  * closed-form integer sawtooth samples) through
+  * `javax.sound.sampled.AudioSystem`'s own WAVE writer, then DECODED with
+  * its reader. Not circular: the reader parses the actual RIFF header and
+  * PCM chunk, and the oracle independently predicts from (doc_id,
+  * n_chars) what a correct decode must report. */
+object MmAudio {
+
+  case class Wav(doc_id: Long, payload: Array[Byte])
+  case class AMeta(doc_id: Long, encoding: String, sample_rate: Int,
+    channels: Int, bits: Int, n_frames: Long, duration_us: Long,
+    peak: Int, mean_abs: Double, rms: Double)
+
+  /** Frame count / rate / waveform stride — closed forms of the fixture
+    * columns (mirrored by the oracle SQL verbatim). */
+  def nFrames(nChars: Int): Int = 256 + (nChars % 512)
+  def rate(docId: Long): Int = (8000 + 1000 * (docId % 3)).toInt
+  private def stride(docId: Long): Long = (docId % 37) + 3
+
+  /** Sample i: integer sawtooth in [−2000, 2000] — exact in 64-bit. */
+  def sample(docId: Long, i: Int): Int =
+    (((i * stride(docId) + docId) % 4001L) - 2000L).toInt
+
+  /** Genuine WAV bytes via the JDK's WAVE file writer. */
+  def synthesize(docId: Long, nChars: Int): Array[Byte] = {
+    val n = nFrames(nChars)
+    val pcm = new Array[Byte](2 * n)
+    var i = 0
+    while (i < n) {
+      val s = sample(docId, i)
+      pcm(2 * i) = (s & 0xff).toByte // little-endian PCM16
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate(docId).toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real decode: RIFF container parse (format chunk → encoding, rate,
+    * channels, bits), full PCM frame read, then the first-pass features.
+    * All sums are exact integers < 2^53, so `mean_abs` and `rms` are
+    * single correctly-rounded double operations of the same rationals
+    * DuckDB computes — bit-identical with no quantization. */
+  def decode(w: Wav): AMeta = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(w.payload))
+    try {
+      val f = ais.getFormat
+      require(!f.isBigEndian && f.getSampleSizeInBits == 16 &&
+        f.getChannels == 1, s"unexpected WAV layout for doc ${w.doc_id}")
+      val n = ais.getFrameLength
+      val bytes = ais.readAllBytes()
+      require(bytes.length == 2 * n, s"short PCM read for doc ${w.doc_id}")
+      var (sabs, ssq) = (0L, 0L)
+      var peak = 0
+      var i = 0
+      while (i < n) {
+        val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        sabs += a
+        ssq += s.toLong * s
+        i += 1
+      }
+      val sr = math.round(f.getSampleRate).toInt
+      AMeta(w.doc_id, f.getEncoding.toString, sr, f.getChannels,
+        f.getSampleSizeInBits, n, n * 1000000L / sr, peak,
+        sabs.toDouble / n, math.sqrt(ssq.toDouble / n))
+    } finally ais.close()
+  }
+}

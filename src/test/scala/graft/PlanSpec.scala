@@ -128,6 +128,8 @@ class PlanSpec extends SparkTestBase {
     // matrix, bounded query-set similarity scans, k-row centroid probes.
     val allowed = Set("join_theta_price_band", "scalar_string_distance",
       "llm_ivf_ann", "llm_kmeans_step",
+      // composes the same bounded k-row centroid probe as llm_ivf_ann
+      "llm_ivfpq_ann",
       // k-row centroid probe, same broadcast shape as llm_kmeans_step
       "llm_centroid_accuracy",
       "llm_ann_lsh",
