@@ -30,7 +30,14 @@ object Catalog {
   def register(spark: SparkSession, dir: String): Unit = {
     if (current.get(sessionKey(spark)) != dir) {
       TableNames.foreach { t =>
-        Tables.table(spark, dir, t).createOrReplaceTempView(t)
+        val df = t match {
+          // time columns normalized to TimestampType (see Tables' loading
+          // contract — the current fixture generation ships them as NTZ)
+          case "orders" => Tables.orders(spark, dir)
+          case "lineitem" => Tables.lineitem(spark, dir)
+          case _ => Tables.table(spark, dir, t)
+        }
+        df.createOrReplaceTempView(t)
       }
       Tables.events(spark, dir).createOrReplaceTempView("events")
       functions.ArrayMath.register(spark)

@@ -28,6 +28,7 @@ object SparkEntry {
       ops.Llm4.queries ++
       ops.Llm5.queries ++
       ops.Llm6.queries ++
+      ops.Llm7.queries ++
       ops.Warehouse.queries ++
       ops.Warehouse2.queries ++
       ops.Warehouse3.queries
@@ -46,6 +47,7 @@ object SparkEntry {
       ops.Llm4.oracles ++
       ops.Llm5.oracles ++
       ops.Llm6.oracles ++
+      ops.Llm7.oracles ++
       ops.Warehouse.oracles ++
       ops.Warehouse2.oracles ++
       ops.Warehouse3.oracles

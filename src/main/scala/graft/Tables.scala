@@ -2,18 +2,27 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types
 
 /** Shared table loaders + determinism helpers.
   *
   * Loading contract (SURVEY.md §1.2-1.3, FIXTURES.md):
   *   - All fixture tables are single parquet files under `$dir/<name>.parquet`.
-  *   - `events.ts` is parquet `timestamp[ns]`, which Spark 4.x refuses to read
-  *     by default (`PARQUET_TYPE_ILLEGAL`). We read it as epoch-nanos Long via
-  *     `spark.sql.legacy.parquet.nanosAsLong` and derive a proper
-  *     microsecond `TimestampType` with integer division (`ts div 1000`):
-  *     floor-to-µs exactly matches DuckDB's own ns→µs read of the same file,
-  *     giving exact oracle parity. (A double division `ts/1000` would lose
-  *     precision: epoch-ns ≈ 1.7e18 > 2^53.)
+  *   - Time columns have shipped in TWO fixture generations and the loaders
+  *     dispatch on the read schema to support both:
+  *     (a) pre-2026-08-13 drops: `events.ts` was parquet `timestamp[ns]`
+  *     (readable only as epoch-nanos Long under
+  *     `spark.sql.legacy.parquet.nanosAsLong`; normalized here with
+  *     `timestamp_micros(ts div 1000)` — integer floor-to-µs, exactly
+  *     DuckDB's own ns→µs read; a double `ts/1000` would lose precision
+  *     since epoch-ns ≈ 1.7e18 > 2^53), and orders/lineitem dates were
+  *     UTC-adjusted `timestamp[ms]` (plain TimestampType read).
+  *     (b) current drops: all time columns are plain `timestamp[us]`
+  *     without UTC adjustment, which Spark 4 reads as TIMESTAMP_NTZ —
+  *     normalized here by casting to session-zone TimestampType (the
+  *     repo-wide UTC session makes that cast wall-clock identity, and
+  *     `tools/check.py` pins DuckDB to UTC too), so every downstream
+  *     operator keeps seeing the TimestampType it was built against.
   *
   * Determinism contract (SURVEY.md §7.5): double aggregation order differs
   * between Spark's partial aggregation and DuckDB's single-threaded fold, so
@@ -29,17 +38,27 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Cast any TIMESTAMP_NTZ column to session-zone TimestampType (see the
+    * loading contract above — identity wall clock under the UTC session). */
+  private def tsNorm(df: DataFrame): DataFrame =
+    df.schema.fields.filter(_.dataType == types.TimestampNTZType)
+      .foldLeft(df)((d, f) => d.withColumn(f.name, col(f.name).cast("timestamp")))
+
   /** events with `ts` normalized to TimestampType (µs), exact DuckDB parity. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // Runtime conf; must be set before the first read of events.parquet in
-    // this session. Harmless to re-set.
+    // this session (legacy ns fixtures only). Harmless to re-set.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case types.LongType => // generation (a): int64 epoch-nanos
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => tsNorm(raw) // generation (b): timestamp[us] NTZ
+    }
   }
 
-  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
-  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = tsNorm(table(spark, dir, "lineitem"))
+  def orders(spark: SparkSession, dir: String): DataFrame = tsNorm(table(spark, dir, "orders"))
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")

@@ -1,0 +1,195 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-9 retrieval widening: lexical BM25 ranking and hybrid
+  * lexical+semantic fusion (RRF) — the two retrieval primitives a
+  * training-data pipeline runs beside its vector-ANN stack (hard-negative
+  * mining, "more-like-this" corpus expansion, eval-set retrieval).
+  *
+  * Both scorers are FIXED-POINT: BM25's per-term score is an exact
+  * rational A/B of 64-bit integers (k1 = 1.2 and b = 0.75 folded in by
+  * multiplying through by 10·Σdl and the idf kept as the un-logged odds
+  * ratio (2N−2df+1)/(2df+1) — the Robertson idf without the order-only
+  * `ln`), emitted as `floor(A·1000/B)` millis via the overflow-safe split
+  * `(A div B)·1000 + ((A mod B)·1000) div B`. Integer millis sum
+  * order-independently across partitions — the determinism the bit-exact
+  * gate demands and a float Σ can't give. Headroom: A < 2^63 up to
+  * ~10^9-token corpora per partition-set; beyond that the same formulas
+  * run in DECIMAL(38,0) unchanged.
+  */
+object Llm7 {
+
+  private def toks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+
+  private def dlOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+
+  /** Per-doc BM25 fixed-point scores against a (dim-sized, broadcast)
+    * query-term set: (doc_id, n_terms, milli). `df` counts the FULL
+    * corpus (including any excluded probe doc); `tf` honors `excludeDoc`
+    * so a query document never retrieves itself. */
+  private def bm25Milli(docs: DataFrame, qTerms: DataFrame,
+      excludeDoc: Option[Long]): DataFrame = {
+    val t = toks(docs)
+    val dl = dlOf(docs)
+    val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("dls"))
+    val df = t.join(broadcast(qTerms), "term")
+      .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val tf0 = t.join(broadcast(qTerms), "term")
+    val tf = excludeDoc.fold(tf0)(d => tf0.where(col("doc_id") =!= d))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st)) // 1-row stats: CartesianGuard-exempt
+      .withColumn("a",
+        lit(22L) * col("dls") * col("tf") *
+          (lit(2L) * col("n") - lit(2L) * col("df") + lit(1L)))
+      .withColumn("b",
+        (lit(10L) * col("dls") * col("tf") + lit(3L) * col("dls") +
+          lit(9L) * col("n") * col("dl")) *
+          (lit(2L) * col("df") + lit(1L)))
+      .withColumn("milli",
+        expr("(a div b) * 1000 + ((a % b) * 1000) div b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("milli")).as("milli"))
+  }
+
+  /** BM25 top-10 for a fixed keyword query over `documents` — classic
+    * lexical retrieval (Robertson & Walker 1994, fixed-point form above).
+    * Scale shape: query terms / df / corpus stats are all dim-sized
+    * broadcasts; tf is one (doc,term)-keyed agg over the exploded token
+    * stream (map-side combinable); the final top-10 is a TakeOrdered —
+    * per-partition heads, no global sort materialization. */
+  def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = Seq("window", "merge", "stream", "dup").toDF("term")
+    bm25Milli(documents(spark, dir), q, None)
+      .select(col("doc_id"), col("n_terms").cast("long").as("n_terms"),
+        col("milli").cast("long").as("bm25_milli"))
+      .orderBy(col("bm25_milli").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  /** Hybrid "more-like-this" retrieval for document 0, fused with
+    * Reciprocal Rank Fusion (Cormack, Clarke & Buettcher SIGIR 2009):
+    * lexical candidates = BM25 of doc 0's own (deduped) tokens against
+    * the rest of the corpus; semantic candidates = exact cosine of
+    * embedding 0 against the rest (same round-6 contract as
+    * `llm_sim_topk`); each side keeps its top-20 via TakeOrdered, the
+    * 20∪20 survivors fuse JOIN-FREE (union + per-doc max — a full-outer
+    * join of two rank lists is exactly a grouped max over their union,
+    * and unlike FULL OUTER it needs no SortMergeJoin), and
+    * rrf = Σ 1e6/(60+rank) in integer micros (k = 60, the paper's
+    * constant — integer division keeps the fusion bit-deterministic).
+    * The fusion stage handles ≤40 rows at any corpus size; the heavy
+    * lifting stays in the two bounded retrieval legs. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val qTerms = docs.where(col("doc_id") === 0)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .where(col("term") =!= "").distinct()
+    val lexTop = bm25Milli(docs, qTerms, excludeDoc = Some(0L))
+      .orderBy(col("milli").desc, col("doc_id").asc).limit(20)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("milli").desc, col("doc_id").asc)))
+      .select("doc_id", "lex_rank")
+    val e = embeddings(spark, dir)
+      .withColumn("embedding", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("nrm", sqrt(graft.functions.ArrayMath.dotProduct(
+        col("embedding"), col("embedding"))))
+    val qe = e.where(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val semTop = e.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qe)) // 1-row query vector: guard-exempt
+      .withColumn("cos_r", round(
+        graft.functions.ArrayMath.dotProduct(col("embedding"), col("q_emb")) /
+          (col("nrm") * col("q_nrm")), 6))
+      .orderBy(col("cos_r").desc, col("vec_id").asc).limit(20)
+      .withColumn("sem_rank", row_number().over(
+        Window.orderBy(col("cos_r").desc, col("vec_id").asc)))
+      .select(col("vec_id").as("doc_id"), col("sem_rank"))
+    lexTop.select(col("doc_id"), col("lex_rank"),
+        lit(null).cast("int").as("sem_rank"))
+      .unionAll(semTop.select(col("doc_id"),
+        lit(null).cast("int").as("lex_rank"), col("sem_rank")))
+      .groupBy("doc_id")
+      .agg(max(col("lex_rank")).as("lex_rank"),
+        max(col("sem_rank")).as("sem_rank"))
+      .withColumn("rrf_micro",
+        coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + sem_rank)"), lit(0L)))
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  // ------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_bm25_topk" -> (bm25Topk _),
+    "llm_hybrid_rrf" -> (hybridRrf _),
+  )
+
+  /** Shared oracle CTE text for the fixed-point BM25 leg; `tfWhere`
+    * optionally excludes the probe doc from retrieval (never from df). */
+  private def bm25Sql(qCte: String, tfWhere: String): String =
+    s"""$qCte,
+       tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+       dl AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS dl FROM documents),
+       st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS dls FROM dl),
+       df AS (SELECT t.term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+         FROM tok t JOIN q USING (term) GROUP BY 1),
+       tf AS (SELECT doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+         FROM tok t JOIN q USING (term) $tfWhere GROUP BY 1, 2),
+       sc AS (SELECT tf.doc_id,
+           (22*st.dls*tf.tf*(2*st.n - 2*df.df + 1)) AS a,
+           ((10*st.dls*tf.tf + 3*st.dls + 9*st.n*dl.dl) * (2*df.df + 1)) AS b
+         FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+       bm AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM((a // b)*1000 + ((a % b)*1000) // b) AS BIGINT) AS milli
+         FROM sc GROUP BY 1)"""
+
+  private def dotQSql =
+    "list_sum(list_transform(range(1,65), i -> " +
+      "CAST(c.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE)))"
+  private def normSql(a: String) =
+    s"sqrt(list_sum(list_transform(range(1,65), i -> " +
+      s"CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))"
+
+  val oracles: Map[String, String] = Map(
+    "llm_bm25_topk" -> (
+      "WITH " + bm25Sql(
+        "q AS (SELECT unnest(['window','merge','stream','dup']) AS term)", "") +
+      """
+       SELECT doc_id, n_terms, milli AS bm25_milli
+       FROM bm ORDER BY bm25_milli DESC, doc_id LIMIT 10"""),
+    "llm_hybrid_rrf" -> (
+      "WITH " + bm25Sql(
+        """qt AS (SELECT DISTINCT unnest(string_split(text,' ')) AS term
+             FROM documents WHERE doc_id = 0),
+           q AS (SELECT term FROM qt WHERE term <> '')""",
+        "WHERE doc_id <> 0") +
+      s""",
+       lexr AS (SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY milli DESC, doc_id) AS lex_rank FROM bm),
+       lex AS (SELECT doc_id, lex_rank FROM lexr WHERE lex_rank <= 20),
+       e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       qe AS (SELECT embedding, nrm FROM e WHERE vec_id = 0),
+       semr AS (SELECT c.vec_id AS doc_id,
+           ROW_NUMBER() OVER (ORDER BY round($dotQSql / (qe.nrm * c.nrm), 6) DESC,
+             c.vec_id) AS sem_rank
+         FROM e c CROSS JOIN qe WHERE c.vec_id <> 0),
+       sem AS (SELECT doc_id, sem_rank FROM semr WHERE sem_rank <= 20),
+       f AS (SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank
+         FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id)
+       SELECT doc_id, CAST(lex_rank AS INT) AS lex_rank,
+         CAST(sem_rank AS INT) AS sem_rank,
+         CAST(COALESCE(1000000 // (60 + lex_rank), 0)
+            + COALESCE(1000000 // (60 + sem_rank), 0) AS BIGINT) AS rrf_micro
+       FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 10"""),
+  )
+}

@@ -144,7 +144,12 @@ class PlanSpec extends SparkTestBase {
       // and Q22's average positive balance (see Warehouse3 scaladoc)
       "tpch_q11_important_parts", "tpch_q22_idle_customers",
       // 1-row node-count broadcast (teleport term 1/N)
-      "graph_pagerank_step")
+      "graph_pagerank_step",
+      // 1-row count-min sketch broadcast into the estimate probe
+      "llm_cms_heavy_hitters",
+      // 1-row corpus-stats broadcast (N, Σdl) into the BM25 scorer; the
+      // hybrid adds the 1-row query-embedding broadcast of the cosine leg
+      "llm_bm25_topk", "llm_hybrid_rrf")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, sf0001))

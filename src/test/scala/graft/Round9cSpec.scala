@@ -1,0 +1,79 @@
+package graft
+
+import graft.ops.Llm7
+import org.apache.spark.sql.functions._
+
+/** Round-9 retrieval pair: fixed-point BM25 and hybrid RRF fusion. */
+class Round9cSpec extends SparkTestBase {
+
+  test("BM25 top-10 matches an independent BigInt replica of the fixed-point math") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val q = Set("window", "merge", "stream", "dup")
+    val tokens = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val n = BigInt(docs.length)
+    val dls = BigInt(tokens.map(_._2.length.toLong).sum)
+    val df = q.map(term =>
+      term -> BigInt(tokens.count(_._2.contains(term)))).toMap
+    val expected = tokens.flatMap { case (id, ws) =>
+      val dl = BigInt(ws.length)
+      val scores = q.toSeq.flatMap { term =>
+        val tf = BigInt(ws.count(_ == term))
+        if (tf == 0) None else {
+          val a = 22 * dls * tf * (2 * n - 2 * df(term) + 1)
+          val b = (10 * dls * tf + 3 * dls + 9 * n * dl) * (2 * df(term) + 1)
+          Some((a * 1000) / b) // floor; positive so / is exact floor
+        }
+      }
+      if (scores.isEmpty) None
+      else Some((id, scores.length.toLong, scores.sum.toLong))
+    }.sortBy { case (id, _, m) => (-m, id) }.take(10).toSeq
+    val got = Llm7.bm25Topk(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
+  test("overflow-safe milli split equals floor(A*1000/B) on the replica's terms") {
+    // the operator computes (a div b)*1000 + ((a%b)*1000) div b; the
+    // replica computes (a*1000)/b in BigInt — prove the identity holds
+    // over a range that includes non-dividing cases
+    for (a <- Seq(1L, 999L, 123457L, 987654321L); b <- Seq(7L, 1000L, 31337L)) {
+      val split = (a / b) * 1000 + ((a % b) * 1000) / b
+      val whole = (BigInt(a) * 1000 / BigInt(b)).toLong
+      assert(split == whole, s"a=$a b=$b")
+    }
+  }
+
+  test("RRF fuses only leg survivors and scores exactly 1e6/(60+rank) per leg") {
+    val out = Llm7.hybridRrf(spark, sf0001).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val lex = if (r.isNullAt(1)) None else Some(r.getInt(1))
+      val sem = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      assert(lex.nonEmpty || sem.nonEmpty, "fused doc from neither leg")
+      assert(lex.forall(k => k >= 1 && k <= 20))
+      assert(sem.forall(k => k >= 1 && k <= 20))
+      val want = lex.map(k => 1000000L / (60 + k)).getOrElse(0L) +
+        sem.map(k => 1000000L / (60 + k)).getOrElse(0L)
+      assert(r.getLong(3) == want)
+    }
+    // descending fusion order, doc_id tiebreak
+    val scores = out.map(r => (r.getLong(3), r.getLong(0)))
+    assert(scores.sortBy { case (s, id) => (-s, id) }.toSeq == scores.toSeq)
+    // both-leg docs (if any) must outrank the best single-leg doc of
+    // equal ranks — implied by the sum; just pin that a both-leg doc
+    // exists on this fixture so the fusion case is actually exercised
+    assert(out.exists(r => !r.isNullAt(1) && !r.isNullAt(2)),
+      "fixture exercises no doc in both legs — fusion untested")
+  }
+
+  test("retrieval legs keep scale shapes: TakeOrdered tops, broadcast-only joins") {
+    val bm = Llm7.bm25Topk(spark, sf0001).queryExecution.executedPlan.toString
+    assert(bm.contains("TakeOrderedAndProject"), bm)
+    assert(!bm.contains("CartesianProduct") && !bm.contains("SortMergeJoin"), bm)
+    val rrf = Llm7.hybridRrf(spark, sf0001).queryExecution.executedPlan.toString
+    assert(!rrf.contains("CartesianProduct") && !rrf.contains("SortMergeJoin"), rrf)
+    assert(rrf.contains("TakeOrderedAndProject"), rrf)
+  }
+}
