@@ -128,10 +128,68 @@ object Llm7 {
   }
 
   // ------------------------------------------------------------------
+  // MMR diversified re-rank
+  // ------------------------------------------------------------------
+
+  private val MmrPool = 20
+  private val MmrK = 5
+
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein SIGIR
+    * 1998) for query vector 0: the distributed leg scans the corpus once
+    * for the exact-cosine top-20 candidate pool (TakeOrdered, the
+    * `llm_sim_topk` round-6 contract); the greedy selection then runs
+    * driver-side over the BOUNDED pool (20 vectors via `boundedCollect`
+    * — the same sanctioned driver-loop tier as the k-means/Pregel
+    * steps), picking k=5 by `mmr = λ·rel − (1−λ)·max_sim-to-selected`
+    * with λ=1/2. Halving a double is exact (power-of-two scale) and the
+    * subtraction is one correctly-rounded op over round-6 inputs, so the
+    * scores are bit-deterministic and the oracle replays the greedy loop
+    * as k−1 unrolled SQL steps — no tolerance anywhere. First pick uses
+    * the empty-set convention max_sim = 0 (pure relevance). At corpus
+    * scale nothing here grows: the selection is O(k·pool) on 20 rows;
+    * only the pool scan is distributed. */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ArrayMath.{dotJvm, round6}
+    import spark.implicits._
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .as[(Long, Array[Double])]
+    val qv = boundedCollect(e.filter(col("vec_id") === 0), 1,
+      "mmr query vector").head._2
+    val qn = math.sqrt(dotJvm(qv, qv))
+    val scored = e.filter(col("vec_id") =!= 0)
+      .map { case (id, v) =>
+        (id, v, round6(dotJvm(qv, v) / (qn * math.sqrt(dotJvm(v, v)))))
+      }
+    // the one distributed stage: exact top-pool by (rel DESC, vec_id ASC)
+    val pool = boundedCollect(
+      scored.orderBy(col("_3").desc, col("_1").asc).limit(MmrPool),
+      MmrPool, "mmr candidate pool")
+    val norms = pool.map { case (_, v, _) => math.sqrt(dotJvm(v, v)) }
+    def sim(i: Int, j: Int): Double =
+      round6(dotJvm(pool(i)._2, pool(j)._2) / (norms(i) * norms(j)))
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    while (selected.length < math.min(MmrK, pool.length)) {
+      val best = pool.indices.filterNot(selected.contains).map { i =>
+        val maxSim = if (selected.isEmpty) 0.0 else selected.map(sim(i, _)).max
+        (0.5 * pool(i)._3 - 0.5 * maxSim, pool(i)._1, i)
+      }.minBy { case (m, id, _) => (-m, id) } // mmr DESC, vec_id ASC
+      out += ((selected.length + 1, best._2, pool(best._3)._3, best._1))
+      selected += best._3
+    }
+    spark.createDataFrame(out.toSeq)
+      .toDF("rank", "vec_id", "rel_r", "mmr_r")
+      .orderBy("rank")
+  }
+
+  // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_bm25_topk" -> (bm25Topk _),
     "llm_hybrid_rrf" -> (hybridRrf _),
+    "llm_mmr_rerank" -> (mmrRerank _),
   )
 
   /** Shared oracle CTE text for the fixed-point BM25 leg; `tfWhere`
@@ -191,5 +249,42 @@ object Llm7 {
          CAST(COALESCE(1000000 // (60 + lex_rank), 0)
             + COALESCE(1000000 // (60 + sem_rank), 0) AS BIGINT) AS rrf_micro
        FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 10"""),
+    "llm_mmr_rerank" -> {
+      // the greedy selection unrolled: step s picks the argmax of
+      // 0.5·rel − 0.5·max(sim to picked_{s−1}) over the un-picked pool —
+      // the same loop the driver runs, replayed as k−1 mechanical CTEs
+      val dotCE =
+        "list_sum(list_transform(range(1,65), i -> " +
+          "CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+      val steps = (2 to MmrK).map { s =>
+        s"""st$s AS (SELECT $s AS rank, c.vec_id, c.rel,
+             0.5*c.rel - 0.5*(SELECT MAX(p.sim) FROM pair p
+               JOIN picked${s - 1} pk ON p.vb = pk.vec_id
+               WHERE p.va = c.vec_id) AS mmr
+           FROM cand c
+           WHERE c.vec_id NOT IN (SELECT vec_id FROM picked${s - 1})
+           ORDER BY mmr DESC, c.vec_id LIMIT 1),
+         picked$s AS (SELECT vec_id FROM picked${s - 1}
+           UNION ALL SELECT vec_id FROM st$s)"""
+      }.mkString(",\n")
+      val union = (1 to MmrK).map(s => s"SELECT * FROM st$s").mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+             FROM embeddings),
+         qe AS (SELECT embedding, nrm FROM e WHERE vec_id = 0),
+         cand AS (SELECT c.vec_id,
+             round($dotQSql / (qe.nrm * c.nrm), 6) AS rel
+           FROM e c CROSS JOIN qe WHERE c.vec_id <> 0
+           ORDER BY rel DESC, c.vec_id LIMIT $MmrPool),
+         ce AS (SELECT c.vec_id, e.embedding, e.nrm FROM cand c JOIN e USING (vec_id)),
+         pair AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+             round($dotCE / (a.nrm * b.nrm), 6) AS sim
+           FROM ce a JOIN ce b ON a.vec_id <> b.vec_id),
+         st1 AS (SELECT 1 AS rank, vec_id, rel, 0.5*rel - 0.5*0 AS mmr
+           FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+         picked1 AS (SELECT vec_id FROM st1),
+         $steps
+         SELECT CAST(rank AS INT) AS rank, vec_id, rel AS rel_r, mmr AS mmr_r
+         FROM ($union) ORDER BY rank"""
+    },
   )
 }

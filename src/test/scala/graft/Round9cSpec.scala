@@ -68,6 +68,39 @@ class Round9cSpec extends SparkTestBase {
       "fixture exercises no doc in both legs — fusion untested")
   }
 
+  test("MMR greedy invariants: top-rel first pick, argmax at every step, k distinct") {
+    import graft.functions.ArrayMath.{dotJvm, round6}
+    val out = Llm7.mmrRerank(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == (1 to 5))
+    assert(out.map(_._2).distinct.length == 5)
+    // independent replica: pool = top-20 cosine to vec 0, then greedy
+    val vecs = Tables.embeddings(spark, sf0001).collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray
+    }.toMap
+    val q = vecs(0L)
+    val qn = math.sqrt(dotJvm(q, q))
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      round6(dotJvm(a, b) / (math.sqrt(dotJvm(a, a)) * math.sqrt(dotJvm(b, b))))
+    val rel = vecs.keys.filter(_ != 0L).map { id =>
+      id -> round6(dotJvm(q, vecs(id)) / (qn * math.sqrt(dotJvm(vecs(id), vecs(id)))))
+    }.toMap
+    val pool = rel.toSeq.sortBy { case (id, r) => (-r, id) }.take(20).map(_._1)
+    var picked = List.empty[Long]
+    val replica = (1 to 5).map { step =>
+      val (mmr, id) = pool.filterNot(picked.contains).map { id =>
+        val ms = if (picked.isEmpty) 0.0
+          else picked.map(p => cos(vecs(id), vecs(p))).max
+        (0.5 * rel(id) - 0.5 * ms, id)
+      }.minBy { case (m, id) => (-m, id) }
+      picked :+= id
+      (step, id, rel(id), mmr)
+    }
+    assert(out.toSeq == replica)
+    // first pick is pure relevance: the pool's top-rel candidate
+    assert(out.head._2 == pool.head)
+  }
+
   test("retrieval legs keep scale shapes: TakeOrdered tops, broadcast-only joins") {
     val bm = Llm7.bm25Topk(spark, sf0001).queryExecution.executedPlan.toString
     assert(bm.contains("TakeOrderedAndProject"), bm)
