@@ -845,6 +845,26 @@ object Streams {
     * Alert rule: estimated J (fraction of equal minima over the 8
     * permutations) ≥ 1/2; `dup_of` is the EARLIEST prior doc (smallest
     * id) among the bucket's matches, mirroring batch keep-first. */
+  /** L179 — windowed COUNT-MIN sketch ON A STREAM (the Flink
+    * "sketch-in-keyed-state" pattern: per-window frequency summaries that
+    * merge as events arrive): the custom [[graft.functions.CountMinAgg]]
+    * runs as a streaming aggregate, so its fixed depth×width counter
+    * buffer IS the per-window state-store row — O(1) state per window
+    * regardless of stream length, partials merging cell-wise across
+    * micro-batches exactly as they merge across partitions in batch.
+    * Item = `user_id` (stringified through the portable h48). Complete
+    * output mode re-emits every window's merged sketch per trigger; the
+    * spec proves each is BIT-EQUAL to the batch aggregate over the same
+    * rows — the cross-micro-batch merge is the same verified arithmetic.
+    * Consumers probe estimates with [[graft.functions.CountMin.estimate]]
+    * exactly as in the batch `llm_cms_heavy_hitters`. */
+  def cmsWindowed(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(graft.functions.CountMin.sketch(
+        graft.Tables.h48(col("user_id").cast("string")), 4, 16).as("sk"))
+      .select(col("w.start").as("ws"), col("sk"))
+
   def streamingNearDup(docs: Dataset[StreamDoc]): Dataset[NearDupAlert] = {
     import docs.sparkSession.implicits._
     docs.flatMap { d =>

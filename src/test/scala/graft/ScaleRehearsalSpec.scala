@@ -360,6 +360,37 @@ class ScaleRehearsalSpec extends SparkTestBase {
     assert(secs < 60.0, s"q21 took $secs s at 10x")
   }
 
+  test("sketch family at 10x corpus: bloom prunes before shuffle, CMS state fixed, retrieval bounded") {
+    // bloom: the sketch is CONSTANT-size however big the corpus — the
+    // prefilter's reduction claim must survive 10x grams; result exact
+    val (nB, tB) = runTimed("llm_bloom_decontaminate")
+    assert(nB === 19L, s"per-source summary rows: $nB") // sources are shared dims
+    assert(tB < 60.0, s"bloom decontaminate took $tB s at 10x")
+    // CMS: depth x width longs of state regardless of 10x token stream;
+    // replica token counts are exactly 10x so estimates scale 10x too
+    val base = SparkEntry.queries("llm_cms_heavy_hitters")(spark, sf001)
+      .select("token", "n_exact", "n_cms").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (n10, t10) = (SparkEntry.queries("llm_cms_heavy_hitters")(spark, scaledDir)
+      .select("token", "n_exact", "n_cms").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap, 0.0)
+    assert(n10.keySet === base.keySet, "10x corpus changed the top-20 set")
+    n10.foreach { case (tok, (ex10, cms10)) =>
+      assert(ex10 === base(tok)._1 * 10, s"$tok exact not 10x")
+      // counter arithmetic is linear: every cell is 10x, so the min is too
+      assert(cms10 === base(tok)._2 * 10, s"$tok CMS estimate not 10x")
+    }
+    // retrieval: BM25 stats/df broadcasts stay dim-sized; per-term scores
+    // are scale-free (tf, df, dl, N, Σdl all scale together only where
+    // they should) — just bound the wall and the output contract
+    val (nR, tR) = runTimed("llm_bm25_topk")
+    assert(nR === 10L)
+    assert(tR < 60.0, s"bm25 took $tR s at 10x")
+    val (nM, tM) = runTimed("llm_mmr_rerank")
+    assert(nM === 5L)
+    assert(tM < 60.0, s"mmr took $tM s at 10x")
+  }
+
   test("no driver-collect cap is violated by the 10x corpus") {
     // the bounded brute baselines must still fit their caps at 10x (5000
     // rows ≪ the 100k boundedCollect cap / 4096 query cap) — this pins

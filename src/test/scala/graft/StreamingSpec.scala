@@ -928,6 +928,57 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("batch≡streaming: per-window count-min sketches bit-equal across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ordered = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val ms = MemoryStream[Event]
+    val q = runToTable(Streams.cmsWindowed(ms.toDF()), "cms_win", "complete")
+    try {
+      // three chronological micro-batches: most windows accumulate their
+      // sketch across a state-store boundary (partial/merge in state)
+      ordered.grouped((ordered.length + 2) / 3).foreach { chunk =>
+        ms.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("cms_win")
+        .select($"ws".cast("string"), $"sk").as[(String, Seq[Long])]
+        .collect().toMap
+      val batch = Streams.cmsWindowed(Tables.events(spark, sf0001))
+        .select($"ws".cast("string"), $"sk").as[(String, Seq[Long])]
+        .collect().toMap
+      assert(streamed.keySet === batch.keySet)
+      batch.foreach { case (ws, sk) =>
+        assert(streamed(ws) == sk, s"sketch drift in window $ws")
+      }
+      assert(batch.size > 1, "fixture must span multiple windows")
+      // total mass conservation: each sketch row sums to the window's rows
+      val perWindow = Tables.events(spark, sf0001)
+        .groupBy(window($"ts", "1 day")).count()
+        .select($"window.start".cast("string"), $"count").as[(String, Long)]
+        .collect().toMap
+      streamed.foreach { case (ws, sk) =>
+        (0 until 4).foreach { j =>
+          assert(sk.slice(j * 16, (j + 1) * 16).sum == perWindow(ws),
+            s"row $j of window $ws lost mass")
+        }
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("batch≡streaming: absence alerts equal cep_not_followed_by on the full fixture") {
     val s = spark
     import s.implicits._
