@@ -451,8 +451,36 @@ object Analytics {
       .limit(20)
   }
 
+  /** Butterfly counting (2×2 bicliques — the bipartite graph's triangle
+    * analogue; Wang et al. VLDB 2019 "Vertex Priority Based Butterfly
+    * Counting for Large-scale Bipartite Networks" is the public
+    * reference shape) over the supplier→customer trade graph of
+    * [[pagerankStep]]. Exact wedge enumeration: the customer-keyed
+    * self-join emits one wedge per (s1<s2, c) — ONE equi-key shuffle of
+    * the edge set, wedge volume Σ_c d_c² (the algorithm's known cost
+    * term); per-pair butterflies = C(n_common, 2) in exact integers.
+    * At deployment scale the standard mitigations apply on the same
+    * plan: cap/remove hub customers (vertex-priority ordering) or
+    * delta-sample wedges for an estimator — the fixture graph needs
+    * neither, and the exact form is what the oracle can hash-gate. */
+  def butterflyCount(spark: SparkSession, dir: String): DataFrame = {
+    val edges = lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
+      .distinct()
+    edges.as("a").join(edges.as("b"),
+        col("a.c") === col("b.c") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("s1"), col("b.s").as("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("n_common"))
+      .withColumn("n_butterflies", expr("n_common * (n_common - 1) div 2"))
+      .orderBy(col("n_butterflies").desc, col("s1").asc, col("s2").asc)
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank_step" -> (pagerankStep _),
+    "graph_butterfly_count" -> (butterflyCount _),
     "ts_gapfill_hourly" -> (tsGapfillHourly _),
     "scalar_array_ops" -> (scalarArrayOps _),
     "flatmap_posexplode_words" -> (flatmapPosexplodeWords _),
@@ -501,6 +529,17 @@ object Analytics {
             round(0.15 / n.n_nodes + 0.85 * COALESCE(in_sum, 0.0), 6) AS rank
           FROM nodes LEFT JOIN inbound USING (node) CROSS JOIN n
           ORDER BY rank DESC, node ASC LIMIT 20""",
+    "graph_butterfly_count" ->
+      """WITH edges AS (
+            SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          wedge AS (SELECT a.s AS s1, b.s AS s2
+            FROM edges a JOIN edges b ON a.c = b.c AND a.s < b.s),
+          pairs AS (SELECT s1, s2, CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM wedge GROUP BY 1, 2)
+          SELECT s1, s2, n_common,
+            CAST(n_common * (n_common - 1) // 2 AS BIGINT) AS n_butterflies
+          FROM pairs ORDER BY n_butterflies DESC, s1 ASC, s2 ASC LIMIT 10""",
     "ts_gapfill_hourly" ->
       s"""WITH ev AS (SELECT user_id, date_trunc('hour', $evTs) AS bucket FROM events),
           counts AS (SELECT user_id, bucket, CAST(COUNT(*) AS BIGINT) AS n

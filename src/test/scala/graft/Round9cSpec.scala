@@ -101,6 +101,30 @@ class Round9cSpec extends SparkTestBase {
     assert(out.head._2 == pool.head)
   }
 
+  test("butterfly counting matches an in-memory wedge replica") {
+    val edges = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sf0001).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"), col("o_custkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byCustomer = edges.groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    val pairCounts = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byCustomer.values.foreach { ss =>
+      for (i <- ss.indices; j <- (i + 1) until ss.length)
+        pairCounts((ss(i), ss(j))) = pairCounts.getOrElse((ss(i), ss(j)), 0L) + 1
+    }
+    val expected = pairCounts.toSeq
+      .map { case ((s1, s2), n) => (s1, s2, n, n * (n - 1) / 2) }
+      .sortBy { case (s1, s2, _, b) => (-b, s1, s2) }.take(10)
+    val got = graft.ops.Analytics.butterflyCount(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    val plan = graft.ops.Analytics.butterflyCount(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("retrieval legs keep scale shapes: TakeOrdered tops, broadcast-only joins") {
     val bm = Llm7.bm25Topk(spark, sf0001).queryExecution.executedPlan.toString
     assert(bm.contains("TakeOrderedAndProject"), bm)
