@@ -155,8 +155,12 @@ object Llm7 {
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("emb"))
       .as[(Long, Array[Double])]
-    val qv = boundedCollect(e.filter(col("vec_id") === 0), 1,
-      "mmr query vector").head._2
+    val qRows = boundedCollect(e.filter(col("vec_id") === 0), 1,
+      "mmr query vector")
+    if (qRows.isEmpty) // empty corpus / no query vector: empty result, same schema
+      return Seq.empty[(Int, Long, Double, Double)]
+        .toDF("rank", "vec_id", "rel_r", "mmr_r")
+    val qv = qRows.head._2
     val qn = math.sqrt(dotJvm(qv, qv))
     val scored = e.filter(col("vec_id") =!= 0)
       .map { case (id, v) =>
@@ -185,11 +189,60 @@ object Llm7 {
   }
 
   // ------------------------------------------------------------------
+  // DSIR importance weights
+  // ------------------------------------------------------------------
+
+  /** DSIR-style importance weights (Xie et al. NeurIPS 2023, "Data
+    * Selection for Language Models via Importance Resampling" — public):
+    * score every general-corpus document by how target-like it is under
+    * two smoothed unigram LMs, `log w(d) = Σ_tokens log p_T − log p_C`
+    * (target = the `src0` slice, the same framing as L77's benchmark
+    * set; add-one smoothing over the shared vocabulary). The top-k by
+    * log-weight is the resampling pool a mixture owner feeds into
+    * sampling-without-replacement.
+    *
+    * Scale shape: both LM tables are VOCABULARY-sized (broadcast), the
+    * totals are 1-row broadcasts, and the per-token score is row-local —
+    * one explode + one doc-keyed agg over the corpus, nothing pairwise.
+    * Determinism: each token's log-ratio is quantized through `dsum`'s
+    * DECIMAL(18,6) before summation (order-free; absorbs sub-6dp `ln`
+    * ulp drift between engines — the `llm_unigram_logprob` contract). */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val tok = documents(spark, dir)
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("w"))
+    val nv = tok.agg(countDistinct(col("w")).as("nv"))
+    val tCnt = tok.where(col("source") === "src0")
+      .groupBy("w").agg(count(lit(1)).as("c_t"))
+    val tTot = tok.where(col("source") === "src0")
+      .agg(count(lit(1)).as("t_t"))
+    val cCnt = tok.where(col("source") =!= "src0")
+      .groupBy("w").agg(count(lit(1)).as("c_c"))
+    val cTot = tok.where(col("source") =!= "src0")
+      .agg(count(lit(1)).as("t_c"))
+    tok.where(col("source") =!= "src0")
+      .join(broadcast(tCnt), Seq("w"), "left")
+      .join(broadcast(cCnt), Seq("w"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(cTot))
+      .crossJoin(broadcast(nv)) // 1-row totals: CartesianGuard-exempt
+      .withColumn("lr",
+        log((coalesce(col("c_t"), lit(0L)) + lit(1L)).cast("double") /
+          (col("t_t") + col("nv")).cast("double")) -
+        log((coalesce(col("c_c"), lit(0L)) + lit(1L)).cast("double") /
+          (col("t_c") + col("nv")).cast("double")))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(dsum(col("lr")), 6).as("log_ratio_r"))
+      .orderBy(col("log_ratio_r").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_bm25_topk" -> (bm25Topk _),
     "llm_hybrid_rrf" -> (hybridRrf _),
     "llm_mmr_rerank" -> (mmrRerank _),
+    "llm_dsir_weights" -> (dsirWeights _),
   )
 
   /** Shared oracle CTE text for the fixed-point BM25 leg; `tfWhere`
@@ -286,5 +339,30 @@ object Llm7 {
          SELECT CAST(rank AS INT) AS rank, vec_id, rel AS rel_r, mmr AS mmr_r
          FROM ($union) ORDER BY rank"""
     },
+    "llm_dsir_weights" ->
+      """WITH tok AS (SELECT doc_id, source,
+             unnest(string_split(text, ' ')) AS w FROM documents),
+         v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS nv FROM tok),
+         tcnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_t FROM tok
+           WHERE source = 'src0' GROUP BY 1),
+         ttot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_t FROM tok
+           WHERE source = 'src0'),
+         ccnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_c FROM tok
+           WHERE source <> 'src0' GROUP BY 1),
+         ctot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_c FROM tok
+           WHERE source <> 'src0'),
+         sc AS (SELECT t.doc_id, t.source,
+             ln(CAST(COALESCE(tc.c_t, 0) + 1 AS DOUBLE)
+                / CAST(tt.t_t + v.nv AS DOUBLE))
+           - ln(CAST(COALESCE(cc.c_c, 0) + 1 AS DOUBLE)
+                / CAST(ct.t_c + v.nv AS DOUBLE)) AS lr
+           FROM tok t LEFT JOIN tcnt tc ON t.w = tc.w
+           LEFT JOIN ccnt cc ON t.w = cc.w
+           CROSS JOIN ttot tt CROSS JOIN ctot ct CROSS JOIN v
+           WHERE t.source <> 'src0')
+       SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         round(CAST(SUM(CAST(lr AS DECIMAL(18,6))) AS DOUBLE), 6) AS log_ratio_r
+       FROM sc GROUP BY doc_id, source
+       ORDER BY log_ratio_r DESC, doc_id LIMIT 20""",
   )
 }

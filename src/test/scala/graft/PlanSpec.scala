@@ -149,7 +149,9 @@ class PlanSpec extends SparkTestBase {
       "llm_cms_heavy_hitters",
       // 1-row corpus-stats broadcast (N, Σdl) into the BM25 scorer; the
       // hybrid adds the 1-row query-embedding broadcast of the cosine leg
-      "llm_bm25_topk", "llm_hybrid_rrf")
+      "llm_bm25_topk", "llm_hybrid_rrf",
+      // 1-row LM-total broadcasts (target/corpus token totals, |vocab|)
+      "llm_dsir_weights")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, sf0001))
