@@ -47,7 +47,13 @@ class ShuffleVolumeSpec extends SparkTestBase {
     // textbook bound for a PageRank step); the CEP absence pass is one
     // user-keyed window shuffle of the event table (2.2 MB)
     "graph_pagerank_step" -> 31.0,
-    "cep_not_followed_by" -> 7.0
+    "cep_not_followed_by" -> 7.0,
+    // round-9: butterfly counting — orders broadcasts into the edge
+    // build, so the motion is the distinct edge set into the wedge
+    // self-join plus the pair aggregate (35.3 MB measured = 3x the 587k-row edge set:
+    // distinct + both join inputs — edge-LINEAR); the 12.5M-wedge stream
+    // never shuffles (joined and partial-aggregated in-pipeline)
+    "graph_butterfly_count" -> 100.0
   )
 
   private lazy val measured: Map[String, Bench.QueryStat] = {
