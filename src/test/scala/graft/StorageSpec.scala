@@ -257,4 +257,35 @@ class StorageSpec extends SparkTestBase {
     assert(back.exceptAll(src).count() === 0)
     assert(src.exceptAll(back).count() === 0)
   }
+
+  test("small-file compaction bin-packs to the byte target and publishes atomically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val table = s"$dir/events"
+    // fragment: 40 tiny files, the post-streaming-ingest pathology
+    val src = Tables.events(spark, sf0001)
+    src.repartition(40).write.parquet(table)
+    def files(suffix: String) = Option(new java.io.File(table).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.endsWith(suffix)).length
+    assert(files(".parquet") === 40)
+    val bytes = Option(new java.io.File(table).listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val target = bytes / 3 + 1 // force ~3-4 output files
+    val stats = graft.ops.Maintenance.compactParquet(spark, table, target)
+    assert(stats.filesBefore === 40)
+    val expectedFiles = ((bytes + target - 1) / target).toInt
+    assert(stats.filesAfter === expectedFiles, stats.toString)
+    assert(files(".parquet") === expectedFiles)
+    // content survives byte-for-byte (row multiset equality)
+    val back = spark.read.parquet(table)
+    assert(back.count() === stats.rows)
+    assert(back.exceptAll(src).count() === 0)
+    assert(src.exceptAll(back).count() === 0)
+    // crash repair: a stale staging leftover is swept, the table untouched
+    val stale = new java.io.File(s"$table.staging-999")
+    assert(stale.mkdir())
+    graft.streaming.Streams.recoverUpsertTable(table)
+    assert(!stale.exists)
+    assert(spark.read.parquet(table).count() === stats.rows)
+  }
 }
