@@ -29,6 +29,7 @@ object SparkEntry {
       ops.Llm5.queries ++
       ops.Llm6.queries ++
       ops.Llm7.queries ++
+      ops.Er.queries ++
       ops.Warehouse.queries ++
       ops.Warehouse2.queries ++
       ops.Warehouse3.queries
@@ -48,6 +49,7 @@ object SparkEntry {
       ops.Llm5.oracles ++
       ops.Llm6.oracles ++
       ops.Llm7.oracles ++
+      ops.Er.oracles ++
       ops.Warehouse.oracles ++
       ops.Warehouse2.oracles ++
       ops.Warehouse3.oracles

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-9: Sorted-Neighborhood ER. */
+class Round9dSpec extends SparkTestBase {
+
+  test("SNM equals the in-memory sort+window+jaccard replica (distributed rank exact)") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val ranked = docs.sortBy { case (id, t) => (t, id) }.map(_._1)
+    val words = docs.map { case (id, t) =>
+      id -> t.split(" ", -1).distinct.toSet
+    }.toMap
+    val expected = (for {
+      i <- ranked.indices
+      j <- (i + 1) until math.min(i + 6, ranked.length)
+    } yield {
+      val (a, b) = (ranked(i), ranked(j))
+      val (d1, d2) = (math.min(a, b), math.max(a, b))
+      val inter = (words(d1) & words(d2)).size
+      val uni = words(d1).size + words(d2).size - inter
+      (d1, d2, inter.toLong, uni.toLong)
+    }).filter { case (_, _, i2, u) => 10 * i2 >= 9 * u }
+      .map { case (d1, d2, i2, u) =>
+        (d1, d2, i2, u,
+          BigDecimal(i2.toDouble / u.toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (d1, d2, _, _, _) => (d1, d2) }
+    val got = graft.ops.Er.sortedNeighborhood(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture yields no SNM pairs — window untested")
+  }
+
+  test("SNM candidate generation is equi-bucketed: no non-equi join node") {
+    val plan = graft.ops.Er.sortedNeighborhood(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
