@@ -1008,6 +1008,80 @@ object Streams {
     }
   }
 
+  /** One streaming temporal-join match — the twin of a
+    * [[graft.ops.Warehouse.cdcTemporalJoin]] output row. */
+  case class TemporalMatch(purchase_id: Long, user_id: Long, version: Long,
+      type_at_purchase: String, valid_from_us: Long)
+
+  /** Temporal (versioned-dimension) join ON A STREAM — Flink's streaming
+    * `FOR SYSTEM_TIME AS OF` (temporal table join), the live twin of the
+    * batch [[graft.ops.Warehouse.cdcTemporalJoin]]. The event stream is
+    * DUAL-ROLE, exactly as in the batch SCD2 build: every event is a
+    * dimension update candidate (a per-user version increments when
+    * `event_type` changes under (ts, event_id) order), and purchases
+    * additionally PROBE the version valid at their own timestamp. Keyed
+    * state = ONE (version, type, valid_from) struct per user — the
+    * current dimension version, O(1) regardless of history (Flink keeps
+    * the same latest-version state once watermark GC passes; earlier
+    * versions are unreachable by in-order probes and never stored).
+    *
+    * Equal-timestamp semantics mirror the batch half-open intervals
+    * (`valid_from ≤ ts < valid_to`): within one timestamp ALL dimension
+    * updates apply (in event_id order) before ANY probe fires, because a
+    * version born at ts T owns T — including the version the probing
+    * purchase itself creates. In-order-per-user arrival across
+    * micro-batches is the documented contract (as L171); StreamingSpec
+    * proves full-fixture row equality with the batch join across three
+    * chronological RocksDB micro-batches. */
+  def temporalJoinStream(events: Dataset[Event]): Dataset[TemporalMatch] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TemporalJoinProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  class TemporalJoinProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, TemporalMatch] {
+    import org.apache.spark.sql.{Encoders, streaming}
+    // (version, event_type, valid_from_us) — the CURRENT dimension version
+    @transient private var cur: streaming.ValueState[(Long, String, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit =
+      cur = getHandle.getValueState[(Long, String, Long)]("cur",
+        Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.scalaLong),
+        streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: streaming.TimerValues): Iterator[TemporalMatch] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[TemporalMatch]
+      val sorted = rows.toSeq.sortBy(e => (microsOf(e.ts), e.event_id))
+      var i = 0
+      while (i < sorted.length) {
+        val t = microsOf(sorted(i).ts)
+        var j = i
+        while (j < sorted.length && microsOf(sorted(j).ts) == t) j += 1
+        // phase 1: every equal-ts event applies its dimension update
+        sorted.slice(i, j).foreach { e =>
+          if (!cur.exists() || cur.get()._2 != e.event_type) {
+            val v = if (cur.exists()) cur.get()._1 + 1 else 1L
+            cur.update((v, e.event_type, t))
+          }
+        }
+        // phase 2: equal-ts probes see the post-update version (a version
+        // born at T owns T — the batch half-open interval)
+        sorted.slice(i, j).foreach { e =>
+          if (e.event_type == "purchase") {
+            val (v, ty, vf) = cur.get()
+            out += TemporalMatch(e.event_id, key, v, ty, vf)
+          }
+        }
+        i = j
+      }
+      out.iterator
+    }
+  }
+
   /** One emitted relaxed-chain (funnel) match — the streaming twin of
     * [[graft.ops.Cep]]'s relaxed singleton-chain output row. */
   case class ChainMatch(user_id: Long, ids: Seq[Long], first_ts_us: Long,

@@ -391,6 +391,20 @@ class ScaleRehearsalSpec extends SparkTestBase {
     assert(tM < 60.0, s"mmr took $tM s at 10x")
   }
 
+  test("SNM at 10x replica density: candidate budget holds, replicas surface, no pair join") {
+    // 10x self-union packs each replica family into adjacent text-sorted
+    // ranks — exactly SNM's favorable case. The candidate budget stays
+    // HARD at N*w regardless: verify wall + output shape + plan.
+    val p = planOf("er_sorted_neighborhood")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val (n, secs) = runTimed("er_sorted_neighborhood")
+    // replicas are verbatim copies (J = 1) sorted adjacent: with 10
+    // copies per doc and window 5, each family alone yields >= 5+4+3+2+1
+    // in-window pairs x 500 originals lower-bounds the output
+    assert(n >= 500L, s"expected the replica families to surface: $n")
+    assert(secs < 60.0, s"SNM took $secs s at 10x — rank or verify no longer linear?")
+  }
+
   test("no driver-collect cap is violated by the 10x corpus") {
     // the bounded brute baselines must still fit their caps at 10x (5000
     // rows ≪ the 100k boundedCollect cap / 4096 query cap) — this pins

@@ -928,6 +928,47 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("batch≡streaming: temporal join equals cdc_temporal_join on the full fixture") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ordered = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val ms = MemoryStream[Event]
+    val q = runToTable(Streams.temporalJoinStream(ms.toDS()).toDF(),
+      "temporal_eq", "append")
+    try {
+      // three chronological micro-batches: most users' dimension versions
+      // must persist through RocksDB state to serve later-batch probes
+      ordered.grouped((ordered.length + 2) / 3).foreach { chunk =>
+        ms.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("temporal_eq")
+        .select($"purchase_id", $"user_id", $"version", $"type_at_purchase",
+          $"valid_from_us")
+        .as[(Long, Long, Long, String, Long)].collect().toSet
+      val batch = ops.Warehouse.cdcTemporalJoin(spark, sf0001)
+        .select($"purchase_id", $"user_id", $"version", $"type_at_purchase",
+          $"valid_from_us")
+        .as[(Long, Long, Long, String, Long)].collect().toSet
+      assert(streamed === batch,
+        s"only-streamed=${(streamed -- batch).take(5)} only-batch=${(batch -- streamed).take(5)}")
+      assert(streamed.nonEmpty)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("batch≡streaming: per-window count-min sketches bit-equal across micro-batches") {
     val s = spark
     import s.implicits._
