@@ -30,6 +30,7 @@ object SparkEntry {
       ops.Llm6.queries ++
       ops.Llm7.queries ++
       ops.Er.queries ++
+      ops.Audit.queries ++
       ops.Warehouse.queries ++
       ops.Warehouse2.queries ++
       ops.Warehouse3.queries
@@ -50,6 +51,7 @@ object SparkEntry {
       ops.Llm6.oracles ++
       ops.Llm7.oracles ++
       ops.Er.oracles ++
+      ops.Audit.oracles ++
       ops.Warehouse.oracles ++
       ops.Warehouse2.oracles ++
       ops.Warehouse3.oracles

@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Release-gate audits a training-data pipeline runs before shipping a
+  * corpus or publishing a table: k-anonymity over quasi-identifiers
+  * (privacy) and keyed snapshot reconciliation (data integrity). */
+object Audit {
+
+  /** k-anonymity audit (Sweeney 2002, public): group the corpus by its
+    * quasi-identifier tuple (lang, source, length bucket) and band the
+    * equivalence classes by k — classes with k < 5 are the
+    * re-identification risk a privacy review flags before release.
+    * Pure two-phase agg (QI-keyed then band-keyed), map-side
+    * combinable; the QI space, not the corpus, bounds the second
+    * stage. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    documents(spark, dir)
+      .groupBy(col("lang"), col("source"),
+        (col("n_chars") / lit(100)).cast("long").as("len_b"))
+      .agg(count(lit(1)).as("k"))
+      .withColumn("band",
+        when(col("k") < 5, "k<5")
+          .when(col("k") < 20, "5<=k<20")
+          .otherwise("k>=20"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_classes"), sum(col("k")).as("n_docs"))
+      .orderBy("band")
+  }
+
+  /** Keyed snapshot reconciliation (the table-diff every CDC/publish
+    * pipeline runs to certify a new snapshot): diff the events table
+    * against a DETERMINISTICALLY mutated twin (drop id%97=0, bump value
+    * at id%101=0, clone id%103=0 under shifted ids) and report
+    * added/removed/changed/unchanged counts. Full outer join on the
+    * key with row-payload comparison — one equi shuffle each side; at
+    * warehouse scale the same diff runs per partition-predicate slice.
+    * The mutation constants are coprime so every status class is
+    * provably non-empty on any fixture with ≥10k consecutive ids. */
+  def tableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val a = events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val b0 = a.where(col("event_id") % 97 =!= 0)
+      .withColumn("value",
+        when(col("event_id") % 101 === 0, col("value") + 1.0)
+          .otherwise(col("value")))
+    val b = b0.unionByName(
+      a.where(col("event_id") % 103 === 0)
+        .withColumn("event_id", col("event_id") + lit(1000000000L)))
+    val d = a.select(col("event_id"), col("value").as("a_value"))
+      .join(b.select(col("event_id"), col("value").as("b_value")),
+        Seq("event_id"), "full")
+      .withColumn("status",
+        when(col("a_value").isNull, "added")
+          .when(col("b_value").isNull, "removed")
+          .when(col("a_value") =!= col("b_value"), "changed")
+          .otherwise("unchanged"))
+    d.groupBy("status").agg(count(lit(1)).as("n"))
+      .orderBy("status")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "privacy_k_anonymity" -> (kAnonymity _),
+    "cdc_table_diff" -> (tableDiff _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "privacy_k_anonymity" ->
+      """WITH cls AS (SELECT lang, source, n_chars // 100 AS len_b,
+             COUNT(*) AS k
+           FROM documents GROUP BY 1, 2, 3),
+         bands AS (SELECT CASE WHEN k < 5 THEN 'k<5'
+             WHEN k < 20 THEN '5<=k<20' ELSE 'k>=20' END AS band, k
+           FROM cls)
+         SELECT band, CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(k) AS BIGINT) AS n_docs
+         FROM bands GROUP BY band ORDER BY band""",
+    "cdc_table_diff" ->
+      """WITH a AS (SELECT event_id, value FROM events),
+         b AS (
+           SELECT event_id,
+             CASE WHEN event_id % 101 = 0 THEN value + 1.0 ELSE value END AS value
+           FROM a WHERE event_id % 97 <> 0
+           UNION ALL
+           SELECT event_id + 1000000000 AS event_id, value
+           FROM a WHERE event_id % 103 = 0),
+         d AS (SELECT COALESCE(a.event_id, b.event_id) AS event_id,
+             a.value AS a_value, b.value AS b_value
+           FROM a FULL JOIN b ON a.event_id = b.event_id)
+         SELECT CASE WHEN a_value IS NULL THEN 'added'
+             WHEN b_value IS NULL THEN 'removed'
+             WHEN a_value <> b_value THEN 'changed'
+             ELSE 'unchanged' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n
+         FROM d GROUP BY 1 ORDER BY 1""",
+  )
+}

@@ -35,6 +35,38 @@ class Round9dSpec extends SparkTestBase {
     assert(got.nonEmpty, "fixture yields no SNM pairs — window untested")
   }
 
+  test("k-anonymity bands partition the corpus: doc mass conserved, k-math exact") {
+    val out = graft.ops.Audit.kAnonymity(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val total = Tables.documents(spark, sf0001).count()
+    assert(out.values.map(_._2).sum === total, "band doc mass != corpus")
+    // independent replica of the class histogram
+    val classes = Tables.documents(spark, sf0001)
+      .select("lang", "source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2) / 100))
+      .groupBy(identity).map(_._2.length)
+    def band(k: Int) = if (k < 5) "k<5" else if (k < 20) "5<=k<20" else "k>=20"
+    val expected = classes.groupBy(band).map { case (b, ks) =>
+      b -> (ks.size.toLong, ks.map(_.toLong).sum)
+    }
+    assert(out === expected)
+  }
+
+  test("table diff statuses reconcile exactly with the mutation constants") {
+    val out = graft.ops.Audit.tableDiff(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ids = Tables.events(spark, sf0001).select("event_id").collect()
+      .map(_.getLong(0))
+    val removed = ids.count(_ % 97 == 0).toLong
+    val added = ids.count(_ % 103 == 0).toLong
+    val changed = ids.count(id => id % 101 == 0 && id % 97 != 0).toLong
+    assert(out("removed") === removed)
+    assert(out("added") === added)
+    assert(out("changed") === changed)
+    assert(out("unchanged") === ids.length - removed - changed)
+    assert(out.values.sum === ids.length + added)
+  }
+
   test("SNM candidate generation is equi-bucketed: no non-equi join node") {
     val plan = graft.ops.Er.sortedNeighborhood(spark, sf0001)
       .queryExecution.executedPlan.toString
