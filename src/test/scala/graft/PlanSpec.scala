@@ -161,6 +161,20 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("butterfly: orders broadcasts into the edge build; exchanges stay edge-linear") {
+    val p = plan(ops.Analytics.butterflyCount(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p) // orders side never shuffles lineitem
+    // static plan: the edge subtree appears under BOTH join inputs
+    // (broadcast 1 + distinct 1 + c-re-shuffle 1, ×2) + pair agg 1 = 7;
+    // at runtime AQE's exchange reuse collapses the twin subtrees — the
+    // measured 35.3 MB (ShuffleVolumeSpec bound) is 3 edge-set moves,
+    // not 6. Anything beyond 7 statically means the wedge stream itself
+    // started moving (the 12.5M-row explosion this plan keeps inside
+    // the join→partial-agg pipeline).
+    assert("Exchange".r.findAllIn(p).size <= 7, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("CEP pattern match shuffles once on the key (plus the final sort)") {
     val p = plan(ops.Joins.cepClickClickPurchase(spark, sf0001))
     assert("Exchange".r.findAllIn(p).size <= 2, s"one key shuffle + one sort:\n$p")
