@@ -61,9 +61,30 @@ object Audit {
       .orderBy("status")
   }
 
+  /** Hour-of-day seasonal baseline + residual flags — the
+    * deseasonalization step before any threshold alerting on a metric
+    * with a daily cycle (the L59 z-score's seasonal sibling). Baseline =
+    * per-hour deterministic mean (`davg` decimal-sum contract); flags =
+    * values exceeding their hour's baseline by a fixed margin. The
+    * 24-row baseline broadcasts back onto the stream — two passes over
+    * events, no window, map-side combinable both times. */
+  def tsSeasonalHourly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(hour(col("ts")).as("h"), col("value"))
+    val base = ev.groupBy("h")
+      .agg(count(lit(1)).as("n"), davg(col("value")).as("mean_v"))
+    ev.join(broadcast(base), "h")
+      .groupBy("h")
+      .agg(first(col("n")).as("n"),
+        first(round(col("mean_v"), 6)).as("mean_r"),
+        sum(when(col("value") > col("mean_v") + 50.0, 1L).otherwise(0L))
+          .as("n_hi"))
+      .orderBy("h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "privacy_k_anonymity" -> (kAnonymity _),
     "cdc_table_diff" -> (tableDiff _),
+    "ts_seasonal_hourly" -> (tsSeasonalHourly _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -95,5 +116,17 @@ object Audit {
              ELSE 'unchanged' END AS status,
            CAST(COUNT(*) AS BIGINT) AS n
          FROM d GROUP BY 1 ORDER BY 1""",
+    "ts_seasonal_hourly" ->
+      """WITH ev AS (SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS h, value
+           FROM events),
+         base AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS mean_v
+           FROM ev GROUP BY 1)
+         SELECT b.h, b.n, round(b.mean_v, 6) AS mean_r,
+           CAST(SUM(CASE WHEN e.value > b.mean_v + 50.0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hi
+         FROM ev e JOIN base b ON e.h = b.h
+         GROUP BY b.h, b.n, b.mean_v ORDER BY b.h""",
   )
 }

@@ -67,6 +67,25 @@ class Round9dSpec extends SparkTestBase {
     assert(out.values.sum === ids.length + added)
   }
 
+  test("seasonal baseline: 24 hour rows, mass conserved, flags consistent with means") {
+    val out = graft.ops.Audit.tsSeasonalHourly(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq == (0 until 24))
+    assert(out.map(_._2).sum === Tables.events(spark, sf0001).count())
+    // independent replica of the per-hour flag counts
+    val ev = Tables.events(spark, sf0001)
+      .select(hour(col("ts")), col("value")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1))
+    val byH = ev.groupBy(_._1)
+    out.foreach { case (h, n, _, nHi) =>
+      val vs = byH(h).map(_._2)
+      assert(n === vs.length)
+      val mean = vs.map(BigDecimal(_).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble / vs.length
+      assert(nHi === vs.count(_ > mean + 50.0), s"hour $h")
+    }
+  }
+
   test("SNM candidate generation is equi-bucketed: no non-equi join node") {
     val plan = graft.ops.Er.sortedNeighborhood(spark, sf0001)
       .queryExecution.executedPlan.toString
