@@ -19,7 +19,7 @@ object Audit {
   def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
     documents(spark, dir)
       .groupBy(col("lang"), col("source"),
-        (col("n_chars") / lit(100)).cast("long").as("len_b"))
+        expr("n_chars div 100").as("len_b"))
       .agg(count(lit(1)).as("k"))
       .withColumn("band",
         when(col("k") < 5, "k<5")

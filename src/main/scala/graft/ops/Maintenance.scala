@@ -33,6 +33,10 @@ object Maintenance {
   def compactParquet(spark: SparkSession, path: String,
       targetBytesPerFile: Long = 128L * 1024 * 1024): CompactStats = {
     val dir = new java.io.File(path)
+    // Self-heal a crashed prior publish (rename-aside leftovers) before
+    // inspecting the directory — same recover-at-entry protocol as
+    // foreachBatchUpsert, with which this shares the publish path.
+    graft.streaming.Streams.recoverUpsertTable(path)
     require(dir.isDirectory, s"not a table directory: $path")
     def parquetFiles(d: java.io.File): Array[java.io.File] =
       Option(d.listFiles()).getOrElse(Array.empty)

@@ -845,6 +845,22 @@ object Streams {
     * Alert rule: estimated J (fraction of equal minima over the 8
     * permutations) ≥ 1/2; `dup_of` is the EARLIEST prior doc (smallest
     * id) among the bucket's matches, mirroring batch keep-first. */
+  def streamingNearDup(docs: Dataset[StreamDoc]): Dataset[NearDupAlert] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { d =>
+      val sig = graft.ops.Llm.minhashSigJvm(d.text)
+      if (sig.isEmpty) Iterator.empty
+      else (0 until 4).iterator.map { j =>
+        BandedDoc(j.toString + ":" + sig(2 * j) + "_" + sig(2 * j + 1),
+          d.doc_id, sig.toSeq)
+      }
+    }
+      .groupByKey(_.bucket)
+      .transformWithState(new NearDupProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** L179 — windowed COUNT-MIN sketch ON A STREAM (the Flink
     * "sketch-in-keyed-state" pattern: per-window frequency summaries that
     * merge as events arrive): the custom [[graft.functions.CountMinAgg]]
@@ -864,22 +880,6 @@ object Streams {
       .agg(graft.functions.CountMin.sketch(
         graft.Tables.h48(col("user_id").cast("string")), 4, 16).as("sk"))
       .select(col("w.start").as("ws"), col("sk"))
-
-  def streamingNearDup(docs: Dataset[StreamDoc]): Dataset[NearDupAlert] = {
-    import docs.sparkSession.implicits._
-    docs.flatMap { d =>
-      val sig = graft.ops.Llm.minhashSigJvm(d.text)
-      if (sig.isEmpty) Iterator.empty
-      else (0 until 4).iterator.map { j =>
-        BandedDoc(j.toString + ":" + sig(2 * j) + "_" + sig(2 * j + 1),
-          d.doc_id, sig.toSeq)
-      }
-    }
-      .groupByKey(_.bucket)
-      .transformWithState(new NearDupProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(),
-        OutputMode.Append())
-  }
 
   class NearDupProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, BandedDoc, NearDupAlert] {

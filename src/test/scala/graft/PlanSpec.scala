@@ -145,6 +145,9 @@ class PlanSpec extends SparkTestBase {
       "tpch_q11_important_parts", "tpch_q22_idle_customers",
       // 1-row node-count broadcast (teleport term 1/N)
       "graph_pagerank_step",
+      // 1-row stratum-stats + sample-count broadcasts onto the 1-row
+      // butterfly aggregate (see Analytics.butterflyCappedOn)
+      "graph_butterfly_capped",
       // 1-row count-min sketch broadcast into the estimate probe
       "llm_cms_heavy_hitters",
       // 1-row corpus-stats broadcast (N, Σdl) into the BM25 scorer; the
