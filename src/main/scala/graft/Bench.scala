@@ -15,7 +15,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * quality (the judged criterion) actually determines. Round 7 adds one
   * adaptive rep: when the base reps disagree by more than `RETRY_RATIO`×,
   * a contention spike plainly hit one of them, so a third measurement is
-  * taken before the min is trusted.
+  * taken before the min is trusted. Round 10: two rounds running, the
+  * round-end artifact overstated idle cost ~50% because SUSTAINED load
+  * slows every rep equally and the ratio gate never fires — so base REPS
+  * is now 3, and the artifact carries a `load_hint` (`/proc/loadavg`
+  * 1-min average sampled at timing start and end) so a contended run is
+  * self-annotating instead of silently wrong.
   *
   * Shuffle observability (round 7): wall time is noisy; bytes moved are
   * not. A [[ShuffleTally]] listener records per-query shuffle read/write
@@ -36,7 +41,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * blind for mid-pack queries.
   */
 object Bench {
-  val REPS = 2
+  val REPS = 3
   val RETRY_RATIO = 2.0
   val TOP_K = 40
   val LINE_BUDGET = 1800
@@ -76,6 +81,20 @@ object Bench {
 
   private[graft] def fmt(v: Double): String = BigDecimal(v)
     .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** 1-minute load average, or -1 when /proc is unavailable (non-Linux). */
+  private[graft] def loadAvg(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split(" ")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
+  /** JSON fragment annotating machine load at timing start/end — the
+    * contention self-annotation: byte volumes are plan-deterministic, so
+    * a high load_hint with unchanged shuffle bytes marks wall times as
+    * machine noise, not plan regressions. */
+  private[graft] def loadHintJson(start: Double, end: Double): String =
+    s""""load_hint":{"start":${fmt(start)},"end":${fmt(end)}}"""
 
   private def mb(bytes: Long): Double = bytes / 1048576.0
 
@@ -155,7 +174,8 @@ object Bench {
       errors: Int,
       sfDir: String,
       topK: Int = TOP_K,
-      budget: Int = LINE_BUDGET): String = {
+      budget: Int = LINE_BUDGET,
+      loadHint: String = ""): String = {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sorted = results.toSeq.sortBy(-_._2)
     val entries = sorted.take(topK)
@@ -164,7 +184,7 @@ object Bench {
     // the sorted list or the rest-rollup below would drop the skipped
     // entry's time and double-count a later kept one
     val kept = new scala.collection.mutable.ListBuffer[String]
-    var len = 200 + sfDir.length
+    var len = 250 + sfDir.length + loadHint.length
     var fits = true
     entries.foreach { e =>
       if (fits && len + e.length + 1 <= budget) { kept += e; len += e.length + 1 }
@@ -173,11 +193,13 @@ object Bench {
     val qs = kept.mkString("{", ",", "}")
     val restSeq = sorted.drop(kept.size)
     val rest = s"""{"n":${restSeq.size},"sum":${fmt(restSeq.map(_._2).sum)}}"""
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"errors":$errors,"queries":$qs,"rest":$rest,"sf":"$sfDir"}"""
+    val hint = if (loadHint.isEmpty) "" else s",$loadHint"
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"errors":$errors,"queries":$qs,"rest":$rest$hint,"sf":"$sfDir"}"""
   }
 
   /** Full per-query map (time + shuffle/spill volumes) for BENCH_full.json. */
-  def renderFull(stats: Map[String, QueryStat], errors: Int, sfDir: String): String = {
+  def renderFull(stats: Map[String, QueryStat], errors: Int, sfDir: String,
+      loadHint: String = ""): String = {
     val body = stats.toSeq.sortBy(-_._2.sec)
       .map { case (k, s) =>
         "  \"" + k + "\": {\"sec\": " + fmt(s.sec) +
@@ -193,7 +215,8 @@ object Bench {
       s""""shuffle_write_mb":${fmt(stats.values.map(_.shuffleWriteMb).sum)},""" +
       s""""spill_disk_mb":${fmt(stats.values.map(_.spillDiskMb).sum)},""" +
       s""""spill_mem_mb":${fmt(stats.values.map(_.spillMemMb).sum)}"""
-    s"""{"sf":"$sfDir","errors":$errors,"n_queries":${stats.size},$totals,"queries":{\n$body\n}}"""
+    val hint = if (loadHint.isEmpty) "" else s"$loadHint,"
+    s"""{"sf":"$sfDir","errors":$errors,"n_queries":${stats.size},$hint$totals,"queries":{\n$body\n}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -216,16 +239,19 @@ object Bench {
       }
     else try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 
+    val load0 = loadAvg()
     val (stats, errors) = timeQueriesDetailed(spark, sfDir, SparkEntry.queries)
+    val load1 = loadAvg()
+    val hint = loadHintJson(load0, load1)
     val results = stats.map { case (k, s) => k -> s.sec }
 
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_full.json")
     try {
       val w = new java.io.PrintWriter(fullPath, "UTF-8")
-      try w.println(renderFull(stats, errors, sfDir)) finally w.close()
+      try w.println(renderFull(stats, errors, sfDir, hint)) finally w.close()
     } catch { case _: Throwable => () } // stdout line is the contract; the file is best-effort
 
-    println(renderLine(results, errors, sfDir))
+    println(renderLine(results, errors, sfDir, loadHint = hint))
     spark.stop()
   }
 }

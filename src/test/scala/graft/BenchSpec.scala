@@ -87,6 +87,22 @@ class BenchSpec extends SparkTestBase {
     assert(line.contains("\"errors\":3"))
   }
 
+  test("load_hint annotates both artifacts and parses as JSON") {
+    val hint = Bench.loadHintJson(12.34, 0.5)
+    val line = Bench.renderLine(Map("a" -> 0.5), errors = 0, sfDir = "/tmp/sf",
+      loadHint = hint)
+    assert(line.contains("\"load_hint\":{\"start\":12.340,\"end\":0.500}"), line)
+    val full = Bench.renderFull(
+      Map("a" -> Bench.QueryStat(0.5, 1.0, 1.0, 0.0, 0.0, 3)),
+      errors = 0, sfDir = "/tmp/sf", loadHint = hint)
+    assert(full.contains("\"load_hint\":"), full)
+    // both must stay machine-parseable with the hint present
+    assert(line.count(_ == '{') === line.count(_ == '}'))
+    assert(full.count(_ == '{') === full.count(_ == '}'))
+    // on this box /proc/loadavg is readable → a real sample, not -1
+    assert(Bench.loadAvg() >= 0.0)
+  }
+
   test("renderFull contains every query key with time and shuffle volume fields") {
     val stats = (1 to 130).map { i =>
       s"q$i" -> Bench.QueryStat(i / 100.0, i * 1.0, i * 0.9, 0.0, 0.0, 2)
