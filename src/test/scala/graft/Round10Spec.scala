@@ -1,0 +1,79 @@
+package graft
+
+import scala.collection.mutable
+
+/** Round-10: multi-pass Sorted-Neighborhood ER graded against the
+  * EXHAUSTIVE ≥0.9-Jaccard ground truth (VERDICT r9 next-round #3 —
+  * the r9 spec could only see in-window truth, i.e. could not see the
+  * misses SNM is famous for). */
+class Round10Spec extends SparkTestBase {
+
+  /** All unordered doc pairs with integer word-set Jaccard ≥ 9/10,
+    * computed by brute force over the whole fixture — the ground truth
+    * no windowed method can hide behind. */
+  private lazy val truthAndDocs: (Set[(Long, Long)], Int) = {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).distinct.toSet)
+    val t = mutable.Set.empty[(Long, Long)]
+    for (i <- docs.indices; j <- (i + 1) until docs.length) {
+      val (a, wa) = docs(i); val (b, wb) = docs(j)
+      val inter = (wa & wb).size
+      val uni = wa.size + wb.size - inter
+      if (10 * inter >= 9 * uni) t += ((math.min(a, b), math.max(a, b)))
+    }
+    (t.toSet, docs.length)
+  }
+
+  private def pairsOf(key: String): Set[(Long, Long)] =
+    SparkEntry.queries(key)(spark, sf0001)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("multi-pass SNM: second (reversed-text) pass strictly widens recall; precision stays 1") {
+    val (truth, _) = truthAndDocs
+    assert(truth.size > 1000, s"fixture ground truth unexpectedly small: ${truth.size}")
+    val p1 = pairsOf("er_sorted_neighborhood")
+    val p2 = pairsOf("er_snm_multipass")
+    // the union-of-candidates construction makes pass-1 output a subset
+    assert(p1.subsetOf(p2), "multipass lost pairs the single pass found")
+    assert(p2.size > p1.size, "reversed-text pass added no candidates")
+    // precision 1 by construction: every emitted pair is exact-verified
+    assert(p1.subsetOf(truth) && p2.subsetOf(truth), "emitted a non-≥0.9 pair")
+    val r1 = p1.size.toDouble / truth.size
+    val r2 = p2.size.toDouble / truth.size
+    info(f"exhaustive truth=${truth.size}; pass1 recall=$r1%.4f (${p1.size}); 2-pass recall=$r2%.4f (${p2.size})")
+    assert(r2 > r1, "second pass did not improve exhaustive recall")
+    // window-local recall is the method's documented weak axis: both
+    // numbers are SMALL against a dense 231-doc family — pin that the
+    // measurement actually sees the misses (in-window truth could not)
+    assert(r2 < 0.5, "fixture no longer exercises the window-recall limit")
+  }
+
+  test("multi-pass SNM + transitive closure (the full Hernández–Stolfo remedy) recovers the families") {
+    val (truth, _) = truthAndDocs
+    val verified = pairsOf("er_snm_multipass")
+    // union-find closure over verified pairs — entity-level merge
+    val parent = mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    verified.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+    }
+    val comps = verified.flatMap(p => Seq(p._1, p._2))
+      .groupBy(find).values.map(_.toSeq.sorted)
+    val closure = comps.flatMap(c =>
+      for (i <- c.indices; j <- (i + 1) until c.length) yield (c(i), c(j))).toSet
+    val recall = (closure & truth).size.toDouble / truth.size
+    val precision = (closure & truth).size.toDouble / closure.size
+    info(f"closure pairs=${closure.size}; recall=$recall%.4f precision=$precision%.4f")
+    // measured on the shipped fixture: recall 0.961, precision 0.532 —
+    // closure trades pairwise precision (≥0.9-Jaccard isn't transitive)
+    // for entity recall. Loose bounds so a driver fixture regeneration
+    // with the same generator survives.
+    assert(recall >= 0.85, f"closure recall $recall%.4f below the multi-pass promise")
+    assert(precision >= 0.35, f"closure precision $precision%.4f collapsed — families over-merged")
+  }
+}
