@@ -264,6 +264,45 @@ object Warehouse {
         unix_micros(col("sw.end")).as("end_us"), col("n_events"), col("sum_value"))
       .orderBy("user_id", "start_us")
 
+  /** DYNAMIC-GAP sessionization — the batch twin of Flink's
+    * `SessionWindowTimeGapExtractor` (a per-ELEMENT inactivity gap,
+    * here gap(e) = 4h for purchases, 1h for clicks/views, 30min for the
+    * rest — a checkout should keep a session alive longer than a
+    * drive-by view). Flink's merging semantics: each event spans
+    * `[ts, ts+gap(e))` and windows merge while they overlap, so a
+    * session's end is the RUNNING MAX of `ts+gap` over its events and a
+    * boundary opens exactly when an event's ts reaches every previous
+    * end. A `lag(ts)`-only formulation is NOT faithful — one early
+    * long-gap event (a purchase) must keep the session open across
+    * several short-gap successors — so the boundary test uses
+    * `max(ts+gap) OVER (… ROWS UNBOUNDED PRECEDING TO 1 PRECEDING)`.
+    * Because that cummax is monotone and every boundary event strictly
+    * dominates it, a closed session can never re-capture later events.
+    * Scale shape is `sessionize_events` exactly: the ordered window and
+    * the groupBy share one user_id hash partitioning — one shuffle.
+    * Streaming twin: [[graft.streaming.Streams.dynamicGapSessionsTws]]
+    * (same gap function, timers + in-batch boundary split). */
+  def sessionizeDynamicGap(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = when(col("event_type") === "purchase", lit(4L * 3600 * 1000000L))
+      .when(col("event_type").isin("click", "view"), lit(3600L * 1000000L))
+      .otherwise(lit(30L * 60 * 1000000L))
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val prevRows = ord.rowsBetween(Window.unboundedPreceding, -1)
+    events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("end_us_e", col("ts_us") + gapUs)
+      .withColumn("prev_end_max", max(col("end_us_e")).over(prevRows))
+      .withColumn("is_new", when(col("prev_end_max").isNull ||
+        col("ts_us") >= col("prev_end_max"), 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new")).over(ord))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("end_us_e")).as("end_us"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy("user_id", "session_idx")
+  }
+
   /** Time-weighted average of `value` per user: each reading is weighted
     * by how long it was current (interval to the next reading). Decimal
     * sums keep the weighted numerator deterministic across engines. */
@@ -624,6 +663,7 @@ object Warehouse {
     "cdc_temporal_join" -> (cdcTemporalJoin _),
     "sessionize_events" -> (sessionizeEvents _),
     "sessionize_native_window" -> (sessionizeNativeWindow _),
+    "sessionize_dynamic_gap" -> (sessionizeDynamicGap _),
     "ts_time_weighted_avg" -> (tsTimeWeightedAvg _),
     "ts_pct_change_daily" -> (tsPctChangeDaily _),
     "agg_histogram_value" -> (aggHistogramValue _),
@@ -775,6 +815,30 @@ object Warehouse {
             MAX(ts_us) + 7200000000 AS end_us,
             COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
           FROM s GROUP BY user_id, session_idx ORDER BY user_id, start_us""",
+    "sessionize_dynamic_gap" ->
+      s"""WITH t AS (
+            SELECT user_id, event_id, value, epoch_us($evTs) AS ts_us,
+              CASE WHEN event_type = 'purchase' THEN 14400000000
+                   WHEN event_type IN ('click', 'view') THEN 3600000000
+                   ELSE 1800000000 END AS gap_us
+            FROM events),
+          e AS (
+            SELECT *, ts_us + gap_us AS end_us_e,
+              MAX(ts_us + gap_us) OVER (PARTITION BY user_id
+                ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS prev_end_max
+            FROM t),
+          b AS (
+            SELECT *, CASE WHEN prev_end_max IS NULL OR ts_us >= prev_end_max
+              THEN 1 ELSE 0 END AS is_new FROM e),
+          s AS (
+            SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+              ORDER BY ts_us, event_id) AS BIGINT) AS session_idx FROM b)
+          SELECT user_id, session_idx, COUNT(*) AS n_events,
+            MIN(ts_us) AS start_us, MAX(end_us_e) AS end_us,
+            ${dsumSql("value")} AS sum_value
+          FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
     "ts_time_weighted_avg" ->
       s"""WITH t AS (
             SELECT user_id, value, epoch_us($evTs) AS ts_us,

@@ -756,6 +756,90 @@ object Streams {
     }
   }
 
+  case class DynSession(user_id: Long, n_events: Long, sum_value: Double,
+    start_us: Long, end_us: Long)
+
+  /** Per-event inactivity gap in ms: purchases hold a session open 4h,
+    * clicks/views 1h, everything else 30min — the same rule as the
+    * batch twin [[graft.ops.Warehouse.sessionizeDynamicGap]]. */
+  def defaultGapMs(eventType: String): Long = eventType match {
+    case "purchase" => 4L * 3600 * 1000
+    case "click" | "view" => 3600L * 1000
+    case _ => 30L * 60 * 1000
+  }
+
+  /** I4d — DYNAMIC-GAP sessions ON A STREAM (Flink
+    * `SessionWindowTimeGapExtractor`, VERDICT r9 next-round #4): the
+    * inactivity gap is a function of each ELEMENT, not a constant, so a
+    * purchase keeps its session alive longer than a view. Flink's
+    * merging semantics: each event spans `[ts, ts+gap(e))`; the session
+    * end is the running max of those spans, kept in keyed state.
+    *
+    * Two closing paths, deliberately different from the fixed-gap
+    * [[timerSessionsTws]]: (1) an event-time TIMER at the current
+    * session end flushes the tail once the watermark passes it (stale
+    * registrations from extended sessions are detected and ignored);
+    * (2) an arriving event whose ts reaches the stored end closes the
+    * old session IN-LINE and opens a new one — without this split, an
+    * event after a silence would be folded into the old session
+    * whenever the (one-batch-lagging) watermark had not yet fired the
+    * timer, and streaming would disagree with the batch twin on
+    * boundary placement. State per key is one (n, sum, start, end)
+    * tuple — O(1) regardless of session length. */
+  def dynamicGapSessionsTws(events: Dataset[Event],
+      gapMsOf: String => Long = defaultGapMs): Dataset[DynSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new DynamicGapSessionProcessor(gapMsOf),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  class DynamicGapSessionProcessor(gapMsOf: String => Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, DynSession] {
+    import org.apache.spark.sql.{Encoders, streaming}
+    // (n_events, sum_value, start_us, end_max_us)
+    @transient private var sess: streaming.ValueState[(Long, Double, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Double, Long, Long)]("dyn_sess",
+        Encoders.product[(Long, Double, Long, Long)], streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: streaming.TimerValues): Iterator[DynSession] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[DynSession]
+      var st = Option(sess.get()).getOrElse((0L, 0.0, 0L, Long.MinValue))
+      rows.toSeq.sortBy(e => (microsOf(e.ts), e.event_id)).foreach { e =>
+        val tsU = microsOf(e.ts)
+        val endU = tsU + gapMsOf(e.event_type) * 1000
+        if (st._1 == 0L) st = (1L, e.value, tsU, endU)
+        else if (tsU >= st._4) { // half-open [ts, ts+gap): touch = no merge
+          out += DynSession(key, st._1, st._2, st._3, st._4)
+          st = (1L, e.value, tsU, endU)
+        } else st = (st._1 + 1, st._2 + e.value,
+          math.min(st._3, tsU), math.max(st._4, endU))
+      }
+      sess.update(st)
+      getHandle.registerTimer(st._4 / 1000)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timerValues: streaming.TimerValues,
+        expiredTimerInfo: streaming.ExpiredTimerInfo): Iterator[DynSession] = {
+      val st = sess.get()
+      // stale: the session was extended past this registration
+      if (st == null || expiredTimerInfo.getExpiryTimeInMs < st._4 / 1000)
+        Iterator.empty
+      else {
+        sess.clear()
+        Iterator.single(DynSession(key, st._1, st._2, st._3, st._4))
+      }
+    }
+  }
+
   /** I6g — state BOOTSTRAP (Flink savepoint-bootstrap / State Processor
     * API analogue, the last `transformWithState` feature after
     * state/TTL/List/Map/timers): a batch-computed (count, sum) per key

@@ -18,6 +18,11 @@ class StreamingSpec extends SparkTestBase {
   private def ev(id: Long, t: String, uid: Long, typ: String, v: Double) =
     Event(id, ts(t), uid, typ, v)
 
+  private def usOf(t: String): Long = {
+    val x = ts(t)
+    math.floorDiv(x.getTime, 1000L) * 1000000L + x.getNanos / 1000L
+  }
+
   private def runToTable(df: DataFrame, name: String, mode: String): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()
 
@@ -597,6 +602,106 @@ class StreamingSpec extends SparkTestBase {
       val got = spark.table("tws_timer").where($"user_id" === 1)
         .select($"n_events", $"sum_value").as[(Long, Double)].collect().toSet
       assert(got === Set((2L, 4.0), (1L, 4.0)), got)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  test("I4d: dynamic-gap sessions — a purchase's 4h window outlives a click's 1h; boundary closes in-line") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event]
+    val q = runToTable(Streams.dynamicGapSessionsTws(ms.toDS()).toDF(), "tws_dyn", "append")
+    try {
+      // batch 1: purchase at 10:00 → span [10:00, 14:00)
+      ms.addData(ev(1, "2024-01-01 10:00:00", 1, "purchase", 5.0))
+      q.processAllAvailable()
+      // batch 2: click at 12:00 after a 2h silence — a fixed 1h click gap
+      // would have closed the session; the purchase's 4h span keeps it
+      // open (merged end stays 14:00 > click's 13:00)
+      ms.addData(ev(2, "2024-01-01 12:00:00", 1, "click", 2.0))
+      q.processAllAvailable()
+      // batch 3: view at 14:30 ≥ merged end 14:00 — the old session must
+      // close IN-LINE (the 14:00 timer cannot have fired yet: the
+      // watermark still lags at 12:00), and a new session opens
+      ms.addData(ev(3, "2024-01-01 14:30:00", 1, "view", 1.0))
+      q.processAllAvailable()
+      val afterInline = spark.table("tws_dyn").where($"user_id" === 1)
+        .select($"n_events", $"sum_value", $"start_us", $"end_us")
+        .as[(Long, Double, Long, Long)].collect().toSet
+      assert(afterInline === Set(
+        (2L, 7.0, usOf("2024-01-01 10:00:00"), usOf("2024-01-01 14:00:00"))),
+        s"in-line boundary close wrong: $afterInline")
+      // sentinels push the watermark past 15:30 (view end) to flush the tail
+      ms.addData(ev(-1, "2024-01-01 20:00:00", -1, "click", 0.0))
+      q.processAllAvailable()
+      ms.addData(ev(-2, "2024-01-01 21:00:00", -1, "click", 0.0))
+      q.processAllAvailable()
+      val all = spark.table("tws_dyn").where($"user_id" === 1)
+        .select($"n_events", $"sum_value", $"start_us", $"end_us")
+        .as[(Long, Double, Long, Long)].collect().toSet
+      assert(all === afterInline + ((1L, 1.0,
+        usOf("2024-01-01 14:30:00"), usOf("2024-01-01 15:30:00"))), all)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  test("I4d+L97: dynamic-gap streaming sessions equal the batch twin on the whole fixture") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val rows = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[(Long, java.sql.Timestamp, Long, String, Double)].collect()
+      .map(r => Event(r._1, r._2, r._3, r._4, r._5))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    // split at a strict ts boundary so the 0s watermark drops nothing
+    val cut = rows(rows.length / 2).ts.getTime
+    val (b1, b2) = rows.partition(_.ts.getTime < cut)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event]
+    val q = runToTable(Streams.dynamicGapSessionsTws(ms.toDS()).toDF(), "tws_dyn_eq", "append")
+    try {
+      ms.addData(b1: _*)
+      q.processAllAvailable()
+      ms.addData(b2: _*)
+      q.processAllAvailable()
+      // far-future sentinels flush every open tail (watermark lags one batch)
+      ms.addData(ev(-1, "2030-01-01 00:00:00", -1, "click", 0.0))
+      q.processAllAvailable()
+      ms.addData(ev(-2, "2030-06-01 00:00:00", -1, "click", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("tws_dyn_eq").where($"user_id" >= 0)
+        .select($"user_id", $"n_events", $"start_us", $"end_us", $"sum_value")
+        .as[(Long, Long, Long, Long, Double)].collect()
+        .map(t => (t._1, t._2, t._3, t._4) -> t._5).toMap
+      val batch = graft.ops.Warehouse.sessionizeDynamicGap(spark, sf0001)
+        .select($"user_id", $"n_events", $"start_us", $"end_us", $"sum_value")
+        .as[(Long, Long, Long, Long, Double)].collect()
+        .map(t => (t._1, t._2, t._3, t._4) -> t._5).toMap
+      assert(streamed.keySet === batch.keySet,
+        s"session boundaries diverge: extra=${streamed.keySet -- batch.keySet} missing=${batch.keySet -- streamed.keySet}")
+      batch.foreach { case (k, v) =>
+        assert(math.abs(streamed(k) - v) < 1e-6, s"sum mismatch at $k: ${streamed(k)} vs $v")
+      }
+      assert(batch.nonEmpty)
     } finally {
       q.stop()
       prev match {
