@@ -110,6 +110,33 @@ object StreamOps {
       .orderBy("user_id", "bucket")
   }
 
+  /** I5b — COUNT-TRIGGER + COUNT-EVICTOR window (the canonical Flink
+    * windowing knob with no Structured Streaming equivalent:
+    * `GlobalWindows` + `CountTrigger.of(3)` + `CountEvictor.of(5)` —
+    * fire every 3rd element per key, aggregating the LAST 5 elements,
+    * the evictor trimming the pane before each emission). Batch twin:
+    * fire points are `row_number % 3 == 0` over the (ts, event_id)
+    * order; the evicted pane is the bounded frame
+    * `ROWS BETWEEN 4 PRECEDING AND CURRENT ROW` — both over ONE shared
+    * user_id partitioning, so the whole query is a single shuffle. The
+    * decimal-quantized window sum keeps the emitted double identical
+    * across engines and row orders. Streaming twin:
+    * [[graft.streaming.Streams.countTriggerWindowTws]] (bounded
+    * ListState buffer = the evictor, element counter = the trigger);
+    * StreamingSpec proves fire-point and pane equality cross-batch. */
+  def countTriggerEvict(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pane = ord.rowsBetween(-4, 0)
+    events(spark, dir)
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("win_sum",
+        sum(col("value").cast("decimal(18,6)")).over(pane).cast("double"))
+      .where(col("rn") % 3 === 0)
+      .select(col("user_id"), (col("rn") / 3).cast("long").as("fire_seq"),
+        least(col("rn"), lit(5)).cast("long").as("n_in_window"), col("win_sum"))
+      .orderBy("user_id", "fire_seq")
+  }
+
   /** I6 — per-user stateful accumulator shape: first/last ts + counts. */
   def userFirstLast(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
@@ -139,6 +166,7 @@ object StreamOps {
     "stream_cumulate_counts" -> (cumulateCounts _),
     "stream_session_stats" -> (sessionStats _),
     "stream_count_window_sum" -> (countWindowSum _),
+    "stream_count_trigger_evict" -> (countTriggerEvict _),
     "stream_user_first_last" -> (userFirstLast _),
     "stream_dedup_first_event" -> (dedupFirstEvent _),
   )
@@ -207,6 +235,18 @@ object StreamOps {
             CAST(COUNT(*) AS BIGINT) AS n,
             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
           FROM numbered GROUP BY 1, 2 ORDER BY 1, 2""",
+    "stream_count_trigger_evict" ->
+      s"""WITH numbered AS (
+            SELECT user_id, value,
+              ROW_NUMBER() OVER w AS rn,
+              CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (w
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                AS win_sum
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY $evTs, event_id))
+          SELECT user_id, CAST(rn // 3 AS BIGINT) AS fire_seq,
+            CAST(LEAST(rn, 5) AS BIGINT) AS n_in_window, win_sum
+          FROM numbered WHERE rn % 3 = 0 ORDER BY user_id, fire_seq""",
     "stream_user_first_last" ->
       s"""SELECT user_id, MIN(epoch_us($evTs)) AS first_us,
             MAX(epoch_us($evTs)) AS last_us,

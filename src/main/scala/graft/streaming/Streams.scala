@@ -840,6 +840,64 @@ object Streams {
     }
   }
 
+  case class CountFire(user_id: Long, fire_seq: Long, n_in_window: Long,
+    win_sum: Double)
+
+  /** I5b — COUNT-TRIGGER + COUNT-EVICTOR window ON A STREAM (the one
+    * canonical Flink windowing knob with no public Structured Streaming
+    * surface — `GlobalWindows` + `CountTrigger.of(fireEvery)` +
+    * `CountEvictor.of(keepLast)`; VERDICT r9 next-round #5). Flink's
+    * decomposition maps onto `transformWithState` directly: the TRIGGER
+    * is a per-key element counter that fires every `fireEvery`-th
+    * element; the EVICTOR is a bounded ListState buffer trimmed to the
+    * last `keepLast` values before each emission (Flink's
+    * `CountEvictor` default is evict-BEFORE-function — same thing);
+    * GlobalWindows is simply "no time dimension" = `TimeMode.None`.
+    * State per key is O(keepLast) + one counter, independent of stream
+    * length. Rows fold in (ts, event_id) order within a batch so the
+    * fire points are batch-partitioning independent; batch twin
+    * [[graft.ops.StreamOps.countTriggerEvict]] (row_number fire points
+    * + bounded frame), equality spec-proven cross-batch. */
+  def countTriggerWindowTws(events: Dataset[Event], fireEvery: Int = 3,
+      keepLast: Int = 5): Dataset[CountFire] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new CountTriggerProcessor(fireEvery, keepLast),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  class CountTriggerProcessor(fireEvery: Int, keepLast: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, CountFire] {
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var nSeen: streaming.ValueState[Long] = _
+    @transient private var pane: streaming.ListState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit = {
+      nSeen = getHandle.getValueState[Long]("n_seen",
+        Encoders.scalaLong, streaming.TTLConfig.NONE)
+      pane = getHandle.getListState[Double]("pane",
+        Encoders.scalaDouble, streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: streaming.TimerValues): Iterator[CountFire] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[CountFire]
+      var cnt = Option(nSeen.get()).getOrElse(0L)
+      var buf = pane.get().toVector
+      rows.toSeq.sortBy(e => (microsOf(e.ts), e.event_id)).foreach { e =>
+        cnt += 1
+        buf = (buf :+ e.value).takeRight(keepLast) // evictor: keep last M
+        if (cnt % fireEvery == 0) // trigger: FIRE every Nth element
+          out += CountFire(key, cnt / fireEvery, buf.size, buf.sum)
+      }
+      nSeen.update(cnt)
+      pane.put(buf.toArray)
+      out.iterator
+    }
+  }
+
   /** I6g — state BOOTSTRAP (Flink savepoint-bootstrap / State Processor
     * API analogue, the last `transformWithState` feature after
     * state/TTL/List/Map/timers): a batch-computed (count, sum) per key

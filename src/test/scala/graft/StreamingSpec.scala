@@ -711,6 +711,83 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("I5b: count-trigger fires every 3rd element over the last-5 evicted pane, across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event]
+    val q = runToTable(Streams.countTriggerWindowTws(ms.toDS()).toDF(), "tws_cte", "append")
+    try {
+      // values 1..4 in batch 1: trigger fires at element 3 (pane [1,2,3])
+      ms.addData((1 to 4).map(i =>
+        ev(i, f"2024-01-01 10:0$i%01d:00", 1, "click", i.toDouble)): _*)
+      q.processAllAvailable()
+      // values 5..7 in batch 2: fires at element 6 — the pane must be the
+      // last FIVE values [2..6] (evictor dropped 1), proving the buffer
+      // survived the batch boundary with its trim
+      ms.addData((5 to 7).map(i =>
+        ev(i, f"2024-01-01 10:0$i%01d:00", 1, "click", i.toDouble)): _*)
+      q.processAllAvailable()
+      val got = spark.table("tws_cte")
+        .select($"fire_seq", $"n_in_window", $"win_sum")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === Set((1L, 3L, 6.0), (2L, 5L, 20.0)), got)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  test("I5b+L97: streamed count-trigger windows equal the batch twin on the whole fixture") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val rows = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[(Long, java.sql.Timestamp, Long, String, Double)].collect()
+      .map(r => Event(r._1, r._2, r._3, r._4, r._5))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val cut = rows(rows.length / 2).ts.getTime
+    val (b1, b2) = rows.partition(_.ts.getTime < cut)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event]
+    val q = runToTable(Streams.countTriggerWindowTws(ms.toDS()).toDF(), "tws_cte_eq", "append")
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("tws_cte_eq")
+        .select($"user_id", $"fire_seq", $"n_in_window", $"win_sum")
+        .as[(Long, Long, Long, Double)].collect()
+        .map(t => (t._1, t._2, t._3) -> t._4).toMap
+      val batch = graft.ops.StreamOps.countTriggerEvict(spark, sf0001)
+        .select($"user_id", $"fire_seq", $"n_in_window", $"win_sum")
+        .as[(Long, Long, Long, Double)].collect()
+        .map(t => (t._1, t._2, t._3) -> t._4).toMap
+      assert(streamed.keySet === batch.keySet,
+        s"fire points diverge: extra=${streamed.keySet -- batch.keySet} missing=${batch.keySet -- streamed.keySet}")
+      batch.foreach { case (k, v) =>
+        assert(math.abs(streamed(k) - v) < 1e-6, s"pane sum mismatch at $k: ${streamed(k)} vs $v")
+      }
+      assert(batch.nonEmpty)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("I6g: initial state bootstraps keyed totals — a migrated job resumes, not restarts") {
     val s = spark
     import s.implicits._
