@@ -242,25 +242,33 @@ object Llm2 {
       .orderBy("doc_id")
   }
 
-  /** Multimodal video frame-sampling plumbing: the decode STUB maps each
-    * payload to a fake 25 fps frame sequence (1 frame per char — a real
-    * demuxer would replace this line only), then uniform-samples 4 frames
-    * at j·n/4 and emits one row per sampled frame with its index and
-    * timestamp. Row-local arithmetic + explode — the frame-sample pass of
-    * a video preprocessing pipeline shuffles nothing before its sink.
-    * Division is explicit /4.0 + floor: Spark `/` on integers is double
-    * division while DuckDB's is integer — the literal keeps both engines
-    * on the same (floor-of-double) semantics. */
-  def mmFrameSample(spark: SparkSession, dir: String): DataFrame =
+  /** Multimodal VIDEO frame sampling over a REAL container (round-10;
+    * the last multimodal stub retired — see the video section of
+    * [[graft.ops.MmDecode]]): each document's payload is synthesized as
+    * a genuine animated GIF (2–13 frames, per-frame 25 fps
+    * GraphicControlExtension delays, frame pixels varying per frame)
+    * and then DEMUXED — frame count from a real container scan, 4
+    * uniform sample points at ⌊j·n/4⌋ decoded from the true sequence,
+    * timestamps from the parsed per-frame delay, mean gray from the
+    * decoded raster. The oracle predicts all of it in closed form from
+    * (doc_id, n_chars), so wrong count / order / timing / raster fails
+    * the hash gate. Row-local `mapPartitions` end-to-end — the
+    * frame-sample pass of a video pipeline shuffles nothing before its
+    * sink, and at 100 TB the decode parallelism is the scan
+    * parallelism. */
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     documents(spark, dir)
       .where(col("n_chars") > 0)
-      .select(col("doc_id"), col("n_chars").cast("long").as("n_frames"))
-      .withColumn("frame_idx", explode(array_distinct(
-        transform(sequence(lit(0), lit(3)),
-          j => floor(j * col("n_frames") / lit(4.0)).cast("long")))))
-      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
-        (col("frame_idx") * lit(40L)).as("frame_ts_ms"))
+      .select(col("doc_id"), col("n_chars").cast("int").as("n_chars"))
+      .as[(Long, Int)]
+      .mapPartitions(_.flatMap { case (id, nc) =>
+        graft.ops.MmDecode.sampleFrames(
+          graft.ops.MmDecode.Payload(id, graft.ops.MmDecode.synthesizeVideo(id, nc)))
+      })
+      .toDF()
       .orderBy("doc_id", "frame_idx")
+  }
 
   // ------------------------------------------------------------------
 
@@ -308,15 +316,20 @@ object Llm2 {
           GROUP BY 1 ORDER BY 1""",
     "mm_frame_sample" ->
       """WITH f AS (
-           SELECT doc_id, CAST(n_chars AS BIGINT) AS n_frames
+           SELECT doc_id, CAST((n_chars % 12) + 2 AS BIGINT) AS n_frames,
+             CAST((n_chars % 16) + 1 AS BIGINT) AS w
            FROM documents WHERE n_chars > 0),
          i AS (
-           SELECT doc_id, n_frames,
+           SELECT doc_id, n_frames, w,
              unnest(list_distinct(list_transform(range(0, 4),
                j -> CAST(FLOOR(j * n_frames / 4.0) AS BIGINT)))) AS frame_idx
-           FROM f)
-         SELECT doc_id, n_frames, frame_idx, frame_idx * 40 AS frame_ts_ms
-         FROM i ORDER BY doc_id, frame_idx""",
+           FROM f),
+         m AS (
+           SELECT *, (doc_id + 17 * frame_idx) % 256 AS a FROM i)
+         SELECT doc_id, n_frames, frame_idx, frame_idx * 40 AS frame_ts_ms,
+           CAST(w * a + (w * (w - 1)) // 2
+             - 256 * GREATEST(0, a + w - 256) AS DOUBLE) / w AS mean_gray
+         FROM m ORDER BY doc_id, frame_idx""",
     "llm_ivf_ann" ->
       s"""WITH ex AS (SELECT label, vec_id,
             CAST(unnest(embedding) AS DOUBLE) AS x,

@@ -76,4 +76,38 @@ class Round10Spec extends SparkTestBase {
     assert(recall >= 0.85, f"closure recall $recall%.4f below the multi-pass promise")
     assert(precision >= 0.35, f"closure precision $precision%.4f collapsed — families over-merged")
   }
+
+  test("L109: animated-GIF video codec — real demux, full raster (the interlace trap), parsed timing") {
+    import graft.ops.MmDecode._
+    val (id, nc) = (1L, 441) // w=10, h=4, 11 frames
+    val bytes = synthesizeVideo(id, nc)
+    // the payload is a genuine GIF89a container
+    assert(bytes.take(6).map(_.toChar).mkString === "GIF89a")
+    // independent reader pass: frame count from the container scan, and
+    // EVERY row of every frame must carry the closed-form pixels — this
+    // is the exact trap round-10 hit: the JDK writer defaults to
+    // interlaced output and the JDK reader's deinterlacer drops the
+    // final pass on small frames (last row read as zeros), so the codec
+    // must write non-interlaced explicitly
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+    reader.setInput(iis)
+    assert(reader.getNumImages(true) === 11)
+    for (f <- Seq(0, 10)) {
+      val img = reader.read(f)
+      assert((img.getWidth, img.getHeight) === ((10, 4)))
+      for (y <- 0 until 4; x <- 0 until 10)
+        assert((img.getRGB(x, y) & 0xff) === ((id + 17L * f + x) % 256).toInt,
+          s"frame $f pixel ($x,$y)")
+    }
+    reader.dispose(); iis.close()
+    // sampled frames: ⌊j·11/4⌋ = 0,2,5,8; ts from the PARSED 4 cs delay
+    val s = sampleFrames(Payload(id, bytes))
+    assert(s.map(_.frame_idx) === Seq(0L, 2L, 5L, 8L))
+    assert(s.map(_.frame_ts_ms) === Seq(0L, 80L, 200L, 320L))
+    assert(s.head.n_frames === 11L)
+    // mean gray of frame 0 = mean of (1+x)%256 over x<10 = 5.5
+    assert(s.head.mean_gray === 5.5)
+  }
 }
