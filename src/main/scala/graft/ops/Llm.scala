@@ -448,10 +448,20 @@ object Llm {
     * cluster-proportional, never all-pairs; the final decision is a left
     * join back on vec_id. Output: one row per vector (vec_id, cell,
     * pruned) — rows>0 at any τ. */
-  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+  def semDedup(spark: SparkSession, dir: String): DataFrame =
+    semDedupFrom(spark,
+      embeddings(spark, dir).where(col("vec_id") < 2000), tau = 0.35)
+
+  /** Parameterized core of [[semDedup]] over any (vec_id, embedding)
+    * frame — centroids are the 16 lowest vec_ids, τ is the prune
+    * threshold. Round10Spec drives this with a PLANTED anisotropic
+    * fixture (16 true clusters + near-dup replicas) at the paper's
+    * realistic τ=0.95, where the pruning path actually fires — the
+    * shipped corpus is near-isotropic (max pairwise cos 0.51) and can
+    * only exercise τ=0.35. */
+  def semDedupFrom(spark: SparkSession, e0: DataFrame, tau: Double): DataFrame = {
     import spark.implicits._
-    val tau = 0.35
-    val e = withNorm(embeddings(spark, dir).where(col("vec_id") < 2000))
+    val e = withNorm(e0)
     val centRows = boundedCollect(
       e.where(col("vec_id") < 16)
         .select(col("vec_id"), col("embedding"), col("nrm"))

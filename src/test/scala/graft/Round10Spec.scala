@@ -77,6 +77,64 @@ class Round10Spec extends SparkTestBase {
     assert(precision >= 0.35, f"closure precision $precision%.4f collapsed — families over-merged")
   }
 
+  test("L117: SemDeDup on a planted ANISOTROPIC space — τ=0.95 prunes; decisions exact vs brute cosine") {
+    val s = spark
+    import s.implicits._
+    // 16 true clusters in 64-dim: centroid + σ·gauss members give
+    // member↔centroid cos ≈ 0.89 and member↔member cos ≈ 0.8 (below τ);
+    // planted replicas (source + tiny noise) sit at cos ≈ 0.997 (above).
+    // The shipped corpus is near-isotropic and exercises only τ=0.35 —
+    // this fixture makes the paper-realistic τ=0.95 path fire for real.
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    def gauss() = Array.fill(dim)(rnd.nextGaussian())
+    def unit(v: Array[Double]) = { val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+    def jitter(base: Array[Double], sigma: Double) =
+      unit(base.zip(gauss()).map { case (a, g) => a + sigma * g })
+    val cents = Array.fill(16)(unit(gauss()))
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+    (0 until 16).foreach(c => rows += ((c.toLong, cents(c)))) // seeds: vec_id < 16
+    val members = for (c <- 0 until 16; _ <- 0 until 12) yield {
+      val id = 16L + rows.length - 16
+      rows += ((id, jitter(cents(c), 1.0 / 16)))
+      id
+    }
+    // 3 replicas per cluster, ids strictly above every member id so the
+    // keep-lowest rule must keep the source and prune the replica
+    val planted = for (c <- 0 until 16; r <- 0 until 3) yield {
+      val srcId = members(c * 12 + r)
+      val src = rows.find(_._1 == srcId).get._2
+      val id = rows.length.toLong
+      rows += ((id, jitter(src, 0.01)))
+      (id, srcId)
+    }
+    val tau = 0.95
+    val out = graft.ops.Llm.semDedupFrom(spark, rows.toSeq.toDF("vec_id", "embedding"), tau)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.size === rows.length)
+    val emb = rows.map { case (id, v) => id -> unit(v) }.toMap // unit: cos = dot
+    // brute-force replay of the prune rule against EXACT cosine, using
+    // the function's own cell assignment
+    val byCell = out.toSeq.groupBy(_._2._1)
+    val expectPruned = byCell.values.flatMap { cell =>
+      val ids = cell.map(_._1).toSeq.sorted
+      ids.filter(i => ids.exists(j => j < i &&
+        emb(i).zip(emb(j)).map { case (a, b) => a * b }.sum >= tau))
+    }.toSet
+    val gotPruned = out.filter(_._2._2).keySet
+    assert(gotPruned === expectPruned,
+      s"prune decisions diverge from exact cosine: extra=${gotPruned -- expectPruned} missing=${expectPruned -- gotPruned}")
+    // the τ path actually fired, and fired selectively
+    assert(gotPruned.nonEmpty && gotPruned.size < rows.length / 2)
+    // every planted replica landed in its source's cell and was pruned
+    planted.foreach { case (rep, src) =>
+      assert(out(rep)._1 === out(src)._1, s"replica $rep drifted out of $src's cell")
+      assert(out(rep)._2, s"replica $rep of $src not pruned at τ=$tau")
+    }
+    // no centroid/member false positives beyond brute agreement: sources kept
+    assert(planted.forall { case (_, src) => !out(src)._2 || expectPruned(src) })
+  }
+
   test("L109: animated-GIF video codec — real demux, full raster (the interlace trap), parsed timing") {
     import graft.ops.MmDecode._
     val (id, nc) = (1L, 441) // w=10, h=4, 11 frames
