@@ -756,6 +756,92 @@ object Streams {
     }
   }
 
+  case class SnmPair(d1: Long, d2: Long, inter: Long, uni: Long)
+  case class KeyedDoc(prefix: String, doc_id: Long, text: String)
+
+  /** ONLINE Sorted-Neighborhood (the SNM sibling of
+    * [[streamingNearDup]]'s banding — VERDICT r9 next-round #8, closing
+    * the dedup family's third blocking strategy for streams). Key = the
+    * text's first character: the coarse prefix that owns a contiguous
+    * slice of the global sort order, so per-key buffers distribute the
+    * same way the batch rank is range-partitioned. State per key = a
+    * bounded buffer of the last `bufferCap` docs (evicted in ARRIVAL
+    * order), held logically SORTED by the blocking key (text, doc_id);
+    * each arrival compares against its `w` sorted neighbors on each
+    * side and emits exact integer word-set Jaccard ≥ 9/10 pairs —
+    * precision 1 by construction, ≤ 2w candidates per arrival, ≤
+    * bufferCap texts per key, both hard bounds.
+    *
+    * The honest trade vs the two other online blockers: BANDING
+    * ([[streamingNearDup]]) misses nothing but must key ALL history
+    * (state ∝ corpus); online SNM caps memory at bufferCap per key and
+    * pays for it with a recall horizon — a partner evicted before its
+    * match arrives is missed, exactly the window-local recall the batch
+    * multi-pass remedy addresses (`ops/Er.scala`). Use banding when
+    * state is cheap, SNM when memory is the binding constraint. */
+  def streamingSnm(docs: Dataset[StreamDoc], w: Int = 5,
+      bufferCap: Int = 32): Dataset[SnmPair] = {
+    import docs.sparkSession.implicits._
+    docs
+      .map(d => KeyedDoc(d.text.take(1), d.doc_id, d.text))
+      .groupByKey(_.prefix)
+      .transformWithState(new SnmProcessor(w, bufferCap),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  class SnmProcessor(w: Int, bufferCap: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, KeyedDoc, SnmPair] {
+    import org.apache.spark.sql.{Encoders, streaming}
+    // (arrival_seq, doc_id, text)
+    @transient private var buf: streaming.ListState[(Long, Long, String)] = _
+    @transient private var nArrived: streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit = {
+      buf = getHandle.getListState[(Long, Long, String)]("snm_buf",
+        Encoders.product[(Long, Long, String)], streaming.TTLConfig.NONE)
+      nArrived = getHandle.getValueState[Long]("snm_n",
+        Encoders.scalaLong, streaming.TTLConfig.NONE)
+    }
+
+    private def words(t: String): Set[String] = t.split(" ", -1).distinct.toSet
+
+    override def handleInputRows(key: String, rows: Iterator[KeyedDoc],
+        timerValues: streaming.TimerValues): Iterator[SnmPair] = {
+      var entries = buf.get().toVector
+      var seq = Option(nArrived.get()).getOrElse(0L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[SnmPair]
+      rows.toSeq.sortBy(_.doc_id).foreach { d =>
+        val mine = words(d.text)
+        // w sorted-order neighbors on each side of the arrival's rank
+        val sorted = entries.sortBy(e => (e._3, e._2))
+        val pos = sorted.indexWhere(e =>
+          e._3 > d.text || (e._3 == d.text && e._2 >= d.doc_id)) match {
+          case -1 => sorted.length
+          case p => p
+        }
+        (math.max(0, pos - w) until math.min(sorted.length, pos + w))
+          .map(sorted).foreach { case (_, oid, otext) =>
+            if (oid != d.doc_id) {
+              val theirs = words(otext)
+              val inter = (mine & theirs).size.toLong
+              val uni = mine.size + theirs.size - inter
+              if (10 * inter >= 9 * uni)
+                out += SnmPair(math.min(d.doc_id, oid), math.max(d.doc_id, oid),
+                  inter, uni)
+            }
+          }
+        seq += 1
+        entries = (entries :+ ((seq, d.doc_id, d.text)))
+        if (entries.length > bufferCap) // evict the OLDEST arrival
+          entries = entries.sortBy(_._1).takeRight(bufferCap)
+      }
+      nArrived.update(seq)
+      buf.put(entries.toArray)
+      out.iterator
+    }
+  }
+
   case class DynSession(user_id: Long, n_events: Long, sum_value: Double,
     start_us: Long, end_us: Long)
 

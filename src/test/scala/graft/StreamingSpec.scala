@@ -788,6 +788,62 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("online SNM: sorted-buffer pairs across batches, prefix-keyed, bounded state; precision 1 on the fixture") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Streams.StreamDoc]
+    val q = runToTable(Streams.streamingSnm(ms.toDS()).toDF(), "snm_stream", "append")
+    try {
+      val ten = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      val nine = "alpha beta gamma delta epsilon zeta eta theta iota"
+      // batch 1: the source doc + a same-prefix decoy
+      ms.addData(Streams.StreamDoc(1, ten),
+        Streams.StreamDoc(5, "apple banana cherry date elderberry fig"))
+      q.processAllAvailable()
+      // batch 2: a 9/10-word near-dup (same 'a' prefix) must pair with
+      // doc 1 ACROSS the batch boundary; an identical-to-doc-1 text under
+      // a DIFFERENT prefix must not (key-local blocking, documented)
+      ms.addData(Streams.StreamDoc(11, nine), Streams.StreamDoc(20, "z " + ten))
+      q.processAllAvailable()
+      val got = spark.table("snm_stream")
+        .select($"d1", $"d2", $"inter", $"uni").as[(Long, Long, Long, Long)]
+        .collect().toSet
+      assert(got === Set((1L, 11L, 9L, 10L)), got)
+      // fixture feed in two batches: every emitted pair must be a TRUE
+      // ≥0.9-Jaccard pair (precision 1 — the verify stage is exact), and
+      // the replica families must surface pairs through the horizon
+      val docs = Tables.documents(spark, sf0001)
+        .select($"doc_id", $"text").as[(Long, String)].collect()
+        .map(d => Streams.StreamDoc(d._1 + 1000000L, d._2)) // ids disjoint from above
+      val (b1, b2) = docs.partition(_.doc_id % 2 == 0)
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      val wordsOf = docs.map(d => d.doc_id -> d.text.split(" ", -1).distinct.toSet).toMap
+      val fixturePairs = spark.table("snm_stream")
+        .where($"d1" >= 1000000L).select($"d1", $"d2", $"inter", $"uni")
+        .as[(Long, Long, Long, Long)].collect()
+      assert(fixturePairs.nonEmpty, "no fixture pairs surfaced through the buffer horizon")
+      fixturePairs.foreach { case (a, b, inter, uni) =>
+        val (wa, wb) = (wordsOf(a), wordsOf(b))
+        val trueInter = (wa & wb).size
+        assert(trueInter.toLong === inter && (wa.size + wb.size - trueInter).toLong === uni,
+          s"pair ($a,$b) emitted wrong verify arithmetic")
+        assert(10 * inter >= 9 * uni, s"pair ($a,$b) below threshold emitted")
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("I6g: initial state bootstraps keyed totals — a migrated job resumes, not restarts") {
     val s = spark
     import s.implicits._
