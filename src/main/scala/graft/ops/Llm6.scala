@@ -132,6 +132,84 @@ object Llm6 {
   }
 
   // ------------------------------------------------------------------
+  // KMV bottom-k distinct sketch with set operations
+  // ------------------------------------------------------------------
+
+  private val KmvK = 256
+
+  /** L193 — KMV/bottom-k distinct sketch with SET-OPERATION estimates
+    * (Beyer et al. SIGMOD 2007; the DataSketches theta-sketch design):
+    * the sketch family's cardinality-with-algebra member — HLL (D4)
+    * estimates one set's size, but only KMV sketches COMPOSE: the union
+    * of two sketches is a sketch of the union, and the intersection is
+    * estimated through the Jaccard fraction of the union's bottom-k
+    * that lands in both sides. The at-scale shape: each side's exact
+    * distinct pass shuffles every key; the sketch ships one O(k) buffer
+    * per side, and every set-algebra answer is then a few array ops on
+    * two 1-row broadcasts — the pattern a 100 TB audience-overlap /
+    * join-cardinality estimator actually deploys.
+    *
+    * Sets: customers with URGENT (A) vs LOW (B) priority orders —
+    * genuinely partial overlap on the fixtures (sf0.01: |A|=1297,
+    * |B|=1280, |A∪B|=1468, |A∩B|=1109, all past k=256 so the ESTIMATOR
+    * path is exercised; sf0.001's |A|=132 < k exercises the
+    * exact-below-k path — both regimes gated across the two SFs).
+    * Beside each estimate rides a 3·rsd verdict (rsd = 1/√(k−2)) in
+    * EXACT integer arithmetic — (est−exact)²·(k−2) ≤ 9·exact² — so the
+    * statistical contract itself is hash-gated, not merely asserted.
+    *
+    * Estimator arithmetic is exact BIGINT (`(k−1)·2^48 div h_(k)`,
+    * union = k smallest of the deduped merge, intersection =
+    * n_both·est_union div k) over the portable h48 hash, so the oracle
+    * rebuilds the sketches with `ROW_NUMBER() ≤ k` and hash-gates every
+    * ESTIMATE bit-for-bit — same bar as the CMS above. Exact sides ride
+    * beside the estimates, one flags-pass over the filtered orders.
+    * Every estimator input is a 1-row broadcast; `array_union` /
+    * `array_intersect` / `slice` are codegen'd built-ins, no UDF. */
+  def kmvSetops(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = orders(spark, dir)
+      .where(col("o_orderpriority").startsWith("1") ||
+        col("o_orderpriority").startsWith("5"))
+      .select(col("o_custkey"),
+        col("o_orderpriority").startsWith("1").as("is_a"),
+        col("o_orderpriority").startsWith("5").as("is_b"))
+    val exact = flagged.groupBy("o_custkey")
+      .agg(max(when(col("is_a"), 1L).otherwise(0L)).as("a"),
+        max(when(col("is_b"), 1L).otherwise(0L)).as("b"))
+      .agg(sum("a").as("n_a_exact"), sum("b").as("n_b_exact"),
+        count(lit(1)).as("n_union_exact"),
+        sum(expr("a * b")).as("n_inter_exact"))
+    def side(flag: String, as: String) =
+      flagged.where(col(flag)).agg(graft.functions.Kmv.sketch(
+        h48(col("o_custkey").cast("string")), KmvK).as(as))
+    import graft.functions.Kmv.estimateSql
+    exact.crossJoin(broadcast(side("is_a", "ska"))) // 1-row broadcasts:
+      .crossJoin(broadcast(side("is_b", "skb"))) // CartesianGuard-exempt
+      .withColumn("sku",
+        slice(array_sort(array_union(col("ska"), col("skb"))), 1, KmvK))
+      .withColumn("n_a_kmv", expr(estimateSql("ska", KmvK)))
+      .withColumn("n_b_kmv", expr(estimateSql("skb", KmvK)))
+      .withColumn("n_union_kmv", expr(estimateSql("sku", KmvK)))
+      .withColumn("n_both", size(
+        array_intersect(array_intersect(col("sku"), col("ska")), col("skb"))))
+      .withColumn("n_inter_kmv",
+        expr(s"CASE WHEN size(sku) < $KmvK THEN CAST(n_both AS BIGINT) " +
+          s"ELSE (n_both * n_union_kmv) div $KmvK END"))
+      .select(col("n_a_exact"), col("n_a_kmv"), col("n_b_exact"),
+        col("n_b_kmv"), col("n_union_exact"), col("n_union_kmv"),
+        col("n_inter_exact"), col("n_inter_kmv"),
+        inBand("n_a_kmv", "n_a_exact").as("a_in_3rsd"),
+        inBand("n_b_kmv", "n_b_exact").as("b_in_3rsd"),
+        inBand("n_union_kmv", "n_union_exact").as("union_in_3rsd"))
+  }
+
+  /** |est−exact| ≤ 3·exact/√(k−2) as exact BIGINT arithmetic (square
+    * both sides): true ⟺ (est−exact)²·(k−2) ≤ 9·exact². */
+  private def inBand(est: String, exact: String): Column =
+    (col(est) - col(exact)) * (col(est) - col(exact)) * lit((KmvK - 2).toLong) <=
+      lit(9L) * col(exact) * col(exact)
+
+  // ------------------------------------------------------------------
   // Real WAV audio codec path
   // ------------------------------------------------------------------
 
@@ -166,6 +244,7 @@ object Llm6 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_bloom_decontaminate" -> (bloomDecontaminate _),
     "llm_cms_heavy_hitters" -> (cmsHeavyHitters _),
+    "agg_kmv_setops" -> (kmvSetops _),
     "mm_audio_decode" -> (mmAudioDecode _),
   )
 
@@ -212,6 +291,60 @@ object Llm6 {
              CAST(e.n_cms - t.n_exact AS BIGINT) AS overcount
            FROM top t JOIN est e USING (token)
            ORDER BY n_exact DESC, token"""
+    },
+    "agg_kmv_setops" -> {
+      val k = KmvK
+      val h = h48S("CAST(o_custkey AS VARCHAR)")
+      import graft.functions.Kmv.estimateDuck
+      s"""WITH f AS (SELECT o_custkey,
+             MAX(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS a,
+             MAX(CASE WHEN o_orderpriority LIKE '5%' THEN 1 ELSE 0 END) AS b
+           FROM orders
+           WHERE o_orderpriority LIKE '1%' OR o_orderpriority LIKE '5%'
+           GROUP BY 1),
+         ex AS (SELECT CAST(SUM(a) AS BIGINT) AS n_a_exact,
+             CAST(SUM(b) AS BIGINT) AS n_b_exact,
+             CAST(COUNT(*) AS BIGINT) AS n_union_exact,
+             CAST(SUM(a * b) AS BIGINT) AS n_inter_exact
+           FROM f),
+         ha AS (SELECT DISTINCT $h AS h FROM orders
+           WHERE o_orderpriority LIKE '1%'),
+         hb AS (SELECT DISTINCT $h AS h FROM orders
+           WHERE o_orderpriority LIKE '5%'),
+         ka AS (SELECT h FROM
+           (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM ha)
+           WHERE rn <= $k),
+         kb AS (SELECT h FROM
+           (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM hb)
+           WHERE rn <= $k),
+         ku AS (SELECT h FROM
+           (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM
+             (SELECT h FROM ka UNION SELECT h FROM kb))
+           WHERE rn <= $k),
+         sa AS (SELECT COUNT(*) AS sz, MAX(h) AS hk FROM ka),
+         sb AS (SELECT COUNT(*) AS sz, MAX(h) AS hk FROM kb),
+         su AS (SELECT COUNT(*) AS sz, MAX(h) AS hk FROM ku),
+         bo AS (SELECT COUNT(*) AS c FROM ku
+           WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+         est AS (SELECT
+             ${estimateDuck("sa.sz", "sa.hk", k)} AS n_a_kmv,
+             ${estimateDuck("sb.sz", "sb.hk", k)} AS n_b_kmv,
+             ${estimateDuck("su.sz", "su.hk", k)} AS n_union_kmv,
+             su.sz AS szu, bo.c AS n_both
+           FROM sa, sb, su, bo)
+         SELECT ex.n_a_exact, est.n_a_kmv, ex.n_b_exact, est.n_b_kmv,
+           ex.n_union_exact, est.n_union_kmv, ex.n_inter_exact,
+           CASE WHEN est.szu < $k THEN CAST(est.n_both AS BIGINT)
+             ELSE CAST((est.n_both * est.n_union_kmv) // $k AS BIGINT)
+           END AS n_inter_kmv,
+           (est.n_a_kmv - ex.n_a_exact) * (est.n_a_kmv - ex.n_a_exact)
+             * ${k - 2} <= 9 * ex.n_a_exact * ex.n_a_exact AS a_in_3rsd,
+           (est.n_b_kmv - ex.n_b_exact) * (est.n_b_kmv - ex.n_b_exact)
+             * ${k - 2} <= 9 * ex.n_b_exact * ex.n_b_exact AS b_in_3rsd,
+           (est.n_union_kmv - ex.n_union_exact)
+             * (est.n_union_kmv - ex.n_union_exact) * ${k - 2}
+             <= 9 * ex.n_union_exact * ex.n_union_exact AS union_in_3rsd
+         FROM ex, est"""
     },
     "mm_audio_decode" ->
       """WITH d AS (SELECT doc_id, 256 + (n_chars % 512) AS n,

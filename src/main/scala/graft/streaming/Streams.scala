@@ -1109,6 +1109,26 @@ object Streams {
         graft.Tables.h48(col("user_id").cast("string")), 4, 16).as("sk"))
       .select(col("w.start").as("ws"), col("sk"))
 
+  /** L193 streaming twin — windowed KMV/bottom-k distinct sketch ON A
+    * STREAM (the cardinality sibling of [[cmsWindowed]] above, same
+    * design): [[graft.functions.KmvAgg]] runs as a streaming aggregate,
+    * so its ≤ k-element sorted buffer IS the per-window state-store row
+    * — O(k) state per window regardless of stream length. The merge
+    * (dedup, keep k smallest) is associative and commutative, so
+    * partials merging across micro-batches in state equal partials
+    * merging across partitions in batch: the spec proves each window's
+    * sketch BIT-EQUAL to the batch aggregate over the same rows, and
+    * therefore every downstream estimate ([[graft.functions.Kmv]]
+    * estimator algebra, incl. cross-window union/intersection) equal
+    * too. Complete output mode re-emits merged sketches per trigger,
+    * exactly as [[cmsWindowed]]. */
+  def kmvWindowed(events: DataFrame, k: Int = 32): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(graft.functions.Kmv.sketch(
+        graft.Tables.h48(col("user_id").cast("string")), k).as("sk"))
+      .select(col("w.start").as("ws"), col("sk"))
+
   class NearDupProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, BandedDoc, NearDupAlert] {
     import org.apache.spark.sql.{Encoders, streaming}

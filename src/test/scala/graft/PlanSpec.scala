@@ -150,6 +150,9 @@ class PlanSpec extends SparkTestBase {
       "graph_butterfly_capped",
       // 1-row count-min sketch broadcast into the estimate probe
       "llm_cms_heavy_hitters",
+      // two 1-row KMV sketch broadcasts onto the 1-row exact-sides
+      // aggregate (see Llm6.kmvSetops)
+      "agg_kmv_setops",
       // 1-row corpus-stats broadcast (N, Σdl) into the BM25 scorer; the
       // hybrid adds the 1-row query-embedding broadcast of the cosine leg
       "llm_bm25_topk", "llm_hybrid_rrf",

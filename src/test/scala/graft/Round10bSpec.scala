@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 continuation: the KMV/bottom-k distinct sketch (L193) —
+  * partition invariance, independent JVM replica, estimator algebra,
+  * and the set-operation query's internal consistency. */
+class Round10bSpec extends SparkTestBase {
+
+  private def custA = Tables.orders(spark, sf0001)
+    .where(col("o_orderpriority").startsWith("1"))
+    .select(col("o_custkey"))
+
+  test("KMV sketch is partition-invariant: partial/merge ≡ one-partition build") {
+    // The merge (dedup, keep k smallest) must be associative+commutative
+    // so ObjectHashAggregate's partial/final split — and the streaming
+    // cross-micro-batch merge — is exact at any task layout.
+    def sk(parts: Int): Seq[Long] = custA.repartition(parts)
+      .agg(functions.Kmv.sketch(
+        Tables.h48(col("o_custkey").cast("string")), 16).as("sk"))
+      .collect().head.getSeq[Long](0)
+    assert(sk(1) == sk(13))
+    val agg = custA.agg(functions.Kmv.sketch(
+      Tables.h48(col("o_custkey").cast("string")), 16).as("sk"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_kmv"), plan)
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final ObjectHashAggregate:\n$plan")
+  }
+
+  test("KMV sketch equals the bottom-k of distinct h48, ascending; duplicates dedup") {
+    val keys = custA.collect().map(_.getLong(0))
+    assert(keys.length > keys.distinct.length,
+      "fixture slice has no duplicate custkeys — dedup not exercised")
+    val want = keys.distinct.map(k => Tables.h48jvm(k.toString)).sorted.take(16).toSeq
+    val got = custA.agg(functions.Kmv.sketch(
+      Tables.h48(col("o_custkey").cast("string")), 16).as("sk"))
+      .collect().head.getSeq[Long](0)
+    assert(got == want)
+    // below-k group: the sketch IS the complete distinct hash set
+    val tiny = custA.limit(5)
+    val tinyKeys = tiny.collect().map(_.getLong(0)).distinct
+    val gotTiny = tiny.agg(functions.Kmv.sketch(
+      Tables.h48(col("o_custkey").cast("string")), 16).as("sk"))
+      .collect().head.getSeq[Long](0)
+    assert(gotTiny == tinyKeys.map(k => Tables.h48jvm(k.toString)).sorted.toSeq)
+  }
+
+  test("KMV estimator: exact below k, (k-1)*2^48 div h_(k) at k; non-long input refused") {
+    val s = spark
+    import s.implicits._
+    val n = 500
+    val hashes = (1 to n).map(i => Tables.h48jvm(s"item$i"))
+    val df = hashes.toDF("h")
+    val k = 64
+    val est = df.agg(functions.Kmv.sketch(col("h"), k).as("sk"))
+      .selectExpr(functions.Kmv.estimateSql("sk", k) + " AS est")
+      .collect().head.getLong(0)
+    val hk = hashes.distinct.sorted.apply(k - 1)
+    assert(est == (k - 1).toLong * (1L << 48) / hk)
+    // within 3 rsd of the true 500 (deterministic given the hash set)
+    assert(math.abs(est - n) <= 3.0 * n / math.sqrt(k - 2), s"est=$est")
+    // exact path below k
+    val estSmall = df.limit(20).agg(functions.Kmv.sketch(col("h"), k).as("sk"))
+      .selectExpr(functions.Kmv.estimateSql("sk", k) + " AS est")
+      .collect().head.getLong(0)
+    assert(estSmall == 20L)
+    intercept[Exception] {
+      df.agg(functions.Kmv.sketch(col("h").cast("string"), k)).collect()
+    }
+  }
+
+  test("KMV union algebra: bottom-k of merged sketches == sketch of the union") {
+    val s = spark
+    import s.implicits._
+    val k = 32
+    val a = (1 to 300).map(i => s"u$i")
+    val b = (200 to 500).map(i => s"u$i") // genuine partial overlap
+    def skOf(xs: Seq[String]): Seq[Long] =
+      xs.toDF("x").agg(functions.Kmv.sketch(Tables.h48(col("x")), k).as("sk"))
+        .collect().head.getSeq[Long](0)
+    val merged = (skOf(a) ++ skOf(b)).distinct.sorted.take(k)
+    assert(merged == skOf((a ++ b).distinct))
+  }
+
+  test("agg_kmv_setops: exact sides match countDistinct; estimates in their 3-rsd bands") {
+    val r = SparkEntry.queries("agg_kmv_setops")(spark, sf0001).collect().head
+    val o = Tables.orders(spark, sf0001)
+    val nA = o.where(col("o_orderpriority").startsWith("1"))
+      .select("o_custkey").distinct().count()
+    val nB = o.where(col("o_orderpriority").startsWith("5"))
+      .select("o_custkey").distinct().count()
+    assert(r.getAs[Long]("n_a_exact") == nA)
+    assert(r.getAs[Long]("n_b_exact") == nB)
+    assert(r.getAs[Long]("n_union_exact") >= math.max(nA, nB))
+    assert(r.getAs[Long]("n_inter_exact") ==
+      nA + nB - r.getAs[Long]("n_union_exact"))
+    assert(r.getAs[Boolean]("a_in_3rsd") && r.getAs[Boolean]("b_in_3rsd") &&
+      r.getAs[Boolean]("union_in_3rsd"))
+    // sf0.001 sits below k=256: every estimate must be EXACT there
+    assert(r.getAs[Long]("n_a_kmv") == nA)
+    assert(r.getAs[Long]("n_inter_kmv") == r.getAs[Long]("n_inter_exact"))
+  }
+}

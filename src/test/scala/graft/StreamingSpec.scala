@@ -1258,6 +1258,63 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("batch≡streaming: per-window KMV bottom-k sketches bit-equal across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ordered = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val ms = MemoryStream[Event]
+    // k=8 < the fixture's 15 distinct users/day, so most windows exercise
+    // the BOUNDED path (buffer at capacity, cross-batch offer/evict in
+    // state), not just the exact-below-k accumulation
+    val q = runToTable(Streams.kmvWindowed(ms.toDF(), k = 8), "kmv_win", "complete")
+    try {
+      ordered.grouped((ordered.length + 2) / 3).foreach { chunk =>
+        ms.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("kmv_win")
+        .select($"ws".cast("string"), $"sk").as[(String, Seq[Long])]
+        .collect().toMap
+      val batch = Streams.kmvWindowed(Tables.events(spark, sf0001), k = 8)
+        .select($"ws".cast("string"), $"sk").as[(String, Seq[Long])]
+        .collect().toMap
+      assert(streamed.keySet === batch.keySet)
+      batch.foreach { case (ws, sk) =>
+        assert(streamed(ws) == sk, s"sketch drift in window $ws")
+      }
+      assert(batch.size > 1, "fixture must span multiple windows")
+      // independent ground truth: each window's sketch must be exactly
+      // the 8 smallest distinct h48 hashes of that window's users,
+      // ascending (the complete set when a window has < 8 distinct)
+      val truth = Tables.events(spark, sf0001)
+        .groupBy(window($"ts", "1 day"))
+        .agg(collect_set($"user_id").as("us"))
+        .select($"window.start".cast("string"), $"us").as[(String, Seq[Long])]
+        .collect().toMap
+      var sawBounded = false
+      streamed.foreach { case (ws, sk) =>
+        val want = truth(ws).map(u => Tables.h48jvm(u.toString))
+          .distinct.sorted.take(8)
+        assert(sk == want, s"window $ws sketch != bottom-8 of distinct h48")
+        if (truth(ws).size > 8) sawBounded = true
+      }
+      assert(sawBounded, "no window exceeded k — bounded path not exercised")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("batch≡streaming: absence alerts equal cep_not_followed_by on the full fixture") {
     val s = spark
     import s.implicits._
