@@ -79,6 +79,111 @@ object Llm4 {
       .orderBy("doc_id")
   }
 
+  /** L195 — trigram language model with STUPID BACKOFF scoring (Brants
+    * et al. EMNLP 2007, "Large Language Models in Machine Translation" —
+    * the web-scale LM smoothing that skips discount normalization
+    * entirely, because at corpus scale the backoff score needs no
+    * probability semantics): the n-gram upgrade of [[unigramLogprob]] as
+    * a perplexity proxy for quality-bucketing before an expensive model
+    * pass. The LM trains on one slice (doc_id ≥ 100) and scores a
+    * DISJOINT held-out slice (doc_id < 100) — the honest deployment
+    * shape, and the reason the backoff recursion actually fires (~40% of
+    * held-out trigram occurrences are unseen in train on the fixtures;
+    * scoring in-corpus would make every n-gram trivially "seen").
+    *
+    * Per token with context (w₋₂, w₋₁), α = 0.4:
+    *
+    *   S(w|w₋₂w₋₁) = c₃(w₋₂w₋₁w)/c₂(w₋₂w₋₁)   if the trigram occurs
+    *               = α·S(w|w₋₁)                 otherwise
+    *   S(w|w₋₁)    = c₂(w₋₁w)/c₁(w₋₁)          if the bigram occurs
+    *               = α·S(w)                     otherwise
+    *   S(w)        = c₁(w)/N, floored at 1/N for OOV words
+    *
+    * Document-initial tokens start at the highest order their context
+    * allows WITHOUT penalty (context shortening is not backoff).
+    *
+    * Scale shape: all four LM tables (trigram, context-bigram, bigram,
+    * unigram + the 1-row N) are vocabulary-sized BROADCASTS — the L181
+    * DSIR shape — and the held-out token stream joins them with
+    * broadcast hash joins; nothing pairwise, the scored stream is the
+    * only corpus-proportional object. Both context words are recovered
+    * INSIDE the words array (index-aware `transform` + `element_at`), so
+    * no window shuffle orders tokens. Per-token log scores go through
+    * the `llm_unigram_logprob` decimal contract (quantize DECIMAL(18,6)
+    * then sum — order-free, absorbs ln ulp drift between engines);
+    * `n_tri_hit` / `n_bo_bi` / `n_bo_uni` pin the rung each token took
+    * as exact oracle-gated integers. */
+  def stupidBackoff(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val train = d.where(col("doc_id") >= 100)
+    val w = train.select(explode(col("ws")).as("word"))
+    val uni = w.groupBy("word").agg(count(lit(1)).as("c1"))
+    val tot = w.agg(count(lit(1)).as("t"))
+    def grams(n: Int, name: String) = train
+      .where(size(col("ws")) >= n)
+      .select(explode(transform(
+        slice(col("ws"), lit(1), size(col("ws")) - (n - 1)),
+        (_, i) => concat_ws(" ", (0 until n).map(j =>
+          element_at(col("ws"), i + j + 1)): _*))).as(name))
+      .groupBy(name)
+    val bi = grams(2, "bigram").agg(count(lit(1)).as("c2"))
+    val tri = grams(3, "trigram").agg(count(lit(1)).as("c3"))
+    val toks = d.where(col("doc_id") < 100)
+      .select(col("doc_id"), explode(transform(col("ws"),
+        (x, i) => struct(x.as("cur"),
+          when(i >= 1, element_at(col("ws"), i)).as("p1"),
+          when(i >= 2, element_at(col("ws"), i - 1)).as("p2")))).as("p"))
+      .select(col("doc_id"), col("p.cur").as("cur"),
+        col("p.p1").as("p1"), col("p.p2").as("p2"))
+    val alpha = lit(0.4)
+    val joined = toks
+      .join(broadcast(uni), col("cur") === col("word"), "left")
+      .drop("word")
+      .join(broadcast(uni.select(col("word").as("w1"), col("c1").as("c1p"))),
+        col("p1") === col("w1"), "left")
+      .join(broadcast(bi),
+        concat_ws(" ", col("p1"), col("cur")) === col("bigram"), "left")
+      .join(broadcast(bi.select(col("bigram").as("bctx"), col("c2").as("c2ctx"))),
+        concat_ws(" ", col("p2"), col("p1")) === col("bctx"), "left")
+      .join(broadcast(tri),
+        concat_ws(" ", col("p2"), col("p1"), col("cur")) === col("trigram"),
+        "left")
+      .crossJoin(broadcast(tot))
+    // rung selection: trigram when full context + c3 hit; bigram when the
+    // bigram occurs (penalized only if a trigram context existed); else
+    // unigram/OOV (penalized once per rung actually skipped)
+    val sUni = when(col("c1").isNotNull,
+        col("c1").cast("double") / col("t").cast("double"))
+      .otherwise(lit(1.0) / col("t").cast("double"))
+    val sBi = col("c2").cast("double") / col("c1p").cast("double")
+    val sTri = col("c3").cast("double") / col("c2ctx").cast("double")
+    val hadTriCtx = col("p2").isNotNull
+    val hadBiCtx = col("p1").isNotNull
+    val scored = joined
+      .withColumn("rung",
+        when(hadTriCtx && col("c3").isNotNull, "tri")
+          .when(col("c2").isNotNull, "bi")
+          .otherwise("uni"))
+      .withColumn("s",
+        when(col("rung") === "tri", log(sTri))
+          .when(col("rung") === "bi",
+            log(when(hadTriCtx, alpha).otherwise(lit(1.0)) * sBi))
+          .otherwise(log(
+            when(hadTriCtx, alpha).otherwise(lit(1.0)) *
+              (when(hadBiCtx, alpha).otherwise(lit(1.0)) * sUni))))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("rung") === "tri", 1L).otherwise(0L)).as("n_tri_hit"),
+        sum(when(col("rung") === "bi" && hadTriCtx, 1L).otherwise(0L))
+          .as("n_bo_bi"),
+        sum(when(col("rung") === "uni" && hadBiCtx, 1L).otherwise(0L))
+          .as("n_bo_uni"),
+        round(dsum(col("s")) / count(lit(1)).cast("double"), 6)
+          .as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Temperature-rebalanced source mixture (α = 0.5): sampling probability
     * p_s ∝ n_s^α, flattening the source distribution toward small
     * high-quality sources (α=1 is proportional, α=0 uniform). Output also
@@ -124,6 +229,7 @@ object Llm4 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ngram_novelty" -> (ngramNovelty _),
     "llm_unigram_logprob" -> (unigramLogprob _),
+    "llm_stupid_backoff" -> (stupidBackoff _),
     "llm_temperature_mix" -> (temperatureMix _),
     "llm_knn_label" -> (knnLabel _),
   )
@@ -177,6 +283,60 @@ object Llm4 {
              AS DOUBLE) / COUNT(*), 6) AS avg_logprob
          FROM w JOIN freq USING (word) CROSS JOIN tot
          WHERE doc_id < 100 GROUP BY doc_id ORDER BY doc_id""",
+    "llm_stupid_backoff" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           tr AS (SELECT ws FROM d WHERE doc_id >= 100),
+           w AS (SELECT unnest(ws) AS word FROM tr),
+           uni AS (SELECT word, COUNT(*) AS c1 FROM w GROUP BY 1),
+           tot AS (SELECT COUNT(*) AS t FROM w),
+           bi AS (SELECT ws[i] || ' ' || ws[i+1] AS bigram, COUNT(*) AS c2
+             FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM tr)
+             GROUP BY 1),
+           tri AS (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS trigram,
+               COUNT(*) AS c3
+             FROM (SELECT ws, unnest(range(1, len(ws) - 1)) AS i FROM tr)
+             GROUP BY 1),
+           toks AS (SELECT doc_id, ws[i] AS cur,
+               CASE WHEN i >= 2 THEN ws[i-1] END AS p1,
+               CASE WHEN i >= 3 THEN ws[i-2] END AS p2
+             FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+               FROM d WHERE doc_id < 100)),
+           j AS (SELECT tk.doc_id, tk.cur, tk.p1, tk.p2,
+               u.c1, up.c1 AS c1p, b.c2, bc.c2 AS c2ctx, g.c3, tot.t,
+               CASE WHEN tk.p2 IS NOT NULL AND g.c3 IS NOT NULL THEN 'tri'
+                 WHEN b.c2 IS NOT NULL THEN 'bi' ELSE 'uni' END AS rung
+             FROM toks tk
+             LEFT JOIN uni u ON tk.cur = u.word
+             LEFT JOIN uni up ON tk.p1 = up.word
+             LEFT JOIN bi b ON tk.p1 || ' ' || tk.cur = b.bigram
+             LEFT JOIN bi bc ON tk.p2 || ' ' || tk.p1 = bc.bigram
+             LEFT JOIN tri g
+               ON tk.p2 || ' ' || tk.p1 || ' ' || tk.cur = g.trigram
+             CROSS JOIN tot),
+           sc AS (SELECT doc_id, rung,
+               p2 IS NOT NULL AS had_tri, p1 IS NOT NULL AS had_bi,
+               CASE WHEN rung = 'tri'
+                   THEN LN(CAST(c3 AS DOUBLE) / CAST(c2ctx AS DOUBLE))
+                 WHEN rung = 'bi'
+                   THEN LN(CASE WHEN p2 IS NOT NULL THEN 0.4 ELSE 1.0 END
+                     * (CAST(c2 AS DOUBLE) / CAST(c1p AS DOUBLE)))
+                 ELSE LN(CASE WHEN p2 IS NOT NULL THEN 0.4 ELSE 1.0 END
+                     * (CASE WHEN p1 IS NOT NULL THEN 0.4 ELSE 1.0 END
+                       * (CASE WHEN c1 IS NOT NULL
+                           THEN CAST(c1 AS DOUBLE) / CAST(t AS DOUBLE)
+                           ELSE 1.0 / CAST(t AS DOUBLE) END)))
+               END AS s
+             FROM j)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN rung = 'tri' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tri_hit,
+           CAST(SUM(CASE WHEN rung = 'bi' AND had_tri THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_bo_bi,
+           CAST(SUM(CASE WHEN rung = 'uni' AND had_bi THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_bo_uni,
+           ROUND(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_logprob
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
     "llm_temperature_mix" ->
       """WITH s AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
            w AS (SELECT source, n_docs, SQRT(CAST(n_docs AS DOUBLE)) AS wt FROM s),

@@ -110,6 +110,62 @@ class Round10bSpec extends SparkTestBase {
     assert(merged == skOf((a ++ b).distinct))
   }
 
+  test("llm_stupid_backoff: rung counts and scores match a from-scratch JVM replica; all rungs fire") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val train = docs.filter(_._1 >= 100).map(_._2)
+    val uni = train.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val t = train.map(_.size).sum.toDouble
+    def grams(n: Int) = train.flatMap(ws =>
+      ws.sliding(n).filter(_.size == n).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (bi, tri) = (grams(2), grams(3))
+    var (nTri, nBoBi, nBoUni) = (0L, 0L, 0L)
+    val avg = docs.filter(_._1 < 100).map { case (id, ws) =>
+      val scores = ws.indices.map { i =>
+        val cur = ws(i)
+        val p1 = if (i >= 1) Some(ws(i - 1)) else None
+        val p2 = if (i >= 2) Some(ws(i - 2)) else None
+        val triKey = p2.flatMap(a => p1.map(b => s"$a $b $cur"))
+        val biKey = p1.map(b => s"$b $cur")
+        val sUni = uni.get(cur).map(_ / t).getOrElse(1.0 / t)
+        triKey.flatMap(tri.get) match {
+          case Some(c3) =>
+            nTri += 1
+            math.log(c3.toDouble / bi(s"${p2.get} ${p1.get}").toDouble)
+          case None => biKey.flatMap(bi.get) match {
+            case Some(c2) =>
+              if (p2.isDefined) nBoBi += 1
+              math.log((if (p2.isDefined) 0.4 else 1.0) *
+                (c2.toDouble / uni(p1.get).toDouble))
+            case None =>
+              if (p1.isDefined) nBoUni += 1
+              math.log((if (p2.isDefined) 0.4 else 1.0) *
+                ((if (p1.isDefined) 0.4 else 1.0) * sUni))
+          }
+        }
+      }
+      id -> (math.floor(scores.map(s => math.rint(s * 1e6) / 1e6).sum /
+        scores.size * 1e6 + 0.5) / 1e6, scores.size.toLong)
+    }.toMap
+    val got = SparkEntry.queries("llm_stupid_backoff")(spark, sf0001).collect()
+    assert(got.length == avg.size)
+    var (gTri, gBoBi, gBoUni) = (0L, 0L, 0L)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_tokens") == avg(id)._2)
+      assert(math.abs(r.getAs[Double]("avg_logprob") - avg(id)._1) < 2e-6,
+        s"doc $id: ${r.getAs[Double]("avg_logprob")} vs ${avg(id)._1}")
+      gTri += r.getAs[Long]("n_tri_hit")
+      gBoBi += r.getAs[Long]("n_bo_bi")
+      gBoUni += r.getAs[Long]("n_bo_uni")
+    }
+    assert((gTri, gBoBi, gBoUni) == ((nTri, nBoBi, nBoUni)))
+    assert(nTri > 0 && nBoBi > 0,
+      s"backoff recursion not exercised: tri=$nTri bo_bi=$nBoBi")
+  }
+
   test("agg_kmv_setops: exact sides match countDistinct; estimates in their 3-rsd bands") {
     val r = SparkEntry.queries("agg_kmv_setops")(spark, sf0001).collect().head
     val o = Tables.orders(spark, sf0001)
