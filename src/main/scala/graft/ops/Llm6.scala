@@ -210,6 +210,49 @@ object Llm6 {
       lit(9L) * col(exact) * col(exact)
 
   // ------------------------------------------------------------------
+  // Text normalization (mutate → normalize → prove recovery)
+  // ------------------------------------------------------------------
+
+  /** L197 — text NORMALIZATION pass (case folding, whitespace collapse,
+    * trim — the first mechanical scrub of every ingest pipeline, run
+    * before tokenization or any dedup hash is computed, because "Foo
+    * bar" and "foo  bar" must collide). The fixture text is already
+    * canonical (lowercase, single-spaced, trimmed — asserted by the
+    * recovery contract), so a normalizer run directly on it would be the
+    * identity and its transform paths dead code. Instead the corpus is
+    * deterministically DIRTIED first (the `cdc_table_diff` mutated-twin
+    * pattern): doc_id≡0 (mod 3) uppercased, (mod 5) double-spaced,
+    * (mod 7) wrapped in tab/space padding, (mod 11) spaces turned into
+    * newlines — overlapping rules compose. Normalization (lower →
+    * collapse `[ \t\n]+` → trim) must then RECOVER the original text
+    * exactly: `n_recovered = n_docs`, and the corpus-sum of h48 hashes
+    * of normalized text equals that of the originals — a corpus-level
+    * checksum the oracle re-derives, so a single mangled character
+    * anywhere fails the gate. Row-local end-to-end (regexp/case ops are
+    * codegen'd `string` expressions); one global aggregate. */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    val t1 = when(col("doc_id") % 3 === 0, upper(col("text")))
+      .otherwise(col("text"))
+    val t2 = when(col("doc_id") % 5 === 0, regexp_replace(t1, " ", "  "))
+      .otherwise(t1)
+    val t3 = when(col("doc_id") % 7 === 0, concat(lit(" \t"), t2, lit(" ")))
+      .otherwise(t2)
+    val dirty = when(col("doc_id") % 11 === 0, regexp_replace(t3, " ", "\n"))
+      .otherwise(t3)
+    val norm = trim(regexp_replace(lower(dirty), "[ \t\n]+", " "))
+    d.select(col("doc_id"), col("text"), dirty.as("dirty"), norm.as("norm"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dirty") =!= col("text"), 1L).otherwise(0L))
+          .as("n_mutated"),
+        sum(when(col("norm") === col("text"), 1L).otherwise(0L))
+          .as("n_recovered"),
+        sum(length(col("dirty")).cast("long")).as("chars_dirty"),
+        sum(length(col("norm")).cast("long")).as("chars_norm"),
+        (sum(h48(col("norm"))) === sum(h48(col("text")))).as("h_sum_match"))
+  }
+
+  // ------------------------------------------------------------------
   // Real WAV audio codec path
   // ------------------------------------------------------------------
 
@@ -245,6 +288,7 @@ object Llm6 {
     "llm_bloom_decontaminate" -> (bloomDecontaminate _),
     "llm_cms_heavy_hitters" -> (cmsHeavyHitters _),
     "agg_kmv_setops" -> (kmvSetops _),
+    "llm_text_normalize" -> (textNormalize _),
     "mm_audio_decode" -> (mmAudioDecode _),
   )
 
@@ -345,6 +389,38 @@ object Llm6 {
              * (est.n_union_kmv - ex.n_union_exact) * ${k - 2}
              <= 9 * ex.n_union_exact * ex.n_union_exact AS union_in_3rsd
          FROM ex, est"""
+    },
+    "llm_text_normalize" -> {
+      val h = h48S("norm")
+      val hOrig = h48S("text")
+      s"""WITH m AS (SELECT doc_id, text,
+             CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END AS t1
+           FROM documents),
+         m2 AS (SELECT doc_id, text,
+             CASE WHEN doc_id % 5 = 0
+               THEN regexp_replace(t1, ' ', '  ', 'g') ELSE t1 END AS t2
+           FROM m),
+         m3 AS (SELECT doc_id, text,
+             CASE WHEN doc_id % 7 = 0
+               THEN ' ' || chr(9) || t2 || ' ' ELSE t2 END AS t3
+           FROM m2),
+         m4 AS (SELECT doc_id, text,
+             CASE WHEN doc_id % 11 = 0
+               THEN regexp_replace(t3, ' ', chr(10), 'g') ELSE t3 END AS dirty
+           FROM m3),
+         n AS (SELECT doc_id, text, dirty,
+             trim(regexp_replace(lower(dirty), '[ \t\n]+', ' ', 'g')) AS norm
+           FROM m4)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN dirty <> text THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mutated,
+           CAST(SUM(CASE WHEN norm = text THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_recovered,
+           CAST(SUM(length(dirty)) AS BIGINT) AS chars_dirty,
+           CAST(SUM(length(norm)) AS BIGINT) AS chars_norm,
+           CAST(SUM($h) AS BIGINT) = CAST(SUM($hOrig) AS BIGINT)
+             AS h_sum_match
+         FROM n"""
     },
     "mm_audio_decode" ->
       """WITH d AS (SELECT doc_id, 256 + (n_chars % 512) AS n,

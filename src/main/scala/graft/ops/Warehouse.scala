@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -391,6 +391,61 @@ object Warehouse {
         .as("n_purchase_after_click"))
   }
 
+  /** L196 — funnel TIME-TO-CONVERT percentiles (the latency half of the
+    * L90 funnel: not just how many users convert, but how long each
+    * stage transition takes — the number a growth/product review
+    * actually argues over): per user the same ordered first-event
+    * timestamps as [[funnelStages]], then per transition (view→click,
+    * click→purchase, view→purchase) the converting-user count and exact
+    * interpolated p50/p90 of the transition delay in seconds. Deltas
+    * are exact integer MICROSECONDS (`unix_micros` diff — both engines
+    * compute the same longs, doubles stay exact under 2^53), and the
+    * percentile is the L21 `percentile`/`quantile_cont` parity
+    * contract. ONE conditional-aggregation pass computes all nine
+    * numbers; the 1-row result is unpivoted to transition rows with an
+    * array-of-structs explode — no recomputation, no union of three
+    * re-aggregations. Scale = `funnel_stages` exactly: one user-keyed
+    * shuffle, then one row. */
+  def funnelTimeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+    val vc = col("t_view").isNotNull && col("t_click") > col("t_view")
+    val cp = vc && col("t_purchase") > col("t_click")
+    val dvc = unix_micros(col("t_click")) - unix_micros(col("t_view"))
+    val dcp = unix_micros(col("t_purchase")) - unix_micros(col("t_click"))
+    val dvp = unix_micros(col("t_purchase")) - unix_micros(col("t_view"))
+    def leg(cond: Column, delta: Column, p: Double) =
+      round(expr_percentile(when(cond, delta), p) / 1e6, 6)
+    val agged = perUser.agg(
+      sum(when(vc, 1L).otherwise(0L)).as("n_vc"),
+      sum(when(cp, 1L).otherwise(0L)).as("n_cp"),
+      leg(vc, dvc, 0.5).as("vc50"), leg(vc, dvc, 0.9).as("vc90"),
+      leg(cp, dcp, 0.5).as("cp50"), leg(cp, dcp, 0.9).as("cp90"),
+      leg(cp, dvp, 0.5).as("vp50"), leg(cp, dvp, 0.9).as("vp90"))
+    agged.select(explode(array(
+        struct(lit("1_view_to_click").as("transition"),
+          col("n_vc").as("n_users"), col("vc50").as("p50_s"),
+          col("vc90").as("p90_s")),
+        struct(lit("2_click_to_purchase").as("transition"),
+          col("n_cp").as("n_users"), col("cp50").as("p50_s"),
+          col("cp90").as("p90_s")),
+        struct(lit("3_view_to_purchase").as("transition"),
+          col("n_cp").as("n_users"), col("vp50").as("p50_s"),
+          col("vp90").as("p90_s")))).as("r"))
+      .select(col("r.transition"), col("r.n_users"), col("r.p50_s"),
+        col("r.p90_s"))
+      .orderBy("transition")
+  }
+
+  /** Spark's exact interpolated `percentile` over a conditional column
+    * (nulls skipped — only converting users contribute). */
+  private def expr_percentile(c: Column, p: Double): Column =
+    call_function("percentile", c, lit(p))
+
   // ------------------------------------------------------------------
   // Distribution / data-quality aggregates (§2.D widening)
   // ------------------------------------------------------------------
@@ -679,6 +734,7 @@ object Warehouse {
     "sql_recursive_spine" -> (sqlRecursiveSpine _),
     "cohort_day1_retention" -> (cohortRetention _),
     "funnel_stages" -> (funnelStages _),
+    "funnel_time_to_convert" -> (funnelTimeToConvert _),
     "win_moving_median" -> (winMovingMedian _),
     "scalar_string_format" -> (scalarStringFormat _),
     "scalar_regexp_extract" -> (scalarRegexpExtract _),
@@ -960,6 +1016,36 @@ object Warehouse {
             CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
               AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_after_click
           FROM pu""",
+    "funnel_time_to_convert" ->
+      s"""WITH pu AS (
+            SELECT user_id,
+              MIN(CASE WHEN event_type = 'view' THEN $evTs END) AS t_view,
+              MIN(CASE WHEN event_type = 'click' THEN $evTs END) AS t_click,
+              MIN(CASE WHEN event_type = 'purchase' THEN $evTs END) AS t_purchase
+            FROM events GROUP BY 1),
+          d AS (SELECT
+              t_view IS NOT NULL AND t_click > t_view AS vc,
+              t_view IS NOT NULL AND t_click > t_view
+                AND t_purchase > t_click AS cp,
+              epoch_us(t_click) - epoch_us(t_view) AS dvc,
+              epoch_us(t_purchase) - epoch_us(t_click) AS dcp,
+              epoch_us(t_purchase) - epoch_us(t_view) AS dvp
+            FROM pu),
+          a AS (SELECT
+              CAST(SUM(CASE WHEN vc THEN 1 ELSE 0 END) AS BIGINT) AS n_vc,
+              CAST(SUM(CASE WHEN cp THEN 1 ELSE 0 END) AS BIGINT) AS n_cp,
+              round(quantile_cont(CAST(CASE WHEN vc THEN dvc END AS DOUBLE), 0.5) / 1000000.0, 6) AS vc50,
+              round(quantile_cont(CAST(CASE WHEN vc THEN dvc END AS DOUBLE), 0.9) / 1000000.0, 6) AS vc90,
+              round(quantile_cont(CAST(CASE WHEN cp THEN dcp END AS DOUBLE), 0.5) / 1000000.0, 6) AS cp50,
+              round(quantile_cont(CAST(CASE WHEN cp THEN dcp END AS DOUBLE), 0.9) / 1000000.0, 6) AS cp90,
+              round(quantile_cont(CAST(CASE WHEN cp THEN dvp END AS DOUBLE), 0.5) / 1000000.0, 6) AS vp50,
+              round(quantile_cont(CAST(CASE WHEN cp THEN dvp END AS DOUBLE), 0.9) / 1000000.0, 6) AS vp90
+            FROM d)
+          SELECT '1_view_to_click' AS transition, n_vc AS n_users,
+            vc50 AS p50_s, vc90 AS p90_s FROM a
+          UNION ALL SELECT '2_click_to_purchase', n_cp, cp50, cp90 FROM a
+          UNION ALL SELECT '3_view_to_purchase', n_cp, vp50, vp90 FROM a
+          ORDER BY transition""",
     "win_moving_median" ->
       s"""SELECT user_id, event_id,
           round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id

@@ -166,6 +166,60 @@ class Round10bSpec extends SparkTestBase {
       s"backoff recursion not exercised: tri=$nTri bo_bi=$nBoBi")
   }
 
+  test("funnel_time_to_convert: deltas and interpolated percentiles match a JVM replica") {
+    val perUser = Tables.events(spark, sf0001)
+      .select("user_id", "event_type", "ts").collect()
+      .groupBy(_.getLong(0)).map { case (_, rs) =>
+        // full-µs epoch (getTime alone truncates to ms — the fixture is
+        // µs-precision, the Streams.microsOf lesson)
+        def us(t: java.sql.Timestamp): Long =
+          math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+        def first(tp: String) = rs.filter(_.getString(1) == tp)
+          .map(r => us(r.getTimestamp(2))).sorted.headOption
+        (first("view"), first("click"), first("purchase"))
+      }.toSeq
+    def pct(xs: Seq[Long], q: Double): Double = {
+      val s = xs.sorted.map(_.toDouble)
+      val pos = (s.size - 1) * q
+      val (lo, hi) = (s(pos.toInt), s(math.ceil(pos).toInt))
+      lo + (pos - pos.toInt) * (hi - lo)
+    }
+    val vcDeltas = perUser.collect {
+      case (Some(v), Some(c), _) if c > v => c - v }
+    val cpUsers = perUser.collect {
+      case (Some(v), Some(c), Some(p)) if c > v && p > c => (p - c, p - v) }
+    val got = SparkEntry.queries("funnel_time_to_convert")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got("1_view_to_click")._1 == vcDeltas.size)
+    assert(got("2_click_to_purchase")._1 == cpUsers.size)
+    assert(got("3_view_to_purchase")._1 == cpUsers.size)
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-5
+    assert(close(got("1_view_to_click")._2, pct(vcDeltas, 0.5) / 1e6))
+    assert(close(got("1_view_to_click")._3, pct(vcDeltas, 0.9) / 1e6))
+    assert(close(got("2_click_to_purchase")._2, pct(cpUsers.map(_._1), 0.5) / 1e6))
+    assert(close(got("3_view_to_purchase")._3, pct(cpUsers.map(_._2), 0.9) / 1e6))
+    assert(vcDeltas.nonEmpty && cpUsers.nonEmpty)
+  }
+
+  test("llm_text_normalize: every mutation class fires and every doc recovers exactly") {
+    val r = SparkEntry.queries("llm_text_normalize")(spark, sf0001).collect().head
+    val n = Tables.documents(spark, sf0001).count()
+    assert(r.getAs[Long]("n_docs") == n)
+    assert(r.getAs[Long]("n_recovered") == n, "normalization failed to invert the dirtying")
+    assert(r.getAs[Boolean]("h_sum_match"))
+    assert(r.getAs[Long]("chars_dirty") > r.getAs[Long]("chars_norm"))
+    // each dirtying rule must have a live, genuinely-mutating population
+    val ids = Tables.documents(spark, sf0001).select("doc_id")
+      .collect().map(_.getLong(0))
+    Seq(3, 5, 7, 11).foreach { m =>
+      assert(ids.exists(_ % m == 0), s"no doc exercises the mod-$m rule") }
+    assert(r.getAs[Long]("n_mutated") >= ids.count(i =>
+      i % 3 == 0 || i % 5 == 0 || i % 7 == 0) &&
+      r.getAs[Long]("n_mutated") <= ids.count(i =>
+        i % 3 == 0 || i % 5 == 0 || i % 7 == 0 || i % 11 == 0))
+  }
+
   test("agg_kmv_setops: exact sides match countDistinct; estimates in their 3-rsd bands") {
     val r = SparkEntry.queries("agg_kmv_setops")(spark, sf0001).collect().head
     val o = Tables.orders(spark, sf0001)
