@@ -536,4 +536,40 @@ class ScaleRehearsalSpec extends SparkTestBase {
       f"capped enumerated $processed wedges (${wedgesExact / processed}x less), " +
       f"estimate $bfEst (rel err $relErr%.3f)")
   }
+
+  test("round-10 family at 10x: KMV bands hold at 10x cardinality, DQ violations scale, backoff bounded") {
+    // KMV: O(k) sketch state faces 10x the distinct keys (replica
+    // custkeys are remapped, so |A| ≈ 13k); exact sides must be exactly
+    // 10x the fixture's and the integer 3-rsd verdicts must still hold —
+    // the estimator's relative error contract is cardinality-free
+    val base = SparkEntry.queries("agg_kmv_setops")(spark, sf001)
+      .collect().head
+    val t0 = System.nanoTime()
+    val r = SparkEntry.queries("agg_kmv_setops")(spark, scaledDir)
+      .collect().head
+    val tK = (System.nanoTime() - t0) / 1e9
+    assert(tK < 60.0, s"kmv setops took $tK s at 10x")
+    Seq("n_a_exact", "n_b_exact", "n_union_exact", "n_inter_exact")
+      .foreach { c =>
+        assert(r.getAs[Long](c) === base.getAs[Long](c) * K, c) }
+    Seq("a_in_3rsd", "b_in_3rsd", "union_in_3rsd").foreach { c =>
+      assert(r.getAs[Boolean](c), s"$c broke at 10x cardinality") }
+    // DQ suite: violation counts are row-linear; the single-scan compile
+    // must hold the wall at 10x rows
+    val baseDq = SparkEntry.queries("dq_expectations")(spark, sf001)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    val dqT0 = System.nanoTime()
+    val dq = SparkEntry.queries("dq_expectations")(spark, scaledDir)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    val tD = (System.nanoTime() - dqT0) / 1e9
+    assert(tD < 60.0, s"dq suite took $tD s at 10x")
+    assert(dq.keySet === baseDq.keySet)
+    dq.foreach { case (k, v) => assert(v === baseDq(k) * K,
+      s"$k violations not 10x: $v vs ${baseDq(k)}") }
+    // Stupid backoff: LM tables stay vocabulary-sized however big the
+    // train slice; the held-out stream is the only scaled object
+    val (nS, tS) = runTimed("llm_stupid_backoff")
+    assert(nS === 100L, s"held-out rows at 10x: $nS") // orig ids 0-9 x 10 replicas
+    assert(tS < 60.0, s"stupid backoff took $tS s at 10x")
+  }
 }
