@@ -158,10 +158,68 @@ object Llm5 {
       .orderBy("qid", "rn")
   }
 
+  // ------------------------------------------------------------------
+  // Johnson–Lindenstrauss random projection
+  // ------------------------------------------------------------------
+
+  private val JlM = 16 // target dim; 1/√16 = 0.25 is an exact double
+
+  /** L198 — Johnson–Lindenstrauss RANDOM PROJECTION with a measured
+    * distortion audit (Achlioptas 2003, "Database-friendly random
+    * projections": ±1 sign matrices satisfy the JL lemma — no Gaussians
+    * needed, which is what makes the map reproducible in SQL): the
+    * third compression scheme of the embedding family, BELOW PQ in the
+    * stack — PQ (L168) compresses for ANN search against codebooks; a
+    * JL sketch linearly maps 64-d → 16-d while preserving pairwise
+    * distances within (1±ε) whp, so DOWNSTREAM GEOMETRY (clustering,
+    * dedup thresholds, kNN graphs) still works on vectors a quarter the
+    * size. At 100 TB the projection is a row-local map over the scan —
+    * embarrassingly parallel, no state — and the 64×16 sign matrix is a
+    * closed-form h48 PARITY (s_ij = 2·(h48("i:j") mod 2) − 1), so both
+    * engines derive the identical matrix from nothing: y_j = (1/√m)·Σᵢ
+    * s_ij·xᵢ, summed in index order (the embedding-oracle float
+    * contract).
+    *
+    * The audit projects the first 100 vectors, pairs them (2p, 2p+1),
+    * and reports per pair the squared original and projected distances
+    * and their ratio — E[ratio] = 1 exactly under ±1 signs, spread
+    * χ²(m)/m — with an in-band flag at [0.3, 2.2] ≈ ±4σ computed from
+    * the ROUNDED ratio so the flag is engine-stable. The oracle
+    * recomputes projection, distances, and flags from scratch. */
+  def randomProjection(spark: SparkSession, dir: String): DataFrame = {
+    def sign(i: Column, j: Column): Column =
+      (pmod(h48(concat_ws(":", i, j)), lit(2)) * 2 - 1).cast("double")
+    def proj(x: Column): Column =
+      transform(sequence(lit(1), lit(JlM)), j =>
+        lit(0.25) * aggregate(sequence(lit(1), lit(64)), lit(0.0),
+          (acc, i) => acc + sign(i, j) * element_at(x, i).cast("double")))
+    def sqDist(a: Column, b: Column, d: Int): Column =
+      aggregate(sequence(lit(1), lit(d)), lit(0.0), (acc, i) =>
+        acc + (element_at(a, i).cast("double") - element_at(b, i).cast("double")) *
+          (element_at(a, i).cast("double") - element_at(b, i).cast("double")))
+    val e = embeddings(spark, dir).where(col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding"), proj(col("embedding")).as("y"))
+    val pairs = e.where(col("vec_id") % 2 === 0)
+      .select((col("vec_id") / 2).cast("long").as("pair_id"),
+        col("vec_id").as("va"), col("embedding").as("xa"), col("y").as("ya"))
+      .join(e.select(col("vec_id").as("vb"), col("embedding").as("xb"),
+        col("y").as("yb")), col("vb") === col("va") + 1)
+    pairs
+      .withColumn("d2_orig", round(sqDist(col("xa"), col("xb"), 64), 6))
+      .withColumn("d2_proj", round(sqDist(col("ya"), col("yb"), JlM), 6))
+      .withColumn("ratio",
+        when(col("d2_orig") > 0, round(col("d2_proj") / col("d2_orig"), 6)))
+      .withColumn("in_band", col("ratio").between(0.3, 2.2))
+      .select(col("pair_id"), col("d2_orig"), col("d2_proj"), col("ratio"),
+        col("in_band"))
+      .orderBy("pair_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_pq_encode" -> (pqEncode _),
     "llm_pq_ann" -> (pqAnn _),
     "llm_ivfpq_ann" -> (ivfpqAnn _),
+    "llm_random_projection" -> (randomProjection _),
   )
 
   /** DuckDB twins: same subspace slicing, same left-to-right double
@@ -216,6 +274,35 @@ object Llm5 {
           probed AS (SELECT qid, label AS cell FROM probed0 WHERE rn = 1)"""
 
   val oracles: Map[String, String] = Map(
+    "llm_random_projection" -> {
+      val s = "((" + graft.Tables.h48Sql(
+        "CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)") +
+        ") % 2) * 2 - 1"
+      s"""WITH e AS (SELECT vec_id, embedding,
+             list_transform(range(1, ${JlM + 1}), j ->
+               0.25 * list_sum(list_transform(range(1, 65), i ->
+                 ($s) * CAST(embedding[i] AS DOUBLE)))) AS y
+           FROM embeddings WHERE vec_id < 100),
+         p AS (SELECT a.vec_id // 2 AS pair_id,
+             a.embedding AS xa, a.y AS ya, b.embedding AS xb, b.y AS yb
+           FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+           WHERE a.vec_id % 2 = 0),
+         d AS (SELECT pair_id,
+             round(list_sum(list_transform(range(1, 65), i ->
+               (CAST(xa[i] AS DOUBLE) - CAST(xb[i] AS DOUBLE))
+                 * (CAST(xa[i] AS DOUBLE) - CAST(xb[i] AS DOUBLE)))), 6)
+               AS d2_orig,
+             round(list_sum(list_transform(range(1, ${JlM + 1}), i ->
+               (CAST(ya[i] AS DOUBLE) - CAST(yb[i] AS DOUBLE))
+                 * (CAST(ya[i] AS DOUBLE) - CAST(yb[i] AS DOUBLE)))), 6)
+               AS d2_proj
+           FROM p)
+         SELECT CAST(pair_id AS BIGINT) AS pair_id, d2_orig, d2_proj,
+           CASE WHEN d2_orig > 0 THEN round(d2_proj / d2_orig, 6) END AS ratio,
+           CASE WHEN d2_orig > 0 THEN round(d2_proj / d2_orig, 6) END
+             BETWEEN 0.3 AND 2.2 AS in_band
+         FROM d ORDER BY pair_id"""
+    },
     "llm_pq_encode" ->
       s"""WITH $subSql
           SELECT label, COUNT(DISTINCT vec_id) AS n_vecs,

@@ -220,6 +220,41 @@ class Round10bSpec extends SparkTestBase {
         i % 3 == 0 || i % 5 == 0 || i % 7 == 0 || i % 11 == 0))
   }
 
+  test("llm_random_projection: JL distortion concentrates, sign matrix replicates, JVM projection agrees") {
+    val rows = SparkEntry.queries("llm_random_projection")(spark, sf0001)
+      .collect().map(r => (r.getAs[Double]("d2_orig"),
+        r.getAs[Double]("d2_proj"), r.getAs[Double]("ratio"),
+        r.getAs[Boolean]("in_band")))
+    assert(rows.length == 50)
+    // E[ratio] = 1 exactly under ±1 signs; spread χ²(16)/16 ⇒ the mean
+    // of 50 draws sits within ~3σ/√50 of 1 for any reasonable fixture
+    val mean = rows.map(_._3).sum / rows.length
+    assert(mean > 0.8 && mean < 1.2, s"mean distortion ratio $mean")
+    assert(rows.count(_._4) >= 45, "JL concentration failed the 4-sigma band")
+    // the sign matrix is pure h48 parity — replicate it and one full
+    // projection in JVM from first principles
+    def sign(i: Int, j: Int): Double =
+      (Math.floorMod(Tables.h48jvm(s"$i:$j"), 2L) * 2L - 1L).toDouble
+    val (va, ya) = {
+      val r = Tables.embeddings(spark, sf0001).where(col("vec_id") === 0)
+        .select("embedding").collect().head.getSeq[Float](0)
+      val y = (1 to 16).map(j => 0.25 *
+        (1 to 64).foldLeft(0.0)((acc, i) => acc + sign(i, j) * r(i - 1).toDouble))
+      (r, y)
+    }
+    val yGot = ops.Llm5.randomProjection(spark, sf0001) // re-derive proj via d2
+    assert(va.length == 64 && ya.length == 16 && yGot.columns.length == 5)
+    // cross-check through the emitted distances: pair 0 = (vec0, vec1)
+    val xb = Tables.embeddings(spark, sf0001).where(col("vec_id") === 1)
+      .select("embedding").collect().head.getSeq[Float](0)
+    val yb = (1 to 16).map(j => 0.25 *
+      (1 to 64).foldLeft(0.0)((acc, i) => acc + sign(i, j) * xb(i - 1).toDouble))
+    val d2p = (0 until 16).foldLeft(0.0)((acc, j) =>
+      acc + (ya(j) - yb(j)) * (ya(j) - yb(j)))
+    assert(math.abs(rows.head._2 - math.rint(d2p * 1e6) / 1e6) < 2e-6,
+      s"pair-0 projected distance: spark=${rows.head._2} jvm=$d2p")
+  }
+
   test("agg_kmv_setops: exact sides match countDistinct; estimates in their 3-rsd bands") {
     val r = SparkEntry.queries("agg_kmv_setops")(spark, sf0001).collect().head
     val o = Tables.orders(spark, sf0001)
