@@ -137,6 +137,36 @@ object StreamOps {
       .orderBy("user_id", "fire_seq")
   }
 
+  /** L199 — per-key RATE LIMITING / quota enforcement (the throttling
+    * stage of an event-ingest pipeline — API quotas, abuse limiting,
+    * per-tenant fairness; in Flink a `KeyedProcessFunction` holding a
+    * window counter): per user and per 1-day tumbling window, ADMIT the
+    * first Q=5 events in (ts, event_id) order, drop the rest. Batch
+    * twin: one `row_number` over the (user, day) partition — admitted ⟺
+    * rn ≤ Q — then the per-(user, day) admission report; the ordered
+    * window and the groupBy share ONE (user_id, day)-compatible hash
+    * partitioning, so the whole query is a single shuffle (the
+    * `sessionize_events` argument). Admitted value mass goes through
+    * the decimal contract. Streaming twin:
+    * [[graft.streaming.Streams.rateLimitTws]] (per-(user, day) counter
+    * in keyed state — O(1) per key·window, the quota itself);
+    * StreamingSpec proves the admitted event SET is identical
+    * cross-batch. */
+  def rateLimit(spark: SparkSession, dir: String): DataFrame = {
+    val day = date_trunc("day", col("ts"))
+    val w = Window.partitionBy(col("user_id"), day)
+      .orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("user_id"), unix_micros(day).as("day_us"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("rn") <= 5, 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("rn") > 5, 1L).otherwise(0L)).as("n_dropped"),
+        round(dsum(when(col("rn") <= 5, col("value"))), 6)
+          .as("admitted_value"))
+      .orderBy("user_id", "day_us")
+  }
+
   /** I6 — per-user stateful accumulator shape: first/last ts + counts. */
   def userFirstLast(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
@@ -167,6 +197,7 @@ object StreamOps {
     "stream_session_stats" -> (sessionStats _),
     "stream_count_window_sum" -> (countWindowSum _),
     "stream_count_trigger_evict" -> (countTriggerEvict _),
+    "stream_rate_limit" -> (rateLimit _),
     "stream_user_first_last" -> (userFirstLast _),
     "stream_dedup_first_event" -> (dedupFirstEvent _),
   )
@@ -247,6 +278,22 @@ object StreamOps {
           SELECT user_id, CAST(rn // 3 AS BIGINT) AS fire_seq,
             CAST(LEAST(rn, 5) AS BIGINT) AS n_in_window, win_sum
           FROM numbered WHERE rn % 3 = 0 ORDER BY user_id, fire_seq""",
+    "stream_rate_limit" ->
+      s"""WITH numbered AS (
+            SELECT user_id, value,
+              epoch_us(date_trunc('day', $evTs)) AS day_us,
+              ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', $evTs)
+                ORDER BY $evTs, event_id) AS rn
+            FROM events)
+          SELECT user_id, day_us, CAST(COUNT(*) AS BIGINT) AS n_events,
+            CAST(SUM(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_admitted,
+            CAST(SUM(CASE WHEN rn > 5 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_dropped,
+            round(CAST(SUM(CASE WHEN rn <= 5
+              THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 6)
+              AS admitted_value
+          FROM numbered GROUP BY 1, 2 ORDER BY 1, 2""",
     "stream_user_first_last" ->
       s"""SELECT user_id, MIN(epoch_us($evTs)) AS first_us,
             MAX(epoch_us($evTs)) AS last_us,

@@ -984,6 +984,58 @@ object Streams {
     }
   }
 
+  case class AdmittedEvent(user_id: Long, day_us: Long, event_id: Long,
+    n_in_day: Long)
+
+  /** L199 streaming twin — per-key RATE LIMITER (quota enforcement; the
+    * live form of [[graft.ops.StreamOps.rateLimit]]): per (user, day)
+    * a MapState counter admits the first `quota` events in arrival
+    * order and drops the rest. State is ONE long per (user, day) —
+    * the quota counter itself, the minimum any throttler must remember
+    * — not the events; at watermark + retention the day's entry is
+    * GC-able exactly like a window. Emits admitted events with their
+    * in-day admission index. In-order-per-user input contract (as
+    * L171/L184): the batch twin's (ts, event_id) admission order equals
+    * arrival order under chronological feed, which StreamingSpec
+    * asserts by set-equality of admitted (user, day, event) across
+    * micro-batch boundaries — a counter surviving the batch boundary is
+    * precisely what separates this from a per-batch row_number. */
+  def rateLimitTws(events: Dataset[Event], quota: Int = 5)
+      : Dataset[AdmittedEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RateLimitProcessor(quota),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  class RateLimitProcessor(quota: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, AdmittedEvent] {
+    import org.apache.spark.sql.{Encoders, streaming}
+    // day_us -> admitted count for this user
+    @transient private var perDay: streaming.MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit =
+      perDay = getHandle.getMapState[Long, Long]("rl_days",
+        Encoders.scalaLong, Encoders.scalaLong, streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: streaming.TimerValues): Iterator[AdmittedEvent] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[AdmittedEvent]
+      rows.toSeq.sortBy(e => (microsOf(e.ts), e.event_id)).foreach { e =>
+        val us = microsOf(e.ts)
+        val dayUs = us - Math.floorMod(us, 86400000000L)
+        val n = if (perDay.containsKey(dayUs)) perDay.getValue(dayUs) else 0L
+        if (n < quota) {
+          perDay.updateValue(dayUs, n + 1)
+          out += AdmittedEvent(key, dayUs, e.event_id, n + 1)
+        }
+      }
+      out.iterator
+    }
+  }
+
   /** I6g — state BOOTSTRAP (Flink savepoint-bootstrap / State Processor
     * API analogue, the last `transformWithState` feature after
     * state/TTL/List/Map/timers): a batch-computed (count, sum) per key

@@ -137,6 +137,9 @@ class PlanSpec extends SparkTestBase {
       "llm_tfidf_topterms",
       // 1-row decimal-total broadcasts (corpus token count / weight sum)
       "llm_unigram_logprob", "llm_temperature_mix",
+      // 1-row train-corpus-total broadcast (N of the unigram rung); the
+      // four LM tables themselves join as broadcast HASH joins
+      "llm_stupid_backoff",
       // |sources|-row signature table (loud 1000-source bound) paired with
       // itself — the sketch exists precisely so this side stays tiny
       "llm_minhash_src_sim",

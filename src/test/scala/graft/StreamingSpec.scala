@@ -1258,6 +1258,54 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("batch≡streaming: rate-limiter admits the same event set as the batch row_number twin") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ordered = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val ms = MemoryStream[Event]
+    val q = runToTable(Streams.rateLimitTws(ms.toDS()).toDF(), "rl_stream", "append")
+    try {
+      // three chronological micro-batches: most (user, day) quotas span a
+      // state-store boundary — the counter must survive it
+      ordered.grouped((ordered.length + 2) / 3).foreach { chunk =>
+        ms.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("rl_stream")
+        .select($"user_id", $"day_us", $"event_id", $"n_in_day")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id", date_trunc("day", $"ts"))
+        .orderBy($"ts", $"event_id")
+      val batch = Tables.events(spark, sf0001)
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" <= 5)
+        .select($"user_id", unix_micros(date_trunc("day", $"ts")),
+          $"event_id", $"rn".cast("long"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed === batch,
+        s"admitted sets diverge: extra=${(streamed -- batch).take(3)} " +
+          s"missing=${(batch -- streamed).take(3)}")
+      // the quota genuinely drops something, and admission never exceeds it
+      val total = Tables.events(spark, sf0001).count()
+      assert(streamed.size < total, "quota dropped nothing — limit unexercised")
+      assert(streamed.forall(_._4 <= 5L))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("batch≡streaming: per-window KMV bottom-k sketches bit-equal across micro-batches") {
     val s = spark
     import s.implicits._
