@@ -162,11 +162,65 @@ object Audit {
       .orderBy("h")
   }
 
+  /** L200 — Population Stability Index DRIFT monitor (the standard
+    * scorecard-monitoring statistic — Siddiqi 2006, "Credit Risk
+    * Scorecards" — and the metric ML-observability stacks compute
+    * between a training snapshot and live data): PSI = Σ_b
+    * (p_b − q_b)·ln(p_b/q_b) over a bucketed feature, here the document
+    * length distribution (n_chars div 100, clamped to 10 buckets).
+    * The comparison snapshot is a deterministically SHIFTED twin (the
+    * `cdc_table_diff` pattern: docs with doc_id ≡ 0 (mod 2) gain 150
+    * chars (PSI ≈ 0.5 on the fixtures — well past the 0.1 alarm line), pushing mass across bucket boundaries), so real drift
+    * exists by construction and the oracle reproduces it exactly;
+    * PSI > 0 is then asserted — a monitor whose alarm path is never
+    * seen to fire is not a monitor (the L194/L197 principle).
+    *
+    * ONE corpus scan computes BOTH histograms: each doc emits
+    * (side, bucket) rows for base and shifted twin via a 2-element
+    * array explode, one (side, bucket)-keyed agg, ≤ 20 rows after the
+    * map-side combine — at 100 TB the scan dominates and nothing else
+    * grows. Add-one smoothing keeps ln finite on empty buckets; each
+    * term is DECIMAL(18,6)-quantized before the whole-partition window
+    * sum (10 rows), so PSI is summation-order-free and hash-gated. */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    def bucket(c: Column): Column = // ints < 2^53: floor(x/100) exact
+      least(floor(c.cast("double") / 100.0).cast("long"), lit(9L))
+    val curChars = col("n_chars") +
+      when(col("doc_id") % 2 === 0, 150L).otherwise(0L)
+    val counts = d.select(explode(array(
+        struct(lit("base").as("side"), bucket(col("n_chars")).as("bucket")),
+        struct(lit("curr").as("side"), bucket(curChars).as("bucket")))).as("e"))
+      .groupBy(col("e.side").as("side"), col("e.bucket").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val wide = counts.groupBy("bucket")
+      .agg(coalesce(sum(when(col("side") === "base", col("n"))), lit(0L))
+          .as("n_base"),
+        coalesce(sum(when(col("side") === "curr", col("n"))), lit(0L))
+          .as("n_curr"))
+    val tot = wide.agg(sum(col("n_base")).as("tb"), sum(col("n_curr")).as("tc"))
+    val w = Window.partitionBy(lit(1))
+    wide.crossJoin(broadcast(tot)) // 1-row totals broadcast
+      .withColumn("p", (col("n_base") + 1).cast("double") /
+        (col("tb") + 10).cast("double"))
+      .withColumn("q", (col("n_curr") + 1).cast("double") /
+        (col("tc") + 10).cast("double"))
+      .withColumn("term", round((col("p") - col("q")) * log(col("p") / col("q")), 6))
+      .withColumn("psi", round(sum(col("term").cast("decimal(18,6)")).over(w)
+        .cast("double"), 6))
+      .withColumn("drift", col("psi") > 0.1)
+      .select(col("bucket"), col("n_base"), col("n_curr"), col("term"),
+        col("psi"), col("drift"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "privacy_k_anonymity" -> (kAnonymity _),
     "cdc_table_diff" -> (tableDiff _),
     "ts_seasonal_hourly" -> (tsSeasonalHourly _),
     "dq_expectations" -> (dqExpectations _),
+    "drift_psi_length" -> (psiDrift _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -241,5 +295,36 @@ object Audit {
          SELECT tbl, expectation, violations, n_rows,
            violations = 0 AS passed
          FROM rows_ ORDER BY tbl, expectation""",
+    "drift_psi_length" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+             n_chars + CASE WHEN doc_id % 2 = 0 THEN 150 ELSE 0 END AS nc2
+           FROM documents),
+         sides AS (
+           SELECT 'base' AS side, LEAST(n_chars // 100, 9) AS bucket FROM d
+           UNION ALL
+           SELECT 'curr' AS side, LEAST(nc2 // 100, 9) AS bucket FROM d),
+         counts AS (SELECT side, bucket, COUNT(*) AS n
+           FROM sides GROUP BY 1, 2),
+         wide AS (SELECT bucket,
+             CAST(COALESCE(SUM(CASE WHEN side = 'base' THEN n END), 0)
+               AS BIGINT) AS n_base,
+             CAST(COALESCE(SUM(CASE WHEN side = 'curr' THEN n END), 0)
+               AS BIGINT) AS n_curr
+           FROM counts GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+             CAST(SUM(n_curr) AS BIGINT) AS tc FROM wide),
+         terms AS (SELECT bucket, n_base, n_curr,
+             round((CAST(n_base + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE)
+               - CAST(n_curr + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))
+               * LN((CAST(n_base + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE))
+                 / (CAST(n_curr + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))), 6)
+               AS term
+           FROM wide, tot)
+         SELECT bucket, n_base, n_curr, term,
+           round(CAST(SUM(CAST(term AS DECIMAL(18,6))) OVER () AS DOUBLE), 6)
+             AS psi,
+           round(CAST(SUM(CAST(term AS DECIMAL(18,6))) OVER () AS DOUBLE), 6)
+             > 0.1 AS drift
+         FROM terms ORDER BY bucket""",
   )
 }

@@ -255,6 +255,38 @@ class Round10bSpec extends SparkTestBase {
       s"pair-0 projected distance: spark=${rows.head._2} jvm=$d2p")
   }
 
+  test("drift_psi_length: PSI matches a JVM replica, alarm fires, mass conserved") {
+    val rows = SparkEntry.queries("drift_psi_length")(spark, sf0001)
+      .collect().map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_base"),
+        r.getAs[Long]("n_curr"), r.getAs[Double]("term"),
+        r.getAs[Double]("psi"), r.getAs[Boolean]("drift")))
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // both histograms see every doc exactly once
+    assert(rows.map(_._2).sum == docs.length && rows.map(_._3).sum == docs.length)
+    // independent replica of both histograms and the smoothed PSI
+    def bucket(n: Long) = math.min(n / 100, 9L)
+    val base = docs.groupBy(d => bucket(d._2)).view.mapValues(_.size.toLong).toMap
+    val curr = docs.groupBy(d => bucket(d._2 +
+      (if (d._1 % 2 == 0) 150 else 0))).view.mapValues(_.size.toLong).toMap
+    rows.foreach { case (b, nb, nc, term, _, _) =>
+      assert(nb == base.getOrElse(b, 0L) && nc == curr.getOrElse(b, 0L))
+      val p = (nb + 1).toDouble / (docs.length + 10)
+      val q = (nc + 1).toDouble / (docs.length + 10)
+      assert(math.abs(term - math.rint((p - q) * math.log(p / q) * 1e6) / 1e6)
+        < 1e-9, s"bucket $b term")
+    }
+    val psi = rows.map(r => math.rint(r._4 * 1e6) / 1e6).sum
+    assert(math.abs(rows.head._5 - math.rint(psi * 1e6) / 1e6) < 1e-9)
+    // the alarm path is exercised: the planted shift is real drift
+    assert(rows.head._5 > 0.1 && rows.forall(_._6))
+    // and a no-drift control: identical histograms give PSI exactly 0
+    assert(base.keySet.forall { b =>
+      val p = (base(b) + 1).toDouble / (docs.length + 10)
+      (p - p) * math.log(p / p) == 0.0 })
+  }
+
   test("agg_kmv_setops: exact sides match countDistinct; estimates in their 3-rsd bands") {
     val r = SparkEntry.queries("agg_kmv_setops")(spark, sf0001).collect().head
     val o = Tables.orders(spark, sf0001)
