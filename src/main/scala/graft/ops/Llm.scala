@@ -1302,6 +1302,11 @@ object MmDecode {
       // raster is the GIF-native layout and round-trips losslessly
       val grays = Array.tabulate(256)(_.toByte)
       val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+      // every frame of a doc shares dims + type, so the per-frame
+      // GCE/ImageDescriptor metadata TREE is identical — build the DOM
+      // once per doc, serialize it per frame (was the synth hot spot:
+      // n DOM builds per doc)
+      var meta: javax.imageio.metadata.IIOMetadata = null
       var f = 0
       while (f < n) {
         val img = new java.awt.image.BufferedImage(
@@ -1315,8 +1320,9 @@ object MmDecode {
           }
           y += 1
         }
+        if (meta == null) meta = gifFrameMeta(writer, param, img)
         writer.writeToSequence(
-          new javax.imageio.IIOImage(img, null, gifFrameMeta(writer, param, img)), param)
+          new javax.imageio.IIOImage(img, null, meta), param)
         f += 1
       }
       writer.endWriteSequence()

@@ -261,6 +261,14 @@ object Llm2 {
     documents(spark, dir)
       .where(col("n_chars") > 0)
       .select(col("doc_id"), col("n_chars").cast("int").as("n_chars"))
+      // codec work is CPU-bound per ROW while the input is a tiny
+      // 2-column projection: spread it across cores even when the scan
+      // is one parquet file (the local fixture), at the price of one
+      // negligible 16-byte-per-row shuffle. At warehouse scale the scan
+      // has real parallelism and AQE coalesces this to a no-op-sized
+      // exchange; without it the local bench serializes 5k decodes on
+      // one task.
+      .repartition(32)
       .as[(Long, Int)]
       .mapPartitions(_.flatMap { case (id, nc) =>
         graft.ops.MmDecode.sampleFrames(

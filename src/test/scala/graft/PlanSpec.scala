@@ -156,6 +156,8 @@ class PlanSpec extends SparkTestBase {
       // two 1-row KMV sketch broadcasts onto the 1-row exact-sides
       // aggregate (see Llm6.kmvSetops)
       "agg_kmv_setops",
+      // 1-row histogram-totals broadcast onto the 10-bucket PSI frame
+      "drift_psi_length",
       // 1-row corpus-stats broadcast (N, Σdl) into the BM25 scorer; the
       // hybrid adds the 1-row query-embedding broadcast of the cosine leg
       "llm_bm25_topk", "llm_hybrid_rrf",
