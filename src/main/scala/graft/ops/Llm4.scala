@@ -184,6 +184,43 @@ object Llm4 {
       .orderBy("doc_id")
   }
 
+  /** L202 — PMI collocation mining (Church & Hanks 1990, "Word
+    * association norms, mutual information, and lexicography" — the
+    * statistic that separates "strong collocations" from merely
+    * frequent pairs, run in pipelines to build phrase vocabularies
+    * before tokenizer training): over adjacent in-document pairs,
+    * PMI(a,b) = ln(c(ab)·N / (c_L(a)·c_R(b))) with N the total pair
+    * count and c_L/c_R the marginal counts of each slot. A min-support
+    * filter (c(ab) ≥ 5) drops the classic PMI pathology (hapax pairs
+    * scoring highest); top-20 by PMI, ties by bigram. Shape: the L106
+    * zipped-slices pair stream → one pair-keyed agg; marginals are
+    * vocabulary-sized broadcasts; ln of an integer-ratio double
+    * rounded at 6dp (ulp-safe), counts exact-gated. */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = documents(spark, dir)
+      .select(split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1))).as("p"))
+      .select(col("p.0").as("a"), col("p.1").as("b"))
+    val cab = pairs.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val cl = pairs.groupBy("a").agg(count(lit(1)).as("cl"))
+    val cr = pairs.groupBy("b").agg(count(lit(1)).as("cr"))
+    val n = pairs.agg(count(lit(1)).as("n"))
+    cab.where(col("cab") >= 5)
+      .join(broadcast(cl), "a")
+      .join(broadcast(cr), "b")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi", round(log(
+        (col("cab").cast("double") * col("n").cast("double")) /
+          (col("cl").cast("double") * col("cr").cast("double"))), 6))
+      .select(concat_ws(" ", col("a"), col("b")).as("bigram"),
+        col("cab"), col("cl"), col("cr"), col("pmi"))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(20)
+  }
+
   /** Temperature-rebalanced source mixture (α = 0.5): sampling probability
     * p_s ∝ n_s^α, flattening the source distribution toward small
     * high-quality sources (α=1 is proportional, α=0 uniform). Output also
@@ -230,6 +267,7 @@ object Llm4 {
     "llm_ngram_novelty" -> (ngramNovelty _),
     "llm_unigram_logprob" -> (unigramLogprob _),
     "llm_stupid_backoff" -> (stupidBackoff _),
+    "llm_pmi_collocations" -> (pmiCollocations _),
     "llm_temperature_mix" -> (temperatureMix _),
     "llm_knn_label" -> (knnLabel _),
   )
@@ -283,6 +321,24 @@ object Llm4 {
              AS DOUBLE) / COUNT(*), 6) AS avg_logprob
          FROM w JOIN freq USING (word) CROSS JOIN tot
          WHERE doc_id < 100 GROUP BY doc_id ORDER BY doc_id""",
+    "llm_pmi_collocations" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS ws FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+         pairs AS (SELECT ws[i] AS a, ws[i+1] AS b
+           FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM d)),
+         cab AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab
+           FROM pairs GROUP BY 1, 2),
+         cl AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS cl
+           FROM pairs GROUP BY 1),
+         cr AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr
+           FROM pairs GROUP BY 1),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pairs)
+         SELECT cab.a || ' ' || cab.b AS bigram, cab.cab, cl.cl, cr.cr,
+           round(LN((CAST(cab.cab AS DOUBLE) * CAST(n.n AS DOUBLE))
+             / (CAST(cl.cl AS DOUBLE) * CAST(cr.cr AS DOUBLE))), 6) AS pmi
+         FROM cab JOIN cl USING (a) JOIN cr USING (b) CROSS JOIN n
+         WHERE cab.cab >= 5
+         ORDER BY pmi DESC, bigram LIMIT 20""",
     "llm_stupid_backoff" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
            tr AS (SELECT ws FROM d WHERE doc_id >= 100),

@@ -238,7 +238,38 @@ object Llm7 {
 
   // ------------------------------------------------------------------
 
+  /** L201 — INVERTED-INDEX build (the materialized artifact behind
+    * BM25 above: term → df, collection tf, and the posting list
+    * itself — the thing a search system writes to storage; building it
+    * as a dataset is the batch half of every retrieval stack, and at
+    * 100 TB it is a textbook two-level aggregation: (term, doc) tf
+    * counts first — map-side combinable, the shuffle carries one row
+    * per distinct (term, doc) — then a term-keyed fold of postings).
+    * Postings are emitted as a `doc:tf` CSV string in ascending doc_id
+    * order rather than an array column: deterministic, and the
+    * compare gate's pandas row-sort cannot hash array cells (the H6
+    * map-cell lesson — representation chosen FOR the gate, the index
+    * content is unchanged). `sort_array(collect_list(struct(…)))` pins
+    * posting order engine-independently; capped at the 20 most
+    * frequent terms by collection tf (ties by term) to keep output
+    * bounded. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val tf = toks(documents(spark, dir))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("ctf"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("doc_id"), col("tf")))),
+          e => concat_ws(":", e.getField("doc_id"), e.getField("tf"))), ",")
+          .as("postings"))
+      .orderBy(col("ctf").desc, col("term").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_inverted_index" -> (invertedIndex _),
     "llm_bm25_topk" -> (bm25Topk _),
     "llm_hybrid_rrf" -> (hybridRrf _),
     "llm_mmr_rerank" -> (mmrRerank _),
@@ -272,6 +303,20 @@ object Llm7 {
       s"CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))"
 
   val oracles: Map[String, String] = Map(
+    "llm_inverted_index" ->
+      """WITH tf AS (
+           SELECT term, doc_id, COUNT(*) AS tf FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents)
+           GROUP BY 1, 2),
+         idx AS (
+           SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(tf) AS BIGINT) AS ctf,
+             string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+               ',' ORDER BY doc_id) AS postings
+           FROM tf GROUP BY 1)
+         SELECT term, df, ctf, postings FROM idx
+         ORDER BY ctf DESC, term LIMIT 20""",
     "llm_bm25_topk" -> (
       "WITH " + bm25Sql(
         "q AS (SELECT unnest(['window','merge','stream','dup']) AS term)", "") +

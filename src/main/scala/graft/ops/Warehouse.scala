@@ -446,6 +446,65 @@ object Warehouse {
   private def expr_percentile(c: Column, p: Double): Column =
     call_function("percentile", c, lit(p))
 
+  /** L203 — first-order Markov TRANSITION MATRIX over per-user event
+    * sequences (the "what happens after X" table behind next-action
+    * prediction, funnel diagnosis, and anomalous-flow detection): order
+    * each user's events by (ts, event_id), pair each with its
+    * predecessor (`lag` — one user-keyed shuffle shared by window and
+    * aggregate), and report per (from, to) the transition count and
+    * row-normalized probability p = n / Σ_from n. Both operands exact
+    * integers → one double division rounded at 6dp (engine-identical);
+    * counts hash-gated. The |types|² output is dimension-bounded — at
+    * 100 TB the transition stream shuffles once and the matrix stays
+    * tiny. */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = events(spark, dir)
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy("from_type").agg(sum(col("n")).as("row_n"))
+    trans.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("row_n").cast("double"), 6).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** L204 — market-basket LIFT mining (Agrawal & Srikant VLDB 1994
+    * association-rule framing; lift = the co-occurrence strength that
+    * survives popularity, the retail "bought-together" primitive):
+    * distinct (order, part) pairs → within-order part pairs (a < b) →
+    * support counts, joined to per-part order counts and the order
+    * total: lift(a,b) = c(ab)·N / (c(a)·c(b)). Min support 2 removes
+    * singleton-pair noise; top-20 by rounded lift (ties by part pair).
+    * Scale shape: the pair-gen self-join is ORDER-keyed — per-order
+    * work is C(k,2) with k = items/order (≈4 here, bounded by basket
+    * size, never catalog size), the same bounded-clique argument as
+    * the SNM window; part marginals are dim-sized broadcasts. */
+  def basketLift(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= 2)
+    val parts = li.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+    val nOrders = li.select("o").distinct().agg(count(lit(1)).as("n_orders"))
+    pairs
+      .join(broadcast(parts.select(col("p").as("pa"), col("n_p").as("na"))), "pa")
+      .join(broadcast(parts.select(col("p").as("pb"), col("n_p").as("nb"))), "pb")
+      .crossJoin(broadcast(nOrders))
+      .withColumn("lift", round(
+        (col("n_ab").cast("double") * col("n_orders").cast("double")) /
+          (col("na").cast("double") * col("nb").cast("double")), 6))
+      .select(col("pa"), col("pb"), col("n_ab"), col("na"), col("nb"),
+        col("lift"))
+      .orderBy(col("lift").desc, col("pa").asc, col("pb").asc)
+      .limit(20)
+  }
+
   // ------------------------------------------------------------------
   // Distribution / data-quality aggregates (§2.D widening)
   // ------------------------------------------------------------------
@@ -735,6 +794,8 @@ object Warehouse {
     "cohort_day1_retention" -> (cohortRetention _),
     "funnel_stages" -> (funnelStages _),
     "funnel_time_to_convert" -> (funnelTimeToConvert _),
+    "markov_event_transitions" -> (markovTransitions _),
+    "basket_lift_pairs" -> (basketLift _),
     "win_moving_median" -> (winMovingMedian _),
     "scalar_string_format" -> (scalarStringFormat _),
     "scalar_regexp_extract" -> (scalarRegexpExtract _),
@@ -1046,6 +1107,38 @@ object Warehouse {
           UNION ALL SELECT '2_click_to_purchase', n_cp, cp50, cp90 FROM a
           UNION ALL SELECT '3_view_to_purchase', n_cp, vp50, vp90 FROM a
           ORDER BY transition""",
+    "basket_lift_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem),
+          pairs AS (SELECT x.p AS pa, y.p AS pb,
+              CAST(COUNT(*) AS BIGINT) AS n_ab
+            FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+          parts AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_p
+            FROM li GROUP BY 1),
+          n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM li)
+          SELECT pr.pa, pr.pb, pr.n_ab, a.n_p AS na, b.n_p AS nb,
+            round((CAST(pr.n_ab AS DOUBLE) * CAST(n.n_orders AS DOUBLE))
+              / (CAST(a.n_p AS DOUBLE) * CAST(b.n_p AS DOUBLE)), 6) AS lift
+          FROM pairs pr
+          JOIN parts a ON pr.pa = a.p
+          JOIN parts b ON pr.pb = b.p
+          CROSS JOIN n
+          ORDER BY lift DESC, pa, pb LIMIT 20""",
+    "markov_event_transitions" ->
+      s"""WITH seq AS (SELECT user_id, event_type,
+            LAG(event_type) OVER (PARTITION BY user_id
+              ORDER BY $evTs, event_id) AS from_type
+          FROM events),
+        trans AS (SELECT from_type, event_type AS to_type,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        totals AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_n
+          FROM trans GROUP BY 1)
+        SELECT t.from_type, t.to_type, t.n,
+          round(CAST(t.n AS DOUBLE) / CAST(tt.row_n AS DOUBLE), 6) AS p
+        FROM trans t JOIN totals tt USING (from_type)
+        ORDER BY from_type, to_type""",
     "win_moving_median" ->
       s"""SELECT user_id, event_id,
           round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id

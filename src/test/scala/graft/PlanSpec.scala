@@ -158,6 +158,9 @@ class PlanSpec extends SparkTestBase {
       "agg_kmv_setops",
       // 1-row histogram-totals broadcast onto the 10-bucket PSI frame
       "drift_psi_length",
+      // 1-row pair-total / order-total broadcasts into the PMI and lift
+      // scorers (marginals join as broadcast HASH joins)
+      "llm_pmi_collocations", "basket_lift_pairs",
       // 1-row corpus-stats broadcast (N, Σdl) into the BM25 scorer; the
       // hybrid adds the 1-row query-embedding broadcast of the cosine leg
       "llm_bm25_topk", "llm_hybrid_rrf",

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 third batch: inverted index, PMI collocations, Markov
+  * transitions, market-basket lift — each replayed from first
+  * principles in JVM over the raw fixture. */
+class Round10cSpec extends SparkTestBase {
+
+  private lazy val docWords: Array[(Long, Array[String])] =
+    Tables.documents(spark, sf0001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+
+  test("llm_inverted_index: df/ctf/postings replicate; postings ascend; top-20 by ctf") {
+    val rows = SparkEntry.queries("llm_inverted_index")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(rows.length == 20)
+    assert(rows.map(_._3).sliding(2).forall(p => p.head >= p.last),
+      "not sorted by collection tf desc")
+    // replicate the top term's full posting list
+    val (term, df, ctf, postings) = rows.head
+    val tf = docWords.map { case (id, ws) => id -> ws.count(_ == term) }
+      .filter(_._2 > 0).sortBy(_._1)
+    assert(df == tf.length && ctf == tf.map(_._2.toLong).sum)
+    assert(postings == tf.map { case (d, t) => s"$d:$t" }.mkString(","))
+  }
+
+  test("llm_pmi_collocations: PMI replicates for the top pair; support floor holds") {
+    val rows = SparkEntry.queries("llm_pmi_collocations")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.length == 20 && rows.forall(_._2 >= 5L))
+    val pairs = docWords.flatMap(_._2.sliding(2).filter(_.length == 2)
+      .map(p => (p(0), p(1))))
+    val (bg, cab, cl, cr, pmi) = rows.head
+    val Array(a, b) = bg.split(" ")
+    assert(cab == pairs.count(_ == ((a, b))))
+    assert(cl == pairs.count(_._1 == a) && cr == pairs.count(_._2 == b))
+    val want = math.log(cab.toDouble * pairs.length / (cl.toDouble * cr))
+    assert(math.abs(pmi - math.rint(want * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("markov_event_transitions: rows per from_type sum to ~1; counts conserve transitions") {
+    val rows = SparkEntry.queries("markov_event_transitions")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    val byFrom = rows.groupBy(_._1)
+    byFrom.foreach { case (f, rs) =>
+      val psum = rs.map(_._4).sum
+      assert(math.abs(psum - 1.0) < 1e-4, s"$f row sums to $psum") }
+    // total transitions = total events - distinct users (one start each)
+    val nEvents = Tables.events(spark, sf0001).count()
+    val nUsers = Tables.events(spark, sf0001).select("user_id").distinct().count()
+    assert(rows.map(_._3).sum == nEvents - nUsers)
+  }
+
+  test("basket_lift_pairs: top pair's support and lift replicate; basket size bounds pair work") {
+    val li = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val maxBasket = byOrder.values.map(_.size).max
+    assert(maxBasket <= 16, s"basket size $maxBasket — pair-gen bound broken")
+    val rows = SparkEntry.queries("basket_lift_pairs")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.length == 20 && rows.forall(_._3 >= 2L))
+    val (pa, pb, nab, na, nb, lift) = rows.head
+    assert(nab == byOrder.values.count(s => s(pa) && s(pb)))
+    assert(na == byOrder.values.count(_(pa)) && nb == byOrder.values.count(_(pb)))
+    val want = nab.toDouble * byOrder.size / (na.toDouble * nb)
+    assert(math.abs(lift - math.rint(want * 1e6) / 1e6) < 1e-9)
+  }
+}
