@@ -572,4 +572,52 @@ class ScaleRehearsalSpec extends SparkTestBase {
     assert(nS === 100L, s"held-out rows at 10x: $nS") // orig ids 0-9 x 10 replicas
     assert(tS < 60.0, s"stupid backoff took $tS s at 10x")
   }
+
+  test("association statistics are 10x-INVARIANT: lift, PMI, and Markov p unchanged as counts scale") {
+    // Every count in lift / PMI / Markov scales by exactly K under the
+    // replica construction (shared part/type dims, disjoint replica
+    // orders/docs/users), so the RATIO statistics must be bit-identical
+    // — the invariance that makes them meaningful at any corpus size.
+    def keyed(name: String, key: org.apache.spark.sql.Row => String,
+        stat: org.apache.spark.sql.Row => Double,
+        cnt: org.apache.spark.sql.Row => Long) = {
+      val b = SparkEntry.queries(name)(spark, sf001).collect()
+        .map(r => key(r) -> ((stat(r), cnt(r)))).toMap
+      val t0 = System.nanoTime()
+      val s = SparkEntry.queries(name)(spark, scaledDir).collect()
+        .map(r => key(r) -> ((stat(r), cnt(r)))).toMap
+      assert((System.nanoTime() - t0) / 1e9 < 60.0, s"$name too slow at 10x")
+      (b, s)
+    }
+    // Markov: full matrix — p identical, n exactly 10x
+    val (mb, ms) = keyed("markov_event_transitions",
+      r => r.getString(0) + ">" + r.getString(1),
+      r => r.getDouble(3), r => r.getLong(2))
+    assert(ms.keySet === mb.keySet)
+    mb.foreach { case (k, (p, n)) =>
+      assert(ms(k)._1 === p, s"$k p drifted")
+      assert(ms(k)._2 === n * K, s"$k n not 10x") }
+    // PMI / lift: the RATIO is invariant for any pair in both top-20s
+    // (counts all scale by K; ln(K·c·K·N/(K·cl·K·cr)) = ln(c·N/(cl·cr))).
+    // The top-20 SETS may legitimately differ: the min-support floor is
+    // NOT scale-invariant — a pair one count under it at sf0.01 crosses
+    // at 10x and, hapax-style, outscores the incumbents. That is the
+    // documented PMI pathology surfacing exactly as the Church & Hanks
+    // analysis predicts, not a plan defect.
+    val (pb, ps) = keyed("llm_pmi_collocations",
+      r => r.getString(0), r => r.getDouble(4), r => r.getLong(1))
+    val pmiBoth = pb.keySet & ps.keySet
+    assert(pmiBoth.nonEmpty, "no overlap between fixture and 10x PMI top-20s")
+    pmiBoth.foreach { k =>
+      assert(ps(k)._1 === pb(k)._1, s"$k PMI drifted")
+      assert(ps(k)._2 === pb(k)._2 * K, s"$k support not 10x") }
+    val (lb, lst) = keyed("basket_lift_pairs",
+      r => r.getLong(0) + ":" + r.getLong(1),
+      r => r.getDouble(5), r => r.getLong(2))
+    val liftBoth = lb.keySet & lst.keySet
+    assert(liftBoth.nonEmpty, "no overlap between fixture and 10x lift top-20s")
+    liftBoth.foreach { k =>
+      assert(lst(k)._1 === lb(k)._1, s"$k lift drifted")
+      assert(lst(k)._2 === lb(k)._2 * K, s"$k support not 10x") }
+  }
 }
