@@ -505,6 +505,69 @@ object Warehouse {
       .limit(20)
   }
 
+  /** L205 — A/B experiment analysis: two-proportion pooled z-test (the
+    * classic experimentation readout — Kohavi et al., "Trustworthy
+    * Online Controlled Experiments", for the framing): users are
+    * assigned to arms by the deterministic h48 parity of their id (the
+    * hash-bucket assignment real experiment platforms use, and the
+    * repo's portable-hash contract makes it oracle-reproducible), then
+    * z = (p_A − p_B) / √(p̂(1−p̂)(1/n_A + 1/n_B)) with p̂ the pooled
+    * rate. Two metrics ship per the fired-alarm principle (L194/L197/
+    * L200):
+    *   - `high_value_buyer` (user-level: max purchase value > 180 —
+    *     any-purchase is degenerate on the fixtures, every user buys,
+    *     and a pooled rate of 1 makes z literally 0/0): arms are
+    *     exchangeable halves of identical behavior, so the CONTROL
+    *     must come out non-significant — an A/A test, the calibration
+    *     every experiment platform runs first;
+    *   - `exceed_planted` (event-level value > 200 after a +30 uplift
+    *     planted on arm A — the mutated-twin pattern): a real effect
+    *     by construction, so significance IS seen to trigger.
+    * All counts exact integers; z is one closed-form double rounded at
+    * 6dp, the flag computed from the ROUNDED z (engine-stable). Two
+    * map-combinable aggregation passes (one user-keyed, one
+    * event-level), output two rows. */
+  def abTestZtest(spark: SparkSession, dir: String): DataFrame = {
+    val arm = pmod(h48(col("user_id").cast("string")), lit(2))
+    def zRow(metric: String, agged: DataFrame): DataFrame = {
+      // agged: (arm, n, x) two rows -> single wide row -> z
+      val wide = agged.agg(
+        sum(when(col("arm") === 0, col("n"))).as("n_a"),
+        sum(when(col("arm") === 0, col("x"))).as("x_a"),
+        sum(when(col("arm") === 1, col("n"))).as("n_b"),
+        sum(when(col("arm") === 1, col("x"))).as("x_b"))
+      wide.select(lit(metric).as("metric"), col("n_a"), col("x_a"),
+          col("n_b"), col("x_b"),
+          round(col("x_a").cast("double") / col("n_a").cast("double"), 6)
+            .as("p_a"),
+          round(col("x_b").cast("double") / col("n_b").cast("double"), 6)
+            .as("p_b"),
+          round((col("x_a").cast("double") / col("n_a").cast("double") -
+            col("x_b").cast("double") / col("n_b").cast("double")) /
+            sqrt(((col("x_a") + col("x_b")).cast("double") /
+              (col("n_a") + col("n_b")).cast("double")) *
+              (lit(1.0) - (col("x_a") + col("x_b")).cast("double") /
+                (col("n_a") + col("n_b")).cast("double")) *
+              (lit(1.0) / col("n_a").cast("double") +
+                lit(1.0) / col("n_b").cast("double"))), 6).as("z"))
+        .withColumn("significant_95", abs(col("z")) > 1.96)
+    }
+    val conv = events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", col("value"))).as("mv"))
+      .groupBy(arm.as("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("mv") > 180.0, 1L).otherwise(0L)).as("x"))
+    val exceed = events(spark, dir)
+      .select(arm.as("arm"),
+        (col("value") + when(arm === 0, 30.0).otherwise(0.0)).as("v"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") > 200.0, 1L).otherwise(0L)).as("x"))
+    zRow("high_value_buyer", conv).unionByName(zRow("exceed_planted", exceed))
+      .orderBy("metric")
+  }
+
   // ------------------------------------------------------------------
   // Distribution / data-quality aggregates (§2.D widening)
   // ------------------------------------------------------------------
@@ -796,6 +859,7 @@ object Warehouse {
     "funnel_time_to_convert" -> (funnelTimeToConvert _),
     "markov_event_transitions" -> (markovTransitions _),
     "basket_lift_pairs" -> (basketLift _),
+    "ab_test_ztest" -> (abTestZtest _),
     "win_moving_median" -> (winMovingMedian _),
     "scalar_string_format" -> (scalarStringFormat _),
     "scalar_regexp_extract" -> (scalarRegexpExtract _),
@@ -1107,6 +1171,53 @@ object Warehouse {
           UNION ALL SELECT '2_click_to_purchase', n_cp, cp50, cp90 FROM a
           UNION ALL SELECT '3_view_to_purchase', n_cp, vp50, vp90 FROM a
           ORDER BY transition""",
+    "ab_test_ztest" -> {
+      val arm = s"(${graft.Tables.h48Sql("CAST(user_id AS VARCHAR)")}) % 2"
+      def z(nA: String, xA: String, nB: String, xB: String) =
+        s"""round((CAST($xA AS DOUBLE) / CAST($nA AS DOUBLE)
+            - CAST($xB AS DOUBLE) / CAST($nB AS DOUBLE))
+          / sqrt((CAST($xA + $xB AS DOUBLE) / CAST($nA + $nB AS DOUBLE))
+            * (1.0 - CAST($xA + $xB AS DOUBLE) / CAST($nA + $nB AS DOUBLE))
+            * (1.0 / CAST($nA AS DOUBLE) + 1.0 / CAST($nB AS DOUBLE))), 6)"""
+      s"""WITH u AS (SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN value END) AS mv
+           FROM events GROUP BY 1),
+         ca AS (SELECT ($arm) AS arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN mv > 180.0 THEN 1 ELSE 0 END) AS BIGINT) AS x
+           FROM u GROUP BY 1),
+         cw AS (SELECT
+             CAST(SUM(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN arm = 0 THEN x END) AS BIGINT) AS x_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN arm = 1 THEN x END) AS BIGINT) AS x_b
+           FROM ca),
+         ea AS (SELECT ($arm) AS arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN value
+               + (CASE WHEN ($arm) = 0 THEN 30.0 ELSE 0.0 END) > 200.0
+               THEN 1 ELSE 0 END) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         ew AS (SELECT
+             CAST(SUM(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN arm = 0 THEN x END) AS BIGINT) AS x_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN arm = 1 THEN x END) AS BIGINT) AS x_b
+           FROM ea),
+         rows_ AS (
+           SELECT 'high_value_buyer' AS metric, n_a, x_a, n_b, x_b,
+             round(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS p_a,
+             round(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS p_b,
+             ${z("n_a", "x_a", "n_b", "x_b")} AS z
+           FROM cw
+           UNION ALL
+           SELECT 'exceed_planted', n_a, x_a, n_b, x_b,
+             round(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6),
+             round(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6),
+             ${z("n_a", "x_a", "n_b", "x_b")}
+           FROM ew)
+         SELECT metric, n_a, x_a, n_b, x_b, p_a, p_b, z,
+           abs(z) > 1.96 AS significant_95
+         FROM rows_ ORDER BY metric"""
+    },
     "basket_lift_pairs" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
             FROM lineitem),

@@ -55,6 +55,36 @@ class Round10cSpec extends SparkTestBase {
     assert(rows.map(_._3).sum == nEvents - nUsers)
   }
 
+  test("ab_test_ztest: z replicates from raw events; A/A control quiet, planted effect fires") {
+    val ev = Tables.events(spark, sf0001)
+      .select("user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def armOf(u: Long) = Math.floorMod(Tables.h48jvm(u.toString), 2L)
+    def z(nA: Long, xA: Long, nB: Long, xB: Long): Double = {
+      val (pa, pb) = (xA.toDouble / nA, xB.toDouble / nB)
+      val pp = (xA + xB).toDouble / (nA + nB)
+      (pa - pb) / math.sqrt(pp * (1 - pp) * (1.0 / nA + 1.0 / nB))
+    }
+    val byUser = ev.groupBy(_._1).toSeq.map { case (u, rs) =>
+      (armOf(u), rs.collect { case (_, "purchase", v) => v }
+        .foldLeft(Double.MinValue)(math.max) > 180.0)
+    }
+    val (ua, ub) = byUser.partition(_._1 == 0)
+    val zConv = z(ua.size, ua.count(_._2), ub.size, ub.count(_._2))
+    val evArm = ev.map { case (u, _, v) =>
+      val a = armOf(u); (a, v + (if (a == 0) 30.0 else 0.0) > 200.0) }
+    val (ea, eb) = evArm.partition(_._1 == 0)
+    val zExc = z(ea.size, ea.count(_._2), eb.size, eb.count(_._2))
+    val got = SparkEntry.queries("ab_test_ztest")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(7), r.getBoolean(8))).toMap
+    assert(math.abs(got("high_value_buyer")._1 -
+      math.rint(zConv * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(got("exceed_planted")._1 -
+      math.rint(zExc * 1e6) / 1e6) < 1e-9)
+    assert(!got("high_value_buyer")._2, "A/A control came out significant")
+    assert(got("exceed_planted")._2, "planted uplift not detected")
+  }
+
   test("basket_lift_pairs: top pair's support and lift replicate; basket size bounds pair work") {
     val li = Tables.lineitem(spark, sf0001)
       .select("l_orderkey", "l_partkey").distinct().collect()
