@@ -371,6 +371,37 @@ object Warehouse {
       .orderBy("day")
   }
 
+  /** L206 — full cohort RETENTION MATRIX (the week-one triangle every
+    * growth dashboard leads with; generalizes the rolling day-1 rate of
+    * [[cohortRetention]] to per-cohort day-offset curves): cohort = a
+    * user's FIRST-activity day; for each (cohort, offset 0..6) the
+    * share of the cohort active offset days later. Shape: first-day per
+    * user and distinct (user, day) activity share the user-keyed
+    * shuffle; activity joins the user→cohort map on the same key; the
+    * final (cohort, offset) agg is calendar²-bounded. Offset-0 rows are
+    * the cohort sizes (rate exactly 1 — a built-in self-check the
+    * oracle gates); rates are exact-int divisions rounded 6dp. */
+  def cohortMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val activity = events(spark, dir)
+      .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+      .distinct()
+    val firstDay = activity.groupBy("user_id")
+      .agg(min(col("day")).as("cohort_day"))
+    val sizes = firstDay.groupBy("cohort_day")
+      .agg(count(lit(1)).as("n_cohort"))
+    activity.join(firstDay, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .where(col("day_offset").between(0, 6))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_day")
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+        col("day_offset"), col("n_cohort"), col("n_active"),
+        round(col("n_active").cast("double") / col("n_cohort").cast("double"), 6)
+          .as("rate"))
+      .orderBy("cohort", "day_offset")
+  }
+
   /** Ordered funnel view → click → purchase: a user counts for a stage
     * only if their first event of that stage follows their first event of
     * the previous stage. One conditional-aggregation pass per user, then a
@@ -860,6 +891,7 @@ object Warehouse {
     "markov_event_transitions" -> (markovTransitions _),
     "basket_lift_pairs" -> (basketLift _),
     "ab_test_ztest" -> (abTestZtest _),
+    "cohort_retention_matrix" -> (cohortMatrix _),
     "win_moving_median" -> (winMovingMedian _),
     "scalar_string_format" -> (scalarStringFormat _),
     "scalar_regexp_extract" -> (scalarRegexpExtract _),
@@ -1171,6 +1203,26 @@ object Warehouse {
           UNION ALL SELECT '2_click_to_purchase', n_cp, cp50, cp90 FROM a
           UNION ALL SELECT '3_view_to_purchase', n_cp, vp50, vp90 FROM a
           ORDER BY transition""",
+    "cohort_retention_matrix" ->
+      s"""WITH act AS (SELECT DISTINCT user_id,
+             date_trunc('day', $evTs) AS day
+           FROM events),
+         fd AS (SELECT user_id, MIN(day) AS cohort_day
+           FROM act GROUP BY 1),
+         sizes AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_cohort
+           FROM fd GROUP BY 1),
+         m AS (SELECT f.cohort_day,
+             date_diff('day', f.cohort_day, a.day) AS day_offset,
+             CAST(COUNT(*) AS BIGINT) AS n_active
+           FROM act a JOIN fd f USING (user_id)
+           WHERE date_diff('day', f.cohort_day, a.day) BETWEEN 0 AND 6
+           GROUP BY 1, 2)
+         SELECT strftime(m.cohort_day, '%Y-%m-%d') AS cohort,
+           CAST(m.day_offset AS INT) AS day_offset, s.n_cohort, m.n_active,
+           round(CAST(m.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE), 6)
+             AS rate
+         FROM m JOIN sizes s USING (cohort_day)
+         ORDER BY cohort, day_offset""",
     "ab_test_ztest" -> {
       val arm = s"(${graft.Tables.h48Sql("CAST(user_id AS VARCHAR)")}) % 2"
       def z(nA: String, xA: String, nB: String, xB: String) =

@@ -85,6 +85,33 @@ class Round10cSpec extends SparkTestBase {
     assert(got("exceed_planted")._2, "planted uplift not detected")
   }
 
+  test("cohort_retention_matrix: offset-0 identity, size conservation, JVM replica of a row") {
+    val rows = SparkEntry.queries("cohort_retention_matrix")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // offset 0: the cohort is by definition fully active on its own day
+    rows.filter(_._2 == 0).foreach { r =>
+      assert(r._3 == r._4 && r._5 == 1.0, s"offset-0 violated: $r") }
+    // cohort sizes partition the user base
+    val nUsers = Tables.events(spark, sf0001).select("user_id").distinct().count()
+    assert(rows.filter(_._2 == 0).map(_._3).sum == nUsers)
+    rows.foreach(r => assert(r._5 > 0.0 && r._5 <= 1.0))
+    // replicate one non-trivial cell from raw events
+    val act = Tables.events(spark, sf0001)
+      .select(col("user_id"), date_trunc("DAY", col("ts")).as("d"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    val firstOf = act.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val dayMs = 86400000L
+    val (cohortStr, off, _, nAct, _) = rows.find(r => r._2 > 0).get
+    val cells = act.count { case (u, d) =>
+      val c = firstOf(u)
+      java.time.Instant.ofEpochMilli(c).toString.startsWith(cohortStr) &&
+        (d - c) / dayMs == off.toLong }
+    assert(cells.toLong == nAct, s"cell ($cohortStr, $off): $cells vs $nAct")
+  }
+
   test("basket_lift_pairs: top pair's support and lift replicate; basket size bounds pair work") {
     val li = Tables.lineitem(spark, sf0001)
       .select("l_orderkey", "l_partkey").distinct().collect()
