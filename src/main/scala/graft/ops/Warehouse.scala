@@ -402,6 +402,51 @@ object Warehouse {
       .orderBy("cohort", "day_offset")
   }
 
+  /** L207 — RFM customer segmentation (Hughes 1994 "Strategic Database
+    * Marketing" — the recency/frequency/monetary quartile scoring CRM
+    * systems run on every customer base): per customer recency (last
+    * order date), frequency (order count), monetary (decimal-summed
+    * total spend), each scored 1–4 against its QUARTILE BOUNDARIES.
+    * Deliberately NOT `ntile(4)`: a global ntile is a single-partition
+    * window sort — the anti-pattern the SNM rank path also avoids —
+    * while three exact interpolated percentiles (the L21 contract) are
+    * a 1-row broadcast and the scoring is row-local comparison: scale =
+    * one customer-keyed agg + one broadcast. Boundaries and metrics are
+    * rounded to 6dp BEFORE comparison on both engines, so a boundary
+    * customer can never flip on an ulp. Output: the ≤64 segment cells
+    * with counts and decimal-averaged spend. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val per = orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(unix_micros(col("o_orderdate"))).as("rec"),
+        count(lit(1)).cast("double").as("freq"),
+        round(dsum(col("o_totalprice")), 6).as("mon"))
+      .withColumn("rec", col("rec").cast("double"))
+    def qs(c: String) = Seq(0.25, 0.5, 0.75).map(q =>
+      round(call_function("percentile", col(c), lit(q)), 6)
+        .as(s"${c}_q${(q * 100).toInt}"))
+    val bounds = per.agg(qs("rec").head, (qs("rec").tail ++ qs("freq") ++
+      qs("mon")): _*)
+    def score(c: String) =
+      (lit(1) + (col(c) > col(s"${c}_q25")).cast("int") +
+        (col(c) > col(s"${c}_q50")).cast("int") +
+        (col(c) > col(s"${c}_q75")).cast("int"))
+    per.crossJoin(broadcast(bounds)) // 1-row boundary broadcast
+      .select(col("o_custkey"), col("mon"),
+        score("rec").as("r"), score("freq").as("f"), score("mon").as("m"))
+      .groupBy(col("r"), col("f"), col("m"))
+      .agg(count(lit(1)).as("n_customers"),
+        // sum, not average: the 6dp inputs sum EXACTLY in decimal and
+        // the total stays under 2^53, while an average can land on a
+        // round-half boundary the two engines break differently
+        // (observed at sf0.01) — the derivable statistic is the safe one
+        dsum(col("mon")).as("sum_spend"))
+      .withColumn("segment", concat_ws("", col("r"), col("f"), col("m")))
+      .select(col("segment"), col("r"), col("f"), col("m"),
+        col("n_customers"), col("sum_spend"))
+      .orderBy("segment")
+  }
+
   /** Ordered funnel view → click → purchase: a user counts for a stage
     * only if their first event of that stage follows their first event of
     * the previous stage. One conditional-aggregation pass per user, then a
@@ -892,6 +937,7 @@ object Warehouse {
     "basket_lift_pairs" -> (basketLift _),
     "ab_test_ztest" -> (abTestZtest _),
     "cohort_retention_matrix" -> (cohortMatrix _),
+    "rfm_segments" -> (rfmSegments _),
     "win_moving_median" -> (winMovingMedian _),
     "scalar_string_format" -> (scalarStringFormat _),
     "scalar_regexp_extract" -> (scalarRegexpExtract _),
@@ -1203,6 +1249,37 @@ object Warehouse {
           UNION ALL SELECT '2_click_to_purchase', n_cp, cp50, cp90 FROM a
           UNION ALL SELECT '3_view_to_purchase', n_cp, vp50, vp90 FROM a
           ORDER BY transition""",
+    "rfm_segments" ->
+      s"""WITH per AS (SELECT o_custkey,
+             CAST(MAX(epoch_us(o_orderdate)) AS DOUBLE) AS rec,
+             CAST(COUNT(*) AS DOUBLE) AS freq,
+             round(${dsumSql("o_totalprice")}, 6) AS mon
+           FROM orders GROUP BY 1),
+         b AS (SELECT
+             round(quantile_cont(rec, 0.25), 6) AS rec_q25,
+             round(quantile_cont(rec, 0.5), 6) AS rec_q50,
+             round(quantile_cont(rec, 0.75), 6) AS rec_q75,
+             round(quantile_cont(freq, 0.25), 6) AS freq_q25,
+             round(quantile_cont(freq, 0.5), 6) AS freq_q50,
+             round(quantile_cont(freq, 0.75), 6) AS freq_q75,
+             round(quantile_cont(mon, 0.25), 6) AS mon_q25,
+             round(quantile_cont(mon, 0.5), 6) AS mon_q50,
+             round(quantile_cont(mon, 0.75), 6) AS mon_q75
+           FROM per),
+         scored AS (SELECT mon,
+             1 + CAST(rec > rec_q25 AS INT) + CAST(rec > rec_q50 AS INT)
+               + CAST(rec > rec_q75 AS INT) AS r,
+             1 + CAST(freq > freq_q25 AS INT) + CAST(freq > freq_q50 AS INT)
+               + CAST(freq > freq_q75 AS INT) AS f,
+             1 + CAST(mon > mon_q25 AS INT) + CAST(mon > mon_q50 AS INT)
+               + CAST(mon > mon_q75 AS INT) AS m
+           FROM per, b)
+         SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+             AS segment,
+           CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(mon AS DECIMAL(18,6))) AS DOUBLE) AS sum_spend
+         FROM scored GROUP BY r, f, m ORDER BY segment""",
     "cohort_retention_matrix" ->
       s"""WITH act AS (SELECT DISTINCT user_id,
              date_trunc('day', $evTs) AS day

@@ -112,6 +112,32 @@ class Round10cSpec extends SparkTestBase {
     assert(cells.toLong == nAct, s"cell ($cohortStr, $off): $cells vs $nAct")
   }
 
+  test("rfm_segments: cells partition the base; per-dimension scores quarter; spend conserved") {
+    val rows = SparkEntry.queries("rfm_segments")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getLong(4), r.getDouble(5)))
+    val nCust = Tables.orders(spark, sf0001)
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_._5).sum == nCust, "segment cells don't partition the base")
+    // quartile scoring: each dimension's marginal is 4 non-degenerate
+    // buckets, none holding more than ~half the base (exact quarters are
+    // impossible with ties; a collapsed boundary would show as ≥ 50%)
+    Seq[((String, Int, Int, Int, Long, Double)) => Int](_._2, _._3, _._4)
+      .zipWithIndex.foreach { case (dim, i) =>
+        val marg = rows.groupBy(dim).view.mapValues(_.map(_._5).sum).toMap
+        assert(marg.keySet == Set(1, 2, 3, 4), s"dim $i scores: ${marg.keySet}")
+        marg.values.foreach(v =>
+          assert(v <= nCust * 55 / 100, s"dim $i bucket holds $v of $nCust")) }
+    // total spend conservation against a raw decimal replica
+    val want = Tables.orders(spark, sf0001).select("o_custkey", "o_totalprice")
+      .collect().groupBy(_.getLong(0)).toSeq
+      .map(_._2.map(r => BigDecimal(r.getDouble(1)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP)).sum
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      .map(_.toDouble).sum
+    assert(math.abs(rows.map(_._6).sum - want) < 1e-3)
+  }
+
   test("basket_lift_pairs: top pair's support and lift replicate; basket size bounds pair work") {
     val li = Tables.lineitem(spark, sf0001)
       .select("l_orderkey", "l_partkey").distinct().collect()
