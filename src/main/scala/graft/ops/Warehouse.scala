@@ -447,6 +447,32 @@ object Warehouse {
       .orderBy("segment")
   }
 
+  /** L208 — WINSORIZED robust statistics (Tukey's classic outlier
+    * treatment — clip, don't drop: the cleaning step metric pipelines
+    * apply before averaging anything heavy-tailed): event values are
+    * clipped to the exact interpolated [p1, p99] band (the L21
+    * percentile contract; boundaries rounded 6dp then broadcast as one
+    * row — the RFM scale pattern, no global sort) and the report
+    * carries, per event type, the clipped-row counts and BOTH means —
+    * raw and winsorized, decimal-summed — so the operator's effect is
+    * visible and hash-gated, not asserted. Clipping is row-local
+    * `least/greatest`; two map-combinable passes overall. */
+  def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("event_type"), col("value"))
+    val bounds = ev.agg(
+      round(call_function("percentile", col("value"), lit(0.01)), 6).as("lo"),
+      round(call_function("percentile", col("value"), lit(0.99)), 6).as("hi"))
+    ev.crossJoin(broadcast(bounds)) // 1-row boundary broadcast
+      .withColumn("w", least(greatest(col("value"), col("lo")), col("hi")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        round(davg(col("value")), 6).as("mean_raw"),
+        round(davg(col("w")), 6).as("mean_winsor"))
+      .orderBy("event_type")
+  }
+
   /** Ordered funnel view → click → purchase: a user counts for a stage
     * only if their first event of that stage follows their first event of
     * the previous stage. One conditional-aggregation pass per user, then a
@@ -938,6 +964,7 @@ object Warehouse {
     "ab_test_ztest" -> (abTestZtest _),
     "cohort_retention_matrix" -> (cohortMatrix _),
     "rfm_segments" -> (rfmSegments _),
+    "agg_winsorized_stats" -> (winsorizedStats _),
     "win_moving_median" -> (winMovingMedian _),
     "scalar_string_format" -> (scalarStringFormat _),
     "scalar_regexp_extract" -> (scalarRegexpExtract _),
@@ -1249,6 +1276,25 @@ object Warehouse {
           UNION ALL SELECT '2_click_to_purchase', n_cp, cp50, cp90 FROM a
           UNION ALL SELECT '3_view_to_purchase', n_cp, vp50, vp90 FROM a
           ORDER BY transition""",
+    "agg_winsorized_stats" ->
+      s"""WITH b AS (SELECT
+             round(quantile_cont(CAST(value AS DOUBLE), 0.01), 6) AS lo,
+             round(quantile_cont(CAST(value AS DOUBLE), 0.99), 6) AS hi
+           FROM events),
+         w AS (SELECT event_type, value,
+             LEAST(GREATEST(value, b.lo), b.hi) AS wv,
+             b.lo AS lo, b.hi AS hi
+           FROM events, b)
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clip_lo,
+           CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clip_hi,
+           round(${dsumSql("value")} / CAST(COUNT(*) AS DOUBLE), 6)
+             AS mean_raw,
+           round(${dsumSql("wv")} / CAST(COUNT(*) AS DOUBLE), 6)
+             AS mean_winsor
+         FROM w GROUP BY 1 ORDER BY 1""",
     "rfm_segments" ->
       s"""WITH per AS (SELECT o_custkey,
              CAST(MAX(epoch_us(o_orderdate)) AS DOUBLE) AS rec,

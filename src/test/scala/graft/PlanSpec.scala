@@ -163,6 +163,8 @@ class PlanSpec extends SparkTestBase {
       "llm_pmi_collocations", "basket_lift_pairs",
       // 1-row quartile-boundary broadcast onto the customer scoring pass
       "rfm_segments",
+      // 1-row [p1, p99] clip-boundary broadcast onto the event scan
+      "agg_winsorized_stats",
       // 1-row corpus-stats broadcast (N, Σdl) into the BM25 scorer; the
       // hybrid adds the 1-row query-embedding broadcast of the cosine leg
       "llm_bm25_topk", "llm_hybrid_rrf",

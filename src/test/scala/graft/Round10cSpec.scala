@@ -138,6 +138,33 @@ class Round10cSpec extends SparkTestBase {
     assert(math.abs(rows.map(_._6).sum - want) < 1e-3)
   }
 
+  test("agg_winsorized_stats: clip fraction ~2%, winsorized mean replicates for one type") {
+    val rows = SparkEntry.queries("agg_winsorized_stats")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    val n = rows.map(_._2).sum
+    val clipped = rows.map(r => r._3 + r._4).sum
+    assert(clipped > 0, "no rows clipped — winsorization unexercised")
+    assert(clipped.toDouble / n < 0.03, s"clip fraction ${clipped.toDouble / n}")
+    // JVM replica: global [p1, p99] then one type's winsorized mean
+    val vals = Tables.events(spark, sf0001).select("event_type", "value")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    def pct(xs: Seq[Double], q: Double): Double = {
+      val s = xs.sorted
+      val pos = (s.size - 1) * q
+      val (lo, hi) = (s(pos.toInt), s(math.ceil(pos).toInt))
+      math.rint((lo + (pos - pos.toInt) * (hi - lo)) * 1e6) / 1e6
+    }
+    val (lo, hi) = (pct(vals.map(_._2), 0.01), pct(vals.map(_._2), 0.99))
+    val (tpe, _, cl, ch, _, mw) = rows.head
+    val mine = vals.filter(_._1 == tpe).map(_._2)
+    assert(cl == mine.count(_ < lo) && ch == mine.count(_ > hi))
+    val wsum = mine.map(v => BigDecimal(math.max(lo, math.min(hi, v)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    assert(math.abs(mw - math.rint(wsum / mine.size * 1e6) / 1e6) < 2e-6,
+      s"$tpe winsorized mean: $mw")
+  }
+
   test("basket_lift_pairs: top pair's support and lift replicate; basket size bounds pair work") {
     val li = Tables.lineitem(spark, sf0001)
       .select("l_orderkey", "l_partkey").distinct().collect()
