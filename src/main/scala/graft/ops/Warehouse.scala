@@ -473,6 +473,43 @@ object Warehouse {
       .orderBy("event_type")
   }
 
+  /** L209 — session PATH mining (the "top user journeys" table behind
+    * every UX/navigation review; the sequence sibling of the L203
+    * Markov matrix — Markov sees one step, paths see the journey):
+    * sessions are the `sessionize_events` 2h-gap sessions; within each,
+    * the (ts, event_id)-ordered event-type sequence yields its sliding
+    * 3-step paths, counted corpus-wide, top-10 with full tie-break.
+    * ONE user-keyed shuffle covers the ordering window, the
+    * sessionization cumsum, and the per-session fold
+    * (`sort_array(collect_list(struct(...)))` pins in-session order
+    * engine-independently); the 3-gram explode is row-local over
+    * session arrays bounded by session LENGTH — never corpus-sized —
+    * and the path agg is \|types\|³-bounded. */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val seqs = events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 2L * 3600 * 1000000, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new")).over(byUser))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(expr("transform(sort_array(collect_list(struct(" +
+        "unix_micros(ts) AS us, event_id, event_type))), e -> e.event_type)")
+        .as("types"))
+    seqs.where(size(col("types")) >= 3)
+      .select(explode(arrays_zip(
+        slice(col("types"), lit(1), size(col("types")) - 2),
+        slice(col("types"), lit(2), size(col("types")) - 2),
+        slice(col("types"), lit(3), size(col("types")) - 2))).as("g"))
+      .select(concat_ws(">", col("g.0"), col("g.1"), col("g.2")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(10)
+  }
+
   /** Ordered funnel view → click → purchase: a user counts for a stage
     * only if their first event of that stage follows their first event of
     * the previous stage. One conditional-aggregation pass per user, then a
@@ -965,6 +1002,7 @@ object Warehouse {
     "cohort_retention_matrix" -> (cohortMatrix _),
     "rfm_segments" -> (rfmSegments _),
     "agg_winsorized_stats" -> (winsorizedStats _),
+    "session_top_paths" -> (sessionPaths _),
     "win_moving_median" -> (winMovingMedian _),
     "scalar_string_format" -> (scalarStringFormat _),
     "scalar_regexp_extract" -> (scalarRegexpExtract _),
@@ -1276,6 +1314,28 @@ object Warehouse {
           UNION ALL SELECT '2_click_to_purchase', n_cp, cp50, cp90 FROM a
           UNION ALL SELECT '3_view_to_purchase', n_cp, vp50, vp90 FROM a
           ORDER BY transition""",
+    "session_top_paths" ->
+      s"""WITH seq AS (SELECT user_id, event_id, event_type,
+             epoch_us($evTs) AS us,
+             LAG(epoch_us($evTs)) OVER w AS prev_us
+           FROM events WINDOW w AS (PARTITION BY user_id
+             ORDER BY $evTs, event_id)),
+         marked AS (SELECT *,
+             CASE WHEN prev_us IS NULL OR us - prev_us > 7200000000
+               THEN 1 ELSE 0 END AS is_new
+           FROM seq),
+         sess AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+             ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+           FROM marked),
+         arrs AS (SELECT user_id, session_idx,
+             list(event_type ORDER BY us, event_id) AS types
+           FROM sess GROUP BY 1, 2),
+         grams AS (SELECT types[i] || '>' || types[i+1] || '>' || types[i+2]
+             AS path
+           FROM (SELECT types, unnest(range(1, len(types) - 1)) AS i
+             FROM arrs WHERE len(types) >= 3))
+         SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+         FROM grams GROUP BY 1 ORDER BY n DESC, path LIMIT 10""",
     "agg_winsorized_stats" ->
       s"""WITH b AS (SELECT
              round(quantile_cont(CAST(value AS DOUBLE), 0.01), 6) AS lo,

@@ -165,6 +165,38 @@ class Round10cSpec extends SparkTestBase {
       s"$tpe winsorized mean: $mw")
   }
 
+  test("session_top_paths: top path count replicates against a from-scratch sessionizer") {
+    val ev = Tables.events(spark, sf0001)
+      .select("user_id", "event_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3)))
+    def us(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val grams = ev.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val ordered = rs.sortBy(e => (us(e._4), e._2))
+      // split into 2h-gap sessions, then per-session type 3-grams
+      val sessions = ordered.foldLeft(Vector.empty[Vector[(Long, String)]]) {
+        case (acc, e) =>
+          val t = us(e._4)
+          if (acc.nonEmpty && t - acc.last.last._1 <= 7200000000L)
+            acc.init :+ (acc.last :+ (t, e._3))
+          else acc :+ Vector((t, e._3))
+      }
+      sessions.flatMap(_.map(_._2).sliding(3).filter(_.size == 3)
+        .map(_.mkString(">")))
+    }
+    val got = SparkEntry.queries("session_top_paths")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(got.length == 10)
+    val counts = grams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (p, n) =>
+      assert(counts(p) == n, s"path $p: ${counts(p)} vs $n") }
+    // the emitted top-10 really is the top of the full distribution
+    val floor = got.map(_._2).min
+    assert(counts.values.count(_ > floor) < 10,
+      "a path outside the top-10 outranks an emitted one")
+  }
+
   test("basket_lift_pairs: top pair's support and lift replicate; basket size bounds pair work") {
     val li = Tables.lineitem(spark, sf0001)
       .select("l_orderkey", "l_partkey").distinct().collect()
