@@ -620,4 +620,54 @@ class ScaleRehearsalSpec extends SparkTestBase {
       assert(lst(k)._1 === lb(k)._1, s"$k lift drifted")
       assert(lst(k)._2 === lb(k)._2 * K, s"$k support not 10x") }
   }
+
+  test("distributional analytics are 10x-INVARIANT: funnel percentiles, winsor means, RFM cells, cohort rates, paths") {
+    // The replica construction repeats every user/customer/doc verbatim
+    // under fresh ids, so DISTRIBUTIONS are unchanged while masses scale
+    // by exactly K — pinning both halves catches any operator whose
+    // plan quietly depends on absolute size (a skew fallback, a sample,
+    // a mis-keyed window).
+    def rowsOf(name: String) =
+      (SparkEntry.queries(name)(spark, sf001).collect(),
+        SparkEntry.queries(name)(spark, scaledDir).collect())
+    // funnel: the delta MULTISET is each original delta repeated K times,
+    // so interpolated percentiles are NOT bit-identical — the rank
+    // position (n−1)·q lands elsewhere inside the repeated blocks and
+    // interpolates a different adjacent gap — but they can move by at
+    // most one inter-element gap: pin counts exactly and quantiles to a
+    // tight relative band (measured ~1.9% worst on the fixture)
+    val (fb, fs) = rowsOf("funnel_time_to_convert")
+    fb.zip(fs).foreach { case (b, s) =>
+      assert(b.getString(0) == s.getString(0))
+      assert(s.getLong(1) == b.getLong(1) * K, s"${b.getString(0)} n_users")
+      def near(x: Double, y: Double) = math.abs(x - y) / math.max(y, 1.0) < 0.05
+      assert(near(s.getDouble(2), b.getDouble(2)), s"${b.getString(0)} p50")
+      assert(near(s.getDouble(3), b.getDouble(3)), s"${b.getString(0)} p90") }
+    // winsorized: same value multiset ⇒ same bounds and means; clip 10x
+    val (wb, ws) = rowsOf("agg_winsorized_stats")
+    wb.zip(ws).foreach { case (b, s) =>
+      assert(s.getLong(1) == b.getLong(1) * K)
+      assert(s.getLong(2) == b.getLong(2) * K && s.getLong(3) == b.getLong(3) * K)
+      assert(s.getDouble(4) == b.getDouble(4), "raw mean drifted")
+      assert(s.getDouble(5) == b.getDouble(5), "winsorized mean drifted") }
+    // RFM: same metric distribution ⇒ same boundaries ⇒ same cells, 10x
+    val (rb, rs) = rowsOf("rfm_segments")
+    assert(rb.map(_.getString(0)).toSeq == rs.map(_.getString(0)).toSeq,
+      "segment cells changed at 10x")
+    rb.zip(rs).foreach { case (b, s) =>
+      assert(s.getLong(4) == b.getLong(4) * K, s"${b.getString(0)} count") }
+    // cohort matrix: same activity calendar per replica ⇒ same rates
+    val (cb, cs) = rowsOf("cohort_retention_matrix")
+    assert(cb.length == cs.length)
+    cb.zip(cs).foreach { case (b, s) =>
+      assert(b.getString(0) == s.getString(0) && b.getInt(1) == s.getInt(1))
+      assert(s.getLong(2) == b.getLong(2) * K && s.getLong(3) == b.getLong(3) * K)
+      assert(s.getDouble(4) == b.getDouble(4), "retention rate drifted") }
+    // session paths: per-replica sessions identical ⇒ counts exactly 10x
+    val (pb, ps) = rowsOf("session_top_paths")
+    assert(pb.map(_.getString(0)).toSeq == ps.map(_.getString(0)).toSeq,
+      "top-10 path set changed at 10x")
+    pb.zip(ps).foreach { case (b, s) =>
+      assert(s.getLong(1) == b.getLong(1) * K, s"${b.getString(0)} count") }
+  }
 }
