@@ -617,20 +617,33 @@ object Warehouse {
     * support counts, joined to per-part order counts and the order
     * total: lift(a,b) = c(ab)·N / (c(a)·c(b)). Min support 2 removes
     * singleton-pair noise; top-20 by rounded lift (ties by part pair).
-    * Scale shape: the pair-gen self-join is ORDER-keyed — per-order
-    * work is C(k,2) with k = items/order (≈4 here, bounded by basket
-    * size, never catalog size), the same bounded-clique argument as
-    * the SNM window; part marginals are dim-sized broadcasts. */
+    * Scale shape: per-order work is C(k,2) with k = items/order (≈4
+    * here, bounded by basket size, never catalog size — the SNM
+    * window's bounded-clique argument), generated ROW-LOCALLY from each
+    * order's sorted basket array after ONE o-keyed shuffle (the first
+    * cut self-joined the distinct (o, p) table — correct, but two extra
+    * o-keyed exchanges that at 100 TB are pure waste); part marginals
+    * are dim-sized broadcasts. */
   def basketLift(spark: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(spark, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val pairs = li.as("x").join(li.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
+    // ONE o-keyed shuffle builds the basket arrays; pair generation is
+    // then ROW-LOCAL combinatorics over each ≤k-element sorted basket
+    // (nested index transforms + flatten) — no distinct+self-join round
+    // trip, no second o-keyed exchange. Marginals and the order total
+    // fold off the same basket frame.
+    val baskets = lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+    val pairs = baskets
+      .select(explode(flatten(expr(
+        """transform(ps, (a, i) ->
+             transform(slice(ps, i + 2, size(ps) - i - 1), b ->
+               struct(a AS pa, b AS pb)))"""))).as("pr"))
+      .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
       .agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= 2)
-    val parts = li.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
-    val nOrders = li.select("o").distinct().agg(count(lit(1)).as("n_orders"))
+    val parts = baskets.select(explode(col("ps")).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
     pairs
       .join(broadcast(parts.select(col("p").as("pa"), col("n_p").as("na"))), "pa")
       .join(broadcast(parts.select(col("p").as("pb"), col("n_p").as("nb"))), "pb")
