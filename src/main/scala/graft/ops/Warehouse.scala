@@ -510,6 +510,39 @@ object Warehouse {
       .limit(10)
   }
 
+  /** L210 — exponentially time-DECAYED popularity (the trending
+    * primitive behind feeds and leaderboards: recent demand outranks
+    * raw volume; half-life framing per Cormode, Shkapenyuk, Srivastava
+    * & Xu 2009, "Forward decay"): per part, score = Σ_orders 2^(−weeks
+    * ago), one-week half-life measured in WHOLE weeks from the corpus's
+    * max order date. The weight is built by INTEGER SHIFT
+    * (1.0 / (1 << weeks)), not `pow` — every term is an exact binary
+    * fraction with denominator ≤ 2^⌈weeks⌉, so partial sums are EXACT
+    * doubles in any order (denominators ≤ 2^30, total numerator mass
+    * < 2^47 ≪ 2^53): bit-determinism with no decimal quantization and
+    * no cross-libm `pow` ulp risk at all. Shape: fact⋈fact equi join
+    * on the order key (one shuffle each side), 1-row max-date
+    * broadcast, part-keyed agg — map-combinable because exact addition
+    * is associative here. Top-20, full tie-break. */
+  def trendingDecayed(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"))
+    val maxD = o.agg(max(col("o_orderdate")).as("max_d"))
+    val li = lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .crossJoin(broadcast(maxD)) // 1-row anchor broadcast
+      .withColumn("weeks", // cap 40: beyond it the weight is ~1e-12 and
+        // an uncapped shift would wrap the 64-bit lane (the fixture
+        // calendar spans ~340 weeks); per-part sums stay exact —
+        // numerators ≤ n_part·2^40 ≪ 2^53
+        least(floor(datediff(col("max_d"), col("o_orderdate")) / 7)
+          .cast("int"), lit(40)))
+      .withColumn("w", expr("CAST(1.0 AS DOUBLE) / shiftleft(CAST(1 AS BIGINT), weeks)"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_lineitems"), sum(col("w")).as("decayed"))
+      .orderBy(col("decayed").desc, col("l_partkey").asc)
+      .limit(20)
+  }
+
   /** Ordered funnel view → click → purchase: a user counts for a stage
     * only if their first event of that stage follows their first event of
     * the previous stage. One conditional-aggregation pass per user, then a
@@ -1016,6 +1049,7 @@ object Warehouse {
     "rfm_segments" -> (rfmSegments _),
     "agg_winsorized_stats" -> (winsorizedStats _),
     "session_top_paths" -> (sessionPaths _),
+    "trending_decayed_parts" -> (trendingDecayed _),
     "win_moving_median" -> (winMovingMedian _),
     "scalar_string_format" -> (scalarStringFormat _),
     "scalar_regexp_extract" -> (scalarRegexpExtract _),
@@ -1327,6 +1361,16 @@ object Warehouse {
           UNION ALL SELECT '2_click_to_purchase', n_cp, cp50, cp90 FROM a
           UNION ALL SELECT '3_view_to_purchase', n_cp, vp50, vp90 FROM a
           ORDER BY transition""",
+    "trending_decayed_parts" ->
+      """WITH m AS (SELECT MAX(o_orderdate) AS max_d FROM orders),
+         t AS (SELECT l.l_partkey,
+             LEAST(CAST(FLOOR(date_diff('day', o.o_orderdate, m.max_d) / 7)
+               AS INT), 40) AS weeks
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           CROSS JOIN m)
+         SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           SUM(CAST(1.0 AS DOUBLE) / (CAST(1 AS BIGINT) << weeks)) AS decayed
+         FROM t GROUP BY 1 ORDER BY decayed DESC, l_partkey LIMIT 20""",
     "session_top_paths" ->
       s"""WITH seq AS (SELECT user_id, event_id, event_type,
              epoch_us($evTs) AS us,

@@ -165,6 +165,8 @@ class PlanSpec extends SparkTestBase {
       "rfm_segments",
       // 1-row [p1, p99] clip-boundary broadcast onto the event scan
       "agg_winsorized_stats",
+      // 1-row max-date anchor broadcast onto the decayed-weight scan
+      "trending_decayed_parts",
       // 1-row corpus-stats broadcast (N, Σdl) into the BM25 scorer; the
       // hybrid adds the 1-row query-embedding broadcast of the cosine leg
       "llm_bm25_topk", "llm_hybrid_rrf",

@@ -197,6 +197,32 @@ class Round10cSpec extends SparkTestBase {
       "a path outside the top-10 outranks an emitted one")
   }
 
+  test("trending_decayed_parts: scores are exact binary fractions; JVM replica matches bit-for-bit") {
+    val rows = SparkEntry.queries("trending_decayed_parts")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 20)
+    // every score is a multiple of 2^-40 — the no-pow design's whole point
+    rows.foreach { case (p, _, s) =>
+      val scaled = s * math.pow(2, 40)
+      assert(scaled == math.rint(scaled), s"part $p score $s not exact") }
+    // bit-exact JVM replica of the top part from raw tables
+    val maxD = Tables.orders(spark, sf0001)
+      .agg(max(col("o_orderdate"))).collect().head.getTimestamp(0).getTime
+    val odate = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_orderdate").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    val (topPart, topN, topScore) = rows.head
+    val terms = Tables.lineitem(spark, sf0001)
+      .where(col("l_partkey") === topPart)
+      .select("l_orderkey").collect().map(_.getLong(0))
+      .map { ok =>
+        val weeks = math.min(((maxD - odate(ok)) / 86400000L / 7).toInt, 40)
+        1.0 / (1L << weeks)
+      }
+    assert(terms.length.toLong == topN)
+    assert(terms.sum == topScore, s"replica ${terms.sum} vs $topScore")
+  }
+
   test("basket_lift_pairs: top pair's support and lift replicate; basket size bounds pair work") {
     val li = Tables.lineitem(spark, sf0001)
       .select("l_orderkey", "l_partkey").distinct().collect()
