@@ -543,6 +543,37 @@ object Warehouse {
       .limit(20)
   }
 
+  /** L211 — revenue CONCENTRATION audit (the "top decile share" /
+    * whale-dependency number every revenue review and risk report
+    * carries — the discrete cousin of a Lorenz/Gini readout, computed
+    * without any global sort): per-customer revenue (decimal-summed,
+    * rounded 6dp — the RFM metric contract), the exact interpolated p90
+    * boundary broadcast as one row, then a single conditional pass:
+    * customers above the boundary, their revenue mass, the maximum
+    * single-customer revenue, and the decile share. Numerator and
+    * denominator ship as EXACT decimal sums beside the rounded share,
+    * so the statistic is derivable even if a reader distrusts the
+    * rounding. Scale: one customer-keyed agg + one 1-row broadcast —
+    * the RFM shape. */
+  def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val per = orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(round(dsum(col("o_totalprice")), 6).as("rev"))
+    val bound = per.agg(
+      round(call_function("percentile", col("rev"), lit(0.9)), 6).as("p90"))
+    per.crossJoin(broadcast(bound)) // 1-row boundary broadcast
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("rev") > col("p90"), 1L).otherwise(0L)).as("n_top"),
+        dsum(col("rev")).as("total_rev"),
+        dsum(when(col("rev") > col("p90"), col("rev"))).as("top_rev"),
+        max(col("rev")).as("max_rev"),
+        first(col("p90")).as("p90"))
+      .withColumn("top_share",
+        round(col("top_rev") / col("total_rev"), 6))
+      .withColumn("max_share",
+        round(col("max_rev") / col("total_rev"), 6))
+  }
+
   /** Ordered funnel view → click → purchase: a user counts for a stage
     * only if their first event of that stage follows their first event of
     * the previous stage. One conditional-aggregation pass per user, then a
@@ -1050,6 +1081,7 @@ object Warehouse {
     "agg_winsorized_stats" -> (winsorizedStats _),
     "session_top_paths" -> (sessionPaths _),
     "trending_decayed_parts" -> (trendingDecayed _),
+    "concentration_revenue" -> (revenueConcentration _),
     "win_moving_median" -> (winMovingMedian _),
     "scalar_string_format" -> (scalarStringFormat _),
     "scalar_regexp_extract" -> (scalarRegexpExtract _),
@@ -1361,6 +1393,24 @@ object Warehouse {
           UNION ALL SELECT '2_click_to_purchase', n_cp, cp50, cp90 FROM a
           UNION ALL SELECT '3_view_to_purchase', n_cp, vp50, vp90 FROM a
           ORDER BY transition""",
+    "concentration_revenue" ->
+      s"""WITH per AS (SELECT o_custkey,
+             round(${dsumSql("o_totalprice")}, 6) AS rev
+           FROM orders GROUP BY 1),
+         b AS (SELECT round(quantile_cont(rev, 0.9), 6) AS p90 FROM per),
+         a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(CASE WHEN rev > b.p90 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_top,
+             ${dsumSql("rev")} AS total_rev,
+             CAST(SUM(CASE WHEN rev > b.p90
+               THEN CAST(rev AS DECIMAL(18,6)) END) AS DOUBLE) AS top_rev,
+             MAX(rev) AS max_rev,
+             ANY_VALUE(b.p90) AS p90
+           FROM per, b)
+         SELECT n_customers, n_top, total_rev, top_rev, max_rev, p90,
+           round(top_rev / total_rev, 6) AS top_share,
+           round(max_rev / total_rev, 6) AS max_share
+         FROM a""",
     "trending_decayed_parts" ->
       """WITH m AS (SELECT MAX(o_orderdate) AS max_d FROM orders),
          t AS (SELECT l.l_partkey,

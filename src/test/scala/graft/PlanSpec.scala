@@ -167,6 +167,8 @@ class PlanSpec extends SparkTestBase {
       "agg_winsorized_stats",
       // 1-row max-date anchor broadcast onto the decayed-weight scan
       "trending_decayed_parts",
+      // 1-row p90 revenue boundary broadcast onto the customer pass
+      "concentration_revenue",
       // 1-row corpus-stats broadcast (N, Σdl) into the BM25 scorer; the
       // hybrid adds the 1-row query-embedding broadcast of the cosine leg
       "llm_bm25_topk", "llm_hybrid_rrf",

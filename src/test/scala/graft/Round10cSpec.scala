@@ -223,6 +223,28 @@ class Round10cSpec extends SparkTestBase {
     assert(terms.sum == topScore, s"replica ${terms.sum} vs $topScore")
   }
 
+  test("concentration_revenue: masses replicate from raw orders; shares consistent") {
+    val r = SparkEntry.queries("concentration_revenue")(spark, sf0001)
+      .collect().head
+    val per = Tables.orders(spark, sf0001)
+      .select("o_custkey", "o_totalprice").collect()
+      .groupBy(_.getLong(0)).toSeq
+      .map(_._2.map(x => BigDecimal(x.getDouble(1)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP)).sum
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Long]("n_customers") == per.size)
+    assert(math.abs(r.getAs[Double]("total_rev") - per.sum) < 1e-3)
+    val p90 = r.getAs[Double]("p90")
+    val top = per.filter(_ > p90)
+    assert(r.getAs[Long]("n_top") == top.size)
+    assert(math.abs(r.getAs[Double]("top_rev") - top.sum) < 1e-3)
+    assert(r.getAs[Double]("max_rev") == per.max)
+    // ~10% of customers above an interpolated p90, and shares ordered
+    assert(top.size <= per.size / 5 && top.size >= per.size / 20)
+    assert(r.getAs[Double]("top_share") > r.getAs[Double]("max_share"))
+    assert(r.getAs[Double]("top_share") > 0.1, "decile share implausibly low")
+  }
+
   test("basket_lift_pairs: top pair's support and lift replicate; basket size bounds pair work") {
     val li = Tables.lineitem(spark, sf0001)
       .select("l_orderkey", "l_partkey").distinct().collect()
