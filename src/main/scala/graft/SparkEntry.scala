@@ -31,6 +31,7 @@ object SparkEntry {
       ops.Llm7.queries ++
       ops.Er.queries ++
       ops.Audit.queries ++
+      ops.Ml.queries ++
       ops.Warehouse.queries ++
       ops.Warehouse2.queries ++
       ops.Warehouse3.queries
@@ -52,6 +53,7 @@ object SparkEntry {
       ops.Llm7.oracles ++
       ops.Er.oracles ++
       ops.Audit.oracles ++
+      ops.Ml.oracles ++
       ops.Warehouse.oracles ++
       ops.Warehouse2.oracles ++
       ops.Warehouse3.oracles

@@ -1,0 +1,325 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed-ML TRAINING-STEP operators (round 11) — the iteration
+  * kernels a feature/training pipeline runs ON the warehouse engine
+  * before (or instead of) exporting to a dedicated trainer: Naive-Bayes
+  * fit+score, decision-stump split search, one logistic-regression
+  * gradient step, and the silhouette clustering-quality probe. Each is
+  * the canonical "ML-on-SQL" shape: model state stays broadcast-sized
+  * (class tables, centroids, a weight vector), the corpus is touched by
+  * map-combinable scans only, and nothing pairwise ever shuffles — the
+  * same contract as the L44 k-means step this file extends.
+  *
+  * Determinism contract (SURVEY.md §7.5): every transcendental term
+  * (ln / exp) is rounded to 6 decimals and summed as DECIMAL(18,6), so
+  * scores are summation-order-free and the DuckDB oracle hash-gates the
+  * MODEL OUTPUTS (confusion counts, split choice, gradient, silhouette),
+  * not a float approximation of them. */
+object Ml {
+
+  // ---- shared local vector helpers (euclidean sibling of Llm2's cosine) ----
+  private def distCol(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** L212 — Multinomial NAIVE BAYES: fit on 4/5 of the corpus, score the
+    * held-out 1/5, emit the confusion matrix (true lang × predicted
+    * lang). The classic first text classifier, and the canonical
+    * count-based trainer: the ENTIRE model is three small aggregates —
+    * class priors (5 rows), per-class token totals (5 rows), and the
+    * (lang, word) count table — all map-side combinable.
+    *
+    * Scale shape: the corpus is scanned twice (fit tokens, score
+    * tokens), both explode→agg passes; scoring joins test tokens to the
+    * smoothed log-likelihood GRID (test-vocab × 5 classes — broadcast-
+    * sized, never the corpus²) on the word equi-key; the argmax is a
+    * 5-row-per-doc window. At 100 TB the model tables still fit in one
+    * broadcast: vocabulary and class count bound them, not corpus size.
+    * Laplace add-1 smoothing; every log term is round-6 → decimal-summed
+    * so both engines rank classes on identical scores; ties (measure-zero
+    * with real scores) break to the lexicographically smallest lang. */
+  def naiveBayes(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), col("lang"), col("text"))
+    val train = d.where(col("doc_id") % 5 =!= 0)
+    val test = d.where(col("doc_id") % 5 === 0)
+    val trainTok = train.select(col("lang"),
+      explode(split(col("text"), " ")).as("word"))
+    // model state: priors + per-class token totals (5 rows each)
+    val cls = trainTok.groupBy("lang").agg(count(lit(1)).as("n_tok"))
+      .join(train.groupBy("lang").agg(count(lit(1)).as("n_docs")), "lang")
+    val nTrain = train.agg(count(lit(1)).as("n_train"))
+    val vocab = trainTok.agg(countDistinct(col("word")).as("v"))
+    val cw = trainTok.groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+    // smoothed log-likelihood grid over the TEST vocabulary × 5 classes:
+    // unseen (word, class) pairs fall back to the pure-smoothing term
+    val grid = test.select(explode(split(col("text"), " ")).as("word")).distinct()
+      .crossJoin(broadcast(cls.select(col("lang"), col("n_tok")))) // 5-row dim
+      .join(cw, Seq("lang", "word"), "left")
+      .crossJoin(broadcast(vocab)) // 1-row vocab size
+      .select(col("lang"), col("word"),
+        round(log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+          (col("n_tok") + col("v")).cast("double")), 6).as("term"))
+    val prior = cls.crossJoin(broadcast(nTrain)) // 1-row total
+      .select(col("lang"),
+        round(log(col("n_docs").cast("double") / col("n_train").cast("double")), 6)
+          .as("prior"))
+    val scored = test.select(col("doc_id"), col("lang").as("lang_true"),
+        explode(split(col("text"), " ")).as("word"))
+      .join(grid.withColumnRenamed("lang", "lang_c"), "word")
+      .groupBy(col("doc_id"), col("lang_true"), col("lang_c"))
+      .agg(sum(col("term").cast("decimal(18,6)")).as("tok_sum"))
+      .join(broadcast(prior.withColumnRenamed("lang", "lang_c")), "lang_c")
+      .withColumn("score", col("tok_sum") + col("prior").cast("decimal(18,6)"))
+    val wBest = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("lang_c").asc)
+    scored.withColumn("rn", row_number().over(wBest)).where(col("rn") === 1)
+      .groupBy(col("lang_true"), col("lang_c").as("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang_true", "lang_pred")
+  }
+
+  /** L213 — DECISION-STUMP split search (one node of a distributed tree
+    * fit, the greedy criterion every GBDT/random-forest layer runs):
+    * find the value-threshold that best separates purchases from
+    * non-purchases by weighted Gini impurity. The 100 TB-shape trick is
+    * histogram-first: ONE map-combinable pass buckets the corpus
+    * (floor(value/20), clamped to 10 bins — exactly how real tree
+    * trainers quantize continuous features), and the split search is a
+    * running-total window over ≤10 HISTOGRAM rows, not the corpus. All
+    * candidate-side numbers are exact integers; impurity is computed
+    * from them with identical double ops in both engines. Thresholds
+    * whose right side would be empty are excluded (no split). */
+  def giniSplit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(
+      least(floor(col("value") / 20.0).cast("long"), lit(9L)).as("b"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+    val hist = ev.groupBy("b").agg(count(lit(1)).as("n"), sum(col("pos")).as("np"))
+    val w = Window.partitionBy(lit(1)).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(lit(1))
+    val cum = hist
+      .withColumn("n_left", sum(col("n")).over(w))
+      .withColumn("pos_left", sum(col("np")).over(w))
+      .withColumn("n_tot", sum(col("n")).over(wAll))
+      .withColumn("pos_tot", sum(col("np")).over(wAll))
+      .where(col("n_left") < col("n_tot")) // right side must be non-empty
+      .select((lit(20L) * (col("b") + 1)).as("threshold"),
+        col("n_left"), col("pos_left"),
+        (col("n_tot") - col("n_left")).as("n_right"),
+        (col("pos_tot") - col("pos_left")).as("pos_right"))
+    def gini(n: Column, p: Column): Column = { // 1 - (p² + (n-p)²)/n²
+      val nd = n.cast("double"); val pd = p.cast("double")
+      lit(1.0) - (pd * pd + (nd - pd) * (nd - pd)) / (nd * nd)
+    }
+    val g = cum.withColumn("wgini", round(
+      (col("n_left").cast("double") * gini(col("n_left"), col("pos_left")) +
+        col("n_right").cast("double") * gini(col("n_right"), col("pos_right"))) /
+        (col("n_left") + col("n_right")).cast("double"), 6))
+    val wBest = Window.partitionBy(lit(1))
+      .orderBy(col("wgini").asc, col("threshold").asc)
+    g.withColumn("is_best", row_number().over(wBest) === 1)
+      .select(col("threshold"), col("n_left"), col("pos_left"),
+        col("n_right"), col("pos_right"), col("wgini"), col("is_best"))
+      .orderBy("threshold")
+  }
+
+  /** L214 — one LOGISTIC-REGRESSION batch-gradient step (the inner loop
+    * of every distributed GLM fit — Spark MLlib's own LBFGS/SGD reduces
+    * exactly this): features x = (bias, n_chars/100, n_words/10) from
+    * documents, target y = [lang='en'], fixed weight vector w. The
+    * gradient Σ (σ(w·x) − y)·x is a SINGLE map-combinable aggregate —
+    * the corpus is scanned once, the model is 3 numbers, and at 100 TB
+    * the step is still one pass + a 3-row reduce (the design reason
+    * parameter servers exist is models that DON'T fit a broadcast;
+    * a 3-feature GLM is the other regime). Per-row terms are round-6 →
+    * decimal-summed (order-free); σ uses exp() on identical doubles in
+    * both engines, absorbed by the rounding. Output: one row per
+    * feature with the gradient sum, mean, and the post-step weight. */
+  def logregGradient(spark: SparkSession, dir: String): DataFrame = {
+    val ws = Seq(0.1, -0.05, 0.02) // fixed current weights (bias, x2, x3)
+    val d = documents(spark, dir).select(
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+      lit(1.0).as("x1"),
+      (col("n_chars").cast("double") / 100.0).as("x2"),
+      (size(split(col("text"), " ")).cast("double") / 10.0).as("x3"))
+    val z = lit(ws(0)) * col("x1") + lit(ws(1)) * col("x2") + lit(ws(2)) * col("x3")
+    val p = lit(1.0) / (lit(1.0) + exp(-z))
+    val terms = d.select(explode(array(
+      struct(lit(1).as("feature"), round((p - col("y")) * col("x1"), 6).as("t")),
+      struct(lit(2).as("feature"), round((p - col("y")) * col("x2"), 6).as("t")),
+      struct(lit(3).as("feature"), round((p - col("y")) * col("x3"), 6).as("t"))))
+      .as("e"))
+    terms.groupBy(col("e.feature").as("feature"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("e.t").cast("decimal(18,6)")).cast("double").as("grad_sum"))
+      .withColumn("grad_mean", round(col("grad_sum") / col("n").cast("double"), 6))
+      .withColumn("w_old",
+        when(col("feature") === 1, ws(0)).when(col("feature") === 2, ws(1))
+          .otherwise(ws(2)))
+      .withColumn("w_new", round(col("w_old") - lit(0.1) * col("grad_mean"), 6))
+      .select(col("feature"), col("n"), round(col("grad_sum"), 6).as("grad_sum"),
+        col("grad_mean"), col("w_old"), col("w_new"))
+      .orderBy("feature")
+  }
+
+  /** L215 — simplified SILHOUETTE coefficient per cluster (Rousseeuw
+    * 1987; the "simplified" centroid form is what scales — the full
+    * pairwise silhouette is O(N²) and exists nowhere at corpus scale):
+    * with the fixture labels as the clustering, a(i) = euclidean
+    * distance to the OWN label centroid, b(i) = min distance to any
+    * OTHER centroid, s(i) = (b−a)/max(a,b) ∈ [−1, 1]. The quality probe
+    * run after every clustering/dedup-embedding step (is this cluster
+    * structure real?) — and the exact shape of the L44/L158 kernel:
+    * centroids are a 10×64 broadcast, the corpus meets them in a
+    * broadcast nested loop, one label-keyed agg finishes. Distances and
+    * s are round-6; means go through davg — fully hash-gated. */
+  def silhouette(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+      .withColumn("emb", transform(col("embedding"), x => x.cast("double")))
+    val centroids = e
+      .select(col("label"), posexplode(col("emb")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(davg(col("x")).as("c"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cemb"))
+      .select(col("label").as("cluster"), col("cemb"))
+    val dists = e.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("label"), col("cluster"),
+        round(distCol(col("emb"), col("cemb")), 6).as("dist"))
+    val ab = dists.groupBy(col("vec_id"), col("label"))
+      .agg(max(when(col("cluster") === col("label"), col("dist"))).as("a"),
+        min(when(col("cluster") =!= col("label"), col("dist"))).as("b"))
+      .withColumn("s", round((col("b") - col("a")) / greatest(col("a"), col("b")), 6))
+    ab.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), round(davg(col("s")), 6).as("avg_sil"),
+        round(min(col("s")), 6).as("min_sil"), round(max(col("s")), 6).as("max_sil"))
+      .orderBy("label")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_naive_bayes" -> (naiveBayes _),
+    "ml_gini_split" -> (giniSplit _),
+    "ml_logreg_gradient" -> (logregGradient _),
+    "llm_silhouette" -> (silhouette _),
+  )
+
+  private val Dim = 64
+  private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+
+  val oracles: Map[String, String] = Map(
+    "ml_naive_bayes" ->
+      """WITH train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0),
+         test AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
+         ttok AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM train),
+         cls AS (SELECT t.lang, t.n_tok, d.n_docs
+           FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tok FROM ttok GROUP BY 1) t
+           JOIN (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM train GROUP BY 1) d
+             USING (lang)),
+         ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM train),
+         voc AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v FROM ttok),
+         cw AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM ttok GROUP BY 1, 2),
+         grid AS (SELECT c.lang, tw.word,
+             round(ln(CAST(COALESCE(cw.cnt, 0) + 1 AS DOUBLE)
+               / CAST(c.n_tok + voc.v AS DOUBLE)), 6) AS term
+           FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS word FROM test) tw
+           CROSS JOIN cls c
+           LEFT JOIN cw ON cw.lang = c.lang AND cw.word = tw.word
+           CROSS JOIN voc),
+         prior AS (SELECT lang,
+             round(ln(CAST(n_docs AS DOUBLE) / CAST(ntr.n_train AS DOUBLE)), 6) AS prior
+           FROM cls CROSS JOIN ntr),
+         stok AS (SELECT doc_id, lang AS lang_true,
+             unnest(string_split(text, ' ')) AS word FROM test),
+         sc AS (SELECT s.doc_id, s.lang_true, g.lang AS lang_c,
+             SUM(CAST(g.term AS DECIMAL(18,6))) + CAST(p.prior AS DECIMAL(18,6)) AS score
+           FROM stok s JOIN grid g ON g.word = s.word
+           JOIN prior p ON p.lang = g.lang
+           GROUP BY s.doc_id, s.lang_true, g.lang, p.prior),
+         best AS (SELECT doc_id, lang_true, lang_c,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, lang_c ASC) AS rn
+           FROM sc)
+         SELECT lang_true, lang_c AS lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+         FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""",
+    "ml_gini_split" ->
+      """WITH ev AS (SELECT LEAST(CAST(FLOOR(value / 20.0) AS BIGINT), 9) AS b,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+           FROM events),
+         hist AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS np FROM ev GROUP BY 1),
+         cum AS (SELECT b,
+             CAST(SUM(n) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_left,
+             CAST(SUM(np) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pos_left,
+             CAST(SUM(n) OVER () AS BIGINT) AS n_tot,
+             CAST(SUM(np) OVER () AS BIGINT) AS pos_tot
+           FROM hist),
+         cand AS (SELECT 20 * (b + 1) AS threshold, n_left, pos_left,
+             n_tot - n_left AS n_right, pos_tot - pos_left AS pos_right
+           FROM cum WHERE n_left < n_tot),
+         g AS (SELECT threshold, n_left, pos_left, n_right, pos_right,
+             round((CAST(n_left AS DOUBLE) * (1.0 -
+                 (CAST(pos_left AS DOUBLE) * CAST(pos_left AS DOUBLE)
+                  + CAST(n_left - pos_left AS DOUBLE) * CAST(n_left - pos_left AS DOUBLE))
+                 / (CAST(n_left AS DOUBLE) * CAST(n_left AS DOUBLE)))
+               + CAST(n_right AS DOUBLE) * (1.0 -
+                 (CAST(pos_right AS DOUBLE) * CAST(pos_right AS DOUBLE)
+                  + CAST(n_right - pos_right AS DOUBLE) * CAST(n_right - pos_right AS DOUBLE))
+                 / (CAST(n_right AS DOUBLE) * CAST(n_right AS DOUBLE))))
+               / CAST(n_left + n_right AS DOUBLE), 6) AS wgini
+           FROM cand)
+         SELECT threshold, n_left, pos_left, n_right, pos_right, wgini,
+           ROW_NUMBER() OVER (ORDER BY wgini ASC, threshold ASC) = 1 AS is_best
+         FROM g ORDER BY threshold""",
+    "ml_logreg_gradient" -> {
+      val z = "(0.1 * 1.0 + (-0.05) * x2 + 0.02 * x3)"
+      s"""WITH d AS (SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             1.0 AS x1, CAST(n_chars AS DOUBLE) / 100.0 AS x2,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) / 10.0 AS x3
+           FROM documents),
+         r AS (SELECT y, x1, x2, x3,
+             1.0 / (1.0 + exp(-$z)) AS p FROM d),
+         terms AS (
+           SELECT 1 AS feature, round((p - y) * x1, 6) AS t, 0.1 AS w_old FROM r
+           UNION ALL SELECT 2, round((p - y) * x2, 6), -0.05 FROM r
+           UNION ALL SELECT 3, round((p - y) * x3, 6), 0.02 FROM r),
+         g AS (SELECT feature, CAST(COUNT(*) AS BIGINT) AS n,
+             ${dsumSql("t")} AS gs, w_old
+           FROM terms GROUP BY feature, w_old)
+         SELECT feature, n, round(gs, 6) AS grad_sum,
+           round(gs / CAST(n AS DOUBLE), 6) AS grad_mean, w_old,
+           round(w_old - 0.1 * round(gs / CAST(n AS DOUBLE), 6), 6) AS w_new
+         FROM g ORDER BY feature"""
+    },
+    "llm_silhouette" -> {
+      val dist = (a: String, b: String) =>
+        s"sqrt(list_sum(list_transform(range(1,${Dim + 1}), " +
+          s"i -> (CAST($a[i] AS DOUBLE) - $b[i]) * (CAST($a[i] AS DOUBLE) - $b[i]))))"
+      s"""WITH ex AS (SELECT label, vec_id, embedding FROM embeddings),
+         cpos AS (SELECT label, i.pos,
+             ${dsumSql("embedding[i.pos]")} / CAST(COUNT(*) AS DOUBLE) AS c
+           FROM ex, (SELECT unnest(range(1,${Dim + 1})) AS pos) i
+           GROUP BY label, i.pos),
+         cent AS (SELECT label AS cluster,
+             list(c ORDER BY pos) AS cemb FROM cpos GROUP BY label),
+         dists AS (SELECT e.vec_id, e.label, c.cluster,
+             round(${dist("e.embedding", "c.cemb")}, 6) AS dist
+           FROM ex e CROSS JOIN cent c),
+         ab AS (SELECT vec_id, label,
+             MAX(CASE WHEN cluster = label THEN dist END) AS a,
+             MIN(CASE WHEN cluster <> label THEN dist END) AS b
+           FROM dists GROUP BY 1, 2),
+         s AS (SELECT label, round((b - a) / GREATEST(a, b), 6) AS s FROM ab)
+         SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+           round(${dsumSql("s")} / CAST(COUNT(*) AS DOUBLE), 6) AS avg_sil,
+           round(MIN(s), 6) AS min_sil, round(MAX(s), 6) AS max_sil
+         FROM s GROUP BY label ORDER BY label""".stripMargin
+    },
+  )
+}

@@ -173,7 +173,12 @@ class PlanSpec extends SparkTestBase {
       // hybrid adds the 1-row query-embedding broadcast of the cosine leg
       "llm_bm25_topk", "llm_hybrid_rrf",
       // 1-row LM-total broadcasts (target/corpus token totals, |vocab|)
-      "llm_dsir_weights")
+      "llm_dsir_weights",
+      // 5-row class-table + 1-row vocab/train-total broadcasts into the
+      // smoothing grid and prior (see Ml.naiveBayes)
+      "ml_naive_bayes",
+      // 10-row centroid-table broadcast probe (the L44 k-means shape)
+      "llm_silhouette")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, sf0001))
