@@ -34,7 +34,8 @@ object SparkEntry {
       ops.Ml.queries ++
       ops.Warehouse.queries ++
       ops.Warehouse2.queries ++
-      ops.Warehouse3.queries
+      ops.Warehouse3.queries ++
+      ops.Warehouse4.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -56,5 +57,6 @@ object SparkEntry {
       ops.Ml.oracles ++
       ops.Warehouse.oracles ++
       ops.Warehouse2.oracles ++
-      ops.Warehouse3.oracles
+      ops.Warehouse3.oracles ++
+      ops.Warehouse4.oracles
 }

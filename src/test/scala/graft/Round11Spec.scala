@@ -134,4 +134,98 @@ class Round11Spec extends SparkTestBase {
     // sanity: s ∈ [-1, 1] everywhere
     assert(s.forall(x => x._2 >= -1.0 && x._2 <= 1.0))
   }
+
+  test("anomaly_cusum: window formulation equals the SEQUENTIAL textbook recursion") {
+    // replay S_t = max(0, S_{t-1} + x_t - k) literally, per type, in
+    // micro-long space (the decimal(18,6) twin) — the prefix-minus-min
+    // window trick in the query must reproduce it exactly
+    val ev = Tables.events(spark, sf0001)
+      .select("event_type", "ts", "event_id", "value").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2), r.getDouble(3)))
+    val want = ev.groupBy(_._1).map { case (tpe, rows) =>
+      var s = 0L; var alarms = 0L; var maxS = 0L; var firstAlarm = -1L
+      rows.sortBy(r => (r._2, r._3)).foreach { case (_, us, _, v) =>
+        val term = math.rint((v - 55.0) * 1e6).toLong
+        s = math.max(0L, s + term)
+        if (s > 200L * 1000000) { alarms += 1; if (firstAlarm < 0) firstAlarm = us }
+        maxS = math.max(maxS, s)
+      }
+      (tpe, rows.length.toLong, alarms, maxS / 1e6, firstAlarm)
+    }.toSet
+    val got = SparkEntry.queries("anomaly_cusum")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    assert(got == want)
+    // the alarm path fires on every fixture type (a chart never seen to
+    // alarm is not a chart)
+    assert(got.forall(_._3 > 0))
+  }
+
+  test("ts_autocorr_hourly: r replicates from a JVM densified series; lags well-formed") {
+    val rows = SparkEntry.queries("ts_autocorr_hourly")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(1, 24))
+    val ev = Tables.events(spark, sf0001).select("ts", "value").collect()
+      .map(r => (r.getTimestamp(0).getTime / 3600000 * 3600000, r.getDouble(1)))
+    val byHour = ev.groupBy(_._1).map { case (h, xs) =>
+      h -> xs.map(x => math.rint(x._2 * 1e6).toLong).sum / 1e6 }
+    val hours = (byHour.keys.min to byHour.keys.max by 3600000L)
+      .map(h => byHour.getOrElse(h, 0.0)).toArray
+    rows.foreach { case (lag, nPairs, r) =>
+      assert(nPairs == hours.length - lag)
+      val x = hours.dropRight(lag); val y = hours.drop(lag)
+      val n = x.length.toDouble
+      def mic(v: Double) = math.rint(v * 1e6).toLong
+      val sx = x.map(mic).sum / 1e6; val sy = y.map(mic).sum / 1e6
+      val sxy = x.zip(y).map { case (a, b) => mic(r6(a * b)) }.sum / 1e6
+      val sxx = x.map(a => mic(r6(a * a))).sum / 1e6
+      val syy = y.map(a => mic(r6(a * a))).sum / 1e6
+      val want = r6((n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)))
+      assert(math.abs(r - want) < 1e-9, s"lag $lag: $r vs $want")
+      assert(r > -1.0 && r < 1.0)
+    }
+  }
+
+  test("mv_incremental_update: merge == direct rebuild, delta genuinely partial") {
+    val rows = SparkEntry.queries("mv_incremental_update")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(5)))
+    assert(rows.length == 5)
+    rows.foreach { case (tpe, nb, nd, nm, ok) =>
+      assert(ok, s"$tpe merged view inconsistent with direct rebuild")
+      assert(nb + nd == nm)
+      assert(nb > 0 && nd > 0, s"$tpe: cut date must split the fixture")
+    }
+  }
+
+  test("agg_hll_merge_rollup: registers replicate; week sketch == per-register max of days") {
+    val ev = Tables.events(spark, sf0001)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+      .where(col("ts") < lit("2024-01-08").cast("timestamp"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    def reg(users: Set[Long]): Map[Long, Int] =
+      users.toSeq.map { u =>
+        val h = Tables.h48jvm(s"hll:$u")
+        val idx = h % 64; val w = h / 64
+        val rho = if (w == 0) 43 else 43 - java.lang.Long.toBinaryString(w).length
+        idx -> rho
+      }.groupBy(_._1).map { case (i, rs) => i -> rs.map(_._2).max }
+    val dayRegs = ev.groupBy(_._1).map { case (d, xs) => d -> reg(xs.map(_._2).toSet) }
+    val weekReg = reg(ev.map(_._2).toSet)
+    // mergeability: the week register table IS the per-register max of days
+    val mergedUp = dayRegs.values.flatten.groupBy(_._1)
+      .map { case (i, rs) => i -> rs.map(_._2).max }
+    assert(mergedUp == weekReg)
+    val got = SparkEntry.queries("agg_hll_merge_rollup")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(got.length == 8)
+    val gotWeek = got.find(_._1 == "week").get
+    assert(gotWeek._2 == weekReg.size.toLong)
+    assert(gotWeek._3 == ev.map(_._2).distinct.length.toLong)
+    // estimator graded within 3σ on every period of the fixture
+    assert(got.forall(_._5), s"estimator out of band: $got")
+  }
 }
