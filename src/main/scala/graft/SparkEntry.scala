@@ -29,6 +29,7 @@ object SparkEntry {
       ops.Llm5.queries ++
       ops.Llm6.queries ++
       ops.Llm7.queries ++
+      ops.Llm8.queries ++
       ops.Er.queries ++
       ops.Audit.queries ++
       ops.Ml.queries ++
@@ -52,6 +53,7 @@ object SparkEntry {
       ops.Llm5.oracles ++
       ops.Llm6.oracles ++
       ops.Llm7.oracles ++
+      ops.Llm8.oracles ++
       ops.Er.oracles ++
       ops.Audit.oracles ++
       ops.Ml.oracles ++

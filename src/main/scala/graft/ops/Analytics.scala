@@ -638,7 +638,79 @@ object Analytics {
         col("bf_hubhub_est"), col("bf_est_total"))
   }
 
+  /** L220 — TRIANGLE counting on the part co-purchase graph (the
+    * unipartite sibling of the L180 butterfly: nodes = parts, edge when
+    * two parts co-occur in ≥2 orders — the support floor prunes
+    * singleton noise exactly as in basket lift). Algorithm = the
+    * degree-ordered "forward" method (Schank & Wagner 2005; also
+    * Suri & Vassilvitskii WWW 2011 for the MapReduce form): orient every
+    * edge from its (degree, id)-smaller endpoint, join oriented edges on
+    * their source to enumerate wedges, close each wedge with ONE equi
+    * join against the oriented edge set (the wedge's third side is
+    * re-canonicalized by the same (degree, id) order, so the probe is an
+    * equi key, never an OR-join). Orientation bounds out-degree by
+    * O(√m), so wedge volume is O(m^1.5) worst-case INDEPENDENT of hub
+    * skew — the structural fix the butterfly needed a sampling cap for.
+    * Edge build reuses the basket row-local pair generation (ONE
+    * o-keyed shuffle). Output: one summary row (nodes, edges, oriented
+    * wedges, triangles, global clustering coefficient 3T/Σ C(d,2)). */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+    val edges = baskets
+      .select(explode(flatten(expr(
+        """transform(ps, (a, i) ->
+             transform(slice(ps, i + 2, size(ps) - i - 1), b ->
+               struct(a AS pa, b AS pb)))"""))).as("pr"))
+      .groupBy(col("pr.pa").as("a"), col("pr.pb").as("b"))
+      .agg(count(lit(1)).as("n_co"))
+      .where(col("n_co") >= 2)
+      .select(col("a"), col("b"))
+    val deg = edges.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val oriented = edges
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v"),
+            col("da").as("du2"), col("db").as("dv2")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"),
+            col("db").as("du2"), col("da").as("dv2"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"),
+        col("e.du2").as("du"), col("e.dv2").as("dv"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.v").as("x"), col("e1.dv").as("dx"),
+        col("e2.v").as("y"), col("e2.dv").as("dy"))
+      // the closing side re-canonicalized to the SAME (deg, id) order the
+      // oriented edge set stores — equi-joinable
+      .select(
+        when(col("dx") < col("dy") ||
+          (col("dx") === col("dy") && col("x") < col("y")),
+          struct(col("x").as("lo"), col("y").as("hi")))
+          .otherwise(struct(col("y").as("lo"), col("x").as("hi"))).as("c"))
+      .select(col("c.lo").as("lo"), col("c.hi").as("hi"))
+    val nWedges = wedges.agg(count(lit(1)).as("n_wedges"))
+    val nTri = wedges.join(oriented,
+        wedges("lo") === oriented("u") && wedges("hi") === oriented("v"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val base = edges.agg(count(lit(1)).as("n_edges"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) div 2")).as("wedges_all"))
+    base.crossJoin(broadcast(nodes)).crossJoin(broadcast(nWedges))
+      .crossJoin(broadcast(nTri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"), col("wedges_all"),
+        round(lit(3.0) * col("n_triangles").cast("double") /
+          col("wedges_all").cast("double"), 6).as("gcc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_triangle_count" -> (triangleCount _),
     "graph_pagerank_step" -> (pagerankStep _),
     "graph_butterfly_count" -> (butterflyCount _),
     "graph_butterfly_capped" -> (butterflyCountCapped _),
@@ -674,6 +746,29 @@ object Analytics {
   private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "graph_triangle_count" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         e AS (SELECT a.p AS a, b.p AS b FROM op a JOIN op b
+             ON a.o = b.o AND a.p < b.p
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         und AS (SELECT a AS v FROM e UNION ALL SELECT b FROM e),
+         deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1),
+         o AS (SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS u,
+             CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS v,
+             CASE WHEN (da.d, e.a) < (db.d, e.b) THEN db.d ELSE da.d END AS dv
+           FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+         w AS (SELECT CASE WHEN (e1.dv, e1.v) < (e2.dv, e2.v) THEN e1.v ELSE e2.v END AS lo,
+             CASE WHEN (e1.dv, e1.v) < (e2.dv, e2.v) THEN e2.v ELSE e1.v END AS hi
+           FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v),
+         t AS (SELECT w.lo FROM w WHERE EXISTS
+           (SELECT 1 FROM o WHERE o.u = w.lo AND o.v = w.hi))
+         SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS n_wedges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_triangles,
+           (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS wedges_all,
+           round(3.0 * (SELECT COUNT(*) FROM t) /
+             (SELECT CAST(SUM(d * (d - 1) // 2) AS DOUBLE) FROM deg), 6) AS gcc""",
     "graph_pagerank_step" ->
       s"""WITH edges AS (
             SELECT DISTINCT l_suppkey AS src, -o_custkey - 1 AS dst

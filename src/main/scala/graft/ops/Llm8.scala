@@ -1,0 +1,175 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-11 text-evaluation batch: BLEU-style n-gram overlap scoring
+  * (the generation-eval metric run pairwise over candidate/reference
+  * text) and RAKE keyword extraction (the classic unsupervised
+  * keyphrase miner) — both pure relational plans over `documents`. */
+object Llm8 {
+
+  /** L222 — BLEU-2 overlap scoring over candidate/reference pairs
+    * (Papineni et al. ACL 2002): clipped unigram + bigram precision,
+    * geometric mean, brevity penalty. Pairs are the deterministic
+    * adjacent-id same-lang pairing (candidate doc_id+1 scored against
+    * reference doc_id) — the evaluation-harness shape where pair
+    * identity comes from upstream (a near-dup candidate list, a
+    * model-output join); the metric kernel is what this row ships.
+    * Everything after the 1-join pair build is ROW-LOCAL array algebra
+    * (clipped counts via HOF fold over the distinct candidate tokens —
+    * O(len²) per pair, bounded by doc length, never corpus-dependent),
+    * so at 100 TB the cost is the pair join plus a map. Top 20 pairs by
+    * score; bp/precisions exposed so the gate pins every component. */
+  def bleuOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+    val pairs = d.as("r").join(d.as("c"),
+        col("c.doc_id") === col("r.doc_id") + 1 &&
+          col("c.lang") === col("r.lang"))
+      .select(col("r.doc_id").as("ref_id"), col("c.doc_id").as("cand_id"),
+        split(col("c.text"), " ").as("cw"), split(col("r.text"), " ").as("rw"))
+    def bigrams(a: String): String =
+      s"transform(sequence(1, size($a) - 1), i -> " +
+        s"concat(element_at($a, i), ' ', element_at($a, i + 1)))"
+    def clipped(c: String, r: String): String =
+      s"aggregate(array_distinct($c), 0L, (acc, w) -> acc + " +
+        s"least(size(filter($c, x -> x = w)), size(filter($r, x -> x = w))))"
+    val scored = pairs
+      .withColumn("len_c", size(col("cw")))
+      .withColumn("len_r", size(col("rw")))
+      .withColumn("clip1", expr(clipped("cw", "rw")))
+      .withColumn("cb", expr(bigrams("cw")))
+      .withColumn("rb", expr(bigrams("rw")))
+      .withColumn("clip2", expr(clipped("cb", "rb")))
+      .withColumn("p1", col("clip1").cast("double") / col("len_c").cast("double"))
+      .withColumn("p2",
+        col("clip2").cast("double") / (col("len_c") - 1).cast("double"))
+      .withColumn("bp", when(col("len_c") >= col("len_r"), lit(1.0))
+        .otherwise(exp(lit(1.0) -
+          col("len_r").cast("double") / col("len_c").cast("double"))))
+      .withColumn("bleu2",
+        when(col("clip1") === 0 || col("clip2") === 0, lit(0.0))
+          .otherwise(round(col("bp") * sqrt(col("p1") * col("p2")), 6)))
+    scored.select(col("ref_id"), col("cand_id"), col("len_c"), col("len_r"),
+        col("clip1"), col("clip2"), round(col("bp"), 6).as("bp"), col("bleu2"))
+      .orderBy(col("bleu2").desc, col("ref_id").asc)
+      .limit(20)
+  }
+
+  private val RakeStop = Seq("a", "the", "big", "small", "fast", "slow")
+
+  /** L223 — RAKE keyword extraction (Rose et al. 2010, "Automatic
+    * keyword extraction from individual documents"): candidate phrases
+    * are maximal stopword-free token runs, word score = deg(w)/freq(w)
+    * with deg summing the lengths of every phrase containing w, phrase
+    * score = Σ word scores; top 20 distinct phrases. The phrase build is
+    * the gaps-and-islands pattern (pos − row_number over non-stop words
+    * keys each run) — pure windows, no regex splitting, so both engines
+    * segment identically by construction. Scale shape: tokens shuffle
+    * once for the islands window (doc-keyed — same class as any per-doc
+    * analysis), word stats are vocabulary-sized aggregates, and the
+    * phrase score join hits the broadcast-sized word-score table;
+    * nothing is corpus². Word scores are round-6 and phrase sums
+    * decimal-summed — fully hash-gated. */
+  def rakeKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val words = documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val nonstop = words.where(!col("w").isin(RakeStop: _*))
+      .withColumn("grp", col("pos") - row_number().over(wRun))
+    val phrases = nonstop.groupBy(col("doc_id"), col("grp"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+        s => s.getField("w")).as("ws"))
+      .select(col("doc_id"), concat_ws(" ", col("ws")).as("phrase"),
+        size(col("ws")).as("len"), col("ws"))
+    val wordStats = phrases
+      .select(explode(col("ws")).as("w"), col("len"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+      .withColumn("score_w",
+        round(col("deg").cast("double") / col("freq").cast("double"), 6))
+    val phraseScores = phrases
+      .select(col("phrase"), col("len"), explode(col("ws")).as("w"))
+      .join(broadcast(wordStats.select(col("w"), col("score_w"))), "w")
+      .groupBy(col("phrase"), col("len"))
+      .agg(count(lit(1)).as("n_word_occ"),
+        sum(col("score_w").cast("decimal(18,6)")).cast("double").as("score0"))
+    // n_word_occ counts across ALL occurrences of the phrase; normalize
+    // to the per-occurrence score and count occurrences
+    phraseScores
+      .withColumn("n_occur", (col("n_word_occ") / col("len")).cast("long"))
+      .withColumn("score",
+        round(col("score0") / col("n_occur").cast("double"), 6))
+      .select(col("phrase"), col("len").as("n_words"), col("n_occur"), col("score"))
+      .orderBy(col("score").desc, col("phrase").asc)
+      .limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_bleu_overlap" -> (bleuOverlap _),
+    "llm_rake_keywords" -> (rakeKeywords _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "llm_bleu_overlap" -> {
+      def clipped(c: String, r: String) =
+        s"COALESCE(list_sum(list_transform(list_distinct($c), w -> " +
+          s"LEAST(len(list_filter($c, x -> x = w)), len(list_filter($r, x -> x = w))))), 0)"
+      def bigrams(a: String) =
+        s"list_transform(range(1, len($a)), i -> $a[i] || ' ' || $a[i + 1])"
+      s"""WITH p AS (SELECT r.doc_id AS ref_id, c.doc_id AS cand_id,
+             string_split(c.text, ' ') AS cw, string_split(r.text, ' ') AS rw
+           FROM documents r JOIN documents c
+             ON c.doc_id = r.doc_id + 1 AND c.lang = r.lang),
+         s AS (SELECT ref_id, cand_id,
+             len(cw) AS len_c, len(rw) AS len_r,
+             CAST(${clipped("cw", "rw")} AS BIGINT) AS clip1,
+             CAST(${clipped(bigrams("cw"), bigrams("rw"))} AS BIGINT) AS clip2
+           FROM p),
+         m AS (SELECT *,
+             CAST(clip1 AS DOUBLE) / CAST(len_c AS DOUBLE) AS p1,
+             CAST(clip2 AS DOUBLE) / CAST(len_c - 1 AS DOUBLE) AS p2,
+             CASE WHEN len_c >= len_r THEN 1.0
+               ELSE exp(1.0 - CAST(len_r AS DOUBLE) / CAST(len_c AS DOUBLE))
+             END AS bp0
+           FROM s)
+         SELECT ref_id, cand_id, len_c, len_r, clip1, clip2,
+           round(bp0, 6) AS bp,
+           CASE WHEN clip1 = 0 OR clip2 = 0 THEN 0.0
+             ELSE round(bp0 * sqrt(p1 * p2), 6) END AS bleu2
+         FROM m ORDER BY bleu2 DESC, ref_id ASC LIMIT 20"""
+    },
+    "llm_rake_keywords" -> {
+      val stop = RakeStop.map(s => s"'$s'").mkString(", ")
+      s"""WITH words AS (SELECT doc_id, i.pos, string_split(text, ' ')[i.pos] AS w
+           FROM documents,
+             LATERAL (SELECT unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos) i),
+         ns AS (SELECT doc_id, pos, w,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM words WHERE w NOT IN ($stop)),
+         ph AS (SELECT doc_id, grp,
+             string_agg(w, ' ' ORDER BY pos) AS phrase,
+             CAST(COUNT(*) AS BIGINT) AS len,
+             list(w ORDER BY pos) AS ws
+           FROM ns GROUP BY 1, 2),
+         ws AS (SELECT u.w, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(ph.len) AS BIGINT) AS deg
+           FROM ph, LATERAL (SELECT unnest(ph.ws) AS w) u
+           GROUP BY 1),
+         scw AS (SELECT w, round(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE), 6)
+             AS score_w FROM ws),
+         psc AS (SELECT ph.phrase, ph.len,
+             CAST(COUNT(*) AS BIGINT) AS n_word_occ,
+             CAST(SUM(CAST(scw.score_w AS DECIMAL(18,6))) AS DOUBLE) AS score0
+           FROM ph, LATERAL (SELECT unnest(ph.ws) AS w) u
+           JOIN scw ON scw.w = u.w
+           GROUP BY 1, 2)
+         SELECT phrase, len AS n_words,
+           CAST(n_word_occ // len AS BIGINT) AS n_occur,
+           round(score0 / CAST(n_word_occ // len AS DOUBLE), 6) AS score
+         FROM psc ORDER BY score DESC, phrase ASC LIMIT 20"""
+    },
+  )
+}

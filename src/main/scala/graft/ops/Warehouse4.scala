@@ -181,7 +181,32 @@ object Warehouse4 {
       .orderBy("period")
   }
 
+  /** L221 — WEIGHTED reservoir sampling (Efraimidis & Spirakis 2006,
+    * algorithm A-ES): each order draws u ∈ (0,1] from the portable h48
+    * hash and competes with key ln(u)/w (the log form of u^{1/w}, same
+    * order) — the top-k by key IS an exact weighted-without-replacement
+    * sample, fully deterministic and re-derivable (the property that
+    * makes hash-seeded A-ES the standard for reproducible corpus
+    * subsampling). 100 TB shape: the key is row-local and the top-k is
+    * a TakeOrdered (per-partition heaps, no global sort shuffle — the
+    * F2/L4 contract). Keys are ×10⁶-scaled and round-9 so both engines
+    * rank identical numbers; ties (measure-zero) break by id. The
+    * sample provably skews to heavy weights — the spec grades sample
+    * mean weight ≫ population mean. */
+  def weightedReservoir(spark: SparkSession, dir: String): DataFrame = {
+    val k = 50
+    val o = orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    val u = (h48(concat(lit("res:"), col("o_orderkey").cast("string"))) + 1)
+      .cast("double") / lit(math.pow(2.0, 48))
+    o.withColumn("key",
+        round(log(u) * 1e6 / col("o_totalprice"), 9))
+      .orderBy(col("key").desc, col("o_orderkey").asc)
+      .limit(k)
+      .select(col("o_orderkey"), col("o_totalprice"), col("key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_weighted_reservoir" -> (weightedReservoir _),
     "anomaly_cusum" -> (cusumAnomaly _),
     "ts_autocorr_hourly" -> (autocorrHourly _),
     "mv_incremental_update" -> (mvIncrementalUpdate _),
@@ -192,6 +217,14 @@ object Warehouse4 {
   private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "sample_weighted_reservoir" -> {
+      val h = h48Sql("'res:' || CAST(o_orderkey AS VARCHAR)")
+      s"""SELECT o_orderkey, o_totalprice,
+           round(ln((($h) + 1) / ${math.pow(2.0, 48)}) * 1e6 / o_totalprice, 9)
+             AS key
+         FROM orders
+         ORDER BY key DESC, o_orderkey ASC LIMIT 50"""
+    },
     "anomaly_cusum" ->
       s"""WITH t AS (SELECT event_type, $evTs AS ts, event_id,
              CAST(round(value - 55.0, 6) AS DECIMAL(18,6)) AS term

@@ -178,7 +178,10 @@ class PlanSpec extends SparkTestBase {
       // smoothing grid and prior (see Ml.naiveBayes)
       "ml_naive_bayes",
       // 10-row centroid-table broadcast probe (the L44 k-means shape)
-      "llm_silhouette")
+      "llm_silhouette",
+      // three 1-row aggregate broadcasts (nodes / wedges / triangles)
+      // onto the 1-row edge-count base (the agg_kmv_setops shape)
+      "graph_triangle_count")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, sf0001))

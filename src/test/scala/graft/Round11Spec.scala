@@ -228,4 +228,125 @@ class Round11Spec extends SparkTestBase {
     // estimator graded within 3σ on every period of the fixture
     assert(got.forall(_._5), s"estimator out of band: $got")
   }
+
+  test("graph_triangle_count: counts replicate an exhaustive JVM enumeration") {
+    val li = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = li.groupBy(_._1).values.flatMap { xs =>
+      val ps = xs.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }
+    val edges = pairs.groupBy(identity).filter(_._2.size >= 2).keys.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      .withDefaultValue(Set.empty[Long])
+    val adjR = edges.groupBy(_._2).map { case (k, v) => k -> v.map(_._1).toSet }
+      .withDefaultValue(Set.empty[Long])
+    def neigh(v: Long) = adj(v) ++ adjR(v)
+    // brute-force triangle enumeration, orientation-free
+    val tri = (for {
+      (a, b) <- edges.iterator
+      c <- neigh(a) & neigh(b)
+    } yield Seq(a, b, c).sorted).toSet.size
+    val wedgesAll = nodes.toSeq.map { v =>
+      val d = neigh(v).size.toLong; d * (d - 1) / 2 }.sum
+    val row = SparkEntry.queries("graph_triangle_count")(spark, sf0001)
+      .collect().head
+    assert(row.getLong(0) == nodes.size.toLong, "n_nodes")
+    assert(row.getLong(1) == edges.size.toLong, "n_edges")
+    assert(row.getLong(3) == tri.toLong, s"n_triangles ${row.getLong(3)} vs $tri")
+    assert(row.getLong(4) == wedgesAll, "wedges_all")
+    // oriented wedges must be a subset of all wedges (the O(m^1.5) bound)
+    assert(row.getLong(2) <= wedgesAll)
+    assert(math.abs(row.getDouble(5) - math.rint(3.0 * tri / wedgesAll * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("sample_weighted_reservoir: top-k by A-ES key replicates; sample skews heavy") {
+    val orders = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val keyed = orders.map { case (id, w) =>
+      val u = (Tables.h48jvm(s"res:$id") + 1).toDouble / math.pow(2.0, 48)
+      (id, w, math.rint(math.log(u) * 1e6 / w * 1e9) / 1e9)
+    }
+    val want = keyed.sortBy(k => (-k._3, k._1)).take(50)
+    val got = SparkEntry.queries("sample_weighted_reservoir")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.toSeq == want.toSeq)
+    // weighted sampling must overrepresent heavy orders
+    val sampleMean = got.map(_._2).sum / got.length
+    val popMean = orders.map(_._2).sum / orders.length
+    assert(sampleMean > popMean * 1.2,
+      s"sample mean $sampleMean not skewed above population mean $popMean")
+  }
+
+  test("llm_bleu_overlap: BLEU-2 components replicate for the top pair; identical text scores 1") {
+    val rows = SparkEntry.queries("llm_bleu_overlap")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+    assert(rows.length == 20)
+    assert(rows.map(_._8).sliding(2).forall(p => p.head >= p.last))
+    val byId = docs.map(d => d._1 -> d).toMap
+    rows.take(5).foreach { case (refId, candId, lenC, lenR, clip1, clip2, bp, bleu) =>
+      assert(candId == refId + 1)
+      val cw = byId(candId)._3.split(" ", -1); val rw = byId(refId)._3.split(" ", -1)
+      assert(lenC == cw.length && lenR == rw.length)
+      def counts(a: Array[String]) = a.groupBy(identity).map { case (k, v) => k -> v.length }
+      def clip(c: Array[String], r: Array[String]) = {
+        val cc = counts(c); val rc = counts(r)
+        cc.map { case (w, n) => math.min(n, rc.getOrElse(w, 0)) }.sum.toLong
+      }
+      assert(clip1 == clip(cw, rw))
+      def bg(a: Array[String]) = a.sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toArray
+      assert(clip2 == clip(bg(cw), bg(rw)))
+      val p1 = clip1.toDouble / lenC; val p2 = clip2.toDouble / (lenC - 1)
+      val bp0 = if (lenC >= lenR) 1.0 else math.exp(1.0 - lenR.toDouble / lenC)
+      assert(math.abs(bp - r6(bp0)) < 1e-9)
+      val want = if (clip1 == 0 || clip2 == 0) 0.0 else r6(bp0 * math.sqrt(p1 * p2))
+      assert(math.abs(bleu - want) < 1e-9)
+    }
+    // metric sanity on a synthetic identical pair: BLEU-2 == 1
+    import spark.implicits._
+    val t = Seq(("x y z w", "x y z w")).toDF("a", "b")
+      .selectExpr("split(a, ' ') AS cw", "split(b, ' ') AS rw")
+    val self = t.selectExpr(
+      "aggregate(array_distinct(cw), 0L, (acc, w) -> acc + least(size(filter(cw, x -> x = w)), size(filter(rw, x -> x = w)))) AS c1")
+      .collect().head.getLong(0)
+    assert(self == 4L)
+  }
+
+  test("llm_rake_keywords: word scores and the top phrase replicate a JVM RAKE pass") {
+    val stop = Set("a", "the", "big", "small", "fast", "slow")
+    // phrase segmentation: maximal stopword-free runs, per doc
+    val phrases = docs.flatMap { case (_, _, text, _) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+      var cur = scala.collection.mutable.ArrayBuffer.empty[String]
+      text.split(" ", -1).foreach { w =>
+        if (stop(w)) {
+          if (cur.nonEmpty) { out += cur.toArray
+            cur = scala.collection.mutable.ArrayBuffer.empty[String] }
+        } else cur += w
+      }
+      if (cur.nonEmpty) out += cur.toArray
+      out
+    }
+    val freq = phrases.flatten.groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val deg = phrases.flatMap(p => p.map(w => w -> p.length.toLong))
+      .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).sum }
+    val scoreW = freq.keys.map(w => w -> r6(deg(w).toDouble / freq(w))).toMap
+    val byPhrase = phrases.groupBy(_.mkString(" ")).map { case (p, occ) =>
+      val ws = occ.head
+      val score = r6(ws.map(w => math.rint(scoreW(w) * 1e6).toLong).sum / 1e6)
+      (p, ws.length.toLong, occ.length.toLong, score)
+    }
+    val want = byPhrase.toSeq.sortBy(x => (-x._4, x._1)).take(20)
+    val got = SparkEntry.queries("llm_rake_keywords")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong, r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq == want)
+    // longer multiword phrases must outrank single words (the RAKE property)
+    assert(got.head._2 > 1, s"top phrase ${got.head} is a single word")
+  }
 }

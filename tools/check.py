@@ -47,7 +47,8 @@ def lint_sum_casts(oracle: dict) -> list:
 
     probs = []
     for name, sql in sorted(oracle.items()):
-        for m in re.finditer(r"SUM\s*\(", sql, re.I):
+        # word boundary: don't match DuckDB's list_sum() HOF
+        for m in re.finditer(r"(?<![A-Za-z_])SUM\s*\(", sql, re.I):
             if cast_wrapped(sql[:m.start()]):
                 continue  # CAST(…SUM(...)…) — already pinned
             depth, i = 1, m.end()
