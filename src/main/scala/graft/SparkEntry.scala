@@ -30,6 +30,8 @@ object SparkEntry {
       ops.Llm6.queries ++
       ops.Llm7.queries ++
       ops.Llm8.queries ++
+      ops.Warehouse5.queries ++
+      ops.Layout.queries ++
       ops.Er.queries ++
       ops.Audit.queries ++
       ops.Ml.queries ++
@@ -54,6 +56,8 @@ object SparkEntry {
       ops.Llm6.oracles ++
       ops.Llm7.oracles ++
       ops.Llm8.oracles ++
+      ops.Warehouse5.oracles ++
+      ops.Layout.oracles ++
       ops.Er.oracles ++
       ops.Audit.oracles ++
       ops.Ml.oracles ++

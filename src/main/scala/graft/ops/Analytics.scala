@@ -654,11 +654,15 @@ object Analytics {
     * Edge build reuses the basket row-local pair generation (ONE
     * o-keyed shuffle). Output: one summary row (nodes, edges, oriented
     * wedges, triangles, global clustering coefficient 3T/Σ C(d,2)). */
-  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
-    val baskets = lineitem(spark, dir)
+  /** Undirected part co-purchase edge set (a < b, co-occurrence in ≥2
+    * orders): row-local pair generation from sorted basket arrays (the
+    * L204 basket trick — per-order work C(k,2), bounded by basket size)
+    * followed by one pair-keyed support count. Shared by the triangle
+    * count, k-core peel, and degree histogram. */
+  private def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    lineitem(spark, dir)
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
-    val edges = baskets
       .select(explode(flatten(expr(
         """transform(ps, (a, i) ->
              transform(slice(ps, i + 2, size(ps) - i - 1), b ->
@@ -667,6 +671,17 @@ object Analytics {
       .agg(count(lit(1)).as("n_co"))
       .where(col("n_co") >= 2)
       .select(col("a"), col("b"))
+  }
+
+  /** DuckDB twin of [[coPurchaseEdges]] (shared CTE text). */
+  private val coPurchaseEdgesSql =
+    """op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       e AS (SELECT a.p AS a, b.p AS b FROM op a JOIN op b
+           ON a.o = b.o AND a.p < b.p
+         GROUP BY 1, 2 HAVING COUNT(*) >= 2)"""
+
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, dir)
     val deg = edges.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("d"))
     val oriented = edges
@@ -709,7 +724,96 @@ object Analytics {
           col("wedges_all").cast("double"), 6).as("gcc"))
   }
 
+  /** L229 — one HITS iteration (Kleinberg JACM 1999 hubs/authorities)
+    * on the directed supplier→customer trade graph (the L161 PageRank
+    * edge set with roles kept apart instead of id-folded). From the
+    * uniform start, the first half-step makes a(c) = in-degree(c) —
+    * EXACT integers — and the hub update h(s) = Σ_{s→c} a(c) is one
+    * join + supplier-keyed agg, still integers; L1 normalization (not
+    * the textbook L2 — keeps everything rational) divides by the
+    * integer total, round-6. 100 TB shape: two map-combinable aggs +
+    * one equi join on the distinct edge set; node tables are
+    * dimension-sized. Top-20 per role by raw score with full
+    * tie-break. */
+  def hitsStep(spark: SparkSession, dir: String): DataFrame = {
+    val edges = lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
+      .distinct()
+    val auth = edges.groupBy(col("c")).agg(count(lit(1)).as("raw"))
+    val hub = edges.join(auth, "c")
+      .groupBy(col("s")).agg(sum(col("raw")).as("raw"))
+    def top(df: DataFrame, role: String) = {
+      val total = df.agg(sum(col("raw")).as("tot"))
+      val w = Window.partitionBy(lit(role)).orderBy(col("raw").desc, col("node").asc)
+      df.select(lit(role).as("role"), col("node"), col("raw"))
+        .crossJoin(broadcast(total))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 20)
+        .select(col("role"), col("node"), col("raw"),
+          round(col("raw").cast("double") / col("tot").cast("double"), 6)
+            .as("norm"))
+    }
+    top(auth.withColumnRenamed("c", "node"), "auth")
+      .unionAll(top(hub.withColumnRenamed("s", "node"), "hub"))
+      .orderBy(col("role"), col("raw").desc, col("node"))
+  }
+
+  private val KCore = 3
+
+  /** L230 — k-core peeling, first three rounds unrolled (Seidman 1983
+    * cores; Batagelj–Zaveršnik peeling — the degeneracy-ordering
+    * workhorse behind community pruning and graph sparsification).
+    * Each round drops nodes with degree < k from the co-purchase graph
+    * and keeps edges with both endpoints surviving; the round count is
+    * STATIC (3), so the plan is a fixed chain of degree-agg +
+    * two-semi-join blocks — the bounded-unroll contract every
+    * iterative-graph row here follows (L161 PageRank's one step, the
+    * CC spine): at 100 TB each round is one map-combinable degree agg
+    * plus two broadcast-able semi joins against the shrinking survivor
+    * set, and convergence-to-fixpoint runs the same block under a
+    * driver loop without changing per-round cost. Output: per round,
+    * surviving node/edge counts — monotone non-increasing (spec-pinned)
+    * with round 0 = the raw graph. */
+  def kcorePeel(spark: SparkSession, dir: String): DataFrame = {
+    val edges0 = coPurchaseEdges(spark, dir)
+    def stats(e: DataFrame, round0: Int) = {
+      val n = e.select(explode(array(col("a"), col("b"))).as("v")).distinct()
+        .agg(count(lit(1)).as("n_nodes"))
+      e.agg(count(lit(1)).as("n_edges")).crossJoin(broadcast(n))
+        .select(lit(round0).as("peel_round"), col("n_nodes"), col("n_edges"))
+    }
+    var e = edges0
+    var out = stats(e, 0)
+    for (r <- 1 to 3) {
+      val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val keep = deg.where(col("d") >= KCore).select(col("v"))
+      e = e.join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+      out = out.unionAll(stats(e, r))
+    }
+    out.orderBy("peel_round")
+  }
+
+  /** L231 — degree distribution of the co-purchase graph (the first
+    * chart of any graph audit — heavy-tail detection before choosing
+    * skew mitigations like the L188 hub cap). Two nested dimension-
+    * bounded aggs over the edge set; all counts exact. */
+  def degreeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    coPurchaseEdges(spark, dir)
+      .select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+      .groupBy(col("d").as("degree")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_hits_step" -> (hitsStep _),
+    "graph_kcore_peel" -> (kcorePeel _),
+    "graph_degree_hist" -> (degreeHistogram _),
     "graph_triangle_count" -> (triangleCount _),
     "graph_pagerank_step" -> (pagerankStep _),
     "graph_butterfly_count" -> (butterflyCount _),
@@ -746,6 +850,53 @@ object Analytics {
   private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "graph_hits_step" ->
+      """WITH ed AS (SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         auth AS (SELECT c AS node, CAST(COUNT(*) AS BIGINT) AS raw
+           FROM ed GROUP BY 1),
+         hub AS (SELECT ed.s AS node, CAST(SUM(a.raw) AS BIGINT) AS raw
+           FROM ed JOIN auth a ON a.node = ed.c GROUP BY 1),
+         at AS (SELECT 'auth' AS role, node, raw,
+             round(raw / (SELECT CAST(SUM(raw) AS DOUBLE) FROM auth), 6) AS norm,
+             ROW_NUMBER() OVER (ORDER BY raw DESC, node ASC) AS rk FROM auth),
+         ht AS (SELECT 'hub' AS role, node, raw,
+             round(raw / (SELECT CAST(SUM(raw) AS DOUBLE) FROM hub), 6) AS norm,
+             ROW_NUMBER() OVER (ORDER BY raw DESC, node ASC) AS rk FROM hub)
+         SELECT role, node, raw, norm
+         FROM (SELECT * FROM at WHERE rk <= 20
+               UNION ALL SELECT * FROM ht WHERE rk <= 20)
+         ORDER BY role, raw DESC, node""",
+    "graph_kcore_peel" -> {
+      def und(e: String) = s"(SELECT a AS v FROM $e UNION ALL SELECT b FROM $e)"
+      def peel(e: String, k: String, en: String) =
+        s"""$k AS (SELECT v FROM ${und(e)} GROUP BY v HAVING COUNT(*) >= 3),
+           $en AS (SELECT a, b FROM $e
+             WHERE a IN (SELECT v FROM $k) AND b IN (SELECT v FROM $k))"""
+      def stat(r: Int, e: String) =
+        s"""SELECT $r AS peel_round,
+           (SELECT CAST(COUNT(DISTINCT v) AS BIGINT) FROM ${und(e)}) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM $e) AS n_edges"""
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         e AS (SELECT a.p AS a, b.p AS b FROM op a JOIN op b
+             ON a.o = b.o AND a.p < b.p
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         ${peel("e", "k1", "e1")},
+         ${peel("e1", "k2", "e2")},
+         ${peel("e2", "k3", "e3")}
+         ${stat(0, "e")} UNION ALL ${stat(1, "e1")}
+         UNION ALL ${stat(2, "e2")} UNION ALL ${stat(3, "e3")}
+         ORDER BY peel_round"""
+    },
+    "graph_degree_hist" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         e AS (SELECT a.p AS a, b.p AS b FROM op a JOIN op b
+             ON a.o = b.o AND a.p < b.p
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         d AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+           FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1)
+         SELECT d AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         FROM d GROUP BY 1 ORDER BY 1""",
     "graph_triangle_count" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
          e AS (SELECT a.p AS a, b.p AS b FROM op a JOIN op b

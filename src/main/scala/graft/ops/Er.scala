@@ -126,12 +126,99 @@ object Er {
     jaccardVerify(spark, dir, p1.union(p2).distinct())
   }
 
+  // Fellegi–Sunter field parameters: (m, u) = P(agree | match) and
+  // P(agree | non-match), fixed published-style priors (no EM fit —
+  // the scoring kernel is what this row ships). Weights are computed
+  // ONCE in JVM, rounded 6dp, and embedded as identical literals in
+  // both the Spark plan and the oracle SQL, so ln never runs in-query.
+  private val FsFields = Seq(
+    ("words_band", 0.90, 0.10), ("first_word", 0.85, 0.05),
+    ("last_word", 0.85, 0.05), ("chars_close", 0.95, 0.20))
+  private def r6(x: Double) = math.rint(x * 1e6) / 1e6
+  private val FsAgree = FsFields.map { case (_, m, u) => r6(math.log(m / u)) }
+  private val FsDisagree =
+    FsFields.map { case (_, m, u) => r6(math.log((1 - m) / (1 - u))) }
+  private val FsThreshold = 2.0
+
+  /** L232 — Fellegi–Sunter record-linkage scoring (Fellegi & Sunter
+    * JASA 1969 — the decision-theoretic standard behind every linkage
+    * engine): candidate pairs from (lang, source, n_chars-band)
+    * blocking (block sizes are data-bounded and tiny — the spec pins
+    * them), then a log-likelihood-ratio score Σ w_f over four field
+    * comparisons (word-count band, first token, last token, char-length
+    * proximity), match iff score > τ. Agreement weights ln(m/u) /
+    * ln((1−m)/(1−u)) are JVM-precomputed round-6 literals — identical
+    * constants in both engines, fixed 4-term add order, score round-6 —
+    * fully hash-gated. 100 TB: the pair space is the blocked equi
+    * self-join (never corpus²), comparisons row-local; this is the
+    * SCORING stage the SNM/LSH blocking rows feed. Top-20 by score. */
+  def fellegiSunter(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"),
+      col("lang"), col("source"), col("n_chars"),
+      expr("n_chars div 100").as("cb"),
+      expr("size(split(text, ' ')) div 10").as("wb"),
+      element_at(split(col("text"), " "), 1).as("fw"),
+      element_at(split(col("text"), " "), -1).as("lw"))
+    val pairs = d.as("x").join(d.as("y"),
+        col("x.lang") === col("y.lang") &&
+          col("x.source") === col("y.source") &&
+          col("x.cb") === col("y.cb") &&
+          col("x.doc_id") < col("y.doc_id"))
+    val agrees = Seq(
+      (col("x.wb") === col("y.wb")),
+      (col("x.fw") === col("y.fw")),
+      (col("x.lw") === col("y.lw")),
+      (abs(col("x.n_chars") - col("y.n_chars")) <= 10))
+    val score = agrees.zipWithIndex.map { case (a, i) =>
+      when(a, lit(FsAgree(i))).otherwise(lit(FsDisagree(i)))
+    }.reduceLeft(_ + _)
+    pairs.select(
+        col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        agrees(0).cast("int").as("a_words"),
+        agrees(1).cast("int").as("a_first"),
+        agrees(2).cast("int").as("a_last"),
+        agrees(3).cast("int").as("a_chars"),
+        round(score, 6).as("score"))
+      .withColumn("is_match", col("score") > FsThreshold)
+      .orderBy(col("score").desc, col("d1").asc, col("d2").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_fellegi_sunter" -> (fellegiSunter _),
     "er_sorted_neighborhood" -> (sortedNeighborhood _),
     "er_snm_multipass" -> (snmMultipass _),
   )
 
   val oracles: Map[String, String] = Map(
+    "er_fellegi_sunter" -> {
+      def w(i: Int) = (f"${FsAgree(i)}%.6f", f"${FsDisagree(i)}%.6f")
+      val terms = Seq(
+        ("x.wb = y.wb", w(0)), ("x.fw = y.fw", w(1)),
+        ("x.lw = y.lw", w(2)), ("abs(x.n_chars - y.n_chars) <= 10", w(3)))
+      // CAST: DuckDB parses fractional literals as DECIMAL; Spark's
+      // lit(Double) is DOUBLE — pin both sides to double arithmetic
+      val score = terms.map { case (c, (wa, wd)) =>
+        s"(CASE WHEN $c THEN CAST($wa AS DOUBLE) ELSE CAST($wd AS DOUBLE) END)"
+      }.mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, lang, source, n_chars,
+             n_chars // 100 AS cb,
+             len(string_split(text, ' ')) // 10 AS wb,
+             string_split(text, ' ')[1] AS fw,
+             string_split(text, ' ')[-1] AS lw
+           FROM documents)
+         SELECT x.doc_id AS d1, y.doc_id AS d2,
+           CAST(x.wb = y.wb AS INT) AS a_words,
+           CAST(x.fw = y.fw AS INT) AS a_first,
+           CAST(x.lw = y.lw AS INT) AS a_last,
+           CAST(abs(x.n_chars - y.n_chars) <= 10 AS INT) AS a_chars,
+           round($score, 6) AS score,
+           round($score, 6) > $FsThreshold AS is_match
+         FROM d x JOIN d y
+           ON x.lang = y.lang AND x.source = y.source AND x.cb = y.cb
+           AND x.doc_id < y.doc_id
+         ORDER BY score DESC, d1 ASC, d2 ASC LIMIT 20"""
+    },
     "er_sorted_neighborhood" ->
       s"""WITH r AS (SELECT doc_id,
              ROW_NUMBER() OVER (ORDER BY text, doc_id) - 1 AS rank

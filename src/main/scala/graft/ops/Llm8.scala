@@ -107,12 +107,74 @@ object Llm8 {
       .limit(20)
   }
 
+  /** L228 — Zipf's-law fit over the corpus rank–frequency curve (Zipf
+    * 1949; the slope of ln f vs ln r over the head vocabulary ≈ −1 for
+    * natural text — the go-to sanity probe that a scraped corpus is
+    * language-like rather than boilerplate/spam, run beside L163's
+    * token stats before training). Word counts are one map-combinable
+    * agg; the top-100 head is a TakeOrdered; ranks come from a window
+    * over those 100 rows (bounded — never the vocabulary); the fit is
+    * the L225 six-sums closed form with ln values rounded 6dp BEFORE
+    * the decimal sums (absorbing cross-libm ulp, the PMI/PSI ln
+    * contract). One row: n, slope, intercept, r2. */
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    val counts = documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc).limit(100)
+    val w = Window.orderBy(col("cnt").desc, col("word").asc)
+    val xy = counts.withColumn("r", row_number().over(w))
+      .select(round(log(col("r")), 6).as("x"),
+        round(log(col("cnt")), 6).as("y"))
+    val s = xy.agg(count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(18,6)")).cast("double").as("sx"),
+      sum(round(col("x") * col("x"), 6).cast("decimal(18,6)")).cast("double").as("sxx"),
+      sum(col("y").cast("decimal(18,6)")).cast("double").as("sy"),
+      sum(round(col("x") * col("y"), 6).cast("decimal(18,6)")).cast("double").as("sxy"),
+      sum(round(col("y") * col("y"), 6).cast("decimal(18,6)")).cast("double").as("syy"))
+    s.select(col("n"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+      round((col("sy") - col("sx") *
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")))) /
+        col("n").cast("double"), 6).as("intercept"),
+      round(((col("n") * col("sxy") - col("sx") * col("sy")) *
+          (col("n") * col("sxy") - col("sx") * col("sy"))) /
+        ((col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_bleu_overlap" -> (bleuOverlap _),
     "llm_rake_keywords" -> (rakeKeywords _),
+    "llm_zipf_slope" -> (zipfSlope _),
   )
 
+  private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+
   val oracles: Map[String, String] = Map(
+    "llm_zipf_slope" ->
+      s"""WITH cnts AS (SELECT u.word, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM documents, LATERAL (SELECT unnest(string_split(text, ' '))
+             AS word) u
+           GROUP BY 1 ORDER BY cnt DESC, word ASC LIMIT 100),
+         xy AS (SELECT round(ln(ROW_NUMBER() OVER
+               (ORDER BY cnt DESC, word ASC)), 6) AS x,
+             round(ln(cnt), 6) AS y
+           FROM cnts),
+         s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             ${dsumSql("x")} AS sx, ${dsumSql("round(x * x, 6)")} AS sxx,
+             ${dsumSql("y")} AS sy, ${dsumSql("round(x * y, 6)")} AS sxy,
+             ${dsumSql("round(y * y, 6)")} AS syy
+           FROM xy)
+         SELECT n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) /
+             CAST(n AS DOUBLE), 6) AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+             ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+         FROM s""",
     "llm_bleu_overlap" -> {
       def clipped(c: String, r: String) =
         s"COALESCE(list_sum(list_transform(list_distinct($c), w -> " +

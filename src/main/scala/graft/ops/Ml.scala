@@ -202,7 +202,42 @@ object Ml {
       .orderBy("label")
   }
 
+  /** L227 — χ² term–class association (the classic feature-selection
+    * statistic — Yang & Pedersen ICML 1997 ranked it top for text; the
+    * step that picks class-discriminative vocabulary before training a
+    * classifier like L212's). Per (word, lang): the 2×2 document-
+    * frequency contingency table (a = docs of the class containing the
+    * word, b/c/d derived from the word's total df, the class size and
+    * N), χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) — EXACT integers into
+    * one closed-form double, round-6. Scale shape: distinct (doc, word)
+    * explode → one (lang, word) agg (vocabulary×classes-bounded); word
+    * totals are a word-keyed second agg joined back; class sizes and N
+    * are 1-row/5-row broadcasts. Top-20 by χ² with full tie-break. */
+  def chi2Terms(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+    val dw = d.select(col("doc_id"), col("lang"),
+      explode(array_distinct(split(col("text"), " "))).as("word"))
+    val a = dw.groupBy("lang", "word").agg(count(lit(1)).as("a"))
+    val wordDf = a.groupBy("word").agg(sum(col("a")).as("df_w"))
+    val classN = d.groupBy("lang").agg(count(lit(1)).as("n_c"))
+    val n = d.agg(count(lit(1)).as("n"))
+    val t = a.join(wordDf, "word")
+      .join(broadcast(classN), "lang")
+      .crossJoin(broadcast(n))
+      .withColumn("b", col("df_w") - col("a"))
+      .withColumn("c", col("n_c") - col("a"))
+      .withColumn("d", col("n") - col("n_c") - col("b"))
+    val num = (col("a") * col("d") - col("b") * col("c")).cast("double")
+    val den = ((col("a") + col("b")) * (col("c") + col("d"))).cast("double") *
+      ((col("a") + col("c")) * (col("b") + col("d"))).cast("double")
+    t.select(col("word"), col("lang"), col("a"), col("b"), col("c"), col("d"),
+        round(col("n").cast("double") * num * num / den, 6).as("chi2"))
+      .orderBy(col("chi2").desc, col("word").asc, col("lang").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_chi2_terms" -> (chi2Terms _),
     "ml_naive_bayes" -> (naiveBayes _),
     "ml_gini_split" -> (giniSplit _),
     "ml_logreg_gradient" -> (logregGradient _),
@@ -213,6 +248,28 @@ object Ml {
   private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "ml_chi2_terms" ->
+      """WITH dw AS (SELECT DISTINCT doc_id, lang, u.word
+           FROM documents, LATERAL (SELECT unnest(string_split(text, ' '))
+             AS word) u),
+         a AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS a
+           FROM dw GROUP BY 1, 2),
+         wdf AS (SELECT word, CAST(SUM(a) AS BIGINT) AS df_w
+           FROM a GROUP BY 1),
+         cn AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_c
+           FROM documents GROUP BY 1),
+         t AS (SELECT a.word, a.lang, a.a,
+             wdf.df_w - a.a AS b, cn.n_c - a.a AS c,
+             (SELECT COUNT(*) FROM documents) - cn.n_c - (wdf.df_w - a.a) AS d,
+             (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n
+           FROM a JOIN wdf USING (word) JOIN cn USING (lang))
+         SELECT word, lang, a, CAST(b AS BIGINT) AS b, CAST(c AS BIGINT) AS c,
+           CAST(d AS BIGINT) AS d,
+           round(n * CAST(a * d - b * c AS DOUBLE)
+               * CAST(a * d - b * c AS DOUBLE) /
+             (CAST((a + b) * (c + d) AS DOUBLE)
+               * CAST((a + c) * (b + d) AS DOUBLE)), 6) AS chi2
+         FROM t ORDER BY chi2 DESC, word ASC, lang ASC LIMIT 20""",
     "ml_naive_bayes" ->
       """WITH train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0),
          test AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),

@@ -1,0 +1,195 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-11 second warehouse batch: EWMA smoothing/deviation alerts,
+  * closed-form OLS trend fitting, and MAD-based robust outlier
+  * detection — the remaining everyday time-series/statistics blocks. */
+object Warehouse5 {
+
+  private val EwmaLags = 12 // hard horizon: 2^-12 tail mass < 0.025%
+
+  /** L224 — EWMA smoothing + deviation alerting on the hourly series
+    * (Roberts 1959 geometric smoothing — the anomaly baseline every
+    * monitoring stack runs; Hunter's EWMA control chart framing).
+    * α = 1/2 with a hard 12-lag horizon, so every weight 2^−k is an
+    * EXACT dyadic double and each term round6(x_{t−k})·2^−k is an exact
+    * scaling — the sum is a FIXED left-associated 13-term chain, so both
+    * engines execute the identical sequence of double adds and the
+    * smoothed value is bit-stable with no decimal quantization at all
+    * (the L210 exact-binary-fraction contract, extended from weights to
+    * the whole dot product). Missing head lags drop out of numerator
+    * AND denominator (the standard adjusted-EWMA initialization).
+    * 100 TB shape: the corpus collapses to the |hours|-row series in one
+    * map-combinable agg; the 13 lags are ONE window pass over that
+    * calendar-bounded frame; top-20 |deviation| rows are a TakeOrdered.
+    * Deviations are SEEN to be non-trivial on the fixtures (spec pins
+    * the top excursion against a JVM replay). */
+  def ewmaDeviation(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(round(dsum(col("value")), 6).as("x"))
+    val w = Window.orderBy(col("bucket"))
+    val lagged = hourly.select(
+      col("bucket") +: col("x") +:
+        (1 to EwmaLags).map(k => lag(col("x"), k).over(w).as(s"x$k")): _*)
+    // fixed left-assoc chains → identical add order in both engines
+    val num = (1 to EwmaLags).foldLeft(col("x")) { (acc, k) =>
+      acc + coalesce(col(s"x$k"), lit(0.0)) * lit(math.pow(0.5, k)) }
+    val den = (1 to EwmaLags).foldLeft(lit(1.0)) { (acc, k) =>
+      acc + when(col(s"x$k").isNotNull, lit(math.pow(0.5, k))).otherwise(lit(0.0)) }
+    lagged
+      .withColumn("ewma", round(num / den, 6))
+      .withColumn("dev", round(col("x") - col("ewma"), 6))
+      .select(unix_micros(col("bucket")).as("bucket_us"),
+        col("x"), col("ewma"), col("dev"))
+      .orderBy(abs(col("dev")).desc, col("bucket_us").asc)
+      .limit(20)
+  }
+
+  private def ewmaSqlChain: (String, String) = {
+    val num = (1 to EwmaLags).foldLeft("x") { (acc, k) =>
+      s"($acc + COALESCE(x$k, 0.0) * ${math.pow(0.5, k)})" }
+    val den = (1 to EwmaLags).foldLeft("1.0") { (acc, k) =>
+      s"($acc + CASE WHEN x$k IS NOT NULL THEN ${math.pow(0.5, k)} ELSE 0.0 END)" }
+    (num, den)
+  }
+
+  /** L225 — closed-form OLS trend fit of daily revenue vs day index
+    * (the one-pass product-moment regression — the same six-sums shape
+    * as L217 autocorrelation, pointed at trend instead of self-lag).
+    * x = days since 1995-01-01 (small exact ints — centered so the
+    * normal-equation cancellation stays far from the double cliff),
+    * y = per-day decimal revenue IN MILLIONS (keeps y² and x·y terms
+    * inside DECIMAL(18,6) — raw daily revenue squared overflows the
+    * 12 integer digits). All six sums are order-free (ints or
+    * DECIMAL(18,6)); slope/intercept/r² are one closed-form double
+    * expression over identical operands in both engines, round-6.
+    * 100 TB: one map-combinable daily agg (calendar-bounded) + a 1-row
+    * reduce — the corpus is scanned exactly once. */
+  def olsDailyTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = orders(spark, dir)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1995-01-01").cast("date")).as("xd"))
+      .agg(round(dsum(col("o_totalprice")) / 1e6, 6).as("y"))
+      .select(col("xd").cast("long").as("x"), col("y"))
+    val s = daily.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"),
+      dsum(col("y")).as("sy"),
+      dsum(round(col("x") * col("y"), 6)).as("sxy"),
+      dsum(round(col("y") * col("y"), 6)).as("syy"))
+    s.select(
+        col("n").as("n_days"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("slope"),
+        round((col("sy") - col("sx").cast("double") *
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))) /
+          col("n").cast("double"), 6).as("intercept"),
+        round(
+          ((col("n") * col("sxy") - col("sx") * col("sy")) *
+            (col("n") * col("sxy") - col("sx") * col("sy"))) /
+          (((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+  }
+
+  /** L226 — MAD robust outlier detection per event type (Hampel's
+    * median-absolute-deviation scale; the Iglewicz–Hoaglin modified
+    * z-score \|0.6745(x−med)/MAD\| > 3.5 rule — the robust sibling of
+    * the L59 z-score, immune to the outliers it hunts). Medians are the
+    * exact interpolated percentile (the L21/L207 contract), rounded 6dp
+    * and broadcast as per-type rows; the deviation pass and the MAD
+    * percentile reuse the same type-keyed shape; flagging is row-local.
+    * 100 TB: two passes over the corpus (med, then MAD+flags) — the
+    * unavoidable data dependence of nested medians — each one
+    * percentile-agg, nothing global. Outliers fire on the fixtures
+    * (spec pins counts against a JVM replica). */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", round(abs(col("value") - col("med")), 6))
+    val mad = dev.groupBy("event_type")
+      .agg(round(expr("percentile(adev, 0.5)"), 6).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .withColumn("z", lit(0.6745) * (col("value") - col("med")) / col("mad"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(when(abs(col("z")) > 3.5, 1L).otherwise(0L)).as("n_outliers"),
+        round(max(abs(col("z"))), 6).as("max_abs_z"))
+      .orderBy("event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_ewma_deviation" -> (ewmaDeviation _),
+    "ml_ols_daily_trend" -> (olsDailyTrend _),
+    "anomaly_mad_robust" -> (madOutliers _),
+  )
+
+  private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+  private val evTs = "CAST(ts AS TIMESTAMP)"
+
+  val oracles: Map[String, String] = Map(
+    "ts_ewma_deviation" -> {
+      val (num, den) = ewmaSqlChain
+      val lags = (1 to EwmaLags)
+        .map(k => s"lag(x, $k) OVER (ORDER BY bucket) AS x$k").mkString(", ")
+      s"""WITH hourly AS (SELECT date_trunc('hour', $evTs) AS bucket,
+             round(${dsumSql("value")}, 6) AS x
+           FROM events GROUP BY 1),
+         lagged AS (SELECT bucket, x, $lags FROM hourly),
+         sm AS (SELECT bucket, x, round($num / $den, 6) AS ewma FROM lagged)
+         SELECT epoch_us(bucket) AS bucket_us, x, ewma,
+           round(x - ewma, 6) AS dev
+         FROM sm ORDER BY abs(round(x - ewma, 6)) DESC, bucket_us ASC
+         LIMIT 20"""
+    },
+    "ml_ols_daily_trend" ->
+      s"""WITH daily AS (SELECT CAST(date_diff('day', DATE '1995-01-01',
+             CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             round(${dsumSql("o_totalprice")} / 1e6, 6) AS y
+           FROM orders GROUP BY 1),
+         s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             ${dsumSql("y")} AS sy,
+             ${dsumSql("round(x * y, 6)")} AS sxy,
+             ${dsumSql("round(y * y, 6)")} AS syy
+           FROM daily)
+         SELECT n AS n_days,
+           round((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+             AS slope,
+           round((sy - CAST(sx AS DOUBLE) *
+               ((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE))) /
+             CAST(n AS DOUBLE), 6) AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+             (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6)
+             AS r2
+         FROM s""",
+    "anomaly_mad_robust" ->
+      """WITH med AS (SELECT event_type,
+             round(quantile_cont(value, 0.5), 6) AS med
+           FROM events GROUP BY 1),
+         dev AS (SELECT e.event_type, e.value, med.med,
+             round(abs(e.value - med.med), 6) AS adev
+           FROM events e JOIN med USING (event_type)),
+         mad AS (SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
+           FROM dev GROUP BY 1)
+         SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           any_value(d.med) AS med, any_value(mad.mad) AS mad,
+           CAST(SUM(CASE WHEN abs(0.6745 * (d.value - d.med) / mad.mad) > 3.5
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(MAX(abs(0.6745 * (d.value - d.med) / mad.mad)), 6) AS max_abs_z
+         FROM dev d JOIN mad USING (event_type)
+         GROUP BY 1 ORDER BY 1""",
+  )
+}

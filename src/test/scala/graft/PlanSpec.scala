@@ -181,7 +181,15 @@ class PlanSpec extends SparkTestBase {
       "llm_silhouette",
       // three 1-row aggregate broadcasts (nodes / wedges / triangles)
       // onto the 1-row edge-count base (the agg_kmv_setops shape)
-      "graph_triangle_count")
+      "graph_triangle_count",
+      // per-round 1-row node-count broadcast onto the edge-count row
+      "graph_kcore_peel",
+      // 1-row min/max bounds broadcast onto the bucket-assignment scan
+      "layout_zorder_prune",
+      // per-role 1-row score-total broadcast for L1 normalization
+      "graph_hits_step",
+      // 1-row corpus-size broadcast into the contingency scorer
+      "ml_chi2_terms")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, sf0001))

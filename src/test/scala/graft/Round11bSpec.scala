@@ -1,0 +1,282 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 second batch: EWMA/OLS/MAD statistics, the graph trio
+  * (HITS, k-core, degree histogram), χ² term selection, Zipf fit,
+  * Fellegi–Sunter linkage scoring, and the Z-order pruning audit —
+  * each replayed from first principles in JVM over the raw fixture. */
+class Round11bSpec extends SparkTestBase {
+
+  private def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+
+  private lazy val events: Array[(String, Long, Double)] =
+    Tables.events(spark, sf0001)
+      .select(col("event_type"), unix_micros(date_trunc("hour", col("ts"))),
+        col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+
+  private lazy val docs: Array[(Long, String, String, String, Long)] =
+    Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "source", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4)))
+
+  // decimal(18,6)-exact sum in scaled-long space
+  private def dsumL(xs: Iterable[Double]): Double =
+    xs.map(x => math.rint(x * 1e6).toLong).sum / 1e6
+
+  test("ts_ewma_deviation: smoothed series replicates a JVM fold with identical add order") {
+    val hourly = events.groupBy(_._2).toSeq
+      .map { case (h, xs) => (h, r6(dsumL(xs.map(_._3)))) }
+      .sortBy(_._1)
+    val xs = hourly.map(_._2).toArray
+    val want = hourly.indices.map { i =>
+      var num = xs(i); var den = 1.0
+      for (k <- 1 to 12) {
+        if (i - k >= 0) { num += xs(i - k) * math.pow(0.5, k)
+          den += math.pow(0.5, k) }
+        else num += 0.0 * math.pow(0.5, k)
+      }
+      val ewma = r6(num / den)
+      (hourly(i)._1, xs(i), ewma, r6(xs(i) - ewma))
+    }.sortBy(t => (-math.abs(t._4), t._1)).take(20)
+    val got = SparkEntry.queries("ts_ewma_deviation")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == want)
+    // deviations genuinely fire (non-zero top excursion)
+    assert(math.abs(got.head._4) > 1.0, s"flat series? ${got.head}")
+  }
+
+  test("ml_ols_daily_trend: slope/intercept/r2 replicate the closed form") {
+    val daily = Tables.orders(spark, sf0001)
+      .select(datediff(col("o_orderdate").cast("date"),
+        lit("1995-01-01").cast("date")).cast("long"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .groupBy(_._1).toSeq
+      .map { case (d, xs) => (d, r6(dsumL(xs.map(_._2)) / 1e6)) }
+    val n = daily.length.toLong
+    val sx = daily.map(_._1).sum
+    val sxx = daily.map(d => d._1 * d._1).sum
+    val sy = dsumL(daily.map(_._2))
+    val sxy = dsumL(daily.map(d => r6(d._1 * d._2)))
+    val syy = dsumL(daily.map(d => r6(d._2 * d._2)))
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx).toDouble
+    val icept = (sy - sx.toDouble * slope) / n.toDouble
+    val r2 = (n * sxy - sx * sy) * (n * sxy - sx * sy) /
+      ((n * sxx - sx * sx).toDouble * (n * syy - sy * sy))
+    val row = SparkEntry.queries("ml_ols_daily_trend")(spark, sf0001).collect().head
+    assert(row.getLong(0) == n)
+    assert(math.abs(row.getDouble(1) - r6(slope)) < 1e-9, "slope")
+    assert(math.abs(row.getDouble(2) - r6(icept)) < 1e-9, "intercept")
+    assert(math.abs(row.getDouble(3) - r6(r2)) < 1e-9, "r2")
+  }
+
+  private def medianInterp(xs: Seq[Double]): Double = {
+    val s = xs.sorted; val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  test("anomaly_mad_robust: medians, MAD and outlier counts replicate; outliers fire") {
+    val byType = events.groupBy(_._1)
+    val want = byType.toSeq.map { case (t, xs) =>
+      val vs = xs.map(_._3)
+      val med = r6(medianInterp(vs))
+      val mad = r6(medianInterp(vs.map(v => r6(math.abs(v - med)))))
+      val zs = vs.map(v => math.abs(0.6745 * (v - med) / mad))
+      (t, vs.length.toLong, med, mad, zs.count(_ > 3.5).toLong, r6(zs.max))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("anomaly_mad_robust")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == want)
+    assert(got.map(_._5).sum > 0, "no outliers fired anywhere")
+    assert(got.forall(_._4 > 0), "degenerate MAD")
+  }
+
+  private lazy val tradeEdges: Set[(Long, Long)] = {
+    val li = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val om = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    li.map { case (o, s) => (s, om(o)) }.toSet
+  }
+
+  test("graph_hits_step: hub/authority scores replicate one JVM iteration") {
+    val auth = tradeEdges.groupBy(_._2).map { case (c, es) => c -> es.size.toLong }
+    val hub = tradeEdges.groupBy(_._1)
+      .map { case (s, es) => s -> es.toSeq.map(e => auth(e._2)).sum }
+    def top(m: Map[Long, Long], role: String) = {
+      val tot = m.values.sum.toDouble
+      m.toSeq.sortBy { case (n, raw) => (-raw, n) }.take(20)
+        .map { case (n, raw) => (role, n, raw, r6(raw / tot)) }
+    }
+    val want = (top(auth, "auth") ++ top(hub, "hub"))
+      .sortBy(t => (t._1, -t._3, t._2))
+    val got = SparkEntry.queries("graph_hits_step")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == want)
+  }
+
+  private lazy val coEdges: Set[(Long, Long)] = {
+    val li = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    li.groupBy(_._1).values.flatMap { xs =>
+      val ps = xs.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSeq.groupBy(identity).filter(_._2.size >= 2).keys.toSet
+  }
+
+  test("graph_kcore_peel: three peeling rounds replicate; counts monotone") {
+    def degrees(e: Set[(Long, Long)]): Map[Long, Int] =
+      e.toSeq.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+        .map { case (v, xs) => v -> xs.size }
+    var e = coEdges
+    val want = scala.collection.mutable.ArrayBuffer(
+      (0, degrees(e).size.toLong, e.size.toLong))
+    for (r <- 1 to 3) {
+      val keep = degrees(e).filter(_._2 >= 3).keySet
+      e = e.filter(p => keep(p._1) && keep(p._2))
+      want += ((r, degrees(e).size.toLong, e.size.toLong))
+    }
+    val got = SparkEntry.queries("graph_kcore_peel")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq)
+    assert(got.map(_._2).sliding(2).forall(p => p.head >= p.last), "nodes grew")
+    assert(got.map(_._3).sliding(2).forall(p => p.head >= p.last), "edges grew")
+  }
+
+  test("graph_degree_hist: histogram replicates; masses conserve") {
+    val degs = coEdges.toSeq.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+      .map { case (_, xs) => xs.size.toLong }
+    val want = degs.groupBy(identity).map { case (d, xs) => (d, xs.size.toLong) }
+      .toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("graph_degree_hist")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == want)
+    assert(got.map(_._2).sum == degs.size, "node mass")
+    assert(got.map(t => t._1 * t._2).sum == 2L * coEdges.size, "edge mass (handshake)")
+  }
+
+  test("ml_chi2_terms: top-20 chi-square rows replicate a JVM contingency pass") {
+    val n = docs.length.toLong
+    val classN = docs.groupBy(_._2).map { case (l, xs) => l -> xs.length.toLong }
+    val dfLw = docs.flatMap(d => d._4.split(" ", -1).distinct.map(w => (d._2, w)))
+      .groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val dfW = dfLw.groupBy(_._1._2).map { case (w, m) => w -> m.values.sum }
+    val want = dfLw.toSeq.map { case ((l, w), a) =>
+      val b = dfW(w) - a; val c = classN(l) - a; val d = n - classN(l) - b
+      val num = (a * d - b * c).toDouble
+      val den = ((a + b) * (c + d)).toDouble * ((a + c) * (b + d)).toDouble
+      (w, l, a, b, c, d, r6(n.toDouble * num * num / den))
+    }.sortBy(t => (-t._7, t._1, t._2)).take(20)
+    val got = SparkEntry.queries("ml_chi2_terms")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(got.toSeq == want)
+  }
+
+  test("llm_zipf_slope: fit replicates; slope is negative (Zipf decay)") {
+    val counts = docs.flatMap(_._4.split(" ", -1)).groupBy(identity)
+      .map { case (w, xs) => (w, xs.length.toLong) }
+      .toSeq.sortBy { case (w, c) => (-c, w) }.take(100)
+    val xy = counts.zipWithIndex.map { case ((_, c), i) =>
+      (r6(math.log(i + 1.0)), r6(math.log(c.toDouble))) }
+    val n = xy.length.toLong
+    val sx = dsumL(xy.map(_._1)); val sxx = dsumL(xy.map(p => r6(p._1 * p._1)))
+    val sy = dsumL(xy.map(_._2)); val sxy = dsumL(xy.map(p => r6(p._1 * p._2)))
+    val syy = dsumL(xy.map(p => r6(p._2 * p._2)))
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - sx * slope) / n.toDouble
+    val r2 = (n * sxy - sx * sy) * (n * sxy - sx * sy) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val row = SparkEntry.queries("llm_zipf_slope")(spark, sf0001).collect().head
+    assert(row.getLong(0) == n)
+    assert(math.abs(row.getDouble(1) - r6(slope)) < 1e-9)
+    assert(math.abs(row.getDouble(2) - r6(icept)) < 1e-9)
+    assert(math.abs(row.getDouble(3) - r6(r2)) < 1e-9)
+    assert(row.getDouble(1) < 0.0, s"no Zipf decay: slope ${row.getDouble(1)}")
+  }
+
+  test("er_fellegi_sunter: scores replicate; blocks stay bounded; a match fires at sf0.01") {
+    val wa = Seq(0.90 -> 0.10, 0.85 -> 0.05, 0.85 -> 0.05, 0.95 -> 0.20)
+      .map { case (m, u) => r6(math.log(m / u)) }
+    val wd = Seq(0.90 -> 0.10, 0.85 -> 0.05, 0.85 -> 0.05, 0.95 -> 0.20)
+      .map { case (m, u) => r6(math.log((1 - m) / (1 - u))) }
+    val feats = docs.map { case (id, lang, src, text, nc) =>
+      val ws = text.split(" ", -1)
+      (id, (lang, src, nc / 100), ws.length / 10, ws.head, ws.last, nc)
+    }
+    val blocks = feats.groupBy(_._2)
+    assert(blocks.values.map(_.length).max <= 16, "block blew up")
+    val pairs = blocks.values.flatMap { xsArr =>
+      val xs = xsArr.toSeq
+      for (x <- xs; y <- xs if x._1 < y._1) yield {
+        val ag = Seq(x._3 == y._3, x._4 == y._4, x._5 == y._5,
+          math.abs(x._6 - y._6) <= 10)
+        val score = ag.zipWithIndex
+          .map { case (a, i) => if (a) wa(i) else wd(i) }
+          .reduceLeft(_ + _)
+        (x._1, y._1, ag(0), ag(1), ag(2), ag(3), r6(score))
+      }
+    }.toSeq
+    val want = pairs.sortBy(t => (-t._7, t._1, t._2)).take(20)
+      .map(t => (t._1, t._2, if (t._3) 1 else 0, if (t._4) 1 else 0,
+        if (t._5) 1 else 0, if (t._6) 1 else 0, t._7))
+    val got = SparkEntry.queries("er_fellegi_sunter")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getDouble(6)))
+    assert(got.toSeq == want)
+    // the match path is seen to fire at the verify SF
+    val m = SparkEntry.queries("er_fellegi_sunter")(spark, "/root/testdata/sf0.01")
+      .where(col("is_match")).count()
+    assert(m >= 1, "no pair above the FS threshold at sf0.01")
+  }
+
+  test("layout_zorder_prune: zone maps replicate; z-order dominates 2-D pruning") {
+    val base = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .cast("long"), col("o_custkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val (mind, maxd) = (base.map(_._2).min, base.map(_._2).max)
+    val (minc, maxc) = (base.map(_._3).min, base.map(_._3).max)
+    def buckets(row: (Long, Long, Long)): Seq[(String, Long)] = {
+      val (ok, day, cust) = row
+      val dk = (day - mind) * 8 / (maxd - mind + 1)
+      val ck = (cust - minc) * 8 / (maxc - minc + 1)
+      val z = 32 * (dk / 4 % 2) + 16 * (ck / 4 % 2) + 8 * (dk / 2 % 2) +
+        4 * (ck / 2 % 2) + 2 * (dk % 2) + (ck % 2)
+      Seq(("1_natural", ok % 64), ("2_datesort", (day - mind) * 64 / (maxd - mind + 1)),
+        ("3_zorder", z))
+    }
+    val zones = base.flatMap(r => buckets(r).map(lb => (lb, r._2, r._3)))
+      .groupBy(_._1)
+    val want = zones.toSeq.map { case ((layout, _), xs) =>
+      (layout, xs.map(_._2).min, xs.map(_._2).max,
+        xs.map(_._3).min, xs.map(_._3).max, xs.length.toLong)
+    }.groupBy(_._1).toSeq.map { case (layout, zs) =>
+      val hitD = zs.filter(z => z._2 <= 899 && z._3 >= 600)
+      val hitB = hitD.filter(z => z._4 <= 187 && z._5 >= 0)
+      (layout, zs.length.toLong, hitD.length.toLong, hitB.length.toLong,
+        hitB.map(_._6).sum, zs.map(_._6).sum)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("layout_zorder_prune")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == want)
+    // every layout holds the full table
+    assert(got.map(_._6).distinct.length == 1)
+    // the dominance claim needs the customer dimension to discriminate —
+    // at sf0.001 custkey tops out below the predicate bound, so grade at
+    // sf0.01: z-order must beat 1-D sort on the 2-D predicate's scanned
+    // rows, and 1-D sort must beat natural order's scanned buckets
+    val big = SparkEntry.queries("layout_zorder_prune")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(big("3_zorder")._2 < big("2_datesort")._2, s"rows_2d $big")
+    assert(big("2_datesort")._1 < big("1_natural")._1, s"scan_2d $big")
+  }
+}
