@@ -789,9 +789,11 @@ object Analytics {
     for (r <- 1 to 3) {
       val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
         .groupBy("v").agg(count(lit(1)).as("d"))
+      // survivor set is node-dimension-sized → broadcast both probes so
+      // the (much larger) edge set never shuffles during peeling
       val keep = deg.where(col("d") >= KCore).select(col("v"))
-      e = e.join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
-        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+      e = e.join(broadcast(keep.withColumnRenamed("v", "a")), Seq("a"), "left_semi")
+        .join(broadcast(keep.withColumnRenamed("v", "b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
       out = out.unionAll(stats(e, r))
     }

@@ -145,15 +145,95 @@ object Llm8 {
           (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
   }
 
+  /** L234 — HARD-NEGATIVE mining for contrastive training (the
+    * "hardest negatives" batch construction of SimCLR / DPR / sentence-
+    * transformers: for each anchor, the most-similar vectors whose
+    * label DIFFERS — exactly what a contrastive loss needs and what
+    * random negatives fail to provide). Same exact-top-k kernel as the
+    * L44 [[Llm.simTopk]] contract: bounded anchor set broadcast, ONE
+    * corpus stream through `mapPartitions` with per-partition heaps
+    * (label filter applied before scoring), |partitions|·|Q|·k
+    * survivors reduced by a tiny window — exact at any corpus size,
+    * no pair materialization. Same ascending-index dot fold + HALF_UP
+    * round6 as [[graft.functions.DotProduct]], so the brute-force
+    * oracle matches bit-for-bit. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ArrayMath.{dotJvm, round6}
+    import spark.implicits._
+    val k = 5
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .as[(Long, Int, Array[Double])]
+    val bc = spark.sparkContext.broadcast(
+      graft.Tables.boundedCollect(e.filter(col("vec_id") < 10), 4096,
+        "llm_hard_negatives anchor set")
+        .sortBy(_._1)
+        .map { case (id, lab, v) => (id, lab, v, math.sqrt(dotJvm(v, v))) })
+    // the negative's label rides in the heap tuple — no corpus-sized
+    // label join after the reduce
+    val worseFirst: Ordering[(Double, Long, Int)] =
+      Ordering.by { case (c, v, _) => (-c, v) }
+    val localTop = e.mapPartitions { rows =>
+      val anchors = bc.value
+      val heaps = Array.fill(anchors.length)(
+        scala.collection.mutable.PriorityQueue.empty(worseFirst))
+      for ((id2, lab2, v2) <- rows) {
+        val n2 = math.sqrt(dotJvm(v2, v2))
+        var i = 0
+        while (i < anchors.length) {
+          val (_, qlab, qv, qn) = anchors(i)
+          if (qlab != lab2) { // negatives only — label mismatch
+            val raw = dotJvm(qv, v2) / (qn * n2)
+            val heap = heaps(i)
+            if (heap.size < k || raw >= heap.head._1 - 1e-6) {
+              val cand = (round6(raw), id2, lab2)
+              if (heap.size < k) heap.enqueue(cand)
+              else if (worseFirst.lt(cand, heap.head)) {
+                heap.dequeue(); heap.enqueue(cand) }
+            }
+          }
+          i += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+        h.iterator.map { case (c, v, l) =>
+          (anchors(i)._1, anchors(i)._2, v, l, c) }
+      }
+    }.toDF("qid", "q_label", "vec_id", "neg_label", "cos_r")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vec_id").asc)
+    localTop.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("qid"), col("q_label"), col("vec_id"), col("neg_label"),
+        col("cos_r"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_bleu_overlap" -> (bleuOverlap _),
     "llm_rake_keywords" -> (rakeKeywords _),
     "llm_zipf_slope" -> (zipfSlope _),
+    "llm_hard_negatives" -> (hardNegatives _),
   )
 
   private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1,65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def normSql(a: String): String =
+    s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
   val oracles: Map[String, String] = Map(
+    "llm_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding,
+             ${normSql("embedding")} AS nrm FROM embeddings),
+         scored AS (SELECT q.vec_id AS qid, q.label AS q_label,
+             c.vec_id AS vec_id, c.label AS neg_label,
+             round(${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6)
+               AS cos_r
+           FROM e q JOIN e c ON q.vec_id < 10 AND c.label != q.label),
+         ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY cos_r DESC, vec_id ASC) AS rn FROM scored)
+         SELECT qid, q_label, vec_id, neg_label, cos_r, CAST(rn AS INT) AS rn
+         FROM ranked WHERE rn <= 5 ORDER BY qid, rn""",
     "llm_zipf_slope" ->
       s"""WITH cnts AS (SELECT u.word, CAST(COUNT(*) AS BIGINT) AS cnt
            FROM documents, LATERAL (SELECT unnest(string_split(text, ' '))

@@ -546,6 +546,65 @@ object Streams {
     * documented rather than executed. On a real cluster:
     * `kafkaSource(spark, servers, topic).load()` yields the standard
     * key/value/topic/partition/offset/timestamp schema. */
+
+  case class CusumStat(event_type: String, n: Long, n_alarms: Long,
+    max_s: Double, first_alarm_us: Long)
+
+  /** I6f — STREAMING CUSUM control chart (the keyed-state form of the
+    * batch window identity in
+    * [[graft.ops.Warehouse4.cusumAnomaly]] — this is the shape Page's
+    * recursion is naturally written in: S ← max(0, S + x − k) held in
+    * per-type ValueState, alarms emitted as they fire). Arithmetic runs
+    * in the SAME ×10⁶ scaled-long space as the batch twin's
+    * DECIMAL(18,6) terms, so after any batch slicing the final per-type
+    * (n, n_alarms, max_s, first_alarm) EQUALS the batch query exactly —
+    * StreamingSpec feeds the whole fixture in ts-ordered batches and
+    * asserts bit-equality. Rows inside a micro-batch are folded in
+    * (ts, event_id) order; state per key is five longs, O(1) forever. */
+  def cusumTws(events: Dataset[Event], kMicro: Long = 55000000L,
+      hMicro: Long = 200000000L): Dataset[CusumStat] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .transformWithState(new CusumProcessor(kMicro, hMicro),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  class CusumProcessor(kMicro: Long, hMicro: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Event, CusumStat] {
+    import org.apache.spark.sql.{Encoders, streaming}
+    // (s, n, n_alarms, max_s, first_alarm_us) — all in ×10⁶ longs but
+    // ts, which is already µs; −1 = no alarm yet
+    @transient private var st: streaming.ValueState[(Long, Long, Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long, Long, Long)]("cusum",
+        Encoders.product[(Long, Long, Long, Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timerValues: streaming.TimerValues): Iterator[CusumStat] = {
+      var (s, n, alarms, maxS, firstUs) =
+        Option(st.get()).getOrElse((0L, 0L, 0L, 0L, -1L))
+      def us(t: java.sql.Timestamp): Long = // µs-faithful (getTime is ms)
+        t.getTime / 1000 * 1000000L + t.getNanos / 1000
+      // micro-batch rows arrive shuffle-ordered; the chart is sequential
+      rows.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+        val term = math.rint((e.value - kMicro / 1e6) * 1e6).toLong
+        s = math.max(0L, s + term)
+        n += 1
+        if (s > hMicro) {
+          alarms += 1
+          if (firstUs < 0) firstUs = us(e.ts)
+        }
+        if (s > maxS) maxS = s
+      }
+      st.update((s, n, alarms, maxS, firstUs))
+      Iterator.single(CusumStat(key, n, alarms, maxS / 1e6, firstUs))
+    }
+  }
+
   /** A2 — Kafka source option wiring as a PURE builder so the config is
     * unit-testable without a broker or the connector jar (neither exists
     * in this zero-egress container — SourcesSpec asserts the map and pins

@@ -236,6 +236,29 @@ class Round11bSpec extends SparkTestBase {
     assert(m >= 1, "no pair above the FS threshold at sf0.01")
   }
 
+  test("llm_hard_negatives: top-5 cross-label neighbors replicate a JVM brute force") {
+    import graft.functions.ArrayMath.{dotJvm, round6}
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Double](2).toArray))
+    val want = vecs.filter(_._1 < 10).sortBy(_._1).flatMap { case (qid, qlab, qv) =>
+      val qn = math.sqrt(dotJvm(qv, qv))
+      vecs.filter(_._2 != qlab).map { case (id2, lab2, v2) =>
+        (qid, qlab, id2, lab2,
+          round6(dotJvm(qv, v2) / (qn * math.sqrt(dotJvm(v2, v2)))))
+      }.sortBy(t => (-t._5, t._3)).take(5).zipWithIndex
+        .map { case (t, i) => (t._1, t._2, t._3, t._4, t._5, i + 1) }
+    }
+    val got = SparkEntry.queries("llm_hard_negatives")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4), r.getInt(5)))
+    assert(got.toSeq == want.toSeq)
+    // every mined negative really crosses the label boundary
+    assert(got.forall(t => t._2 != t._4))
+  }
+
   test("layout_zorder_prune: zone maps replicate; z-order dominates 2-D pruning") {
     val base = Tables.orders(spark, sf0001)
       .select(col("o_orderkey"),

@@ -788,6 +788,49 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("I6f+L216: streaming CUSUM equals the batch control chart on the whole fixture") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val rows = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[(Long, java.sql.Timestamp, Long, String, Double)].collect()
+      .map(r => Event(r._1, r._2, r._3, r._4, r._5))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    // three ts-ordered slices so the recursion crosses state boundaries
+    val (b1, rest) = rows.splitAt(rows.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event]
+    val q = runToTable(Streams.cusumTws(ms.toDS()).toDF(), "tws_cusum_eq", "update")
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      ms.addData(b3: _*); q.processAllAvailable()
+      // update mode: the row with the max n per type is the final state
+      val streamed = spark.table("tws_cusum_eq")
+        .select($"event_type", $"n", $"n_alarms", $"max_s", $"first_alarm_us")
+        .as[(String, Long, Long, Double, Long)].collect()
+        .groupBy(_._1).map { case (_, xs) => xs.maxBy(_._2) }
+        .toSeq.sortBy(_._1)
+      val batch = graft.ops.Warehouse4.cusumAnomaly(spark, sf0001)
+        .select($"event_type", $"n", $"n_alarms", $"max_s", $"first_alarm_us")
+        .as[(String, Long, Long, Double, Long)].collect().toSeq.sortBy(_._1)
+      assert(streamed == batch,
+        s"streaming chart diverged:\n  stream $streamed\n  batch  $batch")
+      assert(batch.map(_._3).sum > 0, "no alarms anywhere — dead chart")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("online SNM: sorted-buffer pairs across batches, prefix-keyed, bounded state; precision 1 on the fixture") {
     val s = spark
     import s.implicits._
