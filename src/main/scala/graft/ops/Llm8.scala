@@ -208,11 +208,40 @@ object Llm8 {
       .orderBy("qid", "rn")
   }
 
+  /** L237 — canonical-document selection after near-dup clustering (the
+    * KEEP-BEST policy every production dedup actually ships: don't drop
+    * duplicates arbitrarily — keep the highest-quality member of each
+    * cluster; e.g. the RefinedWeb/FineWeb pipelines keep one canonical
+    * doc per MinHash cluster). Composes two existing stages — the
+    * [[Llm3.dedupClusters]] connected components and the
+    * [[Llm.qualityScore]] heuristic — with one window argmax per
+    * cluster: kept = max (score, tie → smaller doc_id). Output: one row
+    * per cluster with the kept doc, its score, and how many members
+    * were dropped — the retention ledger an auditable dedup publishes.
+    * Scale: cluster ids and scores join on the doc key (one shuffle);
+    * the argmax is a cluster-keyed window; nothing beyond the dedup
+    * stage's own cost. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = Llm3.dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster"), col("cluster_size"))
+    val scores = Llm.qualityScore(spark, dir).select(col("doc_id"), col("score"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    clusters.join(scores, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("cluster"), col("cluster_size"), col("doc_id").as("kept_doc"),
+        col("score").as("kept_score"),
+        (col("cluster_size") - 1).as("n_dropped"))
+      .orderBy("cluster")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_bleu_overlap" -> (bleuOverlap _),
     "llm_rake_keywords" -> (rakeKeywords _),
     "llm_zipf_slope" -> (zipfSlope _),
     "llm_hard_negatives" -> (hardNegatives _),
+    "llm_dedup_keep_best" -> (dedupKeepBest _),
   )
 
   private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
@@ -222,6 +251,29 @@ object Llm8 {
     s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
   val oracles: Map[String, String] = Map(
+    "llm_dedup_keep_best" -> {
+      // compose the committed cluster oracle verbatim as a subquery so
+      // the two keys can never drift
+      val clusters = Llm3.oracles("llm_dedup_clusters")
+      s"""WITH clusters AS ($clusters),
+         q AS (SELECT doc_id,
+             CAST(len(string_split(text,' ')) AS DOUBLE) AS nw,
+             CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) AS nd,
+             CAST(len(list_filter(string_split(text,' '),
+               w -> w IN ('the','a'))) AS DOUBLE) AS ns
+           FROM documents),
+         scored AS (SELECT doc_id,
+             round(0.4 * least(1.0, nw / 200.0) + 0.3 * (nd / nw)
+               + 0.3 * (ns / nw), 6) AS score
+           FROM q),
+         ranked AS (SELECT c.cluster, c.cluster_size, c.doc_id, s.score,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster
+               ORDER BY s.score DESC, c.doc_id ASC) AS rk
+           FROM clusters c JOIN scored s USING (doc_id))
+         SELECT cluster, cluster_size, doc_id AS kept_doc, score AS kept_score,
+           CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+         FROM ranked WHERE rk = 1 ORDER BY cluster"""
+    },
     "llm_hard_negatives" ->
       s"""WITH e AS (SELECT vec_id, label, embedding,
              ${normSql("embedding")} AS nrm FROM embeddings),

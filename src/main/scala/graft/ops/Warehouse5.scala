@@ -129,10 +129,47 @@ object Warehouse5 {
       .orderBy("event_type")
   }
 
+  /** L236 — classical seasonal-trend decomposition of the hourly series
+    * (the moving-average STL ancestor — Macaulay 1931 ratio-to-moving-
+    * average; what every forecasting pipeline runs to separate "what is
+    * trend", "what is daily rhythm", "what is anomaly"): trend = the
+    * centered 25-hour moving average (FULL windows only — edge hours
+    * are excluded exactly as the classical method prescribes), seasonal
+    * = per hour-of-day mean of the detrended series, residual = x −
+    * trend − seasonal. Determinism: window sums in DECIMAL(18,6) (25
+    * exact terms → /25.0 in doubles over identical operands), seasonal
+    * via the davg decimal contract, every stage round-6. 100 TB shape:
+    * the corpus collapses to the calendar-bounded hourly series once;
+    * the moving average is one window pass; the seasonal profile is a
+    * 24-row agg; top-20 |residual| rows are a TakeOrdered. The L224
+    * EWMA flags level shifts; this flags rhythm violations. */
+  def stlDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(round(dsum(col("value")), 6).as("x"))
+    val w = Window.orderBy(col("bucket")).rowsBetween(-12, 12)
+    val trended = hourly
+      .withColumn("tsum", sum(col("x").cast("decimal(18,6)")).over(w))
+      .withColumn("tn", count(lit(1)).over(w))
+      .where(col("tn") === 25)
+      .withColumn("trend", round(col("tsum").cast("double") / 25.0, 6))
+      .withColumn("detr", round(col("x") - col("trend"), 6))
+      .withColumn("hod", hour(col("bucket")))
+    val seasonal = trended.groupBy("hod")
+      .agg(round(davg(col("detr")), 6).as("seasonal"))
+    trended.join(broadcast(seasonal), "hod")
+      .withColumn("resid", round(col("detr") - col("seasonal"), 6))
+      .select(unix_micros(col("bucket")).as("bucket_us"), col("hod"),
+        col("x"), col("trend"), col("seasonal"), col("resid"))
+      .orderBy(abs(col("resid")).desc, col("bucket_us").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_ewma_deviation" -> (ewmaDeviation _),
     "ml_ols_daily_trend" -> (olsDailyTrend _),
     "anomaly_mad_robust" -> (madOutliers _),
+    "ts_stl_decompose" -> (stlDecompose _),
   )
 
   private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
@@ -175,6 +212,29 @@ object Warehouse5 {
              (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6)
              AS r2
          FROM s""",
+    "ts_stl_decompose" ->
+      s"""WITH hourly AS (SELECT date_trunc('hour', $evTs) AS bucket,
+             round(${dsumSql("value")}, 6) AS x
+           FROM events GROUP BY 1),
+         tr0 AS (SELECT bucket, x,
+             SUM(CAST(x AS DECIMAL(18,6))) OVER w AS tsum,
+             COUNT(*) OVER w AS tn
+           FROM hourly
+           WINDOW w AS (ORDER BY bucket
+             ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+         tr AS (SELECT bucket, x,
+             round(CAST(tsum AS DOUBLE) / 25.0, 6) AS trend,
+             CAST(hour(bucket) AS INT) AS hod
+           FROM tr0 WHERE tn = 25),
+         dt AS (SELECT *, round(x - trend, 6) AS detr FROM tr),
+         se AS (SELECT hod,
+             round(${dsumSql("detr")} / COUNT(detr), 6) AS seasonal
+           FROM dt GROUP BY 1)
+         SELECT epoch_us(bucket) AS bucket_us, hod, x, trend, seasonal,
+           round(detr - seasonal, 6) AS resid
+         FROM dt JOIN se USING (hod)
+         ORDER BY abs(round(detr - seasonal, 6)) DESC, bucket_us ASC
+         LIMIT 20""",
     "anomaly_mad_robust" ->
       """WITH med AS (SELECT event_type,
              round(quantile_cont(value, 0.5), 6) AS med

@@ -236,6 +236,49 @@ class Round11bSpec extends SparkTestBase {
     assert(m >= 1, "no pair above the FS threshold at sf0.01")
   }
 
+  test("ts_stl_decompose: trend/seasonal/residual replicate a JVM decomposition") {
+    val hourly = events.groupBy(_._2).toSeq
+      .map { case (h, xs) => (h, r6(dsumL(xs.map(_._3)))) }
+      .sortBy(_._1)
+    val xs = hourly.map(_._2).toArray
+    val full = hourly.indices.filter(i => i >= 12 && i + 12 < hourly.length)
+    val rows0 = full.map { i =>
+      val trend = r6(dsumL((i - 12 to i + 12).map(xs)) / 25.0)
+      val hod = ((hourly(i)._1 / 3600000000L) % 24).toInt
+      (hourly(i)._1, hod, xs(i), trend, r6(xs(i) - trend))
+    }
+    val seasonal = rows0.groupBy(_._2).map { case (hod, rs) =>
+      hod -> r6(dsumL(rs.map(_._5)) / rs.length) }
+    val want = rows0.map { case (us, hod, x, trend, detr) =>
+      (us, hod, x, trend, seasonal(hod), r6(detr - seasonal(hod)))
+    }.sortBy(t => (-math.abs(t._6), t._1)).take(20)
+    val got = SparkEntry.queries("ts_stl_decompose")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == want)
+  }
+
+  test("llm_dedup_keep_best: per-cluster argmax replicates; retention ledger conserves docs") {
+    val clusters = graft.ops.Llm3.dedupClusters(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val scores = graft.ops.Llm.qualityScore(spark, sf0001)
+      .select(col("doc_id"), col("score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = clusters.groupBy(_._2).toSeq.map { case (c, members) =>
+      val best = members.minBy(m => (-scores(m._1), m._1))
+      (c, members.head._3, best._1, scores(best._1), members.head._3 - 1)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("llm_dedup_keep_best")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(got.toSeq == want)
+    // ledger conservation: kept + dropped == the 50-doc dedup universe
+    assert(got.map(_._2).sum == clusters.length)
+    assert(got.length + got.map(_._5).sum == clusters.length)
+    // at least one real cluster exists (something actually deduped)
+    assert(got.exists(_._5 > 0), "no multi-doc cluster — dead policy")
+  }
+
   test("llm_hard_negatives: top-5 cross-label neighbors replicate a JVM brute force") {
     import graft.functions.ArrayMath.{dotJvm, round6}
     val vecs = Tables.embeddings(spark, sf0001)
