@@ -215,7 +215,32 @@ object Audit {
       .orderBy("bucket")
   }
 
+  /** L238 — l-diversity audit (Machanavajjhala et al. ICDE 2006 — the
+    * follow-up k-anonymity needs: a class can be k-large yet reveal its
+    * sensitive attribute if every member SHARES it). Here the events
+    * table's quasi-identifiers (event_type, hour-of-day, value band)
+    * against user_id as the sensitive attribute: per QI class the
+    * number of DISTINCT users l, banded (l<3 = linkage risk). Same
+    * two-phase shape as the L185 k-anonymity row, with a distinct-count
+    * first stage (per-class exact — the QI space bounds stage two);
+    * min/max l ride along per band so the audit is actionable. */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir)
+      .groupBy(col("event_type"), hour(col("ts")).as("hod"),
+        expr("CAST(floor(value / 20.0) AS BIGINT)").as("vband"))
+      .agg(countDistinct(col("user_id")).as("l"), count(lit(1)).as("n_rows"))
+      .withColumn("band",
+        when(col("l") < 3, "l<3")
+          .when(col("l") < 10, "3<=l<10")
+          .otherwise("l>=10"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_classes"), sum(col("n_rows")).as("n_rows"),
+        min(col("l")).as("min_l"), max(col("l")).as("max_l"))
+      .orderBy("band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "privacy_l_diversity" -> (lDiversity _),
     "privacy_k_anonymity" -> (kAnonymity _),
     "cdc_table_diff" -> (tableDiff _),
     "ts_seasonal_hourly" -> (tsSeasonalHourly _),
@@ -224,6 +249,20 @@ object Audit {
   )
 
   val oracles: Map[String, String] = Map(
+    "privacy_l_diversity" ->
+      """WITH cls AS (SELECT event_type,
+             CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hod,
+             CAST(floor(value / 20.0) AS BIGINT) AS vband,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS l,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+           FROM events GROUP BY 1, 2, 3),
+         bands AS (SELECT CASE WHEN l < 3 THEN 'l<3'
+             WHEN l < 10 THEN '3<=l<10' ELSE 'l>=10' END AS band, l, n_rows
+           FROM cls)
+         SELECT band, CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           MIN(l) AS min_l, MAX(l) AS max_l
+         FROM bands GROUP BY band ORDER BY band""",
     "privacy_k_anonymity" ->
       """WITH cls AS (SELECT lang, source, n_chars // 100 AS len_b,
              COUNT(*) AS k

@@ -236,7 +236,42 @@ object Llm8 {
       .orderBy("cluster")
   }
 
+  private val SpanLen = 3
+
+  /** L239 — T5-style span corruption (Raffel et al. JMLR 2020 §3.1.4:
+    * mask a contiguous token span with a sentinel, train to emit the
+    * sentinel + the original span — the denoising objective's data-prep
+    * step, run over the whole corpus before pretraining). The span
+    * START is drawn deterministically from the portable h48 hash of the
+    * doc id (the reproducible-augmentation contract: re-running the
+    * pipeline regenerates byte-identical examples — the property that
+    * makes checkpoint-resume and A/B data ablations sound). Entirely
+    * ROW-LOCAL array surgery (slice/concat) — at 100 TB this is a map
+    * over the corpus, nothing shuffles but the output write; the only
+    * agg in the query is the final doc_id sort the gate needs. Docs
+    * shorter than span+1 are excluded (nothing maskable). */
+  def spanCorrupt(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")))
+      .where(col("n") > SpanLen)
+      // 1-based span start in [1, n - SpanLen]
+      .withColumn("s",
+        h48(concat(lit("span:"), col("doc_id").cast("string")))
+          % (col("n") - SpanLen) + 1)
+    d.select(col("doc_id"), col("n").as("n_words"), col("s").as("span_start"),
+        concat_ws(" ", concat(
+          slice(col("ws"), lit(1), col("s") - 1),
+          array(lit("<X>")),
+          slice(col("ws"), col("s") + SpanLen,
+            col("n") - col("s") - SpanLen + 1))).as("input"),
+        concat_ws(" ", concat(array(lit("<X>")),
+          slice(col("ws"), col("s"), lit(SpanLen)))).as("target"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_span_corrupt" -> (spanCorrupt _),
     "llm_bleu_overlap" -> (bleuOverlap _),
     "llm_rake_keywords" -> (rakeKeywords _),
     "llm_zipf_slope" -> (zipfSlope _),
@@ -251,6 +286,20 @@ object Llm8 {
     s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
   val oracles: Map[String, String] = Map(
+    "llm_span_corrupt" -> {
+      val h = h48Sql("'span:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+             CAST(len(string_split(text, ' ')) AS INT) AS n
+           FROM documents),
+         f AS (SELECT doc_id, ws, n, ($h) % (n - $SpanLen) + 1 AS s
+           FROM d WHERE n > $SpanLen)
+         SELECT doc_id, n AS n_words, s AS span_start,
+           array_to_string(list_slice(ws, 1, s - 1) || ['<X>']
+             || list_slice(ws, s + $SpanLen, n), ' ') AS input,
+           array_to_string(['<X>'] || list_slice(ws, s, s + ${SpanLen - 1}), ' ')
+             AS target
+         FROM f ORDER BY doc_id"""
+    },
     "llm_dedup_keep_best" -> {
       // compose the committed cluster oracle verbatim as a subquery so
       // the two keys can never drift

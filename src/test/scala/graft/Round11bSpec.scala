@@ -302,6 +302,53 @@ class Round11bSpec extends SparkTestBase {
     assert(got.forall(t => t._2 != t._4))
   }
 
+  test("privacy_l_diversity: bands replicate a JVM distinct-user audit") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_type"), hour(col("ts")), col("value"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    // .toSeq BEFORE mapping to (l, n): mapping a Map collapses duplicate
+    // (l, n) pairs (the key-collapse trap Round10cSpec pinned)
+    val cls = ev.groupBy(e => (e._1, e._2, math.floor(e._3 / 20.0).toLong))
+      .toSeq
+      .map { case (_, xs) => (xs.map(_._4).distinct.length.toLong, xs.length.toLong) }
+    val want = cls.groupBy { case (l, _) =>
+      if (l < 3) "l<3" else if (l < 10) "3<=l<10" else "l>=10"
+    }.map { case (band, xs) =>
+      (band, xs.size.toLong, xs.map(_._2).sum, xs.map(_._1).min, xs.map(_._1).max)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("privacy_l_diversity")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == want)
+    // class mass conservation
+    assert(got.map(_._3).sum == ev.length)
+  }
+
+  test("llm_span_corrupt: masked input/target replicate a JVM h48-seeded mask") {
+    val want = docs.sortBy(_._1).flatMap { case (id, _, _, text, _) =>
+      val ws = text.split(" ", -1)
+      if (ws.length <= 3) None else {
+        val s = (Tables.h48jvm(s"span:$id") % (ws.length - 3)).toInt + 1
+        val input = (ws.take(s - 1) ++ Array("<X>") ++ ws.drop(s + 2)).mkString(" ")
+        val target = ("<X>" +: ws.slice(s - 1, s + 2)).mkString(" ")
+        Some((id, ws.length, s.toLong, input, target))
+      }
+    }
+    val got = SparkEntry.queries("llm_span_corrupt")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getString(3), r.getString(4)))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g vs $w") }
+    // reconstruction property: splicing target over the sentinel restores
+    // the original text for every row
+    got.foreach { case (id, _, s, input, target) =>
+      val orig = docs.find(_._1 == id).get._4
+      val restored = input.replaceFirst("<X>",
+        java.util.regex.Matcher.quoteReplacement(target.stripPrefix("<X> ")))
+      assert(restored == orig, s"doc $id does not reconstruct")
+    }
+  }
+
   test("layout_zorder_prune: zone maps replicate; z-order dominates 2-D pruning") {
     val base = Tables.orders(spark, sf0001)
       .select(col("o_orderkey"),
