@@ -53,7 +53,19 @@ class ShuffleVolumeSpec extends SparkTestBase {
     // self-join plus the pair aggregate (35.3 MB measured = 3x the 587k-row edge set:
     // distinct + both join inputs — edge-LINEAR); the 12.5M-wedge stream
     // never shuffles (joined and partial-aggregated in-pipeline)
-    "graph_butterfly_count" -> 100.0
+    "graph_butterfly_count" -> 100.0,
+    // round-11 graph family over the co-purchase edge set, all
+    // edge-LINEAR by construction (measured sf0.1 shuffle-read):
+    // triangle 47.0 MB ≈ 3 edge-set moves (orientation + wedge join
+    // inputs; the O(m^1.5) wedge stream itself never shuffles);
+    // k-core 67.7 MB ≈ 4 degree-agg endpoint explosions (initial + 3
+    // peel rounds — the survivor semi-joins broadcast, so rounds add
+    // degree aggs only); HITS 27.6 MB ≈ the distinct edge set through
+    // in-degree + hub aggregates; degree histogram 15.4 MB ≈ 1 move
+    "graph_triangle_count" -> 120.0,
+    "graph_kcore_peel" -> 170.0,
+    "graph_hits_step" -> 70.0,
+    "graph_degree_hist" -> 45.0
   )
 
   private lazy val measured: Map[String, Bench.QueryStat] = {
