@@ -724,6 +724,58 @@ object Analytics {
           col("wedges_all").cast("double"), 6).as("gcc"))
   }
 
+  /** L240 — LOCAL clustering coefficient per node (Watts & Strogatz
+    * 1998 — the per-node "how clique-like is my neighborhood" that the
+    * L220 GLOBAL coefficient averages away; the standard feature for
+    * community seeds and spam-node detection). Same degree-ordered
+    * forward method as the triangle count, but the wedge keeps its APEX
+    * and the closure is an INNER join (not semi), so each triangle
+    * surfaces once as its (apex, lo, hi) node triple; a 3-way explode +
+    * node agg then counts triangles PER NODE — still O(m^1.5) wedge
+    * volume, still hub-skew-immune, the per-node attribution rides the
+    * same equi joins. lcc = 2T_v/(d_v(d_v−1)) from exact integers,
+    * round-6; top-20 by (T, lcc) with full tie-break. */
+  def localClustering(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, dir)
+    val deg = edges.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val oriented = edges
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v"),
+            col("da").as("du2"), col("db").as("dv2")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"),
+            col("db").as("du2"), col("da").as("dv2"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"),
+        col("e.du2").as("du"), col("e.dv2").as("dv"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("apex"),
+        col("e1.v").as("x"), col("e1.dv").as("dx"),
+        col("e2.v").as("y"), col("e2.dv").as("dy"))
+      .select(col("apex"),
+        when(col("dx") < col("dy") ||
+          (col("dx") === col("dy") && col("x") < col("y")),
+          struct(col("x").as("lo"), col("y").as("hi")))
+          .otherwise(struct(col("y").as("lo"), col("x").as("hi"))).as("c"))
+      .select(col("apex"), col("c.lo").as("lo"), col("c.hi").as("hi"))
+    val triangles = wedges.join(oriented.select(col("u").as("lo"),
+        col("v").as("hi")), Seq("lo", "hi"), "inner")
+    val perNode = triangles
+      .select(explode(array(col("apex"), col("lo"), col("hi"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("t"))
+    perNode.join(deg, "v")
+      .where(col("d") >= 2)
+      .select(col("v").as("node"), col("d").as("degree"), col("t").as("n_tri"),
+        round(lit(2.0) * col("t").cast("double") /
+          (col("d") * (col("d") - 1)).cast("double"), 6).as("lcc"))
+      .orderBy(col("n_tri").desc, col("lcc").desc, col("node").asc)
+      .limit(20)
+  }
+
   /** L229 — one HITS iteration (Kleinberg JACM 1999 hubs/authorities)
     * on the directed supplier→customer trade graph (the L161 PageRank
     * edge set with roles kept apart instead of id-folded). From the
@@ -813,6 +865,7 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_local_clustering" -> (localClustering _),
     "graph_hits_step" -> (hitsStep _),
     "graph_kcore_peel" -> (kcorePeel _),
     "graph_degree_hist" -> (degreeHistogram _),
@@ -852,6 +905,31 @@ object Analytics {
   private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "graph_local_clustering" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         e AS (SELECT a.p AS a, b.p AS b FROM op a JOIN op b
+             ON a.o = b.o AND a.p < b.p
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         und AS (SELECT a AS v FROM e UNION ALL SELECT b FROM e),
+         deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1),
+         o AS (SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS u,
+             CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS v,
+             CASE WHEN (da.d, e.a) < (db.d, e.b) THEN db.d ELSE da.d END AS dv
+           FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+         w AS (SELECT e1.u AS apex,
+             CASE WHEN (e1.dv, e1.v) < (e2.dv, e2.v) THEN e1.v ELSE e2.v END AS lo,
+             CASE WHEN (e1.dv, e1.v) < (e2.dv, e2.v) THEN e2.v ELSE e1.v END AS hi
+           FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v),
+         t AS (SELECT apex, lo, hi FROM w WHERE EXISTS
+           (SELECT 1 FROM o WHERE o.u = w.lo AND o.v = w.hi)),
+         pn AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM
+             (SELECT apex AS v FROM t UNION ALL SELECT lo FROM t
+              UNION ALL SELECT hi FROM t)
+           GROUP BY 1)
+         SELECT pn.v AS node, deg.d AS degree, pn.t AS n_tri,
+           round(2.0 * pn.t / CAST(deg.d * (deg.d - 1) AS DOUBLE), 6) AS lcc
+         FROM pn JOIN deg ON deg.v = pn.v WHERE deg.d >= 2
+         ORDER BY n_tri DESC, lcc DESC, node ASC LIMIT 20""",
     "graph_hits_step" ->
       """WITH ed AS (SELECT DISTINCT l_suppkey AS s, o_custkey AS c
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

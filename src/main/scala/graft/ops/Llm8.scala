@@ -270,7 +270,35 @@ object Llm8 {
       .orderBy("doc_id")
   }
 
+  private val VocabK = 1000
+
+  /** L241 — vocabulary coverage / OOV-rate audit per language (the
+    * tokenizer-fairness check run before fixing a vocabulary: a top-K
+    * vocab fit on the WHOLE corpus systematically under-covers
+    * low-resource languages — Petrov et al. 2023 "tokenizer unfairness"
+    * framing; this query quantifies it per lang). Vocab = global top-1000
+    * words (one map-combinable count + TakeOrdered → a broadcast);
+    * membership is a broadcast LEFT semi-flag join on the token stream;
+    * one lang-keyed agg finishes — corpus scanned twice (vocab fit,
+    * coverage), nothing corpus². Exact token counts; coverage round-6. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val toks = documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+    val vocab = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc).limit(VocabK)
+      .select(col("word"), lit(1).as("in_v"))
+    toks.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNotNull, 1L).otherwise(0L)).as("n_covered"))
+      .withColumn("n_oov", col("n_tokens") - col("n_covered"))
+      .withColumn("coverage",
+        round(col("n_covered").cast("double") / col("n_tokens").cast("double"), 6))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_vocab_coverage" -> (vocabCoverage _),
     "llm_span_corrupt" -> (spanCorrupt _),
     "llm_bleu_overlap" -> (bleuOverlap _),
     "llm_rake_keywords" -> (rakeKeywords _),
@@ -286,6 +314,20 @@ object Llm8 {
     s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
   val oracles: Map[String, String] = Map(
+    "llm_vocab_coverage" ->
+      s"""WITH toks AS (SELECT lang, u.word FROM documents,
+             LATERAL (SELECT unnest(string_split(text, ' ')) AS word) u),
+         v AS (SELECT word FROM (SELECT word, COUNT(*) AS cnt FROM toks
+             GROUP BY 1 ORDER BY cnt DESC, word ASC LIMIT $VocabK)),
+         f AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN word IN (SELECT word FROM v)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+           FROM toks GROUP BY 1)
+         SELECT lang, n_tokens, n_covered,
+           CAST(n_tokens - n_covered AS BIGINT) AS n_oov,
+           round(CAST(n_covered AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+             AS coverage
+         FROM f ORDER BY lang""",
     "llm_span_corrupt" -> {
       val h = h48Sql("'span:' || CAST(doc_id AS VARCHAR)")
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,

@@ -302,6 +302,44 @@ class Round11bSpec extends SparkTestBase {
     assert(got.forall(t => t._2 != t._4))
   }
 
+  test("graph_local_clustering: per-node triangle counts replicate; mass = 3x global") {
+    val adj = (coEdges.toSeq.flatMap(e => Seq(e, (e._2, e._1))))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      .withDefaultValue(Set.empty[Long])
+    val triPerNode = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    var total = 0L
+    for ((a, b) <- coEdges; c <- adj(a) & adj(b) if a < b && b < c) {
+      triPerNode(a) += 1; triPerNode(b) += 1; triPerNode(c) += 1
+      total += 1
+    }
+    val want = triPerNode.toSeq.map { case (v, t) =>
+      val d = adj(v).size.toLong
+      (v, d, t, r6(2.0 * t / (d * (d - 1)).toDouble))
+    }.filter(_._2 >= 2)
+      .sortBy(x => (-x._3, -x._4, x._1)).take(20)
+    val got = SparkEntry.queries("graph_local_clustering")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == want)
+    assert(triPerNode.values.sum == 3L * total, "attribution mass")
+  }
+
+  test("llm_vocab_coverage: per-lang OOV rates replicate a JVM top-K vocab") {
+    val toks = docs.flatMap(d => d._4.split(" ", -1).map(w => (d._2, w)))
+    val vocab = toks.map(_._2).groupBy(identity).toSeq
+      .map { case (w, xs) => (w, xs.length) }
+      .sortBy { case (w, c) => (-c, w) }.take(1000).map(_._1).toSet
+    val want = toks.groupBy(_._1).toSeq.map { case (lang, xs) =>
+      val n = xs.length.toLong
+      val cov = xs.count(t => vocab(t._2)).toLong
+      (lang, n, cov, n - cov, r6(cov.toDouble / n))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("llm_vocab_coverage")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == want)
+    assert(got.map(_._2).sum == toks.length)
+  }
+
   test("privacy_l_diversity: bands replicate a JVM distinct-user audit") {
     val ev = Tables.events(spark, sf0001)
       .select(col("event_type"), hour(col("ts")), col("value"), col("user_id"))
