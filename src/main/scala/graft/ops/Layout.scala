@@ -30,7 +30,14 @@ object Layout {
     * shape: ONE scan computes all three layouts' zone maps (row-local
     * bucket math + a 3-struct explode → one (layout, bucket) agg,
     * 192 rows after map-side combine); min/max bounds are a 1-row
-    * broadcast. All-integer output, exactly hash-gated. */
+    * broadcast. All-integer output, exactly hash-gated.
+    *
+    * The WRITER-side 16-bit Morton key (mask/shift spread, codegen'd
+    * bit ops) is [[graft.functions.ZOrder.withZKey]], spec-tested since
+    * round 6; this query is its AUDIT twin — 3-bit buckets and div/mod
+    * arithmetic precisely so DuckDB reproduces every bucket id and the
+    * pruning claim itself becomes a hash-gated result rather than a
+    * scaladoc assertion. */
   def zorderPrune(spark: SparkSession, dir: String): DataFrame = {
     val base = orders(spark, dir).select(
       col("o_orderkey"),

@@ -670,4 +670,52 @@ class ScaleRehearsalSpec extends SparkTestBase {
     pb.zip(ps).foreach { case (b, s) =>
       assert(s.getLong(1) == b.getLong(1) * K, s"${b.getString(0)} count") }
   }
+
+  test("round-11 statistics family at 10x: quantiles invariant, chi2 scales 10x, Zipf slope scale-free, coverage invariant, z-order dominance holds") {
+    def rowsOf(name: String) =
+      (SparkEntry.queries(name)(spark, sf001).collect(),
+        SparkEntry.queries(name)(spark, scaledDir).collect())
+    def near(a: Double, b: Double, eps: Double = 1e-6) = math.abs(a - b) <= eps
+    // MAD: replicating every value 10x leaves the empirical distribution
+    // unchanged ⇒ median and MAD bit-identical, counts exactly 10x
+    val (mb, ms) = rowsOf("anomaly_mad_robust")
+    mb.zip(ms).foreach { case (b, s) =>
+      assert(b.getString(0) == s.getString(0))
+      assert(s.getLong(1) == b.getLong(1) * K, "n")
+      assert(s.getDouble(2) == b.getDouble(2), "median drifted under replication")
+      assert(s.getDouble(3) == b.getDouble(3), "MAD drifted under replication")
+      assert(s.getLong(4) == b.getLong(4) * K, "outlier count") }
+    // chi2: all four contingency cells scale 10x ⇒ chi2 scales EXACTLY
+    // 10x (N·(ad−bc)²/den — 10·10⁸/10⁸·10⁻¹... net one factor of K) and
+    // the selected (word, lang) set is invariant
+    val (xb, xs) = rowsOf("ml_chi2_terms")
+    assert(xb.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      xs.map(r => (r.getString(0), r.getString(1))).toSeq,
+      "chi2 top-20 term set changed at 10x")
+    xb.zip(xs).foreach { case (b, s) =>
+      assert(s.getLong(2) == b.getLong(2) * K, "cell a")
+      assert(near(s.getDouble(6), b.getDouble(6) * K, 1e-3),
+        s"chi2 not 10x: ${s.getDouble(6)} vs ${b.getDouble(6)} * $K") }
+    // Zipf: counts scale 10x ⇒ ln f shifts by the CONSTANT ln 10 ⇒ the
+    // slope and r² are scale-free, the intercept moves by exactly ln 10
+    val (zb, zs) = (rowsOf("llm_zipf_slope")._1.head, rowsOf("llm_zipf_slope")._2.head)
+    assert(near(zs.getDouble(1), zb.getDouble(1), 2e-3), "slope not scale-free")
+    assert(near(zs.getDouble(2) - zb.getDouble(2), math.log(10.0), 2e-3),
+      "intercept did not shift by ln 10")
+    assert(near(zs.getDouble(3), zb.getDouble(3), 2e-3), "r2 drifted")
+    // vocabulary coverage: proportions are replication-invariant — the
+    // top-K vocab set is unchanged, coverage IDENTICAL, counts 10x
+    val (vb, vs) = rowsOf("llm_vocab_coverage")
+    vb.zip(vs).foreach { case (b, s) =>
+      assert(b.getString(0) == s.getString(0))
+      assert(s.getLong(1) == b.getLong(1) * K && s.getLong(2) == b.getLong(2) * K)
+      assert(s.getDouble(4) == b.getDouble(4), "coverage drifted") }
+    // z-order: replicated orders keep the (date × customer) geometry, so
+    // the pruning dominance must survive the 10x row count
+    val zp = SparkEntry.queries("layout_zorder_prune")(spark, scaledDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(zp("3_zorder")._2 < zp("2_datesort")._2,
+      s"z-order lost 2-D dominance at 10x: $zp")
+    assert(zp("2_datesort")._1 < zp("1_natural")._1)
+  }
 }
