@@ -236,7 +236,75 @@ object Ml {
       .limit(20)
   }
 
+  /** Shared scorer for the eval rows: an L214-shaped model's round-6
+    * sigmoid score per document plus the binary target. The weight
+    * vector is deliberately SPREAD (score range ≈ 0.32–0.95, 7 of the
+    * 10 calibration bins populated at sf0.01) so the reliability table
+    * is non-degenerate — L214's tiny gradient-step weights put every
+    * document in one bin. */
+  private def scoredDocs(spark: SparkSession, dir: String): DataFrame = {
+    val ws = Seq(-1.0, -1.5, 1.2)
+    val z = lit(ws(0)) + lit(ws(1)) * (col("n_chars").cast("double") / 100.0) +
+      lit(ws(2)) * (size(split(col("text"), " ")).cast("double") / 10.0)
+    documents(spark, dir).select(
+      col("doc_id"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("s"))
+  }
+
+  /** L242 — exact ROC AUC via the Mann–Whitney rank statistic (Hanley &
+    * McNeil 1982: AUC = (Σ midranks of positives − n₊(n₊+1)/2)/(n₊n₋);
+    * midranks give the standard tie treatment). Scores the corpus with
+    * the L214 model (round-6 sigmoid — and the quantization IS the
+    * scale story: round-6 scores on (0,1) have ≤10⁶+1 DISTINCT values,
+    * so the rank pass collapses to a bounded per-score histogram no
+    * matter how many rows feed it — exactly how production AUC jobs
+    * dodge the global sort). One score-keyed agg → a ≤10⁶-row cumsum
+    * window → one final reduce; everything until the last division is
+    * exact integers-and-halves. Output: n_pos, n_neg, auc, gini. */
+  def aucRoc(spark: SparkSession, dir: String): DataFrame = {
+    val perScore = scoredDocs(spark, dir).groupBy("s")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // midrank in ×2 space keeps it integral: 2·mid = 2·cum_before + n + 1
+    val ranked = perScore
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("mid2", lit(2) * (col("cum") - col("n")) + col("n") + 1)
+    val agg = ranked.agg(
+      sum(col("n_pos")).as("np"),
+      sum(col("n") - col("n_pos")).as("nn"),
+      sum(col("n_pos") * col("mid2")).as("sum_mid2"))
+    agg.select(col("np").as("n_pos"), col("nn").as("n_neg"),
+        round((col("sum_mid2").cast("double") / 2.0 -
+          col("np").cast("double") * (col("np") + 1).cast("double") / 2.0) /
+          (col("np") * col("nn")).cast("double"), 6).as("auc"))
+      .withColumn("gini", round(lit(2.0) * col("auc") - 1.0, 6))
+  }
+
+  /** L243 — calibration / reliability table (DeGroot & Fienberg 1983;
+    * the 10-bin "reliability diagram" every model review reads beside
+    * AUC — discrimination vs calibration being orthogonal failures).
+    * Bin the L214 round-6 sigmoid score into 10 equal-width bins; per
+    * bin report count, mean predicted probability (decimal-averaged)
+    * and observed positive rate (exact-int division) — their gap IS
+    * the miscalibration. One map-combinable agg; 10-row output. */
+  def calibrationBins(spark: SparkSession, dir: String): DataFrame = {
+    scoredDocs(spark, dir)
+      .withColumn("bin", least(floor(col("s") * 10).cast("long"), lit(9L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(davg(col("s")), 6).as("mean_pred"),
+        sum(col("y")).as("n_pos"))
+      .withColumn("frac_pos",
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6))
+      .withColumn("gap", round(col("mean_pred") - col("frac_pos"), 6))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_auc_roc" -> (aucRoc _),
+    "ml_calibration_bins" -> (calibrationBins _),
     "ml_chi2_terms" -> (chi2Terms _),
     "ml_naive_bayes" -> (naiveBayes _),
     "ml_gini_split" -> (giniSplit _),
@@ -247,7 +315,52 @@ object Ml {
   private val Dim = 64
   private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
 
+  /** DuckDB twin of [[scoredDocs]] (shared CTE text for the eval rows). */
+  private val scoredSql =
+    """scored AS (SELECT doc_id,
+         CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y,
+         round(1.0 / (1.0 + exp(-((-1.0)
+           + (-1.5) * (CAST(n_chars AS DOUBLE) / 100.0)
+           + 1.2 * (CAST(len(string_split(text, ' ')) AS DOUBLE) / 10.0)))),
+           6) AS s
+       FROM documents)"""
+
   val oracles: Map[String, String] = Map(
+    "ml_auc_roc" ->
+      s"""WITH $scoredSql,
+         ps AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos
+           FROM scored GROUP BY 1),
+         rk AS (SELECT *,
+             SUM(n) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cum
+           FROM ps),
+         m AS (SELECT n_pos, n, 2 * (cum - n) + n + 1 AS mid2 FROM rk),
+         agg AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS np,
+             CAST(SUM(n - n_pos) AS BIGINT) AS nn,
+             CAST(SUM(n_pos * mid2) AS BIGINT) AS sum_mid2
+           FROM m)
+         SELECT np AS n_pos, nn AS n_neg,
+           round((CAST(sum_mid2 AS DOUBLE) / 2.0 -
+               CAST(np AS DOUBLE) * CAST(np + 1 AS DOUBLE) / 2.0) /
+             CAST(np * nn AS DOUBLE), 6) AS auc,
+           round(2.0 * round((CAST(sum_mid2 AS DOUBLE) / 2.0 -
+               CAST(np AS DOUBLE) * CAST(np + 1 AS DOUBLE) / 2.0) /
+             CAST(np * nn AS DOUBLE), 6) - 1.0, 6) AS gini
+         FROM agg""",
+    "ml_calibration_bins" ->
+      s"""WITH $scoredSql,
+         b AS (SELECT LEAST(CAST(floor(s * 10) AS BIGINT), 9) AS bin, s, y
+           FROM scored),
+         g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             round(${dsumSql("s")} / COUNT(s), 6) AS mean_pred,
+             CAST(SUM(y) AS BIGINT) AS n_pos
+           FROM b GROUP BY 1)
+         SELECT bin, n, mean_pred, n_pos,
+           round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos,
+           round(mean_pred - round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6),
+             6) AS gap
+         FROM g ORDER BY bin""",
     "ml_chi2_terms" ->
       """WITH dw AS (SELECT DISTINCT doc_id, lang, u.word
            FROM documents, LATERAL (SELECT unnest(string_split(text, ' '))

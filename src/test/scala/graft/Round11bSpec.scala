@@ -302,6 +302,54 @@ class Round11bSpec extends SparkTestBase {
     assert(got.forall(t => t._2 != t._4))
   }
 
+  private def sigmoid6(nc: Long, nw: Int): Double = {
+    val z = -1.0 + -1.5 * (nc.toDouble / 100.0) + 1.2 * (nw.toDouble / 10.0)
+    r6(1.0 / (1.0 + math.exp(-z)))
+  }
+
+  test("ml_auc_roc: Mann–Whitney midrank AUC replicates; a perfect scorer gets AUC 1 in the same JVM path") {
+    def aucOf(scored: Seq[(Double, Long)]): Double = {
+      val groups = scored.groupBy(_._1).toSeq.sortBy(_._1)
+      var cum = 0L; var sumMid2 = 0L
+      groups.foreach { case (_, xs) =>
+        val n = xs.length.toLong; val np = xs.map(_._2).sum
+        sumMid2 += np * (2 * cum + n + 1)
+        cum += n
+      }
+      val np = scored.map(_._2).sum; val nn = scored.length - np
+      r6((sumMid2 / 2.0 - np.toDouble * (np + 1).toDouble / 2.0) / (np * nn).toDouble)
+    }
+    val scored = docs.map { case (_, lang, _, text, nc) =>
+      (sigmoid6(nc, text.split(" ", -1).length), if (lang == "en") 1L else 0L) }
+    val row = SparkEntry.queries("ml_auc_roc")(spark, sf0001).collect().head
+    assert(row.getLong(0) == scored.map(_._2).sum)
+    assert(row.getLong(1) == scored.length - scored.map(_._2).sum)
+    assert(math.abs(row.getDouble(2) - aucOf(scored.toSeq)) < 1e-9)
+    assert(math.abs(row.getDouble(3) - r6(2.0 * row.getDouble(2) - 1.0)) < 1e-9)
+    // metric sanity through the SAME kernel: score == label ⇒ AUC exactly 1
+    val perfect = scored.map { case (_, y) => (y.toDouble, y) }
+    assert(aucOf(perfect.toSeq) == 1.0)
+    // and an anti-scorer ⇒ exactly 0
+    assert(aucOf(perfect.map { case (s, y) => (-s, y) }.toSeq) == 0.0)
+  }
+
+  test("ml_calibration_bins: reliability table replicates; masses conserve; bins spread") {
+    val scored = docs.map { case (_, lang, _, text, nc) =>
+      (sigmoid6(nc, text.split(" ", -1).length), if (lang == "en") 1L else 0L) }
+    val want = scored.groupBy(t => math.min(math.floor(t._1 * 10).toLong, 9L))
+      .toSeq.map { case (bin, xs) =>
+        val mp = r6(dsumL(xs.map(_._1)) / xs.length)
+        val fp = r6(xs.map(_._2).sum.toDouble / xs.length)
+        (bin, xs.length.toLong, mp, xs.map(_._2).sum, fp, r6(mp - fp))
+      }.sortBy(_._1)
+    val got = SparkEntry.queries("ml_calibration_bins")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == want)
+    assert(got.map(_._2).sum == docs.length, "doc mass")
+    assert(got.length >= 5, s"degenerate score spread: ${got.length} bins")
+  }
+
   test("graph_local_clustering: per-node triangle counts replicate; mass = 3x global") {
     val adj = (coEdges.toSeq.flatMap(e => Seq(e, (e._2, e._1))))
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
