@@ -297,7 +297,47 @@ object Llm8 {
       .orderBy("lang")
   }
 
+  /** L245 — multi-pattern PII detection scan with measured recall (the
+    * release gate run on every corpus before publication; the J-family
+    * redaction row L? masks — this row DETECTS and GRADES detection).
+    * The fixture text contains no PII, so the query plants it
+    * deterministically (mod-7 docs gain an email, mod-11 a phone — the
+    * PSI/table-diff mutated-twin principle: the alarm path must be SEEN
+    * to fire) and then scans with a regex bank, reporting per type the
+    * flagged-doc count, total hits, planted truth, and exact recall —
+    * which the gate pins at literally 1.0. Entirely row-local regex +
+    * one type-keyed agg; at 100 TB a pure map over the corpus (the
+    * planting disappears in production — the scan is the operator). */
+  def piiScan(spark: SparkSession, dir: String): DataFrame = {
+    val planted = documents(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" call 555-0199")).otherwise(lit("")))
+        .as("t"))
+    val scanned = planted.select(col("doc_id"), explode(array(
+      struct(lit("email").as("pii_type"),
+        size(regexp_extract_all(col("t"),
+          lit("[a-z0-9]+@[a-z0-9]+\\.[a-z]+"), lit(0))).as("hits"),
+        (col("doc_id") % 7 === 0).cast("int").as("planted")),
+      struct(lit("phone").as("pii_type"),
+        size(regexp_extract_all(col("t"),
+          lit("555-[0-9]{4}"), lit(0))).as("hits"),
+        (col("doc_id") % 11 === 0).cast("int").as("planted")))).as("e"))
+    scanned.groupBy(col("e.pii_type").as("pii_type"))
+      .agg(sum(when(col("e.hits") > 0, 1L).otherwise(0L)).as("n_docs_flagged"),
+        sum(col("e.hits").cast("long")).as("n_hits"),
+        sum(col("e.planted").cast("long")).as("n_planted"),
+        round(sum(when(col("e.hits") > 0 && col("e.planted") === 1, 1L)
+            .otherwise(0L)).cast("double") /
+          sum(col("e.planted")).cast("double"), 6).as("recall"))
+      .orderBy("pii_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_pii_scan" -> (piiScan _),
     "llm_vocab_coverage" -> (vocabCoverage _),
     "llm_span_corrupt" -> (spanCorrupt _),
     "llm_bleu_overlap" -> (bleuOverlap _),
@@ -314,6 +354,31 @@ object Llm8 {
     s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
   val oracles: Map[String, String] = Map(
+    "llm_pii_scan" ->
+      """WITH planted AS (SELECT doc_id,
+           text || CASE WHEN doc_id % 7 = 0
+               THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+               ELSE '' END
+             || CASE WHEN doc_id % 11 = 0 THEN ' call 555-0199' ELSE '' END AS t
+           FROM documents),
+         s AS (
+           SELECT doc_id, 'email' AS pii_type,
+             len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS hits,
+             CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS planted
+           FROM planted
+           UNION ALL
+           SELECT doc_id, 'phone',
+             len(regexp_extract_all(t, '555-[0-9]{4}')),
+             CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END
+           FROM planted)
+         SELECT pii_type,
+           CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_flagged,
+           CAST(SUM(hits) AS BIGINT) AS n_hits,
+           CAST(SUM(planted) AS BIGINT) AS n_planted,
+           round(CAST(SUM(CASE WHEN hits > 0 AND planted = 1 THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(SUM(planted) AS DOUBLE), 6) AS recall
+         FROM s GROUP BY 1 ORDER BY 1""",
     "llm_vocab_coverage" ->
       s"""WITH toks AS (SELECT lang, u.word FROM documents,
              LATERAL (SELECT unnest(string_split(text, ' ')) AS word) u),

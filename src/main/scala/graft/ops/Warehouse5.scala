@@ -165,7 +165,38 @@ object Warehouse5 {
       .limit(20)
   }
 
+  /** L244 — last-touch revenue attribution (the marketing-analytics
+    * primitive behind every channel report: credit each conversion to
+    * the most recent preceding touch). The scale-correct formulation is
+    * the L84 as-of trick, not a join: interleave ALL events in ONE
+    * per-user time-ordered window, carry the last non-purchase type
+    * forward with last_value(ignoreNulls), and read it off at each
+    * purchase — a single user-keyed shuffle regardless of corpus size
+    * (a purchase⋈touch join + argmax would shuffle twice and blow up
+    * pairs). Purchases with no prior touch credit 'direct'. Revenue
+    * decimal-summed; share = exact division of decimal totals. */
+  def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attributed = events(spark, dir)
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(coalesce(col("touch"), lit("direct")).as("touch"), col("value"))
+    val byTouch = attributed.groupBy("touch")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(dsum(col("value")), 6).as("revenue"))
+    val total = byTouch.agg(sum(col("revenue").cast("decimal(18,6)"))
+      .cast("double").as("rev_total"))
+    byTouch.crossJoin(broadcast(total))
+      .withColumn("share", round(col("revenue") / col("rev_total"), 6))
+      .select(col("touch"), col("n_purchases"), col("revenue"), col("share"))
+      .orderBy("touch")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "attr_last_touch" -> (lastTouchAttribution _),
     "ts_ewma_deviation" -> (ewmaDeviation _),
     "ml_ols_daily_trend" -> (olsDailyTrend _),
     "anomaly_mad_robust" -> (madOutliers _),
@@ -212,6 +243,23 @@ object Warehouse5 {
              (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6)
              AS r2
          FROM s""",
+    "attr_last_touch" ->
+      s"""WITH ev AS (SELECT user_id, $evTs AS ts, event_id, event_type, value
+           FROM events),
+         marked AS (SELECT *,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch
+           FROM ev),
+         p AS (SELECT COALESCE(touch, 'direct') AS touch, value FROM marked
+           WHERE event_type = 'purchase'),
+         bt AS (SELECT touch, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+             round(${dsumSql("value")}, 6) AS revenue
+           FROM p GROUP BY 1)
+         SELECT touch, n_purchases, revenue,
+           round(revenue / (SELECT ${dsumSql("revenue")} FROM bt), 6) AS share
+         FROM bt ORDER BY touch""",
     "ts_stl_decompose" ->
       s"""WITH hourly AS (SELECT date_trunc('hour', $evTs) AS bucket,
              round(${dsumSql("value")}, 6) AS x

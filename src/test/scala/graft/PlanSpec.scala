@@ -189,7 +189,9 @@ class PlanSpec extends SparkTestBase {
       // per-role 1-row score-total broadcast for L1 normalization
       "graph_hits_step",
       // 1-row corpus-size broadcast into the contingency scorer
-      "ml_chi2_terms")
+      "ml_chi2_terms",
+      // 1-row revenue-total broadcast for the share division
+      "attr_last_touch")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, sf0001))

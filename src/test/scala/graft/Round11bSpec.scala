@@ -302,6 +302,54 @@ class Round11bSpec extends SparkTestBase {
     assert(got.forall(t => t._2 != t._4))
   }
 
+  test("attr_last_touch: per-user carry-forward attribution replicates; revenue conserves") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val attributed = ev.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      var touch: String = null
+      xs.sortBy(e => (e._2.getTime / 1000 * 1000000L + e._2.getNanos / 1000, e._3))
+        .flatMap { e =>
+          val out = if (e._4 == "purchase")
+            Some((Option(touch).getOrElse("direct"), e._5)) else None
+          if (e._4 != "purchase") touch = e._4
+          out
+        }
+    }
+    val totRev = dsumL(attributed.map(_._2))
+    val want = attributed.groupBy(_._1).toSeq.map { case (t, xs) =>
+      val rev = r6(dsumL(xs.map(_._2)))
+      (t, xs.length.toLong, rev, r6(rev / totRev))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("attr_last_touch")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == want)
+    assert(got.map(_._2).sum == ev.count(_._4 == "purchase"), "purchase mass")
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-4, "shares do not sum to 1")
+  }
+
+  test("llm_pii_scan: recall is literally 1.0; the raw fixture is a clean control") {
+    val got = SparkEntry.queries("llm_pii_scan")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val byType = got.map(t => t._1 -> t).toMap
+    assert(byType("email")._4 == docs.count(_._1 % 7 == 0))
+    assert(byType("phone")._4 == docs.count(_._1 % 11 == 0))
+    got.foreach { t =>
+      assert(t._5 == 1.0, s"${t._1} recall ${t._5}")
+      assert(t._2 >= t._4 && t._3 >= t._4, s"${t._1} hits below planted")
+    }
+    // clean control: the UNplanted corpus has zero matches for either
+    // pattern — flagged counts are planting-only, no false positives
+    val email = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+".r
+    val phone = "555-[0-9]{4}".r
+    docs.foreach { case (id, _, _, text, _) =>
+      assert(email.findFirstIn(text).isEmpty, s"raw doc $id matches email")
+      assert(phone.findFirstIn(text).isEmpty, s"raw doc $id matches phone")
+    }
+  }
+
   private def sigmoid6(nc: Long, nw: Int): Double = {
     val z = -1.0 + -1.5 * (nc.toDouble / 100.0) + 1.2 * (nw.toDouble / 10.0)
     r6(1.0 / (1.0 + math.exp(-z)))
