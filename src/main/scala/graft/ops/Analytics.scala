@@ -864,7 +864,41 @@ object Analytics {
       .orderBy("degree")
   }
 
+  /** L246 — degree assortativity coefficient (Newman PRL 2002 — does
+    * the graph wire hub-to-hub or hub-to-leaf? The single number that
+    * separates social-like from technological-like topology, read
+    * before choosing partitioning/skew strategy). Pearson r over the
+    * (deg(src), deg(dst)) pairs of the DIRECTED edge list (each
+    * undirected edge contributes both orientations — the standard
+    * construction, and it makes Σx=Σy exactly): all six sums are EXACT
+    * integers (degree products bounded well inside 64 bits), r is one
+    * closed-form double round-6 — the L225 six-sums contract pointed at
+    * graph structure. One degree agg + one edge join + a 1-row reduce;
+    * everything edge-linear. */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, dir)
+    val deg = edges.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val directed = edges
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(explode(array(
+        struct(col("da").as("x"), col("db").as("y")),
+        struct(col("db").as("x"), col("da").as("y")))).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+    val s = directed.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    s.crossJoin(broadcast(nodes)).select(
+      expr("n div 2").as("n_edges"), col("n_nodes"),
+      round((col("n") * col("sxy") - col("sx") * col("sx")).cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+        .as("assortativity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_assortativity" -> (assortativity _),
     "graph_local_clustering" -> (localClustering _),
     "graph_hits_step" -> (hitsStep _),
     "graph_kcore_peel" -> (kcorePeel _),
@@ -905,6 +939,26 @@ object Analytics {
   private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "graph_assortativity" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         e AS (SELECT a.p AS a, b.p AS b FROM op a JOIN op b
+             ON a.o = b.o AND a.p < b.p
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         und AS (SELECT a AS v FROM e UNION ALL SELECT b FROM e),
+         deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1),
+         joined AS (SELECT da.d AS x, db.d AS y
+           FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+         de AS (SELECT x, y FROM joined UNION ALL SELECT y, x FROM joined),
+         s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+           FROM de)
+         SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           round(CAST(n * sxy - sx * sx AS DOUBLE) /
+             CAST(n * sxx - sx * sx AS DOUBLE), 6) AS assortativity
+         FROM s""",
     "graph_local_clustering" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
          e AS (SELECT a.p AS a, b.p AS b FROM op a JOIN op b

@@ -239,7 +239,37 @@ object Audit {
       .orderBy("band")
   }
 
+  /** L247 — differentially-private count release (Dwork et al. TCC
+    * 2006: Laplace mechanism, sensitivity 1, ε = 1 → noise b = 1/ε via
+    * the inverse-CDF −b·sign(u−½)·ln(1−2|u−½|)). This row ships the
+    * RELEASE PLUMBING — per-group noisy counts beside the ε ledger —
+    * with u drawn from the portable h48 hash so the gate can replay
+    * every noise draw bit-for-bit (+0.5 before the 2⁻⁴⁸ scale keeps u
+    * strictly inside (0,1), so ln never sees 0). A production release
+    * swaps the hash for a sealed PRNG and DROPS the true column; the
+    * deterministic twin is what makes the mechanism TESTABLE (noise
+    * distribution, ledger, clamp-at-zero) in CI. ln round-6 (the
+    * PMI/PSI cross-libm contract); counts exact; one map-combinable
+    * agg + row-local noise. */
+  def dpCounts(spark: SparkSession, dir: String): DataFrame = {
+    val eps = 1.0
+    val u = (h48(concat(lit("dp:"), col("event_type"))).cast("double") + 0.5) /
+      lit(math.pow(2.0, 48))
+    val shifted = u - 0.5
+    val noise = round(
+      -lit(1.0 / eps) * signum(shifted) * log(lit(1.0) - lit(2.0) * abs(shifted)), 6)
+    events(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("noise", noise)
+      .withColumn("n_noisy",
+        greatest(round(col("n_true") + col("noise"), 6), lit(0.0)))
+      .withColumn("epsilon", lit(eps))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "privacy_dp_counts" -> (dpCounts _),
     "privacy_l_diversity" -> (lDiversity _),
     "privacy_k_anonymity" -> (kAnonymity _),
     "cdc_table_diff" -> (tableDiff _),
@@ -249,6 +279,22 @@ object Audit {
   )
 
   val oracles: Map[String, String] = Map(
+    "privacy_dp_counts" -> {
+      val h = h48Sql("'dp:' || event_type")
+      s"""WITH g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_true
+           FROM events GROUP BY 1),
+         u AS (SELECT event_type, n_true,
+             (CAST(($h) AS DOUBLE) + 0.5) / ${math.pow(2.0, 48)} AS uu
+           FROM g),
+         n AS (SELECT event_type, n_true,
+             round((CASE WHEN uu >= 0.5 THEN -1.0 ELSE 1.0 END)
+               * ln(1.0 - 2.0 * abs(uu - 0.5)), 6) AS noise
+           FROM u)
+         SELECT event_type, n_true, noise,
+           GREATEST(round(n_true + noise, 6), 0.0) AS n_noisy,
+           CAST(1.0 AS DOUBLE) AS epsilon
+         FROM n ORDER BY event_type"""
+    },
     "privacy_l_diversity" ->
       """WITH cls AS (SELECT event_type,
              CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hod,

@@ -191,7 +191,9 @@ class PlanSpec extends SparkTestBase {
       // 1-row corpus-size broadcast into the contingency scorer
       "ml_chi2_terms",
       // 1-row revenue-total broadcast for the share division
-      "attr_last_touch")
+      "attr_last_touch",
+      // 1-row node-count broadcast onto the 1-row six-sums reduce
+      "graph_assortativity")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, sf0001))

@@ -419,6 +419,40 @@ class Round11bSpec extends SparkTestBase {
     assert(triPerNode.values.sum == 3L * total, "attribution mass")
   }
 
+  test("graph_assortativity: Pearson r over directed degree pairs replicates; |r| <= 1") {
+    val deg = coEdges.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (v, xs) => v -> xs.size.toLong }
+    val pairs = coEdges.toSeq.flatMap { case (a, b) =>
+      Seq((deg(a), deg(b)), (deg(b), deg(a))) }
+    val n = pairs.length.toLong
+    val sx = pairs.map(_._1).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val want = r6((n * sxy - sx * sx).toDouble / (n * sxx - sx * sx).toDouble)
+    val row = SparkEntry.queries("graph_assortativity")(spark, sf0001).collect().head
+    assert(row.getLong(0) == coEdges.size.toLong)
+    assert(row.getLong(1) == deg.size.toLong)
+    assert(math.abs(row.getDouble(2) - want) < 1e-9)
+    assert(math.abs(row.getDouble(2)) <= 1.0)
+  }
+
+  test("privacy_dp_counts: hash-seeded Laplace draws replicate; ledger consistent") {
+    val got = SparkEntry.queries("privacy_dp_counts")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    got.foreach { case (t, nTrue, noise, nNoisy, eps) =>
+      val u = (Tables.h48jvm(s"dp:$t").toDouble + 0.5) / math.pow(2.0, 48)
+      val want = r6(-1.0 * math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5)))
+      assert(math.abs(noise - want) < 1e-9, s"$t noise $noise vs $want")
+      assert(math.abs(nNoisy - math.max(0.0, r6(nTrue + noise))) < 1e-9)
+      assert(eps == 1.0)
+      assert(math.abs(noise) < 25.0, s"$t noise implausibly large for b=1")
+    }
+    val ev = Tables.events(spark, sf0001).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (t, nTrue, _, _, _) => assert(ev(t) == nTrue) }
+  }
+
   test("llm_vocab_coverage: per-lang OOV rates replicate a JVM top-K vocab") {
     val toks = docs.flatMap(d => d._4.split(" ", -1).map(w => (d._2, w)))
     val vocab = toks.map(_._2).groupBy(identity).toSeq
