@@ -195,7 +195,30 @@ object Warehouse5 {
       .orderBy("touch")
   }
 
+  /** L248 — DISTINCT-count over a sliding row window (behavioral
+    * variety-in-recent-activity — the bot-vs-human signal of "how many
+    * different actions in the last 5 events"). Spark has NO
+    * `COUNT(DISTINCT) OVER` (SPARK-30228 territory) — the idiomatic
+    * workaround is `size(array_distinct(collect_list over frame))`,
+    * exact for bounded frames (state = the ≤5-element frame, O(frame)
+    * per row); DuckDB runs its native distinct window aggregate, and
+    * the gate proves the two formulations agree row-for-row. One
+    * user-keyed window shuffle; output bounded to user_id < 10 (the
+    * sample-panel contract — per-user cost is identical corpus-wide). */
+  def slidingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+    events(spark, dir)
+      .where(col("user_id") < 10)
+      .withColumn("n_distinct_5",
+        size(array_distinct(collect_list(col("event_type")).over(w))).cast("long"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("n_distinct_5"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_sliding_distinct" -> (slidingDistinct _),
     "attr_last_touch" -> (lastTouchAttribution _),
     "ts_ewma_deviation" -> (ewmaDeviation _),
     "ml_ols_daily_trend" -> (olsDailyTrend _),
@@ -243,6 +266,14 @@ object Warehouse5 {
              (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6)
              AS r2
          FROM s""",
+    "win_sliding_distinct" ->
+      s"""SELECT user_id, epoch_us($evTs) AS ts_us, event_id,
+           CAST(COUNT(DISTINCT event_type) OVER (PARTITION BY user_id
+             ORDER BY $evTs, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_distinct_5
+         FROM events WHERE user_id < 10
+         ORDER BY user_id, ts_us, event_id""",
     "attr_last_touch" ->
       s"""WITH ev AS (SELECT user_id, $evTs AS ts, event_id, event_type, value
            FROM events),

@@ -419,6 +419,26 @@ class Round11bSpec extends SparkTestBase {
     assert(triPerNode.values.sum == 3L * total, "attribution mass")
   }
 
+  test("win_sliding_distinct: frame-exact distinct counts replicate a JVM sliding pass") {
+    val ev = Tables.events(spark, sf0001)
+      .where(col("user_id") < 10)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val want = ev.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val sorted = xs.sortBy(e => (e._2, e._3))
+      sorted.indices.map { i =>
+        val frame = sorted.slice(math.max(0, i - 4), i + 1)
+        (sorted(i)._1, sorted(i)._2, sorted(i)._3,
+          frame.map(_._4).distinct.length.toLong)
+      }
+    }.sortBy(t => (t._1, t._2, t._3))
+    val got = SparkEntry.queries("win_sliding_distinct")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == want)
+    // the frame cap binds: no count exceeds 5, and variety genuinely moves
+    assert(got.forall(_._4 <= 5) && got.map(_._4).distinct.length > 1)
+  }
+
   test("graph_assortativity: Pearson r over directed degree pairs replicates; |r| <= 1") {
     val deg = coEdges.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
       .map { case (v, xs) => v -> xs.size.toLong }
