@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Entity-resolution blocking, third strategy: the Sorted-Neighborhood
@@ -184,13 +185,139 @@ object Er {
       .limit(20)
   }
 
+  /** L250 — blocking-quality metrics (Christen TKDE 2012's evaluation
+    * triple for any blocking scheme: reduction ratio RR = 1 −
+    * \|cand\|/\|all pairs\|, pairs completeness PC = recall of true
+    * matches, pairs quality PQ = precision of the candidate set — the
+    * numbers that justify a blocking choice BEFORE paying for
+    * verification). Graded on the bounded 50-doc slice where the
+    * exhaustive ≥0.9-Jaccard ground truth is enumerable in-engine
+    * (C(50,2) = 1 225 pairs — the truth side is the audit's cost, which
+    * is exactly why it runs on a slice); candidates = the L183 SNM
+    * text-sorted window pass (rank assigned over the FULL corpus, the
+    * production shape, then restricted to the slice). All counts exact
+    * integers; the three ratios exact divisions round-6. */
+  def blockingQuality(spark: SparkSession, dir: String): DataFrame = {
+    val n = 50
+    val d = documents(spark, dir).where(col("doc_id") < n)
+    // scheme 1: the L183 text-sorted SNM window (ranks over the FULL
+    // corpus — the production shape — then restricted to the slice)
+    val c1 = windowPairs(spark,
+        documents(spark, dir).select(col("doc_id"), col("text").as("skey")))
+      .where(col("d1") < n && col("d2") < n)
+      .select(col("d1"), col("d2")).distinct()
+      .withColumn("scheme", lit("1_snm_text"))
+    // scheme 2: the L232 attribute blocking (lang, source, chars-band)
+    val db = d.select(col("doc_id"), col("lang"), col("source"),
+      expr("n_chars div 100").as("cb"))
+    val c2 = db.as("x").join(db.as("y"),
+        col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
+          col("x.cb") === col("y.cb") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .withColumn("scheme", lit("2_attr_block"))
+    // scheme 3: SSJoin prefix filtering at t = 0.9 (Chaudhuri et al.
+    // ICDE 2006) — provably LOSSLESS for threshold word-set Jaccard:
+    // any J ≥ t pair must share one of each side's first
+    // sz − ceil(t·sz) + 1 tokens in the global (df, word) order
+    val w = d.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("word"))
+    val sizes = w.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val dfw = w.groupBy("word").agg(count(lit(1)).as("dfreq"))
+    val wOrd = Window.partitionBy(col("doc_id"))
+      .orderBy(col("dfreq").asc, col("word").asc)
+    val pref = w.join(dfw, "word").join(sizes, "doc_id")
+      .withColumn("rn", row_number().over(wOrd))
+      .where(col("rn") <= expr("sz - ((9 * sz + 9) div 10) + 1"))
+      .select(col("doc_id"), col("word"))
+    val c3 = pref.as("p1").join(pref.as("p2"),
+        col("p1.word") === col("p2.word") && col("p1.doc_id") < col("p2.doc_id"))
+      .select(col("p1.doc_id").as("d1"), col("p2.doc_id").as("d2")).distinct()
+      .withColumn("scheme", lit("3_prefix_filter"))
+    val truth = w.as("w1").join(w.as("w2"),
+        col("w1.word") === col("w2.word") && col("w1.doc_id") < col("w2.doc_id"))
+      .groupBy(col("w1.doc_id").as("d1"), col("w2.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.as("z1"), col("d1") === col("z1.doc_id"))
+      .join(sizes.as("z2"), col("d2") === col("z2.doc_id"))
+      .where(lit(10) * col("inter") >= lit(9) * (col("z1.sz") + col("z2.sz") - col("inter")))
+      .select(col("d1"), col("d2"))
+    val allPairs = n.toLong * (n - 1) / 2
+    val cand = c1.unionAll(c2).unionAll(c3)
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    cand.join(truth.withColumn("hit", lit(1)), Seq("d1", "d2"), "left")
+      .groupBy("scheme")
+      .agg(count(lit(1)).as("n_cand"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .crossJoin(broadcast(nTruth))
+      .select(col("scheme"), lit(allPairs).as("n_all_pairs"),
+        col("n_cand"), col("n_truth"), col("n_hit"),
+        round(lit(1.0) - col("n_cand").cast("double") / allPairs.toDouble, 6)
+          .as("reduction_ratio"),
+        round(col("n_hit").cast("double") / col("n_truth").cast("double"), 6)
+          .as("pairs_completeness"),
+        round(col("n_hit").cast("double") / col("n_cand").cast("double"), 6)
+          .as("pairs_quality"))
+      .orderBy("scheme")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_blocking_quality" -> (blockingQuality _),
     "er_fellegi_sunter" -> (fellegiSunter _),
     "er_sorted_neighborhood" -> (sortedNeighborhood _),
     "er_snm_multipass" -> (snmMultipass _),
   )
 
   val oracles: Map[String, String] = Map(
+    "er_blocking_quality" ->
+      s"""WITH r1 AS (SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY text, doc_id) - 1 AS rank
+           FROM documents),
+         c1 AS (SELECT DISTINCT '1_snm_text' AS scheme,
+             LEAST(a.doc_id, b.doc_id) AS d1,
+             GREATEST(a.doc_id, b.doc_id) AS d2
+           FROM r1 a JOIN r1 b ON b.rank - a.rank BETWEEN 1 AND $W
+           WHERE a.doc_id < 50 AND b.doc_id < 50),
+         db AS (SELECT doc_id, lang, source, n_chars // 100 AS cb
+           FROM documents WHERE doc_id < 50),
+         c2 AS (SELECT '2_attr_block' AS scheme, x.doc_id AS d1, y.doc_id AS d2
+           FROM db x JOIN db y ON x.lang = y.lang AND x.source = y.source
+             AND x.cb = y.cb AND x.doc_id < y.doc_id),
+         w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+             AS word
+           FROM documents WHERE doc_id < 50),
+         sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM w GROUP BY 1),
+         dfw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS dfreq FROM w GROUP BY 1),
+         pref AS (SELECT doc_id, word FROM (
+             SELECT w.doc_id, w.word, sz.sz,
+               ROW_NUMBER() OVER (PARTITION BY w.doc_id
+                 ORDER BY dfw.dfreq ASC, w.word ASC) AS rn
+             FROM w JOIN dfw USING (word) JOIN sz USING (doc_id))
+           WHERE rn <= sz - ((9 * sz + 9) // 10) + 1),
+         c3 AS (SELECT DISTINCT '3_prefix_filter' AS scheme,
+             p1.doc_id AS d1, p2.doc_id AS d2
+           FROM pref p1 JOIN pref p2
+             ON p1.word = p2.word AND p1.doc_id < p2.doc_id),
+         truth AS (SELECT w1.doc_id AS d1, w2.doc_id AS d2
+           FROM w w1 JOIN w w2 ON w1.word = w2.word AND w1.doc_id < w2.doc_id
+           JOIN sz a ON w1.doc_id = a.doc_id JOIN sz b ON w2.doc_id = b.doc_id
+           GROUP BY 1, 2, a.sz, b.sz
+           HAVING 10 * COUNT(*) >= 9 * (a.sz + b.sz - COUNT(*))),
+         cand AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+           UNION ALL SELECT * FROM c3),
+         agg AS (SELECT scheme, CAST(COUNT(*) AS BIGINT) AS n_cand,
+             CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM truth
+               WHERE truth.d1 = cand.d1 AND truth.d2 = cand.d2)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+           FROM cand GROUP BY 1)
+         SELECT scheme, CAST(1225 AS BIGINT) AS n_all_pairs, n_cand,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth, n_hit,
+           round(1.0 - CAST(n_cand AS DOUBLE) / 1225.0, 6) AS reduction_ratio,
+           round(CAST(n_hit AS DOUBLE) /
+             (SELECT CAST(COUNT(*) AS DOUBLE) FROM truth), 6)
+             AS pairs_completeness,
+           round(CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE), 6)
+             AS pairs_quality
+         FROM agg ORDER BY scheme""",
     "er_fellegi_sunter" -> {
       def w(i: Int) = (f"${FsAgree(i)}%.6f", f"${FsDisagree(i)}%.6f")
       val terms = Seq(

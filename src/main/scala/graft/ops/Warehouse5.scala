@@ -217,7 +217,59 @@ object Warehouse5 {
       .orderBy("user_id", "ts_us", "event_id")
   }
 
+  /** L249 — CROSS-correlation between two event types' hourly series
+    * at lags −6..+6 (the lead/lag probe run after L217's
+    * AUTO-correlation: does series A move BEFORE series B? — the
+    * cheap causal-direction screen for metric pairs). Both series are
+    * densified over the shared global hour span (the L217 derivation)
+    * and zero-filled; per lag k, r(k) is the six-sums product-moment
+    * over (A_t, B_{t+k}) pairs built by a window lead on the SAME
+    * |hours|-row frame — 13 lags = 13 window-shifted copies of one
+    * calendar-bounded aggregate, the corpus is scanned once. The
+    * best-|r| lag is flagged in-result. */
+  def crossCorrTypes(spark: SparkSession, dir: String): DataFrame = {
+    val lags = -6 to 6
+    val ev = events(spark, dir)
+      .where(col("event_type").isin("click", "purchase"))
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(
+        round(dsum(when(col("event_type") === "click", col("value"))), 6).as("a0"),
+        round(dsum(when(col("event_type") === "purchase", col("value"))), 6).as("b0"))
+    val span = ev.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+    val dense = span.select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("bucket"))
+      .join(ev, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("a0"), lit(0.0)).as("a"),
+        coalesce(col("b0"), lit(0.0)).as("b"))
+    val w = Window.orderBy(col("bucket"))
+    val shifted = dense.select(
+      col("a") +: lags.map { k =>
+        (if (k >= 0) lead(col("b"), k) else lag(col("b"), -k))
+          .over(w).as(s"b$k")
+      }: _*)
+    val pairs = shifted.select(explode(array(lags.map { k =>
+      struct(lit(k).as("lag_h"), col("a").as("x"), col(s"b$k").as("y"))
+    }: _*)).as("p"))
+      .select(col("p.lag_h").as("lag_h"), col("p.x").as("x"), col("p.y").as("y"))
+      .where(col("y").isNotNull)
+    val s = pairs.groupBy("lag_h").agg(
+      count(lit(1)).as("n"),
+      dsum(col("x")).as("sx"), dsum(round(col("x") * col("x"), 6)).as("sxx"),
+      dsum(col("y")).as("sy"), dsum(round(col("y") * col("y"), 6)).as("syy"),
+      dsum(round(col("x") * col("y"), 6)).as("sxy"))
+    val r = s.select(col("lag_h"), col("n"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r"))
+    val best = r.agg(max(abs(col("r"))).as("best_abs"))
+    r.crossJoin(broadcast(best))
+      .withColumn("is_best", abs(col("r")) === col("best_abs"))
+      .select(col("lag_h"), col("n"), col("r"), col("is_best"))
+      .orderBy("lag_h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_crosscorr_types" -> (crossCorrTypes _),
     "win_sliding_distinct" -> (slidingDistinct _),
     "attr_last_touch" -> (lastTouchAttribution _),
     "ts_ewma_deviation" -> (ewmaDeviation _),
@@ -266,6 +318,38 @@ object Warehouse5 {
              (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6)
              AS r2
          FROM s""",
+    "ts_crosscorr_types" -> {
+      val legs = (-6 to 6).map { k =>
+        val sh = if (k >= 0) s"lead(b, $k)" else s"lag(b, ${-k})"
+        s"SELECT $k AS lag_h, a AS x, $sh OVER (ORDER BY bucket) AS y FROM dense"
+      }.mkString("\n           UNION ALL ")
+      s"""WITH ev AS (SELECT date_trunc('hour', $evTs) AS bucket,
+             round(${dsumSql("CASE WHEN event_type = 'click' THEN value END")}, 6)
+               AS a0,
+             round(${dsumSql("CASE WHEN event_type = 'purchase' THEN value END")}, 6)
+               AS b0
+           FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+         span AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM ev),
+         cal AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+             AS bucket FROM span),
+         dense AS (SELECT cal.bucket, COALESCE(a0, 0.0) AS a,
+             COALESCE(b0, 0.0) AS b
+           FROM cal LEFT JOIN ev ON cal.bucket = ev.bucket),
+         pairs AS ($legs),
+         f AS (SELECT lag_h, x, y FROM pairs WHERE y IS NOT NULL),
+         s AS (SELECT lag_h, CAST(COUNT(*) AS BIGINT) AS n,
+             ${dsumSql("x")} AS sx, ${dsumSql("round(x * x, 6)")} AS sxx,
+             ${dsumSql("y")} AS sy, ${dsumSql("round(y * y, 6)")} AS syy,
+             ${dsumSql("round(x * y, 6)")} AS sxy
+           FROM f GROUP BY 1),
+         r AS (SELECT lag_h, n,
+             round((n * sxy - sx * sy) /
+               sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r
+           FROM s)
+         SELECT lag_h, n, r,
+           abs(r) = (SELECT MAX(abs(r)) FROM r) AS is_best
+         FROM r ORDER BY lag_h"""
+    },
     "win_sliding_distinct" ->
       s"""SELECT user_id, epoch_us($evTs) AS ts_us, event_id,
            CAST(COUNT(DISTINCT event_type) OVER (PARTITION BY user_id

@@ -193,7 +193,11 @@ class PlanSpec extends SparkTestBase {
       // 1-row revenue-total broadcast for the share division
       "attr_last_touch",
       // 1-row node-count broadcast onto the 1-row six-sums reduce
-      "graph_assortativity")
+      "graph_assortativity",
+      // 1-row best-|r| broadcast onto the 13-lag correlation frame
+      "ts_crosscorr_types",
+      // two 1-row count broadcasts onto the 1-row candidate count
+      "er_blocking_quality")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, sf0001))

@@ -302,6 +302,86 @@ class Round11bSpec extends SparkTestBase {
     assert(got.forall(t => t._2 != t._4))
   }
 
+  test("ts_crosscorr_types: 13-lag cross-correlation replicates a JVM densified pass") {
+    val hourly = Tables.events(spark, sf0001)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(unix_micros(date_trunc("hour", col("ts"))), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val byHour = hourly.groupBy(_._1)
+    val lo = byHour.keys.min; val hi = byHour.keys.max
+    val hours = (lo to hi by 3600000000L).toArray
+    def series(t: String) = hours.map { h =>
+      byHour.get(h).map(xs => r6(dsumL(xs.filter(_._2 == t).map(_._3)))).getOrElse(0.0) }
+    val a = series("click"); val b = series("purchase")
+    val want = (-6 to 6).map { k =>
+      val pairs = hours.indices.flatMap { i =>
+        val j = i + k
+        if (j >= 0 && j < hours.length) Some((a(i), b(j))) else None
+      }
+      val n = pairs.length.toLong
+      val sx = dsumL(pairs.map(_._1)); val sxx = dsumL(pairs.map(p => r6(p._1 * p._1)))
+      val sy = dsumL(pairs.map(_._2)); val syy = dsumL(pairs.map(p => r6(p._2 * p._2)))
+      val sxy = dsumL(pairs.map(p => r6(p._1 * p._2)))
+      (k, n, r6((n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))))
+    }
+    val bestAbs = want.map(t => math.abs(t._3)).max
+    val got = SparkEntry.queries("ts_crosscorr_types")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq == want)
+    got.foreach { t =>
+      assert(math.abs(t._3) <= 1.0)
+      assert(t._4 == (math.abs(t._3) == bestAbs), s"is_best wrong at lag ${t._1}")
+    }
+  }
+
+  test("er_blocking_quality: three schemes replicate in JVM; prefix filtering is LOSSLESS (PC exactly 1)") {
+    // truth: exhaustive >=0.9 word-set Jaccard over docs < 50
+    val slice = docs.filter(_._1 < 50)
+    val wordSets = slice.map(d => d._1 -> d._4.split(" ", -1).distinct.toSet).toMap
+    val ids = slice.map(_._1).sorted
+    val truth = (for {
+      i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
+      s1 = wordSets(ids(i)); s2 = wordSets(ids(j))
+      inter = (s1 & s2).size
+      if 10 * inter >= 9 * (s1.size + s2.size - inter)
+    } yield (ids(i), ids(j))).toSet
+    // scheme 1: SNM ranks over the FULL corpus by (text, doc_id)
+    val ranks = docs.sortBy(d => (d._4, d._1)).map(_._1).zipWithIndex.toMap
+    val c1 = (for {
+      x <- slice.iterator; y <- slice.iterator
+      if x._1 != y._1 && {
+        val d = ranks(y._1) - ranks(x._1); d >= 1 && d <= 5 }
+    } yield (math.min(x._1, y._1), math.max(x._1, y._1))).toSet
+    // scheme 2: (lang, source, chars-band) blocks
+    val c2 = slice.groupBy(d => (d._2, d._3, d._5 / 100)).values.flatMap { xsA =>
+      val xs = xsA.toSeq
+      for (x <- xs; y <- xs if x._1 < y._1) yield (x._1, y._1) }.toSet
+    // scheme 3: prefix filtering at t=0.9 in (df, word) order
+    val dfw = slice.flatMap(d => wordSets(d._1)).groupBy(identity)
+      .map { case (w, xs) => w -> xs.length }
+    val prefix = slice.map { d =>
+      val sz = wordSets(d._1).size
+      val p = sz - ((9 * sz + 9) / 10) + 1
+      d._1 -> wordSets(d._1).toSeq.sortBy(w => (dfw(w), w)).take(p).toSet
+    }.toMap
+    val c3 = (for {
+      i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
+      if (prefix(ids(i)) & prefix(ids(j))).nonEmpty
+    } yield (ids(i), ids(j))).toSet
+    val want = Seq(("1_snm_text", c1), ("2_attr_block", c2), ("3_prefix_filter", c3))
+      .map { case (s, c) => (s, c.size.toLong, truth.size.toLong,
+        (c & truth).size.toLong) }
+    val got = SparkEntry.queries("er_blocking_quality")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == want, s"\n got $got\nwant $want")
+    // the prefix-filter theorem: candidates are a SUPERSET of truth
+    assert((truth -- c3).isEmpty, "prefix filtering lost a true pair")
+    val pcRow = SparkEntry.queries("er_blocking_quality")(spark, sf0001)
+      .where(col("scheme") === "3_prefix_filter").collect().head
+    assert(pcRow.getDouble(6) == 1.0, "PC not exactly 1")
+  }
+
   test("attr_last_touch: per-user carry-forward attribution replicates; revenue conserves") {
     val ev = Tables.events(spark, sf0001)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
