@@ -35,6 +35,7 @@ object SparkEntry {
       ops.Er.queries ++
       ops.Audit.queries ++
       ops.Ml.queries ++
+      ops.Stats.queries ++
       ops.Warehouse.queries ++
       ops.Warehouse2.queries ++
       ops.Warehouse3.queries ++
@@ -61,6 +62,7 @@ object SparkEntry {
       ops.Er.oracles ++
       ops.Audit.oracles ++
       ops.Ml.oracles ++
+      ops.Stats.oracles ++
       ops.Warehouse.oracles ++
       ops.Warehouse2.oracles ++
       ops.Warehouse3.oracles ++

@@ -197,7 +197,12 @@ class PlanSpec extends SparkTestBase {
       // 1-row best-|r| broadcast onto the 13-lag correlation frame
       "ts_crosscorr_types",
       // two 1-row count broadcasts onto the 1-row candidate count
-      "er_blocking_quality")
+      "er_blocking_quality",
+      // 10-row decile-grid broadcast range-located into the bounded
+      // distinct-revenue frame (plus the 1-row gini/total broadcast)
+      "stats_gini_lorenz",
+      // 1-row horizon (max ts) broadcast onto the per-user lifetime agg
+      "stats_kaplan_meier")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, sf0001))
