@@ -302,7 +302,105 @@ object Ml {
       .orderBy("bin")
   }
 
+  /** L255 — average precision (the area under the precision–recall
+    * curve with step interpolation — sklearn's `average_precision_score`
+    * convention: AP = Σᵢ (Rᵢ−Rᵢ₋₁)·Pᵢ over distinct score thresholds
+    * descending, tied scores entering atomically). The PR-side
+    * companion of L242's ROC AUC, and the metric that actually moves
+    * under class imbalance — reported beside the prevalence baseline a
+    * random ranker would score. Same scale contract as the AUC: round-6
+    * scores bound the threshold frame at ≤10⁶+1 rows, so the "ranking"
+    * is a bounded per-score histogram + one cumsum window — no global
+    * sort at any corpus size. Per-threshold term n_posᵢ·cumPosᵢ /
+    * (P·cumNᵢ) is a ratio of exact integers, round-6 → decimal-summed. */
+  def avgPrecision(spark: SparkSession, dir: String): DataFrame = {
+    val perScore = scoredDocs(spark, dir).groupBy("s")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+    val w = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val ranked = perScore
+      .withColumn("cum_pos", sum(col("n_pos")).over(w))
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("p_tot", sum(col("n_pos")).over(wAll))
+      .withColumn("n_tot", sum(col("n")).over(wAll))
+    ranked.agg(
+        max(col("p_tot")).as("n_pos"),
+        (max(col("n_tot")) - max(col("p_tot"))).as("n_neg"),
+        round(dsum(round(col("n_pos").cast("double") *
+          col("cum_pos").cast("double") /
+          (col("p_tot").cast("double") * col("cum_n").cast("double")), 6)), 6)
+          .as("avg_precision"))
+      .withColumn("prevalence", round(col("n_pos").cast("double") /
+        (col("n_pos") + col("n_neg")).cast("double"), 6))
+      .select(col("n_pos"), col("n_neg"), col("prevalence"),
+        col("avg_precision"))
+  }
+
+  /** L256 — top principal component of the embedding corpus via TWO
+    * power-iteration steps on the covariance operator (the PCA kernel
+    * every feature pipeline runs before whitening / dimensionality
+    * choices). The 64×64 covariance matrix is NEVER materialized: each
+    * step computes C·v = (1/n)·Σ_rows (x−μ)·((x−μ)·v) as ONE corpus
+    * scan — a row-local dot product (native index-order [[
+    * graft.functions.ArrayMath.dotProduct]], bit-equal to the oracle's
+    * `list_sum` fold) followed by a 64-group map-combinable aggregate.
+    * That is the matrix-free formulation distributed PCA actually uses
+    * (Halko et al. SIAM Rev. 2011 randomized-SVD range finder — same
+    * scan shape): at 100 TB each iteration is one pass, state is two
+    * 64-double broadcast vectors. v₀ = 1/√64 = 0.125 exactly (a dyadic
+    * start vector, no sqrt); per-row scores round-6, per-dim sums
+    * decimal. C·v components are tiny (λ of a unit-ish corpus is
+    * ~1e-2, so entries are ~1e-3 and their squares hit the round-6
+    * grid at 50% relative error), so the matvec is carried in a
+    * ×1024-scaled space — a DYADIC scale, an exact exponent shift in
+    * both engines — and descaled only in the final Rayleigh estimate
+    * λ = ‖C·v₁‖; the normalizations are scale-invariant. */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val x = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val nRow = x.agg(count(lit(1)).as("n"))
+    val mu = x.select(posexplode(col("e")).as(Seq("dim", "xd")))
+      .groupBy("dim").agg(round(davg(col("xd")), 6).as("mu"))
+    def toArr(df: DataFrame, c: String, out: String): DataFrame =
+      df.agg(expr(s"transform(array_sort(collect_list(struct(dim, $c))), " +
+        s"p -> p.$c)").as(out))
+    val muArr = toArr(mu, "mu", "mu_arr")
+    // one corpus scan: y = C·v (row-local score, 64-group reduce)
+    def matvec(vArr: DataFrame, yName: String): DataFrame =
+      x.crossJoin(broadcast(muArr)).crossJoin(broadcast(vArr))
+        .withColumn("diff", expr("zip_with(e, mu_arr, (a, b) -> a - b)"))
+        .withColumn("s", round(
+          graft.functions.ArrayMath.dotProduct(col("diff"), col("v_arr")), 6))
+        .select(posexplode(expr("transform(diff, d -> round(s * d * 1024.0D, 6))"))
+          .as(Seq("dim", "t")))
+        .groupBy("dim").agg(dsum(col("t")).as("ts"))
+        .crossJoin(broadcast(nRow))
+        .select(col("dim"), round(col("ts") / col("n").cast("double"), 6)
+          .as(yName))
+    def normalize(y: DataFrame, yName: String, vName: String): (DataFrame, DataFrame) = {
+      val nrm = y.agg(round(sqrt(dsum(round(col(yName) * col(yName), 6))), 6)
+        .as("nrm"))
+      (y.crossJoin(broadcast(nrm))
+        .select(col("dim"), round(col(yName) / col("nrm"), 6).as(vName)), nrm)
+    }
+    val v0 = spark.range(1)
+      .select(expr(s"array_repeat(0.125d, $Dim)").as("v_arr"))
+    val y1 = matvec(v0, "y1")
+    val (v1, _) = normalize(y1, "y1", "v1")
+    val y2 = matvec(toArr(v1, "v1", "v_arr"), "y2")
+    val (v2, lambda) = normalize(y2, "y2", "v2")
+    mu.join(v1, "dim").join(v2, "dim")
+      .crossJoin(broadcast(lambda.select(
+        round(col("nrm") / lit(1024.0), 6).as("lambda"))))
+      .select(col("dim"), col("mu"), col("v1"), col("v2"), col("lambda"))
+      .orderBy("dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_avg_precision" -> (avgPrecision _),
+    "ml_pca_power" -> (pcaPower _),
     "ml_auc_roc" -> (aucRoc _),
     "ml_calibration_bins" -> (calibrationBins _),
     "ml_chi2_terms" -> (chi2Terms _),
@@ -326,6 +424,61 @@ object Ml {
        FROM documents)"""
 
   val oracles: Map[String, String] = Map(
+    "ml_avg_precision" ->
+      s"""WITH $scoredSql,
+         ps AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos
+           FROM scored GROUP BY 1),
+         rk AS (SELECT *,
+             SUM(n_pos) OVER (ORDER BY s DESC) AS cum_pos,
+             SUM(n) OVER (ORDER BY s DESC) AS cum_n,
+             SUM(n_pos) OVER () AS p_tot,
+             SUM(n) OVER () AS n_tot
+           FROM ps),
+         a AS (SELECT CAST(MAX(p_tot) AS BIGINT) AS n_pos,
+             CAST(MAX(n_tot) - MAX(p_tot) AS BIGINT) AS n_neg,
+             round(${dsumSql("round(CAST(n_pos AS DOUBLE) * CAST(cum_pos AS DOUBLE) / (CAST(p_tot AS DOUBLE) * CAST(cum_n AS DOUBLE)), 6)")}, 6)
+               AS avg_precision
+           FROM rk)
+         SELECT n_pos, n_neg,
+           round(CAST(n_pos AS DOUBLE) / CAST(n_pos + n_neg AS DOUBLE), 6)
+             AS prevalence,
+           avg_precision
+         FROM a""",
+    "ml_pca_power" ->
+      s"""WITH x AS (SELECT vec_id,
+             list_transform(embedding, t -> CAST(t AS DOUBLE)) AS e
+           FROM embeddings),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x),
+         xe AS (SELECT vec_id, i - 1 AS dim, e[i] AS xd
+           FROM x CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS i) g),
+         mu AS (SELECT dim, round(${dsumSql("xd")} / COUNT(*), 6) AS mu
+           FROM xe GROUP BY 1),
+         m AS (SELECT list(mu ORDER BY dim) AS mu_arr FROM mu),
+         s1 AS (SELECT vec_id, round(list_sum(list_transform(
+             range(1, ${Dim + 1}), i -> (e[i] - mu_arr[i]) * 0.125)), 6) AS s
+           FROM x, m),
+         t1 AS (SELECT dim,
+             round(${dsumSql("round(s1.s * (xe.xd - mu.mu) * 1024, 6)")}
+               / (SELECT n FROM nn), 6) AS y1
+           FROM xe JOIN mu USING (dim) JOIN s1 USING (vec_id) GROUP BY dim),
+         n1 AS (SELECT round(sqrt(${dsumSql("round(y1 * y1, 6)")}), 6) AS nrm
+           FROM t1),
+         v1 AS (SELECT dim, round(y1 / nrm, 6) AS v1 FROM t1, n1),
+         va1 AS (SELECT list(v1 ORDER BY dim) AS v_arr FROM v1),
+         s2 AS (SELECT vec_id, round(list_sum(list_transform(
+             range(1, ${Dim + 1}), i -> (e[i] - mu_arr[i]) * v_arr[i])), 6) AS s
+           FROM x, m, va1),
+         t2 AS (SELECT dim,
+             round(${dsumSql("round(s2.s * (xe.xd - mu.mu) * 1024, 6)")}
+               / (SELECT n FROM nn), 6) AS y2
+           FROM xe JOIN mu USING (dim) JOIN s2 USING (vec_id) GROUP BY dim),
+         l AS (SELECT round(sqrt(${dsumSql("round(y2 * y2, 6)")}), 6) AS nrm2
+           FROM t2),
+         v2 AS (SELECT dim, round(y2 / nrm2, 6) AS v2 FROM t2, l)
+         SELECT mu.dim, mu.mu, v1.v1, v2.v2,
+           (SELECT round(nrm2 / 1024.0, 6) FROM l) AS lambda
+         FROM mu JOIN v1 USING (dim) JOIN v2 USING (dim) ORDER BY dim""",
     "ml_auc_roc" ->
       s"""WITH $scoredSql,
          ps AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n,

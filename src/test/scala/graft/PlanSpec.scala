@@ -202,7 +202,9 @@ class PlanSpec extends SparkTestBase {
       // distinct-revenue frame (plus the 1-row gini/total broadcast)
       "stats_gini_lorenz",
       // 1-row horizon (max ts) broadcast onto the per-user lifetime agg
-      "stats_kaplan_meier")
+      "stats_kaplan_meier",
+      // 1-row μ/v-vector and n broadcasts onto each matrix-free C·v scan
+      "ml_pca_power")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, sf0001))

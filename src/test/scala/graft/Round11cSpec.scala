@@ -97,6 +97,88 @@ class Round11cSpec extends SparkTestBase {
     assert(row.getDouble(2) >= 0.0 && row.getDouble(2) <= 1.0)
   }
 
+  test("ml_avg_precision: step-interpolated AP replicates a JVM threshold sweep") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val scored = docs.map { d =>
+      val z = -1.0 + -1.5 * (d._4.toDouble / 100.0) +
+        1.2 * (d._3.split(" ", -1).length.toDouble / 10.0)
+      (if (d._2 == "en") 1L else 0L, r6(1.0 / (1.0 + math.exp(-z))))
+    }
+    val perScore = scored.groupBy(_._2).toSeq
+      .map { case (s, xs) => (s, xs.length.toLong, xs.map(_._1).sum) }
+      .sortBy(-_._1)
+    val pTot = perScore.map(_._3).sum
+    val nTot = perScore.map(_._2).sum
+    var cumPos = 0L; var cumN = 0L
+    val ap = r6(dsumL(perScore.map { case (_, n, np) =>
+      cumPos += np; cumN += n
+      r6(np.toDouble * cumPos.toDouble / (pTot.toDouble * cumN.toDouble))
+    }))
+    val row = SparkEntry.queries("ml_avg_precision")(spark, sf0001)
+      .collect().head
+    assert((row.getLong(0), row.getLong(1)) == ((pTot, nTot - pTot)))
+    assert(row.getDouble(2) == r6(pTot.toDouble / nTot.toDouble))
+    assert(row.getDouble(3) == ap, s"AP ${row.getDouble(3)} vs $ap")
+    assert(ap > 0.0 && ap <= 1.0)
+    // Observed on the fixture: AP 0.361 < prevalence 0.386 — the
+    // PR-view verdict that this model underperforms a random ranker on
+    // the positive class even though its ROC AUC looks acceptable;
+    // exactly the imbalance-sensitivity the metric exists to expose.
+    // (No directional assertion: that is a model property, not an
+    // operator property.)
+  }
+
+  test("ml_pca_power: matrix-free power iteration replicates a JVM pass; lambda is a non-decreasing Rayleigh estimate") {
+    val xs = Tables.embeddings(spark, sf0001)
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val n = xs.length
+    val dDim = xs.head.length
+    val mu = Array.tabulate(dDim)(d => r6(dsumL(xs.map(_(d))) / n))
+    def matvec(v: Array[Double]): Array[Double] = {
+      val acc = Array.fill(dDim)(0L)
+      xs.foreach { x =>
+        var s = 0.0
+        var i = 0
+        while (i < dDim) { s += (x(i) - mu(i)) * v(i); i += 1 }
+        val sr = r6(s)
+        var j = 0
+        while (j < dDim) {
+          acc(j) += math.rint(r6(sr * (x(j) - mu(j)) * 1024.0) * 1e6).toLong
+          j += 1
+        }
+      }
+      acc.map(a => r6(a / 1e6 / n))
+    }
+    def norm(y: Array[Double]): Double =
+      r6(math.sqrt(dsumL(y.map(v => r6(v * v)))))
+    val y1 = matvec(Array.fill(dDim)(0.125))
+    val n1 = norm(y1)
+    val v1 = y1.map(v => r6(v / n1))
+    val y2 = matvec(v1)
+    val n2 = norm(y2)
+    val v2 = y2.map(v => r6(v / n2))
+    val lambda = r6(n2 / 1024.0)
+    val got = SparkEntry.queries("ml_pca_power")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.length == dDim)
+    got.foreach { g =>
+      assert(g._2 == mu(g._1), s"mu at dim ${g._1}")
+      assert(g._3 == v1(g._1), s"v1 at dim ${g._1}")
+      assert(g._4 == v2(g._1), s"v2 at dim ${g._1}")
+      assert(g._5 == lambda)
+    }
+    // power iteration on a PSD operator: the norm estimate cannot drop
+    assert(n2 >= n1 - 1e-3, s"pass-2 norm $n2 < pass-1 norm $n1")
+    assert(lambda > 0.0)
+    // v2 is unit-length up to round-6 quantization
+    val v2n = math.sqrt(v2.map(v => v * v).sum)
+    assert(math.abs(v2n - 1.0) < 1e-4)
+  }
+
   test("stats_kaplan_meier: product-limit curve replicates a JVM fold; survival non-increasing") {
     val ev = Tables.events(spark, sf0001)
       .select(col("user_id"), unix_micros(col("ts"))).collect()
