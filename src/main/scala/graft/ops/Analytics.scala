@@ -897,7 +897,48 @@ object Analytics {
         .as("assortativity"))
   }
 
+  /** L257 — Adamic–Adar link prediction on the part co-purchase graph
+    * (Adamic & Adar Soc. Networks 2003: score a non-adjacent pair by
+    * Σ_{v∈N(u)∩N(w)} 1/ln(deg v) — common neighbors, discounted by how
+    * promiscuous each shared neighbor is; the classic "parts likely to
+    * be co-purchased next" recommender signal). Wedges are generated
+    * ROW-LOCALLY from each center's sorted neighbor array (the basket
+    * trick — no adjacency self-join shuffle), carrying the center's
+    * round-6 weight; one pair-keyed agg sums them, an anti-join drops
+    * already-adjacent pairs, and TakeOrderedAndProject keeps the
+    * deterministic (score desc, u1, u2) top-20.
+    *
+    * Scale honesty: wedge volume is Σ_v C(d_v,2) and, unlike the
+    * triangle count, AA NEEDS wedges at every center — orientation
+    * cannot bound it. The standard defense is the hub cap applied here
+    * IN BOTH ENGINES (centers with deg > 256 are skipped): capped
+    * centers carry the SMALLEST weights (1/ln d is decreasing), so the
+    * truncation drops the least-signal wedges first — the same
+    * cap-the-tail argument as the L231 butterfly sampler, but exact
+    * below the cap. */
+  def adamicAdar(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, dir)
+    val adj = edges.select(col("a").as("v"), col("b").as("u"))
+      .unionAll(edges.select(col("b").as("v"), col("a").as("u")))
+    val centers = adj.groupBy(col("v"))
+      .agg(array_sort(collect_set(col("u"))).as("ns"))
+      .withColumn("d", size(col("ns")).cast("long"))
+      .where(col("d") >= 2 && col("d") <= 256)
+      .withColumn("w", round(lit(1.0) / log(col("d").cast("double")), 6))
+    val pairs = centers.select(col("w"), explode(flatten(expr(
+        """transform(ns, (x, i) ->
+             transform(slice(ns, i + 2, size(ns) - i - 1), y ->
+               struct(x AS u1, y AS u2)))"""))).as("p"))
+      .groupBy(col("p.u1").as("u1"), col("p.u2").as("u2"))
+      .agg(count(lit(1)).as("n_common"), round(dsum(col("w")), 6).as("score"))
+    pairs.join(edges,
+        pairs("u1") === edges("a") && pairs("u2") === edges("b"), "left_anti")
+      .orderBy(col("score").desc, col("u1"), col("u2"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_adamic_adar" -> (adamicAdar _),
     "graph_assortativity" -> (assortativity _),
     "graph_local_clustering" -> (localClustering _),
     "graph_hits_step" -> (hitsStep _),
@@ -939,6 +980,24 @@ object Analytics {
   private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "graph_adamic_adar" ->
+      s"""WITH $coPurchaseEdgesSql,
+         adj AS (SELECT a AS v, b AS u FROM e
+           UNION ALL SELECT b AS v, a AS u FROM e),
+         ctr AS (SELECT v, u, w FROM adj JOIN (
+             SELECT v, CAST(COUNT(*) AS BIGINT) AS d,
+               round(1.0 / ln(CAST(COUNT(*) AS DOUBLE)), 6) AS w
+             FROM adj GROUP BY 1) dg USING (v)
+           WHERE d BETWEEN 2 AND 256),
+         p AS (SELECT x.u AS u1, y.u AS u2, x.w AS w
+           FROM ctr x JOIN ctr y ON x.v = y.v AND x.u < y.u),
+         s AS (SELECT u1, u2, CAST(COUNT(*) AS BIGINT) AS n_common,
+             round(${dsumSql("w")}, 6) AS score
+           FROM p GROUP BY 1, 2)
+         SELECT u1, u2, n_common, score FROM s
+         WHERE NOT EXISTS (SELECT 1 FROM e
+           WHERE e.a = s.u1 AND e.b = s.u2)
+         ORDER BY score DESC, u1, u2 LIMIT 20""",
     "graph_assortativity" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
          e AS (SELECT a.p AS a, b.p AS b FROM op a JOIN op b

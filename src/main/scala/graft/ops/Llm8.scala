@@ -336,7 +336,37 @@ object Llm8 {
       .orderBy("pii_type")
   }
 
+  /** L258 — lexical-diversity profile per language (the corpus-quality
+    * numbers a data curator reads before mixing sources: type–token
+    * ratio, hapax fraction, Herdan's C = ln V/ln N [Herdan 1960, the
+    * length-robust TTR], Guiraud's R = V/√N): synthetic or looping text
+    * collapses V against N, template spam inflates hapax-poor vocab —
+    * both visible here before any model pass. One explode → (lang,
+    * word) agg → lang agg; every post-explode frame is vocabulary-
+    * bounded, so at 100 TB the cost is the token-stream scan. ln
+    * round-6 per the cross-libm contract; √ is IEEE-exact. */
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val w = documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+    w.groupBy("lang", "word").agg(count(lit(1)).as("c"))
+      .groupBy("lang")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("v_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("lang"), col("n_tokens"), col("v_types"), col("n_hapax"),
+        round(col("v_types").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("ttr"),
+        round(col("n_hapax").cast("double") / col("v_types").cast("double"), 6)
+          .as("hapax_ratio"),
+        round(round(log(col("v_types").cast("double")), 6) /
+          round(log(col("n_tokens").cast("double")), 6), 6).as("herdan_c"),
+        round(col("v_types").cast("double") /
+          sqrt(col("n_tokens").cast("double")), 6).as("guiraud_r"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_lexical_diversity" -> (lexicalDiversity _),
     "llm_pii_scan" -> (piiScan _),
     "llm_vocab_coverage" -> (vocabCoverage _),
     "llm_span_corrupt" -> (spanCorrupt _),
@@ -354,6 +384,24 @@ object Llm8 {
     s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
   val oracles: Map[String, String] = Map(
+    "llm_lexical_diversity" ->
+      """WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+         wc AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c
+           FROM w GROUP BY 1, 2),
+         a AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS v_types,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+           FROM wc GROUP BY 1)
+         SELECT lang, n_tokens, v_types, n_hapax,
+           round(CAST(v_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+           round(CAST(n_hapax AS DOUBLE) / CAST(v_types AS DOUBLE), 6)
+             AS hapax_ratio,
+           round(round(ln(CAST(v_types AS DOUBLE)), 6)
+             / round(ln(CAST(n_tokens AS DOUBLE)), 6), 6) AS herdan_c,
+           round(CAST(v_types AS DOUBLE) / sqrt(CAST(n_tokens AS DOUBLE)), 6)
+             AS guiraud_r
+         FROM a ORDER BY lang""",
     "llm_pii_scan" ->
       """WITH planted AS (SELECT doc_id,
            text || CASE WHEN doc_id % 7 = 0

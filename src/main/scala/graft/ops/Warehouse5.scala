@@ -268,7 +268,32 @@ object Warehouse5 {
       .orderBy("lag_h")
   }
 
+  /** L259 — hourly OHLC candles per event type (the open/high/low/
+    * close + volume rollup every metrics/trading pipeline materializes
+    * from a tick stream): open/close are the values at the min/max
+    * SEQUENCE NUMBER in the bucket (event_id — unique, so the pick is
+    * deterministic; the standard exchange convention where arrival
+    * sequence, not wall-clock ties, orders the tape), high/low are
+    * plain extrema, volume = count + round-6 decimal value sum. ONE
+    * map-combinable aggregate — min_by/max_by fold in the combiner
+    * exactly like min/max, so no window, no sort, no second pass at
+    * any scale. */
+  def ohlcHourly(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"),
+        col("event_type"))
+      .agg(
+        min_by(col("value"), col("event_id")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("event_id")).as("close"),
+        count(lit(1)).as("n_events"),
+        round(dsum(col("value")), 6).as("v_sum"))
+      .withColumn("range", round(col("high") - col("low"), 6))
+      .orderBy("bucket", "event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_ohlc_hourly" -> (ohlcHourly _),
     "ts_crosscorr_types" -> (crossCorrTypes _),
     "win_sliding_distinct" -> (slidingDistinct _),
     "attr_last_touch" -> (lastTouchAttribution _),
@@ -318,6 +343,15 @@ object Warehouse5 {
              (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6)
              AS r2
          FROM s""",
+    "ts_ohlc_hourly" ->
+      s"""SELECT date_trunc('hour', $evTs) AS bucket, event_type,
+           arg_min(value, event_id) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           arg_max(value, event_id) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(${dsumSql("value")}, 6) AS v_sum,
+           round(MAX(value) - MIN(value), 6) AS range
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "ts_crosscorr_types" -> {
       val legs = (-6 to 6).map { k =>
         val sh = if (k >= 0) s"lead(b, $k)" else s"lag(b, ${-k})"

@@ -97,6 +97,38 @@ class Round11cSpec extends SparkTestBase {
     assert(row.getDouble(2) >= 0.0 && row.getDouble(2) <= 1.0)
   }
 
+  test("graph_adamic_adar: top-20 scores replicate a JVM enumeration; pairs are non-adjacent with shared neighbors") {
+    val li = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairsAll = li.groupBy(_._1).values.flatMap { xs =>
+      val ps = xs.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }
+    val edges = pairsAll.groupBy(identity).filter(_._2.size >= 2).keys.toSet
+    val neigh = (edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1)))
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).distinct.sorted }
+    val scored = neigh.toSeq.flatMap { case (_, ns) =>
+      val d = ns.length
+      if (d < 2 || d > 256) Seq.empty
+      else {
+        val w = r6(1.0 / math.log(d.toDouble))
+        for (i <- ns.indices; j <- i + 1 until ns.length)
+          yield ((ns(i), ns(j)), w)
+      }
+    }.groupBy(_._1).map { case (p, xs) =>
+      (p._1, p._2, xs.size.toLong, r6(dsumL(xs.map(_._2))))
+    }.filter(t => !edges.contains((t._1, t._2))).toSeq
+      .sortBy(t => (-t._4, t._1, t._2)).take(20)
+    val got = SparkEntry.queries("graph_adamic_adar")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == scored, s"\n got ${got.toSeq}\nwant $scored")
+    got.foreach { t =>
+      assert(!edges.contains((t._1, t._2)), "a returned pair is adjacent")
+      assert(t._3 >= 1, "a returned pair shares no neighbor")
+    }
+  }
+
   test("ml_avg_precision: step-interpolated AP replicates a JVM threshold sweep") {
     val docs = Tables.documents(spark, sf0001)
       .select("doc_id", "lang", "text", "n_chars").collect()
@@ -177,6 +209,59 @@ class Round11cSpec extends SparkTestBase {
     // v2 is unit-length up to round-6 quantization
     val v2n = math.sqrt(v2.map(v => v * v).sum)
     assert(math.abs(v2n - 1.0) < 1e-4)
+  }
+
+  test("llm_lexical_diversity: per-language TTR/hapax/Herdan replicate a JVM vocabulary pass") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, xs) =>
+      val toks = xs.flatMap(_._2.split(" ", -1))
+      val counts = toks.groupBy(identity).view.mapValues(_.length).toMap
+      val n = toks.length.toLong
+      val v = counts.size.toLong
+      val hapax = counts.count(_._2 == 1).toLong
+      (lang, n, v, hapax, r6(v.toDouble / n), r6(hapax.toDouble / v),
+        r6(r6(math.log(v.toDouble)) / r6(math.log(n.toDouble))),
+        r6(v.toDouble / math.sqrt(n.toDouble)))
+    }
+    val got = SparkEntry.queries("llm_lexical_diversity")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7)))
+    assert(got.toSeq == want, s"\n got ${got.toSeq}\nwant $want")
+    got.foreach { g =>
+      assert(g._4 <= g._3 && g._3 <= g._2, "hapax <= V <= N must hold")
+      assert(g._5 > 0.0 && g._5 <= 1.0)
+      assert(g._7 > 0.0 && g._7 < 1.0, "Herdan's C in (0,1) for V < N")
+    }
+  }
+
+  test("ts_ohlc_hourly: candles replicate a JVM rollup; low <= open/close <= high") {
+    val ev = Tables.events(spark, sf0001)
+      .select(unix_micros(date_trunc("hour", col("ts"))), col("event_type"),
+        col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val want = ev.groupBy(e => (e._1, e._2)).toSeq
+      .sortBy(_._1).map { case ((b, t), xs) =>
+        val open = xs.minBy(_._3)._4
+        val close = xs.maxBy(_._3)._4
+        val hi = xs.map(_._4).max; val lo = xs.map(_._4).min
+        (b, t, open, hi, lo, close, xs.length.toLong,
+          r6(dsumL(xs.map(_._4))), r6(hi - lo))
+      }
+    val got = SparkEntry.queries("ts_ohlc_hourly")(spark, sf0001)
+      .select(unix_micros(col("bucket")), col("event_type"), col("open"),
+        col("high"), col("low"), col("close"), col("n_events"), col("v_sum"),
+        col("range"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6),
+        r.getDouble(7), r.getDouble(8)))
+    assert(got.toSeq == want)
+    got.foreach { c =>
+      assert(c._5 <= c._3 && c._3 <= c._4, "low <= open <= high")
+      assert(c._5 <= c._6 && c._6 <= c._4, "low <= close <= high")
+    }
   }
 
   test("stats_kaplan_meier: product-limit curve replicates a JVM fold; survival non-increasing") {

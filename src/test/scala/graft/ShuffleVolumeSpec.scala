@@ -65,7 +65,13 @@ class ShuffleVolumeSpec extends SparkTestBase {
     "graph_triangle_count" -> 120.0,
     "graph_kcore_peel" -> 170.0,
     "graph_hits_step" -> 70.0,
-    "graph_degree_hist" -> 45.0
+    "graph_degree_hist" -> 45.0,
+    // Adamic-Adar: adjacency collect_set agg (2 edge-set endpoint
+    // moves) + the map-combined candidate-pair aggregate (distinct
+    // wedge pairs after per-partition combine) + the anti-join's edge
+    // rebuild (36.4 MB measured — edge-set-proportional, the wedge
+    // stream itself partial-aggregates in-pipeline)
+    "graph_adamic_adar" -> 90.0
   )
 
   private lazy val measured: Map[String, Bench.QueryStat] = {
