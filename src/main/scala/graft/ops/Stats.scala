@@ -189,7 +189,187 @@ object Stats {
       .orderBy("t_hours")
   }
 
+  /** L260 — Theil-T inequality index with within/between-nation
+    * decomposition (Theil 1967; the property Gini famously LACKS:
+    * T_total = T_between + Σ s_g·T_g exactly, so a 100-TB job can
+    * attribute inequality to geography vs within-market spread in one
+    * pass). Population = customers with revenue (x > 0, as the index
+    * requires). Every ln is round-6 (cross-libm contract); each
+    * group's stats are a 25-row broadcast joined back onto the
+    * customer frame, so the corpus cost is two dim-scale aggregates.
+    * Output: one row per nation (share, within-group T, between
+    * contribution) with the three corpus totals riding every row; the
+    * decomposition identity is spec-pinned to ~1e-5 (exact in ℝ,
+    * rounding-limited in round-6 space). */
+  def theilDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val x = orders(spark, dir).groupBy(col("o_custkey"))
+      .agg(round(dsum(col("o_totalprice")), 6).as("x"))
+      .join(customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("x"))
+    val tot = x.agg(round(dsum(col("x")), 6).as("xt"),
+      count(lit(1)).as("n"))
+    val grp = x.groupBy("n_name")
+      .agg(round(dsum(col("x")), 6).as("xg"), count(lit(1)).as("ng"))
+    val withinG = x.join(broadcast(grp), "n_name")
+      .groupBy("n_name")
+      .agg(round(dsum(round((col("x") / col("xg")) *
+        round(log(col("x") * col("ng").cast("double") / col("xg")), 6), 6)), 6)
+        .as("t_g"))
+    val totalT = x.crossJoin(broadcast(tot))
+      .agg(round(dsum(round((col("x") / col("xt")) *
+        round(log(col("x") * col("n").cast("double") / col("xt")), 6), 6)), 6)
+        .as("theil_total"))
+    val perNation = grp.join(withinG, "n_name").crossJoin(broadcast(tot))
+      .select(col("n_name"), col("ng").as("n_cust"),
+        round(col("xg") / col("xt"), 6).as("rev_share"),
+        col("t_g").as("theil_within_g"),
+        round((col("xg") / col("xt")) *
+          round(log((col("xg") / col("xt")) *
+            (col("n").cast("double") / col("ng").cast("double"))), 6), 6)
+          .as("between_g"),
+        round((col("xg") / col("xt")) * col("t_g"), 6).as("within_g_weighted"))
+    val parts = perNation.agg(
+      round(dsum(col("between_g")), 6).as("theil_between"),
+      round(dsum(col("within_g_weighted")), 6).as("theil_within"))
+    perNation.crossJoin(broadcast(parts)).crossJoin(broadcast(totalT))
+      .select(col("n_name"), col("n_cust"), col("rev_share"),
+        col("theil_within_g"), col("between_g"), col("theil_between"),
+        col("theil_within"), col("theil_total"))
+      .orderBy("n_name")
+  }
+
+  /** L261 — Mann–Kendall trend test over the hourly revenue series
+    * (Mann 1945 / Kendall 1975; the nonparametric "is there a monotone
+    * trend" screen run where L218's OLS slope would be distorted by
+    * outliers). S = Σ_{i<j} sgn(yⱼ−yᵢ) — exact integers over the
+    * CALENDAR-BOUNDED hourly frame (H hours → H²/2 pairs of a ≤10⁴-row
+    * frame at any corpus size; the corpus itself is touched by one
+    * hour-keyed agg). Tie-corrected variance (n(n−1)(2n+5) −
+    * Σ t(t−1)(2t+5))/18 from the value-grouped tie table; z uses the
+    * ±1 continuity correction; verdict at |z| > 1.96. */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(round(dsum(col("value")), 6).as("y"))
+    val pairs = hourly.as("a").join(hourly.as("b"),
+        col("a.bucket") < col("b.bucket"))
+      .agg(sum(when(col("b.y") > col("a.y"), 1L)
+        .when(col("b.y") < col("a.y"), -1L).otherwise(0L)).as("s"))
+    val ties = hourly.groupBy(col("y")).agg(count(lit(1)).as("t"))
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_adj"),
+        sum(col("t")).as("n"))
+    pairs.crossJoin(broadcast(ties))
+      .select(col("n").as("n_hours"), col("s"), col("tie_adj"),
+        round((expr("n * (n - 1) * (2 * n + 5)") - col("tie_adj"))
+          .cast("double") / 18.0, 6).as("var_s"))
+      .withColumn("z", round(
+        when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(col("var_s")))
+          .when(col("s") < 0, (col("s") + 1).cast("double") / sqrt(col("var_s")))
+          .otherwise(lit(0.0)), 6))
+      .withColumn("trend",
+        when(col("z") > 1.96, lit("increasing"))
+          .when(col("z") < -1.96, lit("decreasing")).otherwise(lit("none")))
+  }
+
+  /** L262 — χ² test of independence, event type × hour-of-day, with
+    * Cramér's V (Pearson 1900 / Cramér 1946; the "is behavior
+    * time-of-day dependent" audit on a contingency table). The 5×24
+    * cell table comes from ONE map-combinable agg; marginals and N are
+    * window sums over the 120-row frame — no joins at all. Expected
+    * counts are exact-integer ratios; per-cell terms round-6 →
+    * decimal-summed; V = √(χ²/(N·min(r−1,c−1))). */
+  def chi2Independence(spark: SparkSession, dir: String): DataFrame = {
+    val cells = events(spark, dir)
+      .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("o"))
+    val wr = Window.partitionBy(col("event_type"))
+    val wc = Window.partitionBy(col("hr"))
+    val wAll = Window.partitionBy()
+    cells
+      .withColumn("ro", sum(col("o")).over(wr))
+      .withColumn("co", sum(col("o")).over(wc))
+      .withColumn("nn", sum(col("o")).over(wAll))
+      .withColumn("e", col("ro").cast("double") * col("co").cast("double") /
+        col("nn").cast("double"))
+      .withColumn("term", round((col("o").cast("double") - col("e")) *
+        (col("o").cast("double") - col("e")) / col("e"), 6))
+      .agg(max(col("nn")).as("n"),
+        countDistinct(col("event_type")).as("n_rows"),
+        countDistinct(col("hr")).as("n_cols"),
+        round(dsum(col("term")), 6).as("chi2"))
+      .withColumn("dof", (col("n_rows") - 1) * (col("n_cols") - 1))
+      .withColumn("cramers_v", round(sqrt(col("chi2") /
+        (col("n").cast("double") *
+          least(col("n_rows") - 1, col("n_cols") - 1).cast("double"))), 6))
+      .select(col("n"), col("n_rows"), col("n_cols"), col("dof"),
+        col("chi2"), col("cramers_v"))
+  }
+
+  /** Poisson(1) inverse-CDF thresholds c_k = e⁻¹·Σ_{j≤k} 1/j!, k=0..7,
+    * frozen as round-12 JVM literals shared verbatim with the oracle —
+    * both engines compare the exact-dyadic u against bit-identical
+    * constants. */
+  private val PoissonC: Seq[Double] = {
+    var fact = 1.0; var cum = 0.0
+    (0 to 7).map { k =>
+      if (k > 0) fact *= k
+      cum += 1.0 / fact
+      BigDecimal(cum * math.exp(-1.0))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+  }
+  private val BootB = 32
+
+  /** L263 — Poisson bootstrap confidence interval for the mean purchase
+    * value (Chamandy et al. 2012, "Estimating uncertainty for massive
+    * data streams" — THE resampling scheme for one-pass distributed
+    * data: per replica b, each row enters with weight w ~ Poisson(1),
+    * so all B=32 resamples ride ONE corpus scan as B counters; no
+    * shuffling of resampled rows ever exists). Weights are DETERMINISTIC
+    * here: u = (h48(event_id:b)+0.5)/2⁴⁸ — an exact dyadic in (0,1) —
+    * inverted through the frozen round-12 threshold table (cap 8), so
+    * every draw replays bit-for-bit in CI and the oracle; production
+    * swaps a sealed PRNG, same plumbing. CI = the (2nd, 31st) order
+    * statistics of the 32 replica means — the ~93.75% order-statistic
+    * interval; the point estimate rides every row. */
+  def poissonBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("value"))
+    val full = ev.agg(round(davg(col("value")), 6).as("mean_full"))
+    val cArr = array(PoissonC.map(lit): _*)
+    val reps = ev
+      .select(col("event_id"), col("value"),
+        explode(sequence(lit(0), lit(BootB - 1))).as("b"))
+      .withColumn("u", (h48(concat_ws(":", col("event_id"), col("b"))) +
+        lit(0.5)) / lit(281474976710656.0))
+      .withColumn("w", size(filter(cArr, c => col("u") > c)).cast("long"))
+      .groupBy("b")
+      .agg(sum(col("w")).as("n_eff"),
+        round(dsum(round(col("w") * col("value"), 6)) /
+          sum(col("w")).cast("double"), 6).as("mean_b"))
+    val wRank = Window.orderBy(col("mean_b"), col("b"))
+    val wAll = Window.partitionBy()
+    reps
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("ci_lo", max(when(col("rn") === 2, col("mean_b"))).over(wAll))
+      .withColumn("ci_hi", max(when(col("rn") === BootB - 1, col("mean_b")))
+        .over(wAll))
+      .crossJoin(broadcast(full))
+      .select(col("b").as("replica"), col("n_eff"), col("mean_b"),
+        col("mean_full"), col("ci_lo"), col("ci_hi"))
+      .orderBy("replica")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_theil_decomposition" -> (theilDecomposition _),
+    "stats_mann_kendall" -> (mannKendall _),
+    "stats_chi2_independence" -> (chi2Independence _),
+    "stats_poisson_bootstrap" -> (poissonBootstrap _),
     "stats_gini_lorenz" -> (giniLorenz _),
     "stats_benford" -> (benford _),
     "stats_ks_test" -> (ksTest _),
@@ -197,6 +377,119 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "stats_theil_decomposition" ->
+      s"""WITH x AS (SELECT n.n_name,
+             round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6)
+               AS x
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           GROUP BY o.o_custkey, n.n_name),
+         tot AS (SELECT round(${dsumSql("x")}, 6) AS xt,
+             CAST(COUNT(*) AS BIGINT) AS n FROM x),
+         grp AS (SELECT n_name, round(${dsumSql("x")}, 6) AS xg,
+             CAST(COUNT(*) AS BIGINT) AS ng FROM x GROUP BY 1),
+         wg AS (SELECT x.n_name,
+             round(${dsumSql("round((x / xg) * round(ln(x * CAST(ng AS DOUBLE) / xg), 6), 6)")}, 6)
+               AS t_g
+           FROM x JOIN grp USING (n_name) GROUP BY 1),
+         tt AS (SELECT
+             round(${dsumSql("round((x / xt) * round(ln(x * CAST(n AS DOUBLE) / xt), 6), 6)")}, 6)
+               AS theil_total
+           FROM x, tot),
+         pn AS (SELECT grp.n_name, ng AS n_cust,
+             round(xg / xt, 6) AS rev_share,
+             t_g AS theil_within_g,
+             round((xg / xt) * round(ln((xg / xt)
+               * (CAST(n AS DOUBLE) / CAST(ng AS DOUBLE))), 6), 6) AS between_g,
+             round((xg / xt) * t_g, 6) AS within_g_weighted
+           FROM grp JOIN wg USING (n_name), tot),
+         parts AS (SELECT round(${dsumSql("between_g")}, 6) AS theil_between,
+             round(${dsumSql("within_g_weighted")}, 6) AS theil_within
+           FROM pn)
+         SELECT n_name, n_cust, rev_share, theil_within_g, between_g,
+           theil_between, theil_within, theil_total
+         FROM pn, parts, tt ORDER BY n_name""",
+    "stats_mann_kendall" ->
+      s"""WITH hourly AS (SELECT date_trunc('hour', $evTs) AS bucket,
+             round(${dsumSql("value")}, 6) AS y
+           FROM events GROUP BY 1),
+         p AS (SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+               WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+           FROM hourly a JOIN hourly b ON a.bucket < b.bucket),
+         tg AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS t
+           FROM hourly GROUP BY 1),
+         ties AS (SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+               AS tie_adj,
+             CAST(SUM(t) AS BIGINT) AS n
+           FROM tg),
+         f AS (SELECT n AS n_hours, s, tie_adj,
+             round(CAST(n * (n - 1) * (2 * n + 5) - tie_adj AS DOUBLE) / 18.0, 6)
+               AS var_s
+           FROM p, ties),
+         z AS (SELECT *,
+             round(CASE WHEN s > 0
+                 THEN CAST(s - 1 AS DOUBLE) / sqrt(var_s)
+               WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var_s)
+               ELSE 0.0 END, 6) AS z
+           FROM f)
+         SELECT n_hours, s, tie_adj, var_s, z,
+           CASE WHEN z > 1.96 THEN 'increasing'
+             WHEN z < -1.96 THEN 'decreasing' ELSE 'none' END AS trend
+         FROM z""",
+    "stats_chi2_independence" ->
+      s"""WITH cells AS (SELECT event_type, hour($evTs) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS o
+           FROM events GROUP BY 1, 2),
+         m AS (SELECT *,
+             SUM(o) OVER (PARTITION BY event_type) AS ro,
+             SUM(o) OVER (PARTITION BY hr) AS co,
+             SUM(o) OVER () AS nn
+           FROM cells),
+         t AS (SELECT *,
+             round((CAST(o AS DOUBLE) - CAST(ro AS DOUBLE) * CAST(co AS DOUBLE)
+                 / CAST(nn AS DOUBLE))
+               * (CAST(o AS DOUBLE) - CAST(ro AS DOUBLE) * CAST(co AS DOUBLE)
+                 / CAST(nn AS DOUBLE))
+               / (CAST(ro AS DOUBLE) * CAST(co AS DOUBLE) / CAST(nn AS DOUBLE)),
+               6) AS term
+           FROM m),
+         a AS (SELECT CAST(MAX(nn) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT hr) AS BIGINT) AS n_cols,
+             round(${dsumSql("term")}, 6) AS chi2
+           FROM t)
+         SELECT n, n_rows, n_cols, (n_rows - 1) * (n_cols - 1) AS dof, chi2,
+           round(sqrt(chi2 / (CAST(n AS DOUBLE)
+             * CAST(LEAST(n_rows - 1, n_cols - 1) AS DOUBLE))), 6) AS cramers_v
+         FROM a""",
+    "stats_poisson_bootstrap" -> {
+      val cList = PoissonC.map(c => f"$c%.12f").mkString("[", ", ", "]")
+      val seed = "CAST(event_id AS VARCHAR) || ':' || CAST(g.b AS VARCHAR)"
+      s"""WITH ev AS (SELECT event_id, value FROM events
+           WHERE event_type = 'purchase'),
+         full_m AS (SELECT round(${dsumSql("value")} / COUNT(value), 6)
+             AS mean_full FROM ev),
+         r AS (SELECT value,
+             g.b,
+             (${graft.Tables.h48Sql(seed)} + 0.5) / 281474976710656.0 AS u
+           FROM ev CROSS JOIN
+             (SELECT unnest(generate_series(0, ${BootB - 1})) AS b) g),
+         w AS (SELECT b, value,
+             CAST(len(list_filter($cList, hx_c -> u > hx_c)) AS BIGINT) AS w
+           FROM r),
+         reps AS (SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff,
+             round(${dsumSql("round(w * value, 6)")} / CAST(SUM(w) AS DOUBLE), 6)
+               AS mean_b
+           FROM w GROUP BY 1),
+         rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY mean_b, b) AS rn
+           FROM reps),
+         ci AS (SELECT
+             MAX(CASE WHEN rn = 2 THEN mean_b END) AS ci_lo,
+             MAX(CASE WHEN rn = ${BootB - 1} THEN mean_b END) AS ci_hi
+           FROM rk)
+         SELECT CAST(b AS INT) AS replica, n_eff, mean_b, mean_full,
+           ci_lo, ci_hi
+         FROM rk, ci, full_m ORDER BY replica""" },
     "stats_gini_lorenz" ->
       """WITH rev AS (SELECT c.c_custkey,
              COALESCE(r.r0, 0.0) AS v

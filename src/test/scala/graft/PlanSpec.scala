@@ -204,7 +204,14 @@ class PlanSpec extends SparkTestBase {
       // 1-row horizon (max ts) broadcast onto the per-user lifetime agg
       "stats_kaplan_meier",
       // 1-row μ/v-vector and n broadcasts onto each matrix-free C·v scan
-      "ml_pca_power")
+      "ml_pca_power",
+      // 1-row corpus totals (X, n) broadcast onto the 25-nation frame
+      "stats_theil_decomposition",
+      // calendar-bounded hourly frame self-paired (≤10⁴ rows at any
+      // corpus size) plus the 1-row tie-table broadcast
+      "stats_mann_kendall",
+      // 1-row full-mean broadcast onto the 32-row replica frame
+      "stats_poisson_bootstrap")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, sf0001))

@@ -211,6 +211,131 @@ class Round11cSpec extends SparkTestBase {
     assert(math.abs(v2n - 1.0) < 1e-4)
   }
 
+  test("stats_theil_decomposition: within/between replicate JVM; the decomposition identity holds") {
+    val rows = Tables.orders(spark, sf0001).select("o_custkey", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val nat = Tables.customer(spark, sf0001).select("c_custkey", "c_nationkey")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val nName = Tables.nation(spark, sf0001).select("n_nationkey", "n_name")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    val xs = rows.groupBy(_._1).toSeq.map { case (ck, os) =>
+      (nName(nat(ck)), r6(dsumL(os.map(_._2))))
+    }
+    val xt = r6(dsumL(xs.map(_._2))); val n = xs.length.toLong
+    val grp = xs.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, ys) =>
+      val xg = r6(dsumL(ys.map(_._2))); val ng = ys.length.toLong
+      val tg = r6(dsumL(ys.map { y =>
+        r6((y._2 / xg) * r6(math.log(y._2 * ng / xg))) }))
+      val bg = r6((xg / xt) * r6(math.log((xg / xt) * (n.toDouble / ng))))
+      (g, ng, r6(xg / xt), tg, bg, r6((xg / xt) * tg))
+    }
+    val between = r6(dsumL(grp.map(_._5)))
+    val within = r6(dsumL(grp.map(_._6)))
+    val total = r6(dsumL(xs.map(y =>
+      r6((y._2 / xt) * r6(math.log(y._2 * n / xt))))))
+    val got = SparkEntry.queries("stats_theil_decomposition")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7)))
+    assert(got.map(g => (g._1, g._2, g._3, g._4, g._5)).toSeq ==
+      grp.map(g => (g._1, g._2, g._3, g._4, g._5)))
+    got.foreach { g =>
+      assert(g._6 == between && g._7 == within && g._8 == total)
+      assert(g._4 >= -1e-5, "within-group Theil is a KL divergence (>= 0)")
+    }
+    assert(between >= -1e-5 && total >= -1e-5)
+    // the decomposability Gini lacks: T = T_between + T_within (exact in
+    // R, rounding-limited in round-6 space)
+    assert(math.abs(total - (between + within)) < 1e-3,
+      s"decomposition identity: $total vs ${between + within}")
+  }
+
+  test("stats_mann_kendall: S, tie-corrected variance and z replicate JVM") {
+    val hourly = Tables.events(spark, sf0001)
+      .select(unix_micros(date_trunc("hour", col("ts"))), col("value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, xs) => r6(dsumL(xs.map(_._2))) }
+    val n = hourly.length.toLong
+    var s = 0L
+    for (i <- hourly.indices; j <- i + 1 until hourly.length)
+      s += java.lang.Double.compare(hourly(j), hourly(i)).sign
+    val tieAdj = hourly.groupBy(identity).values
+      .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) }).sum
+    val varS = r6((n * (n - 1) * (2 * n + 5) - tieAdj).toDouble / 18.0)
+    val z = r6(if (s > 0) (s - 1).toDouble / math.sqrt(varS)
+      else if (s < 0) (s + 1).toDouble / math.sqrt(varS) else 0.0)
+    val row = SparkEntry.queries("stats_mann_kendall")(spark, sf0001)
+      .collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((n, s, tieAdj)))
+    assert(row.getDouble(3) == varS && row.getDouble(4) == z)
+    val trend = if (z > 1.96) "increasing"
+      else if (z < -1.96) "decreasing" else "none"
+    assert(row.getString(5) == trend)
+  }
+
+  test("stats_chi2_independence: contingency chi2 and Cramer's V replicate JVM") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_type"), hour(col("ts"))).collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    val cells = ev.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ro = ev.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val co = ev.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nTot = ev.length.toLong
+    val chi2 = r6(dsumL(cells.toSeq.map { case ((t, h), o) =>
+      val e = ro(t).toDouble * co(h).toDouble / nTot.toDouble
+      r6((o - e) * (o - e) / e)
+    }))
+    val r = ro.size.toLong; val c = co.size.toLong
+    val v = r6(math.sqrt(chi2 / (nTot.toDouble * math.min(r - 1, c - 1))))
+    val row = SparkEntry.queries("stats_chi2_independence")(spark, sf0001)
+      .collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ==
+      ((nTot, r, c, (r - 1) * (c - 1))))
+    assert(row.getDouble(4) == chi2 && row.getDouble(5) == v)
+  }
+
+  test("stats_poisson_bootstrap: replica means replicate the h48 draws; CI is ordered") {
+    val ev = Tables.events(spark, sf0001)
+      .where(col("event_type") === "purchase")
+      .select("event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val cs = { // the frozen round-12 thresholds, rebuilt independently
+      var fact = 1.0; var cum = 0.0
+      (0 to 7).map { k =>
+        if (k > 0) fact *= k
+        cum += 1.0 / fact
+        BigDecimal(cum * math.exp(-1.0))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    val reps = (0 until 32).map { b =>
+      val ws = ev.map { case (id, v) =>
+        val u = (Tables.h48jvm(s"$id:$b") + 0.5) / 281474976710656.0
+        (cs.count(c => u > c).toLong, v)
+      }
+      val nEff = ws.map(_._1).sum
+      (b, nEff, r6(dsumL(ws.map(w => r6(w._1 * w._2))) / nEff))
+    }
+    val sorted = reps.sortBy(t => (t._3, t._1)).map(_._3)
+    val ciLo = sorted(1); val ciHi = sorted(30)
+    val meanFull = r6(dsumL(ev.map(_._2)) / ev.length)
+    val got = SparkEntry.queries("stats_poisson_bootstrap")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.map(g => (g._1, g._2, g._3)).toSeq == reps)
+    got.foreach { g =>
+      assert(g._4 == meanFull && g._5 == ciLo && g._6 == ciHi)
+    }
+    assert(ciLo < ciHi)
+    // Poisson(1) total weight concentrates at n (±4σ = ±4√n)
+    val nTot = ev.length.toLong
+    reps.foreach { r =>
+      assert(math.abs(r._2 - nTot) <= 4 * math.sqrt(nTot.toDouble) + 1,
+        s"replica ${r._1} weight ${r._2} far from $nTot")
+    }
+  }
+
   test("llm_lexical_diversity: per-language TTR/hapax/Herdan replicate a JVM vocabulary pass") {
     val docs = Tables.documents(spark, sf0001)
       .select("lang", "text").collect()
