@@ -398,7 +398,46 @@ object Ml {
       .orderBy("dim")
   }
 
+  /** L266 — operating-point table: precision / recall / F1 / accuracy
+    * at the nine thresholds 0.1..0.9 (the table a model reviewer reads
+    * AFTER the threshold-free AUC/AP to pick the deployment cutoff).
+    * Same bounded-histogram contract as L242/L255: the corpus collapses
+    * to the per-score frame once, then a 9-row threshold grid
+    * broadcast-joins it (s ≥ t) and each operating point is four
+    * exact-integer sums; ratios round-6 with the 0-prediction /
+    * 0-denominator edges NULLed honestly rather than coerced to 0. */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val perScore = scoredDocs(spark, dir).groupBy("s")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+    val tot = perScore.agg(sum(col("n_pos")).as("p_tot"),
+      sum(col("n")).as("n_tot"))
+    val grid = spark.range(1, 10)
+      .select((col("id").cast("double") / 10.0).as("t"))
+    val sums = perScore.join(broadcast(grid), col("s") >= col("t"), "inner")
+      .groupBy("t")
+      .agg(sum(col("n_pos")).as("tp0"),
+        sum(col("n") - col("n_pos")).as("fp0"))
+    grid.join(sums, Seq("t"), "left").crossJoin(broadcast(tot))
+      .select(col("t").as("threshold"),
+        coalesce(col("tp0"), lit(0L)).as("tp"),
+        coalesce(col("fp0"), lit(0L)).as("fp"),
+        col("p_tot"), col("n_tot"))
+      .select(col("threshold"), col("tp"), col("fp"),
+        (col("p_tot") - col("tp")).as("fn"),
+        (col("n_tot") - col("p_tot") - col("fp")).as("tn"),
+        when(col("tp") + col("fp") > 0, round(col("tp").cast("double") /
+          (col("tp") + col("fp")).cast("double"), 6)).as("precision"),
+        round(col("tp").cast("double") / col("p_tot").cast("double"), 6)
+          .as("recall"),
+        when(col("tp") > 0, round(lit(2.0) * col("tp").cast("double") /
+          (col("tp") + col("fp") + col("p_tot")).cast("double"), 6)).as("f1"),
+        round((col("tp") + col("n_tot") - col("p_tot") - col("fp"))
+          .cast("double") / col("n_tot").cast("double"), 6).as("accuracy"))
+      .orderBy("threshold")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_threshold_sweep" -> (thresholdSweep _),
     "ml_avg_precision" -> (avgPrecision _),
     "ml_pca_power" -> (pcaPower _),
     "ml_auc_roc" -> (aucRoc _),
@@ -424,6 +463,32 @@ object Ml {
        FROM documents)"""
 
   val oracles: Map[String, String] = Map(
+    "ml_threshold_sweep" ->
+      s"""WITH $scoredSql,
+         ps AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos
+           FROM scored GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS p_tot,
+             CAST(SUM(n) AS BIGINT) AS n_tot FROM ps),
+         grid AS (SELECT CAST(i AS DOUBLE) / 10.0 AS threshold
+           FROM (SELECT unnest(generate_series(1, 9)) AS i)),
+         sums AS (SELECT threshold, CAST(SUM(n_pos) AS BIGINT) AS tp0,
+             CAST(SUM(n - n_pos) AS BIGINT) AS fp0
+           FROM grid JOIN ps ON s >= threshold GROUP BY 1),
+         j AS (SELECT threshold, COALESCE(tp0, 0) AS tp,
+             COALESCE(fp0, 0) AS fp, p_tot, n_tot
+           FROM grid LEFT JOIN sums USING (threshold), tot)
+         SELECT threshold, tp, fp, p_tot - tp AS fn,
+           n_tot - p_tot - fp AS tn,
+           CASE WHEN tp + fp > 0 THEN
+             round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+           END AS "precision",
+           round(CAST(tp AS DOUBLE) / CAST(p_tot AS DOUBLE), 6) AS recall,
+           CASE WHEN tp > 0 THEN round(2.0 * CAST(tp AS DOUBLE)
+             / CAST(tp + fp + p_tot AS DOUBLE), 6) END AS f1,
+           round(CAST(tp + n_tot - p_tot - fp AS DOUBLE)
+             / CAST(n_tot AS DOUBLE), 6) AS accuracy
+         FROM j ORDER BY threshold""",
     "ml_avg_precision" ->
       s"""WITH $scoredSql,
          ps AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n,

@@ -292,7 +292,55 @@ object Warehouse5 {
       .withColumn("range", round(col("high") - col("low"), 6))
       .orderBy("bucket", "event_type")
 
+  /** L264 — deterministic MODE aggregate: the most active user per
+    * event type (exact mode with a TOTAL tiebreak — max count, then
+    * smallest user id — because `mode()`'s
+    * arbitrary-among-ties answer is exactly what a hash-compared
+    * pipeline cannot ship). Two map-combinable aggs: (type, user)
+    * counts, then a per-type max_by on the composite (n, −user) key —
+    * the struct order encodes the tiebreak, so the pick folds in the
+    * combiner like any max; no window, no sort. Share = modal user's
+    * fraction of the type's events, exact-integer division round-6. */
+  def modeTopUser(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(
+        max_by(col("user_id"), struct(col("n"), -col("user_id"))).as("modal_user"),
+        max(struct(col("n"), -col("user_id"))).getField("n").as("n_modal"),
+        sum(col("n")).as("n_type"))
+      .select(col("event_type"), col("modal_user"), col("n_modal"),
+        col("n_type"),
+        round(col("n_modal").cast("double") / col("n_type").cast("double"), 6)
+          .as("share"))
+      .orderBy("event_type")
+
+  /** L265 — day-of-week × hour-of-day activity profile (the "punch
+    * card" every ops dashboard opens with, and the seasonality prior
+    * L236's decomposition assumes): per (ISO dow, hour) cell — counts,
+    * decimal mean value, share of the weekly total (a window over the
+    * ≤168-row frame), weekend flag. ONE map-combinable agg; the frame
+    * is calendar-bounded at 168 rows at any corpus size. Spark's
+    * `weekday()+1` is pinned to DuckDB's `isodow` (Mon=1..7) — the
+    * dow-numbering trap called out instead of stepped in. */
+  def dowHourProfile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy()
+    events(spark, dir)
+      .groupBy((weekday(col("ts")) + 1).as("dow"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n_events"),
+        round(davg(col("value")), 6).as("avg_value"),
+        round(dsum(col("value")), 6).as("sum_value"))
+      .withColumn("share_of_total",
+        round(col("n_events").cast("double") /
+          sum(col("n_events")).over(w).cast("double"), 6))
+      .withColumn("is_weekend", col("dow") >= 6)
+      .orderBy("dow", "hr")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mode_top_user" -> (modeTopUser _),
+    "ts_dow_hour_profile" -> (dowHourProfile _),
     "ts_ohlc_hourly" -> (ohlcHourly _),
     "ts_crosscorr_types" -> (crossCorrTypes _),
     "win_sliding_distinct" -> (slidingDistinct _),
@@ -343,6 +391,29 @@ object Warehouse5 {
              (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6)
              AS r2
          FROM s""",
+    "agg_mode_top_user" ->
+      """WITH c AS (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         p AS (SELECT event_type, user_id AS modal_user, n AS n_modal,
+             SUM(n) OVER (PARTITION BY event_type) AS n_type,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY n DESC, user_id ASC) AS rk
+           FROM c)
+         SELECT event_type, modal_user, n_modal,
+           CAST(n_type AS BIGINT) AS n_type,
+           round(CAST(n_modal AS DOUBLE) / CAST(n_type AS DOUBLE), 6) AS share
+         FROM p WHERE rk = 1 ORDER BY event_type""",
+    "ts_dow_hour_profile" ->
+      s"""WITH c AS (SELECT isodow($evTs) AS dow, hour($evTs) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             round(${dsumSql("value")} / COUNT(value), 6) AS avg_value,
+             round(${dsumSql("value")}, 6) AS sum_value
+           FROM events GROUP BY 1, 2)
+         SELECT dow, hr, n_events, avg_value, sum_value,
+           round(CAST(n_events AS DOUBLE)
+             / CAST(SUM(n_events) OVER () AS DOUBLE), 6) AS share_of_total,
+           dow >= 6 AS is_weekend
+         FROM c ORDER BY dow, hr""",
     "ts_ohlc_hourly" ->
       s"""SELECT date_trunc('hour', $evTs) AS bucket, event_type,
            arg_min(value, event_id) AS open,

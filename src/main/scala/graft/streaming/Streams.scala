@@ -1220,6 +1220,30 @@ object Streams {
         graft.Tables.h48(col("user_id").cast("string")), 4, 16).as("sk"))
       .select(col("w.start").as("ws"), col("sk"))
 
+  /** L259 streaming twin — hourly OHLC candles ON A STREAM (the
+    * tick-rollup a metrics pipeline keeps live): the same ONE
+    * aggregate as the batch `ts_ohlc_hourly`, running as a streaming
+    * windowed agg in complete mode. Every component folds
+    * associatively-commutatively in the state store — min/max
+    * trivially, min_by/max_by on the UNIQUE sequence number
+    * (event_id), the volume sum in DECIMAL — so candles accumulated
+    * across micro-batch boundaries are BIT-EQUAL to the batch rollup
+    * over the same rows (StreamingSpec pins it against the registered
+    * batch query itself). State per open candle is O(1): six scalars. */
+  def ohlcWindowed(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        min_by(col("value"), col("event_id")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("event_id")).as("close"),
+        count(lit(1)).as("n_events"),
+        round(graft.Tables.dsum(col("value")), 6).as("v_sum"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("open"),
+        col("high"), col("low"), col("close"), col("n_events"), col("v_sum"),
+        round(col("high") - col("low"), 6).as("range"))
+
   /** L193 streaming twin — windowed KMV/bottom-k distinct sketch ON A
     * STREAM (the cardinality sibling of [[cmsWindowed]] above, same
     * design): [[graft.functions.KmvAgg]] runs as a streaming aggregate,

@@ -211,7 +211,10 @@ class PlanSpec extends SparkTestBase {
       // corpus size) plus the 1-row tie-table broadcast
       "stats_mann_kendall",
       // 1-row full-mean broadcast onto the 32-row replica frame
-      "stats_poisson_bootstrap")
+      "stats_poisson_bootstrap",
+      // 9-row threshold grid broadcast over the bounded score histogram
+      // plus the 1-row class-totals broadcast
+      "ml_threshold_sweep")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, sf0001))

@@ -389,6 +389,78 @@ class Round11cSpec extends SparkTestBase {
     }
   }
 
+  test("agg_mode_top_user: deterministic mode replicates JVM max-by-(n, -uid)") {
+    val ev = Tables.events(spark, sf0001)
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val want = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, xs) =>
+      val counts = xs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val (u, n) = counts.toSeq.maxBy { case (uid, n) => (n, -uid) }
+      (t, u, n, xs.length.toLong, r6(n.toDouble / xs.length))
+    }
+    val got = SparkEntry.queries("agg_mode_top_user")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == want, s"\n got ${got.toSeq}\nwant $want")
+  }
+
+  test("ts_dow_hour_profile: punch card replicates JVM; shares sum to 1") {
+    val ev = Tables.events(spark, sf0001)
+      .select(unix_micros(col("ts")), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    def cell(us: Long): (Int, Int) = {
+      val sec = math.floorDiv(us, 1000000L)
+      val days = math.floorDiv(sec, 86400L)
+      val dow = ((days + 3) % 7 + 1).toInt // 1970-01-01 = Thursday = isodow 4
+      val hr = (math.floorMod(sec, 86400L) / 3600L).toInt
+      (dow, hr)
+    }
+    val nTot = ev.length.toLong
+    val want = ev.groupBy(e => cell(e._1)).toSeq.sortBy(_._1).map {
+      case ((dow, hr), xs) =>
+        (dow, hr, xs.length.toLong, r6(dsumL(xs.map(_._2)) / xs.length),
+          r6(dsumL(xs.map(_._2))), r6(xs.length.toDouble / nTot), dow >= 6)
+    }
+    val got = SparkEntry.queries("ts_dow_hour_profile")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    assert(got.toSeq == want)
+    assert(math.abs(dsumL(got.map(_._6)) - 1.0) < 1e-3, "shares must sum to 1")
+  }
+
+  test("ml_threshold_sweep: operating points replicate JVM; recall non-increasing in t") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val scored = docs.map { d =>
+      val z = -1.0 + -1.5 * (d._4.toDouble / 100.0) +
+        1.2 * (d._3.split(" ", -1).length.toDouble / 10.0)
+      (if (d._2 == "en") 1L else 0L, r6(1.0 / (1.0 + math.exp(-z))))
+    }
+    val p = scored.map(_._1).sum
+    val nTot = scored.length.toLong
+    val want = (1 to 9).map { i =>
+      val t = i.toDouble / 10.0
+      val tp = scored.count(s => s._2 >= t && s._1 == 1).toLong
+      val fp = scored.count(s => s._2 >= t && s._1 == 0).toLong
+      (t, tp, fp, p - tp, nTot - p - fp,
+        if (tp + fp > 0) Some(r6(tp.toDouble / (tp + fp))) else None,
+        r6(tp.toDouble / p),
+        if (tp > 0) Some(r6(2.0 * tp / (tp + fp + p))) else None,
+        r6((tp + nTot - p - fp).toDouble / nTot))
+    }
+    val got = SparkEntry.queries("ml_threshold_sweep")(spark, sf0001)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)), r.getDouble(6),
+        if (r.isNullAt(7)) None else Some(r.getDouble(7)), r.getDouble(8)))
+    assert(got.toSeq == want, s"\n got ${got.toSeq}\nwant $want")
+    val recalls = got.map(_._7)
+    assert(recalls.zip(recalls.drop(1)).forall { case (a, b) => b <= a },
+      "recall must be non-increasing as the threshold rises")
+    got.foreach(g => assert(g._2 + g._4 == p, "tp + fn must equal P"))
+  }
+
   test("stats_kaplan_meier: product-limit curve replicates a JVM fold; survival non-increasing") {
     val ev = Tables.events(spark, sf0001)
       .select(col("user_id"), unix_micros(col("ts"))).collect()

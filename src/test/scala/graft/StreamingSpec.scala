@@ -1250,6 +1250,48 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("batch≡streaming: OHLC candles bit-equal to the batch rollup across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ordered = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val ms = MemoryStream[Event]
+    val q = runToTable(Streams.ohlcWindowed(ms.toDF()), "ohlc_win", "complete")
+    try {
+      // three chronological micro-batches: most candles accumulate
+      // open/high/low/close across a state-store boundary
+      ordered.grouped((ordered.length + 2) / 3).foreach { chunk =>
+        ms.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("ohlc_win")
+        .select($"bucket".cast("string"), $"event_type", $"open", $"high",
+          $"low", $"close", $"n_events", $"v_sum", $"range")
+        .as[(String, String, Double, Double, Double, Double, Long, Double, Double)]
+        .collect().toSet
+      val batch = SparkEntry.queries("ts_ohlc_hourly")(spark, sf0001)
+        .select($"bucket".cast("string"), $"event_type", $"open", $"high",
+          $"low", $"close", $"n_events", $"v_sum", $"range")
+        .as[(String, String, Double, Double, Double, Double, Long, Double, Double)]
+        .collect().toSet
+      assert(streamed === batch,
+        s"only-streamed=${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
+      assert(batch.size > 10, "fixture must span many candles")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("batch≡streaming: per-window count-min sketches bit-equal across micro-batches") {
     val s = spark
     import s.implicits._
