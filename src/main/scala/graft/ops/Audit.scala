@@ -268,7 +268,45 @@ object Audit {
       .orderBy("event_type")
   }
 
+  /** L267 — Warner randomized response (Warner JASA 1965; LOCAL
+    * differential privacy, completing the privacy family's central-DP
+    * Laplace release L247): each row reports its sensitive bit ("is
+    * this a purchase") truthfully with probability p = 3/4, flipped
+    * otherwise — the analyst sees only noised bits, and the population
+    * rate is recovered by the unbiased inversion π̂ = (r̄ − (1−p)) /
+    * (2p−1). ε = ln(p/(1−p)) = ln 3, frozen as a round-6 literal.
+    * Like L247, the per-row coin is the replayable h48 draw (u exact
+    * dyadic in (0,1)) so CI and the oracle replay every flip
+    * bit-for-bit; production swaps a sealed PRNG and DROPS the true
+    * column — here it rides for the audit, which is the point: the
+    * mechanism's measured absolute error IS the output. One
+    * map-combinable scan; three counters. */
+  def randomizedResponse(spark: SparkSession, dir: String): DataFrame = {
+    val p = 0.75
+    val eps = BigDecimal(math.log(p / (1 - p)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val u = (h48(concat(lit("rr:"), col("event_id"))).cast("double") + 0.5) /
+      lit(math.pow(2.0, 48))
+    val y = col("event_type") === "purchase"
+    val reported = when(u < p, y).otherwise(!y)
+    events(spark, dir)
+      .select(y.cast("long").as("y"), reported.cast("long").as("r"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_true"),
+        sum(col("r")).as("n_reported"))
+      .select(col("n"), col("n_true"),
+        round(col("n_true").cast("double") / col("n").cast("double"), 6)
+          .as("true_frac"),
+        col("n_reported"),
+        round(col("n_reported").cast("double") / col("n").cast("double"), 6)
+          .as("obs_frac"))
+      .withColumn("est_frac", round(
+        (col("obs_frac") - lit(1.0 - p)) / lit(2.0 * p - 1.0), 6))
+      .withColumn("abs_err", round(abs(col("est_frac") - col("true_frac")), 6))
+      .withColumn("epsilon", lit(eps))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "privacy_randomized_response" -> (randomizedResponse _),
     "privacy_dp_counts" -> (dpCounts _),
     "privacy_l_diversity" -> (lDiversity _),
     "privacy_k_anonymity" -> (kAnonymity _),
@@ -279,6 +317,34 @@ object Audit {
   )
 
   val oracles: Map[String, String] = Map(
+    "privacy_randomized_response" -> {
+      val h = h48Sql("'rr:' || CAST(event_id AS VARCHAR)")
+      val eps = f"${math.log(0.75 / 0.25)}%.6f"
+      s"""WITH b AS (SELECT
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             (CAST(($h) AS DOUBLE) + 0.5) / ${math.pow(2.0, 48)} AS u
+           FROM events),
+         r AS (SELECT y,
+             CASE WHEN u < 0.75 THEN y ELSE 1 - y END AS rep
+           FROM b),
+         a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_true,
+             CAST(SUM(rep) AS BIGINT) AS n_reported
+           FROM r),
+         f AS (SELECT n, n_true,
+             round(CAST(n_true AS DOUBLE) / CAST(n AS DOUBLE), 6) AS true_frac,
+             n_reported,
+             round(CAST(n_reported AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS obs_frac
+           FROM a),
+         e AS (SELECT *,
+             round((obs_frac - 0.25) / 0.5, 6) AS est_frac
+           FROM f)
+         SELECT n, n_true, true_frac, n_reported, obs_frac, est_frac,
+           round(abs(est_frac - true_frac), 6) AS abs_err,
+           CAST($eps AS DOUBLE) AS epsilon
+         FROM e"""
+    },
     "privacy_dp_counts" -> {
       val h = h48Sql("'dp:' || event_type")
       s"""WITH g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_true

@@ -436,7 +436,54 @@ object Ml {
       .orderBy("threshold")
   }
 
+  /** L269 — per-dimension feature profile of the embedding corpus
+    * (the feature-screening table a training pipeline reads before
+    * whitening: mean / std / min / max / skewness / excess kurtosis
+    * per dimension, plus the near-constant flag that marks dead
+    * features). One posexplode scan → four raw power sums per dim
+    * (map-combinable); central moments recovered from raw sums in the
+    * 64-row frame. The ~0.1-magnitude entries are profiled in ×8
+    * DYADIC-scaled space (exact exponent shift; x⁴ lands ~0.4 where
+    * the round-6 grid is relatively fine, vs ~1e-4 raw where it is
+    * 0.5% coarse) and descaled on output — skew/kurtosis are
+    * scale-free and need no descaling at all. */
+  def featureStats(spark: SparkSession, dir: String): DataFrame = {
+    val agged = embeddings(spark, dir)
+      .select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "x0")))
+      .select(col("dim"), (col("x0") * 8.0).as("x"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("x")).as("s1"),
+        dsum(round(col("x") * col("x"), 6)).as("s2"),
+        dsum(round(col("x") * col("x") * col("x"), 6)).as("s3"),
+        dsum(round(col("x") * col("x") * col("x") * col("x"), 6)).as("s4"),
+        min(col("x")).as("mn"), max(col("x")).as("mx"))
+    // the float expression TREES below mirror the oracle SQL exactly
+    // (same associativity), so every double op rounds identically
+    val nd = col("n").cast("double")
+    val m = col("s1") / nd
+    val r2 = col("s2") / nd
+    val r3 = col("s3") / nd
+    val r4 = col("s4") / nd
+    val m2 = r2 - m * m
+    val m3 = r3 - lit(3.0) * m * r2 + lit(2.0) * m * m * m
+    val m4 = r4 - lit(4.0) * m * r3 + lit(6.0) * m * m * r2 -
+      lit(3.0) * m * m * m * m
+    val std8 = sqrt(greatest(m2, lit(0.0)))
+    agged.select(col("dim"), col("n"),
+        round(m / 8.0, 6).as("mean"),
+        round(std8 / 8.0, 6).as("std"),
+        round(col("mn") / 8.0, 6).as("min_v"),
+        round(col("mx") / 8.0, 6).as("max_v"),
+        round(m3 / (std8 * std8 * std8), 6).as("skewness"),
+        round(m4 / (std8 * std8 * std8 * std8) - 3.0, 6).as("kurtosis_ex"),
+        (std8 / 8.0 < 0.001).as("near_constant"))
+      .orderBy("dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_feature_stats" -> (featureStats _),
     "ml_threshold_sweep" -> (thresholdSweep _),
     "ml_avg_precision" -> (avgPrecision _),
     "ml_pca_power" -> (pcaPower _),
@@ -463,6 +510,36 @@ object Ml {
        FROM documents)"""
 
   val oracles: Map[String, String] = Map(
+    "ml_feature_stats" ->
+      s"""WITH xe AS (SELECT i - 1 AS dim,
+             CAST(embedding[i] AS DOUBLE) * 8.0 AS x
+           FROM embeddings CROSS JOIN
+             (SELECT unnest(generate_series(1, $Dim)) AS i) g),
+         a AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+             ${dsumSql("x")} AS s1,
+             ${dsumSql("round(x * x, 6)")} AS s2,
+             ${dsumSql("round(x * x * x, 6)")} AS s3,
+             ${dsumSql("round(x * x * x * x, 6)")} AS s4,
+             MIN(x) AS mn, MAX(x) AS mx
+           FROM xe GROUP BY 1),
+         d AS (SELECT dim, n, mn, mx,
+             s1 / CAST(n AS DOUBLE) AS m,
+             s2 / CAST(n AS DOUBLE) AS r2,
+             s3 / CAST(n AS DOUBLE) AS r3,
+             s4 / CAST(n AS DOUBLE) AS r4
+           FROM a),
+         c AS (SELECT dim, n, mn, mx, m,
+             sqrt(GREATEST(r2 - m * m, 0.0)) AS std8,
+             r3 - 3.0 * m * r2 + 2.0 * m * m * m AS m3,
+             r4 - 4.0 * m * r3 + 6.0 * m * m * r2 - 3.0 * m * m * m * m AS m4
+           FROM d)
+         SELECT dim, n, round(m / 8.0, 6) AS mean,
+           round(std8 / 8.0, 6) AS std,
+           round(mn / 8.0, 6) AS min_v, round(mx / 8.0, 6) AS max_v,
+           round(m3 / (std8 * std8 * std8), 6) AS skewness,
+           round(m4 / (std8 * std8 * std8 * std8) - 3.0, 6) AS kurtosis_ex,
+           std8 / 8.0 < 0.001 AS near_constant
+         FROM c ORDER BY dim""",
     "ml_threshold_sweep" ->
       s"""WITH $scoredSql,
          ps AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n,

@@ -365,7 +365,35 @@ object Stats {
       .orderBy("replica")
   }
 
+  /** L268 — Hill estimator of the heavy-tail exponent of order values
+    * (Hill Ann. Stat. 1975: α̂ = [k⁻¹ Σᵢ₌₁..k ln(x₍ᵢ₎/x₍ₖ₊₁₎)]⁻¹ over
+    * the k largest order statistics — the number that says whether the
+    * revenue tail is Pareto-fat, read before trusting any mean-based
+    * forecast; the heavy-tail sibling of L228's Zipf slope, which fits
+    * ranks of FREQUENCIES, not values). The scale story is the whole
+    * point: the k+1 top order statistics come from
+    * TakeOrderedAndProject on the total (value desc, key) order — a
+    * per-partition heap + driver merge of k+1 rows, NO global sort at
+    * any corpus size; everything after is a 201-row local frame. ln
+    * round-6 → decimal mean → one reciprocal. */
+  def hillTail(spark: SparkSession, dir: String): DataFrame = {
+    val k = 200
+    val top = orders(spark, dir)
+      .select(col("o_totalprice").as("x"), col("o_orderkey").as("okey"))
+      .orderBy(col("x").desc, col("okey")).limit(k + 1)
+    val w = Window.orderBy(col("x").desc, col("okey"))
+    val ranked = top.withColumn("rn", row_number().over(w))
+    val thr = ranked.where(col("rn") === k + 1)
+      .select(col("x").as("x_threshold"))
+    ranked.where(col("rn") <= k).crossJoin(broadcast(thr))
+      .agg(count(lit(1)).as("k"), max(col("x_threshold")).as("x_threshold"),
+        round(dsum(round(log(col("x") / col("x_threshold")), 6)) /
+          lit(k.toDouble), 6).as("mean_log_excess"))
+      .withColumn("alpha", round(lit(1.0) / col("mean_log_excess"), 6))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_hill_tail" -> (hillTail _),
     "stats_theil_decomposition" -> (theilDecomposition _),
     "stats_mann_kendall" -> (mannKendall _),
     "stats_chi2_independence" -> (chi2Independence _),
@@ -377,6 +405,20 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "stats_hill_tail" ->
+      s"""WITH top AS (SELECT o_totalprice AS x, o_orderkey AS okey
+           FROM orders ORDER BY x DESC, okey LIMIT 201),
+         rk AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x DESC, okey) AS rn
+           FROM top),
+         thr AS (SELECT x AS x_threshold FROM rk WHERE rn = 201),
+         a AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             MAX(x_threshold) AS x_threshold,
+             round(${dsumSql("round(ln(x / x_threshold), 6)")} / 200.0, 6)
+               AS mean_log_excess
+           FROM rk, thr WHERE rn <= 200)
+         SELECT k, x_threshold, mean_log_excess,
+           round(1.0 / mean_log_excess, 6) AS alpha
+         FROM a""",
     "stats_theil_decomposition" ->
       s"""WITH x AS (SELECT n.n_name,
              round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6)

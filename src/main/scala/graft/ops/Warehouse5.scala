@@ -338,7 +338,36 @@ object Warehouse5 {
       .orderBy("dow", "hr")
   }
 
+  /** L270 — gaps-and-islands: longest consecutive-day activity streak
+    * per user (the retention engineer's "current streak" feature, and
+    * the canonical SQL islands problem): distinct active days, then
+    * the island key day − row_number — constant exactly while days
+    * are consecutive, so one (user-keyed) window + one group-by turns
+    * runs into rows WITHOUT any self-join or iteration. Top 20
+    * streaks on the total (length desc, user, start) order via
+    * TakeOrderedAndProject. Days are epoch-day integers end to end
+    * (no timezone re-derivation ambiguity between engines). */
+  def activityStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val days = events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+          .as("day_num"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day_num"))
+    days
+      .withColumn("grp", col("day_num") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("streak_days"),
+        min(col("day_num")).as("start_day"),
+        max(col("day_num")).as("end_day"))
+      .select(col("user_id"), col("streak_days"), col("start_day"),
+        col("end_day"))
+      .orderBy(col("streak_days").desc, col("user_id"), col("start_day"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_activity_streaks" -> (activityStreaks _),
     "agg_mode_top_user" -> (modeTopUser _),
     "ts_dow_hour_profile" -> (dowHourProfile _),
     "ts_ohlc_hourly" -> (ohlcHourly _),
@@ -391,6 +420,20 @@ object Warehouse5 {
              (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6)
              AS r2
          FROM s""",
+    "win_activity_streaks" ->
+      s"""WITH days AS (SELECT DISTINCT user_id,
+             epoch_us(date_trunc('day', $evTs)) // 86400000000 AS day_num
+           FROM events),
+         isl AS (SELECT user_id, day_num,
+             day_num - ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY day_num) AS grp
+           FROM days),
+         s AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS streak_days,
+             CAST(MIN(day_num) AS BIGINT) AS start_day,
+             CAST(MAX(day_num) AS BIGINT) AS end_day
+           FROM isl GROUP BY user_id, grp)
+         SELECT user_id, streak_days, start_day, end_day FROM s
+         ORDER BY streak_days DESC, user_id, start_day LIMIT 20""",
     "agg_mode_top_user" ->
       """WITH c AS (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
            FROM events GROUP BY 1, 2),

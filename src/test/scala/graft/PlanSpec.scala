@@ -214,7 +214,9 @@ class PlanSpec extends SparkTestBase {
       "stats_poisson_bootstrap",
       // 9-row threshold grid broadcast over the bounded score histogram
       // plus the 1-row class-totals broadcast
-      "ml_threshold_sweep")
+      "ml_threshold_sweep",
+      // 1-row x_(k+1) threshold broadcast onto the 200-row top frame
+      "stats_hill_tail")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, sf0001))

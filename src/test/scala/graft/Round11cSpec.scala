@@ -461,6 +461,104 @@ class Round11cSpec extends SparkTestBase {
     got.foreach(g => assert(g._2 + g._4 == p, "tp + fn must equal P"))
   }
 
+  test("privacy_randomized_response: every coin replays via h48; debiased estimate beats raw") {
+    val ev = Tables.events(spark, sf0001)
+      .select("event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val flips = ev.map { case (id, t) =>
+      val y = if (t == "purchase") 1L else 0L
+      val u = (Tables.h48jvm(s"rr:$id") + 0.5) / 281474976710656.0
+      (y, if (u < 0.75) y else 1 - y)
+    }
+    val n = flips.length.toLong
+    val nTrue = flips.map(_._1).sum
+    val nRep = flips.map(_._2).sum
+    val trueFrac = r6(nTrue.toDouble / n)
+    val obsFrac = r6(nRep.toDouble / n)
+    val est = r6((obsFrac - 0.25) / 0.5)
+    val row = SparkEntry.queries("privacy_randomized_response")(spark, sf0001)
+      .collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(3)) == ((n, nTrue, nRep)))
+    assert(row.getDouble(2) == trueFrac && row.getDouble(4) == obsFrac)
+    assert(row.getDouble(5) == est)
+    assert(row.getDouble(6) == r6(math.abs(est - trueFrac)))
+    // the inversion must recover the truth better than the raw noised
+    // rate does (the mechanism's whole point)
+    assert(math.abs(est - trueFrac) < math.abs(obsFrac - trueFrac))
+    assert(row.getDouble(7) == r6(math.log(3.0)))
+  }
+
+  test("stats_hill_tail: top-201 order statistics replicate; alpha positive") {
+    val xs = Tables.orders(spark, sf0001)
+      .select("o_totalprice", "o_orderkey").collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy(t => (-t._1, t._2))
+    val top = xs.take(201)
+    val thr = top.last._1
+    val mle = r6(dsumL(top.take(200).map(t => r6(math.log(t._1 / thr)))) / 200.0)
+    val row = SparkEntry.queries("stats_hill_tail")(spark, sf0001)
+      .collect().head
+    assert(row.getLong(0) == 200L)
+    assert(row.getDouble(1) == thr)
+    assert(row.getDouble(2) == mle)
+    assert(row.getDouble(3) == r6(1.0 / mle))
+    assert(row.getDouble(3) > 0.0, "tail exponent must be positive")
+  }
+
+  test("ml_feature_stats: per-dim moments replicate a JVM raw-sums pass in x8 space") {
+    val xs = Tables.embeddings(spark, sf0001)
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val n = xs.length
+    val got = SparkEntry.queries("ml_feature_stats")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7), r.getBoolean(8)))
+    assert(got.length == xs.head.length)
+    got.foreach { g =>
+      val d = g._1
+      val v8 = xs.map(_(d) * 8.0)
+      val m = dsumL(v8) / n
+      val r2 = dsumL(v8.map(x => r6(x * x))) / n
+      val r3 = dsumL(v8.map(x => r6(x * x * x))) / n
+      val r4 = dsumL(v8.map(x => r6(x * x * x * x))) / n
+      val std8 = math.sqrt(math.max(r2 - m * m, 0.0))
+      val m3 = r3 - 3.0 * m * r2 + 2.0 * m * m * m
+      val m4 = r4 - 4.0 * m * r3 + 6.0 * m * m * r2 - 3.0 * m * m * m * m
+      assert(g._2 == n.toLong)
+      assert(g._3 == r6(m / 8.0), s"mean dim $d")
+      assert(g._4 == r6(std8 / 8.0), s"std dim $d")
+      assert(g._5 == r6(v8.min / 8.0) && g._6 == r6(v8.max / 8.0))
+      assert(g._7 == r6(m3 / (std8 * std8 * std8)), s"skew dim $d")
+      assert(g._8 == r6(m4 / (std8 * std8 * std8 * std8) - 3.0), s"kurt dim $d")
+      assert(g._9 == (std8 / 8.0 < 0.001))
+      assert(g._5 <= g._3 && g._3 <= g._6, "min <= mean <= max")
+    }
+  }
+
+  test("win_activity_streaks: islands replicate JVM; streaks are genuinely consecutive") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val streaks = ev.groupBy(_._1).toSeq.flatMap { case (u, ds) =>
+      val days = ds.map(_._2).sorted
+      val runs = days.foldLeft(List.empty[(Long, Long, Long)]) {
+        case (acc, d) => acc match {
+          case (len, st, en) :: tl if d == en + 1 => (len + 1, st, d) :: tl
+          case _ => (1L, d, d) :: acc
+        }
+      }
+      runs.map { case (len, st, en) => (u, len, st, en) }
+    }
+    val want = streaks.sortBy(t => (-t._2, t._1, t._3)).take(20)
+    val got = SparkEntry.queries("win_activity_streaks")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == want, s"\n got ${got.toSeq}\nwant $want")
+    got.foreach(s => assert(s._4 - s._3 + 1 == s._2,
+      "streak length must equal its day span"))
+  }
+
   test("stats_kaplan_meier: product-limit curve replicates a JVM fold; survival non-increasing") {
     val ev = Tables.events(spark, sf0001)
       .select(col("user_id"), unix_micros(col("ts"))).collect()
