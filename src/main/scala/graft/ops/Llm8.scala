@@ -365,7 +365,49 @@ object Llm8 {
       .orderBy("lang")
   }
 
+  /** L271 — CONTAINMENT near-dup detection (Broder 1997's second
+    * resemblance measure: |A∩B|/min(|A|,|B|) — the one that catches
+    * PARTIAL COPIES, where a short document is swallowed whole by a
+    * longer one; symmetric Jaccard ≥0.9 dedup (L8) is structurally
+    * blind to exactly these pairs because the union washes the overlap
+    * out). On the bounded 100-doc audit slice the word-level pair join
+    * is exhaustive (the fixture holds 2 272 contained-but-not-Jaccard
+    * pairs — the gate proves the miss class is REAL, not
+    * hypothetical); at scale the candidate generation is the L158
+    * prefix filter, which remains lossless for containment when the
+    * prefix is sized by min-side cardinality. Top 20 by (containment,
+    * d1, d2) with both directed containments, Jaccard, and the
+    * is_partial_copy verdict. */
+  def containmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = documents(spark, dir).where(col("doc_id") < 100)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("word"))
+    val sz = w.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairs = w.as("w1").join(w.as("w2"),
+        col("w1.word") === col("w2.word") && col("w1.doc_id") < col("w2.doc_id"))
+      .groupBy(col("w1.doc_id").as("d1"), col("w2.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sz.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sz.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+      .select(col("d1"), col("d2"), col("inter"), col("sz1"), col("sz2"),
+        round(col("inter").cast("double") /
+          least(col("sz1"), col("sz2")).cast("double"), 6).as("containment"),
+        round(col("inter").cast("double") / col("sz1").cast("double"), 6)
+          .as("c_1_in_2"),
+        round(col("inter").cast("double") / col("sz2").cast("double"), 6)
+          .as("c_2_in_1"),
+        round(col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+      .withColumn("is_partial_copy",
+        col("containment") >= 0.9 && col("jaccard") < 0.9)
+      .orderBy(col("containment").desc, col("d1"), col("d2"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_containment_dedup" -> (containmentDedup _),
     "llm_lexical_diversity" -> (lexicalDiversity _),
     "llm_pii_scan" -> (piiScan _),
     "llm_vocab_coverage" -> (vocabCoverage _),
@@ -384,6 +426,29 @@ object Llm8 {
     s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
   val oracles: Map[String, String] = Map(
+    "llm_containment_dedup" ->
+      """WITH w AS (SELECT doc_id,
+             unnest(list_distinct(string_split(text, ' '))) AS word
+           FROM documents WHERE doc_id < 100),
+         sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+           FROM w GROUP BY 1),
+         p AS (SELECT w1.doc_id AS d1, w2.doc_id AS d2,
+             CAST(COUNT(*) AS BIGINT) AS inter
+           FROM w w1 JOIN w w2
+             ON w1.word = w2.word AND w1.doc_id < w2.doc_id
+           GROUP BY 1, 2),
+         j AS (SELECT d1, d2, inter, a.sz AS sz1, b.sz AS sz2,
+             round(CAST(inter AS DOUBLE)
+               / CAST(LEAST(a.sz, b.sz) AS DOUBLE), 6) AS containment,
+             round(CAST(inter AS DOUBLE) / CAST(a.sz AS DOUBLE), 6)
+               AS c_1_in_2,
+             round(CAST(inter AS DOUBLE) / CAST(b.sz AS DOUBLE), 6)
+               AS c_2_in_1,
+             round(CAST(inter AS DOUBLE)
+               / CAST(a.sz + b.sz - inter AS DOUBLE), 6) AS jaccard
+           FROM p JOIN sz a ON d1 = a.doc_id JOIN sz b ON d2 = b.doc_id)
+         SELECT *, containment >= 0.9 AND jaccard < 0.9 AS is_partial_copy
+         FROM j ORDER BY containment DESC, d1, d2 LIMIT 20""",
     "llm_lexical_diversity" ->
       """WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word
            FROM documents),

@@ -366,7 +366,50 @@ object Warehouse5 {
       .limit(20)
   }
 
+  /** L272 — open-orders concurrency curve (the sweep-line "how many
+    * are in flight" question asked of every order/session/ticket
+    * table): an order opens at o_orderdate and closes at its LAST
+    * line's shipdate; the curve is cumulative(opened − closed) on the
+    * day grid. The sweep never materializes per-order intervals
+    * against each other (the O(n²) overlap-join trap): two
+    * map-combinable day aggregates + a calendar densify, with the
+    * running sum over the CALENDAR-BOUNDED day frame (≤2 500 rows
+    * here, never corpus-proportional). Orders with no lines yet are
+    * honestly still open at end of horizon. Peak day flagged
+    * in-result. */
+  def openOrdersCurve(spark: SparkSession, dir: String): DataFrame = {
+    val opened = orders(spark, dir)
+      .groupBy(expr("unix_micros(date_trunc('day', o_orderdate)) div 86400000000")
+        .as("day_num"))
+      .agg(count(lit(1)).as("n_opened"))
+    val closed = lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(expr("unix_micros(date_trunc('day', l_shipdate)) div 86400000000"))
+        .as("day_num"))
+      .groupBy("day_num").agg(count(lit(1)).as("n_closed"))
+    val span = opened.select(col("day_num"))
+      .unionAll(closed.select(col("day_num")))
+      .agg(min(col("day_num")).as("lo"), max(col("day_num")).as("hi"))
+    val cal = span.select(explode(sequence(col("lo"), col("hi"))).as("day_num"))
+    val w = Window.orderBy(col("day_num"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    cal
+      .join(opened, Seq("day_num"), "left")
+      .join(closed, Seq("day_num"), "left")
+      .select(col("day_num"),
+        coalesce(col("n_opened"), lit(0L)).as("n_opened"),
+        coalesce(col("n_closed"), lit(0L)).as("n_closed"))
+      .withColumn("open_after",
+        sum(col("n_opened") - col("n_closed")).over(w))
+      .withColumn("is_peak",
+        col("open_after") === max(col("open_after")).over(wAll))
+      .orderBy("day_num")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_open_orders_curve" -> (openOrdersCurve _),
     "win_activity_streaks" -> (activityStreaks _),
     "agg_mode_top_user" -> (modeTopUser _),
     "ts_dow_hour_profile" -> (dowHourProfile _),
@@ -420,6 +463,32 @@ object Warehouse5 {
              (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6)
              AS r2
          FROM s""",
+    "ts_open_orders_curve" ->
+      """WITH op AS (SELECT epoch_us(date_trunc('day',
+               CAST(o_orderdate AS TIMESTAMP))) // 86400000000 AS day_num,
+             CAST(COUNT(*) AS BIGINT) AS n_opened
+           FROM orders GROUP BY 1),
+         lastship AS (SELECT l_orderkey,
+             MAX(epoch_us(date_trunc('day',
+               CAST(l_shipdate AS TIMESTAMP))) // 86400000000) AS day_num
+           FROM lineitem GROUP BY 1),
+         cl AS (SELECT day_num, CAST(COUNT(*) AS BIGINT) AS n_closed
+           FROM lastship GROUP BY 1),
+         span AS (SELECT MIN(day_num) AS lo, MAX(day_num) AS hi FROM
+           (SELECT day_num FROM op UNION ALL SELECT day_num FROM cl)),
+         cal AS (SELECT unnest(generate_series(lo, hi)) AS day_num FROM span),
+         f AS (SELECT cal.day_num,
+             COALESCE(n_opened, 0) AS n_opened,
+             COALESCE(n_closed, 0) AS n_closed
+           FROM cal LEFT JOIN op USING (day_num) LEFT JOIN cl USING (day_num)),
+         c AS (SELECT day_num, n_opened, n_closed,
+             SUM(n_opened - n_closed) OVER (ORDER BY day_num
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_after
+           FROM f)
+         SELECT day_num, n_opened, n_closed,
+           CAST(open_after AS BIGINT) AS open_after,
+           open_after = MAX(open_after) OVER () AS is_peak
+         FROM c ORDER BY day_num""",
     "win_activity_streaks" ->
       s"""WITH days AS (SELECT DISTINCT user_id,
              epoch_us(date_trunc('day', $evTs)) // 86400000000 AS day_num

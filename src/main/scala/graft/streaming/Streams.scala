@@ -1244,6 +1244,41 @@ object Streams {
         col("high"), col("low"), col("close"), col("n_events"), col("v_sum"),
         round(col("high") - col("low"), 6).as("range"))
 
+  /** L273 — windowed PSI drift monitor (the STREAMING form of the
+    * L126 population-stability audit: per day-window, the event-value
+    * histogram is compared against a frozen reference distribution and
+    * the PSI raises the drift flag live, instead of in next week's
+    * batch audit). The whole histogram is ONE streaming aggregate row
+    * — ten conditional counters that fold in the state store like any
+    * sum — and the PSI is a ROW-LOCAL decimal fold over those ten
+    * cells against the broadcast-free literal reference, so state per
+    * window is O(10) and the emitted PSI is bit-equal to running the
+    * SAME function over the same rows in batch (StreamingSpec pins it
+    * across RocksDB micro-batches; the function body is shared —
+    * `groupBy(window(...))` plans identically over bounded input).
+    * Laplace-smoothed current side ((n+1)/(N+10), the L126
+    * convention); reference passed as probabilities frozen upstream. */
+  def psiWindowed(events: DataFrame, refProbs: Seq[Double]): DataFrame = {
+    require(refProbs.length == 10 && refProbs.forall(_ > 0.0))
+    def bucketIs(k: Int) =
+      least(floor(col("value") / 20.0).cast("long"), lit(9L)) === k
+    val sums = (0 until 10).map(k =>
+      sum(when(bucketIs(k), 1L).otherwise(0L)).as(s"nb_$k"))
+    val agged = events
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(sums.head, sums.tail: _*)
+    val nTot = (0 until 10).map(k => col(s"nb_$k")).reduce(_ + _)
+    val psi = (0 until 10).map { k =>
+      val p = (col(s"nb_$k") + 1).cast("double") / (nTot + 10).cast("double")
+      val q = lit(refProbs(k))
+      round((p - q) * log(p / q), 6).cast("decimal(18,6)")
+    }.reduce(_ + _).cast("double")
+    agged.select(Seq(col("w.start").as("ws")) ++
+        (0 until 10).map(k => col(s"nb_$k")) ++
+        Seq(round(psi, 6).as("psi")): _*)
+      .withColumn("drift", col("psi") > 0.1)
+  }
+
   /** L193 streaming twin — windowed KMV/bottom-k distinct sketch ON A
     * STREAM (the cardinality sibling of [[cmsWindowed]] above, same
     * design): [[graft.functions.KmvAgg]] runs as a streaming aggregate,

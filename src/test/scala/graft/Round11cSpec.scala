@@ -14,6 +14,12 @@ class Round11cSpec extends SparkTestBase {
   private def dsumL(xs: Iterable[Double]): Double =
     xs.map(x => math.rint(x * 1e6).toLong).sum / 1e6
 
+  private lazy val docs: Array[(Long, String, String, String, Long)] =
+    Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "source", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4)))
+
   test("stats_gini_lorenz: rank-sum Gini and decile Lorenz replicate a JVM sort") {
     val orders = Tables.orders(spark, sf0001)
       .select("o_custkey", "o_totalprice").collect()
@@ -557,6 +563,69 @@ class Round11cSpec extends SparkTestBase {
     assert(got.toSeq == want, s"\n got ${got.toSeq}\nwant $want")
     got.foreach(s => assert(s._4 - s._3 + 1 == s._2,
       "streak length must equal its day span"))
+  }
+
+  test("llm_containment_dedup: top-20 replicates JVM; the partial-copy verdict is sound") {
+    val slice = docs.filter(_._1 < 100)
+    val ws = slice.map(d => d._1 -> d._4.split(" ", -1).distinct.toSet).toMap
+    val ids = slice.map(_._1).sorted
+    val all = for {
+      i <- ids.indices; j <- i + 1 until ids.length
+      a = ws(ids(i)); b = ws(ids(j))
+      inter = (a & b).size.toLong
+      if inter >= 1
+    } yield {
+      val (s1, s2) = (a.size.toLong, b.size.toLong)
+      (ids(i), ids(j), inter, s1, s2,
+        r6(inter.toDouble / math.min(s1, s2)),
+        r6(inter.toDouble / s1), r6(inter.toDouble / s2),
+        r6(inter.toDouble / (s1 + s2 - inter)))
+    }
+    val want = all.sortBy(t => (-t._6, t._1, t._2)).take(20)
+      .map(t => (t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8, t._9,
+        t._6 >= 0.9 && t._9 < 0.9))
+    val got = SparkEntry.queries("llm_containment_dedup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7), r.getDouble(8), r.getBoolean(9)))
+    assert(got.toSeq == want, s"\n got ${got.toSeq}\nwant $want")
+    // the miss class is real on this corpus: the top of the containment
+    // ranking includes pairs symmetric >=0.9-Jaccard dedup cannot see
+    assert(got.exists(_._10), "expected at least one partial-copy pair")
+    got.filter(_._10).foreach { t =>
+      assert(t._6 >= 0.9 && t._9 < 0.9)
+    }
+  }
+
+  test("ts_open_orders_curve: sweep replicates JVM; curve non-negative with one peak level") {
+    val op = Tables.orders(spark, sf0001)
+      .select(expr("unix_micros(date_trunc('day', o_orderdate)) div 86400000000"))
+      .collect().map(_.getLong(0))
+    val cl = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"),
+        expr("unix_micros(date_trunc('day', l_shipdate)) div 86400000000"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map(_._2.map(_._2).max).toSeq
+    val lo = (op ++ cl).min; val hi = (op ++ cl).max
+    val opened = op.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val closed = cl.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    var run = 0L
+    val want = (lo to hi).map { d =>
+      val o = opened.getOrElse(d, 0L); val c = closed.getOrElse(d, 0L)
+      run += o - c
+      (d, o, c, run)
+    }
+    val peak = want.map(_._4).max
+    val got = SparkEntry.queries("ts_open_orders_curve")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(got.map(g => (g._1, g._2, g._3, g._4)).toSeq == want)
+    got.foreach { g =>
+      assert(g._4 >= 0, "an order cannot close before it opens")
+      assert(g._5 == (g._4 == peak))
+    }
+    assert(got.last._4 == op.length - cl.length,
+      "end-of-horizon open count must equal opened minus closed")
   }
 
   test("stats_kaplan_meier: product-limit curve replicates a JVM fold; survival non-increasing") {

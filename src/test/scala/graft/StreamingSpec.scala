@@ -1292,6 +1292,55 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("batch≡streaming: windowed PSI drift monitor bit-equal to the batch form") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ordered = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    // the frozen reference: the fixture's own first day, smoothed the
+    // same way the current side is — day 1 should then NOT drift
+    val day1 = ordered.takeWhile(_.ts.getTime < ordered.head.ts.getTime -
+      ordered.head.ts.getTime % 86400000L + 86400000L)
+    val counts = Array.tabulate(10) { k =>
+      day1.count(e => math.min(math.floor(e.value / 20.0).toLong, 9L) == k).toLong
+    }
+    val ref = counts.map(c => (c + 1.0) / (day1.length + 10.0)).toSeq
+    val ms = MemoryStream[Event]
+    val q = runToTable(Streams.psiWindowed(ms.toDF(), ref), "psi_win", "complete")
+    try {
+      ordered.grouped((ordered.length + 2) / 3).foreach { chunk =>
+        ms.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val cols = Seq("ws", "nb_0", "nb_1", "nb_2", "nb_3", "nb_4", "nb_5",
+        "nb_6", "nb_7", "nb_8", "nb_9", "psi", "drift")
+      val streamed = spark.table("psi_win")
+        .select((col("ws").cast("string") +: cols.drop(1).map(col)): _*)
+        .collect().map(_.toSeq).toSet
+      val batch = Streams.psiWindowed(Tables.events(spark, sf0001), ref)
+        .select((col("ws").cast("string") +: cols.drop(1).map(col)): _*)
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      assert(batch.size > 10, "fixture must span many day windows")
+      // the reference day itself must sit at (near-)zero PSI, undrifted
+      val firstDay = spark.table("psi_win").orderBy("ws").collect().head
+      assert(!firstDay.getBoolean(12), "reference day must not drift")
+      assert(firstDay.getDouble(11) < 0.01)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("batch≡streaming: per-window count-min sketches bit-equal across micro-batches") {
     val s = spark
     import s.implicits._
