@@ -36,6 +36,7 @@ object SparkEntry {
       ops.Audit.queries ++
       ops.Ml.queries ++
       ops.Stats.queries ++
+      ops.Stats2.queries ++
       ops.Warehouse.queries ++
       ops.Warehouse2.queries ++
       ops.Warehouse3.queries ++
@@ -63,6 +64,7 @@ object SparkEntry {
       ops.Audit.oracles ++
       ops.Ml.oracles ++
       ops.Stats.oracles ++
+      ops.Stats2.oracles ++
       ops.Warehouse.oracles ++
       ops.Warehouse2.oracles ++
       ops.Warehouse3.oracles ++

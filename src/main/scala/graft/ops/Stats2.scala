@@ -1,0 +1,334 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classical statistics III (round 11): Welch's unequal-variance
+  * t-test, one-way ANOVA, Spearman rank correlation, and pairwise
+  * Jensen–Shannon divergence between source language profiles. Same
+  * family contract as [[Stats]]: the corpus is touched only by
+  * map-combinable aggregates; anything that classically "needs a
+  * global sort" (Spearman's ranks) is re-expressed over the bounded
+  * DISTINCT-VALUE frame; every transcendental is round-6 at the call
+  * site and every double sum goes through [[graft.Tables.dsum]]. */
+object Stats2 {
+
+  private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+
+  /** L274 — Welch's two-sample t-test, click vs purchase event values
+    * (the unequal-variance form that is the safe default when group
+    * variances differ — the pairwise sibling of the L205 proportion
+    * z-test, which compares rates, not means). One conditional-agg
+    * scan produces both groups' (n, Σx, Σx²); mean/variance recovered
+    * in closed form, t = (m₁−m₂)/√(s₁²/n₁ + s₂²/n₂), df by
+    * Welch–Satterthwaite. No shuffle beyond the single 1-row partial
+    * aggregate; corpus cost is one filtered scan at any scale. The
+    * verdict column uses the z critical value 1.96 (df is in the
+    * thousands here, where t ≈ z; df is emitted so a reader can apply
+    * an exact table). */
+  def welchTTest(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("value")
+    def side(t: String, tag: String) = Seq(
+      sum(when(col("event_type") === t, 1L)).as(s"n_$tag"),
+      round(dsum(when(col("event_type") === t, v)), 6).as(s"s_$tag"),
+      round(dsum(when(col("event_type") === t, round(v * v, 6))), 6)
+        .as(s"ss_$tag"))
+    val aggs = side("click", "1") ++ side("purchase", "2")
+    val base = events(spark, dir)
+      .where(col("event_type").isin("click", "purchase"))
+      .agg(aggs.head, aggs.tail: _*)
+    def m(i: Int) = round(col(s"s_$i") / col(s"n_$i").cast("double"), 6)
+    def va(i: Int) = round(
+      (col(s"ss_$i") - col(s"s_$i") * col(s"s_$i") / col(s"n_$i").cast("double")) /
+        (col(s"n_$i") - 1).cast("double"), 6)
+    val stats = base.select(col("n_1").as("n_click"), col("n_2").as("n_purchase"),
+      m(1).as("mean_click"), m(2).as("mean_purchase"),
+      va(1).as("var_click"), va(2).as("var_purchase"))
+    val vn1 = round(col("var_click") / col("n_click").cast("double"), 6)
+    val vn2 = round(col("var_purchase") / col("n_purchase").cast("double"), 6)
+    stats
+      .withColumn("vn1", vn1).withColumn("vn2", vn2)
+      .withColumn("t_stat", round((col("mean_click") - col("mean_purchase")) /
+        sqrt(col("vn1") + col("vn2")), 6))
+      .withColumn("df_welch", round(
+        (col("vn1") + col("vn2")) * (col("vn1") + col("vn2")) /
+          (col("vn1") * col("vn1") / (col("n_click") - 1).cast("double") +
+            col("vn2") * col("vn2") / (col("n_purchase") - 1).cast("double")), 6))
+      .withColumn("significant_95", abs(col("t_stat")) > 1.96)
+      .drop("vn1", "vn2")
+  }
+
+  /** L275 — one-way ANOVA F-test of order value across the five order
+    * priorities (does ANY group mean differ? — the k-group
+    * generalization L274 can't ask). Two passes: the 5-row mean frame
+    * (group + grand, means pinned to the money grain of 2 decimals),
+    * then one deviation scan with SSW/SST accumulated as exact decimal
+    * sums of round-6 SCALED squared deviations — devs are divided by
+    * 1000 first so every decimal cast is small-magnitude (≤2.5×10⁵,
+    * far inside both engines' lossless round-6 range; the raw Σx²
+    * route pushes 10¹⁴⁺ doubles through decimal casts, which the two
+    * engines round differently). The scaling also kills the midpoint
+    * class outright: devs are exact multiples of 10⁻⁵, and no integer
+    * square is ≡ 5000 (mod 10⁴) — 5000 ≡ 8 (mod 16) is a quadratic
+    * non-residue — so a round-6 tie cannot occur by construction.
+    * SSB = SST − SSW in exact decimal; ssb/ssw emitted in (thousand)²
+    * units, which F and η² are invariant to. Corpus cost: two scans +
+    * a 5-row broadcast join, map-combinable at any scale. */
+  def anovaF(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val g = orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_g"), round(dsum(col("o_totalprice")), 6).as("s_g"))
+      .withColumn("mean_g", round(col("s_g") / col("n_g").cast("double"), 2))
+      .withColumn("n", sum(col("n_g")).over(wAll))
+      .withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("mean_t", round(sum(col("s_g").cast("decimal(18,6)"))
+        .over(wAll).cast("double") / sum(col("n_g")).over(wAll).cast("double"), 2))
+    val devg = (col("o_totalprice") - col("mean_g")) / 1000.0
+    val devt = (col("o_totalprice") - col("mean_t")) / 1000.0
+    val perG = orders(spark, dir)
+      .join(broadcast(g), col("o_orderpriority") === col("priority"))
+      .groupBy(col("priority"), col("n_g"), col("mean_g"), col("n"), col("k"))
+      .agg(sum(round(devg * devg, 6).cast("decimal(28,6)")).as("ssw_g"),
+        sum(round(devt * devt, 6).cast("decimal(28,6)")).as("sst_g"))
+    val f = perG
+      .withColumn("ssw_dec", sum(col("ssw_g")).over(wAll))
+      .withColumn("sst_dec", sum(col("sst_g")).over(wAll))
+      .withColumn("ssw_k", col("ssw_dec").cast("double"))
+      .withColumn("ssb_k", (col("sst_dec") - col("ssw_dec")).cast("double"))
+    f.select(col("priority"), col("n_g"), col("mean_g"),
+        col("ssb_k"), col("ssw_k"),
+        (col("k") - 1).as("df_between"), (col("n") - col("k")).as("df_within"),
+        round((col("ssb_k") / (col("k") - 1).cast("double")) /
+          (col("ssw_k") / (col("n") - col("k")).cast("double")), 6).as("f_stat"),
+        round(col("ssb_k") / (col("ssb_k") + col("ssw_k")), 6).as("eta_sq"))
+      .orderBy("priority")
+  }
+
+  /** L276 — Spearman rank correlation between line quantity and
+    * extended price (the monotone-association statistic that survives
+    * outliers and nonlinearity where Pearson's r does not). The
+    * classical form needs a GLOBAL rank of each column — here both
+    * rank maps are built on the bounded DISTINCT-VALUE frames (≤50
+    * quantities; round-6 prices, ≤10⁶ distinct at any corpus size per
+    * the L242 quantization argument) with tie MIDRANKS in closed form
+    * from cumulative counts, normalized to (0,1] as the exact rational
+    * (2·cum_prev + c + 1)/(2N) before one round-6. The corpus is then
+    * touched only by two equi-joins against those frames (quantity map
+    * broadcast; price map a plain hash join) and one six-sum Pearson
+    * pass over the normalized ranks — products are ≤1 so decimal
+    * quantization never overflows. */
+  def spearman(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+      .select(col("l_quantity").as("q"), round(col("l_extendedprice"), 6).as("v"))
+    def rankMap(c: String) = {
+      val grouped = li.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      grouped
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .select(col(c),
+          round((lit(2L) * (col("cum") - col("cnt")) + col("cnt") + 1L)
+            .cast("double") / (lit(2L) * col("n")).cast("double"), 6)
+            .as(s"r_$c"))
+    }
+    val ranked = li
+      .join(broadcast(rankMap("q")), "q")
+      .join(rankMap("v"), "v")
+    val sums = ranked.agg(count(lit(1)).as("n"),
+      round(dsum(col("r_q")), 6).as("sx"),
+      round(dsum(col("r_v")), 6).as("sy"),
+      round(dsum(round(col("r_q") * col("r_q"), 6)), 6).as("sxx"),
+      round(dsum(round(col("r_v") * col("r_v"), 6)), 6).as("syy"),
+      round(dsum(round(col("r_q") * col("r_v"), 6)), 6).as("sxy"))
+    sums.select(col("n"),
+      round((col("n").cast("double") * col("sxy") - col("sx") * col("sy")) /
+        sqrt((col("n").cast("double") * col("sxx") - col("sx") * col("sx")) *
+          (col("n").cast("double") * col("syy") - col("sy") * col("sy"))), 6)
+        .as("rho_spearman"))
+  }
+
+  /** L277 — pairwise Jensen–Shannon divergence between the LANGUAGE
+    * profiles of document sources (Lin 1991; the symmetric, bounded
+    * [0, ln 2] corpus-similarity measure a mixture designer reads
+    * before setting L133's temperature weights — unlike KL it never
+    * divides by an absent language). Laplace-smoothed profiles
+    * p = (n+1)/(t+|L|) on the full source×language grid; the grid
+    * comes from a 1-row collected language ARRAY broadcast-crossed
+    * into the per-source totals (the allowlisted 1-row-broadcast
+    * pattern — never a data-sized cartesian), the pair frame from an
+    * equi-join on language filtered to src_a < src_b: |S|²·|L| rows of
+    * which only dim-sized frames ever shuffle. JSD per pair is a
+    * |L|-term decimal fold, ln round-6 at the call site. Top-20 most
+    * divergent pairs. */
+  def jsdSources(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val langsRow = docs.agg(sort_array(collect_set(col("lang"))).as("langs"))
+    val srcTot = docs.groupBy(col("source")).agg(count(lit(1)).as("t"))
+    val grid = srcTot.crossJoin(broadcast(langsRow))
+      .select(col("source"), col("t"), size(col("langs")).as("nl"),
+        explode(col("langs")).as("lang"))
+    val cnt = docs.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("cnt"))
+    val p = grid.join(cnt, Seq("source", "lang"), "left")
+      .select(col("source"), col("lang"),
+        round((coalesce(col("cnt"), lit(0L)) + 1L).cast("double") /
+          (col("t") + col("nl")).cast("double"), 6).as("p"))
+    val a = p.select(col("source").as("src_a"), col("lang"), col("p").as("pa"))
+    val b = p.select(col("source").as("src_b"), col("lang"), col("p").as("pb"))
+    // p/m written as 2p/(pa+pb): halving first would manufacture exact
+    // decimal midpoints (6dp sums ending .5e-6) where Spark's
+    // BigDecimal HALF_UP and the oracle's double round diverge
+    val den = col("pa") + col("pb")
+    a.join(b, Seq("lang")).where(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(col("pa") * round(log(lit(2.0) * col("pa") / den), 6), 6).as("ta"),
+        round(col("pb") * round(log(lit(2.0) * col("pb") / den), 6), 6).as("tb"))
+      .groupBy(col("src_a"), col("src_b"))
+      // the ½ of JSD = ½(KL(p‖m)+KL(q‖m)) is taken in exact integer
+      // micro-units with explicit half-up: 0.5 × a 6dp decimal sum is
+      // an exact 7th-digit-5 midpoint whenever the sum's last digit is
+      // odd, precisely where the two engines' double rounding diverges
+      .agg(((sum(col("ta").cast("decimal(18,6)")) +
+        sum(col("tb").cast("decimal(18,6)"))) * 1000000)
+        .cast("long").as("x_micro"))
+      .select(col("src_a"), col("src_b"),
+        (expr("(x_micro + 1) div 2").cast("double") / 1e6).as("jsd"))
+      .orderBy(col("jsd").desc, col("src_a"), col("src_b"))
+      .limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_welch_ttest" -> (welchTTest _),
+    "stats_anova_f" -> (anovaF _),
+    "stats_spearman" -> (spearman _),
+    "stats_jsd_sources" -> (jsdSources _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stats_welch_ttest" ->
+      s"""WITH a AS (SELECT
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+               AS n_1,
+             round(${dsumSql("CASE WHEN event_type = 'click' THEN value END")}, 6)
+               AS s_1,
+             round(${dsumSql("CASE WHEN event_type = 'click' THEN round(value * value, 6) END")}, 6)
+               AS ss_1,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+               AS n_2,
+             round(${dsumSql("CASE WHEN event_type = 'purchase' THEN value END")}, 6)
+               AS s_2,
+             round(${dsumSql("CASE WHEN event_type = 'purchase' THEN round(value * value, 6) END")}, 6)
+               AS ss_2
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         st AS (SELECT n_1 AS n_click, n_2 AS n_purchase,
+             round(s_1 / CAST(n_1 AS DOUBLE), 6) AS mean_click,
+             round(s_2 / CAST(n_2 AS DOUBLE), 6) AS mean_purchase,
+             round((ss_1 - s_1 * s_1 / CAST(n_1 AS DOUBLE))
+               / CAST(n_1 - 1 AS DOUBLE), 6) AS var_click,
+             round((ss_2 - s_2 * s_2 / CAST(n_2 AS DOUBLE))
+               / CAST(n_2 - 1 AS DOUBLE), 6) AS var_purchase
+           FROM a),
+         vn AS (SELECT *,
+             round(var_click / CAST(n_click AS DOUBLE), 6) AS vn1,
+             round(var_purchase / CAST(n_purchase AS DOUBLE), 6) AS vn2
+           FROM st)
+         SELECT n_click, n_purchase, mean_click, mean_purchase,
+           var_click, var_purchase,
+           round((mean_click - mean_purchase) / sqrt(vn1 + vn2), 6) AS t_stat,
+           round((vn1 + vn2) * (vn1 + vn2)
+             / (vn1 * vn1 / CAST(n_click - 1 AS DOUBLE)
+               + vn2 * vn2 / CAST(n_purchase - 1 AS DOUBLE)), 6) AS df_welch,
+           abs(round((mean_click - mean_purchase) / sqrt(vn1 + vn2), 6)) > 1.96
+             AS significant_95
+         FROM vn""",
+    "stats_anova_f" ->
+      s"""WITH g AS (SELECT o_orderpriority AS priority,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             round(${dsumSql("o_totalprice")}, 6) AS s_g
+           FROM orders GROUP BY 1),
+         w AS (SELECT *,
+             round(s_g / CAST(n_g AS DOUBLE), 2) AS mean_g,
+             CAST(SUM(n_g) OVER () AS BIGINT) AS n,
+             CAST(COUNT(*) OVER () AS BIGINT) AS k,
+             round(CAST(SUM(CAST(s_g AS DECIMAL(18,6))) OVER () AS DOUBLE)
+               / CAST(SUM(n_g) OVER () AS DOUBLE), 2) AS mean_t
+           FROM g),
+         pg AS (SELECT priority, n_g, mean_g, n, k,
+             SUM(CAST(round(((o_totalprice - mean_g) / 1000.0)
+               * ((o_totalprice - mean_g) / 1000.0), 6) AS DECIMAL(28,6)))
+               AS ssw_g,
+             SUM(CAST(round(((o_totalprice - mean_t) / 1000.0)
+               * ((o_totalprice - mean_t) / 1000.0), 6) AS DECIMAL(28,6)))
+               AS sst_g
+           FROM orders JOIN w ON o_orderpriority = priority
+           GROUP BY 1, 2, 3, 4, 5),
+         f AS (SELECT *,
+             CAST(SUM(ssw_g) OVER () AS DOUBLE) AS ssw_k,
+             CAST(SUM(sst_g) OVER () - SUM(ssw_g) OVER () AS DOUBLE) AS ssb_k
+           FROM pg)
+         SELECT priority, n_g, mean_g, ssb_k, ssw_k,
+           k - 1 AS df_between, n - k AS df_within,
+           round((ssb_k / CAST(k - 1 AS DOUBLE))
+             / (ssw_k / CAST(n - k AS DOUBLE)), 6) AS f_stat,
+           round(ssb_k / (ssb_k + ssw_k), 6) AS eta_sq
+         FROM f ORDER BY priority""",
+    "stats_spearman" ->
+      s"""WITH li AS (SELECT l_quantity AS q, round(l_extendedprice, 6) AS v
+           FROM lineitem),
+         rq AS (SELECT q,
+             round(CAST(2 * (SUM(cnt) OVER (ORDER BY q) - cnt) + cnt + 1
+                 AS DOUBLE)
+               / CAST(2 * SUM(cnt) OVER () AS DOUBLE), 6) AS r_q
+           FROM (SELECT q, CAST(COUNT(*) AS BIGINT) AS cnt FROM li GROUP BY 1)),
+         rv AS (SELECT v,
+             round(CAST(2 * (SUM(cnt) OVER (ORDER BY v) - cnt) + cnt + 1
+                 AS DOUBLE)
+               / CAST(2 * SUM(cnt) OVER () AS DOUBLE), 6) AS r_v
+           FROM (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM li GROUP BY 1)),
+         rr AS (SELECT r_q, r_v FROM li JOIN rq USING (q) JOIN rv USING (v)),
+         s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             round(${dsumSql("r_q")}, 6) AS sx,
+             round(${dsumSql("r_v")}, 6) AS sy,
+             round(${dsumSql("round(r_q * r_q, 6)")}, 6) AS sxx,
+             round(${dsumSql("round(r_v * r_v, 6)")}, 6) AS syy,
+             round(${dsumSql("round(r_q * r_v, 6)")}, 6) AS sxy
+           FROM rr)
+         SELECT n,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+               * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS rho_spearman
+         FROM s""",
+    "stats_jsd_sources" ->
+      s"""WITH tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS t
+           FROM documents GROUP BY 1),
+         nl AS (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS nl
+           FROM documents),
+         grid AS (SELECT source, t, nl, lang
+           FROM tot, nl, (SELECT DISTINCT lang FROM documents)),
+         cnt AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM documents GROUP BY 1, 2),
+         p AS (SELECT grid.source, grid.lang,
+             round(CAST(COALESCE(cnt, 0) + 1 AS DOUBLE)
+               / CAST(t + nl AS DOUBLE), 6) AS p
+           FROM grid LEFT JOIN cnt
+             ON grid.source = cnt.source AND grid.lang = cnt.lang),
+         pr AS (SELECT a.source AS src_a, b.source AS src_b,
+             round(a.p * round(ln(2.0 * a.p / (a.p + b.p)), 6), 6) AS ta,
+             round(b.p * round(ln(2.0 * b.p / (a.p + b.p)), 6), 6) AS tb
+           FROM p a JOIN p b ON a.lang = b.lang AND a.source < b.source),
+         mic AS (SELECT src_a, src_b,
+             CAST((SUM(CAST(ta AS DECIMAL(18,6)))
+               + SUM(CAST(tb AS DECIMAL(18,6)))) * 1000000 AS BIGINT)
+               AS x_micro
+           FROM pr GROUP BY 1, 2)
+         SELECT src_a, src_b,
+           CAST((x_micro + 1) // 2 AS DOUBLE) / 1e6 AS jsd
+         FROM mic ORDER BY jsd DESC, src_a, src_b LIMIT 20""",
+  )
+}

@@ -216,7 +216,10 @@ class PlanSpec extends SparkTestBase {
       // plus the 1-row class-totals broadcast
       "ml_threshold_sweep",
       // 1-row x_(k+1) threshold broadcast onto the 200-row top frame
-      "stats_hill_tail")
+      "stats_hill_tail",
+      // 1-row collected language-array broadcast crossed into the
+      // per-source totals (|S|×|L| grid; never a data-sized cartesian)
+      "stats_jsd_sources")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, sf0001))

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 fourth batch: Welch's t-test, one-way ANOVA, Spearman rank
+  * correlation, pairwise Jensen–Shannon divergence — each replayed from
+  * first principles in JVM over the raw fixture, plus the invariants the
+  * statistic's definition promises (η² ∈ [0,1], |ρ| ≤ 1, JSD ∈ [0, ln 2],
+  * SSB + SSW = SST). */
+class Round11dSpec extends SparkTestBase {
+
+  // Spark-faithful rounding: round() on doubles goes through the
+  // shortest-decimal BigDecimal HALF_UP, which differs from
+  // rint(x*1e6) exactly at decimal midpoints — and the JSD terms hit
+  // one on this fixture
+  private def rN(x: Double, n: Int): Double =
+    BigDecimal.decimal(x).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def r6(x: Double): Double = rN(x, 6)
+  private def r2(x: Double): Double = rN(x, 2)
+  private def micro(x: Double): Long =
+    (BigDecimal.decimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP) *
+      BigDecimal(1000000)).toLongExact
+
+  private def dsumL(xs: Iterable[Double]): Double = xs.map(micro).sum / 1e6
+
+  test("stats_welch_ttest: t and Welch df replicate a JVM closed form") {
+    val ev = Tables.events(spark, sf0001).select("event_type", "value")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    def side(t: String) = {
+      val v = ev.filter(_._1 == t).map(_._2)
+      val n = v.length.toLong
+      val s = r6(dsumL(v))
+      val ss = r6(dsumL(v.map(x => r6(x * x))))
+      val m = r6(s / n)
+      val va = r6((ss - s * s / n) / (n - 1))
+      (n, m, va)
+    }
+    val (n1, m1, v1) = side("click")
+    val (n2, m2, v2) = side("purchase")
+    val (vn1, vn2) = (r6(v1 / n1), r6(v2 / n2))
+    val t = r6((m1 - m2) / math.sqrt(vn1 + vn2))
+    val df = r6((vn1 + vn2) * (vn1 + vn2) /
+      (vn1 * vn1 / (n1 - 1) + vn2 * vn2 / (n2 - 1)))
+    val got = SparkEntry.queries("stats_welch_ttest")(spark, sf0001)
+      .collect().head
+    assert((got.getLong(0), got.getLong(1)) == ((n1, n2)))
+    assert((got.getDouble(2), got.getDouble(3)) == ((m1, m2)))
+    assert((got.getDouble(4), got.getDouble(5)) == ((v1, v2)))
+    assert(got.getDouble(6) == t, s"t: ${got.getDouble(6)} != $t")
+    assert(got.getDouble(7) == df)
+    assert(got.getBoolean(8) == (math.abs(t) > 1.96))
+    // Welch df is bounded by min(n1,n2)-1 below and n1+n2-2 above
+    assert(df >= math.min(n1, n2) - 1 && df <= n1 + n2 - 2)
+  }
+
+  test("stats_anova_f: scaled two-pass SSW/SSB replicate JVM; partition identity holds") {
+    val os = Tables.orders(spark, sf0001).select("o_orderpriority", "o_totalprice")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val byP = os.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val sG = byP.view.mapValues(v => r6(dsumL(v))).toMap
+    val meanG = byP.map { case (p, v) => p -> r2(sG(p) / v.length) }
+    val n = os.length.toLong
+    val k = byP.size.toLong
+    val meanT = r2(dsumL(sG.values) / n)
+    val sswM = os.map { case (p, x) =>
+      val d = (x - meanG(p)) / 1000.0; micro(r6(d * d)) }.sum
+    val sstM = os.map { case (_, x) =>
+      val d = (x - meanT) / 1000.0; micro(r6(d * d)) }.sum
+    val (ssw, ssb) = (sswM / 1e6, (sstM - sswM) / 1e6)
+    val f = r6((ssb / (k - 1)) / (ssw / (n - k)))
+    val eta = r6(ssb / (ssb + ssw))
+    val got = SparkEntry.queries("stats_anova_f")(spark, sf0001).collect()
+    assert(got.length == k)
+    got.foreach { r =>
+      assert(r.getLong(1) == byP(r.getString(0)).length.toLong)
+      assert(r.getDouble(2) == meanG(r.getString(0)))
+      assert(r.getDouble(3) == ssb && r.getDouble(4) == ssw)
+      assert(r.getLong(5) == k - 1 && r.getLong(6) == n - k)
+      assert(r.getDouble(7) == f && r.getDouble(8) == eta)
+      assert(r.getDouble(8) >= 0.0 && r.getDouble(8) <= 1.0)
+    }
+  }
+
+  test("stats_spearman: distinct-frame midranks replicate a JVM rank pass; |rho| <= 1") {
+    val li = Tables.lineitem(spark, sf0001).select("l_quantity", "l_extendedprice")
+      .collect().map(r => (r.getDouble(0), r6(r.getDouble(1))))
+    val n = li.length.toLong
+    def rankMap(vals: Seq[Double]): Map[Double, Double] = {
+      val grouped = vals.groupBy(identity).view.mapValues(_.length.toLong)
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      grouped.map { case (v, c) =>
+        cum += c
+        v -> r6((2 * (cum - c) + c + 1).toDouble / (2 * n).toDouble)
+      }.toMap
+    }
+    val rx = rankMap(li.map(_._1).toSeq)
+    val ry = rankMap(li.map(_._2).toSeq)
+    val pairs = li.map { case (q, v) => (rx(q), ry(v)) }
+    val sx = r6(dsumL(pairs.map(_._1)))
+    val sy = r6(dsumL(pairs.map(_._2)))
+    val sxx = r6(dsumL(pairs.map(p => r6(p._1 * p._1))))
+    val syy = r6(dsumL(pairs.map(p => r6(p._2 * p._2))))
+    val sxy = r6(dsumL(pairs.map(p => r6(p._1 * p._2))))
+    val rho = r6((n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    val got = SparkEntry.queries("stats_spearman")(spark, sf0001).collect().head
+    assert(got.getLong(0) == n)
+    assert(got.getDouble(1) == rho, s"${got.getDouble(1)} != $rho")
+    // the synthetic fixture draws price independently of quantity, so the
+    // statistic's VALUE is near zero — the replay above is the real gate;
+    // the definitional bound is all the data promises
+    assert(math.abs(rho) <= 1.0)
+  }
+
+  test("stats_jsd_sources: smoothed-profile JSD replicates JVM; bounded by ln 2") {
+    val docs = Tables.documents(spark, sf0001).select("source", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val langs = docs.map(_._2).distinct.sorted
+    val srcs = docs.map(_._1).distinct.sorted
+    val tot = docs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cnt = docs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val p = (for { s <- srcs; l <- langs } yield (s, l) ->
+      r6((cnt.getOrElse((s, l), 0L) + 1).toDouble / (tot(s) + langs.length)))
+      .toMap
+    val all = for {
+      i <- srcs.indices; j <- i + 1 until srcs.length
+    } yield {
+      val m = langs.map { l =>
+        val (pa, pb) = (p((srcs(i), l)), p((srcs(j), l)))
+        val ta = r6(pa * r6(math.log(2.0 * pa / (pa + pb))))
+        val tb = r6(pb * r6(math.log(2.0 * pb / (pa + pb))))
+        micro(ta) + micro(tb)
+      }.sum
+      (srcs(i), srcs(j), ((m + 1) / 2).toDouble / 1e6)
+    }
+    val want = all.sortBy(t => (-t._3, t._1, t._2)).take(20)
+    val got = SparkEntry.queries("stats_jsd_sources")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == want, s"\n got ${got.toSeq}\nwant $want")
+    got.foreach { t =>
+      assert(t._3 >= 0.0 && t._3 <= math.log(2.0) + 1e-9,
+        s"JSD out of [0, ln 2]: $t")
+    }
+  }
+}
