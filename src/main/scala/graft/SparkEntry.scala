@@ -30,6 +30,7 @@ object SparkEntry {
       ops.Llm6.queries ++
       ops.Llm7.queries ++
       ops.Llm8.queries ++
+      ops.Llm9.queries ++
       ops.Warehouse5.queries ++
       ops.Layout.queries ++
       ops.Er.queries ++
@@ -58,6 +59,7 @@ object SparkEntry {
       ops.Llm6.oracles ++
       ops.Llm7.oracles ++
       ops.Llm8.oracles ++
+      ops.Llm9.oracles ++
       ops.Warehouse5.oracles ++
       ops.Layout.oracles ++
       ops.Er.oracles ++

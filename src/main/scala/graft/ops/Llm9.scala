@@ -1,0 +1,219 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline data-prep operators, ninth batch (round 11):
+  * content-defined chunking dedup, hashing-trick vectorization, and
+  * multivariate OLS via distributed normal equations. */
+object Llm9 {
+
+  /** L278 — content-defined chunking + chunk-level dedup (the
+    * rolling-boundary scheme behind rsync/LBFS-style dedup, applied at
+    * the word grain: a boundary falls AFTER any word whose h48 is
+    * ≡ 0 (mod 8), so chunk edges depend only on LOCAL content —
+    * insert a paragraph and only the chunks touching it change, where
+    * fixed-width chunking (L107's packer) re-aligns everything
+    * downstream. The canonical use: catching partially-duplicated
+    * boilerplate (headers, licence blocks) that whole-doc dedup (J1)
+    * and even near-dup (J2) miss when the surrounding document
+    * differs). Pipeline: posexplode words → boundary flag → chunk id
+    * by prefix count of prior boundaries (one per-doc window) →
+    * within-(doc,chunk) ordered re-concat → h48 chunk keys →
+    * corpus-wide chunk frequency. Everything shuffles by doc or by
+    * chunk key, nothing pairwise. Emits the top-15 most duplicated
+    * chunks with corpus-level dedup ratios alongside. */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val words = documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("pos", "word")))
+      .withColumn("boundary", (h48(col("word")) % 8 === 0).cast("long"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = words
+      .withColumn("chunk_id", coalesce(sum(col("boundary")).over(wDoc), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("word")))),
+        s => s.getField("word"))).as("chunk_text"))
+    val freq = chunks.groupBy(col("chunk_text"))
+      .agg(count(lit(1)).as("n_occ"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    freq
+      .withColumn("n_chunks", sum(col("n_occ")).over(wAll))
+      .withColumn("n_distinct", count(lit(1)).over(wAll))
+      .withColumn("dup_ratio", round((col("n_chunks") - col("n_distinct"))
+        .cast("double") / col("n_chunks").cast("double"), 6))
+      .where(col("n_occ") >= 2)
+      .select(col("chunk_text"), col("n_occ"), col("n_chunks"),
+        col("n_distinct"), col("dup_ratio"))
+      .orderBy(col("n_occ").desc, col("chunk_text"))
+      .limit(15)
+  }
+
+  /** L279 — hashing-trick bag-of-words vectorization (Weinberger et
+    * al. ICML 2009: bucket = h(word) mod D — the vectorizer that needs
+    * NO vocabulary broadcast, no fit pass and no OOV path, which is
+    * why it is the default featurizer for streaming/petabyte text).
+    * D = 64; emits the sparse (doc, bucket, count) triplets for the
+    * 10-doc audit slice joined with the corpus-wide per-bucket load
+    * audit (distinct words landing in each bucket — the collision
+    * count that is the trick's one cost, measured, not assumed).
+    * Corpus cost: one explode scan + word-distinct agg; the per-doc
+    * vectors are row-local at any scale. */
+  def featureHashing(spark: SparkSession, dir: String): DataFrame = {
+    val D = 64
+    val words = documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .withColumn("bucket", h48(col("word")) % D)
+    val perDoc = words.where(col("doc_id") < 10)
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val load = words.groupBy(col("bucket"))
+      .agg(countDistinct(col("word")).as("n_distinct_words"))
+    perDoc.join(load, Seq("bucket"))
+      .select(col("doc_id"), col("bucket"), col("cnt"),
+        col("n_distinct_words"))
+      .orderBy(col("doc_id"), col("bucket"))
+  }
+
+  /** L280 — multivariate OLS (two regressors + intercept) by
+    * DISTRIBUTED NORMAL EQUATIONS: extended price on quantity and the
+    * part's retail price. X'X and X'y are nine map-combinable sums —
+    * the one-pass, any-scale route to exact linear regression
+    * (numerically the textbook caveat vs QR applies; at 2 regressors
+    * the 3×3 Cramer solve is exact to the determinism contract).
+    * Parity design per the L275 lesson: every summand is an EXACT
+    * INTEGER — quantity is integral and both prices are money pinned
+    * to centi-units — summed as decimal(38,0) (both engines exact at
+    * any corpus size; long sums would wrap at ~100× here), so the two
+    * engines see bit-identical sums and the double-side solve is
+    * identical IEEE arithmetic. β coefficients reported in natural
+    * units (centi scaling folded back in-plan), R² from the same
+    * sums. */
+  def olsMulti(spark: SparkSession, dir: String): DataFrame = {
+    val joined = lineitem(spark, dir)
+      .join(part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .select(col("l_quantity").cast("long").as("x1"),
+        round(col("p_retailprice") * 100, 0).cast("long").as("x2"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("y"))
+    def d38(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,0)")).cast("double")
+    val s = joined.agg(count(lit(1)).as("n"),
+      d38(col("x1")).as("sx1"), d38(col("x2")).as("sx2"), d38(col("y")).as("sy"),
+      d38(col("x1") * col("x1")).as("sx1x1"),
+      d38(col("x1") * col("x2")).as("sx1x2"),
+      d38(col("x2") * col("x2")).as("sx2x2"),
+      d38(col("x1") * col("y")).as("sx1y"),
+      d38(col("x2") * col("y")).as("sx2y"),
+      d38(col("y") * col("y")).as("syy"))
+    // 3x3 symmetric solve by Cramer on the centered (2x2) system:
+    // with means folded out, [a11 a12; a12 a22] beta = [b1; b2]
+    val n = col("n").cast("double")
+    val a11 = col("sx1x1") - col("sx1") * col("sx1") / n
+    val a12 = col("sx1x2") - col("sx1") * col("sx2") / n
+    val a22 = col("sx2x2") - col("sx2") * col("sx2") / n
+    val b1 = col("sx1y") - col("sx1") * col("sy") / n
+    val b2 = col("sx2y") - col("sx2") * col("sy") / n
+    val det = a11 * a22 - a12 * a12
+    val bet1 = (b1 * a22 - b2 * a12) / det
+    val bet2 = (a11 * b2 - a12 * b1) / det
+    val b0c = (col("sy") - bet1 * col("sx1") - bet2 * col("sx2")) / n
+    val sst = col("syy") - col("sy") * col("sy") / n
+    val ssr = bet1 * b1 + bet2 * b2
+    s.select(col("n"),
+      // x2 and y are both centi-scaled (factors cancel in beta2); beta1
+      // maps centi-y per unit-x1 -> natural units via /100; intercept /100
+      round(b0c / 100.0, 6).as("beta0"),
+      round(bet1 / 100.0, 6).as("beta_quantity"),
+      round(bet2, 6).as("beta_retailprice"),
+      round(ssr / sst, 6).as("r2"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_cdc_chunks" -> (cdcChunks _),
+    "ml_feature_hashing" -> (featureHashing _),
+    "ml_ols_multi" -> (olsMulti _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "llm_cdc_chunks" ->
+      s"""WITH w0 AS (SELECT doc_id,
+             CAST(unnest(range(0, len(string_split(text, ' ')))) AS BIGINT)
+               AS pos,
+             unnest(string_split(text, ' ')) AS word
+           FROM documents),
+         w AS (SELECT doc_id, pos, word,
+             CASE WHEN ${h48Sql("word")} % 8 = 0 THEN 1 ELSE 0 END AS boundary
+           FROM w0),
+         ch AS (SELECT doc_id,
+             COALESCE(SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS chunk_id,
+             pos, word
+           FROM w),
+         chunks AS (SELECT doc_id, chunk_id,
+             string_agg(word, ' ' ORDER BY pos) AS chunk_text
+           FROM ch GROUP BY 1, 2),
+         freq AS (SELECT chunk_text, CAST(COUNT(*) AS BIGINT) AS n_occ
+           FROM chunks GROUP BY 1),
+         g AS (SELECT *,
+             CAST(SUM(n_occ) OVER () AS BIGINT) AS n_chunks,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_distinct
+           FROM freq)
+         SELECT chunk_text, n_occ, n_chunks, n_distinct,
+           round(CAST(n_chunks - n_distinct AS DOUBLE)
+             / CAST(n_chunks AS DOUBLE), 6) AS dup_ratio
+         FROM g WHERE n_occ >= 2
+         ORDER BY n_occ DESC, chunk_text LIMIT 15""",
+    "ml_feature_hashing" ->
+      s"""WITH w AS (SELECT doc_id, word, ${h48Sql("word")} % 64 AS bucket
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM documents)),
+         pd AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM w WHERE doc_id < 10 GROUP BY 1, 2),
+         ld AS (SELECT bucket, CAST(COUNT(DISTINCT word) AS BIGINT)
+             AS n_distinct_words
+           FROM w GROUP BY 1)
+         SELECT doc_id, pd.bucket, cnt, n_distinct_words
+         FROM pd JOIN ld ON pd.bucket = ld.bucket
+         ORDER BY doc_id, pd.bucket""",
+    "ml_ols_multi" ->
+      """WITH j AS (SELECT CAST(l_quantity AS BIGINT) AS x1,
+             CAST(round(p_retailprice * 100, 0) AS BIGINT) AS x2,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x1 AS DECIMAL(38,0))) AS DOUBLE) AS sx1,
+             CAST(SUM(CAST(x2 AS DECIMAL(38,0))) AS DOUBLE) AS sx2,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,0))) AS DOUBLE) AS sx1x1,
+             CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,0))) AS DOUBLE) AS sx1x2,
+             CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,0))) AS DOUBLE) AS sx2x2,
+             CAST(SUM(CAST(x1 * y AS DECIMAL(38,0))) AS DOUBLE) AS sx1y,
+             CAST(SUM(CAST(x2 * y AS DECIMAL(38,0))) AS DOUBLE) AS sx2y,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+           FROM j),
+         c AS (SELECT *,
+             sx1x1 - sx1 * sx1 / CAST(n AS DOUBLE) AS a11,
+             sx1x2 - sx1 * sx2 / CAST(n AS DOUBLE) AS a12,
+             sx2x2 - sx2 * sx2 / CAST(n AS DOUBLE) AS a22,
+             sx1y - sx1 * sy / CAST(n AS DOUBLE) AS b1,
+             sx2y - sx2 * sy / CAST(n AS DOUBLE) AS b2,
+             syy - sy * sy / CAST(n AS DOUBLE) AS sst
+           FROM s),
+         b AS (SELECT *,
+             (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) AS bet1,
+             (a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12) AS bet2
+           FROM c)
+         SELECT n,
+           round((sy - bet1 * sx1 - bet2 * sx2) / CAST(n AS DOUBLE) / 100.0, 6)
+             AS beta0,
+           round(bet1 / 100.0, 6) AS beta_quantity,
+           round(bet2, 6) AS beta_retailprice,
+           round((bet1 * b1 + bet2 * b2) / sst, 6) AS r2
+         FROM b""",
+  )
+}
