@@ -132,13 +132,73 @@ object Llm9 {
       round(ssr / sst, 6).as("r2"))
   }
 
+  /** L283 — readability scoring per language: Flesch reading ease +
+    * Flesch–Kincaid grade (the curriculum-design knob in every
+    * data-mixing recipe — filter or re-weight by grade band before
+    * pretraining; completes the quality family beside L12's
+    * punctuation/stopword score and L132's perplexity proxy).
+    * Heuristic syllables = vowel GROUPS `[aeiouy]+` (the standard
+    * dictionary-free approximation), sentences = `[.!?]+` runs
+    * (min 1) — both as regexp_extract_all counts, row-local and
+    * engine-portable (no backtracking constructs, identical under
+    * Java regex and RE2). Per-doc grades round-6, aggregated per
+    * language with decimal means. */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val words = size(split(col("text"), " ")).cast("long")
+    val sentences = greatest(
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"),
+      lit(1L))
+    val syllables = greatest(
+      size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+        .cast("long"), lit(1L))
+    val wps = round(words.cast("double") / sentences.cast("double"), 6)
+    val spw = round(syllables.cast("double") / words.cast("double"), 6)
+    val perDoc = documents(spark, dir)
+      .select(col("lang"),
+        round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6).as("ease"),
+        round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6).as("grade"))
+    perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(davg(col("ease")), 6).as("avg_reading_ease"),
+        round(davg(col("grade")), 6).as("avg_fk_grade"),
+        round(min(col("grade")), 6).as("min_grade"),
+        round(max(col("grade")), 6).as("max_grade"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_readability" -> (readability _),
     "llm_cdc_chunks" -> (cdcChunks _),
     "ml_feature_hashing" -> (featureHashing _),
     "ml_ols_multi" -> (olsMulti _),
   )
 
+  private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+
   val oracles: Map[String, String] = Map(
+    "llm_readability" ->
+      s"""WITH perdoc AS (SELECT lang,
+             round(206.835
+               - 1.015 * round(CAST(len(string_split(text, ' ')) AS DOUBLE)
+                 / CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS DOUBLE), 6)
+               - 84.6 * round(CAST(GREATEST(len(regexp_extract_all(lower(text),
+                   '[aeiouy]+')), 1) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 6), 6) AS ease,
+             round(0.39 * round(CAST(len(string_split(text, ' ')) AS DOUBLE)
+                 / CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS DOUBLE), 6)
+               + 11.8 * round(CAST(GREATEST(len(regexp_extract_all(lower(text),
+                   '[aeiouy]+')), 1) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 6)
+               - 15.59, 6) AS grade
+           FROM documents)
+         SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(${dsumSql("ease")} / COUNT(ease), 6) AS avg_reading_ease,
+           round(${dsumSql("grade")} / COUNT(grade), 6) AS avg_fk_grade,
+           round(MIN(grade), 6) AS min_grade,
+           round(MAX(grade), 6) AS max_grade
+         FROM perdoc GROUP BY 1 ORDER BY 1""",
     "llm_cdc_chunks" ->
       s"""WITH w0 AS (SELECT doc_id,
              CAST(unnest(range(0, len(string_split(text, ' ')))) AS BIGINT)

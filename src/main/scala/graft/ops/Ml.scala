@@ -482,7 +482,42 @@ object Ml {
       .orderBy("dim")
   }
 
+  /** L282 — distributed k-fold cross-validation harness (k=5,
+    * leave-fold-out in CLOSED FORM: because the baseline model is the
+    * train mean, every fold's train statistic is recoverable from
+    * per-fold aggregates alone — m_f = (S − s_f)/(N − n_f) — so the
+    * "train on k−1 folds, test on 1" loop that naively rescans the
+    * corpus k times is ONE aggregate pass + one deviation pass.
+    * Fold assignment is the deterministic h48 split (the L110/L159
+    * convention). Test RMSE per fold is computed per the L275 parity
+    * rule: deviations scaled to thousand-units so every decimal cast
+    * stays small-magnitude and midpoint-free; the fold-to-fold RMSE
+    * spread is the stability readout. */
+  def kfoldCv(spark: SparkSession, dir: String): DataFrame = {
+    val K = 5
+    val base = orders(spark, dir).select(col("o_totalprice").as("y"),
+      (h48(col("o_orderkey").cast("string")) % K).as("fold"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val folds = base.groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_test"), round(dsum(col("y")), 6).as("s_f"))
+      .withColumn("n", sum(col("n_test")).over(wAll))
+      .withColumn("s", round(sum(col("s_f").cast("decimal(18,6)")).over(wAll)
+        .cast("double"), 6))
+      .withColumn("train_mean", round((col("s") - col("s_f")) /
+        (col("n") - col("n_test")).cast("double"), 2))
+    val dev = (col("y") - col("train_mean")) / 1000.0
+    base.join(broadcast(folds), Seq("fold"))
+      .groupBy(col("fold"), col("n_test"), col("train_mean"))
+      .agg(sum(round(dev * dev, 6).cast("decimal(28,6)")).as("ssq"))
+      .select(col("fold"), col("n_test"), col("train_mean"),
+        round(sqrt(col("ssq").cast("double") / col("n_test").cast("double")), 6)
+          .as("rmse_k"))
+      .orderBy("fold")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_kfold_cv" -> (kfoldCv _),
     "ml_feature_stats" -> (featureStats _),
     "ml_threshold_sweep" -> (thresholdSweep _),
     "ml_avg_precision" -> (avgPrecision _),
@@ -510,6 +545,30 @@ object Ml {
        FROM documents)"""
 
   val oracles: Map[String, String] = Map(
+    "ml_kfold_cv" ->
+      s"""WITH base AS (SELECT o_totalprice AS y,
+             ${graft.Tables.h48Sql("CAST(o_orderkey AS VARCHAR)")} % 5 AS fold
+           FROM orders),
+         folds AS (SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_test,
+             round(${dsumSql("y")}, 6) AS s_f
+           FROM base GROUP BY 1),
+         w AS (SELECT *,
+             CAST(SUM(n_test) OVER () AS BIGINT) AS n,
+             round(CAST(SUM(CAST(s_f AS DECIMAL(18,6))) OVER () AS DOUBLE), 6)
+               AS s
+           FROM folds),
+         m AS (SELECT fold, n_test,
+             round((s - s_f) / CAST(n - n_test AS DOUBLE), 2) AS train_mean
+           FROM w),
+         d AS (SELECT base.fold, n_test, train_mean,
+             CAST(SUM(CAST(round(((y - train_mean) / 1000.0)
+               * ((y - train_mean) / 1000.0), 6) AS DECIMAL(28,6)))
+               AS DOUBLE) AS ssq
+           FROM base JOIN m ON base.fold = m.fold
+           GROUP BY 1, 2, 3)
+         SELECT fold, n_test, train_mean,
+           round(sqrt(ssq / CAST(n_test AS DOUBLE)), 6) AS rmse_k
+         FROM d ORDER BY fold""",
     "ml_feature_stats" ->
       s"""WITH xe AS (SELECT i - 1 AS dim,
              CAST(embedding[i] AS DOUBLE) * 8.0 AS x

@@ -408,7 +408,54 @@ object Warehouse5 {
       .orderBy("day_num")
   }
 
+  /** L281 — position-based (U-shaped) multi-touch attribution (the
+    * 40/20/40 split every marketing stack offers beside L244's
+    * last-touch: first and last touch get 40% each, the middles share
+    * 20% — k=1 takes 100%, k=2 splits 50/50). The scale shape extends
+    * the L244 single-window trick: a REVERSE running count of
+    * purchases in the same per-user ordered frame assigns every touch
+    * to its NEXT purchase with no touch⋈purchase join (touches after a
+    * user's final purchase stay unattributed by definition, counted in
+    * the audit column of nothing — they simply drop); one more window
+    * over the (user, purchase) group ranks positions. Two passes over
+    * one user-keyed shuffle partitioning, nothing pairwise. Credits
+    * are round-6 rationals times the purchase value, decimal-summed
+    * per touch type. */
+  def positionAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val wRev = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tagged = events(spark, dir)
+      .withColumn("g", sum(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)).over(wRev))
+    val purchases = tagged.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("g"), col("value").as("purchase_value"))
+    val touches = tagged.where(col("event_type").isin("view", "click") &&
+        col("g") > 0)
+      .select(col("user_id"), col("g"), col("ts"), col("event_id"),
+        col("event_type"))
+    val wGrp = Window.partitionBy(col("user_id"), col("g"))
+      .orderBy(col("ts"), col("event_id"))
+    val wGrpAll = Window.partitionBy(col("user_id"), col("g"))
+    val credited = touches
+      .withColumn("rn", row_number().over(wGrp))
+      .withColumn("k", count(lit(1)).over(wGrpAll))
+      .withColumn("credit",
+        when(col("k") === 1, 1.0)
+          .when(col("k") === 2, 0.5)
+          .when(col("rn") === 1 || col("rn") === col("k"), 0.4)
+          .otherwise(round(lit(0.2) / (col("k") - 2).cast("double"), 6)))
+      .join(purchases, Seq("user_id", "g"))
+      .select(col("event_type").as("touch"),
+        round(col("credit") * col("purchase_value"), 6).as("credited"))
+    credited.groupBy("touch")
+      .agg(count(lit(1)).as("n_credited_touches"),
+        round(dsum(col("credited")), 6).as("credited_revenue"))
+      .orderBy("touch")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "attribution_position" -> (positionAttribution _),
     "ts_open_orders_curve" -> (openOrdersCurve _),
     "win_activity_streaks" -> (activityStreaks _),
     "agg_mode_top_user" -> (modeTopUser _),
@@ -427,6 +474,32 @@ object Warehouse5 {
   private val evTs = "CAST(ts AS TIMESTAMP)"
 
   val oracles: Map[String, String] = Map(
+    "attribution_position" ->
+      s"""WITH tagged AS (SELECT user_id, ts, event_id, event_type, value,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS g
+           FROM events),
+         purchases AS (SELECT user_id, g, value AS purchase_value
+           FROM tagged WHERE event_type = 'purchase'),
+         touches AS (SELECT user_id, g, ts, event_id, event_type
+           FROM tagged
+           WHERE event_type IN ('view', 'click') AND g > 0),
+         ranked AS (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY user_id, g
+               ORDER BY ts, event_id) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY user_id, g) AS BIGINT) AS k
+           FROM touches),
+         credited AS (SELECT event_type AS touch,
+             round(CASE WHEN k = 1 THEN 1.0
+               WHEN k = 2 THEN 0.5
+               WHEN rn = 1 OR rn = k THEN 0.4
+               ELSE round(0.2 / CAST(k - 2 AS DOUBLE), 6) END
+               * purchase_value, 6) AS credited
+           FROM ranked JOIN purchases USING (user_id, g))
+         SELECT touch, CAST(COUNT(*) AS BIGINT) AS n_credited_touches,
+           round(${dsumSql("credited")}, 6) AS credited_revenue
+         FROM credited GROUP BY 1 ORDER BY 1""",
     "ts_ewma_deviation" -> {
       val (num, den) = ewmaSqlChain
       val lags = (1 to EwmaLags)

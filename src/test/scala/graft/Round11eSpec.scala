@@ -98,4 +98,95 @@ class Round11eSpec extends SparkTestBase {
     assert(math.abs(a11 * bet1 + a12 * bet2 - b1) / math.abs(b1) < 1e-9)
     assert(math.abs(a12 * bet1 + a22 * bet2 - b2) / math.abs(b2) < 1e-9)
   }
+
+  private def us(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+  test("attribution_position: U-shaped credits replicate JVM; each journey's credits sum to ~1") {
+    val ev = Tables.events(spark, sf0001)
+      .select("user_id", "ts", "event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), us(r.getTimestamp(1)), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val credits = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      // reverse running count of purchases assigns each touch its NEXT purchase
+      var g2 = ordered.count(_._4 == "purchase").toLong
+      val groups = scala.collection.mutable.Map[Long,
+        scala.collection.mutable.ArrayBuffer[String]]()
+      val pv = scala.collection.mutable.Map[Long, Double]()
+      ordered.foreach { r =>
+        if (r._4 == "purchase") { pv(g2) = r._5; g2 -= 1 }
+        else if ((r._4 == "view" || r._4 == "click") && g2 > 0)
+          groups.getOrElseUpdate(g2, scala.collection.mutable.ArrayBuffer()) += r._4
+      }
+      groups.foreach { case (gg, ts) =>
+        val k = ts.length
+        ts.zipWithIndex.foreach { case (t, i) =>
+          val c = if (k == 1) 1.0 else if (k == 2) 0.5
+            else if (i == 0 || i == k - 1) 0.4 else r6(0.2 / (k - 2))
+          credits += ((t, r6(c * pv(gg))))
+        }
+        // U-shaped credits sum to 1 modulo the round-6 middle split
+        val csum = ts.zipWithIndex.map { case (_, i) =>
+          if (k == 1) 1.0 else if (k == 2) 0.5
+          else if (i == 0 || i == k - 1) 0.4 else r6(0.2 / (k - 2)) }.sum
+        assert(math.abs(csum - 1.0) < k * 1e-6)
+      }
+    }
+    val want = credits.groupBy(_._1).view.map { case (t, xs) =>
+      (t, xs.size.toLong, r6(xs.map(x => BigDecimal.decimal(x._2)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble))
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("attribution_position")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == want, s"\n got ${got.toSeq}\nwant $want")
+  }
+
+  test("ml_kfold_cv: closed-form leave-fold-out replicates JVM") {
+    val os = Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val byF = os.groupBy(o => Tables.h48jvm(o._1.toString) % 5)
+    val sF = byF.view.mapValues(v => r6(v.map(_._2).map(x =>
+      math.rint(x * 1e6).toLong).sum / 1e6)).toMap
+    val n = os.length.toLong
+    val s = r6(sF.values.map(x => math.rint(x * 1e6).toLong).sum / 1e6)
+    val want = byF.toSeq.sortBy(_._1).map { case (f, v) =>
+      val m = rN((s - sF(f)) / (n - v.length), 2)
+      val ssq = v.map { case (_, y) =>
+        val d = (y - m) / 1000.0
+        (BigDecimal.decimal(r6(d * d)) * BigDecimal(1000000)).toLongExact
+      }.sum / 1e6
+      (f, v.length.toLong, m, r6(math.sqrt(ssq / v.length)))
+    }
+    val got = SparkEntry.queries("ml_kfold_cv")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.toSeq == want, s"\n got ${got.toSeq}\nwant $want")
+    assert(got.length == 5)
+  }
+
+  test("llm_readability: Flesch formulas replicate Java-regex JVM counts") {
+    val full = Tables.documents(spark, sf0001).select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val perDoc = full.map { case (lang, text) =>
+      val words = text.split(" ", -1).length.toLong
+      val sentences = math.max("[.!?]+".r.findAllIn(text).length.toLong, 1L)
+      val syll = math.max("[aeiouy]+".r.findAllIn(text.toLowerCase).length.toLong, 1L)
+      val wps = r6(words.toDouble / sentences.toDouble)
+      val spw = r6(syll.toDouble / words.toDouble)
+      (lang, r6(206.835 - 1.015 * wps - 84.6 * spw),
+        r6(0.39 * wps + 11.8 * spw - 15.59))
+    }
+    val want = perDoc.groupBy(_._1).view.map { case (l, xs) =>
+      def davg(v: Seq[Double]) =
+        r6(v.map(x => math.rint(x * 1e6).toLong).sum / 1e6 / v.length)
+      (l, xs.length.toLong, davg(xs.map(_._2).toSeq), davg(xs.map(_._3).toSeq),
+        r6(xs.map(_._3).min), r6(xs.map(_._3).max))
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("llm_readability")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == want, s"\n got ${got.toSeq}\nwant $want")
+  }
 }
