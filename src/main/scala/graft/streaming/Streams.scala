@@ -1043,6 +1043,68 @@ object Streams {
     }
   }
 
+  case class AttributedTouch(user_id: Long, purchase_event_id: Long,
+    touch: String, credit: Double, credited: Double)
+
+  /** L284 — position-based multi-touch attribution ON A STREAM (the
+    * live form of [[graft.ops.Warehouse5.positionAttribution]]: credits
+    * land the moment the purchase event arrives, not in tomorrow's
+    * batch — which is what ad-spend bidding loops actually consume).
+    * Per-user keyed state is ONE ListState holding the PENDING touch
+    * types in arrival order — exactly the information the U-shaped
+    * 40/20/40 rule needs at conversion time and nothing more (state ∝
+    * a user's touches since their last purchase, GC'd by emission at
+    * every purchase; touches after a user's final purchase stay
+    * pending, mirroring the batch op's unattributed drop). Credit
+    * arithmetic is byte-for-byte the batch rule (k=1→1, k=2→0.5,
+    * ends→0.4, middles→round-6 of 0.2/(k−2); credited = round-6 of
+    * credit×value), so StreamingSpec pins the aggregated credited
+    * revenue bit-equal to the batch query across RocksDB micro-batch
+    * boundaries. */
+  def attributionTws(events: Dataset[Event]): Dataset[AttributedTouch] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new AttributionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  class AttributionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, AttributedTouch] {
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var pending: streaming.ListState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit =
+      pending = getHandle.getListState[String]("pending_touches",
+        Encoders.STRING, streaming.TTLConfig.NONE)
+
+    private def r6(x: Double): Double =
+      BigDecimal.decimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: streaming.TimerValues): Iterator[AttributedTouch] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[AttributedTouch]
+      var buf = pending.get().toVector
+      rows.toSeq.sortBy(e => (microsOf(e.ts), e.event_id)).foreach { e =>
+        e.event_type match {
+          case "purchase" =>
+            val k = buf.length
+            buf.zipWithIndex.foreach { case (t, i) =>
+              val c = if (k == 1) 1.0 else if (k == 2) 0.5
+                else if (i == 0 || i == k - 1) 0.4 else r6(0.2 / (k - 2))
+              out += AttributedTouch(key, e.event_id, t, c, r6(c * e.value))
+            }
+            buf = Vector.empty
+          case "view" | "click" => buf = buf :+ e.event_type
+          case _ => () // signup/error never carry attribution credit
+        }
+      }
+      if (buf.isEmpty) pending.clear() else pending.put(buf.toArray)
+      out.iterator
+    }
+  }
+
   case class AdmittedEvent(user_id: Long, day_us: Long, event_id: Long,
     n_in_day: Long)
 

@@ -718,4 +718,62 @@ class ScaleRehearsalSpec extends SparkTestBase {
       s"z-order lost 2-D dominance at 10x: $zp")
     assert(zp("2_datesort")._1 < zp("1_natural")._1)
   }
+
+  test("round-11 batch at 10x: CDC chunks scale exactly, hashing/readability/OLS/attribution invariant") {
+    def rowsOf(name: String) =
+      (SparkEntry.queries(name)(spark, sf001).collect(),
+        SparkEntry.queries(name)(spark, scaledDir).collect())
+    def near(a: Double, b: Double, eps: Double = 1e-6) = math.abs(a - b) <= eps
+    // content-defined chunking: replicas are byte-identical text, so the
+    // chunk edge set is IDENTICAL and every frequency scales exactly 10x —
+    // the invariance fixed-width chunking cannot give (edges re-align)
+    val t0 = System.nanoTime()
+    val (cb, cs) = rowsOf("llm_cdc_chunks")
+    val tCdc = (System.nanoTime() - t0) / 1e9
+    assert(tCdc < 60.0, s"cdc_chunks took $tCdc s at 10x")
+    assert(cb.length == cs.length)
+    cb.zip(cs).foreach { case (b, s) =>
+      assert(b.getString(0) == s.getString(0), "top chunk set changed at 10x")
+      assert(s.getLong(1) == b.getLong(1) * K, "chunk frequency not exactly 10x")
+      assert(s.getLong(2) == b.getLong(2) * K, "total chunks not exactly 10x")
+      assert(s.getLong(3) == b.getLong(3), "distinct chunk set changed at 10x")
+    }
+    // feature hashing: the doc_id<10 slice at 10x is the 10 replicas of
+    // fixture doc 0 — every replica's sparse vector must be IDENTICAL,
+    // and the corpus-wide bucket load (distinct words) is invariant
+    val (hb, hs) = rowsOf("ml_feature_hashing")
+    val doc0 = hb.filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    (0L until 10L).foreach { id =>
+      val v = hs.filter(_.getLong(0) == id).map(r => (r.getLong(1), r.getLong(2))).toSeq
+      assert(v == doc0, s"replica $id vector differs from fixture doc 0")
+    }
+    val loadB = hb.map(r => r.getLong(1) -> r.getLong(3)).toMap
+    hs.foreach(r => assert(r.getLong(3) == loadB(r.getLong(1)),
+      "bucket distinct-word load drifted at 10x"))
+    // OLS: centered moments all scale 10x so the solved betas and R2 are
+    // replication-invariant up to last-ulp double noise
+    val (ob, os_) = (rowsOf("ml_ols_multi")._1.head, rowsOf("ml_ols_multi")._2.head)
+    assert(os_.getLong(0) == ob.getLong(0) * K)
+    (1 to 4).foreach(i => assert(near(os_.getDouble(i), ob.getDouble(i), 1e-4),
+      s"OLS col $i drifted at 10x: ${os_.getDouble(i)} vs ${ob.getDouble(i)}"))
+    // readability: per-language decimal means over 10 identical copies are
+    // bit-equal; doc counts 10x
+    val (rb, rs) = rowsOf("llm_readability")
+    rb.zip(rs).foreach { case (b, s) =>
+      assert(b.getString(0) == s.getString(0))
+      assert(s.getLong(1) == b.getLong(1) * K)
+      (2 to 5).foreach(i => assert(s.getDouble(i) == b.getDouble(i),
+        s"readability col $i not bit-equal at 10x"))
+    }
+    // attribution: each user becomes 10 replica users with the identical
+    // journey, so credited revenue and touch counts scale exactly 10x
+    val (ab, as_) = rowsOf("attribution_position")
+    ab.zip(as_).foreach { case (b, s) =>
+      assert(b.getString(0) == s.getString(0))
+      assert(s.getLong(1) == b.getLong(1) * K, "credited touches not 10x")
+      assert(near(s.getDouble(2), b.getDouble(2) * K, 1e-3),
+        s"credited revenue not 10x: ${s.getDouble(2)} vs ${b.getDouble(2)}")
+    }
+  }
 }

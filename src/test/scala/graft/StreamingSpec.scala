@@ -1292,6 +1292,54 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("batch≡streaming: U-shaped attribution credits bit-equal to the batch query") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ordered = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val ms = MemoryStream[Event]
+    val q = runToTable(Streams.attributionTws(ms.toDS()).toDF(),
+      "attr_tws", "append")
+    try {
+      ordered.grouped((ordered.length + 2) / 3).foreach { chunk =>
+        ms.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("attr_tws")
+        .groupBy($"touch")
+        .agg(count(lit(1)).as("n_credited_touches"),
+          round(Tables.dsum($"credited"), 6).as("credited_revenue"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      val batch = SparkEntry.queries("attribution_position")(spark, sf0001)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      assert(streamed == batch, s"\nstream $streamed\nbatch $batch")
+      assert(batch.map(_._2).sum > 100, "fixture must carry many credits")
+      // per-journey credit conservation on the streamed side
+      val perJourney = spark.table("attr_tws")
+        .groupBy($"user_id", $"purchase_event_id")
+        .agg(round(Tables.dsum($"credit"), 6).as("csum"), count(lit(1)).as("k"))
+        .collect()
+      perJourney.foreach { r =>
+        assert(math.abs(r.getDouble(2) - 1.0) < r.getLong(3) * 1e-6,
+          s"credits must conserve: $r")
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("batch≡streaming: windowed PSI drift monitor bit-equal to the batch form") {
     val s = spark
     import s.implicits._
