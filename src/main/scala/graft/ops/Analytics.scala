@@ -680,6 +680,48 @@ object Analytics {
            ON a.o = b.o AND a.p < b.p
          GROUP BY 1, 2 HAVING COUNT(*) >= 2)"""
 
+  /** L286 — modularity of the brand partition of the part co-purchase
+    * graph (Newman & Girvan 2004: Q = Σ_c [e_c/m − (d_c/2m)²] — the
+    * number that says whether a labeling is a real community structure
+    * or no better than random wiring; here the readout is whether
+    * BRANDS cluster in co-purchase behavior). Entirely map-combinable
+    * over the shared edge list: intra-community edge counts and
+    * community degree sums are two conditional aggregates over one
+    * edge scan + a broadcast dim join for the labels; the 25-row brand
+    * frame carries the window total. Per-community q terms emitted
+    * alongside Q — the argmax community is the actionable row. */
+  def graphModularity(spark: SparkSession, dir: String): DataFrame = {
+    val brands = part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    val labeled = coPurchaseEdges(spark, dir)
+      .join(broadcast(brands.withColumnRenamed("p_partkey", "a")
+        .withColumnRenamed("p_brand", "brand_a")), Seq("a"))
+      .join(broadcast(brands.withColumnRenamed("p_partkey", "b")
+        .withColumnRenamed("p_brand", "brand_b")), Seq("b"))
+    val perBrand = labeled
+      .select(explode(array(
+        struct(col("brand_a").as("brand"),
+          when(col("brand_a") === col("brand_b"), 1L).otherwise(0L).as("intra"),
+          lit(1L).as("deg")),
+        struct(col("brand_b").as("brand"),
+          lit(0L).as("intra"), lit(1L).as("deg")))).as("x"))
+      .groupBy(col("x.brand").as("brand"))
+      .agg(sum(col("x.intra")).as("e_c"), sum(col("x.deg")).as("d_c"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    perBrand
+      .withColumn("m", (sum(col("d_c")).over(wAll) / 2).cast("long"))
+      .withColumn("q_term", round(col("e_c").cast("double") /
+          col("m").cast("double") -
+        (col("d_c").cast("double") / (lit(2L) * col("m")).cast("double")) *
+          (col("d_c").cast("double") / (lit(2L) * col("m")).cast("double")), 6))
+      .withColumn("q_total",
+        round(sum(col("q_term").cast("decimal(18,6)")).over(wAll)
+          .cast("double"), 6))
+      .select(col("brand"), col("e_c"), col("d_c"), col("m"),
+        col("q_term"), col("q_total"))
+      .orderBy("brand")
+  }
+
   def triangleCount(spark: SparkSession, dir: String): DataFrame = {
     val edges = coPurchaseEdges(spark, dir)
     val deg = edges.select(explode(array(col("a"), col("b"))).as("v"))
@@ -945,6 +987,7 @@ object Analytics {
     "graph_kcore_peel" -> (kcorePeel _),
     "graph_degree_hist" -> (degreeHistogram _),
     "graph_triangle_count" -> (triangleCount _),
+    "graph_modularity" -> (graphModularity _),
     "graph_pagerank_step" -> (pagerankStep _),
     "graph_butterfly_count" -> (butterflyCount _),
     "graph_butterfly_capped" -> (butterflyCountCapped _),
@@ -1090,6 +1133,31 @@ object Analytics {
            FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1)
          SELECT d AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
          FROM d GROUP BY 1 ORDER BY 1""",
+    "graph_modularity" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         e AS (SELECT a.p AS a, b.p AS b FROM op a JOIN op b
+             ON a.o = b.o AND a.p < b.p
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         lab AS (SELECT pa.p_brand AS brand_a, pb.p_brand AS brand_b
+           FROM e JOIN part pa ON e.a = pa.p_partkey
+             JOIN part pb ON e.b = pb.p_partkey),
+         sides AS (SELECT brand_a AS brand,
+             CASE WHEN brand_a = brand_b THEN 1 ELSE 0 END AS intra, 1 AS deg
+           FROM lab
+           UNION ALL SELECT brand_b, 0, 1 FROM lab),
+         pb AS (SELECT brand, CAST(SUM(intra) AS BIGINT) AS e_c,
+             CAST(SUM(deg) AS BIGINT) AS d_c
+           FROM sides GROUP BY 1),
+         w AS (SELECT *, CAST(SUM(d_c) OVER () // 2 AS BIGINT) AS m FROM pb),
+         q AS (SELECT *,
+             round(CAST(e_c AS DOUBLE) / CAST(m AS DOUBLE)
+               - (CAST(d_c AS DOUBLE) / CAST(2 * m AS DOUBLE))
+                 * (CAST(d_c AS DOUBLE) / CAST(2 * m AS DOUBLE)), 6) AS q_term
+           FROM w)
+         SELECT brand, e_c, d_c, m, q_term,
+           round(CAST(SUM(CAST(q_term AS DECIMAL(18,6))) OVER () AS DOUBLE), 6)
+             AS q_total
+         FROM q ORDER BY brand""",
     "graph_triangle_count" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
          e AS (SELECT a.p AS a, b.p AS b FROM op a JOIN op b

@@ -305,7 +305,50 @@ object Audit {
       .withColumn("epsilon", lit(eps))
   }
 
+  /** L285 — declarative referential-integrity audit (the
+    * constraint-check pass a warehouse runs after every load, and the
+    * certification a lakehouse table needs because parquet enforces
+    * NOTHING: FK orphan counts via anti-join semantics + PK uniqueness
+    * via duplicate-key counts, one result row per declared constraint
+    * so a green run is POSITIVE evidence, not an empty result set
+    * (the L194 expectation-suite convention). Each check is one
+    * key-shuffled aggregate; the child side never moves twice. */
+  def referentialAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def fk(name: String, child: DataFrame, ck: String, parent: DataFrame,
+        pk: String): DataFrame = {
+      val orphans = child.select(col(ck))
+        .join(parent.select(col(pk)), col(ck) === col(pk), "left_anti")
+      child.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_violations"))))
+        .select(lit(name).as("constraint_name"), col("n_rows"),
+          col("n_violations"))
+    }
+    def pk(name: String, t: DataFrame, k: String): DataFrame =
+      t.groupBy(col(k)).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("dup_keys"))
+        .select(lit(name).as("constraint_name"), col("n_keys").as("n_rows"),
+          coalesce(col("dup_keys"), lit(0L)).as("n_violations"))
+    Seq(
+      fk("fk_lineitem_orders", lineitem(spark, dir), "l_orderkey",
+        orders(spark, dir), "o_orderkey"),
+      fk("fk_lineitem_part", lineitem(spark, dir), "l_partkey",
+        part(spark, dir), "p_partkey"),
+      fk("fk_orders_customer", orders(spark, dir), "o_custkey",
+        customer(spark, dir), "c_custkey"),
+      fk("fk_customer_nation", customer(spark, dir), "c_nationkey",
+        nation(spark, dir), "n_nationkey"),
+      pk("pk_orders", orders(spark, dir), "o_orderkey"),
+      pk("pk_customer", customer(spark, dir), "c_custkey"),
+      pk("pk_part", part(spark, dir), "p_partkey"),
+    ).reduce(_ unionAll _)
+      .withColumn("ok", col("n_violations") === 0L)
+      .orderBy("constraint_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_referential" -> (referentialAudit _),
     "privacy_randomized_response" -> (randomizedResponse _),
     "privacy_dp_counts" -> (dpCounts _),
     "privacy_l_diversity" -> (lDiversity _),
@@ -317,6 +360,45 @@ object Audit {
   )
 
   val oracles: Map[String, String] = Map(
+    "audit_referential" ->
+      """WITH checks AS (
+           SELECT 'fk_lineitem_orders' AS constraint_name,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_rows,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+               WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+               AS n_violations
+           UNION ALL
+           SELECT 'fk_lineitem_part',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+               WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+           UNION ALL
+           SELECT 'fk_orders_customer',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+               WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+           UNION ALL
+           SELECT 'fk_customer_nation',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+               WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+           UNION ALL
+           SELECT 'pk_orders',
+             (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+               (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1))
+           UNION ALL
+           SELECT 'pk_customer',
+             (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+               (SELECT c_custkey FROM customer GROUP BY 1 HAVING COUNT(*) > 1))
+           UNION ALL
+           SELECT 'pk_part',
+             (SELECT CAST(COUNT(DISTINCT p_partkey) AS BIGINT) FROM part),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+               (SELECT p_partkey FROM part GROUP BY 1 HAVING COUNT(*) > 1)))
+         SELECT constraint_name, n_rows, n_violations, n_violations = 0 AS ok
+         FROM checks ORDER BY constraint_name""",
     "privacy_randomized_response" -> {
       val h = h48Sql("'rr:' || CAST(event_id AS VARCHAR)")
       val eps = f"${math.log(0.75 / 0.25)}%.6f"

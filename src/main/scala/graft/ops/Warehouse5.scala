@@ -454,7 +454,53 @@ object Warehouse5 {
       .orderBy("touch")
   }
 
+  /** L287 — Holt double exponential smoothing (level + trend) of the
+    * daily revenue series, α = β = ½, one-step-ahead forecasts (the
+    * first genuinely RECURSIVE time-series model in the suite — EWMA
+    * (L224) de-sequentialized because one geometric state admits a
+    * closed form; Holt's COUPLED level/trend recursion does not, so
+    * this row exercises the other engine capability: WITH RECURSIVE
+    * over the calendar-bounded frame, 30 steps here, never
+    * corpus-proportional — the corpus is touched once by the daily
+    * aggregate, which is materialized (localCheckpoint) so the
+    * recursion's ~n self-references re-read a 30-row table instead of
+    * re-running the scan n times, the L95 lesson). Parity design:
+    * state lives in INTEGER MICRO-UNITS and every halving is
+    * FLOOR((·)/2.0) — floor of an exact-by-construction double, the
+    * one halving both engines implement identically (bigint div
+    * truncates toward zero in one engine and floors in the other, and
+    * trend goes negative). */
+  def holtDaily(spark: SparkSession, dir: String): DataFrame = {
+    val wDay = Window.orderBy(col("day_us"))
+    val daily = events(spark, dir)
+      .groupBy(unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+      .agg((sum(col("value").cast("decimal(18,6)")) * 1000000)
+        .cast("long").as("y_micro"))
+      .withColumn("rn", row_number().over(wDay))
+    daily.localCheckpoint().createOrReplaceTempView("graft_holt_daily")
+    spark.sql(
+      """WITH RECURSIVE holt(rn, day_us, y, l, b) AS (
+           SELECT rn, day_us, y_micro, y_micro, CAST(0 AS BIGINT)
+           FROM graft_holt_daily WHERE rn = 1
+           UNION ALL
+           SELECT d.rn, d.day_us, d.y_micro,
+             CAST(FLOOR((d.y_micro + h.l + h.b) / 2.0) AS BIGINT),
+             CAST(FLOOR((CAST(FLOOR((d.y_micro + h.l + h.b) / 2.0) AS BIGINT)
+               - h.l + h.b) / 2.0) AS BIGINT)
+           FROM holt h JOIN graft_holt_daily d ON d.rn = h.rn + 1)
+         SELECT rn, day_us,
+           round(y / 1e6, 6) AS actual,
+           round(l / 1e6, 6) AS level,
+           round(b / 1e6, 6) AS trend,
+           round((LAG(l) OVER (ORDER BY rn) + LAG(b) OVER (ORDER BY rn))
+             / 1e6, 6) AS forecast,
+           round(abs(y - (LAG(l) OVER (ORDER BY rn) + LAG(b) OVER (ORDER BY rn)))
+             / 1e6, 6) AS abs_err
+         FROM holt ORDER BY rn""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_holt_daily" -> (holtDaily _),
     "attribution_position" -> (positionAttribution _),
     "ts_open_orders_curve" -> (openOrdersCurve _),
     "win_activity_streaks" -> (activityStreaks _),
@@ -474,6 +520,32 @@ object Warehouse5 {
   private val evTs = "CAST(ts AS TIMESTAMP)"
 
   val oracles: Map[String, String] = Map(
+    "ts_holt_daily" ->
+      s"""WITH RECURSIVE daily AS (SELECT
+             epoch_us(date_trunc('day', $evTs)) AS day_us,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+               AS y_micro
+           FROM events GROUP BY 1),
+         dr AS (SELECT *, ROW_NUMBER() OVER (ORDER BY day_us) AS rn
+           FROM daily),
+         holt(rn, day_us, y, l, b) AS (
+           SELECT rn, day_us, y_micro, y_micro, CAST(0 AS BIGINT)
+           FROM dr WHERE rn = 1
+           UNION ALL
+           SELECT d.rn, d.day_us, d.y_micro,
+             CAST(FLOOR((d.y_micro + h.l + h.b) / 2.0) AS BIGINT),
+             CAST(FLOOR((CAST(FLOOR((d.y_micro + h.l + h.b) / 2.0) AS BIGINT)
+               - h.l + h.b) / 2.0) AS BIGINT)
+           FROM holt h JOIN dr d ON d.rn = h.rn + 1)
+         SELECT rn, day_us,
+           round(y / 1e6, 6) AS actual,
+           round(l / 1e6, 6) AS level,
+           round(b / 1e6, 6) AS trend,
+           round((LAG(l) OVER (ORDER BY rn) + LAG(b) OVER (ORDER BY rn))
+             / 1e6, 6) AS forecast,
+           round(abs(y - (LAG(l) OVER (ORDER BY rn) + LAG(b) OVER (ORDER BY rn)))
+             / 1e6, 6) AS abs_err
+         FROM holt ORDER BY rn""",
     "attribution_position" ->
       s"""WITH tagged AS (SELECT user_id, ts, event_id, event_type, value,
              SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)

@@ -219,7 +219,9 @@ class PlanSpec extends SparkTestBase {
       "stats_hill_tail",
       // 1-row collected language-array broadcast crossed into the
       // per-source totals (|S|×|L| grid; never a data-sized cartesian)
-      "stats_jsd_sources")
+      "stats_jsd_sources",
+      // 1-row violation-count aggregates broadcast-crossed per constraint
+      "audit_referential")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, sf0001))
