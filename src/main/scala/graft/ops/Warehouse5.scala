@@ -499,7 +499,78 @@ object Warehouse5 {
          FROM holt ORDER BY rn""")
   }
 
+  /** L289 — key-skew profiler (the diagnosis that PRECEDES every
+    * salting/AQE decision the L68 salted join and the AQE skew-split
+    * demo assume was already made: how hot is the hottest key, and
+    * what salt factor would level it?). Per-key counts → the
+    * count-VALUE frame (bounded by distinct frequencies, not keys) for
+    * p99 via cumulative key coverage; max/avg/skew-ratio and the
+    * recommended salt = ⌈max/avg⌉ on the 1-row stats frame; top-10
+    * hottest keys carried alongside. One key-shuffled aggregate + a
+    * frequency-frame window at any scale. */
+  def keySkewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val perKey = events(spark, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val byC = perKey.groupBy(col("c")).agg(count(lit(1)).as("k"))
+    val wC = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val stats = byC
+      .withColumn("cum_k", sum(col("k")).over(wC))
+      .withColumn("n_keys", sum(col("k")).over(wAll))
+      .withColumn("n_rows", sum(col("c") * col("k")).over(wAll))
+      .withColumn("is_p99", col("cum_k") * 100 >= col("n_keys") * 99)
+      .agg(max(col("n_keys")).as("n_keys"), max(col("n_rows")).as("n_rows"),
+        max(col("c")).as("max_c"),
+        min(when(col("is_p99"), col("c"))).as("p99_c"))
+      .withColumn("avg_c", round(col("n_rows").cast("double") /
+        col("n_keys").cast("double"), 6))
+      .withColumn("skew_ratio", round(col("max_c").cast("double") /
+        col("avg_c"), 6))
+      .withColumn("salt_factor", ceil(col("max_c").cast("double") /
+        col("avg_c")).cast("long"))
+    perKey.orderBy(col("c").desc, col("user_id")).limit(10)
+      .crossJoin(broadcast(stats))
+      .select(col("user_id").as("hot_key"), col("c").as("hot_count"),
+        col("n_keys"), col("n_rows"), col("avg_c"), col("p99_c"),
+        col("max_c"), col("skew_ratio"), col("salt_factor"))
+      .orderBy(col("hot_count").desc, col("hot_key"))
+  }
+
+  /** L290 — rolling 7-day distinct active users (the WAU-by-day curve
+    * beside L88's daily DAU; the stickiness ratio DAU/WAU is THE
+    * engagement metric). COUNT(DISTINCT) over a RANGE frame doesn't
+    * exist in Spark (the L248 gap, here at day grain over an unbounded
+    * user set) — the scale-correct form: each distinct (day, user)
+    * pair is EXPLODED to the ≤7 windows it serves and de-duplicated
+    * per target day, so shuffle is 7× the pair set — linear, never a
+    * range join; target days past the horizon are clipped by the
+    * 1-row max-day broadcast. DuckDB's oracle runs the same expansion
+    * (its native distinct-over-RANGE checked equal in L248's gate). */
+  def dauRolling7d(spark: SparkSession, dir: String): DataFrame = {
+    val du = events(spark, dir)
+      .select(expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+        .as("day_num"), col("user_id")).distinct()
+    val maxDay = du.agg(max(col("day_num")).as("max_day"))
+    val wau = du
+      .select(explode(sequence(col("day_num"),
+        col("day_num") + 6)).as("target_day"), col("user_id"))
+      .crossJoin(broadcast(maxDay))
+      .where(col("target_day") <= col("max_day"))
+      .select(col("target_day"), col("user_id")).distinct()
+      .groupBy(col("target_day")).agg(count(lit(1)).as("wau_7d"))
+    val dau = du.groupBy(col("day_num")).agg(count(lit(1)).as("dau"))
+    dau.join(wau, col("day_num") === col("target_day"))
+      .select(col("day_num"), col("dau"), col("wau_7d"),
+        round(col("dau").cast("double") / col("wau_7d").cast("double"), 6)
+          .as("stickiness"))
+      .orderBy("day_num")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_key_skew" -> (keySkewProfile _),
+    "dau_rolling_7d" -> (dauRolling7d _),
     "ts_holt_daily" -> (holtDaily _),
     "attribution_position" -> (positionAttribution _),
     "ts_open_orders_curve" -> (openOrdersCurve _),
@@ -520,6 +591,50 @@ object Warehouse5 {
   private val evTs = "CAST(ts AS TIMESTAMP)"
 
   val oracles: Map[String, String] = Map(
+    "profile_key_skew" ->
+      """WITH pk AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+         bc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS k FROM pk GROUP BY 1),
+         cum AS (SELECT *,
+             CAST(SUM(k) OVER (ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_k,
+             CAST(SUM(k) OVER () AS BIGINT) AS n_keys,
+             CAST(SUM(c * k) OVER () AS BIGINT) AS n_rows
+           FROM bc),
+         st AS (SELECT MAX(n_keys) AS n_keys, MAX(n_rows) AS n_rows,
+             MAX(c) AS max_c,
+             MIN(CASE WHEN cum_k * 100 >= n_keys * 99 THEN c END) AS p99_c
+           FROM cum),
+         st2 AS (SELECT *,
+             round(CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE), 6) AS avg_c
+           FROM st),
+         st3 AS (SELECT *,
+             round(CAST(max_c AS DOUBLE) / avg_c, 6) AS skew_ratio,
+             CAST(CEIL(CAST(max_c AS DOUBLE) / avg_c) AS BIGINT) AS salt_factor
+           FROM st2),
+         top10 AS (SELECT user_id, c FROM pk
+           ORDER BY c DESC, user_id LIMIT 10)
+         SELECT user_id AS hot_key, c AS hot_count, n_keys, n_rows, avg_c,
+           p99_c, max_c, skew_ratio, salt_factor
+         FROM top10, st3 ORDER BY hot_count DESC, hot_key""",
+    "dau_rolling_7d" ->
+      """WITH du AS (SELECT DISTINCT
+             epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) // 86400000000
+               AS day_num, user_id
+           FROM events),
+         md AS (SELECT MAX(day_num) AS max_day FROM du),
+         ex AS (SELECT DISTINCT day_num + g.o AS target_day, user_id
+           FROM du, (SELECT unnest(generate_series(0, 6)) AS o) g, md
+           WHERE day_num + g.o <= max_day),
+         wau AS (SELECT target_day, CAST(COUNT(*) AS BIGINT) AS wau_7d
+           FROM ex GROUP BY 1),
+         dau AS (SELECT day_num, CAST(COUNT(*) AS BIGINT) AS dau
+           FROM du GROUP BY 1)
+         SELECT day_num, dau, wau_7d,
+           round(CAST(dau AS DOUBLE) / CAST(wau_7d AS DOUBLE), 6) AS stickiness
+         FROM dau JOIN wau ON day_num = target_day
+         ORDER BY day_num""",
     "ts_holt_daily" ->
       s"""WITH RECURSIVE daily AS (SELECT
              epoch_us(date_trunc('day', $evTs)) AS day_us,

@@ -1043,6 +1043,84 @@ object Streams {
     }
   }
 
+  case class HoltPoint(day_us: Long, actual: Double, level: Double,
+    trend: Double, forecast: Option[Double])
+
+  /** L288 — Holt level+trend model maintenance ON A STREAM (the live
+    * form of [[graft.ops.Warehouse5.holtDaily]]: the forecast updates
+    * as each day CLOSES, instead of re-running the batch recursion
+    * nightly — sequential-model maintenance, the one streaming shape
+    * the suite's window/sketch/CEP families don't cover). Keyed to the
+    * single model key (the state IS one (level, trend) pair plus the
+    * open days' partial sums — O(open days), nothing
+    * corpus-proportional; a per-series variant would key by series
+    * id). A day folds into the model only when a LATER day has been
+    * seen (day-close-by-progress, the bounded-drain analogue of a
+    * day watermark); the final open day stays pending, mirroring the
+    * batch query's horizon. Arithmetic is byte-for-byte the batch
+    * recursion: integer micro-units, FLOOR halving — so StreamingSpec
+    * pins every emitted (level, trend, forecast) bit-equal to the
+    * recursive-CTE batch rows across RocksDB micro-batches. */
+  def holtTws(events: Dataset[Event]): Dataset[HoltPoint] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_ => 0L)
+      .transformWithState(new HoltProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  class HoltProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, HoltPoint] {
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var daySums: streaming.MapState[Long, Long] = _
+    // (level_micro, trend_micro, n_folded) — n_folded 0 means untrained
+    @transient private var model: streaming.ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit = {
+      daySums = getHandle.getMapState[Long, Long]("holt_day_sums",
+        Encoders.scalaLong, Encoders.scalaLong, streaming.TTLConfig.NONE)
+      model = getHandle.getValueState[(Long, Long, Long)]("holt_model",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong), streaming.TTLConfig.NONE)
+    }
+
+    private def micro(x: Double): Long =
+      (BigDecimal.decimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP) *
+        BigDecimal(1000000)).toLongExact
+    private def r6(x: Double): Double =
+      BigDecimal.decimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: streaming.TimerValues): Iterator[HoltPoint] = {
+      rows.foreach { e =>
+        val us = microsOf(e.ts)
+        val day = us - Math.floorMod(us, 86400000000L)
+        val cur = if (daySums.containsKey(day)) daySums.getValue(day) else 0L
+        daySums.updateValue(day, cur + micro(e.value))
+      }
+      val open = daySums.keys().toSeq.sorted
+      if (open.length <= 1) return Iterator.empty
+      val out = scala.collection.mutable.ArrayBuffer.empty[HoltPoint]
+      var (l, b, n) = Option(model.get()).getOrElse((0L, 0L, 0L))
+      open.dropRight(1).foreach { day => // fold every CLOSED day in order
+        val y = daySums.getValue(day)
+        val forecast = if (n == 0) None else Some(r6((l + b) / 1e6))
+        if (n == 0) { l = y; b = 0L }
+        else {
+          val lNew = math.floor((y + l + b) / 2.0).toLong
+          b = math.floor((lNew - l + b) / 2.0).toLong
+          l = lNew
+        }
+        n += 1
+        out += HoltPoint(day, r6(y / 1e6), r6(l / 1e6), r6(b / 1e6), forecast)
+        daySums.removeKey(day)
+      }
+      model.update((l, b, n))
+      out.iterator
+    }
+  }
+
   case class AttributedTouch(user_id: Long, purchase_event_id: Long,
     touch: String, credit: Double, credited: Double)
 

@@ -221,7 +221,9 @@ class PlanSpec extends SparkTestBase {
       // per-source totals (|S|×|L| grid; never a data-sized cartesian)
       "stats_jsd_sources",
       // 1-row violation-count aggregates broadcast-crossed per constraint
-      "audit_referential")
+      "audit_referential",
+      // 1-row stats / max-day frames broadcast-crossed into bounded tops
+      "profile_key_skew", "dau_rolling_7d")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, sf0001))

@@ -1292,6 +1292,46 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("batch≡streaming: Holt level/trend maintenance bit-equal to the recursive-CTE batch") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ordered = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val ms = MemoryStream[Event]
+    val q = runToTable(Streams.holtTws(ms.toDS()).toDF(), "holt_tws", "append")
+    try {
+      ordered.grouped((ordered.length + 3) / 4).foreach { chunk =>
+        ms.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("holt_tws")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+        .sortBy(_._1).toSeq
+      val batch = SparkEntry.queries("ts_holt_daily")(spark, sf0001)
+        .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+        .sortBy(_._1).toSeq
+      // stream emits every day that CLOSED (a later day was seen) — all
+      // but the final day of the batch horizon
+      assert(streamed == batch.dropRight(1),
+        s"\nstream ${streamed.take(3)}…\nbatch ${batch.take(3)}…")
+      assert(streamed.length >= 25, "fixture must close many days")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("batch≡streaming: U-shaped attribution credits bit-equal to the batch query") {
     val s = spark
     import s.implicits._
