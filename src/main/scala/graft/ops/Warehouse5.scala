@@ -469,8 +469,50 @@ object Warehouse5 {
     * FLOOR((·)/2.0) — floor of an exact-by-construction double, the
     * one halving both engines implement identically (bigint div
     * truncates toward zero in one engine and floors in the other, and
-    * trend goes negative). */
+    * trend goes negative).
+    *
+    * Two formulations, proven row-identical by Round11fSpec:
+    * [[holtDaily]] (the registered query) folds the CALENDAR-BOUNDED
+    * daily frame driver-side through the sanctioned bounded-collect
+    * tier (the L100/MMR argument: ≤2 500 rows at ANY corpus size —
+    * the corpus is touched only by the daily aggregate), because the
+    * engine recursion pays ~30 fixed per-iteration scheduling costs
+    * (4.7 s at sf0.1 vs 0.5 s, measured) for a 30-row sequential
+    * fold; [[holtDailyRecursive]] keeps the WITH RECURSIVE
+    * formulation exercised against the same oracle semantics. */
   def holtDaily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = graft.Tables.boundedCollect(
+      events(spark, dir)
+        .groupBy(unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+        .agg((sum(col("value").cast("decimal(18,6)")) * 1000000)
+          .cast("long").as("y_micro"))
+        .orderBy("day_us")
+        .as[(Long, Long)],
+      4000, "holt daily frame (calendar-bounded)")
+    def r6(x: Double): Double =
+      BigDecimal.decimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var l = 0L; var b = 0L
+    val rows = daily.zipWithIndex.map { case ((d, y), i) =>
+      val (pl, pb) = (l, b)
+      val forecast = if (i == 0) None else Some(r6((pl + pb) / 1e6))
+      // error from the exact micro difference, as the SQL twin computes it
+      val absErr = if (i == 0) None
+        else Some(r6(math.abs(y - (pl + pb)).toDouble / 1e6))
+      if (i == 0) { l = y; b = 0L }
+      else {
+        val lNew = math.floor((y + l + b) / 2.0).toLong
+        b = math.floor((lNew - l + b) / 2.0).toLong
+        l = lNew
+      }
+      (i + 1, d, r6(y / 1e6), r6(l / 1e6), r6(b / 1e6), forecast, absErr)
+    }
+    rows.toSeq.toDF("rn", "day_us", "actual", "level", "trend", "forecast",
+      "abs_err")
+  }
+
+  /** The WITH RECURSIVE twin of [[holtDaily]] (see its scaladoc). */
+  def holtDailyRecursive(spark: SparkSession, dir: String): DataFrame = {
     val wDay = Window.orderBy(col("day_us"))
     val daily = events(spark, dir)
       .groupBy(unix_micros(date_trunc("day", col("ts"))).as("day_us"))

@@ -107,6 +107,20 @@ class Round11fSpec extends SparkTestBase {
         assert(r.getDouble(6) == r6(math.abs(y - (pl + pb)) / 1e6))
       }
     }
+    // the WITH RECURSIVE engine formulation is row-identical to the
+    // bounded-collect fold the registered query uses (same oracle text)
+    val rec = ops.Warehouse5.holtDailyRecursive(spark, sf0001)
+      .collect().sortBy(_.getAs[Number](0).longValue)
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6))))
+    val reg = got.map(r => (r.getAs[Number](0).longValue, r.getLong(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4),
+      if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+      if (r.isNullAt(6)) None else Some(r.getDouble(6))))
+    assert(rec.toSeq == reg.toSeq,
+      "recursive-CTE twin must be row-identical to the bounded fold")
     // a constant series is a Holt fixed point: level locks to the
     // constant, trend to ~0 (floor rounding leaves at most 1 micro)
     var cl = 5000000L; var cb = 0L
