@@ -32,6 +32,7 @@ object SparkEntry {
       ops.Llm8.queries ++
       ops.Llm9.queries ++
       ops.Warehouse5.queries ++
+      ops.Warehouse6.queries ++
       ops.Layout.queries ++
       ops.Er.queries ++
       ops.Audit.queries ++
@@ -61,6 +62,7 @@ object SparkEntry {
       ops.Llm8.oracles ++
       ops.Llm9.oracles ++
       ops.Warehouse5.oracles ++
+      ops.Warehouse6.oracles ++
       ops.Layout.oracles ++
       ops.Er.oracles ++
       ops.Audit.oracles ++

@@ -223,7 +223,9 @@ class PlanSpec extends SparkTestBase {
       // 1-row violation-count aggregates broadcast-crossed per constraint
       "audit_referential",
       // 1-row stats / max-day frames broadcast-crossed into bounded tops
-      "profile_key_skew", "dau_rolling_7d")
+      "profile_key_skew", "dau_rolling_7d",
+      // 1-row raw-doc-count broadcast crossed into the funnel stack
+      "llm_e2e_pipeline")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, sf0001))

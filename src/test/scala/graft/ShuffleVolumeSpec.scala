@@ -71,7 +71,17 @@ class ShuffleVolumeSpec extends SparkTestBase {
     // wedge pairs after per-partition combine) + the anti-join's edge
     // rebuild (36.4 MB measured — edge-set-proportional, the wedge
     // stream itself partial-aggregates in-pipeline)
-    "graph_adamic_adar" -> 90.0
+    "graph_adamic_adar" -> 90.0,
+    // round-11 batch (measured sf0.1 shuffle-read): modularity 15.3 MB
+    // ≈ 1 edge-set move through the conditional agg (labels broadcast);
+    // spearman 4.4 MB = corpus ⋈ distinct-price rank map (the quantity
+    // map broadcasts); cdc chunking 4.1 MB ≈ the word stream through
+    // the per-doc window + chunk agg; attribution 3.7 MB = ONE
+    // user-keyed event shuffle reused by both window passes
+    "graph_modularity" -> 46.0,
+    "stats_spearman" -> 14.0,
+    "llm_cdc_chunks" -> 13.0,
+    "attribution_position" -> 11.0
   )
 
   private lazy val measured: Map[String, Bench.QueryStat] = {
