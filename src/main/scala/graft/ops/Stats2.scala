@@ -16,6 +16,7 @@ import org.apache.spark.sql.functions._
 object Stats2 {
 
   private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+  private val evTs = "CAST(ts AS TIMESTAMP)"
 
   /** L274 — Welch's two-sample t-test, click vs purchase event values
     * (the unequal-variance form that is the safe default when group
@@ -203,7 +204,159 @@ object Stats2 {
       .limit(20)
   }
 
+  /** L294 — Kruskal–Wallis H test of event value across the five event
+    * types (the RANK-based k-group test that needs no normality — the
+    * nonparametric sibling of L275's ANOVA, and the k-group extension
+    * of L242's Mann–Whitney machinery, whose distinct-value midrank
+    * frame it reuses verbatim). Doubled midranks are exact INTEGERS
+    * (2·cum_prev + c + 1) so per-group rank sums are exact
+    * decimal(38,0); the between-group term is decimal-summed as the
+    * SCALED s_g = round((r̄_g/N)²·n_g, 6) — order-independent, small-
+    * magnitude, the L275/L277 parity rules — and only the final H
+    * touches the (deterministic, identical-IEEE) large-magnitude
+    * algebra. Tie-corrected by C = 1 − Σ(t³−t)/(N³−N); significance
+    * against the χ²(4) 95% critical value (JVM literal 9.487729,
+    * frozen into both engines). */
+  def kruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    val vals = events(spark, dir)
+      .select(col("event_type"), round(col("value"), 6).as("v"))
+    val byV = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byV
+      .withColumn("cum", sum(col("c")).over(w))
+      .select(col("v"), col("c"),
+        (lit(2L) * (col("cum") - col("c")) + col("c") + 1L).as("r2"))
+    val grp = vals.join(ranked.select(col("v"), col("r2")), "v")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("r2").cast("decimal(38,0)")).cast("double").as("s2_g"))
+    val ties = byV.agg(
+      sum((col("c") * col("c") * col("c") - col("c")).cast("decimal(38,0)"))
+        .cast("double").as("t_adj"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val withN = grp
+      .withColumn("n", sum(col("n_g")).over(wAll))
+      .withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("s_g", round(
+        (col("s2_g") / (lit(2.0) * col("n").cast("double") *
+          col("n_g").cast("double"))) *
+        (col("s2_g") / (lit(2.0) * col("n").cast("double") *
+          col("n_g").cast("double"))) * col("n_g").cast("double"), 6))
+      .withColumn("sum_s", round(sum(col("s_g").cast("decimal(18,6)"))
+        .over(wAll).cast("double"), 6))
+    val n = col("n").cast("double")
+    withN.crossJoin(broadcast(ties))
+      .withColumn("h", lit(12.0) * n / (n + 1.0) * col("sum_s") -
+        lit(3.0) * (n + 1.0))
+      .withColumn("tie_c", lit(1.0) - col("t_adj") / (n * n * n - n))
+      .agg(max(col("n")).as("n"), max(col("k")).as("k"),
+        round(max(col("h")), 6).as("h"),
+        round(max(col("tie_c")), 6).as("tie_correction"),
+        round(max(col("h") / col("tie_c")), 6).as("h_corrected"))
+      .withColumn("df", col("k") - 1)
+      .withColumn("significant_95",
+        col("h_corrected") > 9.487729 && col("df") === 4)
+  }
+
+  /** L295 — Brown–Forsythe (median-centered Levene) test of variance
+    * homogeneity across order priorities — the PRECONDITION check for
+    * L275's ANOVA (classic ANOVA assumes equal group variances; this
+    * is the robust way to find out). W = the one-way ANOVA F statistic
+    * computed on z = |y − median_g|: group medians at the 2-decimal
+    * money grain (the L21 percentile identity), then the L275
+    * scaled-deviation machinery applied verbatim to z. */
+  def brownForsythe(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val med = orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(round(expr("percentile(o_totalprice, 0.5)"), 2).as("med_g"))
+    val z = orders(spark, dir)
+      .join(broadcast(med), col("o_orderpriority") === col("priority"))
+      .select(col("priority"), abs(col("o_totalprice") - col("med_g")).as("z"),
+        col("med_g"))
+    val g = z.groupBy(col("priority"), col("med_g"))
+      .agg(count(lit(1)).as("n_g"), round(dsum(col("z")), 6).as("s_g"))
+      .withColumn("mean_g", round(col("s_g") / col("n_g").cast("double"), 2))
+      .withColumn("n", sum(col("n_g")).over(wAll))
+      .withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("mean_t", round(sum(col("s_g").cast("decimal(18,6)"))
+        .over(wAll).cast("double") / sum(col("n_g")).over(wAll).cast("double"),
+        2))
+    val devg = (col("z") - col("mean_g")) / 1000.0
+    val devt = (col("z") - col("mean_t")) / 1000.0
+    val perG = z.drop("med_g")
+      .join(broadcast(g), Seq("priority"))
+      .groupBy(col("priority"), col("med_g"), col("n_g"), col("mean_g"),
+        col("n"), col("k"))
+      .agg(sum(round(devg * devg, 6).cast("decimal(28,6)")).as("ssw_g"),
+        sum(round(devt * devt, 6).cast("decimal(28,6)")).as("sst_g"))
+    perG
+      .withColumn("ssw_dec", sum(col("ssw_g")).over(wAll))
+      .withColumn("sst_dec", sum(col("sst_g")).over(wAll))
+      .withColumn("ssw_k", col("ssw_dec").cast("double"))
+      .withColumn("ssb_k", (col("sst_dec") - col("ssw_dec")).cast("double"))
+      .select(col("priority"), col("n_g"), col("med_g"), col("mean_g")
+          .as("mean_absdev"),
+        (col("k") - 1).as("df_between"), (col("n") - col("k")).as("df_within"),
+        round((col("ssb_k") / (col("k") - 1).cast("double")) /
+          (col("ssw_k") / (col("n") - col("k")).cast("double")), 6)
+          .as("w_stat"))
+      .orderBy("priority")
+  }
+
+  /** L296 — Durbin–Watson autocorrelation diagnostic on the residuals
+    * of the hourly OLS revenue trend (the classic "can I trust my
+    * regression's error bars?" check — DW ≈ 2 means independent
+    * residuals, < 1.5 positive autocorrelation, the regime where L225's
+    * trend CIs would be overconfident). The L225 six-sums fit supplies
+    * slope/intercept; residuals round-6 on the calendar-bounded hourly
+    * frame; DW = Σ(e_t − e_{t−1})²/Σe_t² via one lag window over that
+    * bounded frame, decimal-summed. Corpus cost: one hourly aggregate
+    * scan at any scale. */
+  def durbinWatson(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.orderBy(col("t"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val hourly = events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(round(dsum(col("value")), 6).as("y"))
+      .withColumn("t", (row_number().over(Window.orderBy(col("bucket"))) - 1)
+        .cast("double"))
+    val fit = hourly
+      .withColumn("n", count(lit(1)).over(wAll).cast("double"))
+      .withColumn("sx", sum(col("t").cast("decimal(18,6)")).over(wAll)
+        .cast("double"))
+      .withColumn("sy", sum(col("y").cast("decimal(18,6)")).over(wAll)
+        .cast("double"))
+      .withColumn("sxx", sum((col("t") * col("t")).cast("decimal(18,6)"))
+        .over(wAll).cast("double"))
+      .withColumn("sxy", sum(round(col("t") * col("y"), 6)
+        .cast("decimal(28,6)")).over(wAll).cast("double"))
+      .withColumn("slope", (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("icept", (col("sy") - col("slope") * col("sx")) / col("n"))
+      .withColumn("e", round(col("y") - (col("icept") +
+        col("slope") * col("t")), 6))
+    val dw = fit
+      .withColumn("de", col("e") - lag(col("e"), 1).over(wOrd))
+      .agg(count(lit(1)).as("n_hours"),
+        round(max(col("slope")), 6).as("slope"),
+        round(max(col("icept")), 6).as("intercept"),
+        round(dsum(round(col("de") * col("de"), 6)) /
+          dsum(round(col("e") * col("e"), 6)), 6).as("dw"))
+    dw.withColumn("verdict",
+      when(col("dw") < 1.5, "positive_autocorr")
+        .when(col("dw") > 2.5, "negative_autocorr")
+        .otherwise("none"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_kruskal_wallis" -> (kruskalWallis _),
+    "stats_brown_forsythe" -> (brownForsythe _),
+    "stats_durbin_watson" -> (durbinWatson _),
     "stats_welch_ttest" -> (welchTTest _),
     "stats_anova_f" -> (anovaF _),
     "stats_spearman" -> (spearman _),
@@ -211,6 +364,112 @@ object Stats2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "stats_kruskal_wallis" ->
+      s"""WITH vals AS (SELECT event_type, round(value, 6) AS v FROM events),
+         byv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY 1),
+         rk AS (SELECT v, c,
+             2 * (SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c) + c + 1
+               AS r2
+           FROM byv),
+         grp AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(CAST(r2 AS DECIMAL(38,0))) AS DOUBLE) AS s2_g
+           FROM vals JOIN rk USING (v) GROUP BY 1),
+         ties AS (SELECT CAST(SUM(CAST(c * c * c - c AS DECIMAL(38,0)))
+             AS DOUBLE) AS t_adj FROM byv),
+         wn AS (SELECT *,
+             CAST(SUM(n_g) OVER () AS BIGINT) AS n,
+             CAST(COUNT(*) OVER () AS BIGINT) AS k,
+             round((s2_g / (2.0 * CAST(SUM(n_g) OVER () AS DOUBLE)
+                 * CAST(n_g AS DOUBLE)))
+               * (s2_g / (2.0 * CAST(SUM(n_g) OVER () AS DOUBLE)
+                 * CAST(n_g AS DOUBLE))) * CAST(n_g AS DOUBLE), 6) AS s_g
+           FROM grp),
+         ws AS (SELECT *,
+             round(CAST(SUM(CAST(s_g AS DECIMAL(18,6))) OVER () AS DOUBLE), 6)
+               AS sum_s
+           FROM wn),
+         hh AS (SELECT *,
+             12.0 * CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) + 1.0) * sum_s
+               - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
+             1.0 - t_adj / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+               * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) AS tie_c
+           FROM ws, ties),
+         a AS (SELECT MAX(n) AS n, MAX(k) AS k, round(MAX(h), 6) AS h,
+             round(MAX(tie_c), 6) AS tie_correction,
+             round(MAX(h / tie_c), 6) AS h_corrected
+           FROM hh)
+         SELECT n, k, h, tie_correction, h_corrected, k - 1 AS df,
+           h_corrected > 9.487729 AND k - 1 = 4 AS significant_95
+         FROM a""",
+    "stats_brown_forsythe" ->
+      s"""WITH med AS (SELECT o_orderpriority AS priority,
+             round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 2)
+               AS med_g
+           FROM orders GROUP BY 1),
+         z AS (SELECT priority, med_g, abs(o_totalprice - med_g) AS z
+           FROM orders JOIN med ON o_orderpriority = priority),
+         g AS (SELECT priority, med_g, CAST(COUNT(*) AS BIGINT) AS n_g,
+             round(${dsumSql("z")}, 6) AS s_g
+           FROM z GROUP BY 1, 2),
+         w AS (SELECT *,
+             round(s_g / CAST(n_g AS DOUBLE), 2) AS mean_g,
+             CAST(SUM(n_g) OVER () AS BIGINT) AS n,
+             CAST(COUNT(*) OVER () AS BIGINT) AS k,
+             round(CAST(SUM(CAST(s_g AS DECIMAL(18,6))) OVER () AS DOUBLE)
+               / CAST(SUM(n_g) OVER () AS DOUBLE), 2) AS mean_t
+           FROM g),
+         pg AS (SELECT z.priority, w.med_g, n_g, mean_g, n, k,
+             SUM(CAST(round(((z - mean_g) / 1000.0)
+               * ((z - mean_g) / 1000.0), 6) AS DECIMAL(28,6))) AS ssw_g,
+             SUM(CAST(round(((z - mean_t) / 1000.0)
+               * ((z - mean_t) / 1000.0), 6) AS DECIMAL(28,6))) AS sst_g
+           FROM z JOIN w ON z.priority = w.priority
+           GROUP BY 1, 2, 3, 4, 5, 6),
+         f AS (SELECT *,
+             CAST(SUM(ssw_g) OVER () AS DOUBLE) AS ssw_k,
+             CAST(SUM(sst_g) OVER () - SUM(ssw_g) OVER () AS DOUBLE) AS ssb_k
+           FROM pg)
+         SELECT priority, n_g, med_g, mean_g AS mean_absdev,
+           k - 1 AS df_between, n - k AS df_within,
+           round((ssb_k / CAST(k - 1 AS DOUBLE))
+             / (ssw_k / CAST(n - k AS DOUBLE)), 6) AS w_stat
+         FROM f ORDER BY priority""",
+    "stats_durbin_watson" ->
+      s"""WITH hourly AS (SELECT date_trunc('hour', $evTs) AS bucket,
+             round(${dsumSql("value")}, 6) AS y
+           FROM events GROUP BY 1),
+         tt AS (SELECT y,
+             CAST(ROW_NUMBER() OVER (ORDER BY bucket) - 1 AS DOUBLE) AS t
+           FROM hourly),
+         s AS (SELECT *,
+             CAST(COUNT(*) OVER () AS DOUBLE) AS n,
+             CAST(SUM(CAST(t AS DECIMAL(18,6))) OVER () AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(18,6))) OVER () AS DOUBLE) AS sy,
+             CAST(SUM(CAST(t * t AS DECIMAL(18,6))) OVER () AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(round(t * y, 6) AS DECIMAL(28,6))) OVER ()
+               AS DOUBLE) AS sxy
+           FROM tt),
+         ff AS (SELECT *,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+           FROM s),
+         f2 AS (SELECT *, (sy - slope * sx) / n AS icept FROM ff),
+         e AS (SELECT t, slope, icept,
+             round(y - (icept + slope * t), 6) AS e
+           FROM f2),
+         d AS (SELECT *, e - LAG(e) OVER (ORDER BY t) AS de FROM e)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+           round(MAX(slope), 6) AS slope,
+           round(MAX(icept), 6) AS intercept,
+           round(${dsumSql("round(de * de, 6)")}
+             / ${dsumSql("round(e * e, 6)")}, 6) AS dw,
+           CASE WHEN round(${dsumSql("round(de * de, 6)")}
+               / ${dsumSql("round(e * e, 6)")}, 6) < 1.5
+             THEN 'positive_autocorr'
+             WHEN round(${dsumSql("round(de * de, 6)")}
+               / ${dsumSql("round(e * e, 6)")}, 6) > 2.5
+             THEN 'negative_autocorr' ELSE 'none' END AS verdict
+         FROM d""",
     "stats_welch_ttest" ->
       s"""WITH a AS (SELECT
              CAST(SUM(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)

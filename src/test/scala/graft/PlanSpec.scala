@@ -225,7 +225,9 @@ class PlanSpec extends SparkTestBase {
       // 1-row stats / max-day frames broadcast-crossed into bounded tops
       "profile_key_skew", "dau_rolling_7d",
       // 1-row raw-doc-count broadcast crossed into the funnel stack
-      "llm_e2e_pipeline")
+      "llm_e2e_pipeline",
+      // 1-row tie-adjustment aggregate broadcast into the 5-group frame
+      "stats_kruskal_wallis")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, sf0001))

@@ -113,6 +113,101 @@ class Round11dSpec extends SparkTestBase {
     assert(math.abs(rho) <= 1.0)
   }
 
+  test("stats_kruskal_wallis: doubled-midrank H replicates JVM; tie correction in (0,1]") {
+    val ev = Tables.events(spark, sf0001).select("event_type", "value")
+      .collect().map(r => (r.getString(0), r6(r.getDouble(1))))
+    val byV = ev.map(_._2).groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    var cum = 0L
+    val r2map = byV.map { case (v, c) =>
+      cum += c; v -> (2 * (cum - c) + c + 1)
+    }.toMap
+    val n = ev.length.toLong
+    val grp = ev.groupBy(_._1).view.mapValues { xs =>
+      (xs.length.toLong, xs.map(x => BigInt(r2map(x._2))).sum.toDouble)
+    }.toMap
+    val k = grp.size.toLong
+    val sumS = r6(grp.values.map { case (ng, s2) =>
+      val u = s2 / (2.0 * n * ng)
+      BigDecimal.decimal(r6(u * u * ng))
+    }.sum.toDouble)
+    val h = 12.0 * n / (n + 1.0) * sumS - 3.0 * (n + 1.0)
+    val tAdj = byV.map { case (_, c) => BigInt(c) * BigInt(c) * BigInt(c) - c }
+      .sum.toDouble
+    val tieC = 1.0 - tAdj / (n.toDouble * n * n - n)
+    val got = SparkEntry.queries("stats_kruskal_wallis")(spark, sf0001)
+      .collect().head
+    assert(got.getLong(0) == n && got.getLong(1) == k)
+    assert(got.getDouble(2) == r6(h), s"${got.getDouble(2)} != ${r6(h)}")
+    assert(got.getDouble(3) == r6(tieC))
+    assert(got.getDouble(4) == r6(h / tieC))
+    assert(got.getLong(5) == k - 1)
+    assert(got.getDouble(3) > 0.0 && got.getDouble(3) <= 1.0)
+  }
+
+  test("stats_brown_forsythe: median-centered W replicates JVM") {
+    val os = Tables.orders(spark, sf0001).select("o_orderpriority", "o_totalprice")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    def quantile(v: Seq[Double], p: Double): Double = {
+      val s = v.sorted
+      val rank = (s.length - 1) * p
+      val lo = math.floor(rank).toInt; val hi = math.ceil(rank).toInt
+      s(lo) + (rank - lo) * (s(hi) - s(lo))
+    }
+    val med = os.groupBy(_._1).view.mapValues(v =>
+      r2(quantile(v.map(_._2).toSeq, 0.5))).toMap
+    val z = os.map { case (p, y) => (p, math.abs(y - med(p))) }
+    val sG = z.groupBy(_._1).view.mapValues(v => r6(dsumL(v.map(_._2)))).toMap
+    val meanG = z.groupBy(_._1).view.map { case (p, v) =>
+      p -> r2(sG(p) / v.length) }.toMap
+    val n = z.length.toLong; val k = meanG.size.toLong
+    val meanT = r2(dsumL(sG.values) / n)
+    val sswM = z.map { case (p, x) =>
+      val d = (x - meanG(p)) / 1000.0; micro(r6(d * d)) }.sum
+    val sstM = z.map { case (_, x) =>
+      val d = (x - meanT) / 1000.0; micro(r6(d * d)) }.sum
+    val (ssw, ssb) = (sswM / 1e6, (sstM - sswM) / 1e6)
+    val w = r6((ssb / (k - 1)) / (ssw / (n - k)))
+    val got = SparkEntry.queries("stats_brown_forsythe")(spark, sf0001)
+      .collect()
+    assert(got.length == k)
+    got.foreach { r =>
+      val p = r.getString(0)
+      assert(r.getLong(1) == z.count(_._1 == p).toLong)
+      assert(r.getDouble(2) == med(p) && r.getDouble(3) == meanG(p))
+      assert(r.getLong(4) == k - 1 && r.getLong(5) == n - k)
+      assert(r.getDouble(6) == w, s"${r.getDouble(6)} != $w")
+    }
+  }
+
+  test("stats_durbin_watson: residual autocorrelation replicates JVM; DW in [0,4]") {
+    val hourly = Tables.events(spark, sf0001)
+      .groupBy(date_trunc("hour", col("ts")).as("b"))
+      .agg(round(Tables.dsum(col("value")), 6).as("y")).orderBy("b")
+      .collect().map(_.getDouble(1))
+    val n = hourly.length.toDouble
+    val t = hourly.indices.map(_.toDouble)
+    val sx = r6(dsumL(t)); val sy = r6(dsumL(hourly))
+    val sxx = r6(dsumL(t.map(x => x * x)))
+    val sxy = t.zip(hourly).map { case (x, y) =>
+      (BigDecimal.decimal(r6(x * y)) * BigDecimal(1000000)).toLongExact
+    }.sum / 1e6
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - slope * sx) / n
+    val e = t.zip(hourly).map { case (x, y) => r6(y - (icept + slope * x)) }
+    val de = e.sliding(2).map(p => p(1) - p(0)).toSeq
+    val dw = r6(dsumL(de.map(d => r6(d * d))) / dsumL(e.map(x => r6(x * x))))
+    val got = SparkEntry.queries("stats_durbin_watson")(spark, sf0001)
+      .collect().head
+    assert(got.getLong(0) == hourly.length.toLong)
+    assert(got.getDouble(1) == r6(slope) && got.getDouble(2) == r6(icept))
+    assert(got.getDouble(3) == dw, s"${got.getDouble(3)} != $dw")
+    assert(dw >= 0.0 && dw <= 4.0)
+    val verdict = if (dw < 1.5) "positive_autocorr"
+      else if (dw > 2.5) "negative_autocorr" else "none"
+    assert(got.getString(4) == verdict)
+  }
+
   test("stats_jsd_sources: smoothed-profile JSD replicates JVM; bounded by ln 2") {
     val docs = Tables.documents(spark, sf0001).select("source", "lang")
       .collect().map(r => (r.getString(0), r.getString(1)))
