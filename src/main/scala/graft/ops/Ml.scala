@@ -516,7 +516,61 @@ object Ml {
       .orderBy("fold")
   }
 
+  /** L297 — Davies–Bouldin cluster-quality index over the labeled
+    * embedding space (Davies & Bouldin TPAMI 1979: for each cluster,
+    * its worst-case (σᵢ+σⱼ)/d(cᵢ,cⱼ) against every other cluster,
+    * averaged — LOW is good; the internal-validity score read beside
+    * L215's silhouette before trusting a clustering, and the quality
+    * gate on L117's SemDeDup cells). Everything is the exploded-join
+    * formulation so both engines compute identical plans of scalars:
+    * per-dim centroid means (decimal), member→centroid distances via
+    * one (label, dim) equi-join + per-vector decimal sum (corpus-linear,
+    * one shuffle), pairwise centroid distances from the 640-row
+    * centroid frame self-joined on dim. All ratio frames are k-row
+    * bounded. */
+  def daviesBouldin(spark: SparkSession, dir: String): DataFrame = {
+    val ex = embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        col("x").cast("double").as("x"))
+    val cent = ex.groupBy(col("label"), col("dim"))
+      .agg(round(davg(col("x")), 6).as("m"))
+    val dist = ex.join(cent, Seq("label", "dim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(round((col("x") - col("m")) * (col("x") - col("m")), 6)
+        .cast("decimal(18,6)")).cast("double").as("d2"))
+      .select(col("label"), round(sqrt(col("d2")), 6).as("d"))
+    val sigma = dist.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), round(davg(col("d")), 6).as("sigma"))
+    val cd = cent.select(col("label").as("li"), col("dim"), col("m").as("mi"))
+      .join(cent.select(col("label").as("lj"), col("dim"), col("m").as("mj")),
+        Seq("dim"))
+      .where(col("li") =!= col("lj"))
+      .groupBy(col("li"), col("lj"))
+      .agg(round(sqrt(sum(round((col("mi") - col("mj")) *
+        (col("mi") - col("mj")), 6).cast("decimal(18,6)")).cast("double")), 6)
+        .as("d_ij"))
+    val r = cd
+      .join(sigma.select(col("label").as("li"), col("sigma").as("si")), "li")
+      .join(sigma.select(col("label").as("lj"), col("sigma").as("sj")), "lj")
+      .select(col("li"), col("lj"),
+        round((col("si") + col("sj")) / col("d_ij"), 6).as("r_ij"))
+    val perI = r.groupBy(col("li").as("label"))
+      .agg(max(col("r_ij")).as("r_max"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    sigma.join(perI, "label")
+      .withColumn("db_index", round(sum(col("r_max").cast("decimal(18,6)"))
+        .over(wAll).cast("double") / count(lit(1)).over(wAll).cast("double"),
+        6))
+      .select(col("label"), col("n"), col("sigma"), col("r_max"),
+        col("db_index"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_davies_bouldin" -> (daviesBouldin _),
     "ml_kfold_cv" -> (kfoldCv _),
     "ml_feature_stats" -> (featureStats _),
     "ml_threshold_sweep" -> (thresholdSweep _),
@@ -545,6 +599,37 @@ object Ml {
        FROM documents)"""
 
   val oracles: Map[String, String] = Map(
+    "ml_davies_bouldin" ->
+      s"""WITH ex AS (SELECT vec_id, label,
+             CAST(unnest(range(0, len(embedding))) AS INT) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings),
+         cent AS (SELECT label, dim,
+             round(${dsumSql("x")} / COUNT(x), 6) AS m
+           FROM ex GROUP BY 1, 2),
+         dist AS (SELECT vec_id, ex.label,
+             round(sqrt(CAST(SUM(CAST(round((x - m) * (x - m), 6)
+               AS DECIMAL(18,6))) AS DOUBLE)), 6) AS d
+           FROM ex JOIN cent ON ex.label = cent.label AND ex.dim = cent.dim
+           GROUP BY 1, 2),
+         sigma AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+             round(${dsumSql("d")} / COUNT(d), 6) AS sigma
+           FROM dist GROUP BY 1),
+         cd AS (SELECT a.label AS li, b.label AS lj,
+             round(sqrt(CAST(SUM(CAST(round((a.m - b.m) * (a.m - b.m), 6)
+               AS DECIMAL(18,6))) AS DOUBLE)), 6) AS d_ij
+           FROM cent a JOIN cent b ON a.dim = b.dim AND a.label != b.label
+           GROUP BY 1, 2),
+         r AS (SELECT li, lj,
+             round((si.sigma + sj.sigma) / d_ij, 6) AS r_ij
+           FROM cd JOIN sigma si ON cd.li = si.label
+             JOIN sigma sj ON cd.lj = sj.label),
+         peri AS (SELECT li AS label, MAX(r_ij) AS r_max FROM r GROUP BY 1),
+         f AS (SELECT sigma.label, n, sigma, r_max,
+             round(CAST(SUM(CAST(r_max AS DECIMAL(18,6))) OVER () AS DOUBLE)
+               / CAST(COUNT(*) OVER () AS DOUBLE), 6) AS db_index
+           FROM sigma JOIN peri ON sigma.label = peri.label)
+         SELECT * FROM f ORDER BY label""",
     "ml_kfold_cv" ->
       s"""WITH base AS (SELECT o_totalprice AS y,
              ${graft.Tables.h48Sql("CAST(o_orderkey AS VARCHAR)")} % 5 AS fold

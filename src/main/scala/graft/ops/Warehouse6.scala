@@ -105,7 +105,94 @@ object Warehouse6 {
       .orderBy("stage")
   }
 
+  /** L298 — Markov removal-effect attribution (Anderl et al. 2016's
+    * data-driven multi-touch model — the principled alternative to the
+    * positional heuristics of L244/L281: build the journey transition
+    * chain, ask "how much conversion disappears if channel c is
+    * deleted?", and attribute in proportion). Journey grammar: per
+    * user, a purchase closes a journey (absorbing 'conv'); a journey's
+    * last non-purchase event leaks to 'null'; 'start' opens each
+    * segment — all from TWO windows over one user-keyed shuffle, the
+    * L281 segmentation trick. Transition probabilities are EXACT
+    * INTEGER micros ((2n·10⁶+tot) div (2·tot), half-up with no double
+    * anywhere); the absorbing-chain conversion probability runs 40
+    * fixed-point iterations ENTIRELY in integer micro arithmetic
+    * (term = (p·x + 5·10⁵) div 10⁶) — bit-identical in the JVM fold
+    * (driver-side over the ≤|channels|² bounded chain, the L287 tier)
+    * and the oracle's recursive CTE, without needing convergence for
+    * parity: the emitted cvr is the DEFINED 40-step partial of the
+    * monotone-from-zero quantized iteration (per-step tail < 5·10⁻⁵
+    * here, Round11iSpec-bounded), so both engines agree exactly even
+    * where the true fixed point lies further up the geometric tail. Removal scenarios re-route a channel's inbound edges to
+    * 'null'; shares normalize the removal effects. */
+  def markovRemoval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wPrev = wUser.rowsBetween(Window.unboundedPreceding, -1)
+    val base = events(spark, dir)
+      .withColumn("jid", coalesce(sum(when(col("event_type") === "purchase",
+        1L).otherwise(0L)).over(wPrev), lit(0L)))
+    val wJ = Window.partitionBy(col("user_id"), col("jid"))
+      .orderBy(col("ts"), col("event_id"))
+    val wJd = Window.partitionBy(col("user_id"), col("jid"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val stepped = base
+      .withColumn("f", coalesce(lag(col("event_type"), 1).over(wJ),
+        lit("start")))
+      .withColumn("t", when(col("event_type") === "purchase", "conv")
+        .otherwise(col("event_type")))
+      .withColumn("last_rn", row_number().over(wJd))
+    val steps = stepped.select(col("f"), col("t"))
+    val terminals = stepped
+      .where(col("last_rn") === 1 && col("event_type") =!= "purchase")
+      .select(col("event_type").as("f"), lit("null").as("t"))
+    val wFrom = Window.partitionBy(col("f"))
+    val trans = steps.unionAll(terminals)
+      .groupBy(col("f"), col("t")).agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(wFrom))
+      .withColumn("pm", expr("(2 * n * 1000000 + tot) div (2 * tot)"))
+      .select(col("f"), col("t"), col("pm"))
+    val tr = graft.Tables.boundedCollect(
+      trans.as[(String, String, Long)], 1000,
+      "markov transition chain (|channels|^2-bounded)")
+    val channels = tr.map(_._2).filter(c => c != "conv" && c != "null")
+      .distinct.sorted
+    def solve(removed: Option[String]): Long = {
+      val edges = tr.map { case (f, t, pm) =>
+        (f, if (removed.contains(t)) "null" else t, pm) }
+      val states = edges.map(_._1).distinct
+      var x = states.map(_ -> 0L).toMap
+      (1 to 40).foreach { _ =>
+        x = states.map { s =>
+          s -> edges.filter(_._1 == s).map { case (_, t, pm) =>
+            val xv = if (t == "conv") 1000000L else if (t == "null") 0L
+              else x.getOrElse(t, 0L)
+            (pm * xv + 500000L) / 1000000L
+          }.sum
+        }.toMap
+      }
+      x.getOrElse("start", 0L)
+    }
+    def r6(v: Double): Double =
+      BigDecimal.decimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val baseCvr = solve(None)
+    val rows = channels.map { c =>
+      val cvr = solve(Some(c))
+      (c, r6(baseCvr / 1e6), r6(cvr / 1e6),
+        r6(1.0 - cvr.toDouble / baseCvr.toDouble))
+    }
+    val totEffect = rows.map(r => BigDecimal.decimal(r._4)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    rows.map(r => (r._1, r._2, r._3, r._4, r6(r._4 / totEffect))).toSeq
+      .toDF("channel", "cvr_base", "cvr_removed", "removal_effect",
+        "attribution_share")
+      .orderBy("channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "attribution_markov_removal" -> (markovRemoval _),
     "basket_top_triples" -> (basketTopTriples _),
     "ts_hourly_percentiles" -> (hourlyPercentiles _),
     "llm_e2e_pipeline" -> (e2ePipeline _),
@@ -114,6 +201,65 @@ object Warehouse6 {
   private val evTs = "CAST(ts AS TIMESTAMP)"
 
   val oracles: Map[String, String] = Map(
+    "attribution_markov_removal" ->
+      s"""WITH RECURSIVE base AS (
+           SELECT user_id, $evTs AS tss, event_id, event_type,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY $evTs, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jid
+           FROM events),
+         st AS (SELECT *,
+             COALESCE(LAG(event_type) OVER (PARTITION BY user_id, jid
+               ORDER BY tss, event_id), 'start') AS f,
+             CASE WHEN event_type = 'purchase' THEN 'conv'
+               ELSE event_type END AS t,
+             ROW_NUMBER() OVER (PARTITION BY user_id, jid
+               ORDER BY tss DESC, event_id DESC) AS last_rn
+           FROM base),
+         tra AS (SELECT f, t FROM st
+           UNION ALL SELECT event_type, 'null' FROM st
+           WHERE last_rn = 1 AND event_type != 'purchase'),
+         cnt AS (SELECT f, t, CAST(COUNT(*) AS BIGINT) AS n
+           FROM tra GROUP BY 1, 2),
+         tr AS (SELECT f, t,
+             (2 * n * 1000000 + SUM(n) OVER (PARTITION BY f))
+               // (2 * SUM(n) OVER (PARTITION BY f)) AS pm
+           FROM cnt),
+         chans AS (SELECT DISTINCT t AS c FROM tr
+           WHERE t NOT IN ('conv', 'null')),
+         scen AS (SELECT 'base' AS scenario, f, t, pm FROM tr
+           UNION ALL
+           SELECT c.c, tr.f,
+             CASE WHEN tr.t = c.c THEN 'null' ELSE tr.t END, pm
+           FROM tr, chans c),
+         states AS (SELECT DISTINCT scenario, f AS state FROM scen),
+         it(iter, scenario, state, xm) AS (
+           SELECT 0, scenario, state, CAST(0 AS BIGINT) FROM states
+           UNION ALL
+           SELECT it.iter + 1, it.scenario, s.f,
+             CAST(SUM((s.pm * (CASE WHEN s.t = 'conv' THEN 1000000
+                 WHEN s.t = 'null' THEN 0
+                 ELSE COALESCE(x2.xm, 0) END) + 500000) // 1000000) AS BIGINT)
+           FROM it JOIN scen s
+             ON it.scenario = s.scenario AND it.state = s.f
+           LEFT JOIN it x2
+             ON x2.scenario = it.scenario AND x2.state = s.t
+           WHERE it.iter < 40
+           GROUP BY 1, 2, 3),
+         fin AS (SELECT scenario, xm FROM it
+           WHERE iter = 40 AND state = 'start'),
+         eff AS (SELECT c.c AS channel,
+             round(CAST(b.xm AS DOUBLE) / 1e6, 6) AS cvr_base,
+             round(CAST(f.xm AS DOUBLE) / 1e6, 6) AS cvr_removed,
+             round(1.0 - CAST(f.xm AS DOUBLE) / CAST(b.xm AS DOUBLE), 6)
+               AS removal_effect
+           FROM chans c JOIN fin f ON f.scenario = c.c,
+             (SELECT xm FROM fin WHERE scenario = 'base') b),
+         tot AS (SELECT CAST(SUM(CAST(removal_effect AS DECIMAL(18,6)))
+             AS DOUBLE) AS te FROM eff)
+         SELECT channel, cvr_base, cvr_removed, removal_effect,
+           round(removal_effect / te, 6) AS attribution_share
+         FROM eff, tot ORDER BY channel""",
     "basket_top_triples" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
            FROM lineitem)
