@@ -569,7 +569,51 @@ object Ml {
       .orderBy("label")
   }
 
+  /** L300 — cumulative gains / lift table by score decile (the
+    * deployment-facing readout beside L242's AUC and L243's
+    * calibration: "if I contact the top 30% by model score, what share
+    * of all positives do I reach, and how much better than random is
+    * that?" — the chart every targeting campaign is sized from).
+    * Scale shape is the L242/L251 machinery verbatim: round-6 scores
+    * collapse to the ≤10⁶-row distinct-score frame, cumulative counts
+    * descend by score, and each decile depth k = ⌈N·d/10⌉ is located
+    * INSIDE its straddling tie group by linear interpolation (the
+    * Lorenz trick — tie-order-free by construction). Corpus cost: one
+    * score-keyed agg; the decile grid is a 10-row broadcast. */
+  def gainsTable(spark: SparkSession, dir: String): DataFrame = {
+    val byS = scoredDocs(spark, dir).groupBy(col("s"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("pos"))
+    val w = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val frame = byS
+      .withColumn("cum_n", sum(col("c")).over(w))
+      .withColumn("cum_pos", sum(col("pos")).over(w))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("p", sum(col("pos")).over(wAll))
+    val grid = frame.agg(max(col("n")).as("n"), max(col("p")).as("p"))
+      .select(col("n"), col("p"), explode(sequence(lit(1), lit(10)))
+        .as("decile"))
+      .withColumn("k", expr("(n * decile + 9) div 10"))
+    frame.join(broadcast(grid.drop("n", "p")),
+        col("cum_n") - col("c") < col("k") && col("k") <= col("cum_n"))
+      .select(col("decile"), col("k").as("depth_n"),
+        round((col("cum_pos") - col("pos")).cast("double") +
+          (col("k") - (col("cum_n") - col("c"))).cast("double") *
+            col("pos").cast("double") / col("c").cast("double"), 6)
+          .as("pos_at_depth"),
+        col("p"))
+      .withColumn("gain", round(col("pos_at_depth") / col("p").cast("double"),
+        6))
+      .withColumn("lift", round(col("gain") * 10.0 /
+        col("decile").cast("double"), 6))
+      .drop("p")
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_gains_table" -> (gainsTable _),
     "ml_davies_bouldin" -> (daviesBouldin _),
     "ml_kfold_cv" -> (kfoldCv _),
     "ml_feature_stats" -> (featureStats _),
@@ -599,6 +643,36 @@ object Ml {
        FROM documents)"""
 
   val oracles: Map[String, String] = Map(
+    "ml_gains_table" ->
+      s"""WITH $scoredSql,
+         bys AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(y) AS BIGINT) AS pos
+           FROM scored GROUP BY 1),
+         fr AS (SELECT *,
+             CAST(SUM(c) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_n,
+             CAST(SUM(pos) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_pos,
+             CAST(SUM(c) OVER () AS BIGINT) AS n,
+             CAST(SUM(pos) OVER () AS BIGINT) AS p
+           FROM bys),
+         grid AS (SELECT g.decile,
+             (MAX(n) * g.decile + 9) // 10 AS k
+           FROM fr, (SELECT unnest(generate_series(1, 10)) AS decile) g
+           GROUP BY g.decile),
+         j AS (SELECT decile, k AS depth_n,
+             round(CAST(cum_pos - pos AS DOUBLE)
+               + CAST(k - (cum_n - c) AS DOUBLE) * CAST(pos AS DOUBLE)
+                 / CAST(c AS DOUBLE), 6) AS pos_at_depth,
+             p
+           FROM fr JOIN grid ON cum_n - c < k AND k <= cum_n)
+         SELECT decile, depth_n, pos_at_depth,
+           round(pos_at_depth / CAST(p AS DOUBLE), 6) AS gain,
+           round(round(pos_at_depth / CAST(p AS DOUBLE), 6) * 10.0
+             / CAST(decile AS DOUBLE), 6) AS lift
+         FROM j ORDER BY decile""",
     "ml_davies_bouldin" ->
       s"""WITH ex AS (SELECT vec_id, label,
              CAST(unnest(range(0, len(embedding))) AS INT) AS dim,

@@ -191,7 +191,65 @@ object Warehouse6 {
       .orderBy("channel")
   }
 
+  /** L299 — seasonal and trend STRENGTH of the hourly revenue series
+    * (Wang, Smith & Hyndman 2006: F_s = max(0, 1 − Var(R)/Var(S+R)),
+    * F_t likewise against T+R — the two numbers that say whether
+    * L236's decomposition actually FOUND structure, read before
+    * trusting any seasonal forecast or L187 deseasonalized alert).
+    * Rebuilds the L236 decomposition frame (centered 25-hour trend,
+    * full windows only; hour-of-day seasonal; residual), then
+    * two-pass variances: round-6 means first, decimal sums of round-6
+    * squared deviations second — small-magnitude casts only, the
+    * L275 rule. Corpus cost: one hourly aggregate; everything after
+    * is the calendar-bounded frame. */
+  def seasonalStrength(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(round(dsum(col("value")), 6).as("x"))
+    val w = Window.orderBy(col("bucket")).rowsBetween(-12, 12)
+    val trended = hourly
+      .withColumn("tsum", sum(col("x").cast("decimal(18,6)")).over(w))
+      .withColumn("tn", count(lit(1)).over(w))
+      .where(col("tn") === 25)
+      .withColumn("trend", round(col("tsum").cast("double") / 25.0, 6))
+      .withColumn("detr", round(col("x") - col("trend"), 6))
+      .withColumn("hod", hour(col("bucket")))
+    val seasonal = trended.groupBy("hod")
+      .agg(round(davg(col("detr")), 6).as("seasonal"))
+    val parts = trended.join(broadcast(seasonal), "hod")
+      .withColumn("r", round(col("detr") - col("seasonal"), 6))
+      .withColumn("sr", round(col("seasonal") + col("r"), 6))
+      .withColumn("tr2", round(col("trend") + col("r"), 6))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val withMeans = Seq("r", "sr", "tr2").foldLeft(parts) { (df, c) =>
+      df.withColumn(s"m_$c",
+        round(sum(col(c).cast("decimal(18,6)")).over(wAll).cast("double")
+          / count(lit(1)).over(wAll).cast("double"), 6))
+    }
+    val sums = withMeans.agg(
+      count(lit(1)).as("n_hours"),
+      sum(round((col("r") - col("m_r")) * (col("r") - col("m_r")), 6)
+        .cast("decimal(18,6)")).cast("double").as("ss_r"),
+      sum(round((col("sr") - col("m_sr")) * (col("sr") - col("m_sr")), 6)
+        .cast("decimal(18,6)")).cast("double").as("ss_sr"),
+      sum(round((col("tr2") - col("m_tr2")) * (col("tr2") - col("m_tr2")), 6)
+        .cast("decimal(18,6)")).cast("double").as("ss_tr"))
+    sums.select(col("n_hours"),
+      round(col("ss_r") / col("n_hours").cast("double"), 6).as("var_resid"),
+      round(col("ss_sr") / col("n_hours").cast("double"), 6)
+        .as("var_seas_resid"),
+      round(col("ss_tr") / col("n_hours").cast("double"), 6)
+        .as("var_trend_resid"),
+      round(greatest(lit(0.0), lit(1.0) - col("ss_r") / col("ss_sr")), 6)
+        .as("seasonal_strength"),
+      round(greatest(lit(0.0), lit(1.0) - col("ss_r") / col("ss_tr")), 6)
+        .as("trend_strength"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_seasonal_strength" -> (seasonalStrength _),
     "attribution_markov_removal" -> (markovRemoval _),
     "basket_top_triples" -> (basketTopTriples _),
     "ts_hourly_percentiles" -> (hourlyPercentiles _),
@@ -201,6 +259,52 @@ object Warehouse6 {
   private val evTs = "CAST(ts AS TIMESTAMP)"
 
   val oracles: Map[String, String] = Map(
+    "ts_seasonal_strength" -> {
+      val dsumSql = (e: String) =>
+        s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+      s"""WITH hourly AS (SELECT date_trunc('hour', $evTs) AS bucket,
+             round(${dsumSql("value")}, 6) AS x
+           FROM events GROUP BY 1),
+         tw AS (SELECT *,
+             CAST(SUM(CAST(x AS DECIMAL(18,6))) OVER (ORDER BY bucket
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS DOUBLE) AS tsum,
+             COUNT(*) OVER (ORDER BY bucket
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS tn
+           FROM hourly),
+         tr AS (SELECT bucket, x,
+             round(tsum / 25.0, 6) AS trend,
+             round(x - round(tsum / 25.0, 6), 6) AS detr,
+             hour(bucket) AS hod
+           FROM tw WHERE tn = 25),
+         se AS (SELECT hod, round(${dsumSql("detr")} / COUNT(detr), 6)
+             AS seasonal
+           FROM tr GROUP BY 1),
+         parts AS (SELECT tr.*, seasonal,
+             round(detr - seasonal, 6) AS r,
+             round(seasonal + round(detr - seasonal, 6), 6) AS sr,
+             round(trend + round(detr - seasonal, 6), 6) AS tr2
+           FROM tr JOIN se USING (hod)),
+         wm AS (SELECT *,
+             round(${"CAST(SUM(CAST(r AS DECIMAL(18,6))) OVER () AS DOUBLE)"}
+               / CAST(COUNT(*) OVER () AS DOUBLE), 6) AS m_r,
+             round(${"CAST(SUM(CAST(sr AS DECIMAL(18,6))) OVER () AS DOUBLE)"}
+               / CAST(COUNT(*) OVER () AS DOUBLE), 6) AS m_sr,
+             round(${"CAST(SUM(CAST(tr2 AS DECIMAL(18,6))) OVER () AS DOUBLE)"}
+               / CAST(COUNT(*) OVER () AS DOUBLE), 6) AS m_tr2
+           FROM parts),
+         s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+             ${dsumSql("round((r - m_r) * (r - m_r), 6)")} AS ss_r,
+             ${dsumSql("round((sr - m_sr) * (sr - m_sr), 6)")} AS ss_sr,
+             ${dsumSql("round((tr2 - m_tr2) * (tr2 - m_tr2), 6)")} AS ss_tr
+           FROM wm)
+         SELECT n_hours,
+           round(ss_r / CAST(n_hours AS DOUBLE), 6) AS var_resid,
+           round(ss_sr / CAST(n_hours AS DOUBLE), 6) AS var_seas_resid,
+           round(ss_tr / CAST(n_hours AS DOUBLE), 6) AS var_trend_resid,
+           round(GREATEST(0.0, 1.0 - ss_r / ss_sr), 6) AS seasonal_strength,
+           round(GREATEST(0.0, 1.0 - ss_r / ss_tr), 6) AS trend_strength
+         FROM s"""
+    },
     "attribution_markov_removal" ->
       s"""WITH RECURSIVE base AS (
            SELECT user_id, $evTs AS tss, event_id, event_type,

@@ -227,7 +227,10 @@ class PlanSpec extends SparkTestBase {
       // 1-row raw-doc-count broadcast crossed into the funnel stack
       "llm_e2e_pipeline",
       // 1-row tie-adjustment aggregate broadcast into the 5-group frame
-      "stats_kruskal_wallis")
+      "stats_kruskal_wallis",
+      // 10-row decile grid broadcast range-joined into the score frame
+      // (the stats_gini_lorenz shape)
+      "ml_gains_table")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, sf0001))

@@ -60,6 +60,63 @@ class Round11iSpec extends SparkTestBase {
     }
   }
 
+  test("ts_seasonal_strength: decomposition variances replicate JVM; strengths in [0,1]") {
+    val hourly = Tables.events(spark, sf0001)
+      .groupBy(date_trunc("hour", col("ts")).as("b"))
+      .agg(round(Tables.dsum(col("value")), 6).as("x")).orderBy("b")
+      .collect().map(r => (r.getTimestamp(0), r.getDouble(1)))
+    def micro(x: Double): Long = (BigDecimal.decimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP) * BigDecimal(1000000)).toLongExact
+    val xs = hourly.map(_._2)
+    val full = hourly.indices.filter(i => i >= 12 && i + 12 < hourly.length)
+    val rows = full.map { i =>
+      val trend = r6(((i - 12) to (i + 12)).map(j => micro(xs(j))).sum / 1e6 / 25.0)
+      val detr = r6(xs(i) - trend)
+      (hourly(i)._1.toInstant.atZone(java.time.ZoneOffset.UTC).getHour,
+        trend, detr)
+    }
+    val seas = rows.groupBy(_._1).view.mapValues(v =>
+      r6(v.map(r => micro(r._3)).sum / 1e6 / v.length)).toMap
+    val parts = rows.map { case (hod, trend, detr) =>
+      val r = r6(detr - seas(hod))
+      (r, r6(seas(hod) + r), r6(trend + r))
+    }
+    def mean(v: Seq[Double]) = r6(v.map(micro).sum / 1e6 / v.length)
+    def ss(v: Seq[Double]) = {
+      val m = mean(v); v.map(x => micro(r6((x - m) * (x - m)))).sum / 1e6
+    }
+    val (ssR, ssSr, ssTr) = (ss(parts.map(_._1)), ss(parts.map(_._2)),
+      ss(parts.map(_._3)))
+    val n = parts.length
+    val got = SparkEntry.queries("ts_seasonal_strength")(spark, sf0001)
+      .collect().head
+    assert(got.getLong(0) == n.toLong)
+    assert(got.getDouble(1) == r6(ssR / n), s"${got.getDouble(1)} != ${r6(ssR / n)}")
+    assert(got.getDouble(2) == r6(ssSr / n))
+    assert(got.getDouble(3) == r6(ssTr / n))
+    assert(got.getDouble(4) == r6(math.max(0.0, 1.0 - ssR / ssSr)))
+    assert(got.getDouble(5) == r6(math.max(0.0, 1.0 - ssR / ssTr)))
+    (4 to 5).foreach(i => assert(got.getDouble(i) >= 0.0 &&
+      got.getDouble(i) <= 1.0))
+  }
+
+  test("ml_gains_table: decile interpolation replicates JVM; gains monotone, lift(10)=1") {
+    val got = SparkEntry.queries("ml_gains_table")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.length == 10)
+    // gains must be non-decreasing in depth and reach 1 at decile 10
+    got.sliding(2).foreach(p => assert(p(0)._3 <= p(1)._3 + 1e-9))
+    assert(math.abs(got.last._4 - 1.0) < 1e-6)
+    assert(math.abs(got.last._5 - 1.0) < 1e-6)
+    // no direction assumption: the synthetic scorer may rank either way
+    // (its top decile here is positive-poor); the definitional endpoint
+    // and monotonicity above are what the statistic promises
+    // depth grid is exactly ceil(N*d/10)
+    val n = got.last._2
+    got.foreach(g => assert(g._2 == (n * g._1 + 9) / 10))
+  }
+
   private def us(t: java.sql.Timestamp): Long =
     t.getTime / 1000 * 1000000L + t.getNanos / 1000
 
