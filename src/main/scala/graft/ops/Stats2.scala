@@ -353,7 +353,106 @@ object Stats2 {
         .otherwise("none"))
   }
 
+  /** L301 — Friedman test over the day×event-type daily-revenue design
+    * (the repeated-measures nonparametric k-group test: each DAY is a
+    * block, ranks are WITHIN-day — so day-level traffic shifts, which
+    * would drown L294's pooled ranks, cancel by construction; the
+    * blocked sibling of Kruskal–Wallis). Complete blocks only (days
+    * with all k treatments). Doubled within-block midranks are exact
+    * integers (2·rank + ties − 1, the L294 convention at block scope);
+    * per-treatment rank sums are exact; everything to χ²_F is the
+    * bounded 5-row frame. χ²(4) 95% literal shared with L294. */
+  def friedman(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+        .as("day"), col("event_type"))
+      .agg(round(dsum(col("value")), 6).as("r"))
+    val k = daily.select(countDistinct(col("event_type")).as("k"))
+    val wDayCnt = Window.partitionBy(col("day"))
+    val complete = daily
+      .withColumn("n_in_day", count(lit(1)).over(wDayCnt))
+      .crossJoin(broadcast(k))
+      .where(col("n_in_day") === col("k"))
+    val wDay = Window.partitionBy(col("day")).orderBy(col("r"))
+    val wTie = Window.partitionBy(col("day"), col("r"))
+    val ranked = complete
+      .withColumn("rk", rank().over(wDay))
+      .withColumn("ties", count(lit(1)).over(wTie))
+      .withColumn("mr2", lit(2) * col("rk") + col("ties") - 1)
+    val perType = ranked.groupBy(col("event_type"), col("k"))
+      .agg(countDistinct(col("day")).as("b"), sum(col("mr2")).as("s2"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val kD = col("k").cast("double")
+    val bD = col("b").cast("double")
+    perType
+      .withColumn("r_j", col("s2").cast("double") / 2.0)
+      .withColumn("mean_rank", round(col("r_j") / bD, 6))
+      .withColumn("sum_rr", round(sum(round(col("r_j") * col("r_j") /
+          (bD * kD * (kD + 1.0)), 6).cast("decimal(18,6)")).over(wAll)
+        .cast("double"), 6))
+      .withColumn("chi2_f", round(lit(12.0) * col("sum_rr") -
+        lit(3.0) * bD * (kD + 1.0), 6))
+      .select(col("event_type"), col("b").as("n_blocks"), col("r_j"),
+        col("mean_rank"), col("chi2_f"), (col("k") - 1).as("df"),
+        (col("chi2_f") > 9.487729 && col("k") === 5).as("significant_95"))
+      .orderBy("event_type")
+  }
+
+  /** L302 — Wald–Wolfowitz runs test on the signs of the hourly-trend
+    * residuals (is the residual SEQUENCE random, or do signs clump? —
+    * the distribution-free companion to L296's Durbin–Watson, which
+    * measures the same clumping parametrically). Residual construction
+    * is byte-for-byte the L296 six-sums fit; signs (e ≥ 0), the run
+    * count via one lag window over the calendar-bounded frame, then
+    * the exact-integer run moments μ = 2n₊n₋/n + 1 and the classical
+    * σ²; z round-6. */
+  def runsTest(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.orderBy(col("t"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val hourly = events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(round(dsum(col("value")), 6).as("y"))
+      .withColumn("t", (row_number().over(Window.orderBy(col("bucket"))) - 1)
+        .cast("double"))
+    val fit = hourly
+      .withColumn("n", count(lit(1)).over(wAll).cast("double"))
+      .withColumn("sx", sum(col("t").cast("decimal(18,6)")).over(wAll)
+        .cast("double"))
+      .withColumn("sy", sum(col("y").cast("decimal(18,6)")).over(wAll)
+        .cast("double"))
+      .withColumn("sxx", sum((col("t") * col("t")).cast("decimal(18,6)"))
+        .over(wAll).cast("double"))
+      .withColumn("sxy", sum(round(col("t") * col("y"), 6)
+        .cast("decimal(28,6)")).over(wAll).cast("double"))
+      .withColumn("slope", (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("icept", (col("sy") - col("slope") * col("sx")) / col("n"))
+      .withColumn("pos", (round(col("y") - (col("icept") +
+        col("slope") * col("t")), 6) >= 0).cast("long"))
+    val runs = fit
+      .withColumn("flip", when(lag(col("pos"), 1).over(wOrd).isNull, 1L)
+        .otherwise((col("pos") =!= lag(col("pos"), 1).over(wOrd)).cast("long")))
+      .agg(count(lit(1)).as("n"),
+        sum(col("pos")).as("n_pos"),
+        (count(lit(1)) - sum(col("pos"))).as("n_neg"),
+        sum(col("flip")).as("n_runs"))
+    val n = col("n").cast("double")
+    val p = col("n_pos").cast("double")
+    val q = col("n_neg").cast("double")
+    runs
+      .withColumn("mu", round(lit(2.0) * p * q / n + 1.0, 6))
+      .withColumn("z", round((col("n_runs").cast("double") -
+          (lit(2.0) * p * q / n + 1.0)) /
+        sqrt(lit(2.0) * p * q * (lit(2.0) * p * q - n) /
+          (n * n * (n - 1.0))), 6))
+      .withColumn("random_at_95", abs(col("z")) <= 1.96)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_friedman" -> (friedman _),
+    "stats_runs_test" -> (runsTest _),
     "stats_kruskal_wallis" -> (kruskalWallis _),
     "stats_brown_forsythe" -> (brownForsythe _),
     "stats_durbin_watson" -> (durbinWatson _),
@@ -364,6 +463,86 @@ object Stats2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "stats_friedman" ->
+      s"""WITH daily AS (SELECT
+             epoch_us(date_trunc('day', $evTs)) // 86400000000 AS day,
+             event_type, round(${dsumSql("value")}, 6) AS r
+           FROM events GROUP BY 1, 2),
+         kk AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+           FROM daily),
+         complete AS (SELECT daily.*, k FROM daily, kk
+           WHERE day IN (SELECT day FROM daily GROUP BY 1
+             HAVING COUNT(*) = (SELECT k FROM kk))),
+         ranked AS (SELECT *,
+             RANK() OVER (PARTITION BY day ORDER BY r) AS rk,
+             COUNT(*) OVER (PARTITION BY day, r) AS ties
+           FROM complete),
+         pt AS (SELECT event_type, k,
+             CAST(COUNT(DISTINCT day) AS BIGINT) AS b,
+             CAST(SUM(2 * rk + ties - 1) AS BIGINT) AS s2
+           FROM ranked GROUP BY 1, 2),
+         rj AS (SELECT *, CAST(s2 AS DOUBLE) / 2.0 AS r_j FROM pt),
+         agg AS (SELECT *,
+             round(CAST(SUM(CAST(round(r_j * r_j
+               / (CAST(b AS DOUBLE) * CAST(k AS DOUBLE)
+                 * (CAST(k AS DOUBLE) + 1.0)), 6) AS DECIMAL(18,6)))
+               OVER () AS DOUBLE), 6) AS sum_rr
+           FROM rj),
+         f AS (SELECT *,
+             round(12.0 * sum_rr - 3.0 * CAST(b AS DOUBLE)
+               * (CAST(k AS DOUBLE) + 1.0), 6) AS chi2_f
+           FROM agg)
+         SELECT event_type, b AS n_blocks, r_j,
+           round(r_j / CAST(b AS DOUBLE), 6) AS mean_rank, chi2_f,
+           k - 1 AS df, chi2_f > 9.487729 AND k = 5 AS significant_95
+         FROM f ORDER BY event_type""",
+    "stats_runs_test" ->
+      s"""WITH hourly AS (SELECT date_trunc('hour', $evTs) AS bucket,
+             round(${dsumSql("value")}, 6) AS y
+           FROM events GROUP BY 1),
+         tt AS (SELECT y,
+             CAST(ROW_NUMBER() OVER (ORDER BY bucket) - 1 AS DOUBLE) AS t
+           FROM hourly),
+         s AS (SELECT *,
+             CAST(COUNT(*) OVER () AS DOUBLE) AS n,
+             CAST(SUM(CAST(t AS DECIMAL(18,6))) OVER () AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(18,6))) OVER () AS DOUBLE) AS sy,
+             CAST(SUM(CAST(t * t AS DECIMAL(18,6))) OVER () AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(round(t * y, 6) AS DECIMAL(28,6))) OVER ()
+               AS DOUBLE) AS sxy
+           FROM tt),
+         ff AS (SELECT *,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+           FROM s),
+         f2 AS (SELECT *, (sy - slope * sx) / n AS icept FROM ff),
+         sg AS (SELECT t,
+             CAST(round(y - (icept + slope * t), 6) >= 0 AS BIGINT) AS pos
+           FROM f2),
+         fl AS (SELECT *,
+             CASE WHEN LAG(pos) OVER (ORDER BY t) IS NULL THEN 1
+               WHEN pos != LAG(pos) OVER (ORDER BY t) THEN 1 ELSE 0 END
+               AS flip
+           FROM sg),
+         agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(COUNT(*) AS BIGINT) - CAST(SUM(pos) AS BIGINT) AS n_neg,
+             CAST(SUM(flip) AS BIGINT) AS n_runs
+           FROM fl)
+         SELECT n, n_pos, n_neg, n_runs,
+           round(2.0 * n_pos * n_neg / CAST(n AS DOUBLE) + 1.0, 6) AS mu,
+           round((CAST(n_runs AS DOUBLE)
+               - (2.0 * n_pos * n_neg / CAST(n AS DOUBLE) + 1.0))
+             / sqrt(2.0 * n_pos * n_neg
+               * (2.0 * n_pos * n_neg - CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                 * (CAST(n AS DOUBLE) - 1.0))), 6) AS z,
+           abs(round((CAST(n_runs AS DOUBLE)
+               - (2.0 * n_pos * n_neg / CAST(n AS DOUBLE) + 1.0))
+             / sqrt(2.0 * n_pos * n_neg
+               * (2.0 * n_pos * n_neg - CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                 * (CAST(n AS DOUBLE) - 1.0))), 6)) <= 1.96 AS random_at_95
+         FROM agg""",
     "stats_kruskal_wallis" ->
       s"""WITH vals AS (SELECT event_type, round(value, 6) AS v FROM events),
          byv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY 1),

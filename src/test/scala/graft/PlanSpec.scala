@@ -230,7 +230,9 @@ class PlanSpec extends SparkTestBase {
       "stats_kruskal_wallis",
       // 10-row decile grid broadcast range-joined into the score frame
       // (the stats_gini_lorenz shape)
-      "ml_gains_table")
+      "ml_gains_table",
+      // 1-row treatment-count broadcast gating complete blocks
+      "stats_friedman")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, sf0001))

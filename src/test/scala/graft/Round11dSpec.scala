@@ -208,6 +208,76 @@ class Round11dSpec extends SparkTestBase {
     assert(got.getString(4) == verdict)
   }
 
+  test("stats_friedman: within-day doubled midranks replicate JVM; rank-sum identity holds") {
+    val daily = Tables.events(spark, sf0001)
+      .groupBy(expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+        .as("day"), col("event_type"))
+      .agg(round(Tables.dsum(col("value")), 6).as("r"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val k = daily.map(_._2).distinct.length
+    val complete = daily.groupBy(_._1).filter(_._2.length == k)
+    val b = complete.size.toLong
+    val s2 = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    complete.values.foreach { rows =>
+      val sorted = rows.sortBy(_._3)
+      rows.foreach { case (_, t, v) =>
+        val rk = sorted.indexWhere(_._3 == v) + 1 // rank() = first position
+        val ties = rows.count(_._3 == v)
+        s2(t) += 2L * rk + ties - 1
+      }
+    }
+    val sumRr = r6(s2.values.map { x =>
+      val rj = x / 2.0
+      BigDecimal.decimal(r6(rj * rj / (b * k * (k + 1.0))))
+    }.sum.toDouble)
+    val chi2 = r6(12.0 * sumRr - 3.0 * b * (k + 1.0))
+    val got = SparkEntry.queries("stats_friedman")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5), r.getBoolean(6)))
+    assert(got.length == k)
+    got.foreach { g =>
+      assert(g._2 == b)
+      assert(g._3 == s2(g._1) / 2.0, s"R_j ${g._3} != ${s2(g._1) / 2.0}")
+      assert(g._4 == r6(g._3 / b))
+      assert(g._5 == chi2, s"chi2 ${g._5} != $chi2")
+      assert(g._6 == k - 1)
+    }
+    // within-block ranks must sum to k(k+1)/2 per block: Σ R_j = b·k(k+1)/2
+    assert(got.map(_._3).sum == b * k * (k + 1) / 2.0)
+  }
+
+  test("stats_runs_test: run count and z replicate JVM; runs within [1, n]") {
+    val hourly = Tables.events(spark, sf0001)
+      .groupBy(date_trunc("hour", col("ts")).as("b"))
+      .agg(round(Tables.dsum(col("value")), 6).as("y")).orderBy("b")
+      .collect().map(_.getDouble(1))
+    val n = hourly.length.toDouble
+    val t = hourly.indices.map(_.toDouble)
+    val sx = r6(dsumL(t)); val sy = r6(dsumL(hourly))
+    val sxx = r6(dsumL(t.map(x => x * x)))
+    val sxy = t.zip(hourly).map { case (x, y) => micro(r6(x * y)) }.sum / 1e6
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - slope * sx) / n
+    val pos = t.zip(hourly).map { case (x, y) =>
+      r6(y - (icept + slope * x)) >= 0 }
+    val nPos = pos.count(identity).toLong
+    val nNeg = pos.length - nPos
+    val nRuns = 1L + pos.sliding(2).count(p => p(0) != p(1))
+    val (p, q) = (nPos.toDouble, nNeg.toDouble)
+    val mu = 2.0 * p * q / n + 1.0
+    val z = r6((nRuns - mu) / math.sqrt(2.0 * p * q * (2.0 * p * q - n) /
+      (n * n * (n - 1.0))))
+    val got = SparkEntry.queries("stats_runs_test")(spark, sf0001)
+      .collect().head
+    assert(got.getLong(0) == hourly.length.toLong)
+    assert(got.getLong(1) == nPos && got.getLong(2) == nNeg)
+    assert(got.getLong(3) == nRuns, s"runs ${got.getLong(3)} != $nRuns")
+    assert(got.getDouble(4) == r6(mu))
+    assert(got.getDouble(5) == z, s"z ${got.getDouble(5)} != $z")
+    assert(got.getBoolean(6) == (math.abs(z) <= 1.96))
+    assert(nRuns >= 1 && nRuns <= hourly.length)
+  }
+
   test("stats_jsd_sources: smoothed-profile JSD replicates JVM; bounded by ln 2") {
     val docs = Tables.documents(spark, sf0001).select("source", "lang")
       .collect().map(r => (r.getString(0), r.getString(1)))
