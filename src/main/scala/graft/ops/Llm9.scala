@@ -166,7 +166,47 @@ object Llm9 {
       .orderBy("lang")
   }
 
+  /** L304 — bigram conditional entropy H(w₂|w₁) per language (Shannon
+    * 1951's next-word predictability — the information-theoretic
+    * reading of "how repetitive is this corpus", complementing L132's
+    * unigram logprob (a per-DOC score) with a per-LANGUAGE structural
+    * constant, and grounding the L195 backoff LM's gains: low H means
+    * context helps). H = Σ c₂·ln(c₁/c₂) / T over bigram counts c₂ and
+    * their left-context totals c₁ — the per-term round-6 is applied to
+    * c₂·ln(c₁/c₂) (magnitude-bounded by corpus size, decimal-summed),
+    * NOT to the ~1/T probabilities, which round-6 would zero out for
+    * rare bigrams. Bigrams via one per-doc lag window; everything
+    * shuffles by (lang, w₁) then folds. Perplexity = exp(H), round-6
+    * at the call site. */
+  def bigramEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w2")))
+      .withColumn("w1", lag(col("w2"), 1).over(w))
+      .where(col("w1").isNotNull)
+    val c2 = bigrams.groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val wL = Window.partitionBy(col("lang"), col("w1"))
+    val wLang = Window.partitionBy(col("lang"))
+    c2
+      .withColumn("c1", sum(col("c2")).over(wL))
+      .withColumn("t", sum(col("c2")).over(wLang))
+      .withColumn("term", round(col("c2").cast("double") *
+        round(log(col("c1").cast("double") / col("c2").cast("double")), 6), 6))
+      .groupBy(col("lang"), col("t"))
+      .agg(count(lit(1)).as("n_distinct_bigrams"),
+        round(sum(col("term").cast("decimal(18,6)")).cast("double") /
+          first(col("t")).cast("double"), 6).as("h_cond"))
+      .select(col("lang"), col("t").as("n_bigrams"),
+        col("n_distinct_bigrams"), col("h_cond"),
+        round(exp(col("h_cond")), 6).as("perplexity"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_bigram_entropy" -> (bigramEntropy _),
     "llm_readability" -> (readability _),
     "llm_cdc_chunks" -> (cdcChunks _),
     "ml_feature_hashing" -> (featureHashing _),
@@ -199,6 +239,34 @@ object Llm9 {
            round(MIN(grade), 6) AS min_grade,
            round(MAX(grade), 6) AS max_grade
          FROM perdoc GROUP BY 1 ORDER BY 1""",
+    "llm_bigram_entropy" ->
+      """WITH w0 AS (SELECT doc_id, lang,
+             CAST(unnest(range(0, len(string_split(text, ' ')))) AS BIGINT)
+               AS pos,
+             unnest(string_split(text, ' ')) AS w2
+           FROM documents),
+         bg AS (SELECT lang, w1, w2 FROM (SELECT lang,
+             LAG(w2) OVER (PARTITION BY doc_id ORDER BY pos) AS w1, w2
+           FROM w0) WHERE w1 IS NOT NULL),
+         c2 AS (SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+           FROM bg GROUP BY 1, 2, 3),
+         wl AS (SELECT *,
+             CAST(SUM(c2) OVER (PARTITION BY lang, w1) AS BIGINT) AS c1,
+             CAST(SUM(c2) OVER (PARTITION BY lang) AS BIGINT) AS t
+           FROM c2),
+         terms AS (SELECT lang, t,
+             round(CAST(c2 AS DOUBLE)
+               * round(ln(CAST(c1 AS DOUBLE) / CAST(c2 AS DOUBLE)), 6), 6)
+               AS term
+           FROM wl),
+         agg AS (SELECT lang, t,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+             round(CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(t AS DOUBLE), 6) AS h_cond
+           FROM terms GROUP BY 1, 2)
+         SELECT lang, t AS n_bigrams, n_distinct_bigrams, h_cond,
+           round(exp(h_cond), 6) AS perplexity
+         FROM agg ORDER BY lang""",
     "llm_cdc_chunks" ->
       s"""WITH w0 AS (SELECT doc_id,
              CAST(unnest(range(0, len(string_split(text, ' ')))) AS BIGINT)

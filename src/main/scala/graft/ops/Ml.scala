@@ -612,7 +612,44 @@ object Ml {
       .orderBy("decile")
   }
 
+  /** L303 — per-dimension feature drift between embedding halves (the
+    * ML-ops standing monitor: PSI per FEATURE between the train-time
+    * and serve-time distributions — the vector-space widening of
+    * L200's scalar PSI and L273's streaming window form; a drifted
+    * dimension is the first symptom of an upstream featurizer change).
+    * Halves by vec_id parity (the deterministic stand-in for
+    * train/serve cohorts); 10 fixed buckets over the audited value
+    * range; Laplace-smoothed PSI per dimension, decimal-summed. One
+    * explode scan + a (dim, bucket)-keyed aggregate — corpus-linear,
+    * 64×10 bounded frames after. */
+  def featureDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ex = embeddings(spark, dir)
+      .select((col("vec_id") % 2).as("half"),
+        posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .withColumn("x", col("xf").cast("double"))
+      .withColumn("bucket", least(greatest(floor((col("x") + 0.6) / 0.12),
+        lit(0.0)), lit(9.0)).cast("long"))
+    val cells = ex.groupBy(col("dim"), col("bucket"))
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n1"))
+    val wDim = Window.partitionBy(col("dim"))
+    val p = (col("n0") + 1).cast("double") / (col("t0") + 10).cast("double")
+    val q = (col("n1") + 1).cast("double") / (col("t1") + 10).cast("double")
+    cells
+      .withColumn("t0", sum(col("n0")).over(wDim))
+      .withColumn("t1", sum(col("n1")).over(wDim))
+      .withColumn("term", round((p - q) * round(log(p / q), 6), 6))
+      .groupBy(col("dim"), col("t0"), col("t1"))
+      .agg(round(sum(col("term").cast("decimal(18,6)")).cast("double"), 6)
+        .as("psi"))
+      .withColumn("drifted", col("psi") > 0.1)
+      .select(col("dim"), col("t0").as("n_train"), col("t1").as("n_serve"),
+        col("psi"), col("drifted"))
+      .orderBy("dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_feature_drift" -> (featureDrift _),
     "ml_gains_table" -> (gainsTable _),
     "ml_davies_bouldin" -> (daviesBouldin _),
     "ml_kfold_cv" -> (kfoldCv _),
@@ -643,6 +680,36 @@ object Ml {
        FROM documents)"""
 
   val oracles: Map[String, String] = Map(
+    "ml_feature_drift" ->
+      """WITH ex AS (SELECT vec_id % 2 AS half,
+             CAST(unnest(range(0, len(embedding))) AS INT) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings),
+         bk AS (SELECT half, dim,
+             CAST(LEAST(GREATEST(FLOOR((x + 0.6) / 0.12), 0), 9) AS BIGINT)
+               AS bucket
+           FROM ex),
+         cells AS (SELECT dim, bucket,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+           FROM bk GROUP BY 1, 2),
+         wt AS (SELECT *,
+             CAST(SUM(n0) OVER (PARTITION BY dim) AS BIGINT) AS t0,
+             CAST(SUM(n1) OVER (PARTITION BY dim) AS BIGINT) AS t1
+           FROM cells),
+         terms AS (SELECT dim, t0, t1,
+             round((CAST(n0 + 1 AS DOUBLE) / CAST(t0 + 10 AS DOUBLE)
+                 - CAST(n1 + 1 AS DOUBLE) / CAST(t1 + 10 AS DOUBLE))
+               * round(ln((CAST(n0 + 1 AS DOUBLE) / CAST(t0 + 10 AS DOUBLE))
+                 / (CAST(n1 + 1 AS DOUBLE) / CAST(t1 + 10 AS DOUBLE))), 6),
+               6) AS term
+           FROM wt),
+         agg AS (SELECT dim, t0, t1,
+             round(CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE), 6)
+               AS psi
+           FROM terms GROUP BY 1, 2, 3)
+         SELECT dim, t0 AS n_train, t1 AS n_serve, psi, psi > 0.1 AS drifted
+         FROM agg ORDER BY dim""",
     "ml_gains_table" ->
       s"""WITH $scoredSql,
          bys AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS c,

@@ -117,6 +117,61 @@ class Round11iSpec extends SparkTestBase {
     got.foreach(g => assert(g._2 == (n * g._1 + 9) / 10))
   }
 
+  test("ml_feature_drift: per-dim PSI replicates JVM; PSI non-negative") {
+    val em = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def micro(x: Double): Long = (BigDecimal.decimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP) * BigDecimal(1000000)).toLongExact
+    val dims = em.head._2.length
+    val want = (0 until dims).map { d =>
+      val cells = Array.fill(2, 10)(0L)
+      em.foreach { case (id, v) =>
+        val x = v(d).toDouble
+        val b = math.min(math.max(math.floor((x + 0.6) / 0.12), 0.0), 9.0).toInt
+        cells((id % 2).toInt)(b) += 1
+      }
+      val (t0, t1) = (cells(0).sum, cells(1).sum)
+      val psi = r6((0 until 10).map { b =>
+        val p = (cells(0)(b) + 1.0) / (t0 + 10.0)
+        val q = (cells(1)(b) + 1.0) / (t1 + 10.0)
+        micro(r6((p - q) * r6(math.log(p / q))))
+      }.sum / 1e6)
+      (d, t0, t1, psi, psi > 0.1)
+    }
+    val got = SparkEntry.queries("ml_feature_drift")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(got.toSeq == want, s"\n got ${got.take(3).toSeq}…\nwant ${want.take(3)}…")
+    got.foreach(g => assert(g._4 >= 0.0, "PSI is a sum of same-sign products"))
+  }
+
+  test("llm_bigram_entropy: conditional entropy replicates JVM; H >= 0") {
+    val docs = Tables.documents(spark, sf0001).select("lang", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    def micro(x: Double): Long = (BigDecimal.decimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP) * BigDecimal(1000000)).toLongExact
+    val bigrams = docs.flatMap { case (lang, text) =>
+      val ws = text.split(" ", -1)
+      ws.sliding(2).collect { case Array(a, b) => (lang, a, b) }
+    }
+    val c2 = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = bigrams.groupBy(b => (b._1, b._2)).view
+      .mapValues(_.length.toLong).toMap
+    val tL = bigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val want = tL.keys.toSeq.sorted.map { lang =>
+      val terms = c2.filter(_._1._1 == lang).map { case ((_, w1, _), n2) =>
+        micro(r6(n2.toDouble * r6(math.log(c1((lang, w1)).toDouble / n2))))
+      }
+      val h = r6(terms.sum / 1e6 / tL(lang))
+      (lang, tL(lang), c2.count(_._1._1 == lang).toLong, h, r6(math.exp(h)))
+    }
+    val got = SparkEntry.queries("llm_bigram_entropy")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == want, s"\n got ${got.toSeq}\nwant $want")
+    got.foreach(g => assert(g._4 >= 0.0 && g._5 >= 1.0))
+  }
+
   private def us(t: java.sql.Timestamp): Long =
     t.getTime / 1000 * 1000000L + t.getNanos / 1000
 
