@@ -282,6 +282,39 @@ object Ml {
       .withColumn("gini", round(lit(2.0) * col("auc") - 1.0, 6))
   }
 
+  /** L306 — Cohen's kappa + Matthews correlation from the confusion
+    * matrix of the L214 scorer thresholded at 0.5 (Cohen 1960;
+    * Matthews 1975 — the two chance-corrected single-number summaries
+    * every imbalanced-class eval reads INSTEAD of raw accuracy, which
+    * the base rate can saturate). One conditional-agg scan yields the
+    * exact-integer (tp, fp, fn, tn); kappa = (p₀−p_e)/(1−p_e) with
+    * p_e from the marginal products, MCC = (tp·tn−fp·fn)/√(Π margins)
+    * — every input to the two round-6 divisions is an exact BIGINT, so
+    * cross-engine parity is by construction. Map-combinable; 1-row
+    * output at any corpus size. */
+  def cohensKappa(spark: SparkSession, dir: String): DataFrame = {
+    val pred = (col("s") >= 0.5).cast("long")
+    val cm = scoredDocs(spark, dir)
+      .select(col("y"), pred.as("p"))
+      .agg(sum(when(col("p") === 1 && col("y") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("p") === 1 && col("y") === 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("p") === 0 && col("y") === 1, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("p") === 0 && col("y") === 0, 1L).otherwise(0L)).as("tn"))
+    val n = (col("tp") + col("fp") + col("fn") + col("tn")).cast("double")
+    val po = (col("tp") + col("tn")).cast("double") / n
+    val pe = ((col("tp") + col("fp")) * (col("tp") + col("fn")) +
+      (col("fn") + col("tn")) * (col("fp") + col("tn"))).cast("double") / (n * n)
+    val mccNum = (col("tp") * col("tn") - col("fp") * col("fn")).cast("double")
+    val mccDen = sqrt((col("tp") + col("fp")).cast("double") *
+      (col("tp") + col("fn")).cast("double") *
+      (col("tn") + col("fp")).cast("double") *
+      (col("tn") + col("fn")).cast("double"))
+    cm.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      round(po, 6).as("accuracy"),
+      round((po - pe) / (lit(1.0) - pe), 6).as("kappa"),
+      round(mccNum / mccDen, 6).as("mcc"))
+  }
+
   /** L243 — calibration / reliability table (DeGroot & Fienberg 1983;
     * the 10-bin "reliability diagram" every model review reads beside
     * AUC — discrimination vs calibration being orthogonal failures).
@@ -659,6 +692,7 @@ object Ml {
     "ml_pca_power" -> (pcaPower _),
     "ml_auc_roc" -> (aucRoc _),
     "ml_calibration_bins" -> (calibrationBins _),
+    "ml_cohens_kappa" -> (cohensKappa _),
     "ml_chi2_terms" -> (chi2Terms _),
     "ml_naive_bayes" -> (naiveBayes _),
     "ml_gini_split" -> (giniSplit _),
@@ -928,6 +962,34 @@ object Ml {
                CAST(np AS DOUBLE) * CAST(np + 1 AS DOUBLE) / 2.0) /
              CAST(np * nn AS DOUBLE), 6) - 1.0, 6) AS gini
          FROM agg""",
+    "ml_cohens_kappa" ->
+      s"""WITH $scoredSql,
+         cm AS (SELECT
+             CAST(SUM(CASE WHEN s >= 0.5 AND y = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN s >= 0.5 AND y = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN s < 0.5 AND y = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN s < 0.5 AND y = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS tn
+           FROM scored),
+         d AS (SELECT *,
+             CAST(tp + fp + fn + tn AS DOUBLE) AS n,
+             CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE)
+               AS po,
+             CAST((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn) AS DOUBLE)
+               / (CAST(tp + fp + fn + tn AS DOUBLE)
+                 * CAST(tp + fp + fn + tn AS DOUBLE)) AS pe
+           FROM cm)
+         SELECT tp, fp, fn, tn,
+           round(po, 6) AS accuracy,
+           round((po - pe) / (1.0 - pe), 6) AS kappa,
+           round(CAST(tp * tn - fp * fn AS DOUBLE)
+             / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+               * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)), 6)
+             AS mcc
+         FROM d""",
     "ml_calibration_bins" ->
       s"""WITH $scoredSql,
          b AS (SELECT LEAST(CAST(floor(s * 10) AS BIGINT), 9) AS bin, s, y

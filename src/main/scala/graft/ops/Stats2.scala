@@ -450,7 +450,51 @@ object Stats2 {
       .withColumn("random_at_95", abs(col("z")) <= 1.96)
   }
 
+  /** L305 — Jarque–Bera normality test per event type (Jarque & Bera
+    * 1980: JB = n/6·(S² + (K−3)²/4) from sample skewness S and
+    * kurtosis K — the moment-based normality screen that says whether
+    * z/t verdicts like L274's can be trusted). Skewness and kurtosis
+    * are SCALE-INVARIANT, so the corpus value is divided by 100 first
+    * (x′ ≤ 4.91): every power term round(x′ᵏ, 6) is then
+    * small-magnitude (≤582) and decimal-summable losslessly at any
+    * corpus size — the raw Σx⁴ route pushes 10¹⁰⁺ per-row doubles
+    * through the decimal grid, where the two engines' round-6 can
+    * disagree. One map-combinable conditional-agg scan produces
+    * (n, Σx′..Σx′⁴) per group; central moments recovered in closed
+    * form; χ²₂ 95% critical value 5.991 gives the verdict. */
+  def jarqueBera(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("value") / 100.0
+    val agged = events(spark, dir)
+      .select(col("event_type"), x.as("x"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(dsum(col("x")), 6).as("s1"),
+        round(dsum(round(col("x") * col("x"), 6)), 6).as("s2"),
+        round(dsum(round(col("x") * col("x") * col("x"), 6)), 6).as("s3"),
+        round(dsum(round(col("x") * col("x") * col("x") * col("x"), 6)), 6)
+          .as("s4"))
+    val nd = col("n").cast("double")
+    val mu = col("s1") / nd
+    val m2 = col("s2") / nd - mu * mu
+    val m3 = col("s3") / nd - lit(3.0) * mu * col("s2") / nd +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("s4") / nd - lit(4.0) * mu * col("s3") / nd +
+      lit(6.0) * mu * mu * col("s2") / nd - lit(3.0) * mu * mu * mu * mu
+    val out = agged
+      .withColumn("skewness", round(m3 / sqrt(m2 * m2 * m2), 6))
+      .withColumn("kurtosis", round(m4 / (m2 * m2), 6))
+    out
+      .withColumn("jb_stat", round(nd / 6.0 *
+        (col("skewness") * col("skewness") +
+          (col("kurtosis") - 3.0) * (col("kurtosis") - 3.0) / 4.0), 6))
+      .withColumn("normal_at_95", col("jb_stat") <= 5.991465)
+      .select("event_type", "n", "skewness", "kurtosis", "jb_stat",
+        "normal_at_95")
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_jarque_bera" -> (jarqueBera _),
     "stats_friedman" -> (friedman _),
     "stats_runs_test" -> (runsTest _),
     "stats_kruskal_wallis" -> (kruskalWallis _),
@@ -463,6 +507,45 @@ object Stats2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "stats_jarque_bera" ->
+      s"""WITH t AS (SELECT event_type, value / 100.0 AS x FROM events),
+         a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             round(${dsumSql("x")}, 6) AS s1,
+             round(${dsumSql("round(x * x, 6)")}, 6) AS s2,
+             round(${dsumSql("round(x * x * x, 6)")}, 6) AS s3,
+             round(${dsumSql("round(x * x * x * x, 6)")}, 6) AS s4
+           FROM t GROUP BY 1),
+         m AS (SELECT event_type, n,
+             round((s3 / CAST(n AS DOUBLE)
+                 - 3.0 * (s1 / CAST(n AS DOUBLE)) * s2 / CAST(n AS DOUBLE)
+                 + 2.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+                   * (s1 / CAST(n AS DOUBLE)))
+               / sqrt((s2 / CAST(n AS DOUBLE)
+                   - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+                 * (s2 / CAST(n AS DOUBLE)
+                   - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+                 * (s2 / CAST(n AS DOUBLE)
+                   - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))),
+               6) AS skewness,
+             round((s4 / CAST(n AS DOUBLE)
+                 - 4.0 * (s1 / CAST(n AS DOUBLE)) * s3 / CAST(n AS DOUBLE)
+                 + 6.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+                   * s2 / CAST(n AS DOUBLE)
+                 - 3.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+                   * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+               / ((s2 / CAST(n AS DOUBLE)
+                   - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+                 * (s2 / CAST(n AS DOUBLE)
+                   - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))),
+               6) AS kurtosis
+           FROM a)
+         SELECT event_type, n, skewness, kurtosis,
+           round(CAST(n AS DOUBLE) / 6.0 * (skewness * skewness
+             + (kurtosis - 3.0) * (kurtosis - 3.0) / 4.0), 6) AS jb_stat,
+           round(CAST(n AS DOUBLE) / 6.0 * (skewness * skewness
+             + (kurtosis - 3.0) * (kurtosis - 3.0) / 4.0), 6) <= 5.991465
+             AS normal_at_95
+         FROM m ORDER BY event_type""",
     "stats_friedman" ->
       s"""WITH daily AS (SELECT
              epoch_us(date_trunc('day', $evTs)) // 86400000000 AS day,
