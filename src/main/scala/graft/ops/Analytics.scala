@@ -894,6 +894,69 @@ object Analytics {
     out.orderBy("peel_round")
   }
 
+  /** L307 — connected components of the co-purchase graph (the
+    * partition every distributed graph job computes FIRST — component
+    * boundaries bound all later traversals; Kiveris et al. 2014 show
+    * the min-label + compress scheme below converging in O(log d)
+    * rounds). Min-label propagation run to FIXPOINT under a driver
+    * loop: each round (a) pulls the min neighbor label through one
+    * edge-keyed join + node-keyed agg, (b) COMPRESSES by looking each
+    * label's own label up (the pointer-doubling half-step that turns
+    * diameter-many rounds into log-many), then materializes the
+    * node-sized label frame and checks the exact-integer label SUM —
+    * labels only ever decrease, so an unchanged sum IS the fixpoint
+    * (no row-diff join needed). At 100 TB the per-round cost is one
+    * edge-linear shuffle + two node-sized ones; the output is the
+    * component-size profile (top 20 by size) with the component count
+    * and covered-node total carried on every row. Convergence is
+    * label-order-free: the fixpoint is the componentwise MIN, so the
+    * result is independent of round count once reached — the property
+    * that makes the driver-loop form oracle-comparable against a
+    * recursive-CTE transitive closure. */
+  def connectedComponents(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = coPurchaseEdges(spark, dir)
+    // localCheckpoint (eager) rather than persist: it TRUNCATES the
+    // logical plan each round — without it the per-round plan nests the
+    // whole loop history and Catalyst planning itself OOMs by round ~10
+    val ed = e0.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(e0.select(col("b").as("x"), col("a").as("y")))
+      .localCheckpoint(true)
+    var lab = ed.select(col("x").as("v")).distinct()
+      .withColumn("l", col("v")).localCheckpoint(true)
+    var labSum = lab.agg(sum(col("l"))).first().getLong(0)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val nbrMin = ed
+        .join(lab.select(col("v").as("y"), col("l").as("ln")), Seq("y"))
+        .groupBy(col("x").as("v")).agg(min(col("ln")).as("lnbr"))
+      val prop = lab.join(nbrMin, Seq("v"), "left")
+        .select(col("v"), least(col("l"), coalesce(col("lnbr"), col("l"))).as("l"))
+      val next = prop
+        .join(prop.select(col("v").as("l"), col("l").as("l2")), Seq("l"), "left")
+        .select(col("v"), coalesce(col("l2"), col("l")).as("l"))
+        .localCheckpoint(true)
+      val nextSum = next.agg(sum(col("l"))).first().getLong(0)
+      lab = next
+      converged = nextSum == labSum
+      labSum = nextSum
+      rounds += 1
+    }
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val out = lab.groupBy(col("l").as("component_id"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .withColumn("n_components", count(lit(1)).over(wAll))
+      .withColumn("n_covered_nodes", sum(col("n_nodes")).over(wAll))
+      .orderBy(col("n_nodes").desc, col("component_id")).limit(20)
+    // the summary is ≤20 rows by construction — materialize it so the
+    // caller gets a plan independent of the loop's checkpoint blocks
+    val rows = boundedCollect(out, 20, "graph_connected_components summary")
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(rows: _*)), out.schema)
+  }
+
   /** L231 — degree distribution of the co-purchase graph (the first
     * chart of any graph audit — heavy-tail detection before choosing
     * skew mitigations like the L188 hub cap). Two nested dimension-
@@ -986,6 +1049,7 @@ object Analytics {
     "graph_hits_step" -> (hitsStep _),
     "graph_kcore_peel" -> (kcorePeel _),
     "graph_degree_hist" -> (degreeHistogram _),
+    "graph_connected_components" -> (connectedComponents _),
     "graph_triangle_count" -> (triangleCount _),
     "graph_modularity" -> (graphModularity _),
     "graph_pagerank_step" -> (pagerankStep _),
@@ -1133,6 +1197,25 @@ object Analytics {
            FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1)
          SELECT d AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
          FROM d GROUP BY 1 ORDER BY 1""",
+    "graph_connected_components" ->
+      """WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+             FROM lineitem),
+         e0 AS (SELECT a.p AS a, b.p AS b FROM op a JOIN op b
+             ON a.o = b.o AND a.p < b.p
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         ed AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+         nodes AS (SELECT DISTINCT a AS v FROM ed),
+         cc(v, l) AS (SELECT v, v FROM nodes
+           UNION
+           SELECT ed.b, cc.l FROM cc JOIN ed ON ed.a = cc.v),
+         lab AS (SELECT v, MIN(l) AS comp FROM cc GROUP BY v),
+         sizes AS (SELECT comp AS component_id,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes
+           FROM lab GROUP BY 1)
+         SELECT component_id, n_nodes,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n_components,
+           CAST(SUM(n_nodes) OVER () AS BIGINT) AS n_covered_nodes
+         FROM sizes ORDER BY n_nodes DESC, component_id LIMIT 20""",
     "graph_modularity" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
          e AS (SELECT a.p AS a, b.p AS b FROM op a JOIN op b

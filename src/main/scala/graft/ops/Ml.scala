@@ -315,6 +315,42 @@ object Ml {
       round(mccNum / mccDen, 6).as("mcc"))
   }
 
+  /** L308 — NDCG@{5,10,20} of the L214 scorer against the binary
+    * relevance label (Järvelin & Kekäläinen 2002 — the position-
+    * discounted ranking metric every retrieval/reranking eval reports;
+    * the metric the L154 BM25 and L158 MMR rankers would be graded
+    * by). The top-20 frame comes from orderBy+limit — Spark plans
+    * TakeOrderedAndProject, the per-partition-heap + driver-merge
+    * top-k that never globally sorts, so the corpus cost is one scan
+    * at any scale; ranks are then row_number over the 20-row frame
+    * with the (score desc, doc_id) tiebreak making tie order
+    * engine-free. DCG terms round(y/log₂(i+1), 6) decimal-summed per
+    * cutoff; ideal DCG from an exploded 1..min(20, n_pos) sequence so
+    * a positive-starved corpus still normalizes correctly. Output: one
+    * row per cutoff k with n_pos, dcg, idcg, ndcg. */
+  def ndcg(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.orderBy(col("s").desc, col("doc_id"))
+    val top = scoredDocs(spark, dir)
+      .orderBy(col("s").desc, col("doc_id")).limit(20)
+      .withColumn("i", row_number().over(ord))
+      .withColumn("term", round(col("y").cast("double") / log2(col("i") + 1), 6))
+    def cuts(c: String) = Seq(5, 10, 20).map(k =>
+      round(dsum(when(col("i") <= k, col("term"))), 6).as(s"${c}_$k"))
+    val dcgs = top.agg(cuts("dcg").head, cuts("dcg").tail: _*)
+    val ideal = scoredDocs(spark, dir).agg(sum(col("y")).as("n_pos"))
+      .select(col("n_pos"),
+        explode(sequence(lit(1L), least(lit(20L), col("n_pos")))).as("i"))
+      .withColumn("term", round(lit(1.0) / log2(col("i") + 1), 6))
+      .groupBy("n_pos").agg(cuts("idcg").head, cuts("idcg").tail: _*)
+    val u = dcgs.crossJoin(broadcast(ideal))
+    u.select(explode(array(Seq(5, 10, 20).map(k =>
+        struct(lit(k).as("k"), col("n_pos"), col(s"dcg_$k").as("dcg"),
+          col(s"idcg_$k").as("idcg"))): _*)).as("r"))
+      .select(col("r.k"), col("r.n_pos"), col("r.dcg"), col("r.idcg"))
+      .withColumn("ndcg", round(col("dcg") / col("idcg"), 6))
+      .orderBy("k")
+  }
+
   /** L243 — calibration / reliability table (DeGroot & Fienberg 1983;
     * the 10-bin "reliability diagram" every model review reads beside
     * AUC — discrimination vs calibration being orthogonal failures).
@@ -693,6 +729,7 @@ object Ml {
     "ml_auc_roc" -> (aucRoc _),
     "ml_calibration_bins" -> (calibrationBins _),
     "ml_cohens_kappa" -> (cohensKappa _),
+    "ml_ndcg" -> (ndcg _),
     "ml_chi2_terms" -> (chi2Terms _),
     "ml_naive_bayes" -> (naiveBayes _),
     "ml_gini_split" -> (giniSplit _),
@@ -962,6 +999,38 @@ object Ml {
                CAST(np AS DOUBLE) * CAST(np + 1 AS DOUBLE) / 2.0) /
              CAST(np * nn AS DOUBLE), 6) - 1.0, 6) AS gini
          FROM agg""",
+    "ml_ndcg" ->
+      s"""WITH $scoredSql,
+         top AS (SELECT y, row_number() OVER (ORDER BY s DESC, doc_id) AS i
+           FROM scored ORDER BY s DESC, doc_id LIMIT 20),
+         tt AS (SELECT i,
+             round(CAST(y AS DOUBLE) / log2(CAST(i + 1 AS DOUBLE)), 6) AS term
+           FROM top),
+         d AS (SELECT
+             round(${dsumSql("CASE WHEN i <= 5 THEN term END")}, 6) AS dcg_5,
+             round(${dsumSql("CASE WHEN i <= 10 THEN term END")}, 6) AS dcg_10,
+             round(${dsumSql("CASE WHEN i <= 20 THEN term END")}, 6) AS dcg_20
+           FROM tt),
+         np AS (SELECT CAST(SUM(y) AS BIGINT) AS n_pos FROM scored),
+         ii AS (SELECT n_pos, UNNEST(range(1, LEAST(20, n_pos) + 1)) AS i
+           FROM np),
+         it AS (SELECT n_pos, i,
+             round(1.0 / log2(CAST(i + 1 AS DOUBLE)), 6) AS term
+           FROM ii),
+         idl AS (SELECT n_pos,
+             round(${dsumSql("CASE WHEN i <= 5 THEN term END")}, 6) AS idcg_5,
+             round(${dsumSql("CASE WHEN i <= 10 THEN term END")}, 6) AS idcg_10,
+             round(${dsumSql("CASE WHEN i <= 20 THEN term END")}, 6) AS idcg_20
+           FROM it GROUP BY n_pos),
+         u AS (SELECT * FROM d, idl),
+         rows_k AS (
+           SELECT 5 AS k, n_pos, dcg_5 AS dcg, idcg_5 AS idcg FROM u
+           UNION ALL
+           SELECT 10 AS k, n_pos, dcg_10 AS dcg, idcg_10 AS idcg FROM u
+           UNION ALL
+           SELECT 20 AS k, n_pos, dcg_20 AS dcg, idcg_20 AS idcg FROM u)
+         SELECT k, n_pos, dcg, idcg, round(dcg / idcg, 6) AS ndcg
+         FROM rows_k ORDER BY k""",
     "ml_cohens_kappa" ->
       s"""WITH $scoredSql,
          cm AS (SELECT

@@ -232,7 +232,9 @@ class PlanSpec extends SparkTestBase {
       // (the stats_gini_lorenz shape)
       "ml_gains_table",
       // 1-row treatment-count broadcast gating complete blocks
-      "stats_friedman")
+      "stats_friedman",
+      // 1-row dcg-cutoffs frame crossed with the ≤20-row ideal frame
+      "ml_ndcg")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, sf0001))

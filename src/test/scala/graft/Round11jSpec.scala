@@ -57,6 +57,76 @@ class Round11jSpec extends SparkTestBase {
     assert(sk0 == 0.0 && ku0 < 3.0 && jb0 > 0.0)
   }
 
+  private lazy val coEdges: Set[(Long, Long)] = {
+    val li = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    li.groupBy(_._1).values.flatMap { xs =>
+      val ps = xs.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSeq.groupBy(identity).filter(_._2.size >= 2).keys.toSet
+  }
+
+  test("graph_connected_components: labels match a JVM union-find; counts conserve") {
+    // reference: classic union-find with path compression
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    coEdges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comp = parent.keys.toSeq.map(v => (v, find(v)))
+    // component id = MIN member: union always roots at the smaller id and
+    // find fully compresses, so the root IS the min
+    val sizes = comp.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nComponents = sizes.size.toLong
+    val nCovered = comp.size.toLong
+    val want = sizes.toSeq.map { case (c, n) => (c, n, nComponents, nCovered) }
+      .sortBy(t => (-t._2, t._1)).take(20)
+    val got = SparkEntry.queries("graph_connected_components")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == want)
+    // the component id really is the minimum member of its component
+    comp.groupBy(_._2).foreach { case (c, vs) =>
+      assert(vs.map(_._1).min == c, s"component $c root is not its min")
+    }
+    assert(got.map(_._2).sum <= nCovered)
+  }
+
+  test("ml_ndcg: dcg/idcg replicate a JVM ranking; ndcg in (0,1]; perfect ranking kernel gives exactly 1") {
+    val scored = docs.map { case (id, lang, text, nc) =>
+      (id, sigmoid6(nc, text.split(" ", -1).length),
+        if (lang == "en") 1L else 0L) }
+    val top = scored.sortBy(t => (-t._2, t._1)).take(20)
+    def dcgOf(ys: Seq[Long], k: Int): Double =
+      r6(dsumL(ys.take(k).zipWithIndex.map { case (y, i0) =>
+        r6(y.toDouble / (math.log(i0 + 2.0) / math.log(2.0))) }))
+    val nPos = scored.map(_._3).sum
+    def idcgOf(k: Int): Double =
+      r6(dsumL((1L to math.min(k.toLong, nPos)).map(i =>
+        r6(1.0 / (math.log(i + 1.0) / math.log(2.0))))))
+    val want = Seq(5, 10, 20).map { k =>
+      val (d, id0) = (dcgOf(top.map(_._3).toSeq, k), idcgOf(k))
+      (k, nPos, d, id0, r6(d / id0))
+    }
+    val got = SparkEntry.queries("ml_ndcg")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == want)
+    got.foreach(g => assert(g._5 > 0.0 && g._5 <= 1.0, s"ndcg out of range: $g"))
+    // kernel sanity: an all-relevant top-k is a perfect ranking ⇒ ndcg 1
+    // (ideal built over 1..k directly, so this holds however many
+    // positives the corpus happens to have)
+    Seq(5, 10, 20).foreach { k =>
+      val ideal = r6(dsumL((1 to k).map(i =>
+        r6(1.0 / (math.log(i + 1.0) / math.log(2.0))))))
+      assert(r6(dcgOf(Seq.fill(20)(1L), k) / ideal) == 1.0)
+    }
+  }
+
   private def sigmoid6(nc: Long, nw: Int): Double = {
     val z = -1.0 + -1.5 * (nc.toDouble / 100.0) + 1.2 * (nw.toDouble / 10.0)
     r6(1.0 / (1.0 + math.exp(-z)))
