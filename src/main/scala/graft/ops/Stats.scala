@@ -392,7 +392,41 @@ object Stats {
       .withColumn("alpha", round(lit(1.0) / col("mean_log_excess"), 6))
   }
 
+  /** L309 — Kendall's τ-b between daily order count and daily revenue
+    * (Kendall 1938 with the 1945 tie correction — the concordance
+    * statistic whose pairwise form survives any monotone transform;
+    * the cross-SERIES companion to L247's Mann–Kendall, which runs the
+    * same pair logic against time itself). The corpus collapses to the
+    * calendar-bounded daily frame first (map-combinable agg; ≤a few
+    * thousand rows at ANY corpus size), so the O(n²) pair join is
+    * bounded-frame × bounded-frame, never data-sized — the
+    * L247/L251 self-pair contract. Concordant/discordant/tied counts
+    * are exact integers; τ-b = (nc−nd)/√((n₀−tx)(n₀−ty)) is the one
+    * round-6 division at the end. */
+  def kendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val daily = orders(spark, dir)
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(count(lit(1)).as("x"), round(dsum(col("o_totalprice")), 6).as("y"))
+    val pairs = daily.as("a").join(daily.as("b"), col("a.d") < col("b.d"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when((col("b.x") > col("a.x") && col("b.y") > col("a.y")) ||
+          (col("b.x") < col("a.x") && col("b.y") < col("a.y")), 1L)
+          .otherwise(0L)).as("nc"),
+        sum(when((col("b.x") > col("a.x") && col("b.y") < col("a.y")) ||
+          (col("b.x") < col("a.x") && col("b.y") > col("a.y")), 1L)
+          .otherwise(0L)).as("nd"),
+        sum(when(col("b.x") === col("a.x"), 1L).otherwise(0L)).as("tied_x"),
+        sum(when(col("b.y") === col("a.y"), 1L).otherwise(0L)).as("tied_y"))
+    val n0 = col("n_pairs").cast("double")
+    pairs
+      .withColumn("tau_b", round((col("nc") - col("nd")).cast("double") /
+        sqrt((n0 - col("tied_x").cast("double")) *
+          (n0 - col("tied_y").cast("double"))), 6))
+      .select("n_pairs", "nc", "nd", "tied_x", "tied_y", "tau_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_kendall_tau" -> (kendallTau _),
     "stats_hill_tail" -> (hillTail _),
     "stats_theil_decomposition" -> (theilDecomposition _),
     "stats_mann_kendall" -> (mannKendall _),
@@ -405,6 +439,29 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "stats_kendall_tau" ->
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             round(${dsumSql("o_totalprice")}, 6) AS y
+           FROM orders GROUP BY 1),
+         p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN (b.x > a.x AND b.y > a.y)
+               OR (b.x < a.x AND b.y < a.y) THEN 1 ELSE 0 END) AS BIGINT)
+               AS nc,
+             CAST(SUM(CASE WHEN (b.x > a.x AND b.y < a.y)
+               OR (b.x < a.x AND b.y > a.y) THEN 1 ELSE 0 END) AS BIGINT)
+               AS nd,
+             CAST(SUM(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) AS BIGINT)
+               AS tied_x,
+             CAST(SUM(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) AS BIGINT)
+               AS tied_y
+           FROM daily a JOIN daily b ON a.d < b.d)
+         SELECT n_pairs, nc, nd, tied_x, tied_y,
+           round(CAST(nc - nd AS DOUBLE) /
+             sqrt((CAST(n_pairs AS DOUBLE) - CAST(tied_x AS DOUBLE))
+               * (CAST(n_pairs AS DOUBLE) - CAST(tied_y AS DOUBLE))), 6)
+             AS tau_b
+         FROM p""",
     "stats_hill_tail" ->
       s"""WITH top AS (SELECT o_totalprice AS x, o_orderkey AS okey
            FROM orders ORDER BY x DESC, okey LIMIT 201),

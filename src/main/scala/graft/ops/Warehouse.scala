@@ -721,6 +721,48 @@ object Warehouse {
       .limit(20)
   }
 
+  /** L310 — item-item collaborative filtering by co-purchase cosine
+    * (Sarwar et al. WWW 2001; Linden et al. 2003 — the Amazon-style
+    * "customers who bought X also bought Y" primitive, the neighbor
+    * table every recsys serves from): sim(a,b) = |Cᵃ∩Cᵇ| /
+    * √(|Cᵃ|·|Cᵇ|) over binary customer–item vectors. The L204 basket
+    * machinery lifted from order grain to CUSTOMER grain: one
+    * c-keyed shuffle builds each customer's sorted distinct-item
+    * array, pair generation is row-local C(k,2) combinatorics (k =
+    * items per CUSTOMER — bounded by purchase history, not catalog; a
+    * 100 TB deployment caps hyperactive accounts the L188 hub-cap way,
+    * the fixture's ~40-item baskets need none), item marginals are
+    * catalog-sized broadcasts. Min co-support 2; top-20 by round-6
+    * cosine with the (a, b) tiebreak. */
+  def itemItemCf(spark: SparkSession, dir: String): DataFrame = {
+    val cp = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+    val baskets = cp.groupBy(col("c"))
+      .agg(array_sort(collect_set(col("p"))).as("ps"))
+    val co = baskets
+      .select(explode(flatten(expr(
+        """transform(ps, (a, i) ->
+             transform(slice(ps, i + 2, size(ps) - i - 1), b ->
+               struct(a AS pa, b AS pb)))"""))).as("pr"))
+      .groupBy(col("pr.pa").as("item_a"), col("pr.pb").as("item_b"))
+      .agg(count(lit(1)).as("n_co"))
+      .where(col("n_co") >= 2)
+    val ni = cp.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+    co
+      .join(broadcast(ni.select(col("p").as("item_a"), col("n_p").as("n_a"))),
+        "item_a")
+      .join(broadcast(ni.select(col("p").as("item_b"), col("n_p").as("n_b"))),
+        "item_b")
+      .withColumn("cosine", round(col("n_co").cast("double") /
+        sqrt(col("n_a").cast("double") * col("n_b").cast("double")), 6))
+      .select(col("item_a"), col("item_b"), col("n_co"), col("n_a"),
+        col("n_b"), col("cosine"))
+      .orderBy(col("cosine").desc, col("item_a").asc, col("item_b").asc)
+      .limit(20)
+  }
+
   /** L205 — A/B experiment analysis: two-proportion pooled z-test (the
     * classic experimentation readout — Kohavi et al., "Trustworthy
     * Online Controlled Experiments", for the framing): users are
@@ -1075,6 +1117,7 @@ object Warehouse {
     "funnel_time_to_convert" -> (funnelTimeToConvert _),
     "markov_event_transitions" -> (markovTransitions _),
     "basket_lift_pairs" -> (basketLift _),
+    "rec_item_item_cf" -> (itemItemCf _),
     "ab_test_ztest" -> (abTestZtest _),
     "cohort_retention_matrix" -> (cohortMatrix _),
     "rfm_segments" -> (rfmSegments _),
@@ -1560,6 +1603,20 @@ object Warehouse {
            abs(z) > 1.96 AS significant_95
          FROM rows_ ORDER BY metric"""
     },
+    "rec_item_item_cf" ->
+      """WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         co AS (SELECT a.p AS item_a, b.p AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS n_co
+           FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         ni AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_p FROM cp GROUP BY 1)
+         SELECT item_a, item_b, n_co, na.n_p AS n_a, nb.n_p AS n_b,
+           round(CAST(n_co AS DOUBLE)
+             / sqrt(CAST(na.n_p AS DOUBLE) * CAST(nb.n_p AS DOUBLE)), 6)
+             AS cosine
+         FROM co JOIN ni na ON co.item_a = na.p JOIN ni nb ON co.item_b = nb.p
+         ORDER BY cosine DESC, item_a, item_b LIMIT 20""",
     "basket_lift_pairs" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
             FROM lineitem),

@@ -234,7 +234,10 @@ class PlanSpec extends SparkTestBase {
       // 1-row treatment-count broadcast gating complete blocks
       "stats_friedman",
       // 1-row dcg-cutoffs frame crossed with the ≤20-row ideal frame
-      "ml_ndcg")
+      "ml_ndcg",
+      // calendar-bounded daily frame self-paired (the stats_mann_kendall
+      // shape at day grain)
+      "stats_kendall_tau")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, sf0001))
