@@ -205,7 +205,44 @@ object Llm9 {
       .orderBy("lang")
   }
 
+  /** L312 — Gopher-style quality-rule battery (Rae et al. 2021 §A1.1:
+    * the named PASS/FAIL heuristic gates run BEFORE model-based
+    * filters; the rule-attribution twin of J4's continuous quality
+    * SCORE — production filtering reports per-rule kill counts, not
+    * just a blended score, because a rule that suddenly rejects 40% of
+    * a crawl is the alarm). Four gates at the fixture's grain: word
+    * count in [50, 100000]; mean word length in [3, 10] (exact
+    * rational (n_chars − n_words + 1)/n_words — the text is
+    * single-space joined); ≥2 stopword hits (the J4 {the, a} set);
+    * type-token ratio ≥ 0.1. One row-local scan → per-language fail
+    * counts + keep rate; map-combinable at any corpus size. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val nWords = size(w).cast("long")
+    val meanWl = (col("n_chars") - nWords + 1).cast("double") /
+      nWords.cast("double")
+    val nStop = size(filter(w, x => x === "the" || x === "a")).cast("long")
+    val ttr = size(array_distinct(w)).cast("double") / nWords.cast("double")
+    val flagged = documents(spark, dir).select(col("lang"),
+      (nWords >= 50 && nWords <= 100000).as("ok_words"),
+      (meanWl >= 3.0 && meanWl <= 10.0).as("ok_wordlen"),
+      (nStop >= 2).as("ok_stopwords"),
+      (ttr >= 0.1).as("ok_ttr"))
+    flagged.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("ok_words"), 1L).otherwise(0L)).as("fail_words"),
+        sum(when(!col("ok_wordlen"), 1L).otherwise(0L)).as("fail_wordlen"),
+        sum(when(!col("ok_stopwords"), 1L).otherwise(0L)).as("fail_stopwords"),
+        sum(when(!col("ok_ttr"), 1L).otherwise(0L)).as("fail_ttr"),
+        sum(when(col("ok_words") && col("ok_wordlen") &&
+          col("ok_stopwords") && col("ok_ttr"), 1L).otherwise(0L)).as("n_keep"))
+      .withColumn("keep_rate",
+        round(col("n_keep").cast("double") / col("n_docs").cast("double"), 6))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_gopher_rules" -> (gopherRules _),
     "llm_bigram_entropy" -> (bigramEntropy _),
     "llm_readability" -> (readability _),
     "llm_cdc_chunks" -> (cdcChunks _),
@@ -216,6 +253,38 @@ object Llm9 {
   private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "llm_gopher_rules" ->
+      """WITH f AS (SELECT lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+             n_chars,
+             CAST(len(list_filter(string_split(text, ' '),
+               x -> x = 'the' OR x = 'a')) AS BIGINT) AS nstop,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS ndis
+           FROM documents),
+         g AS (SELECT lang,
+             nw >= 50 AND nw <= 100000 AS ok_words,
+             CAST(n_chars - nw + 1 AS DOUBLE) / CAST(nw AS DOUBLE) >= 3.0
+               AND CAST(n_chars - nw + 1 AS DOUBLE) / CAST(nw AS DOUBLE)
+                 <= 10.0 AS ok_wordlen,
+             nstop >= 2 AS ok_stopwords,
+             CAST(ndis AS DOUBLE) / CAST(nw AS DOUBLE) >= 0.1 AS ok_ttr
+           FROM f)
+         SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN NOT ok_words THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_words,
+           CAST(SUM(CASE WHEN NOT ok_wordlen THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_wordlen,
+           CAST(SUM(CASE WHEN NOT ok_stopwords THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_stopwords,
+           CAST(SUM(CASE WHEN NOT ok_ttr THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_ttr,
+           CAST(SUM(CASE WHEN ok_words AND ok_wordlen AND ok_stopwords
+             AND ok_ttr THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           round(CAST(SUM(CASE WHEN ok_words AND ok_wordlen AND ok_stopwords
+               AND ok_ttr THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS keep_rate
+         FROM g GROUP BY lang ORDER BY lang""",
     "llm_readability" ->
       s"""WITH perdoc AS (SELECT lang,
              round(206.835

@@ -610,7 +610,64 @@ object Warehouse5 {
       .orderBy("day_num")
   }
 
+  /** L311 — Bollinger bands on the hourly revenue series (Bollinger
+    * 1983: trailing mean ± 2σ — the volatility-adaptive control chart
+    * read beside L224's EWMA, which adapts the CENTER but not the
+    * WIDTH). Trailing 24-complete-hours window over the calendar-
+    * bounded hourly frame (one map-combinable corpus agg first — the
+    * L224 shape); the series is scaled to REVENUE-THOUSANDS before
+    * squaring so Σx² terms stay deep inside DECIMAL(18,6) at any
+    * corpus size (the L225 scaling rule — z and the breakout verdict
+    * are scale-invariant); warmup rows (fewer than 24 trailing hours)
+    * are excluded rather than emitted with a shrunken window. Output:
+    * top-20 hours by |z| with band edges — the page an on-call
+    * actually reads. */
+  def bollingerBands(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(round(dsum(col("value")), 6).as("x"))
+      .withColumn("xk", round(col("x") / 1000.0, 6))
+    val w = Window.orderBy(col("bucket")).rowsBetween(-23, 0)
+    // window sums first, FILTER to complete windows, derive after — the
+    // warmup rows would otherwise hit ANSI divide-by-zero at n = 1
+    val winSums = hourly
+      .withColumn("n_window", count(col("xk")).over(w))
+      .withColumn("sx_dec", sum(col("xk").cast("decimal(18,6)")).over(w))
+      .withColumn("sxx", sum(round(col("xk") * col("xk"), 6)
+        .cast("decimal(28,6)")).over(w).cast("double"))
+      .where(col("n_window") === 24)
+      .withColumn("sx", col("sx_dec").cast("double"))
+      // mean to 6dp in EXACT integer micro space: sx/24 lands on a true
+      // .5e-6 midpoint whenever Σ micros ≡ 12 (mod 24) and the double
+      // route splits the engines — (m + 12) div 24 IS half-up, exactly
+      .withColumn("sx_micros", (col("sx_dec") * 1000000).cast("long"))
+      .withColumn("mean_k",
+        expr("(sx_micros + 12) div 24").cast("double") / 1e6)
+    val nd = col("n_window").cast("double")
+    val mean = col("sx") / nd
+    val variance = (col("sxx") - col("sx") * col("sx") / nd) / (nd - 1.0)
+    val banded = winSums
+      .withColumn("sigma_k", round(sqrt(variance), 6))
+      .withColumn("z", round((col("xk") - mean) / sqrt(variance), 6))
+    // band edges in EXACT decimal space: mean_k/sigma_k are already 6dp,
+    // so m ± 2σ is a closed decimal op — a double round-6 here can land
+    // on a representation-dependent midpoint and split the engines
+    val mDec = col("mean_k").cast("decimal(18,6)")
+    val sDec = col("sigma_k").cast("decimal(18,6)")
+    banded
+      .select(unix_micros(col("bucket")).as("bucket_us"), col("xk"),
+        col("mean_k"), col("sigma_k"),
+        (mDec + lit(2).cast("decimal(18,6)") * sDec).cast("double")
+          .as("upper_k"),
+        (mDec - lit(2).cast("decimal(18,6)") * sDec).cast("double")
+          .as("lower_k"),
+        col("z"), (abs(col("z")) > 2.0).as("breakout"))
+      .orderBy(abs(col("z")).desc, col("bucket_us").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_bollinger" -> (bollingerBands _),
     "profile_key_skew" -> (keySkewProfile _),
     "dau_rolling_7d" -> (dauRolling7d _),
     "ts_holt_daily" -> (holtDaily _),
@@ -633,6 +690,40 @@ object Warehouse5 {
   private val evTs = "CAST(ts AS TIMESTAMP)"
 
   val oracles: Map[String, String] = Map(
+    "ts_bollinger" ->
+      s"""WITH hourly AS (SELECT date_trunc('hour', $evTs) AS bucket,
+             round(${dsumSql("value")}, 6) AS x
+           FROM events GROUP BY 1),
+         hk AS (SELECT bucket, round(x / 1000.0, 6) AS xk FROM hourly),
+         win AS (SELECT bucket, xk,
+             COUNT(xk) OVER w AS n,
+             SUM(CAST(xk AS DECIMAL(18,6))) OVER w AS sx_dec,
+             CAST(SUM(CAST(round(xk * xk, 6) AS DECIMAL(28,6))) OVER w
+               AS DOUBLE) AS sxx
+           FROM hk
+           WINDOW w AS (ORDER BY bucket ROWS BETWEEN 23 PRECEDING
+             AND CURRENT ROW)),
+         wf AS (SELECT bucket, xk, n, sxx,
+             CAST(sx_dec AS DOUBLE) AS sx,
+             CAST(sx_dec * 1000000 AS BIGINT) AS sx_micros
+           FROM win WHERE n = 24),
+         b AS (SELECT epoch_us(bucket) AS bucket_us, xk,
+             CAST((sx_micros + 12) // 24 AS DOUBLE) / 1e6 AS mean_k,
+             round(sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0)), 6) AS sigma_k,
+             round((xk - sx / CAST(n AS DOUBLE))
+               / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0)), 6) AS z
+           FROM wf)
+         SELECT bucket_us, xk, mean_k, sigma_k,
+           CAST(CAST(mean_k AS DECIMAL(18,6))
+             + CAST(2 AS DECIMAL(18,6)) * CAST(sigma_k AS DECIMAL(18,6))
+             AS DOUBLE) AS upper_k,
+           CAST(CAST(mean_k AS DECIMAL(18,6))
+             - CAST(2 AS DECIMAL(18,6)) * CAST(sigma_k AS DECIMAL(18,6))
+             AS DOUBLE) AS lower_k,
+           z, abs(z) > 2.0 AS breakout
+         FROM b ORDER BY abs(z) DESC, bucket_us LIMIT 20""",
     "profile_key_skew" ->
       """WITH pk AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
            FROM events GROUP BY 1),
