@@ -241,7 +241,54 @@ object Llm9 {
       .orderBy("lang")
   }
 
+  /** L313 — Matryoshka truncation recall audit (Kusupati et al. 2022
+    * MRL: nested-prefix embeddings serve cheap first-stage retrieval
+    * from the first m dims — the audit EVERY dim-truncation deploy
+    * needs is recall@k of the truncated ranking against the full one;
+    * below ~0.8 the cheap index is eating real quality). For the J3
+    * query set (vec_id < 10): per-query top-10 by full 64-dim cosine
+    * and by first-16-dim cosine — both through the codegen'd
+    * [[graft.functions.DotProduct]] kernel — then recall@10 =
+    * |top10_trunc ∩ top10_full| / 10. The corpus is scanned once per
+    * ranking against the BROADCAST 10-row query set (the J3 shape: a
+    * bounded query panel, never a data×data pair join); overlap is a
+    * (qid, vec_id) equi-join of two 100-row frames. Output: per-query
+    * overlap + recall, with the panel mean carried on every row. */
+  def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ArrayMath.{dotProduct, l2Norm}
+    val e = embeddings(spark, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .withColumn("emb16", slice(col("emb"), 1, 16))
+    val q = e.select(col("vec_id").as("qid"), col("emb").as("qemb"),
+      col("emb16").as("qemb16")).where(col("qid") < 10)
+    val pairs = e.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .withColumn("cos_full", round(dotProduct(col("qemb"), col("emb")) /
+        (l2Norm(col("qemb")) * l2Norm(col("emb"))), 6))
+      .withColumn("cos_trunc", round(dotProduct(col("qemb16"), col("emb16")) /
+        (l2Norm(col("qemb16")) * l2Norm(col("emb16"))), 6))
+    def top10(c: String) = pairs
+      .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col(c).desc, col("vec_id").asc)))
+      .where(col("rn") <= 10).select(col("qid"), col("vec_id"))
+    // left-join back onto the panel so a (theoretical) zero-overlap
+    // query still reports 0 instead of silently dropping its row
+    val overlap = q.select(col("qid"))
+      .join(top10("cos_trunc")
+        .join(top10("cos_full"), Seq("qid", "vec_id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_hit")), Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_hit"), lit(0L)).as("n_overlap"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    overlap
+      .withColumn("recall_at_10",
+        round(col("n_overlap").cast("double") / 10.0, 6))
+      .withColumn("mean_recall", round(sum(col("n_overlap")).over(wAll)
+        .cast("double") / (count(lit(1)).over(wAll) * 10).cast("double"), 6))
+      .orderBy("qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_matryoshka_recall" -> (matryoshkaRecall _),
     "llm_gopher_rules" -> (gopherRules _),
     "llm_bigram_entropy" -> (bigramEntropy _),
     "llm_readability" -> (readability _),
@@ -252,7 +299,41 @@ object Llm9 {
 
   private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
 
+  private def dotNSql(a: String, b: String, n: Int): String =
+    s"list_sum(list_transform(range(1,${n + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def normNSql(a: String, n: Int): String =
+    s"sqrt(list_sum(list_transform(range(1,${n + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))"
+
   val oracles: Map[String, String] = Map(
+    "llm_matryoshka_recall" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id < 10),
+         p AS (SELECT q.qid, c.vec_id,
+             round(${dotNSql("q.qe", "c.embedding", 64)}
+               / (${normNSql("q.qe", 64)} * ${normNSql("c.embedding", 64)}),
+               6) AS cos_full,
+             round(${dotNSql("q.qe", "c.embedding", 16)}
+               / (${normNSql("q.qe", 16)} * ${normNSql("c.embedding", 16)}),
+               6) AS cos_trunc
+           FROM q JOIN embeddings c ON q.qid != c.vec_id),
+         tf AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY cos_full DESC, vec_id) AS rn FROM p)
+           WHERE rn <= 10),
+         tt AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY cos_trunc DESC, vec_id) AS rn FROM p)
+           WHERE rn <= 10),
+         ov AS (SELECT q.qid,
+             CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_overlap
+           FROM q LEFT JOIN (SELECT tt.qid, COUNT(*) AS n_hit
+             FROM tt JOIN tf ON tt.qid = tf.qid AND tt.vec_id = tf.vec_id
+             GROUP BY 1) h ON q.qid = h.qid)
+         SELECT qid, n_overlap,
+           round(CAST(n_overlap AS DOUBLE) / 10.0, 6) AS recall_at_10,
+           round(CAST(SUM(n_overlap) OVER () AS DOUBLE)
+             / CAST(COUNT(*) OVER () * 10 AS DOUBLE), 6) AS mean_recall
+         FROM ov ORDER BY qid""",
     "llm_gopher_rules" ->
       """WITH f AS (SELECT lang,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,

@@ -666,7 +666,52 @@ object Warehouse5 {
       .limit(20)
   }
 
+  /** L314 — changepoint detection by single binary segmentation on the
+    * daily-revenue series (Scott & Knott 1974; the first split of the
+    * binary-segmentation family every changepoint stack runs — CUSUM
+    * (L187) ALARMS on drift, binseg LOCATES the break): the split k
+    * maximizing the between-segment sum-of-squares gain G(k) = S_k²/k
+    * + (S_n−S_k)²/(n−k) − S_n²/n. The corpus collapses to the
+    * calendar-bounded daily frame (one map-combinable agg; the L225
+    * revenue-in-MILLIONS scaling keeps every squared magnitude far
+    * inside the double grid); prefix sums are one window pass in
+    * DECIMAL(18,6); G is closed-form per row and the argmax is a
+    * TakeOrdered with the (gain, day) tiebreak. Top-3 candidate splits
+    * emitted — the #2/#3 rows are the recursion frontier a full
+    * binseg would descend into. */
+  def changepointBinseg(spark: SparkSession, dir: String): DataFrame = {
+    val daily = orders(spark, dir)
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(round(dsum(col("o_totalprice")) / 1e6, 6).as("y"))
+    val wCum = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val pre = daily
+      .withColumn("k", count(lit(1)).over(wCum))
+      .withColumn("sk", sum(col("y").cast("decimal(18,6)")).over(wCum)
+        .cast("double"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("sn", sum(col("y").cast("decimal(18,6)")).over(wAll)
+        .cast("double"))
+      .where(col("k") < col("n"))
+    val kd = col("k").cast("double")
+    val nd = col("n").cast("double")
+    val gain = col("sk") * col("sk") / kd +
+      (col("sn") - col("sk")) * (col("sn") - col("sk")) / (nd - kd) -
+      col("sn") * col("sn") / nd
+    pre
+      .select(col("d").as("split_day"), col("k").as("n_left"),
+        (col("n") - col("k")).as("n_right"),
+        round(col("sk") / kd, 6).as("mean_left_m"),
+        round((col("sn") - col("sk")) / (nd - kd), 6).as("mean_right_m"),
+        round(gain, 6).as("gain"))
+      .orderBy(col("gain").desc, col("split_day").asc)
+      .limit(3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_changepoint_binseg" -> (changepointBinseg _),
     "ts_bollinger" -> (bollingerBands _),
     "profile_key_skew" -> (keySkewProfile _),
     "dau_rolling_7d" -> (dauRolling7d _),
@@ -690,6 +735,32 @@ object Warehouse5 {
   private val evTs = "CAST(ts AS TIMESTAMP)"
 
   val oracles: Map[String, String] = Map(
+    "ts_changepoint_binseg" ->
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+             round(${dsumSql("o_totalprice")} / 1e6, 6) AS y
+           FROM orders GROUP BY 1),
+         pre AS (SELECT d,
+             COUNT(*) OVER wc AS k,
+             CAST(SUM(CAST(y AS DECIMAL(18,6))) OVER wc AS DOUBLE) AS sk,
+             COUNT(*) OVER wa AS n,
+             CAST(SUM(CAST(y AS DECIMAL(18,6))) OVER wa AS DOUBLE) AS sn
+           FROM daily
+           WINDOW wc AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW),
+             wa AS (ROWS BETWEEN UNBOUNDED PRECEDING
+               AND UNBOUNDED FOLLOWING)),
+         g AS (SELECT d, k, n, sk, sn,
+             sk * sk / CAST(k AS DOUBLE)
+               + (sn - sk) * (sn - sk) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+               - sn * sn / CAST(n AS DOUBLE) AS gain
+           FROM pre WHERE k < n)
+         SELECT d AS split_day, CAST(k AS BIGINT) AS n_left,
+           CAST(n - k AS BIGINT) AS n_right,
+           round(sk / CAST(k AS DOUBLE), 6) AS mean_left_m,
+           round((sn - sk) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)), 6)
+             AS mean_right_m,
+           round(gain, 6) AS gain
+         FROM g ORDER BY gain DESC, split_day LIMIT 3""",
     "ts_bollinger" ->
       s"""WITH hourly AS (SELECT date_trunc('hour', $evTs) AS bucket,
              round(${dsumSql("value")}, 6) AS x

@@ -237,7 +237,10 @@ class PlanSpec extends SparkTestBase {
       "ml_ndcg",
       // calendar-bounded daily frame self-paired (the stats_mann_kendall
       // shape at day grain)
-      "stats_kendall_tau")
+      "stats_kendall_tau",
+      // bounded 10-row query panel broadcast against the corpus scan
+      // (the llm_ivf_ann probe shape), twice — full-dim and truncated
+      "llm_matryoshka_recall")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, sf0001))
