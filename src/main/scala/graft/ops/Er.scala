@@ -260,7 +260,38 @@ object Er {
       .orderBy("scheme")
   }
 
+  /** L315 — Jaro–Winkler fuzzy matching within brand blocks
+    * (Jaro 1989; Winkler 1990 — THE record-linkage string comparator,
+    * the default scorer feeding L250's Fellegi–Sunter weights; Spark
+    * ships levenshtein but no JW, so this runs through the repo's own
+    * codegen'd [[graft.functions.JaroWinklerSim]] expression — a UDF
+    * here would box every pair and fall out of whole-stage codegen on
+    * exactly the O(pairs) stage that dominates ER). Standard blocked
+    * comparison shape: equi-join on the blocking key (pairs bounded by
+    * block size², never corpus²), a < b dedup, JW ≥ 0.8 match
+    * threshold, top-20 by (similarity, key pair). The kernel is
+    * semantics-pinned to DuckDB's `jaro_winkler_similarity` (probed;
+    * scaladoc at the expression), so the oracle is a built-in call. */
+  def jaroWinklerBlocked(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.JaroWinkler.jaroWinkler
+    val p = part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_name"))
+    val a = p.select(col("p_brand"),
+      col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"),
+      col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand"))
+      .where(col("key_a") < col("key_b"))
+      .withColumn("jw", round(jaroWinkler(col("name_a"), col("name_b")), 6))
+      .where(col("jw") >= 0.8)
+      .select(col("p_brand"), col("key_a"), col("key_b"),
+        col("name_a"), col("name_b"), col("jw"))
+      .orderBy(col("jw").desc, col("key_a").asc, col("key_b").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_jaro_winkler" -> (jaroWinklerBlocked _),
     "er_blocking_quality" -> (blockingQuality _),
     "er_fellegi_sunter" -> (fellegiSunter _),
     "er_sorted_neighborhood" -> (sortedNeighborhood _),
@@ -268,6 +299,17 @@ object Er {
   )
 
   val oracles: Map[String, String] = Map(
+    "er_jaro_winkler" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_name FROM part),
+         pr AS (SELECT a.p_brand,
+             a.p_partkey AS key_a, b.p_partkey AS key_b,
+             a.p_name AS name_a, b.p_name AS name_b,
+             round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+           FROM p a JOIN p b
+             ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey)
+         SELECT p_brand, key_a, key_b, name_a, name_b, jw
+         FROM pr WHERE jw >= 0.8
+         ORDER BY jw DESC, key_a, key_b LIMIT 20""",
     "er_blocking_quality" ->
       s"""WITH r1 AS (SELECT doc_id,
              ROW_NUMBER() OVER (ORDER BY text, doc_id) - 1 AS rank

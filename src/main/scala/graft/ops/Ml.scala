@@ -351,6 +351,58 @@ object Ml {
       .orderBy("k")
   }
 
+  /** L316 — farthest-first center seeding over the embedding corpus
+    * (Gonzalez 1985 k-center traversal — the DETERMINISTIC ancestor of
+    * k-means++ D² seeding, and its standard de-randomization: pick the
+    * point FARTHEST from the chosen set instead of sampling ∝ D². The
+    * seeding quality is what decides whether L44's Lloyd step starts
+    * near a good optimum). c₀ = min vec_id; then 3 greedy rounds, each
+    * ONE corpus scan against the ≤3 broadcast centers (the
+    * llm_kmeans_step probe shape): d²(x,c) = ⟨x,x⟩ + ⟨c,c⟩ − 2⟨x,c⟩
+    * entirely through the codegen'd DotProduct kernel with the center
+    * norms inlined as literals (bit-identical to the oracle's
+    * index-order list_sum), round-6 per center, argmax by (d², −id)
+    * via TakeOrdered. Driver holds only the k picked rows. */
+  def farthestFirstInit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ArrayMath.{dotJvm, dotProduct}
+    val e = embeddings(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("emb"))
+    val first = boundedCollect(e.orderBy(col("vec_id")).limit(1), 1,
+      "farthest-first seed").head
+    var centers = Vector(
+      (first.getLong(0), first.getSeq[Double](1).toArray, 0.0))
+    for (_ <- 1 to 3) {
+      val dists = centers.map { case (_, c, _) =>
+        val cc = dotJvm(c, c)
+        round(dotProduct(col("emb"), col("emb")) + lit(cc) -
+          lit(2.0) * dotProduct(col("emb"), typedlit(c.toSeq)), 6)
+      }
+      val minD = if (dists.size == 1) dists.head else least(dists: _*)
+      val pick = boundedCollect(
+        e.select(col("vec_id"), minD.as("d2"))
+          .orderBy(col("d2").desc, col("vec_id").asc).limit(1), 1,
+        "farthest-first pick").head
+      val chosen = boundedCollect(
+        e.where(col("vec_id") === pick.getLong(0)), 1,
+        "farthest-first chosen row").head
+      centers = centers :+ ((pick.getLong(0),
+        chosen.getSeq[Double](1).toArray, pick.getDouble(1)))
+    }
+    val rows = centers.zipWithIndex.map { case ((id, _, d2), r) =>
+      org.apache.spark.sql.Row(r, id, d2)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(rows: _*)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pick_round",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("min_d2",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+  }
+
   /** L243 — calibration / reliability table (DeGroot & Fienberg 1983;
     * the 10-bin "reliability diagram" every model review reads beside
     * AUC — discrimination vs calibration being orthogonal failures).
@@ -730,6 +782,7 @@ object Ml {
     "ml_calibration_bins" -> (calibrationBins _),
     "ml_cohens_kappa" -> (cohensKappa _),
     "ml_ndcg" -> (ndcg _),
+    "ml_farthest_first" -> (farthestFirstInit _),
     "ml_chi2_terms" -> (chi2Terms _),
     "ml_naive_bayes" -> (naiveBayes _),
     "ml_gini_split" -> (giniSplit _),
@@ -999,6 +1052,38 @@ object Ml {
                CAST(np AS DOUBLE) * CAST(np + 1 AS DOUBLE) / 2.0) /
              CAST(np * nn AS DOUBLE), 6) - 1.0, 6) AS gini
          FROM agg""",
+    "ml_farthest_first" -> {
+      def dotSC = "list_sum(list_transform(range(1,65), i -> " +
+        "CAST(s.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         sq AS (SELECT vec_id, embedding,
+             list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS aa
+           FROM e),
+         c0 AS (SELECT vec_id, embedding, aa AS cc FROM sq
+           ORDER BY vec_id LIMIT 1),
+         d0 AS (SELECT s.vec_id,
+             round(s.aa + c.cc - 2.0 * $dotSC, 6) AS d2
+           FROM sq s, c0 c),
+         p1 AS (SELECT vec_id, d2 FROM d0 ORDER BY d2 DESC, vec_id LIMIT 1),
+         c1 AS (SELECT s.vec_id, s.embedding, s.aa AS cc
+           FROM sq s JOIN p1 USING (vec_id)),
+         d1 AS (SELECT s.vec_id,
+             LEAST(d0.d2, round(s.aa + c.cc - 2.0 * $dotSC, 6)) AS d2
+           FROM sq s JOIN d0 ON s.vec_id = d0.vec_id, c1 c),
+         p2 AS (SELECT vec_id, d2 FROM d1 ORDER BY d2 DESC, vec_id LIMIT 1),
+         c2 AS (SELECT s.vec_id, s.embedding, s.aa AS cc
+           FROM sq s JOIN p2 USING (vec_id)),
+         d2c AS (SELECT s.vec_id,
+             LEAST(d1.d2, round(s.aa + c.cc - 2.0 * $dotSC, 6)) AS d2
+           FROM sq s JOIN d1 ON s.vec_id = d1.vec_id, c2 c),
+         p3 AS (SELECT vec_id, d2 FROM d2c ORDER BY d2 DESC, vec_id LIMIT 1)
+         SELECT CAST(0 AS INT) AS pick_round, vec_id, 0.0 AS min_d2 FROM c0
+         UNION ALL SELECT CAST(1 AS INT), vec_id, d2 FROM p1
+         UNION ALL SELECT CAST(2 AS INT), vec_id, d2 FROM p2
+         UNION ALL SELECT CAST(3 AS INT), vec_id, d2 FROM p3
+         ORDER BY pick_round"""
+    },
     "ml_ndcg" ->
       s"""WITH $scoredSql,
          top AS (SELECT y, row_number() OVER (ORDER BY s DESC, doc_id) AS i
