@@ -403,6 +403,56 @@ object Ml {
           org.apache.spark.sql.types.DoubleType, nullable = false))))
   }
 
+  /** L318 — Brier score with the Murphy decomposition (Brier 1950;
+    * Murphy 1973: BS ≈ reliability − resolution + uncertainty over a
+    * binned partition — the probabilistic-forecast scorecard that says
+    * WHY a score is bad: miscalibrated (high REL), uninformative (low
+    * RES), or just a hard base rate (UNC); the single-number summary
+    * whose per-bin anatomy L243 tabulates). One scan for the exact
+    * Brier sum (round-6 squared errors, decimal-summed); the three
+    * components from the same 10-bin frame as L243 with window totals;
+    * the binning residual BS − (REL − RES + UNC) is emitted rather
+    * than hidden — it is exactly the within-bin forecast variance the
+    * K-bin partition absorbs. Map-combinable throughout; 1-row
+    * output. */
+  def brierDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val sd = scoredDocs(spark, dir)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val bins = sd
+      .withColumn("bin", least(floor(col("s") * 10).cast("long"), lit(9L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_k"),
+        round(dsum(col("s")) / count(lit(1)).cast("double"), 6).as("sbar_k"),
+        sum(col("y")).as("y_k"),
+        round(dsum(round((col("s") - col("y")) * (col("s") - col("y")), 6)), 6)
+          .as("se_k"))
+      .withColumn("ybar_k", round(col("y_k").cast("double") /
+        col("n_k").cast("double"), 6))
+      .withColumn("n", sum(col("n_k")).over(wAll))
+      .withColumn("ybar", round(sum(col("y_k")).over(wAll).cast("double") /
+        sum(col("n_k")).over(wAll).cast("double"), 6))
+    val nd = col("n").cast("double")
+    val relT = round(col("n_k").cast("double") *
+      (col("sbar_k") - col("ybar_k")) * (col("sbar_k") - col("ybar_k")), 6)
+    val resT = round(col("n_k").cast("double") *
+      (col("ybar_k") - col("ybar")) * (col("ybar_k") - col("ybar")), 6)
+    bins
+      .withColumn("rel_t", relT).withColumn("res_t", resT)
+      .agg(max(col("n")).as("n_docs"),
+        round(sum(col("se_k").cast("decimal(18,6)")).cast("double") /
+          max(nd), 6).as("brier"),
+        max(col("ybar")).as("mean_y"),
+        round(sum(col("rel_t").cast("decimal(18,6)")).cast("double") /
+          max(nd), 6).as("reliability"),
+        round(sum(col("res_t").cast("decimal(18,6)")).cast("double") /
+          max(nd), 6).as("resolution"))
+      .withColumn("uncertainty",
+        round(col("mean_y") * (lit(1.0) - col("mean_y")), 6))
+      .withColumn("decomp_gap", round(col("brier") - (col("reliability") -
+        col("resolution") + col("uncertainty")), 6))
+  }
+
   /** L243 — calibration / reliability table (DeGroot & Fienberg 1983;
     * the 10-bin "reliability diagram" every model review reads beside
     * AUC — discrimination vs calibration being orthogonal failures).
@@ -783,6 +833,7 @@ object Ml {
     "ml_cohens_kappa" -> (cohensKappa _),
     "ml_ndcg" -> (ndcg _),
     "ml_farthest_first" -> (farthestFirstInit _),
+    "ml_brier_decomposition" -> (brierDecomposition _),
     "ml_chi2_terms" -> (chi2Terms _),
     "ml_naive_bayes" -> (naiveBayes _),
     "ml_gini_split" -> (giniSplit _),
@@ -1052,6 +1103,40 @@ object Ml {
                CAST(np AS DOUBLE) * CAST(np + 1 AS DOUBLE) / 2.0) /
              CAST(np * nn AS DOUBLE), 6) - 1.0, 6) AS gini
          FROM agg""",
+    "ml_brier_decomposition" ->
+      s"""WITH $scoredSql,
+         b AS (SELECT LEAST(CAST(floor(s * 10) AS BIGINT), 9) AS bin, s, y
+           FROM scored),
+         g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_k,
+             round(${dsumSql("s")} / CAST(COUNT(*) AS DOUBLE), 6) AS sbar_k,
+             CAST(SUM(y) AS BIGINT) AS y_k,
+             round(${dsumSql("round((s - y) * (s - y), 6)")}, 6) AS se_k
+           FROM b GROUP BY 1),
+         w AS (SELECT *,
+             round(CAST(y_k AS DOUBLE) / CAST(n_k AS DOUBLE), 6) AS ybar_k,
+             CAST(SUM(n_k) OVER () AS BIGINT) AS n,
+             round(CAST(SUM(y_k) OVER () AS DOUBLE)
+               / CAST(SUM(n_k) OVER () AS DOUBLE), 6) AS ybar
+           FROM g),
+         t AS (SELECT n, ybar, se_k,
+             round(CAST(n_k AS DOUBLE) * (sbar_k - ybar_k)
+               * (sbar_k - ybar_k), 6) AS rel_t,
+             round(CAST(n_k AS DOUBLE) * (ybar_k - ybar)
+               * (ybar_k - ybar), 6) AS res_t
+           FROM w),
+         a AS (SELECT MAX(n) AS n_docs,
+             round(${dsumSql("se_k")} / CAST(MAX(n) AS DOUBLE), 6) AS brier,
+             MAX(ybar) AS mean_y,
+             round(${dsumSql("rel_t")} / CAST(MAX(n) AS DOUBLE), 6)
+               AS reliability,
+             round(${dsumSql("res_t")} / CAST(MAX(n) AS DOUBLE), 6)
+               AS resolution
+           FROM t)
+         SELECT n_docs, brier, mean_y, reliability, resolution,
+           round(mean_y * (1.0 - mean_y), 6) AS uncertainty,
+           round(brier - (reliability - resolution
+             + round(mean_y * (1.0 - mean_y), 6)), 6) AS decomp_gap
+         FROM a""",
     "ml_farthest_first" -> {
       def dotSC = "list_sum(list_transform(range(1,65), i -> " +
         "CAST(s.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"

@@ -493,7 +493,55 @@ object Stats2 {
       .orderBy("event_type")
   }
 
+  /** L317 — Wilcoxon signed-rank test on paired daily (click, purchase)
+    * revenue (Wilcoxon 1945 — the PAIRED nonparametric test completing
+    * the family: L294 Kruskal–Wallis compares independent groups, L301
+    * Friedman blocked designs; this one matched pairs, where pairing
+    * by DAY cancels daily traffic shifts the pooled tests absorb as
+    * noise). Pairs from one conditional agg on the calendar-bounded
+    * daily frame; zero diffs dropped per the classical procedure;
+    * |d| midranks in the exact DOUBLED-rank space over the bounded
+    * distinct-|d| frame (the L294 convention); W₂⁺ = Σ 2·rank over
+    * positive diffs and its moments are EXACT integers — z is the one
+    * round-6 division, with the standard tie adjustment Σ(t³−t)/12 in
+    * doubled-variance space. */
+  def wilcoxonSignedRank(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(round(dsum(when(col("event_type") === "click", col("value"))), 6)
+        .as("xc"),
+        round(dsum(when(col("event_type") === "purchase", col("value"))), 6)
+          .as("xp"))
+      .where(col("xc").isNotNull && col("xp").isNotNull)
+      .withColumn("d", (col("xc").cast("decimal(18,6)") -
+        col("xp").cast("decimal(18,6)")).cast("double"))
+      .where(col("d") =!= 0.0)
+      .withColumn("ad", abs(col("d")))
+    val byV = daily.groupBy(col("ad")).agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy(col("ad"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byV
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .select(col("ad"),
+        (lit(2L) * (col("cum") - col("c")) + col("c") + 1L).as("r2"))
+    val ties = byV.agg(
+      sum((col("c") * col("c") * col("c") - col("c"))).as("t_adj"))
+    val agg = daily.join(ranked, "ad")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("d") > 0, col("r2")).otherwise(0L)).as("w2_plus"))
+      .crossJoin(broadcast(ties))
+    val n = col("n_pairs").cast("double")
+    agg
+      .withColumn("mu2", expr("n_pairs * (n_pairs + 1) div 2"))
+      .withColumn("z", round((col("w2_plus") - col("mu2")).cast("double") /
+        sqrt(n * (n + 1.0) * (lit(2.0) * n + 1.0) / 6.0 -
+          col("t_adj").cast("double") / 12.0), 6))
+      .withColumn("significant_95", abs(col("z")) > 1.96)
+      .select("n_pairs", "w2_plus", "mu2", "t_adj", "z", "significant_95")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_wilcoxon_signed_rank" -> (wilcoxonSignedRank _),
     "stats_jarque_bera" -> (jarqueBera _),
     "stats_friedman" -> (friedman _),
     "stats_runs_test" -> (runsTest _),
@@ -507,6 +555,39 @@ object Stats2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "stats_wilcoxon_signed_rank" ->
+      s"""WITH daily AS (SELECT date_trunc('day', $evTs) AS day,
+             round(${dsumSql("CASE WHEN event_type = 'click' THEN value END")}, 6)
+               AS xc,
+             round(${dsumSql("CASE WHEN event_type = 'purchase' THEN value END")}, 6)
+               AS xp
+           FROM events GROUP BY 1),
+         dd AS (SELECT
+             CAST(CAST(xc AS DECIMAL(18,6)) - CAST(xp AS DECIMAL(18,6))
+               AS DOUBLE) AS d
+           FROM daily WHERE xc IS NOT NULL AND xp IS NOT NULL),
+         nz AS (SELECT d, abs(d) AS ad FROM dd WHERE d != 0.0),
+         byv AS (SELECT ad, CAST(COUNT(*) AS BIGINT) AS c FROM nz GROUP BY 1),
+         rk AS (SELECT ad,
+             2 * (SUM(c) OVER (ORDER BY ad ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) - c) + c + 1 AS r2
+           FROM byv),
+         t AS (SELECT CAST(SUM(c * c * c - c) AS BIGINT) AS t_adj FROM byv),
+         a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN d > 0 THEN r2 ELSE 0 END) AS BIGINT)
+               AS w2_plus
+           FROM nz JOIN rk USING (ad))
+         SELECT n_pairs, w2_plus,
+           CAST(n_pairs * (n_pairs + 1) // 2 AS BIGINT) AS mu2, t_adj,
+           round(CAST(w2_plus - n_pairs * (n_pairs + 1) // 2 AS DOUBLE)
+             / sqrt(CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0)
+               * (2.0 * CAST(n_pairs AS DOUBLE) + 1.0) / 6.0
+               - CAST(t_adj AS DOUBLE) / 12.0), 6) AS z,
+           abs(round(CAST(w2_plus - n_pairs * (n_pairs + 1) // 2 AS DOUBLE)
+             / sqrt(CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0)
+               * (2.0 * CAST(n_pairs AS DOUBLE) + 1.0) / 6.0
+               - CAST(t_adj AS DOUBLE) / 12.0), 6)) > 1.96 AS significant_95
+         FROM a, t""",
     "stats_jarque_bera" ->
       s"""WITH t AS (SELECT event_type, value / 100.0 AS x FROM events),
          a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

@@ -240,7 +240,10 @@ class PlanSpec extends SparkTestBase {
       "stats_kendall_tau",
       // bounded 10-row query panel broadcast against the corpus scan
       // (the llm_ivf_ann probe shape), twice — full-dim and truncated
-      "llm_matryoshka_recall")
+      "llm_matryoshka_recall",
+      // 1-row tie-adjustment aggregate broadcast onto the 1-row
+      // signed-rank reduce (the stats_kruskal_wallis shape)
+      "stats_wilcoxon_signed_rank")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, sf0001))
