@@ -540,7 +540,54 @@ object Stats2 {
       .select("n_pairs", "w2_plus", "mu2", "t_adj", "z", "significant_95")
   }
 
+  /** L319 — Cohen's d / Hedges' g standardized effect size, click vs
+    * purchase event values (Cohen 1988; Hedges 1981 small-sample
+    * correction — the MAGNITUDE number read beside L274's Welch t,
+    * which only says whether a difference exists, not whether anyone
+    * should care; at corpus scale everything is "significant" and
+    * effect size is the only informative statistic left). Byte-for-
+    * byte the L274 conditional-agg sums; pooled SD from the two
+    * sample variances in closed form; g = d·(1 − 3/(4N−9)); the
+    * conventional |d| ∈ {0.2, 0.5, 0.8} magnitude label emitted as a
+    * column. One map-combinable scan, 1-row output. */
+  def cohensD(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("value")
+    def side(t: String, tag: String) = Seq(
+      sum(when(col("event_type") === t, 1L)).as(s"n_$tag"),
+      round(dsum(when(col("event_type") === t, v)), 6).as(s"s_$tag"),
+      round(dsum(when(col("event_type") === t, round(v * v, 6))), 6)
+        .as(s"ss_$tag"))
+    val aggs = side("click", "1") ++ side("purchase", "2")
+    val base = events(spark, dir)
+      .where(col("event_type").isin("click", "purchase"))
+      .agg(aggs.head, aggs.tail: _*)
+    def nD(i: Int) = col(s"n_$i").cast("double")
+    def m(i: Int) = round(col(s"s_$i") / nD(i), 6)
+    def va(i: Int) = round((col(s"ss_$i") -
+      col(s"s_$i") * col(s"s_$i") / nD(i)) / (nD(i) - 1.0), 6)
+    val stats = base.select(col("n_1").as("n_click"),
+      col("n_2").as("n_purchase"),
+      m(1).as("mean_click"), m(2).as("mean_purchase"),
+      va(1).as("var_click"), va(2).as("var_purchase"))
+    val n1 = col("n_click").cast("double")
+    val n2 = col("n_purchase").cast("double")
+    val pooled = sqrt(((n1 - 1.0) * col("var_click") +
+      (n2 - 1.0) * col("var_purchase")) / (n1 + n2 - 2.0))
+    val d = (col("mean_click") - col("mean_purchase")) / pooled
+    stats
+      .withColumn("pooled_sd", round(pooled, 6))
+      .withColumn("cohens_d", round(d, 6))
+      .withColumn("hedges_g", round(d * (lit(1.0) -
+        lit(3.0) / (lit(4.0) * (n1 + n2) - 9.0)), 6))
+      .withColumn("magnitude",
+        when(abs(col("cohens_d")) < 0.2, lit("negligible"))
+          .when(abs(col("cohens_d")) < 0.5, lit("small"))
+          .when(abs(col("cohens_d")) < 0.8, lit("medium"))
+          .otherwise(lit("large")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_cohens_d" -> (cohensD _),
     "stats_wilcoxon_signed_rank" -> (wilcoxonSignedRank _),
     "stats_jarque_bera" -> (jarqueBera _),
     "stats_friedman" -> (friedman _),
@@ -555,6 +602,51 @@ object Stats2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "stats_cohens_d" ->
+      s"""WITH a AS (SELECT
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+               AS n_1,
+             round(${dsumSql("CASE WHEN event_type = 'click' THEN value END")}, 6)
+               AS s_1,
+             round(${dsumSql("CASE WHEN event_type = 'click' THEN round(value * value, 6) END")}, 6)
+               AS ss_1,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+               AS n_2,
+             round(${dsumSql("CASE WHEN event_type = 'purchase' THEN value END")}, 6)
+               AS s_2,
+             round(${dsumSql("CASE WHEN event_type = 'purchase' THEN round(value * value, 6) END")}, 6)
+               AS ss_2
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         st AS (SELECT n_1 AS n_click, n_2 AS n_purchase,
+             round(s_1 / CAST(n_1 AS DOUBLE), 6) AS mean_click,
+             round(s_2 / CAST(n_2 AS DOUBLE), 6) AS mean_purchase,
+             round((ss_1 - s_1 * s_1 / CAST(n_1 AS DOUBLE))
+               / (CAST(n_1 AS DOUBLE) - 1.0), 6) AS var_click,
+             round((ss_2 - s_2 * s_2 / CAST(n_2 AS DOUBLE))
+               / (CAST(n_2 AS DOUBLE) - 1.0), 6) AS var_purchase
+           FROM a),
+         p AS (SELECT *,
+             sqrt(((CAST(n_click AS DOUBLE) - 1.0) * var_click
+               + (CAST(n_purchase AS DOUBLE) - 1.0) * var_purchase)
+               / (CAST(n_click AS DOUBLE) + CAST(n_purchase AS DOUBLE) - 2.0))
+               AS pooled_raw
+           FROM st)
+         SELECT n_click, n_purchase, mean_click, mean_purchase,
+           var_click, var_purchase,
+           round(pooled_raw, 6) AS pooled_sd,
+           round((mean_click - mean_purchase) / pooled_raw, 6) AS cohens_d,
+           round((mean_click - mean_purchase) / pooled_raw
+             * (1.0 - 3.0 / (4.0 * (CAST(n_click AS DOUBLE)
+               + CAST(n_purchase AS DOUBLE)) - 9.0)), 6) AS hedges_g,
+           CASE
+             WHEN abs(round((mean_click - mean_purchase) / pooled_raw, 6))
+               < 0.2 THEN 'negligible'
+             WHEN abs(round((mean_click - mean_purchase) / pooled_raw, 6))
+               < 0.5 THEN 'small'
+             WHEN abs(round((mean_click - mean_purchase) / pooled_raw, 6))
+               < 0.8 THEN 'medium'
+             ELSE 'large' END AS magnitude
+         FROM p""",
     "stats_wilcoxon_signed_rank" ->
       s"""WITH daily AS (SELECT date_trunc('day', $evTs) AS day,
              round(${dsumSql("CASE WHEN event_type = 'click' THEN value END")}, 6)

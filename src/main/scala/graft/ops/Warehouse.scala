@@ -674,6 +674,48 @@ object Warehouse {
       .orderBy("from_type", "to_type")
   }
 
+  /** L320 — cohort LTV curve: cumulative revenue per user by cohort
+    * age (the lifetime-value triangle next to L206's retention matrix
+    * — retention says users COME BACK, LTV says what that is WORTH;
+    * the payback-period readout every acquisition budget is set
+    * against). Cohort = customer's first-order month; one cust-keyed
+    * shuffle builds the cohort map, revenue joins it on the same key,
+    * the (cohort, age) agg is calendar²-bounded. Revenue carried in
+    * THOUSANDS (L225 magnitude rule); the cumulative is a decimal
+    * window sum over round-6 monthly cells; LTV-per-user is the one
+    * round-6 division against the exact cohort headcount. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val om = orders(spark, dir).select(col("o_custkey"),
+      trunc(col("o_orderdate").cast("date"), "month").as("month"),
+      col("o_totalprice"))
+    val firstM = om.groupBy("o_custkey").agg(min(col("month")).as("m0"))
+    val sizes = firstM.groupBy("m0").agg(count(lit(1)).as("n_cohort"))
+    val idx = (c: org.apache.spark.sql.Column) =>
+      year(c) * 12 + month(c)
+    val cells = om.join(firstM, "o_custkey")
+      .withColumn("age_months", (idx(col("month")) - idx(col("m0"))).cast("long"))
+      .groupBy(col("m0"), col("age_months"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(dsum(col("o_totalprice")) / 1e3, 6).as("rev_k"))
+    val wCum = Window.partitionBy(col("m0")).orderBy(col("age_months"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells
+      .withColumn("cum_dec", sum(col("rev_k").cast("decimal(18,6)")).over(wCum))
+      .withColumn("cum_rev_k", col("cum_dec").cast("double"))
+      .withColumn("cum_micros", (col("cum_dec") * 1000000).cast("long"))
+      .join(broadcast(sizes), "m0")
+      // LTV to 6dp via exact half-up integer division — the double route
+      // lands on true .5e-6 midpoints (cum is a 6dp decimal, the divisor
+      // an exact headcount) and splits the engines
+      .withColumn("ltv_per_user_k",
+        expr("(2 * cum_micros + n_cohort) div (2 * n_cohort)")
+          .cast("double") / 1e6)
+      .select(date_format(col("m0"), "yyyy-MM").as("cohort_month"),
+        col("age_months"), col("n_cohort"), col("n_orders"), col("rev_k"),
+        col("cum_rev_k"), col("ltv_per_user_k"))
+      .orderBy("cohort_month", "age_months")
+  }
+
   /** L204 — market-basket LIFT mining (Agrawal & Srikant VLDB 1994
     * association-rule framing; lift = the co-occurrence strength that
     * survives popularity, the retail "bought-together" primitive):
@@ -1118,6 +1160,7 @@ object Warehouse {
     "markov_event_transitions" -> (markovTransitions _),
     "basket_lift_pairs" -> (basketLift _),
     "rec_item_item_cf" -> (itemItemCf _),
+    "cohort_revenue_ltv" -> (cohortLtv _),
     "ab_test_ztest" -> (abTestZtest _),
     "cohort_retention_matrix" -> (cohortMatrix _),
     "rfm_segments" -> (rfmSegments _),
@@ -1603,6 +1646,36 @@ object Warehouse {
            abs(z) > 1.96 AS significant_95
          FROM rows_ ORDER BY metric"""
     },
+    "cohort_revenue_ltv" ->
+      s"""WITH om AS (SELECT o_custkey,
+             date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+             o_totalprice
+           FROM orders),
+         fm AS (SELECT o_custkey, MIN(month) AS m0 FROM om GROUP BY 1),
+         sz AS (SELECT m0, CAST(COUNT(*) AS BIGINT) AS n_cohort
+           FROM fm GROUP BY 1),
+         cells AS (SELECT fm.m0,
+             (CAST(year(om.month) AS BIGINT) * 12
+               + CAST(month(om.month) AS BIGINT))
+               - (CAST(year(fm.m0) AS BIGINT) * 12
+                 + CAST(month(fm.m0) AS BIGINT)) AS age_months,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             round(${dsumSql("o_totalprice")} / 1e3, 6) AS rev_k
+           FROM om JOIN fm ON om.o_custkey = fm.o_custkey
+           GROUP BY 1, 2),
+         cum AS (SELECT *,
+             SUM(CAST(rev_k AS DECIMAL(18,6)))
+               OVER (PARTITION BY m0 ORDER BY age_months
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_dec
+           FROM cells)
+         SELECT strftime(m0, '%Y-%m') AS cohort_month,
+           age_months, n_cohort, n_orders, rev_k,
+           CAST(cum_dec AS DOUBLE) AS cum_rev_k,
+           CAST((2 * CAST(cum_dec * 1000000 AS BIGINT) + n_cohort)
+             // (2 * n_cohort) AS DOUBLE) / 1e6 AS ltv_per_user_k
+         FROM cum JOIN sz USING (m0)
+         ORDER BY cohort_month, age_months""",
     "rec_item_item_cf" ->
       """WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
