@@ -923,25 +923,45 @@ object Analytics {
       .localCheckpoint(true)
     var lab = ed.select(col("x").as("v")).distinct()
       .withColumn("l", col("v")).localCheckpoint(true)
-    var labSum = lab.agg(sum(col("l"))).first().getLong(0)
-    var converged = false
+    // null-safe: sum over an EMPTY label frame is NULL (the empty-tables
+    // robustness contract) — treat it as already-converged
+    def labelSum(df: DataFrame): Option[Long] = {
+      val r = df.agg(sum(col("l"))).first()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    val initSum = labelSum(lab)
+    var labSum = initSum.getOrElse(0L)
+    var converged = initSum.isEmpty
     var rounds = 0
-    while (!converged && rounds < 50) {
+    def step(cur: DataFrame): DataFrame = {
       val nbrMin = ed
-        .join(lab.select(col("v").as("y"), col("l").as("ln")), Seq("y"))
+        .join(cur.select(col("v").as("y"), col("l").as("ln")), Seq("y"))
         .groupBy(col("x").as("v")).agg(min(col("ln")).as("lnbr"))
-      val prop = lab.join(nbrMin, Seq("v"), "left")
+      val prop = cur.join(nbrMin, Seq("v"), "left")
         .select(col("v"), least(col("l"), coalesce(col("lnbr"), col("l"))).as("l"))
-      val next = prop
+      prop
         .join(prop.select(col("v").as("l"), col("l").as("l2")), Seq("l"), "left")
         .select(col("v"), coalesce(col("l2"), col("l")).as("l"))
-        .localCheckpoint(true)
-      val nextSum = next.agg(sum(col("l"))).first().getLong(0)
-      lab = next
-      converged = nextSum == labSum
-      labSum = nextSum
-      rounds += 1
     }
+    // size the LOOP's shuffle parallelism to the (node-dimension-sized)
+    // label frame, not the session default: every round is 3 shuffles
+    // of a tiny frame, and 32-partition exchanges make task overhead
+    // the whole runtime. Restored in finally — queries after this one
+    // see the session setting untouched.
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val loopParts = math.max(1L, math.min(sessionParts.toLong,
+      ed.count() / 100000L)).toString
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+      while (!converged && rounds < 50) {
+        val next = step(lab).localCheckpoint(true)
+        val nextSum = labelSum(next).getOrElse(0L)
+        lab = next
+        converged = nextSum == labSum
+        labSum = nextSum
+        rounds += 1
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
     val wAll = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
     val out = lab.groupBy(col("l").as("component_id"))

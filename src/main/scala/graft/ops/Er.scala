@@ -274,19 +274,29 @@ object Er {
     * scaladoc at the expression), so the oracle is a built-in call. */
   def jaroWinklerBlocked(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.JaroWinkler.jaroWinkler
-    val p = part(spark, dir)
-      .select(col("p_partkey"), col("p_brand"), col("p_name"))
-    val a = p.select(col("p_brand"),
-      col("p_partkey").as("key_a"), col("p_name").as("name_a"))
-    val b = p.select(col("p_brand"),
-      col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    // DISTINCT-NAME grain first: the corpus collapses to the (brand,
+    // name) vocabulary frame (bounded by catalog vocabulary, NOT row
+    // count), each distinct name carrying its part multiplicity. The
+    // pair join and every JW evaluation then run on bounded² pairs —
+    // the first cut paired individual rows and burned 6 s at sf0.1
+    // re-scoring identical strings 10³ times (and its top-20 was all
+    // jw = 1.0 exact-name dups, which are L:J1 exact-dedup territory,
+    // not fuzzy matching).
+    val names = part(spark, dir)
+      .groupBy(col("p_brand"), col("p_name"))
+      .agg(count(lit(1)).as("n_parts"))
+    val a = names.select(col("p_brand"), col("p_name").as("name_a"),
+      col("n_parts").as("n_parts_a"))
+    val b = names.select(col("p_brand"), col("p_name").as("name_b"),
+      col("n_parts").as("n_parts_b"))
     a.join(b, Seq("p_brand"))
-      .where(col("key_a") < col("key_b"))
+      .where(col("name_a") < col("name_b"))
       .withColumn("jw", round(jaroWinkler(col("name_a"), col("name_b")), 6))
       .where(col("jw") >= 0.8)
-      .select(col("p_brand"), col("key_a"), col("key_b"),
-        col("name_a"), col("name_b"), col("jw"))
-      .orderBy(col("jw").desc, col("key_a").asc, col("key_b").asc)
+      .select(col("p_brand"), col("name_a"), col("name_b"),
+        col("n_parts_a"), col("n_parts_b"), col("jw"))
+      .orderBy(col("jw").desc, col("p_brand").asc, col("name_a").asc,
+        col("name_b").asc)
       .limit(20)
   }
 
@@ -300,16 +310,18 @@ object Er {
 
   val oracles: Map[String, String] = Map(
     "er_jaro_winkler" ->
-      """WITH p AS (SELECT p_partkey, p_brand, p_name FROM part),
+      """WITH nm AS (SELECT p_brand, p_name,
+             CAST(COUNT(*) AS BIGINT) AS n_parts
+           FROM part GROUP BY 1, 2),
          pr AS (SELECT a.p_brand,
-             a.p_partkey AS key_a, b.p_partkey AS key_b,
              a.p_name AS name_a, b.p_name AS name_b,
+             a.n_parts AS n_parts_a, b.n_parts AS n_parts_b,
              round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
-           FROM p a JOIN p b
-             ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey)
-         SELECT p_brand, key_a, key_b, name_a, name_b, jw
+           FROM nm a JOIN nm b
+             ON a.p_brand = b.p_brand AND a.p_name < b.p_name)
+         SELECT p_brand, name_a, name_b, n_parts_a, n_parts_b, jw
          FROM pr WHERE jw >= 0.8
-         ORDER BY jw DESC, key_a, key_b LIMIT 20""",
+         ORDER BY jw DESC, p_brand, name_a, name_b LIMIT 20""",
     "er_blocking_quality" ->
       s"""WITH r1 AS (SELECT doc_id,
              ROW_NUMBER() OVER (ORDER BY text, doc_id) - 1 AS rank

@@ -367,8 +367,20 @@ object Ml {
     import graft.functions.ArrayMath.{dotJvm, dotProduct}
     val e = embeddings(spark, dir).select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("emb"))
-    val first = boundedCollect(e.orderBy(col("vec_id")).limit(1), 1,
-      "farthest-first seed").head
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pick_round",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("min_d2",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val seed = boundedCollect(e.orderBy(col("vec_id")).limit(1), 1,
+      "farthest-first seed")
+    if (seed.isEmpty)
+      // empty-corpus robustness contract: no rows, same schema
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+    val first = seed.head
     var centers = Vector(
       (first.getLong(0), first.getSeq[Double](1).toArray, 0.0))
     for (_ <- 1 to 3) {
@@ -393,14 +405,7 @@ object Ml {
     }
     spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
-        java.util.Arrays.asList(rows: _*)),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("pick_round",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("vec_id",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("min_d2",
-          org.apache.spark.sql.types.DoubleType, nullable = false))))
+        java.util.Arrays.asList(rows: _*)), outSchema)
   }
 
   /** L318 — Brier score with the Murphy decomposition (Brier 1950;

@@ -36,19 +36,24 @@ class Round11nSpec extends SparkTestBase {
     val parts = Tables.part(spark, sf0001)
       .select("p_partkey", "p_brand", "p_name").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-    val want = parts.groupBy(_._2).toSeq.flatMap { case (brand, ps) =>
-      val s = ps.sortBy(_._1)
+    val names = parts.groupBy(p => (p._2, p._3)).view
+      .mapValues(_.size.toLong).toSeq
+      .map { case ((brand, name), n) => (brand, name, n) }
+    val want = names.groupBy(_._1).toSeq.flatMap { case (brand, ns) =>
+      val s = ns.sortBy(_._2)
       for {
         i <- s.indices; j <- i + 1 until s.length
-        jw = round6(sim(s(i)._3, s(j)._3)) if jw >= 0.8
-      } yield (brand, s(i)._1, s(j)._1, s(i)._3, s(j)._3, jw)
-    }.sortBy(t => (-t._6, t._2, t._3)).take(20)
+        jw = round6(sim(s(i)._2, s(j)._2)) if jw >= 0.8
+      } yield (brand, s(i)._2, s(j)._2, s(i)._3, s(j)._3, jw)
+    }.sortBy(t => (-t._6, t._1, t._2, t._3)).take(20)
     val got = SparkEntry.queries("er_jaro_winkler")(spark, sf0001)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getString(3), r.getString(4), r.getDouble(5)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
     assert(got.toSeq == want)
     assert(got.nonEmpty, "no fuzzy matches at sf0.001")
-    got.foreach(g => assert(g._6 >= 0.8 && g._6 <= 1.0))
+    // distinct-name grain: no trivial self-matches — every emitted pair
+    // is genuinely fuzzy (strictly below 1), yet above the gate
+    got.foreach(g => assert(g._6 >= 0.8 && g._6 < 1.0))
   }
 
   test("ml_farthest_first: greedy picks replicate JVM; coverage radius non-increasing") {
