@@ -977,6 +977,35 @@ object Analytics {
         java.util.Arrays.asList(rows: _*)), out.schema)
   }
 
+  /** L322 — two-hop reach per node (the friends-of-friends audience
+    * size — the expansion factor behind graph recommendation blast
+    * radius and GNN neighborhood-sampling budgets; the SQL-shaped
+    * sibling of L307's full closure, stopped at depth 2). reach₂(a) =
+    * |{c ≠ a : dist(a,c) ≤ 2}| via one edge⋈edge equi-join on the
+    * middle node (volume Σ_b deg(b)² — at 100 TB the hub cap of L188
+    * bounds exactly this term) unioned with the direct edges, then a
+    * distinct + count per node. Top-20 with the 1-hop degree alongside
+    * — the reach/degree ratio IS the local expansion factor. */
+  def twoHopReach(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = coPurchaseEdges(spark, dir)
+    val ed = e0.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(e0.select(col("b").as("x"), col("a").as("y")))
+    val two = ed.select(col("x").as("a"), col("y").as("m"))
+      .join(ed.select(col("x").as("m"), col("y").as("c")), Seq("m"))
+      .where(col("a") =!= col("c"))
+      .select(col("a"), col("c"))
+    val reach = two.unionAll(ed.select(col("x").as("a"), col("y").as("c")))
+      .distinct()
+      .groupBy("a").agg(count(lit(1)).as("reach_2hop"))
+    val deg = ed.groupBy(col("x").as("a")).agg(count(lit(1)).as("degree"))
+    reach.join(deg, "a")
+      .select(col("a").as("node"), col("degree"), col("reach_2hop"),
+        round(col("reach_2hop").cast("double") / col("degree").cast("double"),
+          6).as("expansion"))
+      .orderBy(col("reach_2hop").desc, col("node").asc)
+      .limit(20)
+  }
+
   /** L231 — degree distribution of the co-purchase graph (the first
     * chart of any graph audit — heavy-tail detection before choosing
     * skew mitigations like the L188 hub cap). Two nested dimension-
@@ -1070,6 +1099,7 @@ object Analytics {
     "graph_kcore_peel" -> (kcorePeel _),
     "graph_degree_hist" -> (degreeHistogram _),
     "graph_connected_components" -> (connectedComponents _),
+    "graph_two_hop_reach" -> (twoHopReach _),
     "graph_triangle_count" -> (triangleCount _),
     "graph_modularity" -> (graphModularity _),
     "graph_pagerank_step" -> (pagerankStep _),
@@ -1217,6 +1247,27 @@ object Analytics {
            FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1)
          SELECT d AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
          FROM d GROUP BY 1 ORDER BY 1""",
+    "graph_two_hop_reach" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+             FROM lineitem),
+         e0 AS (SELECT a.p AS a, b.p AS b FROM op a JOIN op b
+             ON a.o = b.o AND a.p < b.p
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         ed AS (SELECT a AS x, b AS y FROM e0
+           UNION ALL SELECT b, a FROM e0),
+         two AS (SELECT l.x AS a, r.y AS c
+           FROM ed l JOIN ed r ON l.y = r.x WHERE l.x != r.y),
+         reach AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS reach_2hop
+           FROM (SELECT DISTINCT a, c FROM
+             (SELECT a, c FROM two UNION ALL SELECT x AS a, y AS c FROM ed))
+           GROUP BY 1),
+         deg AS (SELECT x AS a, CAST(COUNT(*) AS BIGINT) AS degree
+           FROM ed GROUP BY 1)
+         SELECT a AS node, degree, reach_2hop,
+           round(CAST(reach_2hop AS DOUBLE) / CAST(degree AS DOUBLE), 6)
+             AS expansion
+         FROM reach JOIN deg USING (a)
+         ORDER BY reach_2hop DESC, node LIMIT 20""",
     "graph_connected_components" ->
       """WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
              FROM lineitem),

@@ -79,6 +79,47 @@ object Llm4 {
       .orderBy("doc_id")
   }
 
+  /** L321 — CCNet-style perplexity bucketing (Wenzek et al. 2020: score
+    * every document with a cheap LM, split each language into
+    * head/middle/tail perplexity TERTILES, and train on head+middle —
+    * the corpus-curation recipe behind CCNet/CC-100 and the deployment
+    * use of L132's per-doc score: not a number to read, a PARTITION to
+    * act on). Per-doc perplexity = exp(−avg unigram logprob) with the
+    * L132 decimal contract; tertile cuts are the exact interpolated
+    * percentile (L21/L207 contract) per language over the round-6 ppl
+    * frame; output is the per-(lang, bucket) panel — doc counts, mean
+    * ppl, and the cut values — 15 rows at any corpus size. Scale: one
+    * token scan fits the LM (vocabulary-sized broadcast), one scores
+    * docs, the percentile agg runs per language on round-6-quantized
+    * values (bounded distinct frame). */
+  def ccnetPplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val w = documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("word"))
+    val freq = w.groupBy("word").agg(count(lit(1)).as("c"))
+    val tot = w.agg(count(lit(1)).as("t"))
+    val perDoc = w
+      .join(freq, "word")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id", "lang")
+      .agg(round(exp(-(dsum(log(col("c").cast("double") /
+        col("t").cast("double"))) / count(lit(1)).cast("double"))), 6)
+        .as("ppl"))
+    val cuts = perDoc.groupBy("lang")
+      .agg(round(expr("percentile(ppl, CAST(1 AS DOUBLE) / 3)"), 6).as("t1"),
+        round(expr("percentile(ppl, CAST(2 AS DOUBLE) / 3)"), 6).as("t2"))
+    perDoc.join(broadcast(cuts), "lang")
+      .withColumn("bucket",
+        when(col("ppl") <= col("t1"), lit("head"))
+          .when(col("ppl") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(davg(col("ppl")), 6).as("mean_ppl"),
+        max(col("t1")).as("cut_head"), max(col("t2")).as("cut_middle"))
+      .orderBy("lang", "bucket")
+  }
+
   /** L195 — trigram language model with STUPID BACKOFF scoring (Brants
     * et al. EMNLP 2007, "Large Language Models in Machine Translation" —
     * the web-scale LM smoothing that skips discount normalization
@@ -266,6 +307,7 @@ object Llm4 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ngram_novelty" -> (ngramNovelty _),
     "llm_unigram_logprob" -> (unigramLogprob _),
+    "llm_ccnet_ppl_buckets" -> (ccnetPplBuckets _),
     "llm_stupid_backoff" -> (stupidBackoff _),
     "llm_pmi_collocations" -> (pmiCollocations _),
     "llm_temperature_mix" -> (temperatureMix _),
@@ -311,6 +353,30 @@ object Llm4 {
            ROUND(CAST(SUM(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END)
              AS DOUBLE) / COUNT(*), 6) AS novelty
          FROM sh JOIN fo USING (s) GROUP BY 1 ORDER BY 1""",
+    "llm_ccnet_ppl_buckets" ->
+      """WITH w AS (SELECT doc_id, lang,
+             unnest(string_split(text, ' ')) AS word
+           FROM documents),
+         freq AS (SELECT word, COUNT(*) AS c FROM w GROUP BY 1),
+         tot AS (SELECT COUNT(*) AS t FROM w),
+         perdoc AS (SELECT doc_id, lang,
+             ROUND(EXP(-(CAST(SUM(CAST(LN(CAST(c AS DOUBLE) / t)
+               AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))), 6) AS ppl
+           FROM w JOIN freq USING (word) CROSS JOIN tot
+           GROUP BY doc_id, lang),
+         cuts AS (SELECT lang,
+             round(quantile_cont(ppl, CAST(1 AS DOUBLE) / 3), 6) AS t1,
+             round(quantile_cont(ppl, CAST(2 AS DOUBLE) / 3), 6) AS t2
+           FROM perdoc GROUP BY 1),
+         b AS (SELECT perdoc.lang, ppl, t1, t2,
+             CASE WHEN ppl <= t1 THEN 'head'
+               WHEN ppl <= t2 THEN 'middle' ELSE 'tail' END AS bucket
+           FROM perdoc JOIN cuts ON perdoc.lang = cuts.lang)
+         SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(CAST(SUM(CAST(ppl AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(ppl), 6) AS mean_ppl,
+           MAX(t1) AS cut_head, MAX(t2) AS cut_middle
+         FROM b GROUP BY 1, 2 ORDER BY lang, bucket""",
     "llm_unigram_logprob" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
                     FROM documents),

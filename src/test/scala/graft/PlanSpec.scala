@@ -137,6 +137,9 @@ class PlanSpec extends SparkTestBase {
       "llm_tfidf_topterms",
       // 1-row decimal-total broadcasts (corpus token count / weight sum)
       "llm_unigram_logprob", "llm_temperature_mix",
+      // same 1-row corpus-token-total broadcast as llm_unigram_logprob
+      // (plus the 5-row per-language tertile-cut broadcast)
+      "llm_ccnet_ppl_buckets",
       // 1-row train-corpus-total broadcast (N of the unigram rung); the
       // four LM tables themselves join as broadcast HASH joins
       "llm_stupid_backoff",
