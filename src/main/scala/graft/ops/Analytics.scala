@@ -977,6 +977,35 @@ object Analytics {
         java.util.Arrays.asList(rows: _*)), out.schema)
   }
 
+  /** L324 — Pareto frontier / skyline over parts (Börzsönyi et al.
+    * ICDE 2001 "The Skyline Operator" — the multi-criteria shortlist:
+    * parts where no other part is both cheaper AND bigger; what a
+    * procurement or plan-chooser screen actually shows). 2-D skylines
+    * need no pairwise join: on the DISTINCT (price, size) frame
+    * (bounded by the value grid, not the row count) a pair is
+    * dominated iff the running max size over STRICTLY cheaper prices
+    * reaches it, or an equal-priced pair is strictly bigger — one
+    * per-price agg + one lag-cummax window over the bounded frame.
+    * Dominance is exact comparisons on raw values (no rounding
+    * anywhere). Emits the frontier with per-point multiplicity and the
+    * representative min part key. */
+  def paretoFrontier(spark: SparkSession, dir: String): DataFrame = {
+    val pts = part(spark, dir)
+      .groupBy(col("p_retailprice").as("price"), col("p_size").as("size"))
+      .agg(count(lit(1)).as("n_parts"), min(col("p_partkey")).as("min_key"))
+    val perPrice = pts.groupBy("price").agg(max(col("size")).as("max_sz"))
+    val wP = Window.orderBy(col("price"))
+    val cheaperMax = perPrice
+      .withColumn("cheaper_max",
+        max(col("max_sz")).over(wP.rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("price"), col("cheaper_max"), col("max_sz"))
+    pts.join(cheaperMax, "price")
+      .where((col("cheaper_max").isNull || col("cheaper_max") < col("size")) &&
+        col("size") === col("max_sz"))
+      .select(col("price"), col("size"), col("n_parts"), col("min_key"))
+      .orderBy("price")
+  }
+
   /** L322 — two-hop reach per node (the friends-of-friends audience
     * size — the expansion factor behind graph recommendation blast
     * radius and GNN neighborhood-sampling budgets; the SQL-shaped
@@ -1100,6 +1129,7 @@ object Analytics {
     "graph_degree_hist" -> (degreeHistogram _),
     "graph_connected_components" -> (connectedComponents _),
     "graph_two_hop_reach" -> (twoHopReach _),
+    "pareto_frontier_parts" -> (paretoFrontier _),
     "graph_triangle_count" -> (triangleCount _),
     "graph_modularity" -> (graphModularity _),
     "graph_pagerank_step" -> (pagerankStep _),
@@ -1247,6 +1277,22 @@ object Analytics {
            FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1)
          SELECT d AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
          FROM d GROUP BY 1 ORDER BY 1""",
+    "pareto_frontier_parts" ->
+      """WITH pts AS (SELECT p_retailprice AS price, p_size AS size,
+             CAST(COUNT(*) AS BIGINT) AS n_parts,
+             MIN(p_partkey) AS min_key
+           FROM part GROUP BY 1, 2),
+         pp AS (SELECT price, MAX(size) AS max_sz FROM pts GROUP BY 1),
+         cm AS (SELECT price, max_sz,
+             MAX(max_sz) OVER (ORDER BY price
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS cheaper_max
+           FROM pp)
+         SELECT pts.price, pts.size, pts.n_parts, pts.min_key
+         FROM pts JOIN cm ON pts.price = cm.price
+         WHERE (cm.cheaper_max IS NULL OR cm.cheaper_max < pts.size)
+           AND pts.size = cm.max_sz
+         ORDER BY pts.price""",
     "graph_two_hop_reach" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
              FROM lineitem),

@@ -669,6 +669,79 @@ object Ml {
     * rule: deviations scaled to thousand-units so every decimal cast
     * stays small-magnitude and midpoint-free; the fold-to-fold RMSE
     * spread is the stability readout. */
+  /** L323 — learning curve of the L225 trend model (the classic
+    * bias/variance diagnostic: train the same model on growing
+    * fractions and plot train vs held-out error — converging curves
+    * say "more data won't help", a persistent gap says variance;
+    * the companion readout to L260's k-fold, which fixes the fraction
+    * and varies the fold). Rows are hash-sharded into 10 deterministic
+    * buckets (the L260 h48 contract); buckets 0..b−1 train, bucket 9
+    * is the FIXED holdout. The whole curve costs ONE corpus scan: all
+    * six OLS sums per bucket (decimal/int, order-free), cumulative
+    * prefix sums over the 10-row bucket frame, and both RMSEs recovered
+    * in closed form from the sums — SSE = Σy² − 2aΣy − 2βΣxy + na² +
+    * 2aβΣx + β²Σxx — so NO residual re-scan per fraction (the naive
+    * curve is b scans; this is the algebra production learning-curve
+    * jobs use). y in revenue-thousands (L225 magnitude rule). */
+  def learningCurve(spark: SparkSession, dir: String): DataFrame = {
+    val B = 10
+    val base = orders(spark, dir).select(
+      datediff(col("o_orderdate").cast("date"),
+        lit("1995-01-01").cast("date")).cast("long").as("x"),
+      round(col("o_totalprice") / 1e3, 6).as("y"),
+      (h48(col("o_orderkey").cast("string")) % B).as("g"))
+    val perG = base.groupBy("g").agg(
+      count(lit(1)).as("n_g"),
+      sum(col("x")).as("sx_g"),
+      sum(col("x") * col("x")).as("sxx_g"),
+      sum(col("y").cast("decimal(18,6)")).as("sy_g"),
+      sum(round(col("x") * col("y"), 6).cast("decimal(28,6)")).as("sxy_g"),
+      sum(round(col("y") * col("y"), 6).cast("decimal(28,6)")).as("syy_g"))
+    val wCum = Window.orderBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    def tst(c: String) = max(when(col("g") === B - 1, col(c))).over(wAll)
+    val cum = perG
+      .withColumn("n_t", sum(col("n_g")).over(wCum))
+      .withColumn("sx_t", sum(col("sx_g")).over(wCum))
+      .withColumn("sxx_t", sum(col("sxx_g")).over(wCum))
+      .withColumn("sy_t", sum(col("sy_g")).over(wCum).cast("double"))
+      .withColumn("sxy_t", sum(col("sxy_g")).over(wCum).cast("double"))
+      .withColumn("syy_t", sum(col("syy_g")).over(wCum).cast("double"))
+      .withColumn("n_h", tst("n_g"))
+      .withColumn("sx_h", tst("sx_g"))
+      .withColumn("sxx_h", tst("sxx_g"))
+      .withColumn("sy_h", tst("sy_g").cast("double"))
+      .withColumn("sxy_h", tst("sxy_g").cast("double"))
+      .withColumn("syy_h", tst("syy_g").cast("double"))
+      .where(col("g") < B - 1)
+    val nd = col("n_t").cast("double")
+    val sxd = col("sx_t").cast("double")
+    val sxxd = col("sxx_t").cast("double")
+    val beta = (nd * col("sxy_t") - sxd * col("sy_t")) /
+      (nd * sxxd - sxd * sxd)
+    val alpha = (col("sy_t") - beta * sxd) / nd
+    def sse(n: org.apache.spark.sql.Column, sx: org.apache.spark.sql.Column,
+        sxx: org.apache.spark.sql.Column, sy: org.apache.spark.sql.Column,
+        sxy: org.apache.spark.sql.Column, syy: org.apache.spark.sql.Column) =
+      syy - lit(2.0) * alpha * sy - lit(2.0) * beta * sxy +
+        n * alpha * alpha + lit(2.0) * alpha * beta * sx +
+        beta * beta * sxx
+    cum.select(
+        ((col("g") + 1) * 10).cast("int").as("frac_pct"),
+        col("n_t").as("n_train"),
+        round(beta, 6).as("slope"),
+        round(alpha, 6).as("intercept"),
+        round(sqrt(sse(nd, sxd, sxxd, col("sy_t"), col("sxy_t"),
+          col("syy_t")) / nd), 6).as("rmse_train"),
+        round(sqrt(sse(col("n_h").cast("double"),
+          col("sx_h").cast("double"), col("sxx_h").cast("double"),
+          col("sy_h"), col("sxy_h"), col("syy_h")) /
+          col("n_h").cast("double")), 6).as("rmse_test"))
+      .orderBy("frac_pct")
+  }
+
   def kfoldCv(spark: SparkSession, dir: String): DataFrame = {
     val K = 5
     val base = orders(spark, dir).select(col("o_totalprice").as("y"),
@@ -829,6 +902,7 @@ object Ml {
     "ml_gains_table" -> (gainsTable _),
     "ml_davies_bouldin" -> (daviesBouldin _),
     "ml_kfold_cv" -> (kfoldCv _),
+    "ml_learning_curve" -> (learningCurve _),
     "ml_feature_stats" -> (featureStats _),
     "ml_threshold_sweep" -> (thresholdSweep _),
     "ml_avg_precision" -> (avgPrecision _),
@@ -951,6 +1025,66 @@ object Ml {
                / CAST(COUNT(*) OVER () AS DOUBLE), 6) AS db_index
            FROM sigma JOIN peri ON sigma.label = peri.label)
          SELECT * FROM f ORDER BY label""",
+    "ml_learning_curve" -> {
+      val sseOf = (n: String, sx: String, sxx: String, sy: String,
+          sxy: String, syy: String) =>
+        s"""($syy - 2.0 * alpha * $sy - 2.0 * beta * $sxy
+           + $n * alpha * alpha + 2.0 * alpha * beta * $sx
+           + beta * beta * $sxx)"""
+      s"""WITH base AS (SELECT
+             CAST(datediff('day', CAST('1995-01-01' AS DATE),
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             round(o_totalprice / 1e3, 6) AS y,
+             ${graft.Tables.h48Sql("CAST(o_orderkey AS VARCHAR)")} % 10 AS g
+           FROM orders),
+         perg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(x) AS BIGINT) AS sx_g,
+             CAST(SUM(x * x) AS BIGINT) AS sxx_g,
+             SUM(CAST(y AS DECIMAL(18,6))) AS sy_g,
+             SUM(CAST(round(x * y, 6) AS DECIMAL(28,6))) AS sxy_g,
+             SUM(CAST(round(y * y, 6) AS DECIMAL(28,6))) AS syy_g
+           FROM base GROUP BY 1),
+         cum AS (SELECT g,
+             CAST(SUM(n_g) OVER wc AS BIGINT) AS n_t,
+             CAST(SUM(sx_g) OVER wc AS BIGINT) AS sx_t,
+             CAST(SUM(sxx_g) OVER wc AS BIGINT) AS sxx_t,
+             CAST(SUM(sy_g) OVER wc AS DOUBLE) AS sy_t,
+             CAST(SUM(sxy_g) OVER wc AS DOUBLE) AS sxy_t,
+             CAST(SUM(syy_g) OVER wc AS DOUBLE) AS syy_t,
+             CAST(MAX(CASE WHEN g = 9 THEN n_g END) OVER () AS BIGINT)
+               AS n_h,
+             CAST(MAX(CASE WHEN g = 9 THEN sx_g END) OVER () AS BIGINT)
+               AS sx_h,
+             CAST(MAX(CASE WHEN g = 9 THEN sxx_g END) OVER () AS BIGINT)
+               AS sxx_h,
+             CAST(MAX(CASE WHEN g = 9 THEN sy_g END) OVER () AS DOUBLE)
+               AS sy_h,
+             CAST(MAX(CASE WHEN g = 9 THEN sxy_g END) OVER () AS DOUBLE)
+               AS sxy_h,
+             CAST(MAX(CASE WHEN g = 9 THEN syy_g END) OVER () AS DOUBLE)
+               AS syy_h
+           FROM perg
+           WINDOW wc AS (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)),
+         fit AS (SELECT *,
+             (CAST(n_t AS DOUBLE) * sxy_t - CAST(sx_t AS DOUBLE) * sy_t)
+               / (CAST(n_t AS DOUBLE) * CAST(sxx_t AS DOUBLE)
+                 - CAST(sx_t AS DOUBLE) * CAST(sx_t AS DOUBLE)) AS beta
+           FROM cum WHERE g < 9),
+         ab AS (SELECT *,
+             (sy_t - beta * CAST(sx_t AS DOUBLE)) / CAST(n_t AS DOUBLE)
+               AS alpha
+           FROM fit)
+         SELECT CAST((g + 1) * 10 AS INT) AS frac_pct, n_t AS n_train,
+           round(beta, 6) AS slope, round(alpha, 6) AS intercept,
+           round(sqrt(${sseOf("CAST(n_t AS DOUBLE)", "CAST(sx_t AS DOUBLE)",
+             "CAST(sxx_t AS DOUBLE)", "sy_t", "sxy_t", "syy_t")}
+             / CAST(n_t AS DOUBLE)), 6) AS rmse_train,
+           round(sqrt(${sseOf("CAST(n_h AS DOUBLE)", "CAST(sx_h AS DOUBLE)",
+             "CAST(sxx_h AS DOUBLE)", "sy_h", "sxy_h", "syy_h")}
+             / CAST(n_h AS DOUBLE)), 6) AS rmse_test
+         FROM ab ORDER BY frac_pct"""
+    },
     "ml_kfold_cv" ->
       s"""WITH base AS (SELECT o_totalprice AS y,
              ${graft.Tables.h48Sql("CAST(o_orderkey AS VARCHAR)")} % 5 AS fold
