@@ -145,6 +145,33 @@ object Joins {
       .orderBy("purchase_id")
   }
 
+  /** L325 — FORWARD as-of join: for every click, the same user's FIRST
+    * purchase at-or-after it (the time-to-convert direction; the
+    * mirror of C6b's backward lookup, and the one attribution windows
+    * and SLA clocks need — "how long until the click converted"
+    * reads forward, not back). Same single-shuffle window formulation
+    * as the backward twin with the frame reversed: one user-keyed
+    * shuffle of the unioned stream, a FOLLOWING-frame first_value per
+    * row. Clicks that never convert emit NULL purchase columns rather
+    * than dropping (the outer-as-of contract). */
+  def joinAsofNextPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    events(spark, dir)
+      .where(col("event_type").isin("click", "purchase"))
+      .withColumn("purchase_id",
+        first(when(col("event_type") === "purchase", col("event_id")),
+          ignoreNulls = true).over(w))
+      .withColumn("purchase_us",
+        first(when(col("event_type") === "purchase", unix_micros(col("ts"))),
+          ignoreNulls = true).over(w))
+      .where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("purchase_id"),
+        (col("purchase_us") - unix_micros(col("ts"))).as("wait_us"))
+      .orderBy("click_id")
+  }
+
   /** C6b through the CUSTOM PHYSICAL OPERATOR (SURVEY §4.3 tier (c),
     * [[graft.plans.GraftAsOfJoinExec]]): identical as-of semantics to
     * [[joinAsofClickBeforePurchase]] — for every purchase, the same
@@ -413,6 +440,7 @@ object Joins {
     "cep_skip_strategies" -> (cepSkipStrategies _),
     "cep_kleene_timeout" -> (cepKleeneTimeout _),
     "join_asof_click_before_purchase" -> (joinAsofClickBeforePurchase _),
+    "join_asof_next_purchase" -> (joinAsofNextPurchase _),
     "join_asof_physical" -> (joinAsofPhysical _),
     "join_orders_customer" -> (joinOrdersCustomer _),
     "join_left_orders_wo_lineitem" -> (joinLeftOrdersWoLineitem _),
@@ -555,6 +583,19 @@ object Joins {
           WHERE t1 = 'click' AND t2 = 'click' AND event_type = 'purchase'
             AND ts_us - ts1 <= CAST(3 AS BIGINT) * 24 * 3600 * 1000000
           ORDER BY purchase_id""",
+    "join_asof_next_purchase" ->
+      s"""WITH tagged AS (
+            SELECT user_id, event_id, $evTs AS ts, event_type,
+              first_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+                OVER w AS purchase_id,
+              first_value(CASE WHEN event_type = 'purchase' THEN epoch_us($evTs) END IGNORE NULLS)
+                OVER w AS purchase_us
+            FROM events WHERE event_type IN ('click', 'purchase')
+            WINDOW w AS (PARTITION BY user_id ORDER BY $evTs, event_id
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+          SELECT user_id, event_id AS click_id, purchase_id,
+            purchase_us - epoch_us(ts) AS wait_us
+          FROM tagged WHERE event_type = 'click' ORDER BY click_id""",
     "join_asof_click_before_purchase" ->
       s"""WITH tagged AS (
             SELECT user_id, event_id, $evTs AS ts, event_type,

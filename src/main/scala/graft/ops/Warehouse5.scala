@@ -710,7 +710,63 @@ object Warehouse5 {
       .limit(3)
   }
 
+  /** L326 — periodogram of the hourly revenue series (Schuster 1898;
+    * the discrete-Fourier power at candidate frequencies k = 1..12 —
+    * the spectral reading that says WHICH cycle dominates, where
+    * L236/L299 assume the daily one and measure its strength).
+    * P(k) = (a_k² + b_k²)/n with a_k = Σ xₜ·cos(2πkt/n), b_k the sine
+    * twin — an O(n·k) direct evaluation over the calendar-bounded
+    * hourly frame (k fixed at 12, so corpus cost is ONE hourly agg at
+    * any scale; a full FFT is pointless for 12 bins). Determinism:
+    * trig factors round-6 at the call site (the cross-libm contract),
+    * products round-6 and decimal-summed; the k×frame grid comes from
+    * one sequence-explode, shuffled once by k. Dominant cycle =
+    * argmax P with the hours-per-cycle readout n/k. */
+  def periodogram(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(round(dsum(col("value")), 6).as("x"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val idx = hourly
+      .withColumn("t", (row_number().over(Window.orderBy(col("bucket"))) - 1)
+        .cast("double"))
+      .withColumn("n", count(lit(1)).over(wAll).cast("double"))
+    val grid = idx.select(col("t"), col("n"), col("x"),
+      explode(sequence(lit(1), lit(12))).as("k"))
+    val theta = lit(2.0) * lit(math.Pi) * col("k").cast("double") *
+      col("t") / col("n")
+    // x·cos products of two EXACT 6dp values land on true .5e-6
+    // midpoints (a 12dp decimal grid), where the engines' round()
+    // implementations split — so each term is computed in exact
+    // integer micro space with explicit away-from-zero halving
+    val xm = (col("x").cast("decimal(18,6)") * 1000000).cast("long")
+    def trigM(c: org.apache.spark.sql.Column) =
+      (round(c, 6).cast("decimal(18,6)") * 1000000).cast("long")
+    def halfUp(p: String) = expr(
+      s"CASE WHEN $p >= 0 THEN ($p + 500000) div 1000000" +
+        s" ELSE -((-$p + 500000) div 1000000) END")
+    val perK = grid
+      .withColumn("pc", xm * trigM(cos(theta)))
+      .withColumn("ps", xm * trigM(sin(theta)))
+      .withColumn("ca", halfUp("pc"))
+      .withColumn("sb", halfUp("ps"))
+      .groupBy("k")
+      .agg(max(col("n")).as("n"),
+        round(sum(col("ca")).cast("double") / 1e6, 6).as("a_k"),
+        round(sum(col("sb")).cast("double") / 1e6, 6).as("b_k"))
+    perK
+      .withColumn("power", round((col("a_k") * col("a_k") +
+        col("b_k") * col("b_k")) / col("n"), 6))
+      .withColumn("hours_per_cycle", round(col("n") / col("k").cast("double"), 6))
+      .withColumn("dominant",
+        col("power") === max(col("power")).over(wAll))
+      .select("k", "a_k", "b_k", "power", "hours_per_cycle", "dominant")
+      .orderBy("k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_periodogram" -> (periodogram _),
     "ts_changepoint_binseg" -> (changepointBinseg _),
     "ts_bollinger" -> (bollingerBands _),
     "profile_key_skew" -> (keySkewProfile _),
@@ -735,6 +791,42 @@ object Warehouse5 {
   private val evTs = "CAST(ts AS TIMESTAMP)"
 
   val oracles: Map[String, String] = Map(
+    "ts_periodogram" ->
+      s"""WITH hourly AS (SELECT date_trunc('hour', $evTs) AS bucket,
+             round(${dsumSql("value")}, 6) AS x
+           FROM events GROUP BY 1),
+         idx AS (SELECT x,
+             CAST(ROW_NUMBER() OVER (ORDER BY bucket) - 1 AS DOUBLE) AS t,
+             CAST(COUNT(*) OVER () AS DOUBLE) AS n
+           FROM hourly),
+         grid AS (SELECT t, n, x,
+             CAST(UNNEST(range(1, 13)) AS BIGINT) AS k
+           FROM idx),
+         prods AS (SELECT k, n,
+             CAST(CAST(x AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+               * CAST(CAST(round(cos(2.0 * pi() * CAST(k AS DOUBLE) * t / n),
+                 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS pc,
+             CAST(CAST(x AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+               * CAST(CAST(round(sin(2.0 * pi() * CAST(k AS DOUBLE) * t / n),
+                 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS ps
+           FROM grid),
+         terms AS (SELECT k, n,
+             CASE WHEN pc >= 0 THEN (pc + 500000) // 1000000
+               ELSE -((-pc + 500000) // 1000000) END AS ca,
+             CASE WHEN ps >= 0 THEN (ps + 500000) // 1000000
+               ELSE -((-ps + 500000) // 1000000) END AS sb
+           FROM prods),
+         perk AS (SELECT k, MAX(n) AS n,
+             round(CAST(SUM(ca) AS DOUBLE) / 1e6, 6) AS a_k,
+             round(CAST(SUM(sb) AS DOUBLE) / 1e6, 6) AS b_k
+           FROM terms GROUP BY 1),
+         p AS (SELECT k, a_k, b_k,
+             round((a_k * a_k + b_k * b_k) / n, 6) AS power,
+             round(n / CAST(k AS DOUBLE), 6) AS hours_per_cycle
+           FROM perk)
+         SELECT k, a_k, b_k, power, hours_per_cycle,
+           power = MAX(power) OVER () AS dominant
+         FROM p ORDER BY k""",
     "ts_changepoint_binseg" ->
       s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
              round(${dsumSql("o_totalprice")} / 1e6, 6) AS y
