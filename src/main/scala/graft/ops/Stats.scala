@@ -425,7 +425,35 @@ object Stats {
       .select("n_pairs", "nc", "nd", "tied_x", "tied_y", "tau_b")
   }
 
+  /** L327 — Q–Q decile table, click vs purchase event values (Wilk &
+    * Gnanadesikan 1968 — the quantile-quantile comparison every
+    * distribution-shift review plots; the tabular form of the picture,
+    * and the WHERE to L218's KS statistic, which only says how far the
+    * worst gap is). Both groups' nine deciles from ONE conditional
+    * percentile agg (exact interpolated percentile — the L21/L207
+    * contract — over round-6-quantized values, so the sort frame is
+    * bounded at any corpus size); gaps in exact decimal space. */
+  def qqDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val ps = (1 to 9).map(i => s"CAST($i AS DOUBLE) / 10").mkString(", ")
+    val agged = events(spark, dir)
+      .where(col("event_type").isin("click", "purchase"))
+      .agg(
+        expr(s"percentile(CASE WHEN event_type = 'click' THEN value END, array($ps))")
+          .as("qc"),
+        expr(s"percentile(CASE WHEN event_type = 'purchase' THEN value END, array($ps))")
+          .as("qp"))
+    agged
+      .select(posexplode(arrays_zip(col("qc"), col("qp"))))
+      .select(((col("pos") + 1).cast("double") / 10.0).as("p"),
+        round(col("col.qc"), 6).as("q_click"),
+        round(col("col.qp"), 6).as("q_purchase"))
+      .withColumn("qq_gap", (col("q_click").cast("decimal(18,6)") -
+        col("q_purchase").cast("decimal(18,6)")).cast("double"))
+      .orderBy("p")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_qq_deciles" -> (qqDeciles _),
     "stats_kendall_tau" -> (kendallTau _),
     "stats_hill_tail" -> (hillTail _),
     "stats_theil_decomposition" -> (theilDecomposition _),
@@ -439,6 +467,23 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    "stats_qq_deciles" -> {
+      val ps = (1 to 9).map(i => s"CAST($i AS DOUBLE) / 10").mkString(", ")
+      s"""WITH q AS (SELECT
+             quantile_cont(CASE WHEN event_type = 'click' THEN value END,
+               [$ps]) AS qc,
+             quantile_cont(CASE WHEN event_type = 'purchase' THEN value END,
+               [$ps]) AS qp
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         x AS (SELECT CAST(UNNEST(range(1, 10)) AS BIGINT) AS i, qc, qp
+           FROM q)
+         SELECT CAST(i AS DOUBLE) / 10.0 AS p,
+           round(qc[i], 6) AS q_click,
+           round(qp[i], 6) AS q_purchase,
+           CAST(CAST(round(qc[i], 6) AS DECIMAL(18,6))
+             - CAST(round(qp[i], 6) AS DECIMAL(18,6)) AS DOUBLE) AS qq_gap
+         FROM x ORDER BY p"""
+    },
     "stats_kendall_tau" ->
       s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
              CAST(COUNT(*) AS BIGINT) AS x,

@@ -765,7 +765,80 @@ object Warehouse5 {
       .orderBy("k")
   }
 
+  /** L328 — Hurst exponent by rescaled-range analysis of the hourly
+    * series (Hurst 1951; Mandelbrot & Wallis 1969 R/S — the
+    * long-memory constant: H ≈ 0.5 is a random walk, H > 0.5
+    * persistent trending, H < 0.5 mean-reverting; read before trusting
+    * any L187/L224 alert threshold tuned on the iid assumption).
+    * Blocks of m ∈ {16, 32, 64, 128} consecutive hours (full blocks
+    * only); per block R = range of the cumulative demeaned walk and
+    * S = population σ; H = OLS slope of ln(mean R/S) on ln m over the
+    * 4-point frame. Determinism: the block mean is an exact half-up
+    * integer-micro division, so demeaned steps and their CUMULATIVE
+    * walk are exact integers — immune to the engines' different
+    * window-sum ADDITION ORDERS (Spark runs running frames
+    * sequentially, DuckDB segment-trees them; float cumsums would
+    * diverge); σ² from round-6 squared steps decimal-summed; the only
+    * transcendentals (ln) are round-6 at the call site. Corpus cost:
+    * one hourly agg, then everything is calendar-bounded × 4. */
+  def hurstExponent(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(round(dsum(col("value")), 6).as("x"))
+    val idx = hourly
+      .withColumn("t", (row_number().over(Window.orderBy(col("bucket"))) - 1)
+        .cast("long"))
+      .withColumn("xm", (col("x").cast("decimal(18,6)") * 1000000)
+        .cast("long"))
+    val grid = idx.select(col("t"), col("xm"),
+        explode(array(lit(16L), lit(32L), lit(64L), lit(128L))).as("m"))
+      .withColumn("blk", expr("t div m"))
+    val wBlk = Window.partitionBy(col("m"), col("blk"))
+    val wCum = wBlk.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val full = grid
+      .withColumn("cnt", count(lit(1)).over(wBlk))
+      .where(col("cnt") === col("m"))
+      .withColumn("mu_m", expr("(2 * sum(xm) OVER " +
+        "(PARTITION BY m, blk) + m) div (2 * m)"))
+      .withColumn("d_m", col("xm") - col("mu_m"))
+      .withColumn("cum", sum(col("d_m")).over(wCum))
+      .withColumn("d6", col("d_m").cast("double") / 1e6)
+    val perBlk = full.groupBy("m", "blk")
+      .agg((max(col("cum")) - min(col("cum"))).as("r_m"),
+        sum(round(col("d6") * col("d6"), 6).cast("decimal(28,6)"))
+          .cast("double").as("ssd"))
+      .withColumn("rs", round((col("r_m").cast("double") / 1e6) /
+        sqrt(col("ssd") / col("m").cast("double")), 6))
+      .where(col("rs") > 0.0)
+    val perSize = perBlk.groupBy("m")
+      .agg(count(lit(1)).as("n_blocks"),
+        round(dsum(round(log(col("rs")), 6)) /
+          count(lit(1)).cast("double"), 6).as("mean_ln_rs"))
+      .withColumn("ln_m", round(log(col("m").cast("double")), 6))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val fit = perSize
+      .withColumn("nf", count(lit(1)).over(wAll).cast("double"))
+      .withColumn("sx", sum(col("ln_m").cast("decimal(18,6)")).over(wAll)
+        .cast("double"))
+      .withColumn("sy", sum(col("mean_ln_rs").cast("decimal(18,6)"))
+        .over(wAll).cast("double"))
+      .withColumn("sxx", sum(round(col("ln_m") * col("ln_m"), 6)
+        .cast("decimal(18,6)")).over(wAll).cast("double"))
+      .withColumn("sxy", sum(round(col("ln_m") * col("mean_ln_rs"), 6)
+        .cast("decimal(18,6)")).over(wAll).cast("double"))
+    fit
+      .withColumn("hurst", round((col("nf") * col("sxy") -
+        col("sx") * col("sy")) /
+        (col("nf") * col("sxx") - col("sx") * col("sx")), 6))
+      .select(col("m").as("block_size"), col("n_blocks"), col("ln_m"),
+        col("mean_ln_rs"), col("hurst"))
+      .orderBy("block_size")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_hurst_exponent" -> (hurstExponent _),
     "ts_periodogram" -> (periodogram _),
     "ts_changepoint_binseg" -> (changepointBinseg _),
     "ts_bollinger" -> (bollingerBands _),
@@ -791,6 +864,57 @@ object Warehouse5 {
   private val evTs = "CAST(ts AS TIMESTAMP)"
 
   val oracles: Map[String, String] = Map(
+    "ts_hurst_exponent" ->
+      s"""WITH hourly AS (SELECT date_trunc('hour', $evTs) AS bucket,
+             round(${dsumSql("value")}, 6) AS x
+           FROM events GROUP BY 1),
+         idx AS (SELECT
+             CAST(ROW_NUMBER() OVER (ORDER BY bucket) - 1 AS BIGINT) AS t,
+             CAST(CAST(x AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xm
+           FROM hourly),
+         grid AS (SELECT t, xm, CAST(UNNEST([16, 32, 64, 128]) AS BIGINT)
+             AS m
+           FROM idx),
+         g2 AS (SELECT *, t // m AS blk FROM grid),
+         fullb AS (SELECT *,
+             COUNT(*) OVER wb AS cnt,
+             (2 * SUM(xm) OVER wb + m) // (2 * m) AS mu_m
+           FROM g2
+           WINDOW wb AS (PARTITION BY m, blk)),
+         dd AS (SELECT m, blk, t, xm - mu_m AS d_m,
+             CAST(xm - mu_m AS DOUBLE) / 1e6 AS d6
+           FROM fullb WHERE cnt = m),
+         cw AS (SELECT *,
+             SUM(d_m) OVER (PARTITION BY m, blk ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM dd),
+         perblk AS (SELECT m, blk,
+             CAST(MAX(cum) - MIN(cum) AS BIGINT) AS r_m,
+             CAST(SUM(CAST(round(d6 * d6, 6) AS DECIMAL(28,6))) AS DOUBLE)
+               AS ssd
+           FROM cw GROUP BY 1, 2),
+         rsb AS (SELECT m, blk,
+             round((CAST(r_m AS DOUBLE) / 1e6)
+               / sqrt(ssd / CAST(m AS DOUBLE)), 6) AS rs
+           FROM perblk),
+         persize AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             round(${dsumSql("round(ln(rs), 6)")}
+               / CAST(COUNT(*) AS DOUBLE), 6) AS mean_ln_rs,
+             round(ln(CAST(m AS DOUBLE)), 6) AS ln_m
+           FROM rsb WHERE rs > 0.0 GROUP BY 1),
+         fit AS (SELECT *,
+             CAST(COUNT(*) OVER () AS DOUBLE) AS nf,
+             CAST(SUM(CAST(ln_m AS DECIMAL(18,6))) OVER () AS DOUBLE) AS sx,
+             CAST(SUM(CAST(mean_ln_rs AS DECIMAL(18,6))) OVER () AS DOUBLE)
+               AS sy,
+             CAST(SUM(CAST(round(ln_m * ln_m, 6) AS DECIMAL(18,6))) OVER ()
+               AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(round(ln_m * mean_ln_rs, 6) AS DECIMAL(18,6)))
+               OVER () AS DOUBLE) AS sxy
+           FROM persize)
+         SELECT m AS block_size, n_blocks, ln_m, mean_ln_rs,
+           round((nf * sxy - sx * sy) / (nf * sxx - sx * sx), 6) AS hurst
+         FROM fit ORDER BY block_size""",
     "ts_periodogram" ->
       s"""WITH hourly AS (SELECT date_trunc('hour', $evTs) AS bucket,
              round(${dsumSql("value")}, 6) AS x
