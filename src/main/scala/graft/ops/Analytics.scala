@@ -977,6 +977,47 @@ object Analytics {
         java.util.Arrays.asList(rows: _*)), out.schema)
   }
 
+  /** L329 — pairwise Pearson correlation matrix over the four numeric
+    * lineitem measures in ONE scan (the screening matrix every feature
+    * audit opens with — all C(4,2) pairs from a single pass of shared
+    * sufficient statistics, where naive per-pair corr() calls re-scan
+    * the fact table six times). Price is carried in THOUSANDS (L225
+    * magnitude rule) — r is scale-invariant; every Σxy term is round-6
+    * → decimal-summed; the six r's are closed-form round-6 divisions
+    * assembled row-wise from one 1-row aggregate via a struct-array
+    * explode (the L308 shape). */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq(
+      "quantity" -> col("l_quantity"),
+      "price_k" -> col("l_extendedprice") / 1e3,
+      "discount" -> col("l_discount"),
+      "tax" -> col("l_tax"))
+    val base = lineitem(spark, dir).select(
+      cols.map { case (n, c) => c.as(n) }: _*)
+    val names = cols.map(_._1)
+    val sums =
+      Seq(count(lit(1)).as("n")) ++
+        names.map(n => round(dsum(col(n)), 6).as(s"s_$n")) ++
+        (for (i <- names.indices; j <- i until names.length) yield {
+          val (a, b) = (names(i), names(j))
+          round(dsum(round(col(a) * col(b), 6)), 6).as(s"ss_${a}_$b")
+        })
+    val agged = base.agg(sums.head, sums.tail: _*)
+    val nd = col("n").cast("double")
+    def r(a: String, b: String) =
+      round((nd * col(s"ss_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
+        sqrt((nd * col(s"ss_${a}_$a") - col(s"s_$a") * col(s"s_$a")) *
+          (nd * col(s"ss_${b}_$b") - col(s"s_$b") * col(s"s_$b"))), 6)
+    val pairs = for (i <- names.indices; j <- i + 1 until names.length)
+      yield struct(lit(names(i)).as("var_a"), lit(names(j)).as("var_b"),
+        r(names(i), names(j)).as("pearson_r"))
+    agged
+      .select(col("n").as("n_rows"), explode(array(pairs: _*)).as("p"))
+      .select(col("n_rows"), col("p.var_a"), col("p.var_b"),
+        col("p.pearson_r"))
+      .orderBy("var_a", "var_b")
+  }
+
   /** L324 — Pareto frontier / skyline over parts (Börzsönyi et al.
     * ICDE 2001 "The Skyline Operator" — the multi-criteria shortlist:
     * parts where no other part is both cheaper AND bigger; what a
@@ -1130,6 +1171,7 @@ object Analytics {
     "graph_connected_components" -> (connectedComponents _),
     "graph_two_hop_reach" -> (twoHopReach _),
     "pareto_frontier_parts" -> (paretoFrontier _),
+    "agg_corr_matrix" -> (corrMatrix _),
     "graph_triangle_count" -> (triangleCount _),
     "graph_modularity" -> (graphModularity _),
     "graph_pagerank_step" -> (pagerankStep _),
@@ -1277,6 +1319,30 @@ object Analytics {
            FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1)
          SELECT d AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
          FROM d GROUP BY 1 ORDER BY 1""",
+    "agg_corr_matrix" -> {
+      val names = Seq("quantity", "price_k", "discount", "tax")
+      val sumCols = (names.map(n => s"round(${dsumSql(n)}, 6) AS s_$n") ++
+        (for (i <- names.indices; j <- i until names.length) yield {
+          val (a, b) = (names(i), names(j))
+          s"round(${dsumSql(s"round($a * $b, 6)")}, 6) AS ss_${a}_$b"
+        })).mkString(",\n             ")
+      def rSql(a: String, b: String) =
+        s"""round((CAST(n AS DOUBLE) * ss_${a}_$b - s_$a * s_$b)
+           / sqrt((CAST(n AS DOUBLE) * ss_${a}_$a - s_$a * s_$a)
+             * (CAST(n AS DOUBLE) * ss_${b}_$b - s_$b * s_$b)), 6)"""
+      val rows = (for (i <- names.indices; j <- i + 1 until names.length)
+        yield s"""SELECT n AS n_rows, '${names(i)}' AS var_a,
+          '${names(j)}' AS var_b, ${rSql(names(i), names(j))} AS pearson_r
+          FROM a""").mkString("\n         UNION ALL ")
+      s"""WITH base AS (SELECT l_quantity AS quantity,
+             l_extendedprice / 1e3 AS price_k,
+             l_discount AS discount, l_tax AS tax
+           FROM lineitem),
+         a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             $sumCols
+           FROM base)
+         SELECT * FROM ($rows) ORDER BY var_a, var_b"""
+    },
     "pareto_frontier_parts" ->
       """WITH pts AS (SELECT p_retailprice AS price, p_size AS size,
              CAST(COUNT(*) AS BIGINT) AS n_parts,

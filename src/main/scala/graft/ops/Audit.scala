@@ -347,7 +347,35 @@ object Audit {
       .orderBy("constraint_name")
   }
 
+  /** L330 — daily ingest-volume anomaly monitor (the FIRST alarm every
+    * data-platform on-call wires: a day whose row count deviates from
+    * the corpus's own robust baseline usually means a broken producer
+    * or a replayed backfill — caught at the VOLUME grain before any
+    * content check can fire; the ops twin of L226's value-grain MAD,
+    * pointed at counts). Daily counts (calendar-bounded frame), robust
+    * center/scale = median and MAD over that frame (exact interpolated
+    * percentile, L21/L207), Iglewicz–Hoaglin modified z per day, flag
+    * at |z| > 3.5. Top-20 by |z| — the page the alert links to. */
+  def volumeAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val med = daily.agg(round(expr("percentile(n_events, 0.5)"), 6).as("med"))
+    val withMed = daily.crossJoin(broadcast(med))
+      .withColumn("adev", abs(col("n_events").cast("double") - col("med")))
+    val mad = withMed.agg(round(expr("percentile(adev, 0.5)"), 6).as("mad"))
+    withMed.crossJoin(broadcast(mad))
+      .withColumn("robust_z", round(lit(0.6745) *
+        (col("n_events").cast("double") - col("med")) / col("mad"), 6))
+      .withColumn("is_anomaly", abs(col("robust_z")) > 3.5)
+      .select(unix_micros(col("day")).as("day_us"), col("n_events"),
+        col("med"), col("mad"), col("robust_z"), col("is_anomaly"))
+      .orderBy(abs(col("robust_z")).desc, col("day_us").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_volume_anomaly" -> (volumeAnomaly _),
     "audit_referential" -> (referentialAudit _),
     "privacy_randomized_response" -> (randomizedResponse _),
     "privacy_dp_counts" -> (dpCounts _),
@@ -360,6 +388,24 @@ object Audit {
   )
 
   val oracles: Map[String, String] = Map(
+    "dq_volume_anomaly" ->
+      """WITH daily AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+           FROM events GROUP BY 1),
+         med AS (SELECT round(quantile_cont(n_events, 0.5), 6) AS med
+           FROM daily),
+         wm AS (SELECT day, n_events, med,
+             abs(CAST(n_events AS DOUBLE) - med) AS adev
+           FROM daily, med),
+         mad AS (SELECT round(quantile_cont(adev, 0.5), 6) AS mad FROM wm)
+         SELECT epoch_us(day) AS day_us, n_events, med, mad,
+           round(0.6745 * (CAST(n_events AS DOUBLE) - med) / mad, 6)
+             AS robust_z,
+           abs(round(0.6745 * (CAST(n_events AS DOUBLE) - med) / mad, 6))
+             > 3.5 AS is_anomaly
+         FROM wm, mad
+         ORDER BY abs(round(0.6745 * (CAST(n_events AS DOUBLE) - med) / mad,
+           6)) DESC, day_us LIMIT 20""",
     "audit_referential" ->
       """WITH checks AS (
            SELECT 'fk_lineitem_orders' AS constraint_name,

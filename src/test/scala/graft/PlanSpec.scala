@@ -246,7 +246,10 @@ class PlanSpec extends SparkTestBase {
       "llm_matryoshka_recall",
       // 1-row tie-adjustment aggregate broadcast onto the 1-row
       // signed-rank reduce (the stats_kruskal_wallis shape)
-      "stats_wilcoxon_signed_rank")
+      "stats_wilcoxon_signed_rank",
+      // two 1-row median/MAD broadcasts onto the calendar-bounded daily
+      // frame (the anomaly_mad_robust shape at count grain)
+      "dq_volume_anomaly")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, sf0001))
