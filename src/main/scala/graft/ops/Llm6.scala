@@ -282,9 +282,47 @@ object Llm6 {
       .orderBy("doc_id")
   }
 
+  /** L331 — windowed audio energy over the DECODED multimodal column
+    * (the frame-level RMS ladder every audio featurizer starts from —
+    * VAD, loudness normalization, and silence trimming all read this
+    * table; the frame-grain deepening of L:J5's whole-clip RMS in
+    * [[mmAudioDecode]]). Each document's WAV payload is decoded
+    * through the real RIFF/PCM reader ([[MmAudio.samplesOf]]) inside
+    * mapPartitions — row-local, no shuffle — then split into
+    * 64-sample frames (full frames only): per-frame RMS from EXACT
+    * integer Σv², the peak frame by (rms, −index), and the mean frame
+    * RMS as an exact micro-integer average. The oracle predicts every
+    * number from the fixture's closed-form waveform — the decoder is
+    * verified, not trusted. */
+  def mmAudioEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val W = 64
+    documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").cast("int").as("n_chars"))
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val s = MmAudio.samplesOf(MmAudio.Wav(id, MmAudio.synthesize(id, nc)))
+        val frames = s.grouped(W).filter(_.length == W).toArray
+        val rms = frames.map { f =>
+          var ssq = 0L
+          f.foreach(v => ssq += v.toLong * v)
+          graft.functions.ArrayMath.round6(math.sqrt(ssq.toDouble / W))
+        }
+        val peakIdx = rms.zipWithIndex.maxBy { case (r, i) => (r, -i) }._2
+        val sumMicros = rms.map(r => math.rint(r * 1e6).toLong).sum
+        // exact half-up micro division: the mean of k 6dp values lands
+        // on true .5e-6 midpoints where double rounding splits engines
+        val meanRms = ((2 * sumMicros + rms.length) / (2L * rms.length)) / 1e6
+        (id, rms.length.toLong, peakIdx.toLong, rms(peakIdx), meanRms)
+      })
+      .toDF("doc_id", "n_windows", "peak_window", "peak_rms", "mean_rms")
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_energy" -> (mmAudioEnergy _),
     "llm_bloom_decontaminate" -> (bloomDecontaminate _),
     "llm_cms_heavy_hitters" -> (cmsHeavyHitters _),
     "agg_kmv_setops" -> (kmvSetops _),
@@ -422,6 +460,30 @@ object Llm6 {
              AS h_sum_match
          FROM n"""
     },
+    "mm_audio_energy" ->
+      """WITH d AS (SELECT doc_id, 256 + (n_chars % 512) AS n,
+             (doc_id % 37) + 3 AS st
+           FROM documents),
+         s AS (SELECT doc_id, i // 64 AS w,
+             ((i * st + doc_id) % 4001) - 2000 AS v
+           FROM (SELECT doc_id, st, unnest(range(0, (n // 64) * 64)) AS i
+             FROM d)),
+         fr AS (SELECT doc_id, w,
+             round(sqrt(CAST(SUM(v * v) AS DOUBLE) / 64.0), 6) AS rms
+           FROM s GROUP BY 1, 2),
+         pk AS (SELECT doc_id, w, rms,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY rms DESC, w) AS rn
+           FROM fr),
+         agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+             CAST((2 * CAST(SUM(CAST(rms AS DECIMAL(18,6))) * 1000000
+                 AS BIGINT) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1e6
+               AS mean_rms
+           FROM fr GROUP BY 1)
+         SELECT agg.doc_id, n_windows, CAST(pk.w AS BIGINT) AS peak_window,
+           pk.rms AS peak_rms, mean_rms
+         FROM agg JOIN pk ON agg.doc_id = pk.doc_id AND pk.rn = 1
+         ORDER BY agg.doc_id""",
     "mm_audio_decode" ->
       """WITH d AS (SELECT doc_id, 256 + (n_chars % 512) AS n,
              8000 + 1000 * (doc_id % 3) AS rate,
@@ -489,6 +551,23 @@ object MmAudio {
     javax.sound.sampled.AudioSystem.write(
       ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
+  }
+
+  /** Decoded PCM sample vector — the same RIFF parse as [[decode]],
+    * returning the raw samples for downstream frame-level features. */
+  def samplesOf(w: Wav): Array[Int] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(w.payload))
+    try {
+      val f = ais.getFormat
+      require(!f.isBigEndian && f.getSampleSizeInBits == 16 &&
+        f.getChannels == 1, s"unexpected WAV layout for doc ${w.doc_id}")
+      val n = ais.getFrameLength.toInt
+      val bytes = ais.readAllBytes()
+      require(bytes.length == 2 * n, s"short PCM read for doc ${w.doc_id}")
+      Array.tabulate(n)(i =>
+        ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt)
+    } finally ais.close()
   }
 
   /** Real decode: RIFF container parse (format chunk → encoding, rate,

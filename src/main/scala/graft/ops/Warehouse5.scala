@@ -837,7 +837,46 @@ object Warehouse5 {
       .orderBy("block_size")
   }
 
+  /** L332 — per-user inter-arrival distribution (the first question of
+    * any arrival-process model — is traffic Poisson-ish or bursty? —
+    * and the empirical basis for the L43 session gap and the L73
+    * dynamic-gap threshold, both of which ASSUME a shape this table
+    * shows). Gaps from one user-keyed lag window, quantized to whole
+    * seconds (exact integer div — keeps the percentile frame bounded
+    * at any corpus size); five fixed operational bands; band shares
+    * and the global mean as exact half-up integer-micro divisions
+    * (ratios of exact ints land on true .5e-6 midpoints); p50/p90 by
+    * the exact interpolated percentile. */
+  def interarrivalDist(spark: SparkSession, dir: String): DataFrame = {
+    val gaps = events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("gap_s",
+        expr("(us - lag(us, 1) OVER (PARTITION BY user_id " +
+          "ORDER BY us, event_id)) div 1000000"))
+      .where(col("gap_s").isNotNull)
+      .select(col("gap_s"))
+    val bucketed = gaps.withColumn("bucket",
+      when(col("gap_s") < 60L, lit("a_lt_1m"))
+        .when(col("gap_s") < 300L, lit("b_1m_5m"))
+        .when(col("gap_s") < 1800L, lit("c_5m_30m"))
+        .when(col("gap_s") < 7200L, lit("d_30m_2h"))
+        .otherwise(lit("e_ge_2h")))
+    val glob = gaps.agg(count(lit(1)).as("n"), sum(col("gap_s")).as("s"),
+        round(expr("percentile(gap_s, 0.5)"), 6).as("p50_gap_s"),
+        round(expr("percentile(gap_s, 0.9)"), 6).as("p90_gap_s"))
+      .withColumn("mean_gap_s",
+        expr("(2 * s * 1000000 + n) div (2 * n)").cast("double") / 1e6)
+    bucketed.groupBy("bucket").agg(count(lit(1)).as("n_gaps"))
+      .crossJoin(broadcast(glob))
+      .withColumn("pct",
+        expr("(2 * n_gaps * 1000000 + n) div (2 * n)").cast("double") / 1e6)
+      .select(col("bucket"), col("n_gaps"), col("pct"), col("mean_gap_s"),
+        col("p50_gap_s"), col("p90_gap_s"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_interarrival_dist" -> (interarrivalDist _),
     "ts_hurst_exponent" -> (hurstExponent _),
     "ts_periodogram" -> (periodogram _),
     "ts_changepoint_binseg" -> (changepointBinseg _),
@@ -864,6 +903,35 @@ object Warehouse5 {
   private val evTs = "CAST(ts AS TIMESTAMP)"
 
   val oracles: Map[String, String] = Map(
+    "ts_interarrival_dist" ->
+      s"""WITH g0 AS (SELECT
+             (epoch_us($evTs) - lag(epoch_us($evTs), 1)
+               OVER (PARTITION BY user_id ORDER BY epoch_us($evTs), event_id))
+               // 1000000 AS gap_s
+           FROM events),
+         gaps AS (SELECT gap_s FROM g0 WHERE gap_s IS NOT NULL),
+         b AS (SELECT gap_s,
+             CASE WHEN gap_s < 60 THEN 'a_lt_1m'
+               WHEN gap_s < 300 THEN 'b_1m_5m'
+               WHEN gap_s < 1800 THEN 'c_5m_30m'
+               WHEN gap_s < 7200 THEN 'd_30m_2h'
+               ELSE 'e_ge_2h' END AS bucket
+           FROM gaps),
+         gl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(gap_s) AS BIGINT) AS s,
+             round(quantile_cont(gap_s, 0.5), 6) AS p50_gap_s,
+             round(quantile_cont(gap_s, 0.9), 6) AS p90_gap_s
+           FROM gaps),
+         gm AS (SELECT *,
+             CAST((2 * s * 1000000 + n) // (2 * n) AS DOUBLE) / 1e6
+               AS mean_gap_s
+           FROM gl)
+         SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST((2 * COUNT(*) * 1000000 + MAX(n)) // (2 * MAX(n)) AS DOUBLE)
+             / 1e6 AS pct,
+           MAX(mean_gap_s) AS mean_gap_s,
+           MAX(p50_gap_s) AS p50_gap_s, MAX(p90_gap_s) AS p90_gap_s
+         FROM b, gm GROUP BY bucket ORDER BY bucket""",
     "ts_hurst_exponent" ->
       s"""WITH hourly AS (SELECT date_trunc('hour', $evTs) AS bucket,
              round(${dsumSql("value")}, 6) AS x

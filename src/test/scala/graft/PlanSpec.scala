@@ -249,7 +249,9 @@ class PlanSpec extends SparkTestBase {
       "stats_wilcoxon_signed_rank",
       // two 1-row median/MAD broadcasts onto the calendar-bounded daily
       // frame (the anomaly_mad_robust shape at count grain)
-      "dq_volume_anomaly")
+      "dq_volume_anomaly",
+      // 1-row global-summary broadcast onto the 5-row band frame
+      "ts_interarrival_dist")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, sf0001))
