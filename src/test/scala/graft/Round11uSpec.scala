@@ -18,13 +18,17 @@ class Round11uSpec extends SparkTestBase {
     if (lo + 1 < s.length) s(lo) + frac * (s(lo + 1) - s(lo)) else s(lo)
   }
 
+  // the query's cross-term quantization: floor(v·10⁶ + 0.5) long micros
+  // (identical double ops in Spark / DuckDB / here — not BigDecimal)
+  private def fmicro(v: Double): Long = math.floor(v * 1000000.0 + 0.5).toLong
+
   private def rOf(xs: Seq[Double], ys: Seq[Double]): Double = {
     val n = xs.length.toDouble
-    val sx = micro(0.0) + xs.map(micro).sum / 1e6
+    val sx = xs.map(micro).sum / 1e6
     val sy = ys.map(micro).sum / 1e6
-    val sxx = xs.map(x => micro(r6(x * x))).sum / 1e6
-    val syy = ys.map(y => micro(r6(y * y))).sum / 1e6
-    val sxy = xs.zip(ys).map { case (x, y) => micro(r6(x * y)) }.sum / 1e6
+    val sxx = xs.map(x => fmicro(x * x)).sum / 1e6
+    val syy = ys.map(y => fmicro(y * y)).sum / 1e6
+    val sxy = xs.zip(ys).map { case (x, y) => fmicro(x * y) }.sum / 1e6
     r6((n * sxy - sx * sy) /
       math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
   }
