@@ -1043,10 +1043,12 @@ object Analytics {
       .groupBy(col("p_retailprice").as("price"), col("p_size").as("size"))
       .agg(count(lit(1)).as("n_parts"), min(col("p_partkey")).as("min_key"))
     val perPrice = pts.groupBy("price").agg(max(col("size")).as("max_sz"))
-    val wP = Window.orderBy(col("price"))
-    val cheaperMax = perPrice
-      .withColumn("cheaper_max",
-        max(col("max_sz")).over(wP.rowsBetween(Window.unboundedPreceding, -1)))
+    // prefix-max over STRICTLY cheaper prices via PrefixScan's exclusive
+    // running max — the per-price frame is part-cardinality-grain, so an
+    // unpartitioned Window.orderBy(price) would be the r11 scale defect
+    val (scanned, _) = PrefixScan(perPrice, Seq("price"),
+      maxLongExcl = Seq("max_sz" -> "cheaper_max"))
+    val cheaperMax = scanned
       .select(col("price"), col("cheaper_max"), col("max_sz"))
     pts.join(cheaperMax, "price")
       .where((col("cheaper_max").isNull || col("cheaper_max") < col("size")) &&

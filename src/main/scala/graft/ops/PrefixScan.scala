@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed inclusive prefix aggregates over a globally ordered frame —
+  * the scale-safe replacement for `Window.orderBy(v)` with NO partition
+  * spec, which puts every distinct value in ONE task (the r11 verdict's
+  * "value-grain single-partition window" defect class: Spearman/KS/
+  * Kruskal–Wallis/Gini/skyline frames grow linearly with the corpus until
+  * quantization saturates, so the unpartitioned window is a 100× scale
+  * killer even though it is correct today).
+  *
+  * Algorithm — the classic two-pass parallel scan, in the same
+  * range-partition + per-partition-offset style as [[Er.windowPairs]]'s
+  * zipWithIndex rank (oracle-proven bit-equal to ROW_NUMBER there):
+  *
+  *   1. `repartitionByRange(order)` + `sortWithinPartitions(order)` — the
+  *      global sort, distributed across P tasks;
+  *   2. pass 1: each partition reduces its scan columns to ONE totals row;
+  *      the driver collects P rows (partition-count-grain, never
+  *      data-grain) and prefix-combines them into exclusive offsets;
+  *   3. pass 2: each partition re-streams its sorted rows (shuffle files
+  *      are reused — the exchange runs once), emitting running aggregates
+  *      seeded with its offset.
+  *
+  * Both passes hang off the SAME RDD lineage, so the range exchange (and
+  * its sampled partition boundaries) is planned and executed once; pass 2
+  * reads the map output pass 1 already produced. Order keys must form a
+  * total order (the callers all scan a grouped DISTINCT-value frame, so
+  * the keys are unique by construction) — ties across partition
+  * boundaries would otherwise make the split nondeterministic.
+  *
+  * Exactness contract: long sums in 64-bit integers; decimal sums in
+  * BigDecimal (the input column must already be the exact
+  * `decimal(18,6)` quantization — same as feeding Spark's decimal
+  * `sum`), surfaced as DOUBLE via the same decimal→double conversion
+  * `cast("double")` performs. Global totals ride back to the driver for
+  * free (they are the last offsets), so callers replace their
+  * whole-frame `rowsBetween(unboundedPreceding, unboundedFollowing)`
+  * window — the SAME single-partition shape in disguise — with exact
+  * literals.
+  */
+object PrefixScan {
+
+  /** Global totals of the scanned columns (exact; keyed by INPUT name). */
+  final case class Totals(longs: Map[String, Long],
+      decs: Map[String, java.math.BigDecimal])
+
+  /** @param df        input frame (any schema; all columns pass through)
+    * @param order     globally unique ordering key columns
+    * @param sumsLong  (inputCol → outputCol): inclusive running Long sum
+    * @param sumsDec   (inputCol → outputCol): inclusive running decimal
+    *                  sum over an exact decimal input, emitted as DOUBLE
+    * @param maxLongExcl (inputCol → outputCol): EXCLUSIVE running max
+    *                  (strictly earlier rows only; null at the global
+    *                  head — the `rowsBetween(unboundedPreceding, -1)`
+    *                  frame of a skyline prefix-max)
+    * @param parts     range partitions; 0 → `defaultParallelism`
+    * @return the frame with appended scan columns, plus global totals */
+  def apply(df: DataFrame, order: Seq[String],
+      sumsLong: Seq[(String, String)] = Nil,
+      sumsDec: Seq[(String, String)] = Nil,
+      maxLongExcl: Seq[(String, String)] = Nil,
+      parts: Int = 0): (DataFrame, Totals) = {
+    val spark = df.sparkSession
+    val p = if (parts > 0) parts else spark.sparkContext.defaultParallelism
+    val inSchema = df.schema
+    val idxOf = inSchema.fieldNames.zipWithIndex.toMap
+    val li = sumsLong.map { case (in, _) => idxOf(in) }.toArray
+    val di = sumsDec.map { case (in, _) => idxOf(in) }.toArray
+    val mi = maxLongExcl.map { case (in, _) => idxOf(in) }.toArray
+
+    // numeric accessors tolerant of int/long (counts) and any exact
+    // decimal scale (the callers quantize to 18,6 but the scan itself
+    // only needs exactness, not a fixed scale)
+    def longAt(r: Row, i: Int): Long = r.get(i) match {
+      case l: Long => l
+      case n: Int  => n.toLong
+      case s: Short => s.toLong
+      case other => throw new IllegalArgumentException(
+        s"prefixScan long column holds ${other.getClass}")
+    }
+    def decAt(r: Row, i: Int): java.math.BigDecimal = r.get(i) match {
+      case d: java.math.BigDecimal => d
+      case d: scala.math.BigDecimal => d.bigDecimal
+      case other => throw new IllegalArgumentException(
+        s"prefixScan decimal column holds ${other.getClass}")
+    }
+
+    val ranged = df.repartitionByRange(p, order.map(col): _*)
+      .sortWithinPartitions(order.map(col): _*)
+    val rdd = ranged.rdd
+
+    // pass 1: per-partition totals — P driver rows, partition-count-grain
+    val partTotals = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val ls = new Array[Long](li.length)
+      val ds = Array.fill(di.length)(java.math.BigDecimal.ZERO)
+      val ms = new Array[Long](mi.length)
+      val mSeen = new Array[Boolean](mi.length)
+      it.foreach { r =>
+        var i = 0
+        while (i < li.length) { ls(i) += longAt(r, li(i)); i += 1 }
+        i = 0
+        while (i < di.length) { ds(i) = ds(i).add(decAt(r, di(i))); i += 1 }
+        i = 0
+        while (i < mi.length) {
+          val v = longAt(r, mi(i))
+          if (!mSeen(i) || v > ms(i)) { ms(i) = v; mSeen(i) = true }
+          i += 1
+        }
+      }
+      Iterator((pid, ls, ds, ms, mSeen))
+    }.collect().sortBy(_._1)
+
+    // exclusive prefix offsets per partition id
+    val offL = Array.fill(p, li.length)(0L)
+    val offD = Array.fill(p, di.length)(java.math.BigDecimal.ZERO)
+    val offM = Array.fill(p, mi.length)(0L)
+    val offMSeen = Array.fill(p, mi.length)(false)
+    val runL = new Array[Long](li.length)
+    val runD = Array.fill(di.length)(java.math.BigDecimal.ZERO)
+    val runM = new Array[Long](mi.length)
+    val runMSeen = new Array[Boolean](mi.length)
+    partTotals.foreach { case (pid, ls, ds, ms, mSeen) =>
+      var i = 0
+      while (i < li.length) { offL(pid)(i) = runL(i); runL(i) += ls(i); i += 1 }
+      i = 0
+      while (i < di.length) {
+        offD(pid)(i) = runD(i); runD(i) = runD(i).add(ds(i)); i += 1 }
+      i = 0
+      while (i < mi.length) {
+        offM(pid)(i) = runM(i); offMSeen(pid)(i) = runMSeen(i)
+        if (mSeen(i) && (!runMSeen(i) || ms(i) > runM(i))) {
+          runM(i) = ms(i); runMSeen(i) = true }
+        i += 1
+      }
+    }
+    val totals = Totals(
+      sumsLong.map(_._1).zip(runL).toMap,
+      sumsDec.map(_._1).zip(runD).toMap)
+
+    val outSchema = StructType(inSchema.fields ++
+      sumsLong.map { case (_, o) => StructField(o, LongType, nullable = false) } ++
+      sumsDec.map { case (_, o) => StructField(o, DoubleType, nullable = false) } ++
+      maxLongExcl.map { case (_, o) => StructField(o, LongType, nullable = true) })
+
+    // pass 2: running aggregates seeded with the partition offset
+    val nL = li.length; val nD = di.length; val nM = mi.length
+    val outRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val curL = offL(pid).clone()
+      val curD = offD(pid).clone()
+      val curM = offM(pid).clone()
+      val curMSeen = offMSeen(pid).clone()
+      it.map { r =>
+        val appended = new Array[Any](nL + nD + nM)
+        var i = 0
+        while (i < nL) {
+          curL(i) += longAt(r, li(i)); appended(i) = curL(i); i += 1 }
+        i = 0
+        while (i < nD) {
+          curD(i) = curD(i).add(decAt(r, di(i)))
+          appended(nL + i) = curD(i).doubleValue; i += 1 }
+        i = 0
+        while (i < nM) {
+          // exclusive: emit the max of strictly earlier rows FIRST
+          appended(nL + nD + i) =
+            if (curMSeen(i)) java.lang.Long.valueOf(curM(i)) else null
+          val v = longAt(r, mi(i))
+          if (!curMSeen(i) || v > curM(i)) { curM(i) = v; curMSeen(i) = true }
+          i += 1
+        }
+        Row.fromSeq(r.toSeq ++ appended)
+      }
+    }
+    (spark.createDataFrame(outRdd, outSchema), totals)
+  }
+}

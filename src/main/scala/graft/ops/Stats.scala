@@ -36,8 +36,11 @@ object Stats {
     * The Lorenz curve is sampled at the 10 decile grid points by
     * locating the ⌊n·d/10⌋-th smallest customer inside its value group
     * (cum_rev = cumS_prev + (k − C_prev)·v — again tie-order-free).
-    * Corpus cost: one orders scan + one dim-sized left join; the window
-    * runs over distinct revenue values only. */
+    * Corpus cost: one orders scan + one dim-sized left join; the
+    * cumulative counts/sums over the distinct-revenue frame run through
+    * [[PrefixScan]] (range-partitioned two-pass scan) — the frame is
+    * customer-cardinality-grain, so a single-partition window here would
+    * be the r11 verdict's scale defect. */
   def giniLorenz(spark: SparkSession, dir: String): DataFrame = {
     val rev = customer(spark, dir).select(col("c_custkey"))
       .join(orders(spark, dir).groupBy(col("o_custkey"))
@@ -45,12 +48,9 @@ object Stats {
         col("c_custkey") === col("o_custkey"), "left")
       .select(coalesce(col("r0"), lit(0.0)).as("v"))
     val grouped = rev.groupBy("v").agg(count(lit(1)).as("c"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val frame = grouped
-      .withColumn("cum_c", sum(col("c")).over(w))
-      .withColumn("cum_s", sum(round(col("v") * col("c"), 6)
-        .cast("decimal(18,6)")).over(w).cast("double"))
+      .withColumn("vc", round(col("v") * col("c"), 6).cast("decimal(18,6)"))
+    val (frame, _) = PrefixScan(grouped, Seq("v"),
+      sumsLong = Seq("c" -> "cum_c"), sumsDec = Seq("vc" -> "cum_s"))
     val agg = frame.agg(
       max(col("cum_c")).as("n"),
       round(dsum(round(col("v") * col("c"), 6)), 6).as("t"),
@@ -119,26 +119,24 @@ object Stats {
     * cross-scaled) so the statistic is exact until one final division.
     * p-value via the asymptotic two-sided bound 2·exp(−2D²·nₑ),
     * nₑ = N₁N₂/(N₁+N₂), clamped to 1 — exp round-6 on the 1-row
-    * reduce. Corpus cost: one value-grouped agg; the window runs over
-    * distinct round-6 values. */
+    * reduce. Corpus cost: one value-grouped agg; cumulative counts over
+    * the distinct-value frame via [[PrefixScan]] (the frame grows with
+    * the corpus until the round-6 grid saturates — never a
+    * single-partition window), with the two sample sizes coming back as
+    * exact scan totals instead of a whole-frame window. */
   def ksTest(spark: SparkSession, dir: String): DataFrame = {
     val per = events(spark, dir)
       .where(col("event_type").isin("click", "purchase"))
       .groupBy(round(col("value"), 6).as("v"))
       .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n1"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n2"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    val cum = per
-      .withColumn("c1", sum(col("n1")).over(w))
-      .withColumn("c2", sum(col("n2")).over(w))
-      .withColumn("t1", sum(col("n1")).over(wAll))
-      .withColumn("t2", sum(col("n2")).over(wAll))
+    val (cum, tot) = PrefixScan(per, Seq("v"),
+      sumsLong = Seq("n1" -> "c1", "n2" -> "c2"))
+    val t1 = tot.longs("n1")
+    val t2 = tot.longs("n2")
     cum.agg(
-        max(col("t1")).as("n_click"), max(col("t2")).as("n_purchase"),
-        max(abs(col("c1") * col("t2") - col("c2") * col("t1"))).as("d_num"))
+        max(lit(t1)).as("n_click"), max(lit(t2)).as("n_purchase"),
+        max(abs(col("c1") * lit(t2) - col("c2") * lit(t1))).as("d_num"))
       .select(col("n_click"), col("n_purchase"),
         round(col("d_num").cast("double") /
           (col("n_click") * col("n_purchase")).cast("double"), 6).as("d_stat"))

@@ -125,19 +125,19 @@ object Stats2 {
   def spearman(spark: SparkSession, dir: String): DataFrame = {
     val li = lineitem(spark, dir)
       .select(col("l_quantity").as("q"), round(col("l_extendedprice"), 6).as("v"))
+    // midrank maps over the distinct-value frames via PrefixScan (the
+    // price frame is ~row-cardinality until round-6 saturation — the r11
+    // single-partition-window defect if ranked with Window.orderBy); N
+    // comes back as the exact scan total, not a whole-frame window
     def rankMap(c: String) = {
       val grouped = li.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
-      val w = Window.orderBy(col(c))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.rowsBetween(Window.unboundedPreceding,
-        Window.unboundedFollowing)
-      grouped
-        .withColumn("cum", sum(col("cnt")).over(w))
-        .withColumn("n", sum(col("cnt")).over(wAll))
-        .select(col(c),
-          round((lit(2L) * (col("cum") - col("cnt")) + col("cnt") + 1L)
-            .cast("double") / (lit(2L) * col("n")).cast("double"), 6)
-            .as(s"r_$c"))
+      val (cum, tot) = PrefixScan(grouped, Seq(c),
+        sumsLong = Seq("cnt" -> "cum"))
+      val n = tot.longs("cnt")
+      cum.select(col(c),
+        round((lit(2L) * (col("cum") - col("cnt")) + col("cnt") + 1L)
+          .cast("double") / lit(2L * n).cast("double"), 6)
+          .as(s"r_$c"))
     }
     val ranked = li
       .join(broadcast(rankMap("q")), "q")
@@ -221,12 +221,12 @@ object Stats2 {
     val vals = events(spark, dir)
       .select(col("event_type"), round(col("value"), 6).as("v"))
     val byV = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = byV
-      .withColumn("cum", sum(col("c")).over(w))
-      .select(col("v"), col("c"),
-        (lit(2L) * (col("cum") - col("c")) + col("c") + 1L).as("r2"))
+    // doubled-midrank frame via PrefixScan — the distinct-value frame
+    // grows with the corpus until round-6 saturation, so the cumsum must
+    // be the distributed two-pass scan, never Window.orderBy(v)
+    val (cumV, _) = PrefixScan(byV, Seq("v"), sumsLong = Seq("c" -> "cum"))
+    val ranked = cumV.select(col("v"), col("c"),
+      (lit(2L) * (col("cum") - col("c")) + col("c") + 1L).as("r2"))
     val grp = vals.join(ranked.select(col("v"), col("r2")), "v")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_g"),
@@ -234,18 +234,18 @@ object Stats2 {
     val ties = byV.agg(
       sum((col("c") * col("c") * col("c") - col("c")).cast("decimal(38,0)"))
         .cast("double").as("t_adj"))
-    val wAll = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    val withN = grp
-      .withColumn("n", sum(col("n_g")).over(wAll))
-      .withColumn("k", count(lit(1)).over(wAll))
+    // group-grain totals (k = 5 event types) as a 1-row broadcast cross —
+    // the whole-frame window was the same single-partition shape
+    val nk = grp.agg(sum(col("n_g")).as("n"), count(lit(1)).as("k"))
+    val sg = grp.crossJoin(broadcast(nk))
       .withColumn("s_g", round(
         (col("s2_g") / (lit(2.0) * col("n").cast("double") *
           col("n_g").cast("double"))) *
         (col("s2_g") / (lit(2.0) * col("n").cast("double") *
           col("n_g").cast("double"))) * col("n_g").cast("double"), 6))
-      .withColumn("sum_s", round(sum(col("s_g").cast("decimal(18,6)"))
-        .over(wAll).cast("double"), 6))
+    val sumS = sg.agg(round(sum(col("s_g").cast("decimal(18,6)"))
+      .cast("double"), 6).as("sum_s"))
+    val withN = sg.crossJoin(broadcast(sumS))
     val n = col("n").cast("double")
     withN.crossJoin(broadcast(ties))
       .withColumn("h", lit(12.0) * n / (n + 1.0) * col("sum_s") -
