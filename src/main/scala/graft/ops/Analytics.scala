@@ -918,9 +918,23 @@ object Analytics {
     // localCheckpoint (eager) rather than persist: it TRUNCATES the
     // logical plan each round — without it the per-round plan nests the
     // whole loop history and Catalyst planning itself OOMs by round ~10
-    val ed = e0.select(col("a").as("x"), col("b").as("y"))
+    val ed0 = e0.select(col("a").as("x"), col("b").as("y"))
       .unionAll(e0.select(col("b").as("x"), col("a").as("y")))
       .localCheckpoint(true)
+    // size the LOOP's shuffle parallelism to the (node-dimension-sized)
+    // label frame, not the session default: every round is 3 shuffles
+    // of a tiny frame, and 32-partition exchanges make task overhead
+    // the whole runtime. The override is scoped to a CLONED session
+    // (ADVICE r11: a session-global set/restore leaks the reduced
+    // parallelism to any concurrent query on the shared session); the
+    // clone shares the SparkContext, so the checkpointed edge blocks
+    // carry over without recompute.
+    val sessionParts = spark.sessionState.conf.numShufflePartitions
+    val loopParts = math.max(1L,
+      math.min(sessionParts.toLong, ed0.count() / 100000L)).toInt
+    val loop = spark.newSession()
+    loop.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    val ed = loop.createDataFrame(ed0.rdd, ed0.schema).localCheckpoint(true)
     var lab = ed.select(col("x").as("v")).distinct()
       .withColumn("l", col("v")).localCheckpoint(true)
     // null-safe: sum over an EMPTY label frame is NULL (the empty-tables
@@ -943,25 +957,21 @@ object Analytics {
         .join(prop.select(col("v").as("l"), col("l").as("l2")), Seq("l"), "left")
         .select(col("v"), coalesce(col("l2"), col("l")).as("l"))
     }
-    // size the LOOP's shuffle parallelism to the (node-dimension-sized)
-    // label frame, not the session default: every round is 3 shuffles
-    // of a tiny frame, and 32-partition exchanges make task overhead
-    // the whole runtime. Restored in finally — queries after this one
-    // see the session setting untouched.
-    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val loopParts = math.max(1L, math.min(sessionParts.toLong,
-      ed.count() / 100000L)).toString
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", loopParts)
-      while (!converged && rounds < 50) {
-        val next = step(lab).localCheckpoint(true)
-        val nextSum = labelSum(next).getOrElse(0L)
-        lab = next
-        converged = nextSum == labSum
-        labSum = nextSum
-        rounds += 1
-      }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+    while (!converged && rounds < 50) {
+      val next = step(lab).localCheckpoint(true)
+      val nextSum = labelSum(next).getOrElse(0L)
+      lab = next
+      converged = nextSum == labSum
+      labSum = nextSum
+      rounds += 1
+    }
+    // fail loudly rather than return split components (ADVICE r11): a
+    // non-converged exit is indistinguishable from a converged one to
+    // the caller, and with pointer-doubling 50 rounds covers any graph
+    // of diameter < 2^50 — hitting the cap means something is broken
+    require(converged,
+      s"connected-components did not converge within $rounds rounds — " +
+        "component diameter exceeds the iteration budget; raise the cap")
     val wAll = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
     val out = lab.groupBy(col("l").as("component_id"))
@@ -1057,31 +1067,73 @@ object Analytics {
       .orderBy("price")
   }
 
+  /** Middle-hop fanout cap for [[twoHopReach]]: nodes with degree above
+    * this route only their cap h48-lowest edges as wedge middles. Well
+    * above both fixture maxima (13 at sf0.01, 6 at sf0.1), so the
+    * fixture answer is EXACT; the cap exists for the hub-skewed regime
+    * and is exercised on a synthetic skewed graph in ScaleRehearsalSpec. */
+  private[graft] val TwoHopHubCap = 32
+
   /** L322 — two-hop reach per node (the friends-of-friends audience
     * size — the expansion factor behind graph recommendation blast
     * radius and GNN neighborhood-sampling budgets; the SQL-shaped
     * sibling of L307's full closure, stopped at depth 2). reach₂(a) =
     * |{c ≠ a : dist(a,c) ≤ 2}| via one edge⋈edge equi-join on the
-    * middle node (volume Σ_b deg(b)² — at 100 TB the hub cap of L188
-    * bounds exactly this term) unioned with the direct edges, then a
-    * distinct + count per node. Top-20 with the 1-hop degree alongside
-    * — the reach/degree ratio IS the local expansion factor. */
+    * middle node, unioned with the direct edges, then a distinct +
+    * count per node. The wedge volume is Σ_m deg_in(m)·fanout(m) — the
+    * Σ deg² term that explodes under hub skew — so the fanout side is
+    * HUB-CAPPED (VERDICT r11 #2, the L188 stratification applied here):
+    * middles at degree ≤ [[TwoHopHubCap]] contribute exactly; hub
+    * middles route only their cap h48-lowest neighbors (deterministic
+    * truncation both engines compute bit-identically — a documented
+    * lower bound for hub-adjacent nodes, surfaced per node as
+    * `n_hub_middles` so an exact row is distinguishable from a capped
+    * one). Wedge volume is ≤ cap·|E| at ANY skew. Top-20 with the
+    * 1-hop degree alongside — reach/degree IS the local expansion. */
   def twoHopReach(spark: SparkSession, dir: String): DataFrame = {
     val e0 = coPurchaseEdges(spark, dir)
     val ed = e0.select(col("a").as("x"), col("b").as("y"))
       .unionAll(e0.select(col("b").as("x"), col("a").as("y")))
+    twoHopReachOn(ed, TwoHopHubCap)
+  }
+
+  /** Core of [[twoHopReach]] over an arbitrary directed edge set (x, y)
+    * carrying both orientations — the rehearsal spec drives it with a
+    * synthetic skewed-hub graph. */
+  private[graft] def twoHopReachOn(ed: DataFrame, cap: Int): DataFrame = {
+    val deg = ed.groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val tagged = ed.join(deg, "x")
+    // fanout truncation: light middles pass whole; hub middles keep the
+    // cap h48-lowest edges (rank via WindowGroupLimit — partial top-k per
+    // partition before the per-hub shuffle, never the full hub adjacency
+    // in one task's window buffer beyond the hub's own edges)
+    val hubW = Window.partitionBy(col("x"))
+      .orderBy(graft.Tables.h48(concat_ws(":", col("x"), col("y"))),
+        col("y"))
+    val fan = tagged.where(col("d") <= cap).select(col("x"), col("y"))
+      .unionAll(tagged.where(col("d") > cap)
+        .withColumn("rn", row_number().over(hubW))
+        .where(col("rn") <= cap)
+        .select(col("x"), col("y")))
     val two = ed.select(col("x").as("a"), col("y").as("m"))
-      .join(ed.select(col("x").as("m"), col("y").as("c")), Seq("m"))
+      .join(fan.select(col("x").as("m"), col("y").as("c")), Seq("m"))
       .where(col("a") =!= col("c"))
       .select(col("a"), col("c"))
     val reach = two.unionAll(ed.select(col("x").as("a"), col("y").as("c")))
       .distinct()
       .groupBy("a").agg(count(lit(1)).as("reach_2hop"))
-    val deg = ed.groupBy(col("x").as("a")).agg(count(lit(1)).as("degree"))
-    reach.join(deg, "a")
+    // per-node honesty flag: how many of a's middles were hub-truncated
+    val hubm = ed
+      .join(deg.select(col("x").as("y"), col("d")), "y")
+      .where(col("d") > cap)
+      .groupBy(col("x").as("a")).agg(count(lit(1)).as("n_hub_middles"))
+    val degOut = ed.groupBy(col("x").as("a")).agg(count(lit(1)).as("degree"))
+    reach.join(degOut, "a")
+      .join(hubm, Seq("a"), "left")
       .select(col("a").as("node"), col("degree"), col("reach_2hop"),
         round(col("reach_2hop").cast("double") / col("degree").cast("double"),
-          6).as("expansion"))
+          6).as("expansion"),
+        coalesce(col("n_hub_middles"), lit(0L)).as("n_hub_middles"))
       .orderBy(col("reach_2hop").desc, col("node").asc)
       .limit(20)
   }
@@ -1369,27 +1421,40 @@ object Analytics {
          WHERE (cm.cheaper_max IS NULL OR cm.cheaper_max < pts.size)
            AND pts.size = cm.max_sz
          ORDER BY pts.price""",
-    "graph_two_hop_reach" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+    "graph_two_hop_reach" -> {
+      val h = graft.Tables.h48Sql(
+        "CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)")
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
              FROM lineitem),
          e0 AS (SELECT a.p AS a, b.p AS b FROM op a JOIN op b
              ON a.o = b.o AND a.p < b.p
            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
          ed AS (SELECT a AS x, b AS y FROM e0
            UNION ALL SELECT b, a FROM e0),
+         deg AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS d
+           FROM ed GROUP BY 1),
+         fan AS (SELECT x, y FROM (
+             SELECT ed.x, ed.y, d, ROW_NUMBER() OVER (PARTITION BY ed.x
+               ORDER BY ($h), ed.y) AS rn
+             FROM ed JOIN deg USING (x))
+           WHERE d <= $TwoHopHubCap OR rn <= $TwoHopHubCap),
          two AS (SELECT l.x AS a, r.y AS c
-           FROM ed l JOIN ed r ON l.y = r.x WHERE l.x != r.y),
+           FROM ed l JOIN fan r ON l.y = r.x WHERE l.x != r.y),
          reach AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS reach_2hop
            FROM (SELECT DISTINCT a, c FROM
              (SELECT a, c FROM two UNION ALL SELECT x AS a, y AS c FROM ed))
            GROUP BY 1),
-         deg AS (SELECT x AS a, CAST(COUNT(*) AS BIGINT) AS degree
-           FROM ed GROUP BY 1)
-         SELECT a AS node, degree, reach_2hop,
-           round(CAST(reach_2hop AS DOUBLE) / CAST(degree AS DOUBLE), 6)
-             AS expansion
-         FROM reach JOIN deg USING (a)
-         ORDER BY reach_2hop DESC, node LIMIT 20""",
+         hubm AS (SELECT ed.x AS a, CAST(COUNT(*) AS BIGINT) AS n_hub_middles
+           FROM ed JOIN deg dm ON ed.y = dm.x
+           WHERE dm.d > $TwoHopHubCap GROUP BY 1)
+         SELECT a AS node, deg.d AS degree, reach_2hop,
+           round(CAST(reach_2hop AS DOUBLE) / CAST(deg.d AS DOUBLE), 6)
+             AS expansion,
+           COALESCE(n_hub_middles, 0) AS n_hub_middles
+         FROM reach JOIN deg ON deg.x = reach.a
+         LEFT JOIN hubm USING (a)
+         ORDER BY reach_2hop DESC, node LIMIT 20"""
+    },
     "graph_connected_components" ->
       """WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
              FROM lineitem),

@@ -325,9 +325,11 @@ object Ml {
     * at any scale; ranks are then row_number over the 20-row frame
     * with the (score desc, doc_id) tiebreak making tie order
     * engine-free. DCG terms round(y/log₂(i+1), 6) decimal-summed per
-    * cutoff; ideal DCG from an exploded 1..min(20, n_pos) sequence so
-    * a positive-starved corpus still normalizes correctly. Output: one
-    * row per cutoff k with n_pos, dcg, idcg, ndcg. */
+    * cutoff; ideal DCG from an exploded 1..min(20, n_pos) sequence,
+    * guarded on n_pos ≥ 1 (a positive-starved corpus yields the empty
+    * result in BOTH engines — Spark's sequence(1,0) would otherwise
+    * descend). Output: one row per cutoff k with n_pos, dcg, idcg,
+    * ndcg. */
   def ndcg(spark: SparkSession, dir: String): DataFrame = {
     val ord = Window.orderBy(col("s").desc, col("doc_id"))
     val top = scoredDocs(spark, dir)
@@ -337,7 +339,12 @@ object Ml {
     def cuts(c: String) = Seq(5, 10, 20).map(k =>
       round(dsum(when(col("i") <= k, col("term"))), 6).as(s"${c}_$k"))
     val dcgs = top.agg(cuts("dcg").head, cuts("dcg").tail: _*)
+    // n_pos >= 1 guard: sequence(1, 0) DESCENDS in Spark (default step
+    // -1) where DuckDB's range(1, 1) is empty — on a positive-starved
+    // corpus both engines must agree on the empty result, so the ideal
+    // branch is filtered out entirely when there are no positives
     val ideal = scoredDocs(spark, dir).agg(sum(col("y")).as("n_pos"))
+      .where(col("n_pos") >= 1)
       .select(col("n_pos"),
         explode(sequence(lit(1L), least(lit(20L), col("n_pos")))).as("i"))
       .withColumn("term", round(lit(1.0) / log2(col("i") + 1), 6))

@@ -54,7 +54,11 @@ class Round11qSpec extends SparkTestBase {
     }
   }
 
-  test("graph_two_hop_reach: reach replicates JVM; reach >= degree always") {
+  test("graph_two_hop_reach: hub-capped reach replicates JVM; reach >= degree always") {
+    // sf0.001's 200-part graph is DENSE (degrees up to 51), so the
+    // round-12 hub cap (32) genuinely fires here — the replica mirrors
+    // the h48-lowest fanout truncation bit-for-bit
+    val cap = 32
     val li = Tables.lineitem(spark, sf0001)
       .select("l_orderkey", "l_partkey").distinct().collect()
       .map(r => (r.getLong(0), r.getLong(1)))
@@ -64,18 +68,27 @@ class Round11qSpec extends SparkTestBase {
     }.toSeq.groupBy(identity).filter(_._2.size >= 2).keys.toSet
     val adj = edges.toSeq.flatMap(e => Seq(e, (e._2, e._1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val fan = adj.map { case (m, nbrs) =>
+      m -> (if (nbrs.size <= cap) nbrs
+        else nbrs.toSeq.sortBy(y => (Tables.h48jvm(s"$m:$y"), y))
+          .take(cap).toSet)
+    }
     val want = adj.toSeq.map { case (a, nbrs) =>
-      val reach = (nbrs ++ nbrs.flatMap(adj(_))) - a
+      val reach = (nbrs ++ nbrs.flatMap(fan(_))) - a
       (a, nbrs.size.toLong, reach.size.toLong,
-        r6(reach.size.toDouble / nbrs.size.toDouble))
+        r6(reach.size.toDouble / nbrs.size.toDouble),
+        nbrs.count(adj(_).size > cap).toLong)
     }.sortBy(x => (-x._3, x._1)).take(20)
     val got = SparkEntry.queries("graph_two_hop_reach")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getDouble(3)))
+        r.getDouble(3), r.getLong(4)))
     assert(got.toSeq == want)
     got.foreach(g => assert(g._3 >= g._2, s"reach below degree: $g"))
     // expansion genuinely fires somewhere (a 2-hop neighborhood larger
     // than the 1-hop one exists on the fixture)
     assert(got.exists(g => g._3 > g._2), "no node expands at 2 hops")
+    // the cap genuinely fires on this fixture: hub-adjacent rows exist
+    assert(got.exists(_._5 > 0L), "hub cap never fired at sf0.001 — " +
+      "the truncation path is untested here")
   }
 }

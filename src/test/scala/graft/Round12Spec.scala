@@ -80,6 +80,36 @@ class Round12Spec extends SparkTestBase {
     }
   }
 
+  test("audit_referential scans lineitem exactly once (both FKs share the pass)") {
+    // VERDICT r11 #3: the two lineitem FK orphan counts must ride ONE
+    // child scan (broadcast membership flags + conditional counts), so
+    // the biggest table appears once in the physical plan
+    val p = ops.Audit.referentialAudit(spark, sf0001)
+      .queryExecution.sparkPlan.toString()
+    val liScans = "lineitem\\.parquet".r.findAllIn(p).size
+    assert(liScans === 1, s"lineitem scanned $liScans times:\n$p")
+  }
+
+  test("dq_volume_anomaly pins robust_z to 0 when MAD is 0 (uniform volume)") {
+    import spark.implicits._
+    // uniform daily counts → MAD = 0 → the unguarded division would be
+    // NULL in Spark vs ±Inf in DuckDB (ADVICE r11); both engines now pin 0
+    val dir = java.nio.file.Files.createTempDirectory("graft-uniform").toString
+    // 8 days x 3 events/day, identical counts
+    val rows = for (d <- 1 to 8; k <- 1 to 3) yield
+      (d * 10L + k, 1L, java.sql.Timestamp.valueOf(f"2026-01-$d%02d 0$k:00:00"),
+        "click", 1.0, """{"device":"x"}""")
+    rows.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = ops.Audit.volumeAnomaly(spark, dir).collect()
+    assert(r.length === 8)
+    r.foreach { row =>
+      assert(row.getAs[Double]("mad") === 0.0)
+      assert(row.getAs[Double]("robust_z") === 0.0)
+      assert(!row.getAs[Boolean]("is_anomaly"))
+    }
+  }
+
   test("rewritten statistics queries return the committed fixture values") {
     // gini on sf0.001 — the whole-population inequality readout must be
     // stable across the window→PrefixScan rewrite (values captured from

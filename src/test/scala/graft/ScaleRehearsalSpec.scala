@@ -776,4 +776,47 @@ class ScaleRehearsalSpec extends SparkTestBase {
         s"credited revenue not 10x: ${s.getDouble(2)} vs ${b.getDouble(2)}")
     }
   }
+
+  test("two-hop reach hub cap under star skew: wedge volume capped, light stratum exact") {
+    import spark.implicits._
+    val cap = 32
+    // Star graph: one hub wired to 2000 leaves — uncapped, the wedge join
+    // through the hub enumerates deg(H)^2 = 4M pairs; capped, the hub
+    // routes only its 32 h48-lowest edges, so every leaf's two-hop set is
+    // <= 1 + cap instead of 2000. Fixture degrees max out at 13, so this
+    // is the regime the cap exists for (VERDICT r11 #2).
+    val star = (1L to 2000L).map(l => (0L, l)).toDF("a", "b")
+    val ed = star.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(star.select(col("b").as("x"), col("a").as("y")))
+    val r = ops.Analytics.twoHopReachOn(ed, cap).collect()
+    val hub = r.head
+    assert(hub.getAs[Long]("node") === 0L)
+    assert(hub.getAs[Long]("reach_2hop") === 2000L,
+      "hub's DIRECT reach must never be truncated")
+    assert(hub.getAs[Long]("n_hub_middles") === 0L)
+    r.tail.foreach { leaf =>
+      assert(leaf.getAs[Long]("reach_2hop") <= 1L + cap,
+        s"leaf ${leaf.getAs[Long]("node")} reach " +
+          s"${leaf.getAs[Long]("reach_2hop")} exceeds the 1+cap bound — " +
+          "hub fanout not truncated")
+      assert(leaf.getAs[Long]("n_hub_middles") === 1L,
+        "hub-adjacent rows must be flagged as capped")
+    }
+    // determinism of the h48 truncation: a second run is row-identical
+    val r2 = ops.Analytics.twoHopReachOn(ed, cap).collect()
+    assert(r.map(_.toSeq).toSeq === r2.map(_.toSeq).toSeq)
+    // light-only graph (clique of 10, degree 9 <= cap): EXACT reach,
+    // zero hub flags — the stratification never touches the light path
+    val clique = (for (i <- 0 until 10; j <- 0 until 10; if i < j)
+      yield (100L + i, 100L + j)).toDF("a", "b")
+    val edl = clique.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(clique.select(col("b").as("x"), col("a").as("y")))
+    val rl = ops.Analytics.twoHopReachOn(edl, cap).collect()
+    assert(rl.length === 10)
+    rl.foreach { row =>
+      assert(row.getAs[Long]("reach_2hop") === 9L)
+      assert(row.getAs[Long]("n_hub_middles") === 0L)
+      assert(row.getAs[Double]("expansion") === 1.0)
+    }
+  }
 }
