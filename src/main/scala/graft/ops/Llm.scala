@@ -139,7 +139,13 @@ object Llm {
     * whole MinHash lineage per side: measured 4.7 s → 2.0 s at sf0.1), and
     * the 100 TB shape: the band value is the shuffle key, pair count ∝
     * actual collisions, never O(n²). */
-  def dedupNear(spark: SparkSession, dir: String): DataFrame = {
+  def dedupNear(spark: SparkSession, dir: String): DataFrame =
+    nearCandidates(spark, dir).orderBy("doc1", "doc2")
+
+  /** Banded candidate pairs with band-collision counts, unsorted —
+    * shared by [[dedupNear]]'s published output and
+    * [[Llm3.dedupClustersAt]]'s corpus-wide pair generation. */
+  private[graft] def nearCandidates(spark: SparkSession, dir: String): DataFrame = {
     val sigs = minhashSigs(spark, dir)
     val bands = sigs.select(col("doc_id"), explode(array(
       (0 until 4).map { j =>
@@ -155,7 +161,6 @@ object Llm {
         y => struct(x.as("doc1"), y.as("doc2")))))).as("p"))
     pairs.groupBy(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
       .agg(count(lit(1)).as("n_bands"))
-      .orderBy("doc1", "doc2")
   }
 
   // ------------------------------------------------------------------
@@ -881,6 +886,29 @@ object Llm {
     s"list_sum(list_transform(range(1,65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
   private def normSql(a: String): String =
     s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  /** DuckDB CTE chain ending in `cand(d1, d2)` — banded candidate pairs,
+    * the oracle twin of [[nearCandidates]]. CTE names are nc_-prefixed so
+    * composing oracles (Llm3's corpus-wide clusters) can append their own
+    * without collision. Callers splice it after WITH [RECURSIVE]. */
+  private[graft] def nearCandidatesSql: String = {
+    val mins = MinhashA.zipWithIndex.map { case (a, i) =>
+      s"MIN((nc_c*$a + ${minhashB(i)}) % $P) AS m$i"
+    }.mkString(", ")
+    val bandSelects = (0 until 4).map { j =>
+      s"SELECT doc_id, $j AS band, m${2 * j} || '_' || m${2 * j + 1} AS sig FROM nc_m"
+    }.mkString(" UNION ALL ")
+    s"""nc_w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents
+          WHERE len(string_split(text,' ')) >= 3),
+        nc_sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1),
+          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s FROM nc_w),
+        nc_h AS (SELECT doc_id, ${h48S("s")} AS nc_c FROM nc_sh),
+        nc_m AS (SELECT doc_id, $mins FROM nc_h GROUP BY doc_id),
+        nc_bands AS ($bandSelects),
+        cand AS (SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+          FROM nc_bands b1 JOIN nc_bands b2
+          ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id)"""
+  }
 
   val oracles: Map[String, String] = Map(
     "llm_dedup_exact" ->

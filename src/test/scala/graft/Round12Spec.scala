@@ -80,6 +80,19 @@ class Round12Spec extends SparkTestBase {
     }
   }
 
+  test("dedup clusters: driver union-find and distributed Pregel agree row-for-row") {
+    // round 12 hybrid: below DriverUfCap edges the labels come from a
+    // driver union-find; parallelism > 0 forces the pointer-doubling
+    // Pregel loop — same verified-banded-candidate edge set, so the two
+    // paths must be bit-identical
+    val uf = ops.Llm3.dedupClusters(spark, sf0001)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val pregel = ops.Llm3.dedupClustersAt(spark, sf0001, parallelism = 2)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(uf.toSeq === pregel.toSeq)
+    assert(uf.nonEmpty)
+  }
+
   test("audit_referential scans lineitem exactly once (both FKs share the pass)") {
     // VERDICT r11 #3: the two lineitem FK orphan counts must ride ONE
     // child scan (broadcast membership flags + conditional counts), so

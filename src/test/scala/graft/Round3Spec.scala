@@ -228,21 +228,49 @@ class Round3Spec extends SparkTestBase {
     }
   }
 
-  test("dedup clusters: labels are component-consistent and minimal") {
-    val labels = ops.Llm3.dedupClusters(spark, sf0001).collect()
+  test("dedup clusters: labels are component-consistent and minimal (corpus-wide)") {
+    // round 12: clusters run over the WHOLE corpus (banded MinHash
+    // candidates, exact-Jaccard verified) — every doc gets a row
+    val rows = ops.Llm3.dedupClusters(spark, sf0001).collect()
+    val labels = rows
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    assert(rows.length.toLong ===
+      Tables.documents(spark, sf0001).count(), "one row per corpus doc")
     // every cluster label is the min doc_id of its members
     labels.groupBy(_._2).foreach { case (c, members) =>
       assert(members.keys.min === c, s"cluster $c min is ${members.keys.min}")
     }
-    // recompute the edge set independently and check endpoint agreement
-    val docs = Tables.documents(spark, sf0001).where(col("doc_id") < 50)
+    // contract edges = banded candidates verified at exact word-set
+    // Jaccard >= 9/10 (integer rule): recompute the verification
+    // independently in the JVM over the Spark-produced candidate set
+    // and check endpoint label agreement
+    val docs = Tables.documents(spark, sf0001)
       .select(col("doc_id"), split(col("text"), " ").as("ws")).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1).toSet).toMap
-    for ((a, wa) <- docs; (b, wb) <- docs if a < b) {
-      val j = wa.intersect(wb).size.toDouble / wa.union(wb).size.toDouble
-      if (j >= 0.9)
-        assert(labels(a) === labels(b), s"edge ($a,$b) j=$j split across clusters")
+    val cand = ops.Llm.dedupNear(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc1"), r.getAs[Long]("doc2")))
+    assert(cand.nonEmpty, "fixture has no banded candidates — test is vacuous")
+    var verified = 0
+    cand.foreach { case (a, b) =>
+      val (wa, wb) = (docs(a), docs(b))
+      val inter = wa.intersect(wb).size
+      val uni = wa.size + wb.size - inter
+      if (10 * inter >= 9 * uni) {
+        verified += 1
+        assert(labels(a) === labels(b), s"edge ($a,$b) split across clusters")
+      }
+    }
+    assert(verified > 0, "no candidate survived verification — test is vacuous")
+    // replica closure: identical TEXTS always share a cluster (identical
+    // trigram sets → identical signatures collide in every band; J = 1
+    // passes verification). NB: same word SET with different word order
+    // is not a replica — trigram banding is order-sensitive by design.
+    val texts = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    texts.groupBy(_._2).filter(_._2.length > 1).foreach { case (_, g) =>
+      assert(g.map(d => labels(d._1)).distinct.length === 1,
+        s"identical docs ${g.map(_._1).toSeq} split across clusters")
     }
   }
 }

@@ -125,6 +125,14 @@ class ScaleRehearsalSpec extends SparkTestBase {
       .groupBy("family").agg(countDistinct(col(lab)).as("nlab"))
       .where(col("nlab") > 1).count()
     assert(split === 0L, s"$split replica families split across components")
+    // the DISTRIBUTED Pregel path (the >DriverUfCap regime) must converge
+    // and close the same replica families on the dense 10x pair graph
+    val pregel = ops.Llm3.dedupClustersAt(spark, scaledDir, parallelism = 4)
+    val splitP = pregel
+      .withColumn("family", (col("doc_id") / K).cast("long"))
+      .groupBy("family").agg(countDistinct(col("cluster")).as("nlab"))
+      .where(col("nlab") > 1).count()
+    assert(splitP === 0L, s"$splitP families split on the Pregel path")
   }
 
   test("llm_dedup_jaccard_prefix at 10x duplicate density: SSJoin completes, no pair explosion") {
