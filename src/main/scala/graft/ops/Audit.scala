@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Release-gate audits a training-data pipeline runs before shipping a
@@ -109,6 +110,60 @@ object Audit {
       .groupBy("band")
       .agg(count(lit(1)).as("n_classes"), sum(col("k")).as("n_docs"))
       .orderBy("band")
+  }
+
+  /** L334 — t-closeness audit (Li, Li & Venkatasubramanian ICDE 2007 —
+    * the follow-up l-diversity needs: a class can be l-diverse yet leak
+    * if its sensitive-value DISTRIBUTION differs sharply from the
+    * table's). Same QI grain as the L238 l-diversity row (event_type ×
+    * hour-of-day), sensitive attribute = the ordered value band
+    * (least(⌊value/20⌋, 9) — the L273 binning, k = 10 ordered
+    * categories). Distance = the ordered-attribute Earth Mover's
+    * Distance of the t-closeness paper: EMD(P, Q) = Σ_j |cumP_j −
+    * cumQ_j| / (k−1), computed in EXACT integers as
+    * Σ_j |cum(n_gj)·N − cum(N_j)·n_g| / (n_g·N·(k−1)) — one round-6
+    * division at the end. The dense class × 10-bin grid comes from an
+    * explode over the QI-class frame (QI-space-bounded, the §privacy
+    * contract) with the 10-row global bin table and 1-row total
+    * broadcast; the cumulative sums are a KEYED 10-row window per
+    * class, never a global sort. Top-20 classes by EMD with the t=0.2
+    * flag — the page a privacy review reads. */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val ev = events(spark, dir).select(col("event_type"),
+      hour(col("ts")).as("hod"),
+      least(floor(col("value") / 20.0).cast("long"), lit(9L)).as("vband"))
+    val cls = ev.groupBy("event_type", "hod", "vband")
+      .agg(count(lit(1)).as("n_gj"))
+    val grid = ev.groupBy("event_type", "hod").agg(count(lit(1)).as("n_g"))
+      .select(col("event_type"), col("hod"), col("n_g"),
+        explode(sequence(lit(0L), lit(k - 1L))).as("vband"))
+    val gbin = ev.groupBy("vband").agg(count(lit(1)).as("n_j"))
+    val tot = ev.agg(count(lit(1)).as("n_total"))
+    val wb = Window.partitionBy(col("event_type"), col("hod"))
+      .orderBy(col("vband"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dense = grid
+      .join(cls, Seq("event_type", "hod", "vband"), "left")
+      .join(broadcast(gbin), Seq("vband"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("event_type"), col("hod"), col("vband"), col("n_g"),
+        coalesce(col("n_gj"), lit(0L)).as("n_gj"),
+        coalesce(col("n_j"), lit(0L)).as("n_j"), col("n_total"))
+    dense
+      .withColumn("cum_g", sum(col("n_gj")).over(wb))
+      .withColumn("cum_j", sum(col("n_j")).over(wb))
+      .withColumn("term", abs(col("cum_g") * col("n_total") -
+        col("cum_j") * col("n_g")).cast("decimal(38,0)"))
+      .groupBy(col("event_type"), col("hod"), col("n_g"), col("n_total"))
+      .agg(sum(col("term")).as("s"))
+      .select(col("event_type"), col("hod"), col("n_g"),
+        round(col("s").cast("double") /
+          (col("n_g").cast("double") * col("n_total").cast("double") *
+            lit((k - 1).toDouble)), 6).as("emd"))
+      .withColumn("violates_t", col("emd") > 0.2)
+      .orderBy(col("emd").desc, col("event_type").asc, col("hod").asc)
+      .limit(20)
   }
 
   /** Keyed snapshot reconciliation (the table-diff every CDC/publish
@@ -382,10 +437,18 @@ object Audit {
     * center/scale = median and MAD over that frame (exact interpolated
     * percentile, L21/L207), Iglewicz–Hoaglin modified z per day, flag
     * at |z| > 3.5. Top-20 by |z| — the page the alert links to. */
-  def volumeAnomaly(spark: SparkSession, dir: String): DataFrame = {
-    val daily = events(spark, dir)
+  def volumeAnomaly(spark: SparkSession, dir: String): DataFrame =
+    volumeScoreOn(events(spark, dir)
       .groupBy(date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("day")).as("day_us"), col("n_events")))
+
+  /** Robust-z scoring over an already-built daily-count frame
+    * (day_us, n_events) — shared by the batch query above and the
+    * streaming twin ([[graft.streaming.Streams.dailyVolumeWindowed]]
+    * maintains the counts in windowed state; this finishing pass runs
+    * per trigger over the tiny day-grain output). */
+  private[graft] def volumeScoreOn(daily: DataFrame): DataFrame = {
     val med = daily.agg(round(expr("percentile(n_events, 0.5)"), 6).as("med"))
     val withMed = daily.crossJoin(broadcast(med))
       .withColumn("adev", abs(col("n_events").cast("double") - col("med")))
@@ -398,7 +461,7 @@ object Audit {
         (col("n_events").cast("double") - col("med")) / col("mad"), 6))
         .otherwise(lit(0.0)))
       .withColumn("is_anomaly", abs(col("robust_z")) > 3.5)
-      .select(unix_micros(col("day")).as("day_us"), col("n_events"),
+      .select(col("day_us"), col("n_events"),
         col("med"), col("mad"), col("robust_z"), col("is_anomaly"))
       .orderBy(abs(col("robust_z")).desc, col("day_us").asc)
       .limit(20)
@@ -410,6 +473,7 @@ object Audit {
     "privacy_randomized_response" -> (randomizedResponse _),
     "privacy_dp_counts" -> (dpCounts _),
     "privacy_l_diversity" -> (lDiversity _),
+    "privacy_t_closeness" -> (tCloseness _),
     "privacy_k_anonymity" -> (kAnonymity _),
     "cdc_table_diff" -> (tableDiff _),
     "ts_seasonal_hourly" -> (tsSeasonalHourly _),
@@ -520,6 +584,39 @@ object Audit {
            CAST(1.0 AS DOUBLE) AS epsilon
          FROM n ORDER BY event_type"""
     },
+    "privacy_t_closeness" ->
+      """WITH ev AS (SELECT event_type,
+             CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hod,
+             LEAST(CAST(floor(value / 20.0) AS BIGINT), 9) AS vband
+           FROM events),
+         cls AS (SELECT event_type, hod, vband,
+             CAST(COUNT(*) AS BIGINT) AS n_gj FROM ev GROUP BY 1, 2, 3),
+         g AS (SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS n_g
+           FROM ev GROUP BY 1, 2),
+         grid AS (SELECT event_type, hod, n_g,
+             UNNEST(range(0, 10)) AS vband FROM g),
+         gbin AS (SELECT vband, CAST(COUNT(*) AS BIGINT) AS n_j
+           FROM ev GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM ev),
+         dense AS (SELECT grid.event_type, grid.hod, grid.vband, grid.n_g,
+             COALESCE(cls.n_gj, 0) AS n_gj, COALESCE(gbin.n_j, 0) AS n_j,
+             n_total
+           FROM grid
+           LEFT JOIN cls ON grid.event_type = cls.event_type
+             AND grid.hod = cls.hod AND grid.vband = cls.vband
+           LEFT JOIN gbin ON grid.vband = gbin.vband, tot),
+         cum AS (SELECT event_type, hod, n_g, n_total,
+             abs(SUM(n_gj) OVER w * n_total - SUM(n_j) OVER w * n_g) AS term
+           FROM dense WINDOW w AS (PARTITION BY event_type, hod
+             ORDER BY vband ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)),
+         e AS (SELECT event_type, hod, n_g,
+             round(CAST(SUM(term) AS DOUBLE) /
+               (CAST(n_g AS DOUBLE) * CAST(n_total AS DOUBLE) * 9.0), 6)
+               AS emd
+           FROM cum GROUP BY event_type, hod, n_g, n_total)
+         SELECT event_type, hod, n_g, emd, emd > 0.2 AS violates_t
+         FROM e ORDER BY emd DESC, event_type, hod LIMIT 20""",
     "privacy_l_diversity" ->
       """WITH cls AS (SELECT event_type,
              CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hod,

@@ -62,6 +62,34 @@ object Llm3 {
       .orderBy(col("n").desc, col("word").asc)
       .limit(20)
 
+  /** L335 — nucleus (top-p) vocabulary selection (the tokenizer-build
+    * step after L56's raw wordcount: the SMALLEST count-ranked prefix
+    * of the vocabulary covering ≥90% of corpus token mass — the
+    * coverage-targeted sibling of L241's fixed top-K cut, and the same
+    * rule nucleus sampling applies to logits at inference). Inclusion
+    * in exact integers: keep a word while 10·cum_prev < 9·total (the
+    * minimal-prefix convention — the word that CROSSES the threshold is
+    * kept). The cumulative-mass-and-rank pass runs through
+    * [[PrefixScan]] over the vocabulary-grain frame ordered by
+    * (count desc, word) — vocabulary grows with the corpus (millions of
+    * types at 100 TB), so the running sum is the distributed two-pass
+    * scan, never a single-partition window; the corpus itself is
+    * touched only by the wordcount aggregate. */
+  def vocabNucleus(spark: SparkSession, dir: String): DataFrame = {
+    val counts = wordsOf(documents(spark, dir))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("neg_cnt", -col("cnt"))
+      .withColumn("one", lit(1L))
+    val (cum, tot) = PrefixScan(counts, Seq("neg_cnt", "word"),
+      sumsLong = Seq("cnt" -> "cum_mass", "one" -> "rank"))
+    val total = tot.longs("cnt")
+    cum.where(lit(10L) * (col("cum_mass") - col("cnt")) < lit(9L * total))
+      .select(col("rank"), col("word"), col("cnt"),
+        round(col("cum_mass").cast("double") / lit(total).cast("double"), 6)
+          .as("cum_share"))
+      .orderBy("rank")
+  }
+
   /** PII redaction pass (row-local scrub): digits masked to '#', digit
     * count and a stable fingerprint retained for audit joins. The same
     * shape extends to a bank of email/phone/ssn regexes at scale. */
@@ -546,6 +574,7 @@ object Llm3 {
     "llm_wordcount_top20" -> (wordcountTop20 _),
     "llm_pii_redact" -> (piiRedact _),
     "llm_dedup_clusters" -> (dedupClusters _),
+    "llm_vocab_nucleus" -> (vocabNucleus _),
     "llm_minhash_src_sim" -> (minhashSourceSim _),
     "llm_dup_span_removal" -> (dupSpanRemoval _),
   )
@@ -717,6 +746,23 @@ object Llm3 {
          CAST(length(regexp_replace(c_name, '[^0-9]', '', 'g')) AS INT) AS n_digits,
          substring(md5(c_name), 1, 8) AS name_fp
          FROM customer ORDER BY c_custkey""",
+    "llm_vocab_nucleus" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+             FROM documents),
+         c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM w GROUP BY 1),
+         tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+         cum AS (SELECT word, cnt,
+             SUM(cnt) OVER (ORDER BY cnt DESC, word
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_mass,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rank
+           FROM c)
+         SELECT CAST(rank AS BIGINT) AS rank, word, cnt,
+           round(CAST(cum_mass AS DOUBLE) / CAST(total AS DOUBLE), 6)
+             AS cum_share
+         FROM cum, tot
+         WHERE 10 * (cum_mass - cnt) < 9 * total
+         ORDER BY rank""",
     "llm_dedup_clusters" ->
       s"""WITH RECURSIVE $dedupClustersCcSql
          SELECT doc_id, cluster,

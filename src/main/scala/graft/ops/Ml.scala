@@ -282,6 +282,39 @@ object Ml {
       .withColumn("gini", round(lit(2.0) * col("auc") - 1.0, 6))
   }
 
+  /** L333 — average precision / area under the precision–recall curve
+    * of the L214 scorer (the ranking metric that — unlike L242's
+    * AUC-ROC — does not reward a model for ordering the easy negatives
+    * of an imbalanced corpus; the number every retrieval and
+    * rare-event eval reports beside ROC). Step interpolation at
+    * DISTINCT round-6 score thresholds with ties grouped (the L242
+    * convention): AP = Σ_s ΔTP(s)·P(s) / n_pos where P(s) =
+    * TP(s)/(TP(s)+FP(s)) at threshold s descending. The cumulative
+    * TP/(TP+FP) pass runs through [[PrefixScan]] over the
+    * quantization-bounded distinct-score frame (≤10⁶+1 rows at any
+    * corpus size — and the scan keeps it off a single partition even
+    * at that ceiling), with n_pos/n coming back as exact scan totals.
+    * Each term ΔTP·P is an integer × an exact-6dp double — ≤6dp, no
+    * rounding midpoint exists — then decimal-summed; one round-6
+    * division ends it. */
+  def averagePrecision(spark: SparkSession, dir: String): DataFrame = {
+    val perScore = scoredDocs(spark, dir).groupBy("s")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
+      .withColumn("neg_s", -col("s"))
+    val (cum, tot) = PrefixScan(perScore, Seq("neg_s"),
+      sumsLong = Seq("np" -> "tp", "n" -> "cum_n"))
+    val nPos = tot.longs("np")
+    val nAll = tot.longs("n")
+    cum
+      .withColumn("p_at",
+        round(col("tp").cast("double") / col("cum_n").cast("double"), 6))
+      .agg(round(dsum(round(col("np").cast("double") * col("p_at"), 6)), 6)
+        .as("sum_term"))
+      .select(lit(nPos).as("n_pos"), lit(nAll - nPos).as("n_neg"),
+        round(col("sum_term") / lit(nPos).cast("double"), 6)
+          .as("average_precision"))
+  }
+
   /** L306 — Cohen's kappa + Matthews correlation from the confusion
     * matrix of the L214 scorer thresholded at 0.5 (Cohen 1960;
     * Matthews 1975 — the two chance-corrected single-number summaries
@@ -915,6 +948,7 @@ object Ml {
     "ml_avg_precision" -> (avgPrecision _),
     "ml_pca_power" -> (pcaPower _),
     "ml_auc_roc" -> (aucRoc _),
+    "ml_average_precision" -> (averagePrecision _),
     "ml_calibration_bins" -> (calibrationBins _),
     "ml_cohens_kappa" -> (cohensKappa _),
     "ml_ndcg" -> (ndcg _),
@@ -1227,6 +1261,27 @@ object Ml {
          SELECT mu.dim, mu.mu, v1.v1, v2.v2,
            (SELECT round(nrm2 / 1024.0, 6) FROM l) AS lambda
          FROM mu JOIN v1 USING (dim) JOIN v2 USING (dim) ORDER BY dim""",
+    "ml_average_precision" ->
+      s"""WITH $scoredSql,
+         ps AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS np
+           FROM scored GROUP BY 1),
+         cum AS (SELECT np,
+             SUM(np) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS tp,
+             SUM(n) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cum_n
+           FROM ps),
+         t AS (SELECT np,
+             round(CAST(tp AS DOUBLE) / CAST(cum_n AS DOUBLE), 6) AS p_at
+           FROM cum),
+         tot AS (SELECT CAST(SUM(y) AS BIGINT) AS np_t,
+             CAST(COUNT(*) AS BIGINT) AS n_t FROM scored)
+         SELECT np_t AS n_pos, n_t - np_t AS n_neg,
+           round(CAST(SUM(CAST(round(CAST(np AS DOUBLE) * p_at, 6)
+               AS DECIMAL(18,6))) AS DOUBLE) / CAST(np_t AS DOUBLE), 6)
+             AS average_precision
+         FROM t, tot GROUP BY np_t, n_t""",
     "ml_auc_roc" ->
       s"""WITH $scoredSql,
          ps AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n,

@@ -1419,6 +1419,45 @@ object Streams {
       .withColumn("drift", col("psi") > 0.1)
   }
 
+  /** L290 streaming twin — rolling 7-day distinct active users ON A
+    * STREAM (the WAU curve kept live instead of recomputed nightly):
+    * each event lands in its 7 covering day-aligned sliding windows
+    * (`window(ts, "7 days", "1 day")` — the same day expansion the
+    * batch `dau_rolling_7d` performs with an explode) and the
+    * per-window user SET folds in the state store — `collect_set`
+    * merges associatively-commutatively, so windows accumulated across
+    * micro-batch boundaries hold exactly the batch distinct set.
+    * State per open window is O(weekly actives): the honest floor for
+    * EXACT rolling distinct (COUNT DISTINCT does not stream); at
+    * deployment scale the exact set swaps for the [[kmvWindowed]]
+    * bottom-k sketch on the same plan, trading exactness for O(k)
+    * state. `target_day` = the day the window CLOSES on, matching the
+    * batch query's day_num grain (StreamingSpec pins streamed windows
+    * equal to the batch expansion on every batch-emitted day). */
+  def wauSliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "7 days", "1 day").as("w"))
+      .agg(size(collect_set(col("user_id"))).cast("long").as("wau_7d"))
+      .select((expr("unix_micros(w.end) div 86400000000") - 1)
+        .as("target_day"), col("wau_7d"))
+
+  /** L330 streaming twin — daily ingest-volume counts ON A STREAM (the
+    * live half of the dq_volume_anomaly monitor): the day-grain counts
+    * are ONE streaming windowed aggregate (O(1) state per open day),
+    * and the robust-z scoring — a whole-horizon median/MAD statistic —
+    * runs per trigger over the tiny day-grain output via the SAME
+    * [[graft.ops.Audit.volumeScoreOn]] the batch query uses
+    * (foreachBatch / on the sink table; StreamingSpec pins the
+    * composition bit-equal to the registered batch query). Splitting
+    * there is the honest design: a median over all days is not an
+    * incremental per-key fold, but the frame it reads is
+    * calendar-bounded, so re-scoring per trigger costs O(days). */
+  def dailyVolumeWindowed(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(expr("unix_micros(w.start)").as("day_us"), col("n_events"))
+
   /** L193 streaming twin — windowed KMV/bottom-k distinct sketch ON A
     * STREAM (the cardinality sibling of [[cmsWindowed]] above, same
     * design): [[graft.functions.KmvAgg]] runs as a streaming aggregate,

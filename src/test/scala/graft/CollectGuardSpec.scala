@@ -27,7 +27,11 @@ class CollectGuardSpec extends AnyFunSuite {
       }
     }
     val allowed = hits.filter(h =>
-      h.contains("Tables.scala") && h.contains("ds.limit(maxRows + 1).collect()"))
+      (h.contains("Tables.scala") && h.contains("ds.limit(maxRows + 1).collect()")) ||
+        // PrefixScan pass 1 collects ONE totals row per partition — the
+        // transfer is partition-count-grain (≤ the scan's `parts`
+        // argument) by construction, never data-grain
+        (h.contains("PrefixScan.scala") && h.contains(".collect().sortBy(_._1)")))
     assert(hits == allowed,
       s"bare collect() found — route through Tables.boundedCollect:\n${(hits.toSet -- allowed).mkString("\n")}")
   }

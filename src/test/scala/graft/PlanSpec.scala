@@ -250,6 +250,8 @@ class PlanSpec extends SparkTestBase {
       // two 1-row median/MAD broadcasts onto the calendar-bounded daily
       // frame (the anomaly_mad_robust shape at count grain)
       "dq_volume_anomaly",
+      // 1-row corpus-total broadcast onto the QI-class × 10-bin grid
+      "privacy_t_closeness",
       // 1-row global-summary broadcast onto the 5-row band frame
       "ts_interarrival_dist")
     SparkEntry.queries.foreach { case (name, fn) =>

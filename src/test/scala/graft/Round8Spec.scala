@@ -97,14 +97,19 @@ class Round8Spec extends SparkTestBase {
       .agg(countDistinct(col("split")).as("n_splits"))
       .where(col("n_splits") > 1)
     assert(perCluster.count() === 0, "a near-dup cluster straddles a split boundary")
-    // and therefore every WORD-Jaccard>=0.9 pair (the exact edge rule the
-    // clusters build on — dedupJaccard's n-gram pairs are a DIFFERENT
-    // similarity and may legitimately split) is co-located
+    // and therefore every BANDED word-Jaccard>=0.9 pair is co-located
+    // (round 12: clusters build on MinHash-banded candidates — an exact
+    // Jaccard pair missed by all 4 trigram bands, e.g. same word SET in
+    // a different word ORDER, is outside the operator's contract and may
+    // legitimately split; dedupJaccard's n-gram pairs likewise)
     val bySplit = split.select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val cand = ops.Llm.dedupNear(spark, sf0001)
+      .select($"doc1", $"doc2").as[(Long, Long)].collect().toSet
     val pairs = ops.Llm.withDedupJaccardPrefix(spark, sf0001)(
       _.select($"doc1", $"doc2").as[(Long, Long)].collect().toSeq)
-      .filter { case (a, b) => bySplit.contains(a) && bySplit.contains(b) }
-    assert(pairs.nonEmpty, "fixture should have near-dup pairs under doc_id<20")
+      .filter { case (a, b) =>
+        cand((a, b)) && bySplit.contains(a) && bySplit.contains(b) }
+    assert(pairs.nonEmpty, "fixture should have banded near-dup pairs")
     pairs.foreach { case (a, b) =>
       assert(bySplit(a) === bySplit(b), s"pair ($a,$b) split across ${bySplit(a)}/${bySplit(b)}")
     }

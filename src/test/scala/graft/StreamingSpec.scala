@@ -1429,6 +1429,64 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("batch≡streaming: rolling 7-day WAU equals the batch day expansion") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ordered = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val ms = MemoryStream[Event]
+    val q = runToTable(Streams.wauSliding(ms.toDF()), "wau_win", "complete")
+    try {
+      // three micro-batches: most 7-day windows accumulate their user
+      // sets across a state-store boundary
+      ordered.grouped((ordered.length + 2) / 3).foreach { chunk =>
+        ms.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("wau_win").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = SparkEntry.queries("dau_rolling_7d")(spark, sf0001)
+        .select($"day_num", $"wau_7d").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(batch.length > 10, "fixture must span many days")
+      batch.foreach { case (d, wau) =>
+        assert(streamed.get(d).contains(wau),
+          s"day $d: streamed ${streamed.get(d)} != batch $wau")
+      }
+      // streamed side may additionally carry horizon-edge windows the
+      // batch clips (target days past max_day / days with no direct
+      // activity) — but never fewer
+      assert(streamed.size >= batch.length)
+    } finally q.stop()
+  }
+
+  test("batch≡streaming: ingest-volume anomaly monitor equals the batch query") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ordered = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val ms = MemoryStream[Event]
+    val q = runToTable(Streams.dailyVolumeWindowed(ms.toDF()), "vol_win", "complete")
+    try {
+      ordered.grouped((ordered.length + 2) / 3).foreach { chunk =>
+        ms.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      // the finishing robust-z pass is the SAME function the batch query
+      // runs, applied to the streamed day-grain counts
+      val streamedScored = ops.Audit.volumeScoreOn(spark.table("vol_win"))
+        .collect().map(_.toSeq).toSeq
+      val batch = SparkEntry.queries("dq_volume_anomaly")(spark, sf0001)
+        .collect().map(_.toSeq).toSeq
+      assert(streamedScored === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("batch≡streaming: per-window count-min sketches bit-equal across micro-batches") {
     val s = spark
     import s.implicits._
