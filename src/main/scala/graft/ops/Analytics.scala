@@ -488,6 +488,50 @@ object Analytics {
       .limit(20)
   }
 
+  /** Power-iteration rounds for [[pagerankFull]] — a LITERAL in both
+    * engines (the oracle unrolls exactly this many CTE layers). */
+  private[graft] val PagerankRounds = 5
+
+  /** L336 — PageRank run for [[PagerankRounds]] full power-iteration
+    * rounds over the UNDIRECTED co-purchase graph (the iterated form of
+    * L161's single step — the L67/L307 driver-loop pattern pointed at
+    * rank propagation; 5 rounds is where co-purchase-sized graphs'
+    * top-20 stabilizes, and a FIXED round count is what lets the DuckDB
+    * oracle unroll the same iteration and hash-gate every rank).
+    * Per round: one edge-keyed join of the rank frame + one dst-keyed
+    * aggregate — edge-linear; the edge⋈degree frame is checkpointed
+    * ONCE and re-read per round (the iterative-PageRank layout the
+    * L161 scaladoc promises at scale). Determinism: per-edge
+    * contribution round-6 → decimal sum → round-6 rank, identical
+    * expression shape in both engines. Undirected degrees ≥ 1, so
+    * there is no dangling mass and every node re-receives rank each
+    * round. Top-20 by final rank. */
+  def pagerankFull(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = coPurchaseEdges(spark, dir)
+    val ed = e0.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
+    val deg = ed.groupBy("src").agg(count(lit(1)).as("deg"))
+    val adj = ed.join(deg, "src").localCheckpoint(true)
+    val nNodes = adj.select(col("src")).distinct().count()
+    if (nNodes == 0L) {
+      // empty-graph robustness: same schema, no rows
+      return adj.select(col("src").as("node"), lit(0.0).as("rank")).limit(0)
+    }
+    var ranks = adj.select(col("src").as("node")).distinct()
+      .select(col("node"), round(lit(1.0) / lit(nNodes.toDouble), 6).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to PagerankRounds) {
+      ranks = adj.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"),
+          round(col("rank") / col("deg").cast("double"), 6).as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg(round(lit(0.15) / lit(nNodes.toDouble) +
+          lit(0.85) * dsum(col("c")), 6).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks.orderBy(col("rank").desc, col("node").asc).limit(20)
+  }
+
   /** Butterfly counting (2×2 bicliques — the bipartite graph's triangle
     * analogue; Wang et al. VLDB 2019 "Vertex Priority Based Butterfly
     * Counting for Large-scale Bipartite Networks" is the public
@@ -913,8 +957,35 @@ object Analytics {
     * result is independent of round count once reached — the property
     * that makes the driver-loop form oracle-comparable against a
     * recursive-CTE transitive closure. */
-  def connectedComponents(spark: SparkSession, dir: String): DataFrame = {
-    val e0 = coPurchaseEdges(spark, dir)
+  def connectedComponents(spark: SparkSession, dir: String): DataFrame =
+    connectedComponentsAt(spark, dir, forceDistributed = false)
+
+  /** [[connectedComponents]] with the driver union-find fast path
+    * bypassable — the rehearsal/parity specs force the distributed
+    * Pregel loop the >[[Llm3.DriverUfCap]]-edge regime takes. */
+  private[graft] def connectedComponentsAt(spark: SparkSession, dir: String,
+      forceDistributed: Boolean): DataFrame = {
+    import spark.implicits._
+    val e0 = coPurchaseEdges(spark, dir).localCheckpoint(true)
+    val nEdges = e0.limit(Llm3.DriverUfCap + 1).count()
+    // the co-purchase edge set is support-pruned and part-dimension-
+    // bounded (~3.5k edges at sf0.1) — below the cap the component
+    // profile comes from the same driver union-find the dedup clusters
+    // use (round 12): the distributed loop spent its whole runtime on
+    // per-round job scheduling, not data. Above the cap, the Pregel
+    // loop below is the path (parity-pinned in Round12cSpec).
+    if (!forceDistributed && nEdges <= Llm3.DriverUfCap) {
+      val es = boundedCollect(e0.select(col("a"), col("b")).as[(Long, Long)],
+        Llm3.DriverUfCap, "connected-components edge set")
+      val lbl = Llm3.unionFindMinLabels(es)
+      val sizes = lbl.groupBy(_._2).map { case (c, m) => (c, m.size.toLong) }
+      val nComponents = sizes.size.toLong
+      val nCovered = lbl.size.toLong
+      val top = sizes.toSeq.sortBy { case (c, n) => (-n, c) }.take(20)
+        .map { case (c, n) => (c, n, nComponents, nCovered) }
+      return top.toDF("component_id", "n_nodes", "n_components",
+        "n_covered_nodes")
+    }
     // localCheckpoint (eager) rather than persist: it TRUNCATES the
     // logical plan each round — without it the per-round plan nests the
     // whole loop history and Catalyst planning itself OOMs by round ~10
@@ -1237,6 +1308,7 @@ object Analytics {
     "graph_triangle_count" -> (triangleCount _),
     "graph_modularity" -> (graphModularity _),
     "graph_pagerank_step" -> (pagerankStep _),
+    "graph_pagerank_full" -> (pagerankFull _),
     "graph_butterfly_count" -> (butterflyCount _),
     "graph_butterfly_capped" -> (butterflyCountCapped _),
     "ts_gapfill_hourly" -> (tsGapfillHourly _),
@@ -1522,6 +1594,32 @@ object Analytics {
            (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS wedges_all,
            round(3.0 * (SELECT COUNT(*) FROM t) /
              (SELECT CAST(SUM(d * (d - 1) // 2) AS DOUBLE) FROM deg), 6) AS gcc""",
+    "graph_pagerank_full" -> {
+      val layers = (1 to PagerankRounds).map { k =>
+        s"""r$k AS (SELECT ed.dst AS node,
+             round(0.15 / CAST(nn AS DOUBLE) + 0.85 *
+               CAST(SUM(CAST(round(r.rank / CAST(d.deg AS DOUBLE), 6)
+                 AS DECIMAL(18,6))) AS DOUBLE), 6) AS rank
+           FROM ed JOIN r${k - 1} r ON ed.src = r.node
+           JOIN deg d ON ed.src = d.src, n
+           GROUP BY ed.dst, nn)"""
+      }.mkString(",\n         ")
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+             FROM lineitem),
+         e0 AS (SELECT a.p AS a, b.p AS b FROM op a JOIN op b
+             ON a.o = b.o AND a.p < b.p
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         ed AS (SELECT a AS src, b AS dst FROM e0
+           UNION ALL SELECT b, a FROM e0),
+         deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+           FROM ed GROUP BY 1),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM deg),
+         r0 AS (SELECT src AS node, round(1.0 / CAST(nn AS DOUBLE), 6)
+             AS rank FROM deg, n),
+         $layers
+         SELECT node, rank FROM r$PagerankRounds
+         ORDER BY rank DESC, node LIMIT 20"""
+    },
     "graph_pagerank_step" ->
       s"""WITH edges AS (
             SELECT DISTINCT l_suppkey AS src, -o_custkey - 1 AS dst

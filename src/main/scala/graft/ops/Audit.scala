@@ -112,6 +112,39 @@ object Audit {
       .orderBy("band")
   }
 
+  /** L337 — HBOS anomaly scoring (Goldstein & Dengel KI 2012:
+    * Histogram-Based Outlier Score — per-feature histograms assumed
+    * independent, score = Σ_f −ln p_f; the linear-time unsupervised
+    * detector run as a first pass where isolation forests are too
+    * expensive, and the MULTIVARIATE step up from L226's single-feature
+    * MAD). Features at the events grain: hour-of-day (24 bins),
+    * day-of-week (7), value band (10 — the L273 binning). Each
+    * histogram is one map-combinable aggregate (≤24-row tables,
+    * broadcast back); scoring is row-local; top-20 by score via
+    * TakeOrdered — one corpus scan end to end at any scale. Every
+    * −ln(n_bin/N) is round-6 (cross-libm contract); the 3-term sum of
+    * exact-6dp values is exact in double. Spark's dayofweek is
+    * 1 = Sunday … 7; the oracle mirrors with dayofweek()+1. */
+  def hbosAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("event_id"),
+      hour(col("ts")).as("hod"),
+      dayofweek(col("ts")).as("dow"),
+      least(floor(col("value") / 20.0).cast("long"), lit(9L)).as("vband"))
+    val n = ev.agg(count(lit(1)).as("n_total"))
+    def hist(c: String) = ev.groupBy(c).agg(count(lit(1)).as(s"n_$c"))
+    def nll(c: String) = round(-log(col(s"n_$c").cast("double") /
+      col("n_total").cast("double")), 6)
+    ev
+      .join(broadcast(hist("hod")), "hod")
+      .join(broadcast(hist("dow")), "dow")
+      .join(broadcast(hist("vband")), "vband")
+      .crossJoin(broadcast(n))
+      .select(col("event_id"), col("hod"), col("dow"), col("vband"),
+        round(nll("hod") + nll("dow") + nll("vband"), 6).as("hbos_score"))
+      .orderBy(col("hbos_score").desc, col("event_id").asc)
+      .limit(20)
+  }
+
   /** L334 — t-closeness audit (Li, Li & Venkatasubramanian ICDE 2007 —
     * the follow-up l-diversity needs: a class can be l-diverse yet leak
     * if its sensitive-value DISTRIBUTION differs sharply from the
@@ -474,6 +507,7 @@ object Audit {
     "privacy_dp_counts" -> (dpCounts _),
     "privacy_l_diversity" -> (lDiversity _),
     "privacy_t_closeness" -> (tCloseness _),
+    "anomaly_hbos" -> (hbosAnomaly _),
     "privacy_k_anonymity" -> (kAnonymity _),
     "cdc_table_diff" -> (tableDiff _),
     "ts_seasonal_hourly" -> (tsSeasonalHourly _),
@@ -584,6 +618,27 @@ object Audit {
            CAST(1.0 AS DOUBLE) AS epsilon
          FROM n ORDER BY event_type"""
     },
+    "anomaly_hbos" ->
+      """WITH ev AS (SELECT event_id,
+             CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hod,
+             CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS INT) AS dow,
+             LEAST(CAST(floor(value / 20.0) AS BIGINT), 9) AS vband
+           FROM events),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM ev),
+         h1 AS (SELECT hod, CAST(COUNT(*) AS BIGINT) AS n_hod
+           FROM ev GROUP BY 1),
+         h2 AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_dow
+           FROM ev GROUP BY 1),
+         h3 AS (SELECT vband, CAST(COUNT(*) AS BIGINT) AS n_vband
+           FROM ev GROUP BY 1)
+         SELECT event_id, hod, dow, vband,
+           round(round(-ln(CAST(n_hod AS DOUBLE) / CAST(n_total AS DOUBLE)), 6)
+             + round(-ln(CAST(n_dow AS DOUBLE) / CAST(n_total AS DOUBLE)), 6)
+             + round(-ln(CAST(n_vband AS DOUBLE) / CAST(n_total AS DOUBLE)), 6),
+             6) AS hbos_score
+         FROM ev JOIN h1 USING (hod) JOIN h2 USING (dow)
+         JOIN h3 USING (vband), n
+         ORDER BY hbos_score DESC, event_id LIMIT 20""",
     "privacy_t_closeness" ->
       """WITH ev AS (SELECT event_type,
              CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hod,

@@ -166,6 +166,55 @@ object Llm9 {
       .orderBy("lang")
   }
 
+  /** L338 — per-document perplexity under an interpolated Kneser–Ney
+    * bigram LM fit on the corpus itself (Kneser & Ney ICASSP 1995;
+    * Chen & Goodman 1998 §2.7 interpolated form — THE smoothing every
+    * CCNet-style quality pipeline's KenLM actually uses; the proper-
+    * smoothing upgrade to L195's stupid backoff and the per-DOC
+    * companion to L304's per-language entropy). Absolute discount
+    * d = 0.75 (the C&G default):
+    *   P(w₂|w₁) = max(c₁₂−d, 0)/c₁ + (d·N₁₊(w₁·)/c₁) · N₁₊(·w₂)/B
+    * where the continuation counts N₁₊ and the distinct-bigram total B
+    * all come from ONE bigram-count aggregate (map-combinable); the
+    * per-w₁ and per-w₂ tables are vocabulary-sized. Scoring joins each
+    * doc bigram to the bigram table (hash join at corpus scale), ln
+    * round-6 per term, decimal mean per doc, ppl = exp round-6. Top-20
+    * most-surprising docs (ppl desc) — the outlier page a corpus
+    * auditor reads. */
+  def kneserNeyPpl(spark: SparkSession, dir: String): DataFrame = {
+    val d = 0.75
+    val bg = documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1))).as("b"))
+      .select(col("doc_id"), col("b.0").as("w1"), col("b.1").as("w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val byW1 = c12.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_fwd"))
+    val byW2 = c12.groupBy("w2").agg(count(lit(1)).as("n1p_bwd"))
+    val b = c12.agg(count(lit(1)).as("n_bigram_types"))
+    val p = col("pmax") / col("c1").cast("double") +
+      (lit(d) * col("n1p_fwd").cast("double") / col("c1").cast("double")) *
+        (col("n1p_bwd").cast("double") / col("n_bigram_types").cast("double"))
+    val scored = bg
+      .join(c12, Seq("w1", "w2"))
+      .join(broadcast(byW1), "w1")
+      .join(broadcast(byW2), "w2")
+      .crossJoin(broadcast(b))
+      .withColumn("pmax", greatest(col("c12").cast("double") - lit(d), lit(0.0)))
+      .select(col("doc_id"), round(log(p), 6).as("lnp"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(dsum(col("lnp")) / count(lit(1)).cast("double"), 6)
+          .as("mean_lnp"))
+      .select(col("doc_id"), col("n_bigrams"), col("mean_lnp"),
+        round(exp(-col("mean_lnp")), 6).as("ppl"))
+      .orderBy(col("ppl").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
   /** L304 — bigram conditional entropy H(w₂|w₁) per language (Shannon
     * 1951's next-word predictability — the information-theoretic
     * reading of "how repetitive is this corpus", complementing L132's
@@ -291,6 +340,7 @@ object Llm9 {
     "llm_matryoshka_recall" -> (matryoshkaRecall _),
     "llm_gopher_rules" -> (gopherRules _),
     "llm_bigram_entropy" -> (bigramEntropy _),
+    "llm_kneser_ney_ppl" -> (kneserNeyPpl _),
     "llm_readability" -> (readability _),
     "llm_cdc_chunks" -> (cdcChunks _),
     "ml_feature_hashing" -> (featureHashing _),
@@ -305,6 +355,33 @@ object Llm9 {
     s"sqrt(list_sum(list_transform(range(1,${n + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))"
 
   val oracles: Map[String, String] = Map(
+    "llm_kneser_ney_ppl" ->
+      """WITH bgd AS (SELECT doc_id, string_split(text, ' ') AS ws
+             FROM documents WHERE len(string_split(text, ' ')) >= 2),
+         bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+           FROM bgd, LATERAL (SELECT unnest(range(1, len(ws))) AS i)),
+         c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+           FROM bg GROUP BY 1, 2),
+         byw1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS n1p_fwd FROM c12 GROUP BY 1),
+         byw2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_bwd
+           FROM c12 GROUP BY 1),
+         b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bigram_types FROM c12),
+         scored AS (SELECT doc_id,
+             round(ln(
+               greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0)
+                 / CAST(c1 AS DOUBLE)
+               + (0.75 * CAST(n1p_fwd AS DOUBLE) / CAST(c1 AS DOUBLE))
+                 * (CAST(n1p_bwd AS DOUBLE)
+                   / CAST(n_bigram_types AS DOUBLE))), 6) AS lnp
+           FROM bg JOIN c12 USING (w1, w2) JOIN byw1 USING (w1)
+           JOIN byw2 USING (w2), b),
+         perdoc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             round(CAST(SUM(CAST(lnp AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS mean_lnp
+           FROM scored GROUP BY 1)
+         SELECT doc_id, n_bigrams, mean_lnp, round(exp(-mean_lnp), 6) AS ppl
+         FROM perdoc ORDER BY ppl DESC, doc_id LIMIT 20""",
     "llm_matryoshka_recall" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
            WHERE vec_id < 10),

@@ -252,6 +252,10 @@ class PlanSpec extends SparkTestBase {
       "dq_volume_anomaly",
       // 1-row corpus-total broadcast onto the QI-class × 10-bin grid
       "privacy_t_closeness",
+      // 1-row corpus-total broadcast onto the histogram-scored scan
+      "anomaly_hbos",
+      // 1-row distinct-bigram-total broadcast into the KN probability
+      "llm_kneser_ney_ppl",
       // 1-row global-summary broadcast onto the 5-row band frame
       "ts_interarrival_dist")
     SparkEntry.queries.foreach { case (name, fn) =>
