@@ -511,15 +511,30 @@ object Analytics {
     val ed = e0.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
     val deg = ed.groupBy("src").agg(count(lit(1)).as("deg"))
-    val adj = ed.join(deg, "src").localCheckpoint(true)
-    val nNodes = adj.select(col("src")).distinct().count()
+    val adj0 = ed.join(deg, "src").localCheckpoint(true)
+    val nNodes = adj0.select(col("src")).distinct().count()
     if (nNodes == 0L) {
       // empty-graph robustness: same schema, no rows
-      return adj.select(col("src").as("node"), lit(0.0).as("rank")).limit(0)
+      return adj0.select(col("src").as("node"), lit(0.0).as("rank")).limit(0)
     }
+    // size the loop's shuffle parallelism to the edge frame (the L307
+    // pattern, same cloned-session scoping): 5 rounds of 32-partition
+    // exchanges over a few-thousand-row frame is pure task overhead
+    val sessionParts = spark.sessionState.conf.numShufflePartitions
+    val loopParts = math.max(1L, math.min(sessionParts.toLong,
+      adj0.count() / 100000L)).toInt
+    val loop = spark.newSession()
+    loop.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    // adj0's blocks are already materialized — the cloned-session frame
+    // wraps the same RDD; a second localCheckpoint would copy every block
+    val adj = loop.createDataFrame(adj0.rdd, adj0.schema)
+    // the round count is FIXED (no convergence action), so the whole
+    // 5-round iteration is ONE lazy plan — a 5-layer join/agg chain over
+    // the checkpointed edge frame, executed in a single job; per-round
+    // checkpoints (needed by the convergence-checked L307 loop) would
+    // only add 5 materialization jobs here
     var ranks = adj.select(col("src").as("node")).distinct()
       .select(col("node"), round(lit(1.0) / lit(nNodes.toDouble), 6).as("rank"))
-      .localCheckpoint(true)
     for (_ <- 1 to PagerankRounds) {
       ranks = adj.join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst"),
@@ -527,7 +542,6 @@ object Analytics {
         .groupBy(col("dst").as("node"))
         .agg(round(lit(0.15) / lit(nNodes.toDouble) +
           lit(0.85) * dsum(col("c")), 6).as("rank"))
-        .localCheckpoint(true)
     }
     ranks.orderBy(col("rank").desc, col("node").asc).limit(20)
   }

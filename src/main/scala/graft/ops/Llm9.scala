@@ -166,6 +166,69 @@ object Llm9 {
       .orderBy("lang")
   }
 
+  /** L340 — dataset card summary (the auditable one-page statistics
+    * block a published corpus ships — Gebru et al. 2021 "Datasheets
+    * for Datasets" / the HuggingFace dataset-card table: per-language
+    * rows plus the ALL rollup, from ONE grouping-sets pass). Per
+    * group: docs, distinct sources, word tokens, chars, mean doc
+    * length, distinct texts and the exact-dup rate they imply
+    * ((n_docs − n_distinct_texts)/n_docs — the J1 hash-dedup headline
+    * number at card grain). ROLLUP(lang) = grouping sets ((lang), ())
+    * in one scan through Expand; countDistinct per group is the
+    * standard two-phase distinct aggregate. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val nWords = size(split(col("text"), " ")).cast("long")
+    documents(spark, dir)
+      .select(col("lang"), col("source"), col("text"), col("n_chars"),
+        nWords.as("n_words"))
+      .rollup(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_words")).as("n_tokens"),
+        sum(col("n_chars").cast("long")).as("n_chars"),
+        countDistinct(col("text")).as("n_distinct_texts"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"), col("n_docs"),
+        col("n_sources"), col("n_tokens"), col("n_chars"),
+        round(col("n_tokens").cast("double") / col("n_docs").cast("double"),
+          6).as("avg_words"),
+        col("n_distinct_texts"),
+        round((col("n_docs") - col("n_distinct_texts")).cast("double") /
+          col("n_docs").cast("double"), 6).as("dup_rate"))
+      .orderBy("lang")
+  }
+
+  /** L341 — tokenizer fertility per language (Petrov et al. 2023
+    * "tokenizer unfairness" metric: TOKENS PER WORD under a candidate
+    * tokenizer — fertility ≫ 1 for a language means its users pay more
+    * context budget per sentence; read beside L241's vocabulary
+    * coverage). Candidate tokenizations from the J4/L63 token-count
+    * battery: the word+punct regex and the chars/4 BPE proxy; fertility
+    * = exact token sums per language, one round-6 division each, plus
+    * chars-per-regex-token (the compression read). One map-combinable
+    * scan. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val nWs = size(split(col("text"), " ")).cast("long")
+    val nRe = size(regexp_extract_all(col("text"),
+      lit("\\w+|[^\\w\\s]"), lit(0))).cast("long")
+    val nBpe = ceil(col("n_chars") / 4.0).cast("long")
+    documents(spark, dir)
+      .select(col("lang"), nWs.as("n_ws"), nRe.as("n_re"), nBpe.as("n_bpe"),
+        col("n_chars").cast("long").as("nc"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_ws")).as("sum_ws"),
+        sum(col("n_re")).as("sum_re"), sum(col("n_bpe")).as("sum_bpe"),
+        sum(col("nc")).as("sum_chars"))
+      .select(col("lang"), col("n_docs"), col("sum_ws"), col("sum_re"),
+        col("sum_bpe"),
+        round(col("sum_re").cast("double") / col("sum_ws").cast("double"), 6)
+          .as("fertility_regex"),
+        round(col("sum_bpe").cast("double") / col("sum_ws").cast("double"), 6)
+          .as("fertility_bpe"),
+        round(col("sum_chars").cast("double") / col("sum_re").cast("double"), 6)
+          .as("chars_per_token"))
+      .orderBy("lang")
+  }
+
   /** L338 — per-document perplexity under an interpolated Kneser–Ney
     * bigram LM fit on the corpus itself (Kneser & Ney ICASSP 1995;
     * Chen & Goodman 1998 §2.7 interpolated form — THE smoothing every
@@ -341,6 +404,8 @@ object Llm9 {
     "llm_gopher_rules" -> (gopherRules _),
     "llm_bigram_entropy" -> (bigramEntropy _),
     "llm_kneser_ney_ppl" -> (kneserNeyPpl _),
+    "llm_dataset_card" -> (datasetCard _),
+    "llm_tokenizer_fertility" -> (tokenizerFertility _),
     "llm_readability" -> (readability _),
     "llm_cdc_chunks" -> (cdcChunks _),
     "ml_feature_hashing" -> (featureHashing _),
@@ -355,6 +420,48 @@ object Llm9 {
     s"sqrt(list_sum(list_transform(range(1,${n + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))"
 
   val oracles: Map[String, String] = Map(
+    "llm_dataset_card" ->
+      """WITH d AS (SELECT lang, source, text,
+             CAST(n_chars AS BIGINT) AS nc,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+           FROM documents),
+         card AS (SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+             CAST(SUM(nc) AS BIGINT) AS n_chars,
+             CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts
+           FROM d GROUP BY ROLLUP (lang))
+         SELECT COALESCE(lang, 'ALL') AS lang, n_docs, n_sources, n_tokens,
+           n_chars,
+           round(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+             AS avg_words,
+           n_distinct_texts,
+           round(CAST(n_docs - n_distinct_texts AS DOUBLE)
+             / CAST(n_docs AS DOUBLE), 6) AS dup_rate
+         FROM card ORDER BY lang""",
+    "llm_tokenizer_fertility" ->
+      """WITH d AS (SELECT lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+             CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+               AS n_re,
+             CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_bpe,
+             CAST(n_chars AS BIGINT) AS nc
+           FROM documents),
+         s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_ws) AS BIGINT) AS sum_ws,
+             CAST(SUM(n_re) AS BIGINT) AS sum_re,
+             CAST(SUM(n_bpe) AS BIGINT) AS sum_bpe,
+             CAST(SUM(nc) AS BIGINT) AS sum_chars
+           FROM d GROUP BY 1)
+         SELECT lang, n_docs, sum_ws, sum_re, sum_bpe,
+           round(CAST(sum_re AS DOUBLE) / CAST(sum_ws AS DOUBLE), 6)
+             AS fertility_regex,
+           round(CAST(sum_bpe AS DOUBLE) / CAST(sum_ws AS DOUBLE), 6)
+             AS fertility_bpe,
+           round(CAST(sum_chars AS DOUBLE) / CAST(sum_re AS DOUBLE), 6)
+             AS chars_per_token
+         FROM s ORDER BY lang""",
     "llm_kneser_ney_ppl" ->
       """WITH bgd AS (SELECT doc_id, string_split(text, ' ') AS ws
              FROM documents WHERE len(string_split(text, ' ')) >= 2),
