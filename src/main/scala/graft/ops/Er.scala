@@ -127,6 +127,53 @@ object Er {
     jaccardVerify(spark, dir, p1.union(p2).distinct())
   }
 
+  /** L342 — golden-record survivorship merge (the ER stage AFTER
+    * matching that every MDM/linkage pipeline ships: matched pairs →
+    * transitive entity clusters → ONE merged record per entity with
+    * FIELD-LEVEL survivorship rules — unlike L237's keep-best, which
+    * picks one member whole, survivorship composes the golden record
+    * attribute by attribute). Pairs = the L164 SNM-multipass verified
+    * set (precision 1, budget 2·N·W); clusters via the round-12 driver
+    * union-find (pair budget makes the edge set boundedCollect-safe by
+    * construction; a >cap pair set routes through the L67 Pregel loop);
+    * rules: representative text = LONGEST member (max n_chars, doc_id
+    * tiebreak), source = majority vote (count desc, lexicographic
+    * tiebreak), plus the member ledger (count, id span, total chars) an
+    * auditable merge publishes. Only multi-member entities emit — the
+    * merge ledger, not a corpus copy. */
+  def goldenRecord(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = snmMultipass(spark, dir).select(col("d1"), col("d2"))
+    val es = graft.Tables.boundedCollect(pairs.as[(Long, Long)],
+      Llm3.DriverUfCap, "golden-record pair set")
+    val lbl = Llm3.unionFindMinLabels(es)
+    val labelDf = lbl.toSeq.toDF("doc_id", "cluster")
+    val members = documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), col("source"))
+      .join(broadcast(labelDf), Seq("doc_id"))
+    val wLongest = Window.partitionBy(col("cluster"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val golden = members.withColumn("rk", row_number().over(wLongest))
+      .where(col("rk") === 1)
+      .select(col("cluster"), col("doc_id").as("golden_doc"),
+        col("n_chars").cast("long").as("golden_chars"))
+    val srcMode = members.groupBy(col("cluster"), col("source"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("mrk", row_number().over(Window.partitionBy(col("cluster"))
+        .orderBy(col("c").desc, col("source").asc)))
+      .where(col("mrk") === 1)
+      .select(col("cluster"), col("source").as("majority_source"))
+    val stats = members.groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+        sum(col("n_chars").cast("long")).as("total_chars"))
+    golden.join(stats, "cluster").join(srcMode, "cluster")
+      .select(col("cluster"), col("n_members"), col("golden_doc"),
+        col("golden_chars"), col("majority_source"), col("min_doc"),
+        col("max_doc"), col("total_chars"))
+      .orderBy("cluster")
+  }
+
   // Fellegi–Sunter field parameters: (m, u) = P(agree | match) and
   // P(agree | non-match), fixed published-style priors (no EM fit —
   // the scoring kernel is what this row ships). Weights are computed
@@ -306,6 +353,7 @@ object Er {
     "er_fellegi_sunter" -> (fellegiSunter _),
     "er_sorted_neighborhood" -> (sortedNeighborhood _),
     "er_snm_multipass" -> (snmMultipass _),
+    "er_golden_record" -> (goldenRecord _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -425,20 +473,77 @@ object Er {
          WHERE 10 * inter >= 9 * (z1.sz + z2.sz - inter)
          ORDER BY d1, d2""",
     "er_snm_multipass" ->
-      s"""WITH r1 AS (SELECT doc_id,
+      s"""WITH $snmMultipassCteSql
+         SELECT i.d1, i.d2, CAST(i.inter AS BIGINT) AS inter,
+           CAST(z1.sz + z2.sz - i.inter AS BIGINT) AS uni,
+           round(CAST(i.inter AS DOUBLE) /
+             CAST(z1.sz + z2.sz - i.inter AS DOUBLE), 6) AS jaccard
+         FROM inter i
+         JOIN sizes z1 ON i.d1 = z1.doc_id
+         JOIN sizes z2 ON i.d2 = z2.doc_id
+         WHERE 10 * i.inter >= 9 * (z1.sz + z2.sz - i.inter)
+         ORDER BY i.d1, i.d2""",
+    "er_golden_record" ->
+      s"""WITH RECURSIVE $snmMultipassCteSql,
+         pr AS (SELECT i.d1, i.d2 FROM inter i
+           JOIN sizes z1 ON i.d1 = z1.doc_id
+           JOIN sizes z2 ON i.d2 = z2.doc_id
+           WHERE 10 * i.inter >= 9 * (z1.sz + z2.sz - i.inter)),
+         und AS (SELECT d1 AS src, d2 AS dst FROM pr
+           UNION ALL SELECT d2, d1 FROM pr),
+         nodes AS (SELECT DISTINCT src AS node FROM und),
+         reach(node, rr) AS (SELECT node, node FROM nodes
+           UNION
+           SELECT reach.node, und.dst FROM reach
+           JOIN und ON reach.rr = und.src),
+         cc AS (SELECT node AS doc_id, MIN(rr) AS cluster
+           FROM reach GROUP BY 1),
+         mem AS (SELECT cc.doc_id, cc.cluster, d.n_chars, d.source
+           FROM cc JOIN documents d USING (doc_id)),
+         g AS (SELECT cluster, doc_id AS golden_doc,
+             CAST(n_chars AS BIGINT) AS golden_chars,
+             ROW_NUMBER() OVER (PARTITION BY cluster
+               ORDER BY n_chars DESC, doc_id) AS rk
+           FROM mem),
+         st AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+             MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+           FROM mem GROUP BY 1),
+         sm AS (SELECT cluster, source AS majority_source FROM (
+             SELECT cluster, source, ROW_NUMBER() OVER (PARTITION BY cluster
+               ORDER BY COUNT(*) DESC, source) AS mrk
+             FROM mem GROUP BY cluster, source) WHERE mrk = 1)
+         SELECT g.cluster, n_members, golden_doc, golden_chars,
+           majority_source, min_doc, max_doc, total_chars
+         FROM g JOIN st USING (cluster) JOIN sm USING (cluster)
+         WHERE rk = 1 ORDER BY cluster""",
+  )
+
+  /** Shared DuckDB CTE chain for the SNM multipass candidate+verify
+    * stages, ending in `inter(d1, d2, inter)` and `sizes(doc_id, sz)` —
+    * composed by the er_snm_multipass oracle and er_golden_record's
+    * transitive-closure oracle so the pair rule can never drift. */
+  private def snmMultipassCteSql: String =
+    s"""r1 AS (SELECT doc_id,
              ROW_NUMBER() OVER (ORDER BY text, doc_id) - 1 AS rank
            FROM documents),
          r2 AS (SELECT doc_id,
              ROW_NUMBER() OVER (ORDER BY reverse(text), doc_id) - 1 AS rank
            FROM documents),
          cand AS (
-           SELECT LEAST(a.doc_id, b.doc_id) AS d1,
-             GREATEST(a.doc_id, b.doc_id) AS d2
-           FROM r1 a JOIN r1 b ON b.rank - a.rank BETWEEN 1 AND $W
-           UNION
-           SELECT LEAST(a.doc_id, b.doc_id) AS d1,
-             GREATEST(a.doc_id, b.doc_id) AS d2
-           FROM r2 a JOIN r2 b ON b.rank - a.rank BETWEEN 1 AND $W),
+           -- explicit DISTINCT over UNION ALL, not bare UNION: under a
+           -- composing WITH RECURSIVE prelude (er_golden_record) DuckDB
+           -- stops deduplicating a bare UNION inside a non-recursive
+           -- CTE, and a duplicated candidate would double its word
+           -- intersection count and spuriously pass the Jaccard gate
+           SELECT DISTINCT d1, d2 FROM (
+             SELECT LEAST(a.doc_id, b.doc_id) AS d1,
+               GREATEST(a.doc_id, b.doc_id) AS d2
+             FROM r1 a JOIN r1 b ON b.rank - a.rank BETWEEN 1 AND $W
+             UNION ALL
+             SELECT LEAST(a.doc_id, b.doc_id) AS d1,
+               GREATEST(a.doc_id, b.doc_id) AS d2
+             FROM r2 a JOIN r2 b ON b.rank - a.rank BETWEEN 1 AND $W)),
          w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
            FROM documents),
          sizes AS (SELECT doc_id, COUNT(*) AS sz FROM w GROUP BY 1),
@@ -446,15 +551,5 @@ object Er {
            FROM cand c
            JOIN w w1 ON c.d1 = w1.doc_id
            JOIN w w2 ON c.d2 = w2.doc_id AND w1.word = w2.word
-           GROUP BY 1, 2)
-         SELECT d1, d2, CAST(inter AS BIGINT) AS inter,
-           CAST(z1.sz + z2.sz - inter AS BIGINT) AS uni,
-           round(CAST(inter AS DOUBLE) / CAST(z1.sz + z2.sz - inter AS DOUBLE), 6)
-             AS jaccard
-         FROM inter
-         JOIN sizes z1 ON d1 = z1.doc_id
-         JOIN sizes z2 ON d2 = z2.doc_id
-         WHERE 10 * inter >= 9 * (z1.sz + z2.sz - inter)
-         ORDER BY d1, d2""",
-  )
+           GROUP BY 1, 2)"""
 }

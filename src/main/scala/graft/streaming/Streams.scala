@@ -1183,6 +1183,55 @@ object Streams {
     }
   }
 
+  case class GapRow(user_id: Long, event_id: Long, gap_s: Long)
+
+  /** L332 streaming twin — per-user inter-arrival gaps ON A STREAM (the
+    * keyed-state translation of the batch lag window: Flink jobs read
+    * inter-arrival live for burst/heartbeat monitoring, and `lag()` does
+    * not stream — ONE ValueState row holding the user's last (ts,
+    * event_id) replaces the per-user sort). Emits one row per event
+    * after a user's first, gap floored to whole seconds exactly as the
+    * batch `ts_interarrival_dist` quantizes; within a micro-batch rows
+    * sort by (ts, event_id) — the batch window's total order — so gaps
+    * accumulated ACROSS batch boundaries are identical to the batch lag
+    * as long as each user's events arrive in event-time order (the
+    * in-order replay StreamingSpec drives; out-of-order arrivals are
+    * the documented divergence, as for any lag-vs-state translation).
+    * State per user is O(1). The banded distribution/percentile summary
+    * is the batch query's finishing pass over these gaps. */
+  def interArrivalTws(events: Dataset[Event]): Dataset[GapRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new InterArrivalProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  class InterArrivalProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, GapRow] {
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var last: streaming.ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit =
+      last = getHandle.getValueState[(Long, Long)]("last_seen",
+        Encoders.product[(Long, Long)], streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: streaming.TimerValues): Iterator[GapRow] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[GapRow]
+      rows.toSeq.sortBy(e => (microsOf(e.ts), e.event_id)).foreach { e =>
+        val us = microsOf(e.ts)
+        if (last.exists()) {
+          val (prevUs, _) = last.get()
+          out += GapRow(key, e.event_id, (us - prevUs) / 1000000L)
+        }
+        last.update((us, e.event_id))
+      }
+      out.iterator
+    }
+  }
+
   case class AdmittedEvent(user_id: Long, day_us: Long, event_id: Long,
     n_in_day: Long)
 

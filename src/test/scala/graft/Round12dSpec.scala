@@ -61,6 +61,45 @@ class Round12dSpec extends SparkTestBase {
     }
   }
 
+  test("er_golden_record: survivorship replicates a JVM closure + field rules") {
+    // replicate: multipass verified pairs -> closure -> field survivorship
+    val pairs = SparkEntry.queries("er_snm_multipass")(spark, sf0001)
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("n_chars").cast("long").as("nc"),
+        col("source")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val members = (pairs.map(_._1) ++ pairs.map(_._2)).distinct
+      .groupBy(find)
+    val want = members.map { case (c, ms) =>
+      val golden = ms.map(m => (docs(m)._1, m)).sortBy { case (nc, id) =>
+        (-nc, id) }.head
+      val srcs = ms.groupBy(m => docs(m)._2).view.mapValues(_.length)
+      val majSrc = srcs.toSeq.sortBy { case (s, n) => (-n, s) }.head._1
+      (c, ms.length.toLong, golden._2, golden._1, majSrc, ms.min, ms.max,
+        ms.map(m => docs(m)._1).sum)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("er_golden_record")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toSeq
+    assert(got === want)
+    // the merge ledger only carries multi-member entities
+    got.foreach { case (_, n, _, _, _, _, _, _) => assert(n >= 2) }
+    assert(got.nonEmpty)
+  }
+
   test("llm_tokenizer_fertility: ratios bounded and consistent with token_count") {
     val rows = SparkEntry.queries("llm_tokenizer_fertility")(spark, sf0001)
       .collect()

@@ -785,6 +785,21 @@ class ScaleRehearsalSpec extends SparkTestBase {
     }
   }
 
+  test("PrefixScan statistics family at 10x: no window operator, wall-bounded") {
+    // the r11 weak class (value-grain single-partition windows) stays
+    // fixed under scale: at 10x the distinct-value frames grow ~10x and
+    // the plans must still contain ZERO Window operators and complete
+    // fast — a single-partition cumsum would show up as a wall blowout
+    // long before it OOMs
+    for (k <- Seq("stats_spearman", "stats_gini_lorenz", "stats_ks_test",
+        "stats_kruskal_wallis", "pareto_frontier_parts")) {
+      assert(!planOf(k).contains("Window"), s"$k grew a window at 10x")
+      val (n, secs) = runTimed(k)
+      assert(n > 0, s"$k empty at 10x")
+      assert(secs < 60.0, s"$k took $secs s at 10x")
+    }
+  }
+
   test("two-hop reach hub cap under star skew: wedge volume capped, light stratum exact") {
     import spark.implicits._
     val cap = 32

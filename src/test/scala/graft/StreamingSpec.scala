@@ -1429,6 +1429,52 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("batch≡streaming: per-user inter-arrival gaps equal the batch lag window") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ordered = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val ms = MemoryStream[Event]
+    val q = runToTable(Streams.interArrivalTws(ms.toDS()).toDF(),
+      "gap_tws", "append")
+    try {
+      // four micro-batches: most users' last-seen state crosses at least
+      // one batch boundary
+      ordered.grouped((ordered.length + 3) / 4).foreach { chunk =>
+        ms.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("gap_tws")
+        .select($"user_id", $"event_id", $"gap_s").as[(Long, Long, Long)]
+        .collect().sorted.toSeq
+      val batch = Tables.events(spark, sf0001)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("gap_s",
+          expr("(us - lag(us, 1) OVER (PARTITION BY user_id " +
+            "ORDER BY us, event_id)) div 1000000"))
+        .where(col("gap_s").isNotNull)
+        .select($"user_id", $"event_id", $"gap_s").as[(Long, Long, Long)]
+        .collect().sorted.toSeq
+      assert(streamed === batch)
+      // one gap per event after each user's first
+      val nUsers = ordered.map(_.user_id).distinct.length
+      assert(batch.length === ordered.length - nUsers)
+      assert(batch.nonEmpty)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("batch≡streaming: rolling 7-day WAU equals the batch day expansion") {
     val s = spark
     import s.implicits._
