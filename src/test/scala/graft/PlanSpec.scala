@@ -254,6 +254,8 @@ class PlanSpec extends SparkTestBase {
       "privacy_t_closeness",
       // 1-row corpus-total broadcast onto the histogram-scored scan
       "anomaly_hbos",
+      // 1-row grand-mean broadcast onto the calendar-bounded daily frame
+      "ts_stl_daily",
       // 1-row distinct-bigram-total broadcast into the KN probability
       "llm_kneser_ney_ppl",
       // 1-row global-summary broadcast onto the 5-row band frame
