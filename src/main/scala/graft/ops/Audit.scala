@@ -156,6 +156,33 @@ object Audit {
       .orderBy("day_num")
   }
 
+  /** L343 — robust anomaly flags on the STL RESIDUAL (the reason a
+    * forecaster decomposes at all: a raw z-score on the series fires on
+    * every weekend (seasonality) and every growth quarter (trend) — the
+    * production monitor scores the residual AFTER L339 removes both;
+    * the revenue-grain companion to L330's volume monitor). Composes
+    * the published [[stlDaily]] verbatim, then the L330 median/MAD
+    * Iglewicz–Hoaglin machinery over its residual column (robust_z
+    * pinned 0 at MAD = 0, same degenerate-corpus rule). Cost beyond
+    * the decomposition: two 1-row percentile broadcasts over the
+    * calendar-bounded day frame. Top-20 by |z|. */
+  def stlResidualAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val stl = stlDaily(spark, dir)
+    val med = stl.agg(round(expr("percentile(residual, 0.5)"), 6).as("med"))
+    val withMed = stl.crossJoin(broadcast(med))
+      .withColumn("adev", abs(col("residual") - col("med")))
+    val mad = withMed.agg(round(expr("percentile(adev, 0.5)"), 6).as("mad"))
+    withMed.crossJoin(broadcast(mad))
+      .withColumn("robust_z", when(col("mad") =!= 0.0, round(lit(0.6745) *
+        (col("residual") - col("med")) / col("mad"), 6))
+        .otherwise(lit(0.0)))
+      .withColumn("is_anomaly", abs(col("robust_z")) > 3.5)
+      .select(col("day_num"), col("x"), col("trend"), col("seasonal"),
+        col("residual"), col("robust_z"), col("is_anomaly"))
+      .orderBy(abs(col("robust_z")).desc, col("day_num").asc)
+      .limit(20)
+  }
+
   /** L337 — HBOS anomaly scoring (Goldstein & Dengel KI 2012:
     * Histogram-Based Outlier Score — per-feature histograms assumed
     * independent, score = Σ_f −ln p_f; the linear-time unsupervised
@@ -553,6 +580,7 @@ object Audit {
     "privacy_t_closeness" -> (tCloseness _),
     "anomaly_hbos" -> (hbosAnomaly _),
     "ts_stl_daily" -> (stlDaily _),
+    "anomaly_stl_residual" -> (stlResidualAnomaly _),
     "privacy_k_anonymity" -> (kAnonymity _),
     "cdc_table_diff" -> (tableDiff _),
     "ts_seasonal_hourly" -> (tsSeasonalHourly _),
@@ -663,32 +691,22 @@ object Audit {
            CAST(1.0 AS DOUBLE) AS epsilon
          FROM n ORDER BY event_type"""
     },
-    "ts_stl_daily" ->
-      """WITH daily AS (SELECT
-             epoch_us(date_trunc('day', o_orderdate)) // 86400000000
-               AS day_num,
-             round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
-               AS DOUBLE), 6) AS x
-           FROM orders GROUP BY 1),
-         tr AS (SELECT day_num, x,
-             COUNT(x) OVER w AS n_win,
-             round(CAST(SUM(CAST(x AS DECIMAL(18,6))) OVER w AS DOUBLE)
-               / 7.0, 6) AS trend
-           FROM daily WINDOW w AS (ORDER BY day_num
-             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-         t2 AS (SELECT day_num, x, trend, round(x - trend, 6) AS detr,
-             (day_num + 4) % 7 AS dow
-           FROM tr WHERE n_win = 7),
-         dm AS (SELECT dow,
-             round(CAST(SUM(CAST(detr AS DECIMAL(18,6))) AS DOUBLE)
-               / COUNT(*), 6) AS dow_mean
-           FROM t2 GROUP BY 1),
-         g AS (SELECT round(CAST(SUM(CAST(detr AS DECIMAL(18,6)))
-             AS DOUBLE) / COUNT(*), 6) AS g FROM t2)
-         SELECT day_num, dow, x, trend,
-           round(dow_mean - g, 6) AS seasonal,
-           round(detr - round(dow_mean - g, 6), 6) AS residual
-         FROM t2 JOIN dm USING (dow), g ORDER BY day_num""",
+    "ts_stl_daily" -> stlDailyOracleSql,
+    "anomaly_stl_residual" ->
+      s"""WITH stl AS ($stlDailyOracleSql),
+         med AS (SELECT round(quantile_cont(residual, 0.5), 6) AS med
+           FROM stl),
+         wm AS (SELECT stl.*, med, abs(residual - med) AS adev
+           FROM stl, med),
+         mad AS (SELECT round(quantile_cont(adev, 0.5), 6) AS mad FROM wm),
+         z AS (SELECT day_num, x, trend, seasonal, residual,
+             CASE WHEN mad != 0 THEN
+               round(0.6745 * (residual - med) / mad, 6)
+             ELSE 0.0 END AS robust_z
+           FROM wm, mad)
+         SELECT day_num, x, trend, seasonal, residual, robust_z,
+           abs(robust_z) > 3.5 AS is_anomaly
+         FROM z ORDER BY abs(robust_z) DESC, day_num LIMIT 20""",
     "anomaly_hbos" ->
       """WITH ev AS (SELECT event_id,
              CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hod,
@@ -860,4 +878,34 @@ object Audit {
              > 0.1 AS drift
          FROM terms ORDER BY bucket""",
   )
+  /** DuckDB oracle for ts_stl_daily — also composed (as a CTE body)
+    * by the anomaly_stl_residual oracle so the decomposition rule can
+    * never drift between the two keys. */
+  private def stlDailyOracleSql: String =
+      """WITH daily AS (SELECT
+             epoch_us(date_trunc('day', o_orderdate)) // 86400000000
+               AS day_num,
+             round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+               AS DOUBLE), 6) AS x
+           FROM orders GROUP BY 1),
+         tr AS (SELECT day_num, x,
+             COUNT(x) OVER w AS n_win,
+             round(CAST(SUM(CAST(x AS DECIMAL(18,6))) OVER w AS DOUBLE)
+               / 7.0, 6) AS trend
+           FROM daily WINDOW w AS (ORDER BY day_num
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         t2 AS (SELECT day_num, x, trend, round(x - trend, 6) AS detr,
+             (day_num + 4) % 7 AS dow
+           FROM tr WHERE n_win = 7),
+         dm AS (SELECT dow,
+             round(CAST(SUM(CAST(detr AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*), 6) AS dow_mean
+           FROM t2 GROUP BY 1),
+         g AS (SELECT round(CAST(SUM(CAST(detr AS DECIMAL(18,6)))
+             AS DOUBLE) / COUNT(*), 6) AS g FROM t2)
+         SELECT day_num, dow, x, trend,
+           round(dow_mean - g, 6) AS seasonal,
+           round(detr - round(dow_mean - g, 6), 6) AS residual
+         FROM t2 JOIN dm USING (dow), g ORDER BY day_num"""
+
 }

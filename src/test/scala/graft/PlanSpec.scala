@@ -256,6 +256,8 @@ class PlanSpec extends SparkTestBase {
       "anomaly_hbos",
       // 1-row grand-mean broadcast onto the calendar-bounded daily frame
       "ts_stl_daily",
+      // composes ts_stl_daily plus two 1-row median/MAD broadcasts
+      "anomaly_stl_residual",
       // 1-row distinct-bigram-total broadcast into the KN probability
       "llm_kneser_ney_ppl",
       // 1-row global-summary broadcast onto the 5-row band frame

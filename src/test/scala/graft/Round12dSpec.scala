@@ -61,6 +61,28 @@ class Round12dSpec extends SparkTestBase {
     }
   }
 
+  test("anomaly_stl_residual: scores the decomposition residual, identity intact") {
+    val rows = SparkEntry.queries("anomaly_stl_residual")(spark, sf0001)
+      .collect()
+    assert(rows.length === 20)
+    // composes the published decomposition: identity still holds per row
+    rows.foreach { r =>
+      val x = BigDecimal(r.getAs[Double]("x"))
+      val sum = BigDecimal(r.getAs[Double]("trend")) +
+        BigDecimal(r.getAs[Double]("seasonal")) +
+        BigDecimal(r.getAs[Double]("residual"))
+      assert((x - sum).abs <= BigDecimal("0.000002"))
+    }
+    // ordering: |z| descending with day tiebreak
+    val zs = rows.map(r => math.abs(r.getAs[Double]("robust_z")))
+    assert(zs.zip(zs.tail).forall { case (a, b) => a >= b })
+    // the flag matches its own rule
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_anomaly") ===
+        (math.abs(r.getAs[Double]("robust_z")) > 3.5))
+    }
+  }
+
   test("er_golden_record: survivorship replicates a JVM closure + field rules") {
     // replicate: multipass verified pairs -> closure -> field survivorship
     val pairs = SparkEntry.queries("er_snm_multipass")(spark, sf0001)
