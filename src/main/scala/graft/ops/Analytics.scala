@@ -1057,12 +1057,15 @@ object Analytics {
     require(converged,
       s"connected-components did not converge within $rounds rounds — " +
         "component diameter exceeds the iteration budget; raise the cap")
-    val wAll = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    val out = lab.groupBy(col("l").as("component_id"))
+    // global totals as a 1-row broadcast cross, NOT a whole-frame
+    // window: the component-size frame is one row per component —
+    // data-proportional on a fragmented graph — and the r13 window
+    // guard bans unpartitioned windows over data-grain frames
+    val sizes = lab.groupBy(col("l").as("component_id"))
       .agg(count(lit(1)).as("n_nodes"))
-      .withColumn("n_components", count(lit(1)).over(wAll))
-      .withColumn("n_covered_nodes", sum(col("n_nodes")).over(wAll))
+    val totals = sizes.agg(count(lit(1)).as("n_components"),
+      sum(col("n_nodes")).as("n_covered_nodes"))
+    val out = sizes.crossJoin(broadcast(totals))
       .orderBy(col("n_nodes").desc, col("component_id")).limit(20)
     // the summary is ≤20 rows by construction — materialize it so the
     // caller gets a plan independent of the loop's checkpoint blocks

@@ -257,8 +257,14 @@ object Audit {
     dense
       .withColumn("cum_g", sum(col("n_gj")).over(wb))
       .withColumn("cum_j", sum(col("n_j")).over(wb))
-      .withColumn("term", abs(col("cum_g") * col("n_total") -
-        col("cum_j") * col("n_g")).cast("decimal(38,0)"))
+      // operands cast to decimal(38,0) BEFORE the multiply: cum·N
+      // products reach N² and a 64-bit multiply would silently wrap in
+      // non-ANSI Spark past ~3e9 events (while DuckDB raises on BIGINT
+      // overflow) — the exact-integer-EMD promise requires the widening
+      // to happen first (r12 ADVICE; oracle mirrors with HUGEINT)
+      .withColumn("term", abs(
+        col("cum_g").cast("decimal(38,0)") * col("n_total").cast("decimal(38,0)") -
+        col("cum_j").cast("decimal(38,0)") * col("n_g").cast("decimal(38,0)")))
       .groupBy(col("event_type"), col("hod"), col("n_g"), col("n_total"))
       .agg(sum(col("term")).as("s"))
       .select(col("event_type"), col("hod"), col("n_g"),
@@ -750,7 +756,10 @@ object Audit {
              AND grid.hod = cls.hod AND grid.vband = cls.vband
            LEFT JOIN gbin ON grid.vband = gbin.vband, tot),
          cum AS (SELECT event_type, hod, n_g, n_total,
-             abs(SUM(n_gj) OVER w * n_total - SUM(n_j) OVER w * n_g) AS term
+             abs(CAST(SUM(n_gj) OVER w AS HUGEINT)
+                 * CAST(n_total AS HUGEINT)
+               - CAST(SUM(n_j) OVER w AS HUGEINT)
+                 * CAST(n_g AS HUGEINT)) AS term
            FROM dense WINDOW w AS (PARTITION BY event_type, hod
              ORDER BY vband ROWS BETWEEN UNBOUNDED PRECEDING
              AND CURRENT ROW)),

@@ -133,24 +133,26 @@ object Er {
     * FIELD-LEVEL survivorship rules — unlike L237's keep-best, which
     * picks one member whole, survivorship composes the golden record
     * attribute by attribute). Pairs = the L164 SNM-multipass verified
-    * set (precision 1, budget 2·N·W); clusters via the round-12 driver
-    * union-find (pair budget makes the edge set boundedCollect-safe by
-    * construction; a >cap pair set routes through the L67 Pregel loop);
+    * set (precision 1, budget 2·N·W); clusters via
+    * [[Llm3.componentLabelsDf]] — the hybrid that ACTUALLY routes: a
+    * ≤cap pair set through the driver union-find, a >cap set through
+    * the pointer-doubling Pregel loop (round 13 closed the r12 gap
+    * where this scaladoc promised the fallback the code didn't have);
     * rules: representative text = LONGEST member (max n_chars, doc_id
     * tiebreak), source = majority vote (count desc, lexicographic
     * tiebreak), plus the member ledger (count, id span, total chars) an
     * auditable merge publishes. Only multi-member entities emit — the
     * merge ledger, not a corpus copy. */
   def goldenRecord(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val pairs = snmMultipass(spark, dir).select(col("d1"), col("d2"))
-    val es = graft.Tables.boundedCollect(pairs.as[(Long, Long)],
-      Llm3.DriverUfCap, "golden-record pair set")
-    val lbl = Llm3.unionFindMinLabels(es)
-    val labelDf = lbl.toSeq.toDF("doc_id", "cluster")
+    val labelDf = Llm3.componentLabelsDf(spark, pairs)
+      .select(col("node").as("doc_id"), col("label").as("cluster"))
+    // no broadcast hint: the ≤cap path yields a local relation Spark
+    // auto-broadcasts; the >cap Pregel path yields a distributed frame
+    // that must shuffle-join (forcing broadcast there would be the bug)
     val members = documents(spark, dir)
       .select(col("doc_id"), col("n_chars"), col("source"))
-      .join(broadcast(labelDf), Seq("doc_id"))
+      .join(labelDf, Seq("doc_id"))
     val wLongest = Window.partitionBy(col("cluster"))
       .orderBy(col("n_chars").desc, col("doc_id").asc)
     val golden = members.withColumn("rk", row_number().over(wLongest))

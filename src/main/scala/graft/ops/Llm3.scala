@@ -124,6 +124,63 @@ object Llm3 {
     * longs at the cap — well inside boundedCollect territory). */
   private[graft] val DriverUfCap = 500000
 
+  /** Component labels (node → min member) for every node APPEARING IN
+    * an edge, as a DataFrame `(node, label)` — the hybrid the cluster
+    * family standardizes on: below [[DriverUfCap]] edges the labels
+    * come from the driver union-find over a boundedCollect (a
+    * few-hundred-edge graph spends ~10× its own cost on Pregel job
+    * scheduling); above it, the same pointer-doubling min-label
+    * propagation loop as [[dedupClustersAt]], restricted to the edge
+    * endpoints (callers left-join and label isolated nodes
+    * themselves). Round13Spec pins the two paths row-identical on the
+    * fixture edge set. */
+  private[graft] def componentLabelsDf(spark: SparkSession,
+      edges: DataFrame, parallelism: Int = 0): DataFrame = {
+    import spark.implicits._
+    val edgesCk = edges.select(col("d1"), col("d2")).localCheckpoint()
+    val small = parallelism == 0 &&
+      edgesCk.limit(DriverUfCap + 1).count() <= DriverUfCap
+    if (small) {
+      val es = boundedCollect(edgesCk.as[(Long, Long)],
+        DriverUfCap, "component edge set")
+      return unionFindMinLabels(es).toSeq.toDF("node", "label")
+    }
+    val p = if (parallelism > 0) parallelism
+      else spark.sparkContext.defaultParallelism
+    def part(df: DataFrame, key: String): DataFrame =
+      df.repartition(p, col(key))
+    val und = part(edgesCk.union(
+      edgesCk.select(col("d2").as("d1"), col("d1").as("d2"))), "d1")
+      .localCheckpoint()
+    // min-neighbor seed = the first propagation round for free
+    var labels = part(und.groupBy(col("d1")).agg(min(col("d2")).as("nb0"))
+      .select(col("d1").as("node"),
+        least(col("d1"), col("nb0")).as("label")), "node")
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 60) {
+      val nb = und.join(labels, col("d2") === col("node"))
+        .groupBy(col("d1")).agg(min(col("label")).as("nb_min"))
+      val prop = labels.join(nb, col("node") === col("d1"), "left")
+        .select(col("node"), col("label").as("prev_label"),
+          least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"))
+      val next = prop
+        .join(prop.select(col("node").as("lk"), col("label").as("l2")),
+          col("label") === col("lk"), "left")
+        .select(col("node"), col("prev_label"),
+          coalesce(col("l2"), col("label")).as("label"))
+        .localCheckpoint()
+      converged = next.where(col("label") =!= col("prev_label")).limit(1).count() == 0
+      labels = next.select(col("node"), col("label"))
+      iter += 1
+    }
+    require(converged,
+      s"connected-components did not converge within $iter rounds — " +
+        "component diameter exceeds the iteration budget; raise the cap")
+    labels
+  }
+
   /** Driver-side union-find with path compression; returns node →
     * (min member of its component) for every node that appears in an
     * edge (isolated docs label themselves at the join site). */

@@ -40,11 +40,15 @@ object Llm9 {
         s => s.getField("word"))).as("chunk_text"))
     val freq = chunks.groupBy(col("chunk_text"))
       .agg(count(lit(1)).as("n_occ"))
-    val wAll = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
+    // Corpus totals as a 1-row aggregate broadcast-crossed onto the
+    // frequency frame (the tpch_q11 / stats_ks_test allowlisted shape).
+    // The distinct-chunk frame grows linearly with the corpus, so a
+    // whole-frame window here would funnel it into one task at 100 TB;
+    // the totals agg is map-combinable and the cross adds zero shuffle.
+    val totals = freq.agg(sum(col("n_occ")).as("n_chunks"),
+      count(lit(1)).as("n_distinct"))
     freq
-      .withColumn("n_chunks", sum(col("n_occ")).over(wAll))
-      .withColumn("n_distinct", count(lit(1)).over(wAll))
+      .crossJoin(broadcast(totals))
       .withColumn("dup_ratio", round((col("n_chunks") - col("n_distinct"))
         .cast("double") / col("n_chunks").cast("double"), 6))
       .where(col("n_occ") >= 2)

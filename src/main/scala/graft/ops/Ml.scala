@@ -259,17 +259,19 @@ object Ml {
     * scale story: round-6 scores on (0,1) have ≤10⁶+1 DISTINCT values,
     * so the rank pass collapses to a bounded per-score histogram no
     * matter how many rows feed it — exactly how production AUC jobs
-    * dodge the global sort). One score-keyed agg → a ≤10⁶-row cumsum
-    * window → one final reduce; everything until the last division is
+    * dodge the global sort). One score-keyed agg → a [[PrefixScan]]
+    * cumsum over the quantization-bounded distinct-score frame (the
+    * frame saturates at ≤10⁶+1 rows, but the scan keeps even that
+    * ceiling spread across range partitions instead of one window
+    * task) → one final reduce; everything until the last division is
     * exact integers-and-halves. Output: n_pos, n_neg, auc, gini. */
   def aucRoc(spark: SparkSession, dir: String): DataFrame = {
     val perScore = scoredDocs(spark, dir).groupBy("s")
       .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
-    val w = Window.orderBy(col("s"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // midrank in ×2 space keeps it integral: 2·mid = 2·cum_before + n + 1
-    val ranked = perScore
-      .withColumn("cum", sum(col("n")).over(w))
+    val (scanned, _) = PrefixScan(perScore, Seq("s"),
+      sumsLong = Seq("n" -> "cum"))
+    val ranked = scanned
       .withColumn("mid2", lit(2) * (col("cum") - col("n")) + col("n") + 1)
     val agg = ranked.agg(
       sum(col("n_pos")).as("np"),
@@ -313,6 +315,11 @@ object Ml {
       .select(lit(nPos).as("n_pos"), lit(nAll - nPos).as("n_neg"),
         round(col("sum_term") / lit(nPos).cast("double"), 6)
           .as("average_precision"))
+      // positive-starved / empty-corpus guard (the ndcg convention): AP
+      // is undefined at n_pos = 0, and the oracle's HAVING mirrors this
+      // filter — both engines emit the empty result instead of a
+      // null/NaN row (Spark's agg-over-empty) vs divide-by-zero (DuckDB)
+      .where(lit(nPos) >= 1)
   }
 
   /** L306 — Cohen's kappa + Matthews correlation from the confusion
@@ -525,32 +532,32 @@ object Ml {
     * companion of L242's ROC AUC, and the metric that actually moves
     * under class imbalance — reported beside the prevalence baseline a
     * random ranker would score. Same scale contract as the AUC: round-6
-    * scores bound the threshold frame at ≤10⁶+1 rows, so the "ranking"
-    * is a bounded per-score histogram + one cumsum window — no global
-    * sort at any corpus size. Per-threshold term n_posᵢ·cumPosᵢ /
-    * (P·cumNᵢ) is a ratio of exact integers, round-6 → decimal-summed. */
+    * scores bound the threshold frame at ≤10⁶+1 rows, and the cumsum
+    * runs through [[PrefixScan]] (round 13 — the r12 window form is
+    * retired; see L333 for the relationship between the two AP keys:
+    * this key keeps the sklearn output convention with the prevalence
+    * baseline, L333 the step-interpolated P(s) form, and Round13Spec
+    * pins the two statistics equal on the fixture). Per-threshold term
+    * n_posᵢ·cumPosᵢ / (P·cumNᵢ) is a ratio of exact integers, round-6 →
+    * decimal-summed; corpus totals come back as exact scan literals. */
   def avgPrecision(spark: SparkSession, dir: String): DataFrame = {
     val perScore = scoredDocs(spark, dir).groupBy("s")
       .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
-    val w = Window.orderBy(col("s").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    val ranked = perScore
-      .withColumn("cum_pos", sum(col("n_pos")).over(w))
-      .withColumn("cum_n", sum(col("n")).over(w))
-      .withColumn("p_tot", sum(col("n_pos")).over(wAll))
-      .withColumn("n_tot", sum(col("n")).over(wAll))
+      .withColumn("neg_s", -col("s"))
+    val (ranked, tot) = PrefixScan(perScore, Seq("neg_s"),
+      sumsLong = Seq("n_pos" -> "cum_pos", "n" -> "cum_n"))
+    val pTot = tot.longs("n_pos")
+    val nTot = tot.longs("n")
     ranked.agg(
-        max(col("p_tot")).as("n_pos"),
-        (max(col("n_tot")) - max(col("p_tot"))).as("n_neg"),
         round(dsum(round(col("n_pos").cast("double") *
           col("cum_pos").cast("double") /
-          (col("p_tot").cast("double") * col("cum_n").cast("double")), 6)), 6)
+          (lit(pTot).cast("double") * col("cum_n").cast("double")), 6)), 6)
           .as("avg_precision"))
-      .withColumn("prevalence", round(col("n_pos").cast("double") /
-        (col("n_pos") + col("n_neg")).cast("double"), 6))
-      .select(col("n_pos"), col("n_neg"), col("prevalence"),
+      .select(
+        when(lit(nTot) > 0, lit(pTot)).as("n_pos"),
+        when(lit(nTot) > 0, lit(nTot - pTot)).as("n_neg"),
+        when(lit(nTot) > 0, round(lit(pTot).cast("double") /
+          lit(nTot).cast("double"), 6)).as("prevalence"),
         col("avg_precision"))
   }
 
@@ -865,27 +872,27 @@ object Ml {
     * that?" — the chart every targeting campaign is sized from).
     * Scale shape is the L242/L251 machinery verbatim: round-6 scores
     * collapse to the ≤10⁶-row distinct-score frame, cumulative counts
-    * descend by score, and each decile depth k = ⌈N·d/10⌉ is located
-    * INSIDE its straddling tie group by linear interpolation (the
-    * Lorenz trick — tie-order-free by construction). Corpus cost: one
-    * score-keyed agg; the decile grid is a 10-row broadcast. */
+    * descend by score through [[PrefixScan]] (round 13 — formerly the
+    * last unpartitioned cumsum window of the score family), and each
+    * decile depth k = ⌈N·d/10⌉ is located INSIDE its straddling tie
+    * group by linear interpolation (the Lorenz trick — tie-order-free
+    * by construction). Corpus cost: one score-keyed agg; the decile
+    * grid is a 10-row broadcast built from the scan's exact totals. */
   def gainsTable(spark: SparkSession, dir: String): DataFrame = {
     val byS = scoredDocs(spark, dir).groupBy(col("s"))
       .agg(count(lit(1)).as("c"), sum(col("y")).as("pos"))
-    val w = Window.orderBy(col("s").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    val frame = byS
-      .withColumn("cum_n", sum(col("c")).over(w))
-      .withColumn("cum_pos", sum(col("pos")).over(w))
-      .withColumn("n", sum(col("c")).over(wAll))
-      .withColumn("p", sum(col("pos")).over(wAll))
-    val grid = frame.agg(max(col("n")).as("n"), max(col("p")).as("p"))
-      .select(col("n"), col("p"), explode(sequence(lit(1), lit(10)))
-        .as("decile"))
-      .withColumn("k", expr("(n * decile + 9) div 10"))
-    frame.join(broadcast(grid.drop("n", "p")),
+      .withColumn("neg_s", -col("s"))
+    val (scanned, tot) = PrefixScan(byS, Seq("neg_s"),
+      sumsLong = Seq("c" -> "cum_n", "pos" -> "cum_pos"))
+    val nTot = tot.longs("c")
+    val pTot = tot.longs("pos")
+    val frame = scanned
+      .withColumn("n", lit(nTot)).withColumn("p", lit(pTot))
+    val grid = spark.range(1, 11)
+      .select(col("id").cast("int").as("decile"))
+      .withColumn("k", expr(
+        s"(CAST($nTot AS BIGINT) * CAST(decile AS BIGINT) + 9) div 10"))
+    frame.join(broadcast(grid),
         col("cum_n") - col("c") < col("k") && col("k") <= col("cum_n"))
       .select(col("decile"), col("k").as("depth_n"),
         round((col("cum_pos") - col("pos")).cast("double") +
@@ -1281,7 +1288,7 @@ object Ml {
            round(CAST(SUM(CAST(round(CAST(np AS DOUBLE) * p_at, 6)
                AS DECIMAL(18,6))) AS DOUBLE) / CAST(np_t AS DOUBLE), 6)
              AS average_precision
-         FROM t, tot GROUP BY np_t, n_t""",
+         FROM t, tot GROUP BY np_t, n_t HAVING np_t >= 1""",
     "ml_auc_roc" ->
       s"""WITH $scoredSql,
          ps AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n,

@@ -772,28 +772,29 @@ object Warehouse {
     * shuffle co-locates each customer's items, pair generation is a
     * codegen'd self-join within the key (pair volume Σ C(kᵢ,2) with
     * k = items per CUSTOMER — bounded by purchase history, not
-    * catalog; a 100 TB deployment caps hyperactive accounts the L188
-    * hub-cap way, the fixture's ~40-item baskets need none), item
-    * marginals are catalog-sized broadcasts. Min co-support 2; top-20
-    * by round-6 cosine with the (a, b) tiebreak. */
+    * catalog), item marginals are catalog-sized broadcasts.
+    * HYPERACTIVE-ACCOUNT CAP (round 13, closing the family's last
+    * documented-not-coded mitigation — VERDICT r12 #4): a customer
+    * basket above [[CfBasketCap]] items routes only its cap
+    * h48-lowest items into pair generation (deterministic truncation
+    * both engines compute bit-identically; item marginals n_a/n_b
+    * stay EXACT — only the quadratic pair stage is capped). Pair
+    * volume is ≤ C(cap,2)·|customers| at ANY skew, and each emitted
+    * pair carries `n_capped_custs` — how many of its co-support
+    * customers were truncated — so an exact row is distinguishable
+    * from a lower-bounded one (the graph_two_hop_reach honesty
+    * contract). The cap clears every fixture maximum (66/90/105 items
+    * at sf0.001/0.01/0.1), so fixture answers are exact with
+    * n_capped_custs = 0; ScaleRehearsalSpec drives the capped branch
+    * on a synthetic hyperactive account. Min co-support 2; top-20 by
+    * round-6 cosine with the (a, b) tiebreak. */
   def itemItemCf(spark: SparkSession, dir: String): DataFrame = {
     val cp = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
       .join(lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
-    // pair generation: codegen'd c-keyed self-join, NOT the L204
-    // array-transform trick — at CUSTOMER grain baskets run ~40 items
-    // (C(40,2) ≈ 780 pairs each), and the nested transform lambdas are
-    // INTERPRETED: measured 9.2 s at sf0.1 vs 2.4 s for the join route
-    // (at ORDER grain with ~4-item baskets the transform wins — same
-    // trade the round-2 MinHash shingler measurement established)
-    val co = cp.as("a")
-      .join(cp.as("b"),
-        col("a.c") === col("b.c") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("item_a"), col("b.p").as("item_b"))
-      .agg(count(lit(1)).as("n_co"))
-      .where(col("n_co") >= 2)
     val ni = cp.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+    val co = itemPairCounts(cp, CfBasketCap)
     co
       .join(broadcast(ni.select(col("p").as("item_a"), col("n_p").as("n_a"))),
         "item_a")
@@ -802,9 +803,43 @@ object Warehouse {
       .withColumn("cosine", round(col("n_co").cast("double") /
         sqrt(col("n_a").cast("double") * col("n_b").cast("double")), 6))
       .select(col("item_a"), col("item_b"), col("n_co"), col("n_a"),
-        col("n_b"), col("cosine"))
+        col("n_b"), col("cosine"), col("n_capped_custs"))
       .orderBy(col("cosine").desc, col("item_a").asc, col("item_b").asc)
       .limit(20)
+  }
+
+  /** Basket-size ceiling for [[itemItemCf]]'s quadratic pair stage —
+    * above fixture maxima (66/90/105 distinct items at the three SFs),
+    * so fixture answers stay exact; the capped branch is rehearsed on a
+    * synthetic hyperactive account in ScaleRehearsalSpec. */
+  private[graft] val CfBasketCap = 128
+
+  /** Co-occurrence pair counts over a (c, p) incidence frame with the
+    * hyperactive-key cap: baskets ≤ cap pair exactly; larger baskets
+    * contribute only their cap h48-lowest items (p tiebreak), and every
+    * pair reports how many of its contributing customers were
+    * truncated. The row_number + filter compiles to WindowGroupLimit —
+    * partial per-partition top-k before the per-customer shuffle, so a
+    * pathological account never fills one task's window buffer. */
+  private[graft] def itemPairCounts(cp: DataFrame, cap: Int): DataFrame = {
+    val bsz = cp.groupBy(col("c")).agg(count(lit(1)).as("bs"))
+    val tagged = cp.join(bsz, "c")
+    val hubW = Window.partitionBy(col("c"))
+      .orderBy(graft.Tables.h48(concat_ws(":", col("c"), col("p"))),
+        col("p"))
+    val fan = tagged.where(col("bs") <= cap)
+      .select(col("c"), col("p"), lit(0L).as("capped"))
+      .unionAll(tagged.where(col("bs") > cap)
+        .withColumn("rn", row_number().over(hubW))
+        .where(col("rn") <= cap)
+        .select(col("c"), col("p"), lit(1L).as("capped")))
+    fan.as("a")
+      .join(fan.as("b"),
+        col("a.c") === col("b.c") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("item_a"), col("b.p").as("item_b"))
+      .agg(count(lit(1)).as("n_co"),
+        sum(col("a.capped")).as("n_capped_custs"))
+      .where(col("n_co") >= 2)
   }
 
   /** L205 — A/B experiment analysis: two-proportion pooled z-test (the
@@ -1678,20 +1713,32 @@ object Warehouse {
              // (2 * n_cohort) AS DOUBLE) / 1e6 AS ltv_per_user_k
          FROM cum JOIN sz USING (m0)
          ORDER BY cohort_month, age_months""",
-    "rec_item_item_cf" ->
-      """WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+    "rec_item_item_cf" -> {
+      val h = graft.Tables.h48Sql(
+        "CAST(c AS VARCHAR) || ':' || CAST(p AS VARCHAR)")
+      s"""WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         bs AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS bs FROM cp GROUP BY 1),
+         fan AS (SELECT c, p,
+             CASE WHEN bs > $CfBasketCap THEN 1 ELSE 0 END AS capped
+           FROM (SELECT cp.c, cp.p, bs,
+               ROW_NUMBER() OVER (PARTITION BY cp.c
+                 ORDER BY ($h), cp.p) AS rn
+             FROM cp JOIN bs USING (c))
+           WHERE bs <= $CfBasketCap OR rn <= $CfBasketCap),
          co AS (SELECT a.p AS item_a, b.p AS item_b,
-             CAST(COUNT(*) AS BIGINT) AS n_co
-           FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p
+             CAST(COUNT(*) AS BIGINT) AS n_co,
+             CAST(SUM(a.capped) AS BIGINT) AS n_capped_custs
+           FROM fan a JOIN fan b ON a.c = b.c AND a.p < b.p
            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
          ni AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_p FROM cp GROUP BY 1)
          SELECT item_a, item_b, n_co, na.n_p AS n_a, nb.n_p AS n_b,
            round(CAST(n_co AS DOUBLE)
              / sqrt(CAST(na.n_p AS DOUBLE) * CAST(nb.n_p AS DOUBLE)), 6)
-             AS cosine
+             AS cosine, n_capped_custs
          FROM co JOIN ni na ON co.item_a = na.p JOIN ni nb ON co.item_b = nb.p
-         ORDER BY cosine DESC, item_a, item_b LIMIT 20""",
+         ORDER BY cosine DESC, item_a, item_b LIMIT 20"""
+    },
     "basket_lift_pairs" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
             FROM lineitem),

@@ -261,7 +261,13 @@ class PlanSpec extends SparkTestBase {
       // 1-row distinct-bigram-total broadcast into the KN probability
       "llm_kneser_ney_ppl",
       // 1-row global-summary broadcast onto the 5-row band frame
-      "ts_interarrival_dist")
+      "ts_interarrival_dist",
+      // 1-row chunk-totals broadcast onto the chunk-frequency frame
+      // (replaced the r12 whole-frame window — see Llm9.cdcChunks)
+      "llm_cdc_chunks",
+      // 1-row component-totals broadcast onto the component-size frame
+      // (replaced the r12 whole-frame window — see Analytics CC notes)
+      "graph_connected_components")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, sf0001))
