@@ -124,6 +124,13 @@ object Llm3 {
     * longs at the cap — well inside boundedCollect territory). */
   private[graft] val DriverUfCap = 500000
 
+  /** Pointer-doubling round budget for [[componentLabelsDf]]'s
+    * distributed path. Label propagation with the compress half-step
+    * converges in O(log diameter) rounds, so 60 covers any component a
+    * physical graph can produce (diameter ~2⁶⁰); the `require` below
+    * names this constant so a hypothetical raise is one edit. */
+  private[graft] val PregelRoundBudget = 60
+
   /** Component labels (node → min member) for every node APPEARING IN
     * an edge, as a DataFrame `(node, label)` — the hybrid the cluster
     * family standardizes on: below [[DriverUfCap]] edges the labels
@@ -159,25 +166,29 @@ object Llm3 {
       .localCheckpoint()
     var converged = false
     var iter = 0
-    while (!converged && iter < 60) {
+    while (!converged && iter < PregelRoundBudget) {
       val nb = und.join(labels, col("d2") === col("node"))
         .groupBy(col("d1")).agg(min(col("label")).as("nb_min"))
       val prop = labels.join(nb, col("node") === col("d1"), "left")
         .select(col("node"), col("label").as("prev_label"),
           least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"))
-      val next = prop
+      // re-apply the node partitioning before checkpointing so every
+      // round's `und ⋈ labels` reuses the seed frame's layout instead of
+      // re-shuffling labels that drifted onto the join-output partitioning
+      val next = part(prop
         .join(prop.select(col("node").as("lk"), col("label").as("l2")),
           col("label") === col("lk"), "left")
         .select(col("node"), col("prev_label"),
-          coalesce(col("l2"), col("label")).as("label"))
+          coalesce(col("l2"), col("label")).as("label")), "node")
         .localCheckpoint()
       converged = next.where(col("label") =!= col("prev_label")).limit(1).count() == 0
       labels = next.select(col("node"), col("label"))
       iter += 1
     }
     require(converged,
-      s"connected-components did not converge within $iter rounds — " +
-        "component diameter exceeds the iteration budget; raise the cap")
+      s"connected-components did not converge within $PregelRoundBudget " +
+        "pointer-doubling rounds — component diameter exceeds the " +
+        "budget; raise PregelRoundBudget")
     labels
   }
 

@@ -242,7 +242,7 @@ object Ml {
     * 10 calibration bins populated at sf0.01) so the reliability table
     * is non-degenerate — L214's tiny gradient-step weights put every
     * document in one bin. */
-  private def scoredDocs(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def scoredDocs(spark: SparkSession, dir: String): DataFrame = {
     val ws = Seq(-1.0, -1.5, 1.2)
     val z = lit(ws(0)) + lit(ws(1)) * (col("n_chars").cast("double") / 100.0) +
       lit(ws(2)) * (size(split(col("text"), " ")).cast("double") / 10.0)
@@ -536,8 +536,13 @@ object Ml {
     * runs through [[PrefixScan]] (round 13 — the r12 window form is
     * retired; see L333 for the relationship between the two AP keys:
     * this key keeps the sklearn output convention with the prevalence
-    * baseline, L333 the step-interpolated P(s) form, and Round13Spec
-    * pins the two statistics equal on the fixture). Per-threshold term
+    * baseline, L333 the step-interpolated P(s) form — the SAME
+    * statistic up to round-6 term quantization: L333 rounds P(s)
+    * before the product, this key rounds the whole term once, so the
+    * two round-6 results sit within the per-term grid of each other
+    * but are NOT bit-identical (fixture: 0.360775 vs 0.360779).
+    * Round13Spec pins both within 1e-5 of the exactly-computed AP and
+    * of each other). Per-threshold term
     * n_posᵢ·cumPosᵢ / (P·cumNᵢ) is a ratio of exact integers, round-6 →
     * decimal-summed; corpus totals come back as exact scan literals. */
   def avgPrecision(spark: SparkSession, dir: String): DataFrame = {

@@ -842,4 +842,55 @@ class ScaleRehearsalSpec extends SparkTestBase {
       assert(row.getAs[Double]("expansion") === 1.0)
     }
   }
+
+  test("itemPairCounts hyperactive-basket cap: capped branch fires, pair volume bounded, n_capped_custs surfaces") {
+    import spark.implicits._
+    val cap = ops.Warehouse.CfBasketCap
+    // customer 1 is hyperactive (200 items > cap, the regime no fixture
+    // reaches); customers 2 and 3 share items 1..100 exactly, providing
+    // the >= 2 co-support without which no capped pair could emit
+    val hyper = (1L to 200L).map(p => (1L, p))
+    val normals = for (c <- 2L to 3L; p <- 1L to 100L) yield (c, p)
+    val cp = (hyper ++ normals).toDF("c", "p")
+    val pairs = ops.Warehouse.itemPairCounts(cp, cap)
+      .orderBy("item_a", "item_b").collect()
+    // independently re-derive customer 1's truncated basket: the cap
+    // h48-lowest items (p tiebreak) — the deterministic order the oracle
+    // SQL mirrors — WITHOUT the row_number window under test
+    val trunc = cp.where($"c" === 1L)
+      .withColumn("h", Tables.h48(concat_ws(":", $"c", $"p")))
+      .orderBy($"h", $"p").limit(cap)
+      .select($"p").as[Long].collect().toSet
+    assert(trunc.size === cap, "truncation must keep exactly cap items")
+    val mSmall = trunc.count(_ <= 100L)
+    assert(mSmall > 1 && mSmall < 100,
+      s"h48 order degenerate on the synthetic basket (kept $mSmall of 100)")
+    // only items 1..100 can reach co-support 2; pair set is exactly C(100,2)
+    assert(pairs.length === 100 * 99 / 2)
+    var nCapped = 0L
+    pairs.foreach { r =>
+      val (a, b) = (r.getAs[Long]("item_a"), r.getAs[Long]("item_b"))
+      assert(a >= 1L && b <= 100L && a < b)
+      val c1Has = trunc.contains(a) && trunc.contains(b)
+      // n_co: c2 + c3 always; customer 1 iff BOTH items survived its cap
+      assert(r.getAs[Long]("n_co") === (if (c1Has) 3L else 2L),
+        s"pair ($a,$b): capped customer's contribution miscounted")
+      assert(r.getAs[Long]("n_capped_custs") === (if (c1Has) 1L else 0L),
+        s"pair ($a,$b): honesty column wrong")
+      nCapped += r.getAs[Long]("n_capped_custs")
+    }
+    assert(nCapped === mSmall.toLong * (mSmall - 1) / 2,
+      "capped-customer pair volume != C(|trunc ∩ co-supported|, 2)")
+    assert(nCapped > 0, "capped branch never contributed a pair")
+    assert(nCapped <= cap.toLong * (cap - 1) / 2,
+      "pair volume from a capped customer exceeds C(cap, 2)")
+    // same incidence below the cap: exact branch, zero capped flags,
+    // and customer 1 now co-supports EVERY emitted pair
+    val exact = ops.Warehouse.itemPairCounts(cp, 256).collect()
+    assert(exact.length === 100 * 99 / 2)
+    exact.foreach { r =>
+      assert(r.getAs[Long]("n_co") === 3L)
+      assert(r.getAs[Long]("n_capped_custs") === 0L)
+    }
+  }
 }
