@@ -896,14 +896,16 @@ object Analytics {
     val auth = edges.groupBy(col("c")).agg(count(lit(1)).as("raw"))
     val hub = edges.join(auth, "c")
       .groupBy(col("s")).agg(sum(col("raw")).as("raw"))
+    // top-20 per role as orderBy+limit (TakeOrderedAndProject — the
+    // stats_hill_tail convention), not a partitionBy(lit(role)) window:
+    // same rows, but the heap truncates per-partition BEFORE any shuffle
     def top(df: DataFrame, role: String) = {
       val total = df.agg(sum(col("raw")).as("tot"))
-      val w = Window.partitionBy(lit(role)).orderBy(col("raw").desc, col("node").asc)
-      df.select(lit(role).as("role"), col("node"), col("raw"))
+      df.select(col("node"), col("raw"))
+        .orderBy(col("raw").desc, col("node").asc)
+        .limit(20)
         .crossJoin(broadcast(total))
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") <= 20)
-        .select(col("role"), col("node"), col("raw"),
+        .select(lit(role).as("role"), col("node"), col("raw"),
           round(col("raw").cast("double") / col("tot").cast("double"), 6)
             .as("norm"))
     }

@@ -38,6 +38,14 @@ class PlanSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("hits-step per-role top-20 runs as TakeOrdered, not a lit()-keyed window") {
+    // round 14: the partitionBy(lit(role)) rank was the one data-grain
+    // member of the r13 lit()-window sweep — now orderBy+limit per role
+    val p = plan(ops.Analytics.hitsStep(spark, sf0001))
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("WindowExec"), p)
+  }
+
   test("similarity joins run the native codegen'd dot-product kernel") {
     val p = plan(ops.Llm.annLsh(spark, sf0001))
     assert(p.contains("graft_dot_product"), p)

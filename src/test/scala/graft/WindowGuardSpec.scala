@@ -28,16 +28,89 @@ class WindowGuardSpec extends AnyFunSuite {
     files.filter(_.getName.endsWith(".scala")) ++ dirs.flatMap(scalaFiles)
   }
 
-  /** True iff the (non-comment) source line defines or uses an
-    * unpartitioned window. Exposed for the matcher self-test. */
-  private[graft] def isUnpartitionedWindowLine(raw: String): Boolean = {
-    val t = raw.trim
-    val comment = t.startsWith("*") || t.startsWith("//") || t.startsWith("/*")
-    if (comment) return false
-    val partitionless = (t.contains("Window.orderBy") ||
-      t.contains("Window.rowsBetween") ||
-      t.contains("Window.rangeBetween")) && !t.contains("partitionBy")
-    partitionless || t.contains("Window.partitionBy()")
+  /** Blank out `/* */` blocks and `//` line tails, PRESERVING newlines
+    * so offsets still map to source line numbers. Run before matching,
+    * so a `partitionBy` in a trailing comment can't excuse a hit and a
+    * chain split across lines can't hide (VERDICT r13 #2 + ADVICE). */
+  private[graft] def stripComments(src: String): String = {
+    val noBlock = raw"(?s)/\*.*?\*/".r.replaceAllIn(src,
+      m => java.util.regex.Matcher.quoteReplacement(
+        m.matched.map(c => if (c == '\n') '\n' else ' ')))
+    noBlock.linesWithSeparators.map { l =>
+      val i = l.indexOf("//")
+      if (i >= 0) l.take(i) + l.drop(i).map(c => if (c == '\n') '\n' else ' ')
+      else l
+    }.mkString
+  }
+
+  /** The full builder chain starting at a `Window` token: consumes
+    * `.method(balanced args)` links across any line breaks. */
+  private[graft] def windowChainAt(text: String, start: Int): String = {
+    val sb = new StringBuilder("Window")
+    var i = start + "Window".length
+    var done = false
+    while (!done && i < text.length) {
+      var j = i
+      while (j < text.length && text(j).isWhitespace) j += 1
+      if (j < text.length && text(j) == '.') {
+        var k = j + 1
+        val is = k
+        while (k < text.length && (text(k).isLetterOrDigit || text(k) == '_')) k += 1
+        sb.append('.').append(text.substring(is, k))
+        var m = k
+        while (m < text.length && text(m).isWhitespace) m += 1
+        if (m < text.length && text(m) == '(') {
+          val argStart = m
+          var depth = 0
+          while (m < text.length && (depth > 0 || m == argStart)) {
+            if (text(m) == '(') depth += 1
+            else if (text(m) == ')') depth -= 1
+            m += 1
+          }
+          sb.append(text.substring(argStart, m).replaceAll("\\s+", " "))
+          i = m
+        } else i = k
+      } else done = true
+    }
+    sb.toString
+  }
+
+  /** True iff the chain defines a window whose frame is the WHOLE
+    * dataset: orderBy/rowsBetween/rangeBetween with no partitionBy,
+    * partitionBy(), or partitionBy whose every key is a `lit(...)` —
+    * byte-for-byte the same single-partition shape (VERDICT r13 #2). */
+  private[graft] def isUnpartitionedWindowChain(chain: String): Boolean = {
+    val relevant = Seq(".orderBy(", ".rowsBetween(", ".rangeBetween(",
+      ".partitionBy(").exists(chain.contains)
+    if (!relevant) return false
+    raw"\.partitionBy\(".r.findFirstMatchIn(chain) match {
+      case None => true
+      case Some(m) =>
+        // split the balanced arg list at depth-0 commas; a window is
+        // partitioned only if SOME key is a real (non-literal) column
+        val inner = {
+          var depth = 1; var k = m.end
+          val s = new StringBuilder
+          while (k < chain.length && depth > 0) {
+            val c = chain(k)
+            if (c == '(') depth += 1 else if (c == ')') depth -= 1
+            if (depth > 0) s.append(c)
+            k += 1
+          }
+          s.toString
+        }
+        val args = {
+          var depth = 0
+          val parts = collection.mutable.ArrayBuffer(new StringBuilder)
+          inner.foreach { c =>
+            if (c == '(') depth += 1 else if (c == ')') depth -= 1
+            if (c == ',' && depth == 0) parts += new StringBuilder
+            else parts.last.append(c)
+          }
+          parts.map(_.toString.trim).filter(_.nonEmpty).toSeq
+        }
+        args.isEmpty || args.forall(_.startsWith("lit("))
+    }
   }
 
   /** (file, enclosing query-level def) -> (hit count, boundedness
@@ -46,8 +119,21 @@ class WindowGuardSpec extends AnyFunSuite {
   private val allowed: Map[(String, String), (Int, String)] = Map(
     ("Llm7.scala", "hybridRrf") -> (2,
       "rank over two 20-row TakeOrdered frames (limit 20 runs upstream)"),
-    ("Llm9.scala", "matryoshkaRecall") -> (1,
-      "10-row query-panel frame (bounded probe set, the llm_ivf_ann shape)"),
+    ("Llm9.scala", "top10") -> (1,
+      "10-row query-panel frame (bounded probe set, the llm_ivf_ann " +
+        "shape) — textually inside matryoshkaRecall, after its local " +
+        "top10 helper def"),
+    ("Warehouse4.scala", "autocorrHourly") -> (1,
+      "calendar: one row per hour (dense hourly grid; partitionBy(lit(1)) " +
+        "form, caught since the r13 matcher widening)"),
+    ("Audit.scala", "bucket") -> (1,
+      "10-bin PSI histogram frame (psiDrift; nearest preceding def is " +
+        "its local bucket helper)"),
+    ("Ml.scala", "giniSplit") -> (2,
+      "quantized feature histogram, <= 10 rows by the bin clamp"),
+    ("Ml.scala", "gini") -> (1,
+      "best-split rank over the same <= 10-row histogram (giniSplit; " +
+        "nearest preceding def is its local gini helper)"),
     ("Llm8.scala", "zipfSlope") -> (1,
       "top-100 vocabulary-head frame (limit 100 runs upstream)"),
     ("Analytics.scala", "graphModularity") -> (1,
@@ -115,16 +201,23 @@ class WindowGuardSpec extends AnyFunSuite {
       "168-row dow × hour grid"))
 
   test("every partition-less window in src/main is allowlisted with a bound") {
-    val defRe = raw"def\s+(\w+)\s*\(spark".r
+    // ANY def (not just query-level `def x(spark`) — hits attribute to
+    // the nearest enclosing/preceding definition, so a local helper's
+    // window can't ride on its parent's allowlist entry (ADVICE r13)
+    val defRe = raw"\bdef\s+(\w+)".r
     val hits = scalaFiles(new java.io.File("src/main/scala")).flatMap { f =>
-      scala.util.Using.resource(scala.io.Source.fromFile(f, "UTF-8")) { src =>
-        var enclosing = "<toplevel>"
-        src.getLines().zipWithIndex.flatMap { case (line, i) =>
-          defRe.findFirstMatchIn(line).foreach(m => enclosing = m.group(1))
-          if (isUnpartitionedWindowLine(line))
-            Some(((f.getName, enclosing), s"${f.getPath}:${i + 1}"))
-          else None
-        }.toList
+      val text = stripComments(
+        scala.util.Using.resource(scala.io.Source.fromFile(f, "UTF-8"))(
+          _.mkString))
+      val defs = defRe.findAllMatchIn(text).map(m => m.start -> m.group(1)).toSeq
+      raw"\bWindow\s*\.".r.findAllMatchIn(text).toSeq.flatMap { m =>
+        val chain = windowChainAt(text, m.start)
+        if (isUnpartitionedWindowChain(chain)) {
+          val enclosing = defs.takeWhile(_._1 < m.start).lastOption
+            .map(_._2).getOrElse("<toplevel>")
+          val line = text.take(m.start).count(_ == '\n') + 1
+          Some(((f.getName, enclosing), s"${f.getPath}:$line"))
+        } else None
       }
     }
     val counts = hits.groupBy(_._1).map { case (k, v) => k -> v.size }
@@ -150,17 +243,34 @@ class WindowGuardSpec extends AnyFunSuite {
       s"allowlist counts above actual — tighten: $undercounted")
   }
 
-  test("matcher catches both defect shapes and skips comments") {
-    assert(isUnpartitionedWindowLine(
-      """val w = Window.orderBy(col("v"))"""))
-    assert(isUnpartitionedWindowLine(
-      "val wAll = Window.rowsBetween(Window.unboundedPreceding,"))
-    assert(isUnpartitionedWindowLine("val w = Window.partitionBy()"))
-    assert(!isUnpartitionedWindowLine(
+  test("matcher catches every defect shape: bare, multi-line, lit()-keyed, comment-excused") {
+    def flagged(src: String): Boolean = {
+      val text = stripComments(src)
+      raw"\bWindow\s*\.".r.findAllMatchIn(text).exists(m =>
+        isUnpartitionedWindowChain(windowChainAt(text, m.start)))
+    }
+    assert(flagged("""val w = Window.orderBy(col("v"))"""))
+    assert(flagged(
+      "val wAll = Window.rowsBetween(Window.unboundedPreceding,\n  Window.currentRow)"))
+    assert(flagged("val w = Window.partitionBy()"))
+    // the r13 evasion: a literal key is the same single-partition shape
+    assert(flagged("""val w = Window.partitionBy(lit(1)).orderBy(col("b"))"""))
+    assert(flagged("""val w = Window.partitionBy(lit("x"), lit(2))"""))
+    // a chain SPLIT ACROSS LINES no longer hides
+    assert(flagged("val w = Window\n  .orderBy(col(\"v\"))"))
+    // ...and a partitionBy in a trailing comment no longer excuses
+    assert(flagged("""val w = Window.orderBy(col("v")) // partitionBy upstream"""))
+    assert(!flagged(
       """val w = Window.partitionBy(col("k")).orderBy(col("v"))"""))
-    assert(!isUnpartitionedWindowLine(
+    assert(!flagged("val w = Window\n  .partitionBy(col(\"k\"))\n  .orderBy(col(\"v\"))"))
+    // mixed literal + real key IS partitioned
+    assert(!flagged("""val w = Window.partitionBy(lit(1), col("k"))"""))
+    assert(!flagged(
       """// an unpartitioned Window.orderBy(price) would be the defect"""))
-    assert(!isUnpartitionedWindowLine(
-      """* the scale-safe replacement for `Window.orderBy(v)`"""))
+    assert(!flagged(
+      """/* the scale-safe replacement for `Window.orderBy(v)` */"""))
+    // chain args with nested parens and commas parse correctly
+    assert(!flagged(
+      """val w = Window.partitionBy(date_trunc("hour", col("ts"))).orderBy(col("v"))"""))
   }
 }
