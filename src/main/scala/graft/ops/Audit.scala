@@ -197,24 +197,34 @@ object Audit {
     * exact-6dp values is exact in double. Spark's dayofweek is
     * 1 = Sunday … 7; the oracle mirrors with dayofweek()+1. */
   def hbosAnomaly(spark: SparkSession, dir: String): DataFrame = {
-    val ev = events(spark, dir).select(col("event_id"),
-      hour(col("ts")).as("hod"),
-      dayofweek(col("ts")).as("dow"),
-      least(floor(col("value") / 20.0).cast("long"), lit(9L)).as("vband"))
+    val ev = hbosFeatures(spark, dir)
     val n = ev.agg(count(lit(1)).as("n_total"))
-    def hist(c: String) = ev.groupBy(c).agg(count(lit(1)).as(s"n_$c"))
     def nll(c: String) = round(-log(col(s"n_$c").cast("double") /
       col("n_total").cast("double")), 6)
     ev
-      .join(broadcast(hist("hod")), "hod")
-      .join(broadcast(hist("dow")), "dow")
-      .join(broadcast(hist("vband")), "vband")
+      .join(broadcast(hbosHist(ev, "hod")), "hod")
+      .join(broadcast(hbosHist(ev, "dow")), "dow")
+      .join(broadcast(hbosHist(ev, "vband")), "vband")
       .crossJoin(broadcast(n))
       .select(col("event_id"), col("hod"), col("dow"), col("vband"),
         round(nll("hod") + nll("dow") + nll("vband"), 6).as("hbos_score"))
       .orderBy(col("hbos_score").desc, col("event_id").asc)
       .limit(20)
   }
+
+  /** The HBOS feature projection (hour-of-day, day-of-week, value band)
+    * — shared between the batch scorer above and the reference-building
+    * side of the streaming twin ([[graft.streaming.Streams2.hbosScored]]),
+    * so the two paths cannot drift on the binning. */
+  private[graft] def hbosFeatures(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(col("event_id"),
+      hour(col("ts")).as("hod"),
+      dayofweek(col("ts")).as("dow"),
+      least(floor(col("value") / 20.0).cast("long"), lit(9L)).as("vband"))
+
+  /** One per-feature histogram (`c`, `n_c`) — map-combinable. */
+  private[graft] def hbosHist(ev: DataFrame, c: String): DataFrame =
+    ev.groupBy(c).agg(count(lit(1)).as(s"n_$c"))
 
   /** L334 — t-closeness audit (Li, Li & Venkatasubramanian ICDE 2007 —
     * the follow-up l-diversity needs: a class can be l-diverse yet leak

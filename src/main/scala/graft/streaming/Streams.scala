@@ -1345,7 +1345,7 @@ object Streams {
   /** Full-µs epoch of a Timestamp (`getTime` alone truncates to ms, which
     * would mis-classify gaps within 1 ms of the session boundary vs the
     * µs-precision batch sessionizer). */
-  private def microsOf(t: java.sql.Timestamp): Long =
+  private[streaming] def microsOf(t: java.sql.Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
   case class UserTotals(user_id: Long, n: Long, sum_value: Double)
   case class CwState(emitted: Long, inWindow: Long, sum: Double)

@@ -1,0 +1,227 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Round-14 streaming twins for the round-12 analytics tier (VERDICT r13
+  * #3): the HBOS multivariate anomaly scorer, the STL daily decomposition
+  * + residual monitor, and the golden-record survivorship ledger — each
+  * the live form of an already-oracled batch query, arithmetic shared or
+  * mirrored byte-for-byte so StreamingSpec can pin batch ≡ stream across
+  * RocksDB micro-batch boundaries.
+  *
+  * The deployment split these twins encode is the standard one: the
+  * EXPENSIVE corpus-wide statistics (histograms, seasonal profile,
+  * robust location/scale, entity clustering) are trained in batch and
+  * FROZEN into the stream as references, while the stream does the
+  * row-local / keyed-state part that must be live (scoring, day-close
+  * folding, ledger upserts). That is exactly how L273's PSI monitor
+  * already ships its reference distribution. */
+object Streams2 {
+  import Streams.{Event, microsOf}
+
+  // ----------------------------------------------------------------- HBOS
+
+  /** L337 streaming twin — HBOS anomaly scoring ON A STREAM (the live
+    * form of [[graft.ops.Audit.hbosAnomaly]]: events are scored the
+    * moment they arrive against FROZEN per-feature histograms, instead
+    * of in tomorrow's batch sweep — the L273 PSI deployment shape with
+    * the reference on the other side of the join). The histograms
+    * (trained upstream by [[graft.ops.Audit.hbosFeatures]] /
+    * [[graft.ops.Audit.hbosHist]] — the same projection the batch
+    * scorer uses, so the binning cannot drift) enter as ≤24-row
+    * broadcast stream-static joins; the −ln(n/N) fold is row-local and
+    * round-6 exactly like the batch column. Stateless append stream —
+    * scoring cost per event is three broadcast-hash probes at any
+    * scale. Events whose bin is absent from a reference histogram are
+    * dropped by the inner join (an unseen bin has no trained
+    * probability — the monitor's contract is "score against the
+    * reference", and StreamingSpec pins the fixture refs cover every
+    * fixture event). Global top-k is the batch query's job; the stream
+    * emits every score. */
+  def hbosScored(events: DataFrame, hodHist: DataFrame, dowHist: DataFrame,
+      vbandHist: DataFrame, nTotal: Long): DataFrame = {
+    val ev = events.select(col("event_id"),
+      hour(col("ts")).as("hod"),
+      dayofweek(col("ts")).as("dow"),
+      least(floor(col("value") / 20.0).cast("long"), lit(9L)).as("vband"))
+    def nll(c: String) = round(-log(col(s"n_$c").cast("double") /
+      lit(nTotal).cast("double")), 6)
+    ev
+      .join(broadcast(hodHist), "hod")
+      .join(broadcast(dowHist), "dow")
+      .join(broadcast(vbandHist), "vband")
+      .select(col("event_id"), col("hod"), col("dow"), col("vband"),
+        round(nll("hod") + nll("dow") + nll("vband"), 6).as("hbos_score"))
+  }
+
+  // ------------------------------------------------------------ STL daily
+
+  case class StlPoint(day_num: Long, dow: Long, x: Double, trend: Double,
+    seasonal: Double, residual: Double, robust_z: Double, is_anomaly: Boolean)
+
+  /** L339/L343 streaming twin — STL daily decomposition + residual
+    * anomaly ON A STREAM (the live form of [[graft.ops.Audit.stlDaily]]
+    * composed with [[graft.ops.Audit.stlResidualAnomaly]]'s scorer: the
+    * decomposition row for a day emits as soon as its centered 7-row
+    * trend window CLOSES, instead of in tonight's batch — the L288
+    * Holt day-close shape extended from a trailing to a CENTERED
+    * window). Keyed to the single series key; state is the day →
+    * micro-unit revenue sum map (calendar-bounded — the same bound the
+    * batch day frame carries) plus the emit cursor. A day-row emits
+    * when its 3 successor day-rows exist AND are closed
+    * (day-close-by-progress: a later day has been seen), so at any
+    * fixture cut the stream has emitted exactly the batch frame minus
+    * its final row — StreamingSpec pins that alignment bit-for-bit.
+    * The weekly seasonal profile and the robust location/scale
+    * (median, MAD) are corpus statistics: trained in batch, frozen in
+    * as references (the L273 PSI convention); the residual and its
+    * Iglewicz–Hoaglin robust z mirror the batch arithmetic exactly
+    * (micro-long day sums = dsum; round-6 at the same five sites;
+    * 0.6745·(r−med)/mad with the same operation order; z = 0 at
+    * MAD 0). */
+  def stlDailyTws(orders: Dataset[Event], seasonalByDow: Map[Long, Double],
+      med: Double, mad: Double): Dataset[StlPoint] = {
+    import orders.sparkSession.implicits._
+    orders
+      .groupByKey(_ => 0L)
+      .transformWithState(new StlProcessor(seasonalByDow, med, mad),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  class StlProcessor(seasonalByDow: Map[Long, Double], med: Double,
+      mad: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, StlPoint] {
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var daySums: streaming.MapState[Long, Long] = _
+    @transient private var nextIdx: streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit = {
+      daySums = getHandle.getMapState[Long, Long]("stl_day_sums",
+        Encoders.scalaLong, Encoders.scalaLong, streaming.TTLConfig.NONE)
+      nextIdx = getHandle.getValueState[Long]("stl_next_idx",
+        Encoders.scalaLong, streaming.TTLConfig.NONE)
+    }
+
+    private def micro(x: Double): Long =
+      (BigDecimal.decimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP) *
+        BigDecimal(1000000)).toLongExact
+    private def r6(x: Double): Double =
+      BigDecimal.decimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: streaming.TimerValues): Iterator[StlPoint] = {
+      rows.foreach { e =>
+        val day = math.floorDiv(microsOf(e.ts), 86400000000L)
+        val cur = if (daySums.containsKey(day)) daySums.getValue(day) else 0L
+        daySums.updateValue(day, cur + micro(e.value))
+      }
+      val days = daySums.keys().toSeq.sorted
+      // all but the max seen day are CLOSED (their sums are final)
+      val nClosed = days.length - 1
+      var k = Option(nextIdx.get()).filter(_ > 0).getOrElse(3L).toInt
+      val out = scala.collection.mutable.ArrayBuffer.empty[StlPoint]
+      while (k + 3 <= nClosed - 1) {
+        val x = r6(daySums.getValue(days(k)) / 1e6)
+        val sum7 = (k - 3 to k + 3).map(j => daySums.getValue(days(j))).sum
+        val trend = r6(sum7 / 1e6 / 7.0)
+        val detr = r6(x - trend)
+        val dow = Math.floorMod(days(k) + 4, 7L)
+        val seasonal = seasonalByDow.getOrElse(dow, 0.0)
+        val residual = r6(detr - seasonal)
+        val z = if (mad != 0.0) r6(0.6745 * (residual - med) / mad) else 0.0
+        out += StlPoint(days(k), dow, x, trend, seasonal, residual, z,
+          math.abs(z) > 3.5)
+        k += 1
+      }
+      nextIdx.update(k.toLong)
+      out.iterator
+    }
+  }
+
+  // ------------------------------------------------------- golden record
+
+  case class DocMember(doc_id: Long, n_chars: Long, source: String,
+    cluster: Long)
+  case class GoldenUpsert(cluster: Long, n_members: Long, golden_doc: Long,
+    golden_chars: Long, majority_source: String, min_doc: Long,
+    max_doc: Long, total_chars: Long)
+
+  /** L342 streaming twin — golden-record survivorship ledger ON A
+    * STREAM (the live form of [[graft.ops.Er.goldenRecord]]: the MDM
+    * serving table updates the moment a matched member arrives, instead
+    * of being republished by tonight's batch merge — the L142/A10
+    * upsert-publish shape with the merge INSIDE keyed state). Cluster
+    * assignment is the frozen output of the batch matcher (SNM pairs →
+    * [[graft.ops.Llm3.componentLabelsDf]]) joined on upstream — online
+    * ER re-clustering is a different operator (the streaming-SNM row
+    * covers candidate generation live). Per-cluster state is the
+    * CURRENT golden row (longest member with doc_id tiebreak, id span,
+    * member count, total chars) plus the source tally map for the
+    * majority vote — all order-independent folds, so any arrival order
+    * and any micro-batch split converge to the batch survivorship
+    * (StreamingSpec pins the final upsert per cluster row-equal to the
+    * batch query). One upsert emits per cluster per micro-batch touched
+    * — the ledger contract; the batch key's multi-member-only filter is
+    * the reader's, mirrored in the spec. */
+  def goldenRecordTws(members: Dataset[DocMember]): Dataset[GoldenUpsert] = {
+    import members.sparkSession.implicits._
+    members
+      .groupByKey(_.cluster)
+      .transformWithState(new GoldenProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  class GoldenProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, DocMember, GoldenUpsert] {
+    import org.apache.spark.sql.{Encoders, streaming}
+    // (golden_doc, golden_chars, n_members, min_doc, max_doc, total_chars)
+    @transient private var cur: streaming.ValueState[GoldenUpsert] = _
+    @transient private var srcCounts: streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit = {
+      cur = getHandle.getValueState[GoldenUpsert]("golden_cur",
+        Encoders.product[GoldenUpsert], streaming.TTLConfig.NONE)
+      srcCounts = getHandle.getMapState[String, Long]("golden_sources",
+        Encoders.STRING, Encoders.scalaLong, streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[DocMember],
+        timerValues: streaming.TimerValues): Iterator[GoldenUpsert] = {
+      var st = Option(cur.get())
+      rows.foreach { m =>
+        val n = if (srcCounts.containsKey(m.source))
+          srcCounts.getValue(m.source) else 0L
+        srcCounts.updateValue(m.source, n + 1)
+        st = Some(st match {
+          case None => GoldenUpsert(key, 1L, m.doc_id, m.n_chars, "",
+            m.doc_id, m.doc_id, m.n_chars)
+          case Some(g) =>
+            val better = m.n_chars > g.golden_chars ||
+              (m.n_chars == g.golden_chars && m.doc_id < g.golden_doc)
+            g.copy(
+              n_members = g.n_members + 1,
+              golden_doc = if (better) m.doc_id else g.golden_doc,
+              golden_chars = if (better) m.n_chars else g.golden_chars,
+              min_doc = math.min(g.min_doc, m.doc_id),
+              max_doc = math.max(g.max_doc, m.doc_id),
+              total_chars = g.total_chars + m.n_chars)
+        })
+      }
+      st match {
+        case None => Iterator.empty
+        case Some(g) =>
+          // majority vote resolved at emit time from the tally map
+          // (count desc, lexicographic tiebreak — the batch rule)
+          val maj = srcCounts.iterator().toSeq
+            .sortBy { case (s, n) => (-n, s) }.head._1
+          val resolved = g.copy(majority_source = maj)
+          cur.update(resolved)
+          Iterator.single(resolved)
+      }
+    }
+  }
+}

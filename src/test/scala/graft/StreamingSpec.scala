@@ -1974,4 +1974,156 @@ class StreamingSpec extends SparkTestBase {
       assert(rows.contains(("2024-01-01 10:00:00", "click", 2L)))
     } finally q.stop()
   }
+
+  test("batch≡streaming: HBOS scoring against frozen histograms reproduces the batch top-20") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // frozen references trained by the SAME projection the batch scorer
+    // uses (Audit.hbosFeatures/hbosHist) — the binning cannot drift
+    val feat = ops.Audit.hbosFeatures(spark, sf0001)
+    val scored = graft.streaming.Streams2.hbosScored(_: DataFrame,
+      ops.Audit.hbosHist(feat, "hod"), ops.Audit.hbosHist(feat, "dow"),
+      ops.Audit.hbosHist(feat, "vband"), feat.count())
+    val ordered = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val ms = MemoryStream[Event]
+    val q = runToTable(scored(ms.toDF()), "hbos_stream", "append")
+    try {
+      ordered.grouped((ordered.length + 3) / 4).foreach { chunk =>
+        ms.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("hbos_stream").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+          r.getDouble(4)))
+      // the fixture refs cover every fixture bin: nothing drops at the join
+      assert(streamed.length === ordered.length)
+      val top20 = streamed.sortBy(t => (-t._5, t._1)).take(20).toSeq
+      val batch = SparkEntry.queries("anomaly_hbos")(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+          r.getDouble(4))).toSeq
+      assert(top20 === batch)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  test("batch≡streaming: STL day-close decomposition + robust-z monitor align with the batch frame") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ordered = Tables.orders(spark, sf0001)
+      .select($"o_orderkey", $"o_orderdate", $"o_custkey", $"o_totalprice")
+      .collect()
+      .map(r => Event(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        "order", r.getDouble(3)))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    // frozen references: the batch decomposition's weekly profile and the
+    // batch monitor's robust location/scale (the L273 reference pattern)
+    val stlDf = SparkEntry.queries("ts_stl_daily")(spark, sf0001)
+    val stlBatch = stlDf.collect()
+    val seasonal = stlBatch.map(r => (r.getLong(1), r.getDouble(4))).toMap
+    val med = stlDf.agg(round(expr("percentile(residual, 0.5)"), 6))
+      .collect()(0).getDouble(0)
+    val mad = stlDf.withColumn("adev", abs(col("residual") - lit(med)))
+      .agg(round(expr("percentile(adev, 0.5)"), 6)).collect()(0).getDouble(0)
+    val ms = MemoryStream[Event]
+    val q = runToTable(graft.streaming.Streams2
+      .stlDailyTws(ms.toDS(), seasonal, med, mad).toDF(), "stl_tws", "append")
+    try {
+      ordered.grouped((ordered.length + 3) / 4).foreach { chunk =>
+        ms.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamedRows = spark.table("stl_tws").collect()
+      val streamed = streamedRows
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5))).sortBy(_._1).toSeq
+      val batch = stlBatch
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5))).sortBy(_._1).toSeq
+      // stream emits every day whose CENTERED window closed — the batch
+      // frame minus its final row (the Holt day-close alignment)
+      assert(streamed === batch.dropRight(1),
+        s"\nstream ${streamed.take(3)}…\nbatch ${batch.take(3)}…")
+      assert(streamed.length >= 20, "fixture must close many day windows")
+      // the monitor columns agree with anomaly_stl_residual on every
+      // overlapping day (that key emits only its top-20 by |z|)
+      val zStream = streamedRows
+        .map(r => r.getLong(0) -> (r.getDouble(6), r.getBoolean(7))).toMap
+      val anomBatch = SparkEntry.queries("anomaly_stl_residual")(spark, sf0001)
+        .collect().map(r => r.getLong(0) -> (r.getDouble(5), r.getBoolean(6)))
+      val overlap = anomBatch.filter(p => zStream.contains(p._1))
+      assert(overlap.nonEmpty)
+      overlap.foreach { case (d, zf) => assert(zStream(d) === zf, s"day $d") }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  test("batch≡streaming: golden-record ledger's final upsert per cluster equals the batch survivorship") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // cluster assignment frozen from the batch matcher — the ledger
+    // maintains survivorship live, re-clustering stays offline
+    val pairs = ops.Er.snmMultipass(spark, sf0001).select($"d1", $"d2")
+    val labels = ops.Llm3.componentLabelsDf(spark, pairs)
+    val members = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"n_chars", $"source")
+      .join(labels.select($"node".as("doc_id"), $"label".as("cluster")),
+        Seq("doc_id"))
+      .select($"doc_id", $"n_chars".cast("long").as("n_chars"), $"source",
+        $"cluster")
+      .as[graft.streaming.Streams2.DocMember].collect().sortBy(_.doc_id)
+    val ms = MemoryStream[graft.streaming.Streams2.DocMember]
+    val q = runToTable(graft.streaming.Streams2.goldenRecordTws(ms.toDS()).toDF(),
+      "golden_tws", "append")
+    try {
+      members.grouped((members.length + 2) / 3).foreach { chunk =>
+        ms.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      def row8(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      // final ledger state per cluster = the row with the max member
+      // count; the batch key publishes only multi-member entities
+      val finals = spark.table("golden_tws").collect().map(row8)
+        .groupBy(_._1).map(_._2.maxBy(_._2)).toSeq
+        .filter(_._2 >= 2).sortBy(_._1)
+      val batch = SparkEntry.queries("er_golden_record")(spark, sf0001)
+        .collect().map(row8).sortBy(_._1).toSeq
+      assert(batch.nonEmpty, "fixture must hold multi-member entities")
+      assert(finals === batch)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
