@@ -712,12 +712,41 @@ object Analytics {
     * Edge build reuses the basket row-local pair generation (ONE
     * o-keyed shuffle). Output: one summary row (nodes, edges, oriented
     * wedges, triangles, global clustering coefficient 3T/Σ C(d,2)). */
+  /** Session+dir-scoped memo of the MATERIALIZED co-purchase edge frame
+    * (round 14, VERDICT r13 #4): ten graph queries each start from this
+    * same edge set, and several rescan it through self-joins — one eager
+    * `localCheckpoint` per (session, fixture dir) replaces up to ten
+    * identical o-keyed build shuffles per suite run. The cache holds only
+    * immutable materialized frames keyed by (session identity, dir), so
+    * a hit is result-identical to a rebuild by construction (Round14Spec
+    * pins frame reuse, per-dir isolation, and row equality); entries
+    * evict oldest-first past 4 dirs and dropped references are reclaimed
+    * by the ContextCleaner. Consumption caveat, narrower than the L155
+    * jaccardPrefixCache global path's: regenerating a fixture dir IN
+    * PLACE mid-session would serve the pre-regeneration edges (Verify /
+    * Bench / the suite never do this; a new session or dir misses). */
+  private val coEdgeCache =
+    new java.util.concurrent.atomic.AtomicReference[
+      Vector[((SparkSession, String), DataFrame)]](Vector.empty)
+
+  private[graft] def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    val key = (spark, dir)
+    coEdgeCache.get().collectFirst { case (`key`, df) => df }.getOrElse {
+      val built = coPurchaseEdgesBuild(spark, dir).localCheckpoint(true)
+      // lose the race benignly: whoever published first wins, the loser's
+      // checkpoint blocks are unreferenced and swept by the cleaner
+      coEdgeCache.updateAndGet { m =>
+        if (m.exists(_._1 == key)) m else (m :+ (key -> built)).takeRight(4)
+      }.collectFirst { case (`key`, df) => df }.get
+    }
+  }
+
   /** Undirected part co-purchase edge set (a < b, co-occurrence in ≥2
     * orders): row-local pair generation from sorted basket arrays (the
     * L204 basket trick — per-order work C(k,2), bounded by basket size)
     * followed by one pair-keyed support count. Shared by the triangle
     * count, k-core peel, and degree histogram. */
-  private def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def coPurchaseEdgesBuild(spark: SparkSession, dir: String): DataFrame = {
     lineitem(spark, dir)
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
@@ -982,7 +1011,9 @@ object Analytics {
   private[graft] def connectedComponentsAt(spark: SparkSession, dir: String,
       forceDistributed: Boolean): DataFrame = {
     import spark.implicits._
-    val e0 = coPurchaseEdges(spark, dir).localCheckpoint(true)
+    // already materialized by the coPurchaseEdges memo (round 14) — the
+    // per-call localCheckpoint this def used to carry is now shared
+    val e0 = coPurchaseEdges(spark, dir)
     val nEdges = e0.limit(Llm3.DriverUfCap + 1).count()
     // the co-purchase edge set is support-pruned and part-dimension-
     // bounded (~3.5k edges at sf0.1) — below the cap the component
