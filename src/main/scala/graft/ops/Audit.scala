@@ -183,6 +183,49 @@ object Audit {
       .limit(20)
   }
 
+  /** L349 — iterative ESD-style outlier peeling on the STL residual
+    * (Rosner Technometrics 1983 generalized ESD, as productionized in
+    * Twitter's S-H-ESD — Hochenbaum, Vallis & Kejariwal 2017: test the
+    * most extreme point, REMOVE it, re-estimate location/scale, repeat
+    * — the re-estimation defeats the MASKING that makes the one-shot
+    * L343 rule miss the second of two clustered anomalies, which is
+    * the entire reason Rosner iterated). Three statically-unrolled
+    * rounds (the L230 k-core bounded-unroll contract); robust
+    * median/MAD location-scale with the fixed Iglewicz–Hoaglin
+    * |z| > 3.5 cutoff instead of Rosner's n-dependent t-quantile
+    * (neither engine has an inverse-t; the fixed cutoff is exactly
+    * mirrorable and is what S-H-ESD's robust variant uses in spirit).
+    * Per round: two 1-row percentile broadcasts over the
+    * calendar-bounded surviving day frame, then the single most
+    * extreme point (|z| desc, day asc) emits with its round's
+    * statistics and flag. Rosner's stopping rule is the reader's: the
+    * anomaly count is the largest k whose row is flagged. The day
+    * frame is localCheckpointed once, so the three rounds never
+    * re-derive the decomposition from the corpus. */
+  def esdResidual(spark: SparkSession, dir: String): DataFrame = {
+    val base = stlDaily(spark, dir).select(col("day_num"), col("residual"))
+      .localCheckpoint(true)
+    def peel(df: DataFrame, r: Int): (DataFrame, DataFrame) = {
+      val med = df.agg(round(expr("percentile(residual, 0.5)"), 6).as("med"))
+      val wm = df.crossJoin(broadcast(med))
+        .withColumn("adev", abs(col("residual") - col("med")))
+      val mad = wm.agg(round(expr("percentile(adev, 0.5)"), 6).as("mad"))
+      val top = wm.crossJoin(broadcast(mad))
+        .withColumn("robust_z", when(col("mad") =!= 0.0,
+          round(lit(0.6745) * (col("residual") - col("med")) / col("mad"), 6))
+          .otherwise(lit(0.0)))
+        .orderBy(abs(col("robust_z")).desc, col("day_num").asc).limit(1)
+        .select(lit(r).as("round_no"), col("day_num"), col("residual"),
+          col("med"), col("mad"), col("robust_z"),
+          (abs(col("robust_z")) > 3.5).as("is_anomaly"))
+      (top, df.join(top.select(col("day_num")), Seq("day_num"), "left_anti"))
+    }
+    val (t1, r1) = peel(base, 1)
+    val (t2, r2) = peel(r1, 2)
+    val (t3, _) = peel(r2, 3)
+    t1.unionAll(t2).unionAll(t3).orderBy("round_no")
+  }
+
   /** L337 — HBOS anomaly scoring (Goldstein & Dengel KI 2012:
     * Histogram-Based Outlier Score — per-feature histograms assumed
     * independent, score = Σ_f −ln p_f; the linear-time unsupervised
@@ -597,6 +640,7 @@ object Audit {
     "anomaly_hbos" -> (hbosAnomaly _),
     "ts_stl_daily" -> (stlDaily _),
     "anomaly_stl_residual" -> (stlResidualAnomaly _),
+    "anomaly_esd_residual" -> (esdResidual _),
     "privacy_k_anonymity" -> (kAnonymity _),
     "cdc_table_diff" -> (tableDiff _),
     "ts_seasonal_hourly" -> (tsSeasonalHourly _),
@@ -708,6 +752,62 @@ object Audit {
          FROM n ORDER BY event_type"""
     },
     "ts_stl_daily" -> stlDailyOracleSql,
+    "anomaly_esd_residual" ->
+      s"""WITH stl AS ($stlDailyOracleSql),
+         s0 AS (SELECT day_num, residual FROM stl),
+         m1 AS (SELECT round(quantile_cont(residual, 0.5), 6) AS med
+           FROM s0),
+         w1 AS (SELECT s0.*, med, abs(residual - med) AS adev
+           FROM s0, m1),
+         d1 AS (SELECT round(quantile_cont(adev, 0.5), 6) AS mad FROM w1),
+         t1 AS (SELECT CAST(1 AS INT) AS round_no, day_num, residual,
+             med, mad,
+             CASE WHEN mad != 0 THEN
+               round(0.6745 * (residual - med) / mad, 6)
+             ELSE 0.0 END AS robust_z
+           FROM w1, d1
+           ORDER BY abs(CASE WHEN mad != 0 THEN
+               round(0.6745 * (residual - med) / mad, 6)
+             ELSE 0.0 END) DESC, day_num LIMIT 1),
+         s1 AS (SELECT s0.* FROM s0
+           WHERE day_num NOT IN (SELECT day_num FROM t1)),
+         m2 AS (SELECT round(quantile_cont(residual, 0.5), 6) AS med
+           FROM s1),
+         w2 AS (SELECT s1.*, med, abs(residual - med) AS adev
+           FROM s1, m2),
+         d2 AS (SELECT round(quantile_cont(adev, 0.5), 6) AS mad FROM w2),
+         t2 AS (SELECT CAST(2 AS INT) AS round_no, day_num, residual,
+             med, mad,
+             CASE WHEN mad != 0 THEN
+               round(0.6745 * (residual - med) / mad, 6)
+             ELSE 0.0 END AS robust_z
+           FROM w2, d2
+           ORDER BY abs(CASE WHEN mad != 0 THEN
+               round(0.6745 * (residual - med) / mad, 6)
+             ELSE 0.0 END) DESC, day_num LIMIT 1),
+         s2 AS (SELECT s1.* FROM s1
+           WHERE day_num NOT IN (SELECT day_num FROM t2)),
+         m3 AS (SELECT round(quantile_cont(residual, 0.5), 6) AS med
+           FROM s2),
+         w3 AS (SELECT s2.*, med, abs(residual - med) AS adev
+           FROM s2, m3),
+         d3 AS (SELECT round(quantile_cont(adev, 0.5), 6) AS mad FROM w3),
+         t3 AS (SELECT CAST(3 AS INT) AS round_no, day_num, residual,
+             med, mad,
+             CASE WHEN mad != 0 THEN
+               round(0.6745 * (residual - med) / mad, 6)
+             ELSE 0.0 END AS robust_z
+           FROM w3, d3
+           ORDER BY abs(CASE WHEN mad != 0 THEN
+               round(0.6745 * (residual - med) / mad, 6)
+             ELSE 0.0 END) DESC, day_num LIMIT 1),
+         s3 AS (SELECT s2.* FROM s2
+           WHERE day_num NOT IN (SELECT day_num FROM t3)),
+         u AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2
+           UNION ALL SELECT * FROM t3)
+         SELECT round_no, day_num, residual, med, mad, robust_z,
+           abs(robust_z) > 3.5 AS is_anomaly
+         FROM u ORDER BY round_no""",
     "anomaly_stl_residual" ->
       s"""WITH stl AS ($stlDailyOracleSql),
          med AS (SELECT round(quantile_cont(residual, 0.5), 6) AS med

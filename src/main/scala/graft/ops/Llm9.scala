@@ -403,7 +403,47 @@ object Llm9 {
       .orderBy("qid")
   }
 
+  /** L348 — embedding-space anisotropy audit (Ethayarajh EMNLP 2019;
+    * Mu & Viswanath ICLR 2018 "all-but-the-top": embedding spaces
+    * concentrate in a narrow cone, and the MEAN PAIRWISE COSINE
+    * between distinct unit vectors is the standard anisotropy number —
+    * ~0 for an isotropic space, → 1 as the space degenerates; read
+    * BEFORE any cosine threshold elsewhere in this suite is trusted,
+    * because "0.8 similar" means nothing when the ambient mean cosine
+    * is 0.7). The O(n²) pair sum never materializes: by the sum-vector
+    * identity Σ_{i≠j} x̂ᵢ·x̂ⱼ = ‖Σᵢx̂ᵢ‖² − Σᵢ‖x̂ᵢ‖², the whole audit
+    * is ONE corpus scan — a 64-group map-combinable per-dim sum plus a
+    * per-row squared-norm aggregate — and a 64-element fold (the
+    * llm_sim_topk no-pair contract taken to its algebraic limit; at
+    * 100 TB this is a single pass with 64 doubles of state).
+    * Components round-6 after unit normalization (norms through the
+    * codegen'd index-order [[graft.functions.ArrayMath.l2Norm]],
+    * bit-equal to the oracle's list_sum fold); sums decimal. Also
+    * reports the mean squared norm of the round-6 normalized vectors
+    * (≈1; the quantization sanity check). */
+  def embedAnisotropy(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ArrayMath.{dotProduct, l2Norm}
+    val x = embeddings(spark, dir)
+      .select(transform(col("embedding"), v => v.cast("double")).as("e"))
+      .withColumn("nrm", l2Norm(col("e")))
+      .where(col("nrm") > 0.0)
+      .withColumn("eh", expr("transform(e, v -> round(v / nrm, 6))"))
+    val s2 = x.select(posexplode(col("eh")).as(Seq("dim", "v")))
+      .groupBy("dim").agg(round(dsum(col("v")), 6).as("sd"))
+      .agg(round(dsum(round(col("sd") * col("sd"), 6)), 6).as("sum_sq"))
+    val rows = x.select(round(dotProduct(col("eh"), col("eh")), 6).as("q"))
+      .agg(count(lit(1)).as("n"), round(dsum(col("q")), 6).as("qsum"))
+    rows.crossJoin(broadcast(s2))
+      .where(col("n") >= 2)
+      .select(col("n").as("n_vectors"),
+        round(col("qsum") / col("n").cast("double"), 6).as("mean_sq_norm"),
+        round((col("sum_sq") - col("qsum")) /
+          (col("n") * (col("n") - 1)).cast("double"), 6)
+          .as("mean_pairwise_cosine"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_embed_anisotropy" -> (embedAnisotropy _),
     "llm_matryoshka_recall" -> (matryoshkaRecall _),
     "llm_gopher_rules" -> (gopherRules _),
     "llm_bigram_entropy" -> (bigramEntropy _),
@@ -424,6 +464,28 @@ object Llm9 {
     s"sqrt(list_sum(list_transform(range(1,${n + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))"
 
   val oracles: Map[String, String] = Map(
+    "llm_embed_anisotropy" ->
+      s"""WITH x AS (SELECT embedding AS emb,
+             ${normNSql("embedding", 64)} AS nrm
+           FROM embeddings),
+         xh AS (SELECT list_transform(range(1, 65),
+             i -> round(CAST(emb[i] AS DOUBLE) / nrm, 6)) AS eh
+           FROM x WHERE nrm > 0.0),
+         xe AS (SELECT eh[i] AS v, i AS dim FROM xh
+           CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g),
+         ds AS (SELECT dim, round(${dsumSql("v")}, 6) AS sd
+           FROM xe GROUP BY 1),
+         s2 AS (SELECT round(${dsumSql("round(sd * sd, 6)")}, 6) AS sum_sq
+           FROM ds),
+         r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             round(${dsumSql(s"round(${dotNSql("eh", "eh", 64)}, 6)")}, 6)
+               AS qsum
+           FROM xh)
+         SELECT n AS n_vectors,
+           round(qsum / CAST(n AS DOUBLE), 6) AS mean_sq_norm,
+           round((sum_sq - qsum) / CAST(n * (n - 1) AS DOUBLE), 6)
+             AS mean_pairwise_cosine
+         FROM r, s2 WHERE n >= 2""",
     "llm_dataset_card" ->
       """WITH d AS (SELECT lang, source, text,
              CAST(n_chars AS BIGINT) AS nc,

@@ -586,7 +586,44 @@ object Stats2 {
           .otherwise(lit("large")))
   }
 
+  /** L347 — Theil–Sen robust trend of daily revenue (Theil 1950; Sen
+    * JASA 1968 — the median-of-pairwise-slopes estimator, ~29.3%
+    * breakdown point where OLS has zero: the line a fat-tailed day
+    * cannot steer; read beside L297's `ml_ols_daily_trend`, which
+    * shares this exact daily frame so the two slopes are directly
+    * comparable). Slopes live on the CALENDAR-bounded day frame: pair
+    * volume is C(|days|, 2) — a function of the HORIZON, not the
+    * corpus (~3.3M pairs for a 7-year window at any event count) —
+    * and the corpus is touched exactly once, by the daily aggregate.
+    * The day-frame pair join is an inequality join (BNLJ) over that
+    * bounded frame — PlanSpec allowlists it with this bound. sen =
+    * exact interpolated median of round-6 pairwise slopes; intercept
+    * = median(y − sen·x) (Conover's form) via one 1-row broadcast
+    * cross. Empty-corpus guard: no pairs → empty result, both
+    * engines. */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = orders(spark, dir)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1995-01-01").cast("date")).as("xd"))
+      .agg(round(dsum(col("o_totalprice")) / 1e6, 6).as("y"))
+      .select(col("xd").cast("long").as("x"), col("y"))
+    val slopes = daily.as("a").join(daily.as("b"), col("a.x") < col("b.x"))
+      .select(round((col("b.y") - col("a.y")) /
+        (col("b.x") - col("a.x")).cast("double"), 6).as("s"))
+    val sen = slopes.agg(count(lit(1)).as("n_pairs"),
+      round(expr("percentile(s, 0.5)"), 6).as("sen_slope"))
+    daily.crossJoin(broadcast(sen))
+      .groupBy(col("n_pairs"), col("sen_slope"))
+      .agg(count(lit(1)).as("n_days"),
+        round(expr("percentile(round(y - sen_slope * x, 6), 0.5)"), 6)
+          .as("sen_intercept"))
+      .where(col("n_pairs") >= 1)
+      .select(col("n_days"), col("n_pairs"), col("sen_slope"),
+        col("sen_intercept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_theil_sen" -> (theilSen _),
     "stats_cohens_d" -> (cohensD _),
     "stats_wilcoxon_signed_rank" -> (wilcoxonSignedRank _),
     "stats_jarque_bera" -> (jarqueBera _),
@@ -602,6 +639,22 @@ object Stats2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "stats_theil_sen" ->
+      s"""WITH daily AS (SELECT CAST(date_diff('day', DATE '1995-01-01',
+             CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             round(${dsumSql("o_totalprice")} / 1e6, 6) AS y
+           FROM orders GROUP BY 1),
+         sl AS (SELECT round((b.y - a.y) / CAST(b.x - a.x AS DOUBLE), 6) AS s
+           FROM daily a JOIN daily b ON a.x < b.x),
+         sen AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             round(quantile_cont(s, 0.5), 6) AS sen_slope FROM sl),
+         r AS (SELECT n_pairs, sen_slope,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             round(quantile_cont(round(y - sen_slope * x, 6), 0.5), 6)
+               AS sen_intercept
+           FROM daily, sen GROUP BY 1, 2)
+         SELECT n_days, n_pairs, sen_slope, sen_intercept
+         FROM r WHERE n_pairs >= 1""",
     "stats_cohens_d" ->
       s"""WITH a AS (SELECT
              CAST(SUM(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
