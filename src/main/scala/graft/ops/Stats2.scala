@@ -595,31 +595,61 @@ object Stats2 {
     * volume is C(|days|, 2) — a function of the HORIZON, not the
     * corpus (~3.3M pairs for a 7-year window at any event count) —
     * and the corpus is touched exactly once, by the daily aggregate.
-    * The day-frame pair join is an inequality join (BNLJ) over that
-    * bounded frame — PlanSpec allowlists it with this bound. sen =
-    * exact interpolated median of round-6 pairwise slopes; intercept
-    * = median(y − sen·x) (Conover's form) via one 1-row broadcast
-    * cross. Empty-corpus guard: no pairs → empty result, both
-    * engines. */
+    * The quadratic slope enumeration + median selection then folds
+    * DRIVER-SIDE through the sanctioned bounded-collect tier — the
+    * L287 holtDaily argument: the day frame is ≤4 000 rows at ANY
+    * corpus size, and the engine formulations measured 3–4 s at sf0.1
+    * (an exact percentile funnels every slope into one aggregation
+    * buffer; a PrefixScan order-statistic selection stays distributed
+    * but pays range-shuffle + two row-wise passes over the ~3.3M-row
+    * slope frame — constant in corpus size but ~10× the driver fold,
+    * which runs the same 3.3M primitive-double slopes in ~0.3 s).
+    * Horizons past the cap want Matoušek-style O(n log n) slope
+    * selection — documented, not needed below 11 years of days.
+    * Median interpolation mirrors quantile_cont exactly (lower +
+    * (upper−lower)·0.5 on the two middle order stats); intercept =
+    * median(y − sen·x) (Conover's form) over the rounded residuals.
+    * Empty-corpus guard: no pairs → empty result, both engines. */
   def theilSen(spark: SparkSession, dir: String): DataFrame = {
-    val daily = orders(spark, dir)
-      .groupBy(datediff(col("o_orderdate").cast("date"),
-        lit("1995-01-01").cast("date")).as("xd"))
-      .agg(round(dsum(col("o_totalprice")) / 1e6, 6).as("y"))
-      .select(col("xd").cast("long").as("x"), col("y"))
-    val slopes = daily.as("a").join(daily.as("b"), col("a.x") < col("b.x"))
-      .select(round((col("b.y") - col("a.y")) /
-        (col("b.x") - col("a.x")).cast("double"), 6).as("s"))
-    val sen = slopes.agg(count(lit(1)).as("n_pairs"),
-      round(expr("percentile(s, 0.5)"), 6).as("sen_slope"))
-    daily.crossJoin(broadcast(sen))
-      .groupBy(col("n_pairs"), col("sen_slope"))
-      .agg(count(lit(1)).as("n_days"),
-        round(expr("percentile(round(y - sen_slope * x, 6), 0.5)"), 6)
-          .as("sen_intercept"))
-      .where(col("n_pairs") >= 1)
-      .select(col("n_days"), col("n_pairs"), col("sen_slope"),
-        col("sen_intercept"))
+    import spark.implicits._
+    val days = graft.Tables.boundedCollect(
+      orders(spark, dir)
+        .groupBy(datediff(col("o_orderdate").cast("date"),
+          lit("1995-01-01").cast("date")).as("xd"))
+        .agg(round(dsum(col("o_totalprice")) / 1e6, 6).as("y"))
+        .select(col("xd").cast("long").as("x"), col("y"))
+        .as[(Long, Double)],
+      4000, "theil-sen daily frame (calendar-bounded)")
+      .sortBy(_._1)
+    def r6(v: Double): Double =
+      BigDecimal.decimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def medianOf(sorted: Array[Double]): Double = {
+      val n = sorted.length
+      val x1 = sorted((n + 1) / 2 - 1)
+      val x2 = sorted((n + 2) / 2 - 1)
+      x1 + (x2 - x1) * 0.5
+    }
+    val n = days.length
+    if (n < 2) return Seq.empty[(Long, Long, Double, Double)]
+      .toDF("n_days", "n_pairs", "sen_slope", "sen_intercept")
+    val slopes = new Array[Double](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        slopes(k) = r6((days(j)._2 - days(i)._2) /
+          (days(j)._1 - days(i)._1).toDouble)
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(slopes)
+    val sen = r6(medianOf(slopes))
+    val resid = days.map { case (x, y) => r6(y - sen * x) }.sorted
+    val intercept = r6(medianOf(resid))
+    Seq((n.toLong, slopes.length.toLong, sen, intercept))
+      .toDF("n_days", "n_pairs", "sen_slope", "sen_intercept")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

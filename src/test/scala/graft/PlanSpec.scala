@@ -136,10 +136,6 @@ class PlanSpec extends SparkTestBase {
     // matrix, bounded query-set similarity scans, k-row centroid probes.
     val allowed = Set("join_theta_price_band", "scalar_string_distance",
       "llm_ivf_ann", "llm_kmeans_step",
-      // calendar-bounded day-frame inequality self-join (pair volume
-      // C(|days|,2) — horizon-bounded, corpus-independent) plus the
-      // 1-row median-slope broadcast (see Stats2.theilSen)
-      "stats_theil_sen",
       // per-round 1-row median/MAD broadcasts over the calendar-bounded
       // surviving day frame (see Audit.esdResidual)
       "anomaly_esd_residual",
