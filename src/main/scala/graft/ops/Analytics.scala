@@ -1344,7 +1344,82 @@ object Analytics {
       .limit(20)
   }
 
+  /** L350 — rich-club coefficient of the co-purchase graph (Zhou &
+    * Mondragón IEEE Comm. Lett. 2004; Colizza et al. Nature Physics
+    * 2006: φ(k) = 2·E_{>k} / (N_{>k}(N_{>k}−1)) — the density among
+    * nodes of degree > k; a rising φ(k) says the hubs form a club that
+    * trades with itself, the structural question behind supplier
+    * concentration and preferential attachment). k panel {2,4,8,16}
+    * (grid-bounded); degrees are one endpoint-explosion aggregate over
+    * the SHARED memoized edge frame, the per-k edge and node counts
+    * are conditional sums in ONE pass each (edge-linear — the degree
+    * table broadcasts, dimension-bounded), and the 1-row × 1-row cross
+    * + 4-struct explode assembles the panel (the graph_triangle_count
+    * shape, PlanSpec-allowlisted). φ round-6, NULL below 2 club
+    * nodes. */
+  def richClub(spark: SparkSession, dir: String): DataFrame = {
+    val ks = Seq(2L, 4L, 8L, 16L)
+    val edges = coPurchaseEdges(spark, dir)
+    val deg = edges.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val wd = edges
+      .join(broadcast(deg.select(col("v").as("a"), col("deg").as("da"))), "a")
+      .join(broadcast(deg.select(col("v").as("b"), col("deg").as("db"))), "b")
+    val eCols = ks.map(k =>
+      sum(when(col("da") > k && col("db") > k, 1L).otherwise(0L))
+        .as(s"e_$k"))
+    val nCols = ks.map(k =>
+      sum(when(col("deg") > k, 1L).otherwise(0L)).as(s"n_$k"))
+    val ek = wd.agg(eCols.head, eCols.tail: _*)
+    val nk = deg.agg(nCols.head, nCols.tail: _*)
+    ek.crossJoin(broadcast(nk))
+      .select(explode(array(ks.map(k => struct(lit(k).as("k"),
+        coalesce(col(s"n_$k"), lit(0L)).as("n_nodes"),
+        coalesce(col(s"e_$k"), lit(0L)).as("n_edges"))): _*)).as("r"))
+      .select(col("r.k").as("k"), col("r.n_nodes").as("n_nodes"),
+        col("r.n_edges").as("n_edges"))
+      .withColumn("phi", when(col("n_nodes") >= 2,
+        round(lit(2.0) * col("n_edges").cast("double") /
+          (col("n_nodes").cast("double") *
+            (col("n_nodes").cast("double") - 1.0)), 6)))
+      .orderBy("k")
+  }
+
+  /** L351 — label-propagation communities, three SYNCHRONOUS rounds
+    * (Raghavan, Albert & Kumara PRE 2007 — the near-linear community
+    * detector run where Louvain is too heavy; the DETECTION companion
+    * to L286's modularity, which only scores a given labeling). Every
+    * node starts as its own label; each round reassigns v to the mode
+    * of its neighbors' labels with the (count desc, label asc) total
+    * tiebreak, so the synchronous unroll is fully deterministic and
+    * oracle-mirrorable (async LPA's order-dependence is exactly what
+    * an engine-parity contract cannot ship). Three static rounds —
+    * the L230 bounded-unroll contract: per round one neighbor join +
+    * one (v, label)-keyed count + one v-keyed rank, all edge-linear on
+    * the SHARED memoized edge frame. Output: top-20 communities by
+    * size (label = min-id convention of the winning mode chain). */
+  def lpaCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, dir)
+    val und = edges.select(col("a").as("v"), col("b").as("nb"))
+      .unionAll(edges.select(col("b").as("v"), col("a").as("nb")))
+    var lab = und.select(col("v")).distinct()
+      .select(col("v"), col("v").as("label"))
+    for (_ <- 1 to 3) {
+      val cnt = und.join(lab.select(col("v").as("nb"), col("label")), "nb")
+        .groupBy(col("v"), col("label")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("v"))
+        .orderBy(col("cnt").desc, col("label").asc)
+      lab = cnt.withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1).select(col("v"), col("label"))
+    }
+    lab.groupBy("label").agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("n_nodes").desc, col("label").asc).limit(20)
+      .select(col("label").as("community"), col("n_nodes"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_rich_club" -> (richClub _),
+    "graph_lpa_communities" -> (lpaCommunities _),
     "graph_adamic_adar" -> (adamicAdar _),
     "graph_assortativity" -> (assortativity _),
     "graph_local_clustering" -> (localClustering _),
@@ -1393,6 +1468,48 @@ object Analytics {
   private def dsumSql(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "graph_rich_club" ->
+      s"""WITH $coPurchaseEdgesSql,
+         deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM
+           (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+           GROUP BY 1),
+         wd AS (SELECT da.deg AS da, db.deg AS db FROM e
+           JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+         ks AS (SELECT CAST(unnest([2, 4, 8, 16]) AS BIGINT) AS k),
+         nk AS (SELECT k, CAST(COALESCE(SUM(CASE WHEN deg > k THEN 1
+             ELSE 0 END), 0) AS BIGINT) AS n_nodes
+           FROM ks LEFT JOIN deg ON TRUE GROUP BY 1),
+         ek AS (SELECT k, CAST(COALESCE(SUM(CASE WHEN da > k AND db > k
+             THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_edges
+           FROM ks LEFT JOIN wd ON TRUE GROUP BY 1)
+         SELECT k, n_nodes, n_edges,
+           CASE WHEN n_nodes >= 2 THEN
+             round(2.0 * n_edges / (CAST(n_nodes AS DOUBLE) *
+               (CAST(n_nodes AS DOUBLE) - 1.0)), 6) END AS phi
+         FROM nk JOIN ek USING (k) ORDER BY k""",
+    "graph_lpa_communities" ->
+      s"""WITH $coPurchaseEdgesSql,
+         und AS (SELECT a AS v, b AS nb FROM e
+           UNION ALL SELECT b AS v, a AS nb FROM e),
+         l0 AS (SELECT DISTINCT v, v AS label FROM und),
+         c1 AS (SELECT u.v, l.label, COUNT(*) AS cnt FROM und u
+           JOIN l0 l ON u.nb = l.v GROUP BY 1, 2),
+         l1 AS (SELECT v, label FROM (SELECT v, label, row_number()
+             OVER (PARTITION BY v ORDER BY cnt DESC, label ASC) AS rk
+           FROM c1) WHERE rk = 1),
+         c2 AS (SELECT u.v, l.label, COUNT(*) AS cnt FROM und u
+           JOIN l1 l ON u.nb = l.v GROUP BY 1, 2),
+         l2 AS (SELECT v, label FROM (SELECT v, label, row_number()
+             OVER (PARTITION BY v ORDER BY cnt DESC, label ASC) AS rk
+           FROM c2) WHERE rk = 1),
+         c3 AS (SELECT u.v, l.label, COUNT(*) AS cnt FROM und u
+           JOIN l2 l ON u.nb = l.v GROUP BY 1, 2),
+         l3 AS (SELECT v, label FROM (SELECT v, label, row_number()
+             OVER (PARTITION BY v ORDER BY cnt DESC, label ASC) AS rk
+           FROM c3) WHERE rk = 1)
+         SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         FROM l3 GROUP BY 1
+         ORDER BY n_nodes DESC, community ASC LIMIT 20""",
     "graph_adamic_adar" ->
       s"""WITH $coPurchaseEdgesSql,
          adj AS (SELECT a AS v, b AS u FROM e

@@ -442,7 +442,61 @@ object Llm9 {
           .as("mean_pairwise_cosine"))
   }
 
+  /** L353 — quality-filter ensemble agreement (the audit run before
+    * choosing between two keep/drop rules — or stacking them: Cohen's
+    * kappa between the L301 Gopher rule conjunction and the L62 quality
+    * score thresholded at its fixture-median 0.277; chance-corrected
+    * agreement is the honest number because two filters that each keep
+    * ~55% agree ~50% by luck alone. NeMo-Curator/Dolma-style pipelines
+    * publish exactly this before ensembling filters). Both flags are
+    * RECOMPUTED from the same word-array projection in one row-local
+    * pass (the L301/L62 expressions verbatim — the oracle mirrors both,
+    * so this key also cross-pins those two rows' arithmetic), then one
+    * conditional-aggregate scan yields the exact-integer 2×2
+    * contingency; kappa/agreement/keep-set Jaccard are closed-form
+    * round-6 doubles of those integers (the L306 confusion-matrix
+    * contract). Map-combinable; 1-row output at any corpus size. */
+  def filterAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val nWords = size(w).cast("long")
+    val meanWl = (col("n_chars") - nWords + 1).cast("double") /
+      nWords.cast("double")
+    val nStop = size(filter(w, x => x === "the" || x === "a")).cast("long")
+    val nDistinct = size(array_distinct(w)).cast("long")
+    val ttr = nDistinct.cast("double") / nWords.cast("double")
+    val gopherKeep = nWords >= 50 && nWords <= 100000 &&
+      meanWl >= 3.0 && meanWl <= 10.0 && nStop >= 2 && ttr >= 0.1
+    val score = round(
+      lit(0.4) * least(lit(1.0), nWords.cast("double") / 200.0) +
+        lit(0.3) * (nDistinct.cast("double") / nWords.cast("double")) +
+        lit(0.3) * (nStop.cast("double") / nWords.cast("double")), 6)
+    val qualityKeep = score >= 0.277
+    val cm = documents(spark, dir)
+      .select(gopherKeep.as("g"), qualityKeep.as("q"))
+      .agg(sum(when(col("g") && col("q"), 1L).otherwise(0L)).as("both_keep"),
+        sum(when(col("g") && !col("q"), 1L).otherwise(0L)).as("gopher_only"),
+        sum(when(!col("g") && col("q"), 1L).otherwise(0L)).as("quality_only"),
+        sum(when(!col("g") && !col("q"), 1L).otherwise(0L)).as("both_drop"))
+    val n = (col("both_keep") + col("gopher_only") + col("quality_only") +
+      col("both_drop")).cast("double")
+    val po = (col("both_keep") + col("both_drop")).cast("double") / n
+    val pe = ((col("both_keep") + col("gopher_only")) *
+      (col("both_keep") + col("quality_only")) +
+      (col("quality_only") + col("both_drop")) *
+        (col("gopher_only") + col("both_drop"))).cast("double") / (n * n)
+    cm.where((col("both_keep") + col("gopher_only") + col("quality_only") +
+        col("both_drop")) >= 1)
+      .select(col("both_keep"), col("gopher_only"), col("quality_only"),
+        col("both_drop"),
+        round(po, 6).as("agreement"),
+        round((po - pe) / (lit(1.0) - pe), 6).as("kappa"),
+        round(col("both_keep").cast("double") /
+          (col("both_keep") + col("gopher_only") + col("quality_only"))
+            .cast("double"), 6).as("jaccard_keep"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_filter_agreement" -> (filterAgreement _),
     "llm_embed_anisotropy" -> (embedAnisotropy _),
     "llm_matryoshka_recall" -> (matryoshkaRecall _),
     "llm_gopher_rules" -> (gopherRules _),
@@ -464,6 +518,52 @@ object Llm9 {
     s"sqrt(list_sum(list_transform(range(1,${n + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))"
 
   val oracles: Map[String, String] = Map(
+    "llm_filter_agreement" ->
+      """WITH d AS (SELECT n_chars, string_split(text, ' ') AS w
+           FROM documents),
+         m AS (SELECT CAST(len(w) AS BIGINT) AS nw,
+             CAST(len(list_distinct(w)) AS BIGINT) AS nd,
+             CAST(len(list_filter(w, x -> x = 'the' OR x = 'a')) AS BIGINT)
+               AS ns,
+             n_chars
+           FROM d),
+         f AS (SELECT
+             (nw BETWEEN 50 AND 100000)
+               AND ((n_chars - nw + 1) / CAST(nw AS DOUBLE) BETWEEN 3.0 AND 10.0)
+               AND ns >= 2
+               AND (nd / CAST(nw AS DOUBLE)) >= 0.1 AS g,
+             round(0.4 * least(1.0, nw / 200.0)
+               + 0.3 * (nd / CAST(nw AS DOUBLE))
+               + 0.3 * (ns / CAST(nw AS DOUBLE)), 6) >= 0.277 AS q
+           FROM m),
+         cm AS (SELECT
+             CAST(SUM(CASE WHEN g AND q THEN 1 ELSE 0 END) AS BIGINT)
+               AS both_keep,
+             CAST(SUM(CASE WHEN g AND NOT q THEN 1 ELSE 0 END) AS BIGINT)
+               AS gopher_only,
+             CAST(SUM(CASE WHEN NOT g AND q THEN 1 ELSE 0 END) AS BIGINT)
+               AS quality_only,
+             CAST(SUM(CASE WHEN NOT g AND NOT q THEN 1 ELSE 0 END) AS BIGINT)
+               AS both_drop
+           FROM f),
+         t AS (SELECT *,
+             CAST(both_keep + gopher_only + quality_only + both_drop
+               AS DOUBLE) AS n,
+             CAST(both_keep + both_drop AS DOUBLE) AS agree
+           FROM cm
+           WHERE both_keep + gopher_only + quality_only + both_drop >= 1)
+         SELECT both_keep, gopher_only, quality_only, both_drop,
+           round(agree / n, 6) AS agreement,
+           round((agree / n - ((both_keep + gopher_only) *
+               (both_keep + quality_only) + (quality_only + both_drop) *
+               (gopher_only + both_drop)) / (n * n))
+             / (1.0 - ((both_keep + gopher_only) * (both_keep + quality_only)
+               + (quality_only + both_drop) * (gopher_only + both_drop))
+               / (n * n)), 6) AS kappa,
+           round(CAST(both_keep AS DOUBLE) /
+             CAST(both_keep + gopher_only + quality_only AS DOUBLE), 6)
+             AS jaccard_keep
+         FROM t""",
     "llm_embed_anisotropy" ->
       s"""WITH x AS (SELECT embedding AS emb,
              ${normNSql("embedding", 64)} AS nrm

@@ -652,7 +652,66 @@ object Stats2 {
       .toDF("n_days", "n_pairs", "sen_slope", "sen_intercept")
   }
 
+  /** L352 — Mann–Whitney U / Wilcoxon rank-sum test between click and
+    * purchase event values (Mann & Whitney 1947 — the UNPAIRED
+    * two-sample location test; completes the rank-test family: L317
+    * Kruskal–Wallis is its k-group generalization, L318 the PAIRED
+    * signed-rank, and U = AUC·n₁·n₂ ties it to L242). Midranks with
+    * the standard tie treatment, via the L242 bounded-histogram
+    * contract: round-6 values collapse the corpus to a per-value
+    * count frame, [[PrefixScan]] supplies the cumulative counts (no
+    * unpartitioned window), and 2·R₁ = Σ n₁(v)·(2·cumBefore(v) +
+    * n(v) + 1) stays an EXACT integer — decimal(38,0)-summed (the
+    * privacy_t_closeness overflow rule: at 10¹² rows the product
+    * tops long). z from the tie-corrected normal approximation
+    * σ² = n₁n₂/12 · ((N+1) − Σ(t³−t)/(N(N−1))), no continuity
+    * correction (both engines compute the identical closed form,
+    * round-6 once). */
+  def mannWhitneyU(spark: SparkSession, dir: String): DataFrame = {
+    val per = events(spark, dir)
+      .where(col("event_type").isin("click", "purchase"))
+      .groupBy(round(col("value"), 6).as("v"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("n1"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n2"))
+      .withColumn("n", col("n1") + col("n2"))
+      .localCheckpoint(true)
+    val (ranked, tot) = PrefixScan(per, Seq("v"),
+      sumsLong = Seq("n" -> "cum"))
+    val bigN = tot.longs("n")
+    val s = ranked.agg(
+      sum(col("n1")).as("n_click"),
+      sum(col("n2")).as("n_purchase"),
+      sum(((lit(2L) * (col("cum") - col("n")) + col("n") + 1L))
+        .cast("decimal(38,0)") * col("n1")).as("r1x2"),
+      sum((col("n") * col("n") * col("n") - col("n"))
+        .cast("decimal(38,0)")).as("ties"))
+    s.where(col("n_click") >= 1 && col("n_purchase") >= 1)
+      .withColumn("u1x2", col("r1x2").cast("decimal(38,0)") -
+        col("n_click").cast("decimal(38,0)") *
+          (col("n_click") + 1L).cast("decimal(38,0)"))
+      .withColumn("u1", col("u1x2").cast("double") / 2.0)
+      .withColumn("u2", col("n_click").cast("double") *
+        col("n_purchase").cast("double") - col("u1"))
+      .withColumn("sigma", sqrt(
+        col("n_click").cast("double") * col("n_purchase").cast("double")
+          / 12.0 *
+          ((lit(bigN).cast("double") + 1.0) - col("ties").cast("double") /
+            (lit(bigN).cast("double") * (lit(bigN).cast("double") - 1.0)))))
+      .withColumn("z", when(col("sigma") =!= 0.0,
+        round((col("u1") - col("n_click").cast("double") *
+          col("n_purchase").cast("double") / 2.0) / col("sigma"), 6)))
+      .select(col("n_click"), col("n_purchase"),
+        round(col("u1"), 6).as("u_click"),
+        round(col("u2"), 6).as("u_purchase"),
+        col("z"),
+        // flag from the ROUNDED z (the ab_test_ztest engine-stability rule)
+        coalesce(abs(col("z")) > 1.96, lit(false)).as("significant"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_mann_whitney_u" -> (mannWhitneyU _),
     "stats_theil_sen" -> (theilSen _),
     "stats_cohens_d" -> (cohensD _),
     "stats_wilcoxon_signed_rank" -> (wilcoxonSignedRank _),
@@ -669,6 +728,43 @@ object Stats2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "stats_mann_whitney_u" ->
+      """WITH per AS (SELECT round(value, 6) AS v,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n2
+           FROM events WHERE event_type IN ('click', 'purchase')
+           GROUP BY 1),
+         c AS (SELECT v, n1, n2, n1 + n2 AS n,
+             SUM(n1 + n2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM per),
+         s AS (SELECT CAST(SUM(n1) AS BIGINT) AS n_click,
+             CAST(SUM(n2) AS BIGINT) AS n_purchase,
+             SUM(CAST(2 * (cum - n) + n + 1 AS DECIMAL(38,0)) * n1) AS r1x2,
+             SUM(CAST(n * n * n - n AS DECIMAL(38,0))) AS ties,
+             CAST(SUM(n) AS BIGINT) AS nn
+           FROM c),
+         t AS (SELECT n_click, n_purchase,
+             CAST(r1x2 - CAST(n_click AS DECIMAL(38,0)) *
+               CAST(n_click + 1 AS DECIMAL(38,0)) AS DOUBLE) / 2.0 AS u1,
+             sqrt(CAST(n_click AS DOUBLE) * CAST(n_purchase AS DOUBLE)
+               / 12.0 * ((CAST(nn AS DOUBLE) + 1.0) - CAST(ties AS DOUBLE)
+                 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))))
+               AS sigma
+           FROM s WHERE n_click >= 1 AND n_purchase >= 1),
+         z AS (SELECT *, CASE WHEN sigma != 0.0 THEN
+             round((u1 - CAST(n_click AS DOUBLE) *
+               CAST(n_purchase AS DOUBLE) / 2.0) / sigma, 6) END AS z
+           FROM t)
+         SELECT n_click, n_purchase,
+           round(u1, 6) AS u_click,
+           round(CAST(n_click AS DOUBLE) * CAST(n_purchase AS DOUBLE) - u1,
+             6) AS u_purchase,
+           z,
+           COALESCE(abs(z) > 1.96, FALSE) AS significant
+         FROM z""",
     "stats_theil_sen" ->
       s"""WITH daily AS (SELECT CAST(date_diff('day', DATE '1995-01-01',
              CAST(o_orderdate AS DATE)) AS BIGINT) AS x,

@@ -139,6 +139,9 @@ class PlanSpec extends SparkTestBase {
       // per-round 1-row median/MAD broadcasts over the calendar-bounded
       // surviving day frame (see Audit.esdResidual)
       "anomaly_esd_residual",
+      // 1-row edge-counts x 1-row node-counts cross assembling the
+      // 4-row k panel (the graph_triangle_count shape)
+      "graph_rich_club",
       // 1-row sum-vector/norm-total broadcasts — the identity that
       // replaces the O(n²) pair sum (see Llm9.embedAnisotropy)
       "llm_embed_anisotropy",
