@@ -112,6 +112,33 @@ object Audit {
       .orderBy("band")
   }
 
+  /** L355 — re-identification risk profile over the k-anonymity
+    * equivalence classes (the ARX-style risk triple a privacy review
+    * reads NEXT TO the L106 k-band table: prosecutor risk = 1/k of the
+    * attacker's target's class, so max risk = 1/min(k); expected
+    * journalist/marketer risk = n_classes/N — the average of 1/k
+    * weighted by class size; plus the share of records in k<5 classes,
+    * the mass the L106 bands only count classes for). Same QI grain as
+    * L106 (lang, source, length bucket); one QI-keyed aggregate + one
+    * 1-row rollup, map-combinable; exact-integer inputs, three round-6
+    * divisions. Empty corpus → empty result, both engines. */
+  def riskProfile(spark: SparkSession, dir: String): DataFrame = {
+    documents(spark, dir)
+      .groupBy(col("lang"), col("source"), expr("n_chars div 100").as("len_b"))
+      .agg(count(lit(1)).as("k"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("k")).as("n_docs"),
+        min(col("k")).as("min_k"),
+        sum(when(col("k") < 5, col("k")).otherwise(0L)).as("docs_at_risk"))
+      .where(col("n_docs") >= 1)
+      .select(col("n_classes"), col("n_docs"), col("min_k"),
+        round(lit(1.0) / col("min_k").cast("double"), 6)
+          .as("max_risk"),
+        round(col("n_classes").cast("double") / col("n_docs").cast("double"),
+          6).as("avg_risk"),
+        round(col("docs_at_risk").cast("double") /
+          col("n_docs").cast("double"), 6).as("share_docs_k_lt5"))
+  }
+
   /** L339 — STL-style decomposition of the daily revenue series into
     * trend + weekly seasonal + residual (the Cleveland et al. 1990
     * decomposition reduced to its classical moving-average core: the
@@ -642,6 +669,7 @@ object Audit {
     "anomaly_stl_residual" -> (stlResidualAnomaly _),
     "anomaly_esd_residual" -> (esdResidual _),
     "privacy_k_anonymity" -> (kAnonymity _),
+    "privacy_risk_profile" -> (riskProfile _),
     "cdc_table_diff" -> (tableDiff _),
     "ts_seasonal_hourly" -> (tsSeasonalHourly _),
     "dq_expectations" -> (dqExpectations _),
@@ -880,6 +908,23 @@ object Audit {
            FROM cum GROUP BY event_type, hod, n_g, n_total)
          SELECT event_type, hod, n_g, emd, emd > 0.2 AS violates_t
          FROM e ORDER BY emd DESC, event_type, hod LIMIT 20""",
+    "privacy_risk_profile" ->
+      """WITH cls AS (SELECT lang, source, n_chars // 100 AS len_b,
+             CAST(COUNT(*) AS BIGINT) AS k
+           FROM documents GROUP BY 1, 2, 3),
+         r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+             CAST(SUM(k) AS BIGINT) AS n_docs,
+             CAST(MIN(k) AS BIGINT) AS min_k,
+             CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+               AS docs_at_risk
+           FROM cls)
+         SELECT n_classes, n_docs, min_k,
+           round(1.0 / CAST(min_k AS DOUBLE), 6) AS max_risk,
+           round(CAST(n_classes AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+             AS avg_risk,
+           round(CAST(docs_at_risk AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+             AS share_docs_k_lt5
+         FROM r WHERE n_docs >= 1""",
     "privacy_l_diversity" ->
       """WITH cls AS (SELECT event_type,
              CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hod,

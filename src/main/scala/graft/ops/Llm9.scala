@@ -456,7 +456,12 @@ object Llm9 {
     * contingency; kappa/agreement/keep-set Jaccard are closed-form
     * round-6 doubles of those integers (the L306 confusion-matrix
     * contract). Map-combinable; 1-row output at any corpus size. */
-  def filterAgreement(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared per-document keep/drop flags for the filter-ensemble
+    * family ([[filterAgreement]], [[mcnemarFilters]]): the L301 Gopher
+    * conjunction and the L62 quality score at the 0.277 median cut,
+    * both from ONE word-array projection so the two keys (and their
+    * oracles' shared CTE text) cannot drift. */
+  private def filterFlags(spark: SparkSession, dir: String): DataFrame = {
     val w = split(col("text"), " ")
     val nWords = size(w).cast("long")
     val meanWl = (col("n_chars") - nWords + 1).cast("double") /
@@ -470,9 +475,32 @@ object Llm9 {
       lit(0.4) * least(lit(1.0), nWords.cast("double") / 200.0) +
         lit(0.3) * (nDistinct.cast("double") / nWords.cast("double")) +
         lit(0.3) * (nStop.cast("double") / nWords.cast("double")), 6)
-    val qualityKeep = score >= 0.277
-    val cm = documents(spark, dir)
-      .select(gopherKeep.as("g"), qualityKeep.as("q"))
+    documents(spark, dir)
+      .select(gopherKeep.as("g"), (score >= 0.277).as("q"))
+  }
+
+  /** Shared DuckDB CTE producing the same (g, q) flag frame. */
+  private val filterFlagsSql =
+    """d AS (SELECT n_chars, string_split(text, ' ') AS w
+           FROM documents),
+         m AS (SELECT CAST(len(w) AS BIGINT) AS nw,
+             CAST(len(list_distinct(w)) AS BIGINT) AS nd,
+             CAST(len(list_filter(w, x -> x = 'the' OR x = 'a')) AS BIGINT)
+               AS ns,
+             n_chars
+           FROM d),
+         f AS (SELECT
+             (nw BETWEEN 50 AND 100000)
+               AND ((n_chars - nw + 1) / CAST(nw AS DOUBLE) BETWEEN 3.0 AND 10.0)
+               AND ns >= 2
+               AND (nd / CAST(nw AS DOUBLE)) >= 0.1 AS g,
+             round(0.4 * least(1.0, nw / 200.0)
+               + 0.3 * (nd / CAST(nw AS DOUBLE))
+               + 0.3 * (ns / CAST(nw AS DOUBLE)), 6) >= 0.277 AS q
+           FROM m)"""
+
+  def filterAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val cm = filterFlags(spark, dir)
       .agg(sum(when(col("g") && col("q"), 1L).otherwise(0L)).as("both_keep"),
         sum(when(col("g") && !col("q"), 1L).otherwise(0L)).as("gopher_only"),
         sum(when(!col("g") && col("q"), 1L).otherwise(0L)).as("quality_only"),
@@ -495,8 +523,35 @@ object Llm9 {
             .cast("double"), 6).as("jaccard_keep"))
   }
 
+  /** L356 — McNemar's test between the two quality filters (McNemar
+    * 1947; the PAIRED classifier comparison Dietterich 1998 recommends
+    * when both systems score the SAME examples — which is exactly the
+    * L353 setting, where an unpaired rate comparison would waste the
+    * pairing): only the discordant cells carry signal, χ² =
+    * (|b−c|−1)²/(b+c) with Edwards' continuity correction, significant
+    * at the χ²₁ 5% cutoff 3.841. Flags from the SAME shared projection
+    * as L353 (one row-local pass, one conditional-agg scan, exact
+    * integers, one round-6 division); flag from the ROUNDED statistic
+    * (the L205 rule); b+c = 0 → NULL statistic, not-significant. */
+  def mcnemarFilters(spark: SparkSession, dir: String): DataFrame = {
+    val cm = filterFlags(spark, dir)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("g") && !col("q"), 1L).otherwise(0L)).as("gopher_only"),
+        sum(when(!col("g") && col("q"), 1L).otherwise(0L)).as("quality_only"))
+    val b = col("gopher_only").cast("double")
+    val c = col("quality_only").cast("double")
+    cm.where(col("n_docs") >= 1)
+      .withColumn("mcnemar_chi2",
+        when(col("gopher_only") + col("quality_only") > 0,
+          round((abs(b - c) - 1.0) * (abs(b - c) - 1.0) / (b + c), 6)))
+      .select(col("n_docs"), col("gopher_only"), col("quality_only"),
+        col("mcnemar_chi2"),
+        coalesce(col("mcnemar_chi2") > 3.841, lit(false)).as("significant"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_filter_agreement" -> (filterAgreement _),
+    "stats_mcnemar_filters" -> (mcnemarFilters _),
     "llm_embed_anisotropy" -> (embedAnisotropy _),
     "llm_matryoshka_recall" -> (matryoshkaRecall _),
     "llm_gopher_rules" -> (gopherRules _),
@@ -518,24 +573,27 @@ object Llm9 {
     s"sqrt(list_sum(list_transform(range(1,${n + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))"
 
   val oracles: Map[String, String] = Map(
+    "stats_mcnemar_filters" ->
+      s"""WITH $filterFlagsSql,
+         cm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN g AND NOT q THEN 1 ELSE 0 END) AS BIGINT)
+               AS gopher_only,
+             CAST(SUM(CASE WHEN NOT g AND q THEN 1 ELSE 0 END) AS BIGINT)
+               AS quality_only
+           FROM f),
+         t AS (SELECT *, CASE WHEN gopher_only + quality_only > 0 THEN
+             round((abs(CAST(gopher_only AS DOUBLE)
+                 - CAST(quality_only AS DOUBLE)) - 1.0)
+               * (abs(CAST(gopher_only AS DOUBLE)
+                 - CAST(quality_only AS DOUBLE)) - 1.0)
+               / (CAST(gopher_only AS DOUBLE)
+                 + CAST(quality_only AS DOUBLE)), 6) END AS mcnemar_chi2
+           FROM cm WHERE n_docs >= 1)
+         SELECT n_docs, gopher_only, quality_only, mcnemar_chi2,
+           COALESCE(mcnemar_chi2 > 3.841, FALSE) AS significant
+         FROM t""",
     "llm_filter_agreement" ->
-      """WITH d AS (SELECT n_chars, string_split(text, ' ') AS w
-           FROM documents),
-         m AS (SELECT CAST(len(w) AS BIGINT) AS nw,
-             CAST(len(list_distinct(w)) AS BIGINT) AS nd,
-             CAST(len(list_filter(w, x -> x = 'the' OR x = 'a')) AS BIGINT)
-               AS ns,
-             n_chars
-           FROM d),
-         f AS (SELECT
-             (nw BETWEEN 50 AND 100000)
-               AND ((n_chars - nw + 1) / CAST(nw AS DOUBLE) BETWEEN 3.0 AND 10.0)
-               AND ns >= 2
-               AND (nd / CAST(nw AS DOUBLE)) >= 0.1 AS g,
-             round(0.4 * least(1.0, nw / 200.0)
-               + 0.3 * (nd / CAST(nw AS DOUBLE))
-               + 0.3 * (ns / CAST(nw AS DOUBLE)), 6) >= 0.277 AS q
-           FROM m),
+      s"""WITH $filterFlagsSql,
          cm AS (SELECT
              CAST(SUM(CASE WHEN g AND q THEN 1 ELSE 0 END) AS BIGINT)
                AS both_keep,
