@@ -141,6 +141,79 @@ object Streams2 {
     }
   }
 
+  // -------------------------------------------------- image aHash dedup
+
+  case class BandKeyed(band_no: Int, bv: Int, doc_id: Long,
+    b0: Int, b1: Int, b2: Int, b3: Int)
+  case class AHashAlert(d1: Long, d2: Long, hamming: Int)
+
+  /** L354 streaming twin — ONLINE perceptual-hash image near-dup
+    * detection (the live form of [[graft.ops.Mm2.imageAHashDedup]]: a
+    * crawled image alerts against everything already ingested the
+    * moment it arrives, instead of waiting for tonight's batch sweep —
+    * the L160 streaming-SNM design applied to the image modality).
+    * Each arriving image decodes + hashes ROW-LOCALLY (the same real
+    * `javax.imageio` round-trip and exact-integer aHash as batch,
+    * via [[graft.ops.MmAHash]] — shared code, zero drift) and fans
+    * into its 4 band buckets; per-bucket RocksDB ListState holds the
+    * (doc, hash) members, so state is bucket-occupancy-bounded, never
+    * the corpus. A new member alerts (d1 < d2, exact Hamming ≤ 8)
+    * against its bucket's existing members — the same candidate
+    * semantics as the batch band join, so streamed DISTINCT alerts
+    * equal the batch candidate-pair verdicts exactly (a pair sharing
+    * two bands may alert from both buckets; the batch `distinct` is
+    * the reader's, mirrored in the spec). */
+  def imageAHashTws(docIds: Dataset[Long]): Dataset[AHashAlert] = {
+    import docIds.sparkSession.implicits._
+    docIds
+      .flatMap { id =>
+        val h = graft.ops.MmAHash.decodeHash(id,
+          graft.ops.MmAHash.synthesize(id))
+        val bs = Array(h.b0, h.b1, h.b2, h.b3)
+        (0 until 4).map(i =>
+          BandKeyed(i, bs(i), id, h.b0, h.b1, h.b2, h.b3))
+      }
+      .groupByKey(r => (r.band_no, r.bv))
+      .transformWithState(new AHashProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  class AHashProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[(Int, Int), BandKeyed, AHashAlert] {
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var seen:
+      streaming.ListState[(Long, Int, Int, Int, Int)] = _
+
+    override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit =
+      seen = getHandle.getListState[(Long, Int, Int, Int, Int)]("ahash_seen",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt,
+          Encoders.scalaInt, Encoders.scalaInt, Encoders.scalaInt),
+        streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, Int), rows: Iterator[BandKeyed],
+        timerValues: streaming.TimerValues): Iterator[AHashAlert] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[AHashAlert]
+      // fold in doc order so an intra-batch pair alerts exactly once
+      rows.toSeq.sortBy(_.doc_id).foreach { r =>
+        val mine = Array(r.b0, r.b1, r.b2, r.b3)
+        seen.get().foreach { case (d, a0, a1, a2, a3) =>
+          if (d != r.doc_id) {
+            val ham = Integer.bitCount(a0 ^ mine(0)) +
+              Integer.bitCount(a1 ^ mine(1)) +
+              Integer.bitCount(a2 ^ mine(2)) +
+              Integer.bitCount(a3 ^ mine(3))
+            if (ham <= 8)
+              out += AHashAlert(math.min(d, r.doc_id),
+                math.max(d, r.doc_id), ham)
+          }
+        }
+        seen.appendValue((r.doc_id, r.b0, r.b1, r.b2, r.b3))
+      }
+      out.iterator
+    }
+  }
+
   // ------------------------------------------------------- golden record
 
   case class DocMember(doc_id: Long, n_chars: Long, source: String,

@@ -2079,6 +2079,61 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("batch≡streaming: online image aHash alerts equal the batch band-candidate verdicts") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ids = Tables.documents(spark, sf0001)
+      .select($"doc_id").as[Long].collect().sorted
+    val ms = MemoryStream[Long]
+    val q = runToTable(
+      graft.streaming.Streams2.imageAHashTws(ms.toDS()).toDF(),
+      "ahash_tws", "append")
+    try {
+      ids.grouped((ids.length + 3) / 4).foreach { chunk =>
+        ms.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("ahash_tws")
+        .select($"d1", $"d2", $"hamming").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // JVM replica of the batch semantics: candidates share >= 1 band,
+      // verified by exact Hamming <= 8 (same shared MmAHash code path)
+      val hs = ids.map(id =>
+        ops.MmAHash.decodeHash(id, ops.MmAHash.synthesize(id)))
+      val expected = (for {
+        i <- hs.indices.iterator
+        j <- (i + 1) until hs.length
+        a = hs(i); b = hs(j)
+        if a.b0 == b.b0 || a.b1 == b.b1 || a.b2 == b.b2 || a.b3 == b.b3
+        ham = Integer.bitCount(a.b0 ^ b.b0) + Integer.bitCount(a.b1 ^ b.b1) +
+          Integer.bitCount(a.b2 ^ b.b2) + Integer.bitCount(a.b3 ^ b.b3)
+        if ham <= 8
+      } yield (math.min(a.doc_id, b.doc_id), math.max(a.doc_id, b.doc_id),
+        ham)).toSet
+      assert(expected.nonEmpty, "fixture must hold planted image families")
+      assert(streamed === expected,
+        s"only-streamed=${(streamed -- expected).take(3)} " +
+          s"only-expected=${(expected -- streamed).take(3)}")
+      // and the per-Hamming histogram equals the registered batch key
+      val hist = streamed.groupBy(_._3).map { case (h, ps) =>
+        (h, ps.size.toLong) }
+      val batch = SparkEntry.queries("mm_image_ahash_dedup")(spark, sf0001)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      assert(hist === batch)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("batch≡streaming: golden-record ledger's final upsert per cluster equals the batch survivorship") {
     val s = spark
     import s.implicits._
