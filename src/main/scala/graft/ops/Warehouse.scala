@@ -820,7 +820,15 @@ object Warehouse {
     * pair reports how many of its contributing customers were
     * truncated. The row_number + filter compiles to WindowGroupLimit —
     * partial per-partition top-k before the per-customer shuffle, so a
-    * pathological account never fills one task's window buffer. */
+    * pathological account never fills one task's window buffer. Pair
+    * generation stays the codegen'd within-customer self-join (round 14
+    * measured the L204 collect+explode alternative: faster in a fresh
+    * JVM but 6.9 → 12.5 s inside the long-lived bench JVM — the array
+    * allocation churn loses to the join's codegen under an aged heap);
+    * what round 14 DID keep is the packed pair key — (a, b) as ONE long
+    * (partkeys < 2³¹), so the near-unique-key aggregate (map-side
+    * combine can't shrink it) shuffles 8-byte keys instead of
+    * two-field structs. */
   private[graft] def itemPairCounts(cp: DataFrame, cap: Int): DataFrame = {
     val bsz = cp.groupBy(col("c")).agg(count(lit(1)).as("bs"))
     val tagged = cp.join(bsz, "c")
@@ -836,10 +844,15 @@ object Warehouse {
     fan.as("a")
       .join(fan.as("b"),
         col("a.c") === col("b.c") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("item_a"), col("b.p").as("item_b"))
+      .select((col("a.p") * 4294967296L + col("b.p")).as("k"),
+        col("a.capped").as("capped"))
+      .groupBy(col("k"))
       .agg(count(lit(1)).as("n_co"),
-        sum(col("a.capped")).as("n_capped_custs"))
+        sum(col("capped")).as("n_capped_custs"))
       .where(col("n_co") >= 2)
+      .select(expr("k div 4294967296").as("item_a"),
+        pmod(col("k"), lit(4294967296L)).as("item_b"),
+        col("n_co"), col("n_capped_custs"))
   }
 
   /** L205 — A/B experiment analysis: two-proportion pooled z-test (the
