@@ -31,6 +31,7 @@ object SparkEntry {
       ops.Llm7.queries ++
       ops.Llm8.queries ++
       ops.Llm9.queries ++
+      ops.Llm10.queries ++
       ops.Mm2.queries ++
       ops.Warehouse5.queries ++
       ops.Warehouse6.queries ++
@@ -62,6 +63,7 @@ object SparkEntry {
       ops.Llm7.oracles ++
       ops.Llm8.oracles ++
       ops.Llm9.oracles ++
+      ops.Llm10.oracles ++
       ops.Mm2.oracles ++
       ops.Warehouse5.oracles ++
       ops.Warehouse6.oracles ++

@@ -1,0 +1,198 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-15 LLM-pipeline widening: exact-substring (verbatim-span)
+  * deduplication — the Lee et al. ACL 2022 "Deduplicating Training Data
+  * Makes Language Models Better" ExactSubstr mode, the one standard
+  * pretraining-dedup grain the family lacked: `llm_dedup_exact` is
+  * whole-document, MinHash/SimHash/Jaccard are document-level
+  * similarity, and `llm_cdc_chunks` is chunk-grain — none of them
+  * catches a 50-token licence block or boilerplate header embedded
+  * verbatim in two otherwise-distinct documents. */
+object Llm10 {
+
+  /** Shingle width in words. Lee et al. dedup spans of ≥50 BPE tokens;
+    * at the fixture's whitespace-token grain 16 words is the same
+    * order, and any shared verbatim span of ≥ K words is recovered with
+    * EXACT word boundaries (see [[perDocSpans]]). */
+  private[graft] val ShingleK = 16
+
+  /** Every K-word shingle start: (doc_id, nw, pos, sh) with `pos` the
+    * 0-based word index of the shingle's first word and `sh` the
+    * portable 48-bit hash of the shingle text. The shingle hash is
+    * computed INSIDE the per-row `transform` lambda so only (doc_id,
+    * pos, sh:long) rows ever leave the scan — the K× text blowup of
+    * materialized shingle strings exists transiently per row, never in
+    * a shuffle. */
+  private[graft] def shingleStarts(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("nw", size(col("w")).cast("long"))
+      .where(col("nw") >= ShingleK)
+      .select(col("doc_id"), col("nw"), posexplode(expr(
+        s"transform(sequence(1, cast(nw as int) - ${ShingleK - 1}), " +
+          "i -> cast(conv(substring(md5(concat_ws(' ', " +
+          s"slice(w, i, $ShingleK))), 1, 12), 16, 10) as bigint))"))
+        .as(Seq("pos", "sh")))
+
+  /** Per-document maximal duplicated spans, the suffix-array result of
+    * Lee et al. 2022 computed at shingle grain so it distributes: a
+    * shingle occurring ≥2 times corpus-wide (across docs OR repeated
+    * within one doc) is a duplicated position; a doc's maximal runs of
+    * duplicated starts with gap ≤ K merge into spans (gaps-and-islands
+    * per doc). EXACTNESS: a verbatim span of length L ≥ K words shared
+    * anywhere in the corpus duplicates exactly its L−K+1 shingle
+    * starts, so the island recovers the span boundaries [a, a+L−1]
+    * word-exact; spans shorter than K words are below the detection
+    * threshold (by design — the Lee et al. min-match length), and two
+    * distinct duplicated spans closer than K words coarsen into one
+    * (the shingle-grain trade for never building a suffix array).
+    * False positives only via 48-bit hash collisions (~2⁻⁴⁸ per
+    * pair — the MinHash-family contract).
+    *
+    * 100-TB shape: the only corpus-wide shuffle is keyed by the SHINGLE
+    * HASH (bucketed, collision-proportional — exactly the MinHash-band
+    * key discipline; never all-pairs, never a suffix array's global
+    * sort of every token position); the island merge is a per-doc
+    * window (partitionBy doc_id); output is one row per affected doc —
+    * the column you'd write back beside the corpus. Round15Spec pins a
+    * planted 60-word span (word-exact boundaries, off-by-one would
+    * shift dup_words), the two-span island split, and the sub-K miss. */
+  private[graft] def perDocSpans(spark: SparkSession, dir: String): DataFrame = {
+    val s = shingleStarts(spark, dir)
+    val dup = s.groupBy(col("sh")).agg(count(lit(1)).as("n_occ"))
+      .where(col("n_occ") >= 2)
+    val dupPos = s.join(dup.select("sh"), "sh")
+      .select(col("doc_id"), col("nw"), col("pos"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val run = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dupPos
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(wd) > ShingleK, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(run))
+      .groupBy(col("doc_id"), col("nw"), col("island"))
+      .agg(min(col("pos")).as("sp_s"),
+        (max(col("pos")) + lit(ShingleK - 1)).as("sp_e"))
+      .groupBy(col("doc_id"), col("nw"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("sp_e") - col("sp_s") + 1).cast("long").as("dup_words"))
+  }
+
+  /** L358 — exact-substring dedup report: per affected document, the
+    * number of maximal duplicated spans, the words they cover, and the
+    * duplicated fraction — the Lee et al. 2022 ExactSubstr readout
+    * (their pipeline then drops or trims those spans; the report is the
+    * audit artifact a dataset card cites, and [[Llm9.datasetCard]]
+    * folds its per-language rate in as `substr_dup_rate`). */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame =
+    perDocSpans(spark, dir)
+      .select(col("doc_id"), col("nw").as("n_words"), col("n_dup_spans"),
+        col("dup_words"),
+        round(col("dup_words").cast("double") / col("nw").cast("double"), 6)
+          .as("dup_ratio"))
+      .orderBy(col("doc_id"))
+
+  /** L359 — top offending duplicated spans: the 10 most-repeated
+    * K-word shingles corpus-wide with occurrence count, distinct-doc
+    * spread, and the span text recovered from the first (doc, pos)
+    * occurrence — the "what IS this boilerplate" drill-down every
+    * dedup audit runs right after the per-doc rates. The top-10 sort is
+    * total (n_occ desc, then the shingle hash both engines compute
+    * identically); the representative occurrence is the row_number-1
+    * row per shingle under (doc_id, pos) — deterministic at any
+    * parallelism. The text recovery joins the ≤10 representative rows
+    * back to the corpus (broadcast side is the 10 rows). */
+  def dedupSubstringSpans(spark: SparkSession, dir: String): DataFrame = {
+    val s = shingleStarts(spark, dir)
+    val top = s.groupBy(col("sh")).agg(count(lit(1)).as("n_occ"))
+      .where(col("n_occ") >= 2)
+      .orderBy(col("n_occ").desc, col("sh"))
+      .limit(10)
+    val j = s.join(broadcast(top), "sh")
+      .select(col("sh"), col("n_occ"), col("doc_id"), col("pos"))
+    val ag = j.groupBy(col("sh"), col("n_occ"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val rep = j.withColumn("rn", row_number().over(
+        Window.partitionBy(col("sh")).orderBy(col("doc_id"), col("pos"))))
+      .where(col("rn") === 1)
+      .select(col("sh"), col("doc_id"), col("pos"))
+    val docsW = documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    ag.join(rep, "sh").join(docsW, "doc_id")
+      .select(col("n_occ"), col("n_docs"), col("doc_id").as("rep_doc"),
+        col("pos").cast("long").as("rep_pos"),
+        expr(s"concat_ws(' ', slice(w, pos + 1, $ShingleK))").as("span_text"))
+      .orderBy(col("n_occ").desc, col("span_text"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_substring" -> (dedupSubstring _),
+    "llm_dedup_substring_spans" -> (dedupSubstringSpans _),
+  )
+
+  /** DuckDB CTE chain ending in `ss_doc(doc_id, nw, n_dup_spans,
+    * dup_words)` — the [[perDocSpans]] twin, shared verbatim by the
+    * `llm_dedup_substring` oracle and [[Llm9]]'s dataset-card oracle so
+    * the two keys cannot drift on the span arithmetic. */
+  private[graft] val perDocSpansSql: String =
+    s"""ss_d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       ss_n AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS nw
+         FROM ss_d WHERE len(w) >= 16),
+       ss_u AS (SELECT doc_id, nw, w, unnest(range(1, nw - 14)) AS i
+         FROM ss_n),
+       ss_s AS (SELECT doc_id, nw, i - 1 AS pos,
+           ${h48Sql("array_to_string(w[i:i+15], ' ')")} AS sh
+         FROM ss_u),
+       ss_dup AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS n_occ
+         FROM ss_s GROUP BY sh HAVING COUNT(*) >= 2),
+       ss_dp AS (SELECT doc_id, nw, pos FROM ss_s JOIN ss_dup USING (sh)),
+       ss_brk AS (SELECT doc_id, nw, pos,
+           CASE WHEN pos - LAG(pos) OVER
+                 (PARTITION BY doc_id ORDER BY pos) > 16
+             THEN 1 ELSE 0 END AS brk
+         FROM ss_dp),
+       ss_isl AS (SELECT doc_id, nw, pos,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         FROM ss_brk),
+       ss_sp AS (SELECT doc_id, nw, island, MIN(pos) AS sp_s,
+           MAX(pos) + 15 AS sp_e
+         FROM ss_isl GROUP BY 1, 2, 3),
+       ss_doc AS (SELECT doc_id, nw,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(sp_e - sp_s + 1) AS BIGINT) AS dup_words
+         FROM ss_sp GROUP BY 1, 2)"""
+
+  val oracles: Map[String, String] = Map(
+    "llm_dedup_substring" ->
+      s"""WITH $perDocSpansSql
+         SELECT doc_id, nw AS n_words, n_dup_spans, dup_words,
+           round(CAST(dup_words AS DOUBLE) / CAST(nw AS DOUBLE), 6)
+             AS dup_ratio
+         FROM ss_doc ORDER BY doc_id""",
+    "llm_dedup_substring_spans" ->
+      s"""WITH $perDocSpansSql,
+         top10 AS (SELECT sh, n_occ FROM ss_dup
+           ORDER BY n_occ DESC, sh LIMIT 10),
+         j AS (SELECT s.sh, t.n_occ, s.doc_id, s.pos
+           FROM ss_s s JOIN top10 t USING (sh)),
+         ag AS (SELECT sh, n_occ,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+           FROM j GROUP BY 1, 2),
+         rep AS (SELECT sh, doc_id, pos FROM
+             (SELECT sh, doc_id, pos, ROW_NUMBER() OVER
+               (PARTITION BY sh ORDER BY doc_id, pos) AS rn FROM j)
+           WHERE rn = 1)
+         SELECT ag.n_occ, ag.n_docs, rep.doc_id AS rep_doc,
+           CAST(rep.pos AS BIGINT) AS rep_pos,
+           array_to_string(d.w[rep.pos + 1 : rep.pos + 16], ' ')
+             AS span_text
+         FROM ag JOIN rep USING (sh) JOIN ss_d d ON rep.doc_id = d.doc_id
+         ORDER BY ag.n_occ DESC, span_text""",
+  )
+}

@@ -179,25 +179,40 @@ object Llm9 {
     * ((n_docs − n_distinct_texts)/n_docs — the J1 hash-dedup headline
     * number at card grain). ROLLUP(lang) = grouping sets ((lang), ())
     * in one scan through Expand; countDistinct per group is the
-    * standard two-phase distinct aggregate. */
+    * standard two-phase distinct aggregate. Round 15 adds the
+    * VERBATIM-SPAN rate beside the whole-doc one: `substr_dup_words` /
+    * `substr_dup_rate` fold [[Llm10.perDocSpans]]'s per-doc duplicated
+    * word counts (the Lee et al. 2022 ExactSubstr grain — L358) into
+    * the same rollup, so the card now reports both "how many docs are
+    * copies" AND "how much text inside distinct docs is copied" — the
+    * two numbers real dataset cards publish together. One left join at
+    * doc grain before the rollup; the span frame is corpus-sparse
+    * (affected docs only). */
   def datasetCard(spark: SparkSession, dir: String): DataFrame = {
     val nWords = size(split(col("text"), " ")).cast("long")
+    val spans = Llm10.perDocSpans(spark, dir)
+      .select(col("doc_id"), col("dup_words"))
     documents(spark, dir)
-      .select(col("lang"), col("source"), col("text"), col("n_chars"),
-        nWords.as("n_words"))
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        col("n_chars"), nWords.as("n_words"))
+      .join(spans, Seq("doc_id"), "left")
       .rollup(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("source")).as("n_sources"),
         sum(col("n_words")).as("n_tokens"),
         sum(col("n_chars").cast("long")).as("n_chars"),
-        countDistinct(col("text")).as("n_distinct_texts"))
+        countDistinct(col("text")).as("n_distinct_texts"),
+        sum(coalesce(col("dup_words"), lit(0L))).as("substr_dup_words"))
       .select(coalesce(col("lang"), lit("ALL")).as("lang"), col("n_docs"),
         col("n_sources"), col("n_tokens"), col("n_chars"),
         round(col("n_tokens").cast("double") / col("n_docs").cast("double"),
           6).as("avg_words"),
         col("n_distinct_texts"),
         round((col("n_docs") - col("n_distinct_texts")).cast("double") /
-          col("n_docs").cast("double"), 6).as("dup_rate"))
+          col("n_docs").cast("double"), 6).as("dup_rate"),
+        col("substr_dup_words"),
+        round(col("substr_dup_words").cast("double") /
+          col("n_tokens").cast("double"), 6).as("substr_dup_rate"))
       .orderBy("lang")
   }
 
@@ -528,7 +543,11 @@ object Llm9 {
     * when both systems score the SAME examples — which is exactly the
     * L353 setting, where an unpaired rate comparison would waste the
     * pairing): only the discordant cells carry signal, χ² =
-    * (|b−c|−1)²/(b+c) with Edwards' continuity correction, significant
+    * max(|b−c|−1, 0)²/(b+c) with Edwards' continuity correction —
+    * the max(·,0) clamp is part of the corrected statistic (without it
+    * b = c would yield a spurious positive χ², e.g. 0.5 at b = c = 1,
+    * where perfectly concordant discordance should score 0; round-15
+    * ADVICE fix, clamped identically in the oracle) — significant
     * at the χ²₁ 5% cutoff 3.841. Flags from the SAME shared projection
     * as L353 (one row-local pass, one conditional-agg scan, exact
     * integers, one round-6 division); flag from the ROUNDED statistic
@@ -543,7 +562,8 @@ object Llm9 {
     cm.where(col("n_docs") >= 1)
       .withColumn("mcnemar_chi2",
         when(col("gopher_only") + col("quality_only") > 0,
-          round((abs(b - c) - 1.0) * (abs(b - c) - 1.0) / (b + c), 6)))
+          round(greatest(abs(b - c) - 1.0, lit(0.0)) *
+            greatest(abs(b - c) - 1.0, lit(0.0)) / (b + c), 6)))
       .select(col("n_docs"), col("gopher_only"), col("quality_only"),
         col("mcnemar_chi2"),
         coalesce(col("mcnemar_chi2") > 3.841, lit(false)).as("significant"))
@@ -582,10 +602,10 @@ object Llm9 {
                AS quality_only
            FROM f),
          t AS (SELECT *, CASE WHEN gopher_only + quality_only > 0 THEN
-             round((abs(CAST(gopher_only AS DOUBLE)
-                 - CAST(quality_only AS DOUBLE)) - 1.0)
-               * (abs(CAST(gopher_only AS DOUBLE)
-                 - CAST(quality_only AS DOUBLE)) - 1.0)
+             round(greatest(abs(CAST(gopher_only AS DOUBLE)
+                 - CAST(quality_only AS DOUBLE)) - 1.0, 0.0)
+               * greatest(abs(CAST(gopher_only AS DOUBLE)
+                 - CAST(quality_only AS DOUBLE)) - 1.0, 0.0)
                / (CAST(gopher_only AS DOUBLE)
                  + CAST(quality_only AS DOUBLE)), 6) END AS mcnemar_chi2
            FROM cm WHERE n_docs >= 1)
@@ -645,24 +665,31 @@ object Llm9 {
              AS mean_pairwise_cosine
          FROM r, s2 WHERE n >= 2""",
     "llm_dataset_card" ->
-      """WITH d AS (SELECT lang, source, text,
+      s"""WITH ${graft.ops.Llm10.perDocSpansSql},
+         d AS (SELECT doc_id, lang, source, text,
              CAST(n_chars AS BIGINT) AS nc,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
            FROM documents),
+         dj AS (SELECT d.*, COALESCE(ss_doc.dup_words, 0) AS dw
+           FROM d LEFT JOIN ss_doc ON d.doc_id = ss_doc.doc_id),
          card AS (SELECT lang,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
              CAST(SUM(n_words) AS BIGINT) AS n_tokens,
              CAST(SUM(nc) AS BIGINT) AS n_chars,
-             CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts
-           FROM d GROUP BY ROLLUP (lang))
+             CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+             CAST(SUM(dw) AS BIGINT) AS substr_dup_words
+           FROM dj GROUP BY ROLLUP (lang))
          SELECT COALESCE(lang, 'ALL') AS lang, n_docs, n_sources, n_tokens,
            n_chars,
            round(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
              AS avg_words,
            n_distinct_texts,
            round(CAST(n_docs - n_distinct_texts AS DOUBLE)
-             / CAST(n_docs AS DOUBLE), 6) AS dup_rate
+             / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
+           substr_dup_words,
+           round(CAST(substr_dup_words AS DOUBLE)
+             / CAST(n_tokens AS DOUBLE), 6) AS substr_dup_rate
          FROM card ORDER BY lang""",
     "llm_tokenizer_fertility" ->
       """WITH d AS (SELECT lang,

@@ -828,10 +828,24 @@ object Warehouse {
     * what round 14 DID keep is the packed pair key — (a, b) as ONE long
     * (partkeys < 2³¹), so the near-unique-key aggregate (map-side
     * combine can't shrink it) shuffles 8-byte keys instead of
-    * two-field structs. */
+    * two-field structs. The 2³¹ packing bound is ENFORCED, not assumed
+    * (round-15 ADVICE fix): an item id ≥ 2³¹ would overflow the long
+    * multiply into negative keys (possible collisions) and `div`
+    * truncates toward zero on negatives, silently unpacking wrong item
+    * ids — TPC-H partkeys cross 2³¹ around SF ~10,700, inside the
+    * 100-TB regime this operator claims. The guard is an in-plan
+    * `raise_error` branch evaluated once per (customer, item) incidence
+    * row (NOT per pair — fan grain, linear), so an out-of-range id
+    * fails the job loudly instead of corrupting the ranking;
+    * Round15Spec pins both the trip and the pass-through. */
   private[graft] def itemPairCounts(cp: DataFrame, cap: Int): DataFrame = {
-    val bsz = cp.groupBy(col("c")).agg(count(lit(1)).as("bs"))
-    val tagged = cp.join(bsz, "c")
+    val checked = cp.withColumn("p",
+      when(col("p") >= 0L && col("p") < 2147483648L, col("p"))
+        .otherwise(raise_error(format_string(
+          "itemPairCounts: item id %d outside the packed-key bound [0, 2^31)",
+          col("p"))).cast("long")))
+    val bsz = checked.groupBy(col("c")).agg(count(lit(1)).as("bs"))
+    val tagged = checked.join(bsz, "c")
     val hubW = Window.partitionBy(col("c"))
       .orderBy(graft.Tables.h48(concat_ws(":", col("c"), col("p"))),
         col("p"))

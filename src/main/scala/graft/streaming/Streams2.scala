@@ -34,26 +34,31 @@ object Streams2 {
     * broadcast stream-static joins; the −ln(n/N) fold is row-local and
     * round-6 exactly like the batch column. Stateless append stream —
     * scoring cost per event is three broadcast-hash probes at any
-    * scale. Events whose bin is absent from a reference histogram are
-    * dropped by the inner join (an unseen bin has no trained
-    * probability — the monitor's contract is "score against the
-    * reference", and StreamingSpec pins the fixture refs cover every
-    * fixture event). Global top-k is the batch query's job; the stream
-    * emits every score. */
+    * scale. Events whose bin is ABSENT from a reference histogram are
+    * the most anomalous ones a monitor can see, so they must not
+    * vanish: the joins are LEFT joins and a missing bin scores at the
+    * maximum surprise the reference can express — count 1 of N, i.e.
+    * −ln(1/N) — with `novel_bin` set so the reader can split
+    * "high-scoring trained bin" from "bin the reference never saw"
+    * (round-15 ADVICE fix; StreamingSpec pins both the covered-bin
+    * batch≡stream equality and the novel-bin path). Global top-k is
+    * the batch query's job; the stream emits every score. */
   def hbosScored(events: DataFrame, hodHist: DataFrame, dowHist: DataFrame,
       vbandHist: DataFrame, nTotal: Long): DataFrame = {
     val ev = events.select(col("event_id"),
       hour(col("ts")).as("hod"),
       dayofweek(col("ts")).as("dow"),
       least(floor(col("value") / 20.0).cast("long"), lit(9L)).as("vband"))
-    def nll(c: String) = round(-log(col(s"n_$c").cast("double") /
-      lit(nTotal).cast("double")), 6)
+    def nll(c: String) = round(-log(coalesce(col(s"n_$c"), lit(1L))
+      .cast("double") / lit(nTotal).cast("double")), 6)
     ev
-      .join(broadcast(hodHist), "hod")
-      .join(broadcast(dowHist), "dow")
-      .join(broadcast(vbandHist), "vband")
+      .join(broadcast(hodHist), Seq("hod"), "left")
+      .join(broadcast(dowHist), Seq("dow"), "left")
+      .join(broadcast(vbandHist), Seq("vband"), "left")
       .select(col("event_id"), col("hod"), col("dow"), col("vband"),
-        round(nll("hod") + nll("dow") + nll("vband"), 6).as("hbos_score"))
+        round(nll("hod") + nll("dow") + nll("vband"), 6).as("hbos_score"),
+        (col("n_hod").isNull || col("n_dow").isNull ||
+          col("n_vband").isNull).as("novel_bin"))
   }
 
   // ------------------------------------------------------------ STL daily
@@ -80,7 +85,18 @@ object Streams2 {
     * Iglewicz–Hoaglin robust z mirror the batch arithmetic exactly
     * (micro-long day sums = dsum; round-6 at the same five sites;
     * 0.6745·(r−med)/mad with the same operation order; z = 0 at
-    * MAD 0). */
+    * MAD 0). The day-close-by-progress contract is ENFORCED, not
+    * merely documented (round-15 ADVICE fix): once a day's row has
+    * been emitted, every day its centered window consumed (up to 3
+    * successors past the emitted day) is frozen at a `frontier`
+    * day-number in state, and any later-arriving event at or below the
+    * frontier is DROPPED — previously such an event silently mutated an
+    * already-emitted trend or, worse, created a new earlier day that
+    * shifted the positional cursor so rows re-emitted or skipped. Late
+    * events for days ABOVE the frontier (closed by progress but not yet
+    * consumed by any emitted window) still fold in — their rows have
+    * not been published, so folding is the correct, more-complete
+    * answer. StreamingSpec pins both sides of the frontier. */
   def stlDailyTws(orders: Dataset[Event], seasonalByDow: Map[Long, Double],
       med: Double, mad: Double): Dataset[StlPoint] = {
     import orders.sparkSession.implicits._
@@ -97,11 +113,16 @@ object Streams2 {
     import org.apache.spark.sql.{Encoders, streaming}
     @transient private var daySums: streaming.MapState[Long, Long] = _
     @transient private var nextIdx: streaming.ValueState[Long] = _
+    // highest day-number consumed by an emitted window; events at or
+    // below it are late beyond repair and are dropped (scaladoc above)
+    @transient private var frontier: streaming.ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit = {
       daySums = getHandle.getMapState[Long, Long]("stl_day_sums",
         Encoders.scalaLong, Encoders.scalaLong, streaming.TTLConfig.NONE)
       nextIdx = getHandle.getValueState[Long]("stl_next_idx",
+        Encoders.scalaLong, streaming.TTLConfig.NONE)
+      frontier = getHandle.getValueState[Long]("stl_frontier_day",
         Encoders.scalaLong, streaming.TTLConfig.NONE)
     }
 
@@ -113,10 +134,14 @@ object Streams2 {
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timerValues: streaming.TimerValues): Iterator[StlPoint] = {
+      val frozen = Option(frontier.get()).filter(_ != 0L)
+        .getOrElse(Long.MinValue)
       rows.foreach { e =>
         val day = math.floorDiv(microsOf(e.ts), 86400000000L)
-        val cur = if (daySums.containsKey(day)) daySums.getValue(day) else 0L
-        daySums.updateValue(day, cur + micro(e.value))
+        if (day > frozen) {
+          val cur = if (daySums.containsKey(day)) daySums.getValue(day) else 0L
+          daySums.updateValue(day, cur + micro(e.value))
+        } // else: late past the frontier — emitted rows are immutable
       }
       val days = daySums.keys().toSeq.sorted
       // all but the max seen day are CLOSED (their sums are final)
@@ -137,6 +162,8 @@ object Streams2 {
         k += 1
       }
       nextIdx.update(k.toLong)
+      // the last emitted index k-1 consumed days up to index k+2
+      if (out.nonEmpty) frontier.update(days(k + 2))
       out.iterator
     }
   }
@@ -162,8 +189,25 @@ object Streams2 {
     * semantics as the batch band join, so streamed DISTINCT alerts
     * equal the batch candidate-pair verdicts exactly (a pair sharing
     * two bands may alert from both buckets; the batch `distinct` is
-    * the reader's, mirrored in the spec). */
-  def imageAHashTws(docIds: Dataset[Long]): Dataset[AHashAlert] = {
+    * the reader's, mirrored in the spec).
+    *
+    * RETENTION (round-15 fix — r14 shipped `TTLConfig.NONE` with no
+    * knob, so total state grew with the corpus forever): each bucket
+    * keeps at most `maxPerBucket` members, evicting OLDEST-FIRST when a
+    * new member lands in a full bucket — the deterministic form of a
+    * TTL (a crawl's arrival order IS its time axis, and a count bound
+    * is testable where a wall-clock TTL is flaky), giving the hard
+    * state-size bound `4 buckets/doc × maxPerBucket × |occupied
+    * buckets|` rows, independent of corpus length. The semantic
+    * contract under eviction: a new image alerts against the most
+    * recent `maxPerBucket` same-bucket members only — exactly the
+    * sliding-window dedup guarantee streaming-SNM (L160) already
+    * documents for text. Default `Int.MaxValue` preserves the
+    * exact-batch-equality mode (the StreamingSpec batch≡stream pin);
+    * the eviction leg pins that a replica beyond the horizon no longer
+    * alerts while one inside it still does. */
+  def imageAHashTws(docIds: Dataset[Long],
+      maxPerBucket: Int = Int.MaxValue): Dataset[AHashAlert] = {
     import docIds.sparkSession.implicits._
     docIds
       .flatMap { id =>
@@ -174,12 +218,12 @@ object Streams2 {
           BandKeyed(i, bs(i), id, h.b0, h.b1, h.b2, h.b3))
       }
       .groupByKey(r => (r.band_no, r.bv))
-      .transformWithState(new AHashProcessor,
+      .transformWithState(new AHashProcessor(maxPerBucket),
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Append())
   }
 
-  class AHashProcessor
+  class AHashProcessor(maxPerBucket: Int = Int.MaxValue)
       extends org.apache.spark.sql.streaming.StatefulProcessor[(Int, Int), BandKeyed, AHashAlert] {
     import org.apache.spark.sql.{Encoders, streaming}
     @transient private var seen:
@@ -194,21 +238,37 @@ object Streams2 {
     override def handleInputRows(key: (Int, Int), rows: Iterator[BandKeyed],
         timerValues: streaming.TimerValues): Iterator[AHashAlert] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[AHashAlert]
+      // ListState preserves append order, so the buffer is the bucket's
+      // arrival history — index 0 is the oldest member
+      val members = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Int, Int, Int, Int)] ++= seen.get()
+      val atEntry = members.length
       // fold in doc order so an intra-batch pair alerts exactly once
       rows.toSeq.sortBy(_.doc_id).foreach { r =>
         val mine = Array(r.b0, r.b1, r.b2, r.b3)
-        seen.get().foreach { case (d, a0, a1, a2, a3) =>
-          if (d != r.doc_id) {
-            val ham = Integer.bitCount(a0 ^ mine(0)) +
-              Integer.bitCount(a1 ^ mine(1)) +
-              Integer.bitCount(a2 ^ mine(2)) +
-              Integer.bitCount(a3 ^ mine(3))
-            if (ham <= 8)
-              out += AHashAlert(math.min(d, r.doc_id),
-                math.max(d, r.doc_id), ham)
+        // alert only against the newest maxPerBucket members (the
+        // retention horizon also applies within a micro-batch)
+        members.drop(math.max(0, members.length - maxPerBucket))
+          .foreach { case (d, a0, a1, a2, a3) =>
+            if (d != r.doc_id) {
+              val ham = Integer.bitCount(a0 ^ mine(0)) +
+                Integer.bitCount(a1 ^ mine(1)) +
+                Integer.bitCount(a2 ^ mine(2)) +
+                Integer.bitCount(a3 ^ mine(3))
+              if (ham <= 8)
+                out += AHashAlert(math.min(d, r.doc_id),
+                  math.max(d, r.doc_id), ham)
+            }
           }
-        }
-        seen.appendValue((r.doc_id, r.b0, r.b1, r.b2, r.b3))
+        members += ((r.doc_id, r.b0, r.b1, r.b2, r.b3))
+      }
+      if (members.length > maxPerBucket) {
+        // eviction: full rewrite with the newest maxPerBucket only
+        seen.clear()
+        members.takeRight(maxPerBucket).foreach(seen.appendValue)
+      } else {
+        // fast path: append-only write for the new members
+        members.drop(atEntry).foreach(seen.appendValue)
       }
       out.iterator
     }
