@@ -2181,4 +2181,110 @@ class StreamingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("hbosScored: a never-seen bin scores max-surprise with novel_bin set, not dropped") {
+    val s = spark
+    import s.implicits._
+    // event 2's hour (23) is absent from the frozen hod histogram — the
+    // r14 inner join silently dropped it; it must now surface at the
+    // maximum surprise the reference can express, -ln(1/N)
+    val evs = Seq((1L, ts("2024-01-01 10:00:00"), 5.0),
+      (2L, ts("2024-01-01 23:00:00"), 5.0)).toDF("event_id", "ts", "value")
+    val hod = Seq((10, 5L)).toDF("hod", "n_hod")
+    val dow = Seq((2, 4L)).toDF("dow", "n_dow")
+    val vband = Seq((0L, 2L)).toDF("vband", "n_vband")
+    val rows = graft.streaming.Streams2
+      .hbosScored(evs, hod, dow, vband, nTotal = 10L)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    // covered: -ln(.5) - ln(.4) - ln(.2) = .693147 + .916291 + 1.609438
+    assert(rows(1L) === ((3.218876, false)))
+    // novel hod bin: -ln(1/10) = 2.302585 replaces the hod term
+    assert(rows(2L) === ((4.828314, true)))
+  }
+
+  test("StlProcessor frontier: late data below the frontier is dropped; above it still folds in") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def dayNum(d: String): Long =
+      math.floorDiv(usOf(s"$d 00:00:00"), 86400000000L)
+    val ms = MemoryStream[Event]
+    val q = runToTable(graft.streaming.Streams2
+      .stlDailyTws(ms.toDS(), Map.empty, 0.0, 0.0).toDF(),
+      "stl_frontier", "append")
+    try {
+      // days Jan 1..10, one event each, x(day) = day-of-month
+      ms.addData((1 to 10).map(d =>
+        ev(d, f"2024-01-$d%02d 12:00:00", 1, "order", d.toDouble)): _*)
+      q.processAllAvailable()
+      // emitted: Jan 4,5,6; their windows consumed through Jan 9 (the
+      // frontier). NOTHING below/at Jan 9 may mutate state anymore.
+      assert(spark.table("stl_frontier").count() === 3L)
+      ms.addData(
+        ev(11, "2024-01-05 13:00:00", 1, "order", 100.0), // ≤ frontier: drop
+        ev(12, "2024-01-10 13:00:00", 1, "order", 100.0)) // > frontier: fold
+      q.processAllAvailable()
+      assert(spark.table("stl_frontier").count() === 3L, "no re-emission")
+      ms.addData((11 to 14).map(d =>
+        ev(20 + d, f"2024-01-$d%02d 12:00:00", 1, "order", d.toDouble)): _*)
+      q.processAllAvailable()
+      val byDay = spark.table("stl_frontier").collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val expected = Map(
+        dayNum("2024-01-04") -> 4.0,
+        dayNum("2024-01-05") -> 5.0, // NOT 105 — the late +100 was dropped
+        dayNum("2024-01-06") -> 6.0,
+        dayNum("2024-01-07") -> 7.0,
+        dayNum("2024-01-08") -> 8.0,
+        dayNum("2024-01-09") -> 9.0,
+        dayNum("2024-01-10") -> 110.0) // the above-frontier +100 folded in
+      assert(byDay === expected)
+      assert(spark.table("stl_frontier").count() === 7L, "each day once")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  test("imageAHashTws retention: a replica past the maxPerBucket horizon no longer alerts") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // ids 1, 151, 301 synthesize IDENTICAL images (same family mod 50,
+    // same perturbation mod 3) — every pair is a Hamming-0 duplicate
+    val ms = MemoryStream[Long]
+    val q = runToTable(graft.streaming.Streams2
+      .imageAHashTws(ms.toDS(), maxPerBucket = 1).toDF(),
+      "ahash_retention", "append")
+    try {
+      Seq(1L, 151L, 301L).foreach { id =>
+        ms.addData(id)
+        q.processAllAvailable()
+      }
+      val alerts = spark.table("ahash_retention")
+        .select($"d1", $"d2").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // horizon 1: each arrival alerts against the single retained
+      // member only — (1,301) is beyond the horizon and must NOT alert
+      assert(alerts === Set((1L, 151L), (151L, 301L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
