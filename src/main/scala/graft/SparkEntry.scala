@@ -33,6 +33,7 @@ object SparkEntry {
       ops.Llm9.queries ++
       ops.Llm10.queries ++
       ops.Mm2.queries ++
+      ops.Mm3.queries ++
       ops.Warehouse5.queries ++
       ops.Warehouse6.queries ++
       ops.Layout.queries ++
@@ -41,6 +42,7 @@ object SparkEntry {
       ops.Ml.queries ++
       ops.Stats.queries ++
       ops.Stats2.queries ++
+      ops.Stats3.queries ++
       ops.Warehouse.queries ++
       ops.Warehouse2.queries ++
       ops.Warehouse3.queries ++
@@ -65,6 +67,7 @@ object SparkEntry {
       ops.Llm9.oracles ++
       ops.Llm10.oracles ++
       ops.Mm2.oracles ++
+      ops.Mm3.oracles ++
       ops.Warehouse5.oracles ++
       ops.Warehouse6.oracles ++
       ops.Layout.oracles ++
@@ -73,6 +76,7 @@ object SparkEntry {
       ops.Ml.oracles ++
       ops.Stats.oracles ++
       ops.Stats2.oracles ++
+      ops.Stats3.oracles ++
       ops.Warehouse.oracles ++
       ops.Warehouse2.oracles ++
       ops.Warehouse3.oracles ++

@@ -130,9 +130,68 @@ object Llm10 {
       .orderBy(col("n_occ").desc, col("span_text"))
   }
 
+  /** L362 — Heaps'-law vocabulary-growth fit (Heaps 1978; Herdan 1960):
+    * V(N) ≈ k·N^β over cumulative corpus prefixes — the growth-curve
+    * companion to L228's Zipf rank–frequency fit (the two laws are the
+    * standard paired sanity probes that a scraped corpus is
+    * language-like: natural text keeps β ≈ 0.4–0.6; template spam shows
+    * β → 0, id-heavy logs β → 1) and the dynamic counterpart of L258's
+    * point-in-time TTR. Checkpoints are 25-doc blocks in doc_id order:
+    * a word's contribution to vocabulary growth is located at its
+    * FIRST-occurrence doc (one vocabulary-bounded min-agg — no
+    * per-token global positions, no unpartitioned token-grain window),
+    * per-block token and new-type counts aggregate doc-grain, and the
+    * cumulative (N, V) curve comes from [[PrefixScan]] over the
+    * block-grain frame (the r11 scale rule: the scan frame is 1/25th
+    * of doc grain, never value grain). Fit = the L228 six-sums
+    * closed form over (ln N, ln V), lns rounded 6dp before the
+    * decimal sums (the cross-libm contract); intercept reported as
+    * ln k (exp would reopen the libm question the contract closes).
+    * Grand totals ride free off the PrefixScan pass-1 offsets.
+    * On the synthetic fixture the probe FIRES: the corpus vocabulary
+    * saturates at 31 types inside the first 25-doc block, so β ≈ 0 —
+    * precisely the template-spam signature the probe exists to
+    * surface (a natural-language corpus would fit β ≈ 0.4–0.6). */
+  def heapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    val dl = documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("nw"))
+    val tok = dl.groupBy(expr("doc_id div 25").as("cg"))
+      .agg(sum(col("nw")).as("toks"))
+    val vn = dl.select(col("doc_id"), explode(col("w")).as("word"))
+      .groupBy("word").agg(min(col("doc_id")).as("fd"))
+      .groupBy(expr("fd div 25").as("cg")).agg(count(lit(1)).as("nv"))
+    val cg = tok.join(vn, Seq("cg"), "left")
+      .select(col("cg"), col("toks"), coalesce(col("nv"), lit(0L)).as("nv"))
+    val (scanned, totals) = PrefixScan(cg, Seq("cg"),
+      sumsLong = Seq("toks" -> "n_tok", "nv" -> "n_voc"))
+    val xy = scanned.select(
+      round(log(col("n_tok").cast("double")), 6).as("x"),
+      round(log(col("n_voc").cast("double")), 6).as("y"))
+    val s = xy.agg(count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(18,6)")).cast("double").as("sx"),
+      sum(round(col("x") * col("x"), 6).cast("decimal(18,6)")).cast("double").as("sxx"),
+      sum(col("y").cast("decimal(18,6)")).cast("double").as("sy"),
+      sum(round(col("x") * col("y"), 6).cast("decimal(18,6)")).cast("double").as("sxy"),
+      sum(round(col("y") * col("y"), 6).cast("decimal(18,6)")).cast("double").as("syy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    s.select(col("n").as("n_checkpoints"),
+      lit(totals.longs("toks")).as("n_tokens"),
+      lit(totals.longs("nv")).as("v_types"),
+      round(slope, 6).as("beta"),
+      round((col("sy") - col("sx") * slope) / col("n").cast("double"), 6)
+        .as("ln_k"),
+      round(((col("n") * col("sxy") - col("sx") * col("sy")) *
+          (col("n") * col("sxy") - col("sx") * col("sy"))) /
+        ((col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_substring" -> (dedupSubstring _),
     "llm_dedup_substring_spans" -> (dedupSubstringSpans _),
+    "llm_heaps_law" -> (heapsLaw _),
   )
 
   /** DuckDB CTE chain ending in `ss_doc(doc_id, nw, n_dup_spans,
@@ -194,5 +253,36 @@ object Llm10 {
              AS span_text
          FROM ag JOIN rep USING (sh) JOIN ss_d d ON rep.doc_id = d.doc_id
          ORDER BY ag.n_occ DESC, span_text""",
+    "llm_heaps_law" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         dl AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS nw FROM d),
+         tok AS (SELECT doc_id // 25 AS cg, CAST(SUM(nw) AS BIGINT) AS toks
+           FROM dl GROUP BY 1),
+         fst AS (SELECT word, MIN(doc_id) AS fd FROM
+             (SELECT doc_id, unnest(w) AS word FROM dl) GROUP BY 1),
+         vn AS (SELECT fd // 25 AS cg, CAST(COUNT(*) AS BIGINT) AS nv
+           FROM fst GROUP BY 1),
+         cp AS (SELECT t.cg,
+             SUM(t.toks) OVER (ORDER BY t.cg) AS n_tok,
+             SUM(COALESCE(v.nv, 0)) OVER (ORDER BY t.cg) AS n_voc
+           FROM tok t LEFT JOIN vn v USING (cg)),
+         xy AS (SELECT round(ln(n_tok), 6) AS x, round(ln(n_voc), 6) AS y
+           FROM cp),
+         s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(round(y * y, 6) AS DECIMAL(18,6))) AS DOUBLE) AS syy
+           FROM xy),
+         tot AS (SELECT CAST(SUM(nw) AS BIGINT) AS n_tokens FROM dl),
+         vt AS (SELECT CAST(COUNT(*) AS BIGINT) AS v_types FROM fst)
+         SELECT s.n AS n_checkpoints, tot.n_tokens, vt.v_types,
+           round((s.n * sxy - sx * sy) / (s.n * sxx - sx * sx), 6) AS beta,
+           round((sy - sx * ((s.n * sxy - sx * sy) / (s.n * sxx - sx * sx)))
+             / s.n, 6) AS ln_k,
+           round(((s.n * sxy - sx * sy) * (s.n * sxy - sx * sy)) /
+             ((s.n * sxx - sx * sx) * (s.n * syy - sy * sy)), 6) AS r2
+         FROM s, tot, vt""",
   )
 }
