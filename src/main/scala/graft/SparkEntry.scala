@@ -34,6 +34,7 @@ object SparkEntry {
       ops.Llm10.queries ++
       ops.Mm2.queries ++
       ops.Mm3.queries ++
+      ops.Mm4.queries ++
       ops.Warehouse5.queries ++
       ops.Warehouse6.queries ++
       ops.Layout.queries ++
@@ -68,6 +69,7 @@ object SparkEntry {
       ops.Llm10.oracles ++
       ops.Mm2.oracles ++
       ops.Mm3.oracles ++
+      ops.Mm4.oracles ++
       ops.Warehouse5.oracles ++
       ops.Warehouse6.oracles ++
       ops.Layout.oracles ++

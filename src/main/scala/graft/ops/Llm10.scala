@@ -62,12 +62,11 @@ object Llm10 {
     * the column you'd write back beside the corpus. Round15Spec pins a
     * planted 60-word span (word-exact boundaries, off-by-one would
     * shift dup_words), the two-span island split, and the sub-K miss. */
-  private[graft] def perDocSpans(spark: SparkSession, dir: String): DataFrame = {
-    val s = shingleStarts(spark, dir)
-    val dup = s.groupBy(col("sh")).agg(count(lit(1)).as("n_occ"))
-      .where(col("n_occ") >= 2)
-    val dupPos = s.join(dup.select("sh"), "sh")
-      .select(col("doc_id"), col("nw"), col("pos"))
+  /** Gaps-and-islands merge of duplicated shingle starts into maximal
+    * per-doc spans, then doc-grain span stats — shared by [[perDocSpans]]
+    * (corpus-count semantics, L358) and [[dedupSubstringIncr]]
+    * (keep-first prefix semantics, L364). Expects (doc_id, nw, pos). */
+  private[graft] def spansFromDupPos(dupPos: DataFrame): DataFrame = {
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val run = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     dupPos
@@ -81,6 +80,14 @@ object Llm10 {
       .groupBy(col("doc_id"), col("nw"))
       .agg(count(lit(1)).as("n_dup_spans"),
         sum(col("sp_e") - col("sp_s") + 1).cast("long").as("dup_words"))
+  }
+
+  private[graft] def perDocSpans(spark: SparkSession, dir: String): DataFrame = {
+    val s = shingleStarts(spark, dir)
+    val dup = s.groupBy(col("sh")).agg(count(lit(1)).as("n_occ"))
+      .where(col("n_occ") >= 2)
+    spansFromDupPos(s.join(dup.select("sh"), "sh")
+      .select(col("doc_id"), col("nw"), col("pos")))
   }
 
   /** L358 — exact-substring dedup report: per affected document, the
@@ -128,6 +135,35 @@ object Llm10 {
         col("pos").cast("long").as("rep_pos"),
         expr(s"concat_ws(' ', slice(w, pos + 1, $ShingleK))").as("span_text"))
       .orderBy(col("n_occ").desc, col("span_text"))
+  }
+
+  /** L364 — incremental (keep-first) exact-substring dedup: the span
+    * report under the semantics an ONLINE deduper actually applies —
+    * the lexicographically FIRST occurrence of each shingle (by
+    * (doc_id, pos)) is the keeper, and only LATER occurrences are
+    * duplicated material to trim. Lee et al. 2022 drop one side of
+    * each duplicated span exactly this way; L358 by contrast marks
+    * every occurrence (the audit grain — "how much of the corpus
+    * participates in duplication"), so L358's dup_words bounds this
+    * one's from above, and the difference is precisely the kept
+    * canonical copies. Same shingle-hash shuffle key (the row_number
+    * window partitions by sh — collision-proportional, never
+    * all-pairs), same per-doc island merge via [[spansFromDupPos]].
+    * The streaming twin ([[graft.streaming.Streams3.substrDedupTws]])
+    * replays this prefix semantics one arriving doc at a time against
+    * shingle-keyed state — StreamingSpec pins batch ≡ streaming. */
+  def dedupSubstringIncr(spark: SparkSession, dir: String): DataFrame = {
+    val s = shingleStarts(spark, dir)
+    val wf = Window.partitionBy(col("sh")).orderBy(col("doc_id"), col("pos"))
+    spansFromDupPos(s
+      .withColumn("rn", row_number().over(wf))
+      .where(col("rn") >= 2)
+      .select(col("doc_id"), col("nw"), col("pos")))
+      .select(col("doc_id"), col("nw").as("n_words"), col("n_dup_spans"),
+        col("dup_words"),
+        round(col("dup_words").cast("double") / col("nw").cast("double"), 6)
+          .as("dup_ratio"))
+      .orderBy(col("doc_id"))
   }
 
   /** L362 — Heaps'-law vocabulary-growth fit (Heaps 1978; Herdan 1960):
@@ -191,6 +227,7 @@ object Llm10 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_substring" -> (dedupSubstring _),
     "llm_dedup_substring_spans" -> (dedupSubstringSpans _),
+    "llm_dedup_substring_incr" -> (dedupSubstringIncr _),
     "llm_heaps_law" -> (heapsLaw _),
   )
 
@@ -253,6 +290,30 @@ object Llm10 {
              AS span_text
          FROM ag JOIN rep USING (sh) JOIN ss_d d ON rep.doc_id = d.doc_id
          ORDER BY ag.n_occ DESC, span_text""",
+    "llm_dedup_substring_incr" ->
+      s"""WITH $perDocSpansSql,
+         inc_d AS (SELECT doc_id, nw, pos FROM
+             (SELECT doc_id, nw, pos, ROW_NUMBER() OVER
+               (PARTITION BY sh ORDER BY doc_id, pos) AS rn FROM ss_s)
+           WHERE rn >= 2),
+         inc_b AS (SELECT doc_id, nw, pos,
+             CASE WHEN pos - LAG(pos) OVER
+                   (PARTITION BY doc_id ORDER BY pos) > 16
+               THEN 1 ELSE 0 END AS brk
+           FROM inc_d),
+         inc_i AS (SELECT doc_id, nw, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM inc_b),
+         inc_s AS (SELECT doc_id, nw, island, MIN(pos) AS sp_s,
+             MAX(pos) + 15 AS sp_e
+           FROM inc_i GROUP BY 1, 2, 3)
+         SELECT doc_id, nw AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(sp_e - sp_s + 1) AS BIGINT) AS dup_words,
+           round(CAST(SUM(sp_e - sp_s + 1) AS BIGINT)
+             / CAST(nw AS DOUBLE), 6) AS dup_ratio
+         FROM inc_s GROUP BY doc_id, nw ORDER BY doc_id""",
     "llm_heaps_law" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          dl AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS nw FROM d),

@@ -2287,4 +2287,62 @@ class StreamingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("batch≡streaming: online exact-substring dedup flags merge to the batch keep-first span rows") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    val ms = MemoryStream[(Long, String)]
+    val q = runToTable(
+      graft.streaming.Streams3.substrDedupTws(ms.toDS()).toDF(),
+      "substr_tws", "append")
+    try {
+      // docs arrive in doc_id order across three micro-batches — the
+      // prefix semantics' time axis
+      docs.grouped((docs.length + 2) / 3).foreach { chunk =>
+        ms.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val flags = spark.table("substr_tws")
+        .select($"doc_id", $"nw", $"pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // JVM replica of spansFromDupPos: islands with gap <= K, span
+      // [min, max + K - 1]
+      def spans(poss: Seq[Long]): (Long, Long) = {
+        val so = poss.sorted
+        var n = 0L; var words = 0L
+        var st = so.head; var en = so.head
+        so.tail.foreach { p =>
+          if (p - en > 16) { n += 1; words += en + 15 - st + 1; st = p }
+          en = p
+        }
+        n += 1; words += en + 15 - st + 1
+        (n, words)
+      }
+      val streamed = flags.groupBy(_._1).map { case (d, rs) =>
+        val (n, w) = spans(rs.map(_._3).toSeq)
+        d -> (rs.head._2, n, w)
+      }
+      val batch = SparkEntry.queries("llm_dedup_substring_incr")(spark, sf0001)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(batch.nonEmpty, "fixture must hold duplicated spans")
+      assert(streamed === batch,
+        s"only-streamed=${(streamed.toSet -- batch.toSet).take(3)} " +
+          s"only-batch=${(batch.toSet -- streamed.toSet).take(3)}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
