@@ -65,8 +65,28 @@ object Mm4 {
       .orderBy("doc_id")
   }
 
+  /** L368 — keyframe extraction: the composition step right after
+    * L366 (shot boundaries → one representative frame per shot — the
+    * unit video-level dedup, captioning, and contrastive pretraining
+    * actually operate on). Shots are the segments the cut rule
+    * delimits; the keyframe is the shot's FIRST frame (the
+    * deterministic convention — "first frame after the cut" — that
+    * needs no quality model); each row carries the shot's frame count
+    * and the keyframe's exact pixel sum as a content witness, so the
+    * oracle cross-checks WHICH frame was picked, not just how many.
+    * Same row-local decode shape as L366. */
+  def videoKeyframes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap(MmVideo.keyframesOf))
+      .toDF()
+      .orderBy("doc_id", "shot_no")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_video_scene_cut" -> (videoSceneCut _),
+    "mm_video_keyframes" -> (videoKeyframes _),
     "mm_audio_vad" -> (audioVad _),
   )
 
@@ -96,6 +116,37 @@ object Mm4 {
          SELECT d.doc_id, c2.t AS frame_no, c2.sad
          FROM cls d JOIN cuts c2 USING (f)
          ORDER BY d.doc_id, c2.t""",
+    "mm_video_keyframes" ->
+      """WITH cls AS (SELECT doc_id, doc_id % 40 AS f FROM documents),
+         fam AS (SELECT DISTINCT f FROM cls),
+         fr AS (SELECT f, t FROM fam, (SELECT unnest(range(0, 16)) AS t)),
+         c AS (SELECT f, t,
+             CASE WHEN t >= 1 AND (t * 31 + f * 17) % 16 < 4
+               THEN 1 ELSE 0 END AS is_cut
+           FROM fr),
+         sc AS (SELECT f, t, is_cut,
+             SUM(is_cut) OVER (PARTITION BY f ORDER BY t) AS s
+           FROM c),
+         grid AS (SELECT sc.f, sc.t, x, y,
+             CAST(16 + (x * (2 + s % 5) + y * (3 + s % 7)
+               + s * 37 + f * 13) % 200 AS BIGINT) AS v
+           FROM sc,
+             (SELECT unnest(range(0, 32)) AS x) gx,
+             (SELECT unnest(range(0, 24)) AS y) gy),
+         psum AS (SELECT f, t, CAST(SUM(v) AS BIGINT) AS pix
+           FROM grid GROUP BY 1, 2),
+         shots AS (SELECT f, CAST(s AS BIGINT) AS shot_no, t AS start_frame
+           FROM sc WHERE t = 0 OR is_cut = 1),
+         len AS (SELECT f, shot_no, start_frame,
+             COALESCE(LEAD(start_frame) OVER
+               (PARTITION BY f ORDER BY start_frame), 16) - start_frame
+               AS n_frames
+           FROM shots)
+         SELECT d.doc_id, l.shot_no, l.start_frame, l.n_frames,
+           p.pix AS key_pixel_sum
+         FROM cls d JOIN len l USING (f)
+           JOIN psum p ON l.f = p.f AND l.start_frame = p.t
+         ORDER BY d.doc_id, l.shot_no""",
     "mm_audio_vad" ->
       """WITH cls AS (SELECT doc_id, doc_id % 30 AS f FROM documents),
          fam AS (SELECT DISTINCT f FROM cls),
@@ -131,6 +182,25 @@ object MmVideo {
   private val T = 16
   /** mean-|Δ| ≥ 8 over the 768-pixel frame. */
   private val SadThreshold = 8L * W * H
+  /** The cut threshold, shared with the streaming twin. */
+  def sadThreshold: Long = SadThreshold
+
+  /** Real decode of one frame to its flattened grayscale bytes
+    * (row-major) — the unit the streaming twin stores per video. */
+  def decodeFramePixels(docId: Long, t: Int): Array[Byte] = {
+    val raster = MmDHash.readRaster(docId, synthesizeFrame(docId, t), W, H)
+    val out = new Array[Byte](W * H)
+    var y = 0
+    while (y < H) {
+      var x = 0
+      while (x < W) {
+        out(y * W + x) = raster.getSample(x, y, 0).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
 
   private def isCut(t: Int, f: Int): Boolean =
     t >= 1 && (t * 31 + f * 17) % 16 < 4
@@ -165,6 +235,8 @@ object MmVideo {
   }
 
   case class CutRow(doc_id: Long, frame_no: Long, sad: Long)
+  case class KeyframeRow(doc_id: Long, shot_no: Long, start_frame: Long,
+    n_frames: Long, key_pixel_sum: Long)
 
   /** Decode all 16 frames through the real reader, SAD each consecutive
     * pair, keep threshold crossings. */
@@ -186,6 +258,42 @@ object MmVideo {
       }
       if (sad >= SadThreshold) Iterator.single(CutRow(docId, t.toLong, sad))
       else Iterator.empty
+    }
+  }
+
+  /** Shots from the DETECTED cut chain (not the planted rule — the
+    * extractor composes with the detector, so a detector regression
+    * surfaces here too), keyframe = each shot's first frame, content
+    * witness = that frame's exact pixel sum. */
+  def keyframesOf(docId: Long): Iterator[KeyframeRow] = {
+    val frames = Array.tabulate(T) { t =>
+      val raster = MmDHash.readRaster(docId, synthesizeFrame(docId, t), W, H)
+      Array.tabulate(H, W)((y, x) => raster.getSample(x, y, 0))
+    }
+    val starts = 0 +: (1 until T).filter { t =>
+      var sad = 0L
+      var y = 0
+      while (y < H) {
+        var x = 0
+        while (x < W) {
+          sad += math.abs(frames(t)(y)(x) - frames(t - 1)(y)(x))
+          x += 1
+        }
+        y += 1
+      }
+      sad >= SadThreshold
+    }
+    starts.iterator.zipWithIndex.map { case (start, shotNo) =>
+      val end = if (shotNo + 1 < starts.length) starts(shotNo + 1) else T
+      var pix = 0L
+      var y = 0
+      while (y < H) {
+        var x = 0
+        while (x < W) { pix += frames(start)(y)(x); x += 1 }
+        y += 1
+      }
+      KeyframeRow(docId, shotNo.toLong, start.toLong,
+        (end - start).toLong, pix)
     }
   }
 }

@@ -52,6 +52,73 @@ object Streams3 {
         OutputMode.Append())
   }
 
+  /** One frame of one video arriving on the stream (the payload is
+    * synthesized + decoded row-locally through the SAME
+    * [[graft.ops.MmVideo]] code path as batch — zero drift). */
+  case class FrameEvent(doc_id: Long, frame_no: Int)
+  case class CutAlert(doc_id: Long, frame_no: Long, sad: Long)
+
+  /** L369 — ONLINE shot-boundary detection (the live form of
+    * [[graft.ops.Mm4.videoSceneCut]]: a cut alerts the moment its
+    * frame arrives — the shape a live-ingest pipeline needs to start
+    * a new shot record without waiting for the batch sweep). State is
+    * keyed by the VIDEO (doc_id) and holds exactly ONE decoded frame —
+    * the latest seen (frame_no, 768 grayscale bytes) — so state is
+    * one-frame-per-live-video bounded, never the stream; an arriving
+    * frame decodes through the real `javax.imageio` reader, SADs
+    * against the stored predecessor, alerts on the same ≥ 8·768
+    * threshold, and replaces the stored frame. Intra-batch frames fold
+    * in frame_no order; a frame whose predecessor index is missing
+    * (out-of-contract arrival) is folded into state without alerting
+    * rather than SAD'd against a non-adjacent frame — the batch chain
+    * only ever compares consecutive frames. StreamingSpec pins the
+    * streamed alerts set-equal to the batch `mm_video_scene_cut` rows
+    * with micro-batch boundaries cutting videos mid-sequence. */
+  def sceneCutTws(frames: Dataset[FrameEvent]): Dataset[CutAlert] = {
+    import frames.sparkSession.implicits._
+    frames
+      .groupByKey(_.doc_id)
+      .transformWithState(new SceneCutProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  class SceneCutProcessor extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, FrameEvent, CutAlert] {
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var last: streaming.ValueState[(Int, Array[Byte])] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: streaming.TimeMode): Unit =
+      last = getHandle.getValueState[(Int, Array[Byte])]("scene_last",
+        Encoders.tuple(Encoders.scalaInt, Encoders.BINARY),
+        streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[FrameEvent],
+        timerValues: streaming.TimerValues): Iterator[CutAlert] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[CutAlert]
+      var prev = Option(last.get())
+      rows.toSeq.sortBy(_.frame_no).foreach { r =>
+        val px = graft.ops.MmVideo.decodeFramePixels(key, r.frame_no)
+        prev match {
+          case Some((pt, pp)) if pt == r.frame_no - 1 =>
+            var sad = 0L
+            var i = 0
+            while (i < px.length) {
+              sad += math.abs((px(i) & 0xff) - (pp(i) & 0xff))
+              i += 1
+            }
+            if (sad >= graft.ops.MmVideo.sadThreshold)
+              out += CutAlert(key, r.frame_no.toLong, sad)
+          case _ => // first frame of the video, or out-of-contract gap
+        }
+        prev = Some((r.frame_no, px))
+      }
+      prev.foreach(last.update)
+      out.iterator
+    }
+  }
+
   class SubstrProcessor extends org.apache.spark.sql.streaming
       .StatefulProcessor[Long, ShingleRow, DupFlag] {
     import org.apache.spark.sql.{Encoders, streaming}

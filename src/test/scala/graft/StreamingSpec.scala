@@ -2345,4 +2345,46 @@ class StreamingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("batch≡streaming: online scene-cut alerts equal the batch shot boundaries") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ids = Tables.documents(spark, sf0001)
+      .select($"doc_id").as[Long].collect().sorted
+    // frames arrive in order per video; chunking at 2699 (not a
+    // multiple of 16) cuts videos mid-sequence at micro-batch edges
+    val frames = ids.flatMap(id => (0 until 16).map(t =>
+      graft.streaming.Streams3.FrameEvent(id, t)))
+    val ms = MemoryStream[graft.streaming.Streams3.FrameEvent]
+    val q = runToTable(
+      graft.streaming.Streams3.sceneCutTws(ms.toDS()).toDF(),
+      "scene_tws", "append")
+    try {
+      frames.grouped(2699).foreach { chunk =>
+        ms.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("scene_tws")
+        .select($"doc_id", $"frame_no", $"sad").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = SparkEntry.queries("mm_video_scene_cut")(spark, sf0001)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch.nonEmpty, "fixture must hold planted cuts")
+      assert(streamed === batch,
+        s"only-streamed=${(streamed -- batch).take(3)} " +
+          s"only-batch=${(batch -- streamed).take(3)}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
