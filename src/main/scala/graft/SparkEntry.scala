@@ -32,6 +32,7 @@ object SparkEntry {
       ops.Llm8.queries ++
       ops.Llm9.queries ++
       ops.Llm10.queries ++
+      ops.Llm11.queries ++
       ops.Mm2.queries ++
       ops.Mm3.queries ++
       ops.Mm4.queries ++
@@ -67,6 +68,7 @@ object SparkEntry {
       ops.Llm8.oracles ++
       ops.Llm9.oracles ++
       ops.Llm10.oracles ++
+      ops.Llm11.oracles ++
       ops.Mm2.oracles ++
       ops.Mm3.oracles ++
       ops.Mm4.oracles ++

@@ -1,0 +1,126 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-15 LLM-pipeline widening: distributed tokenizer induction —
+  * BPE merge learning (Sennrich, Haddow & Birch ACL 2016, the
+  * subword algorithm GPT-2/RoBERTa-style tokenizers train with; Gage
+  * 1994 for the original byte-pair compression). "Train the tokenizer
+  * on the corpus" is a first-class pipeline step the family lacked:
+  * L163 counts tokens GIVEN a tokenizer, L302 measures fertility
+  * GIVEN one — this op LEARNS the merge table itself. */
+object Llm11 {
+
+  /** Symbol separator inside a segmentation string: every symbol is
+    * PRECEDED by one U+0001, so the plain (non-regex) `replace` of
+    * `␁a␁b → ␁ab` is exactly BPE's greedy left-to-right
+    * non-overlapping merge — the leading separator makes a
+    * mid-symbol match impossible (a symbol's text is never preceded
+    * by ␁ unless it IS the symbol start), and because the pattern
+    * does not consume the NEXT symbol's separator, chained
+    * occurrences (`␁a␁a␁a␁a` → `␁aa␁aa`) merge exactly as the greedy
+    * scan does. Both engines' `replace` scan left-to-right over
+    * non-overlapping occurrences, so engine and oracle share the
+    * merge semantics by construction. */
+  private val Sep = "\u0001"
+
+  /** L370 — BPE merge learning, five iterations: per iteration, count
+    * adjacent-symbol pairs over the current corpus segmentation
+    * (weighted by word frequency, overlapping adjacents counted — the
+    * Sennrich convention), pick the arg-max pair under the total
+    * (count desc, left asc, right asc) order, apply it greedily, and
+    * report the merge plus the corpus token count AFTER it — the
+    * recomputed count cross-checks the replace semantics, since
+    * greedy application merges fewer occurrences than the overlapping
+    * pair count when runs overlap.
+    *
+    * 100-TB shape: everything lives at the DISTINCT-WORD grain (the
+    * classic BPE-training trick — a million-type vocabulary stands in
+    * for a trillion-token corpus, with `cnt` carrying the weight), so
+    * each iteration is one vocabulary-bounded agg; the arg-max is ONE
+    * collected row per iteration (driver round-trips = merge count —
+    * the L230 bounded-unroll discipline, same as `graph_pagerank_step`);
+    * the merge applies as a row-local `replace`. No token-grain
+    * shuffle anywhere. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    var seg = documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("s", regexp_replace(col("word"), "(.)", Sep + "$1"))
+      .localCheckpoint(true) // 5 chained replaces — keep lineage flat
+    val out = Seq.newBuilder[(Long, String, String, Long, Long)]
+    for (step <- 1 to 5) {
+      val best = seg
+        .where(size(split(col("s"), Sep)) >= 3)
+        .select(col("cnt"), explode(expr(
+          s"transform(sequence(2, size(split(s, '$Sep')) - 1), " +
+            s"i -> struct(element_at(split(s, '$Sep'), i) as a, " +
+            s"element_at(split(s, '$Sep'), i + 1) as b))")).as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum(col("cnt")).as("pcnt"))
+        .orderBy(col("pcnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      require(best.nonEmpty, s"BPE: no pair left to merge at step $step")
+      val (a, b, pcnt) =
+        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      seg = seg.withColumn("s",
+        replace(col("s"), lit(Sep + a + Sep + b), lit(Sep + a + b)))
+        .localCheckpoint(true)
+      val nTok = seg
+        .agg(sum(col("cnt") * (size(split(col("s"), Sep)) - 1)).as("n"))
+        .collect()(0).getLong(0)
+      out += ((step.toLong, a, b, pcnt, nTok))
+    }
+    out.result()
+      .toDF("step", "left_sym", "right_sym", "pair_count", "n_tokens_after")
+      .orderBy("step")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_bpe_merges" -> (bpeMerges _),
+  )
+
+  /** One BPE iteration as a DuckDB CTE block: pairs from seg$p, the
+    * arg-max row b$k, the merged segmentation seg$k, and the post-merge
+    * token count n$k. */
+  private def bpeStepSql(k: Int): String = {
+    val p = k - 1
+    s"""p$k AS (SELECT pr.a AS a, pr.b AS b, CAST(SUM(cnt) AS BIGINT) AS pcnt
+         FROM (SELECT cnt, unnest(list_transform(range(2, len(sym)),
+               i -> {'a': sym[i], 'b': sym[i + 1]})) AS pr
+             FROM (SELECT cnt, string_split(s, chr(1)) AS sym FROM seg$p))
+         GROUP BY 1, 2),
+       b$k AS (SELECT a, b, pcnt FROM p$k
+         ORDER BY pcnt DESC, a ASC, b ASC LIMIT 1),
+       seg$k AS (SELECT seg$p.word, seg$p.cnt,
+           replace(seg$p.s, chr(1) || b$k.a || chr(1) || b$k.b,
+             chr(1) || b$k.a || b$k.b) AS s
+         FROM seg$p, b$k),
+       n$k AS (SELECT CAST(SUM(cnt * (len(string_split(s, chr(1))) - 1))
+           AS BIGINT) AS n_tokens FROM seg$k)"""
+  }
+
+  val oracles: Map[String, String] = Map(
+    "llm_bpe_merges" -> {
+      val steps = (1 to 5).map(bpeStepSql).mkString(",\n")
+      val union = (1 to 5).map(k =>
+        s"""SELECT CAST($k AS BIGINT) AS step, b$k.a AS left_sym,
+           b$k.b AS right_sym, b$k.pcnt AS pair_count,
+           n$k.n_tokens AS n_tokens_after FROM b$k, n$k""")
+        .mkString(" UNION ALL ")
+      s"""WITH wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM (SELECT unnest(string_split(text, ' ')) AS word
+             FROM documents)
+           WHERE len(word) > 0 GROUP BY 1),
+         seg0 AS (SELECT word, cnt,
+             regexp_replace(word, '(.)', chr(1) || '\\1', 'g') AS s
+           FROM wc),
+         $steps
+         $union ORDER BY step"""
+    },
+  )
+}

@@ -72,8 +72,48 @@ object Stats3 {
       .orderBy("event_type")
   }
 
+  /** L371 — count-min sketch with heavy-hitter readout (Cormode &
+    * Muthukrishnan J.Alg 2005 — the sketch family's point-query
+    * member, completing the roster: HLL answers cardinality, KMV set
+    * sizes, Bloom membership, CMS answers FREQUENCY in bounded
+    * memory with a one-sided error). Depth 4 × width 64 counters over
+    * per-user event counts: counter(r, c) = Σ counts of users with
+    * h48(r:user) mod 64 = c — one map-combinable agg over the
+    * KEY-grain frame (the sketch is 256 cells at ANY corpus size; at
+    * 100 TB the counter agg is the only pass and the estimate join
+    * broadcasts 256 rows). Readout: top-10 true-heaviest users with
+    * true count, CMS estimate = min over the 4 rows' cells, and the
+    * overestimate — which the CMS guarantee says is ≥ 0 always (the
+    * estimate NEVER undercounts; Round15dSpec pins est ≥ true over
+    * EVERY key, not just the top 10) and ≤ ε·N with probability
+    * 1−δ. Hashes via the shared bit-parity-tested h48. */
+  /** Full per-key estimate frame — the query's top-10 readout comes
+    * from here; Round15dSpec sweeps EVERY key's overestimate ≥ 0 (the
+    * CMS one-sided guarantee). */
+  private[graft] def cmsEstimates(spark: SparkSession, dir: String): DataFrame = {
+    val keyCounts = events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val rows = keyCounts.select(col("user_id"), col("cnt"),
+      explode(sequence(lit(0), lit(3))).as("r"))
+      .withColumn("c", pmod(h48(concat_ws(":", col("r"), col("user_id"))),
+        lit(64L)))
+    val cells = rows.groupBy(col("r"), col("c"))
+      .agg(sum(col("cnt")).as("cell"))
+    rows.join(broadcast(cells), Seq("r", "c"))
+      .groupBy(col("user_id"), col("cnt"))
+      .agg(min(col("cell")).as("cms_est"))
+      .select(col("user_id"), col("cnt").as("true_count"), col("cms_est"),
+        (col("cms_est") - col("cnt")).as("overestimate"))
+  }
+
+  def countMinSketch(spark: SparkSession, dir: String): DataFrame =
+    cmsEstimates(spark, dir)
+      .orderBy(col("true_count").desc, col("user_id").asc)
+      .limit(10)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_burstiness_memory" -> (burstinessMemory _),
+    "sketch_count_min" -> (countMinSketch _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -118,5 +158,18 @@ object Stats3 {
            CASE WHEN mden = 0.0 THEN NULL
              ELSE round(mnum / mden, 6) END AS memory
          FROM j ORDER BY event_type""",
+    "sketch_count_min" ->
+      s"""WITH kc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1),
+         rws AS (SELECT user_id, cnt, r,
+             ${h48Sql("concat_ws(':', r, user_id)")} % 64 AS c
+           FROM kc, (SELECT unnest(range(0, 4)) AS r)),
+         cells AS (SELECT r, c, CAST(SUM(cnt) AS BIGINT) AS cell
+           FROM rws GROUP BY 1, 2),
+         est AS (SELECT user_id, cnt, MIN(cell) AS cms_est
+           FROM rws JOIN cells USING (r, c) GROUP BY 1, 2)
+         SELECT user_id, cnt AS true_count, cms_est,
+           cms_est - cnt AS overestimate
+         FROM est ORDER BY true_count DESC, user_id ASC LIMIT 10""",
   )
 }
