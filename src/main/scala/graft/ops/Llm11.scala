@@ -44,8 +44,20 @@ object Llm11 {
     * the L230 bounded-unroll discipline, same as `graph_pagerank_step`);
     * the merge applies as a row-local `replace`. No token-grain
     * shuffle anywhere. */
-  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** The shared learn loop: five merges over the distinct-word frame;
+    * returns the merge rows and the FINAL segmentation (word, cnt, s)
+    * — consumed by [[bpeMerges]] (the merge-table readout) and
+    * [[bpeTokenize]] (applying the learned tokenizer back to the
+    * corpus). An empty corpus — or one whose pairs run out before
+    * five merges — stops the loop early (RobustnessSpec's empty-tables
+    * sweep): the merge readout then matches the oracle's unrolled
+    * blocks, whose empty arg-max rows vanish from the union. The
+    * tokenize oracle additionally assumes the corpus supports all
+    * five merges (true of any natural corpus; the fixture's shortest
+    * word has 2 chars and 31 types), since its seg5 chain empties on
+    * an exhausted b_k where the engine keeps the last segmentation. */
+  private def learn(spark: SparkSession, dir: String)
+      : (Seq[(Long, String, String, Long, Long)], DataFrame) = {
     var seg = documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("word"))
       .where(length(col("word")) > 0)
@@ -53,8 +65,9 @@ object Llm11 {
       .withColumn("s", regexp_replace(col("word"), "(.)", Sep + "$1"))
       .localCheckpoint(true) // 5 chained replaces — keep lineage flat
     val out = Seq.newBuilder[(Long, String, String, Long, Long)]
-    for (step <- 1 to 5) {
-      val best = seg
+    var exhausted = false
+    for (step <- 1 to 5 if !exhausted) {
+      val best = graft.Tables.boundedCollect(seg
         .where(size(split(col("s"), Sep)) >= 3)
         .select(col("cnt"), explode(expr(
           s"transform(sequence(2, size(split(s, '$Sep')) - 1), " +
@@ -63,25 +76,61 @@ object Llm11 {
         .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
         .agg(sum(col("cnt")).as("pcnt"))
         .orderBy(col("pcnt").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()
-      require(best.nonEmpty, s"BPE: no pair left to merge at step $step")
-      val (a, b, pcnt) =
-        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-      seg = seg.withColumn("s",
-        replace(col("s"), lit(Sep + a + Sep + b), lit(Sep + a + b)))
-        .localCheckpoint(true)
-      val nTok = seg
-        .agg(sum(col("cnt") * (size(split(col("s"), Sep)) - 1)).as("n"))
-        .collect()(0).getLong(0)
-      out += ((step.toLong, a, b, pcnt, nTok))
+        .limit(1), 1, s"BPE arg-max (step $step)")
+      if (best.isEmpty) exhausted = true // empty corpus / no pairs left
+      else {
+        val (a, b, pcnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        seg = seg.withColumn("s",
+          replace(col("s"), lit(Sep + a + Sep + b), lit(Sep + a + b)))
+          .localCheckpoint(true)
+        val nTok = graft.Tables.boundedCollect(
+          seg.agg(sum(col("cnt") * (size(split(col("s"), Sep)) - 1)).as("n")),
+          1, "BPE token-count row")(0).getLong(0)
+        out += ((step.toLong, a, b, pcnt, nTok))
+      }
     }
-    out.result()
+    (out.result(), seg)
+  }
+
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    learn(spark, dir)._1
       .toDF("step", "left_sym", "right_sym", "pair_count", "n_tokens_after")
       .orderBy("step")
   }
 
+  /** L372 — applying the LEARNED tokenizer back to the corpus:
+    * per-language token counts and fertility (tokens per word) under
+    * the five-merge BPE table L370 just trained — the self-consistency
+    * readout a tokenizer-training pipeline publishes (L302 measures
+    * fertility for a GIVEN reference tokenizer; this one closes the
+    * loop with the corpus's own). The learned segmentation is a
+    * vocabulary-bounded (word → n_tokens) table; applying it is one
+    * broadcast-joinable lookup against the per-(lang, word) count
+    * frame — at 100 TB the corpus scan is the cost, the tokenizer
+    * table rides the shuffle-free side. */
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    val segN = learn(spark, dir)._2
+      .select(col("word"),
+        (size(split(col("s"), Sep)) - 1).cast("long").as("n_sym"))
+    val byLang = documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+    byLang.join(broadcast(segN), "word")
+      .groupBy("lang")
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_sym")).as("n_tokens"))
+      .select(col("lang"), col("n_words"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_words").cast("double"),
+          6).as("fertility"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_bpe_merges" -> (bpeMerges _),
+    "llm_bpe_tokenize" -> (bpeTokenize _),
   )
 
   /** One BPE iteration as a DuckDB CTE block: pairs from seg$p, the
@@ -121,6 +170,30 @@ object Llm11 {
            FROM wc),
          $steps
          $union ORDER BY step"""
+    },
+    "llm_bpe_tokenize" -> {
+      val steps = (1 to 5).map(bpeStepSql).mkString(",\n")
+      s"""WITH wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM (SELECT unnest(string_split(text, ' ')) AS word
+             FROM documents)
+           WHERE len(word) > 0 GROUP BY 1),
+         seg0 AS (SELECT word, cnt,
+             regexp_replace(word, '(.)', chr(1) || '\\1', 'g') AS s
+           FROM wc),
+         $steps,
+         segn AS (SELECT word,
+             CAST(len(string_split(s, chr(1))) - 1 AS BIGINT) AS n_sym
+           FROM seg5),
+         bl AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+             FROM documents)
+           WHERE len(word) > 0 GROUP BY 1, 2)
+         SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_words,
+           CAST(SUM(cnt * n_sym) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(cnt * n_sym) AS BIGINT)
+             / CAST(SUM(cnt) AS DOUBLE), 6) AS fertility
+         FROM bl JOIN segn USING (word)
+         GROUP BY lang ORDER BY lang"""
     },
   )
 }

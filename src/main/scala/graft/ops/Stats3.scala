@@ -72,11 +72,15 @@ object Stats3 {
       .orderBy("event_type")
   }
 
-  /** L371 — count-min sketch with heavy-hitter readout (Cormode &
-    * Muthukrishnan J.Alg 2005 — the sketch family's point-query
-    * member, completing the roster: HLL answers cardinality, KMV set
-    * sizes, Bloom membership, CMS answers FREQUENCY in bounded
-    * memory with a one-sided error). Depth 4 × width 64 counters over
+  /** L371 — count-min sketch re-expressed RELATIONALLY at key grain
+    * (Cormode & Muthukrishnan J.Alg 2005). The companion to L174's
+    * `llm_cms_heavy_hitters`, which is the Expression-level form (a
+    * custom `TypedImperativeAggregate` at token grain with its own
+    * affine hash family): THIS one is the pure-DataFrame formulation —
+    * counter cells as a group-by, estimates as a broadcast join — the
+    * form a SQL-only engine ships, showing the sketch needs no custom
+    * aggregate once the input is already key-grain.
+    * Depth 4 × width 64 counters over
     * per-user event counts: counter(r, c) = Σ counts of users with
     * h48(r:user) mod 64 = c — one map-combinable agg over the
     * KEY-grain frame (the sketch is 256 cells at ANY corpus size; at
