@@ -36,6 +36,7 @@ object SparkEntry {
       ops.Mm2.queries ++
       ops.Mm3.queries ++
       ops.Mm4.queries ++
+      ops.Mm5.queries ++
       ops.Warehouse5.queries ++
       ops.Warehouse6.queries ++
       ops.Layout.queries ++
@@ -48,7 +49,8 @@ object SparkEntry {
       ops.Warehouse.queries ++
       ops.Warehouse2.queries ++
       ops.Warehouse3.queries ++
-      ops.Warehouse4.queries
+      ops.Warehouse4.queries ++
+      ops.Warehouse7.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -72,6 +74,7 @@ object SparkEntry {
       ops.Mm2.oracles ++
       ops.Mm3.oracles ++
       ops.Mm4.oracles ++
+      ops.Mm5.oracles ++
       ops.Warehouse5.oracles ++
       ops.Warehouse6.oracles ++
       ops.Layout.oracles ++
@@ -84,5 +87,6 @@ object SparkEntry {
       ops.Warehouse.oracles ++
       ops.Warehouse2.oracles ++
       ops.Warehouse3.oracles ++
-      ops.Warehouse4.oracles
+      ops.Warehouse4.oracles ++
+      ops.Warehouse7.oracles
 }
