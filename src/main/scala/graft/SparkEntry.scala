@@ -46,6 +46,7 @@ object SparkEntry {
       ops.Stats.queries ++
       ops.Stats2.queries ++
       ops.Stats3.queries ++
+      ops.Stats4.queries ++
       ops.Warehouse.queries ++
       ops.Warehouse2.queries ++
       ops.Warehouse3.queries ++
@@ -84,6 +85,7 @@ object SparkEntry {
       ops.Stats.oracles ++
       ops.Stats2.oracles ++
       ops.Stats3.oracles ++
+      ops.Stats4.oracles ++
       ops.Warehouse.oracles ++
       ops.Warehouse2.oracles ++
       ops.Warehouse3.oracles ++

@@ -1,0 +1,311 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-15 continuation: the seasonal completion of the recursive
+  * forecasting family (L287 Holt is level+trend; Holt–Winters adds the
+  * seasonal state Winters 1960 introduced), its standard evaluation
+  * statistic (MASE — Hyndman & Koehler 2006), and a sequential
+  * change-detection monitor (Page–Hinkley) whose statistic is
+  * closed-form in prefix sums, so unlike Holt it needs NO recursion —
+  * the whole monitor is windows over the calendar-bounded hourly
+  * frame. */
+object Stats4 {
+
+  private def r6(x: Double): Double =
+    BigDecimal.decimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** The calendar-bounded daily micro series (the L287 frame). */
+  private def dailyMicros(spark: SparkSession, dir: String): Array[(Long, Long)] = {
+    import spark.implicits._
+    boundedCollect(
+      events(spark, dir)
+        .groupBy(unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+        .agg((sum(col("value").cast("decimal(18,6)")) * 1000000)
+          .cast("long").as("y_micro"))
+        .orderBy("day_us")
+        .as[(Long, Long)],
+      4000, "holt-winters daily frame (calendar-bounded)")
+  }
+
+  private[graft] case class HwRow(rn: Long, day_us: Long, actual: Double,
+    level: Double, trend: Double, seasonal: Double,
+    forecast: Option[Double], abs_err: Option[Double])
+
+  /** Additive Holt–Winters in INTEGER MICRO-UNITS with α=1/2, β=γ=1/4
+    * and FLOOR halvings/quarterings — the L287 exactness contract
+    * extended with the weekly (period 7) seasonal ring:
+    *   l_t = ⌊(y_t − s_{t−7} + l_{t−1} + b_{t−1})/2⌋
+    *   b_t = ⌊(l_t − l_{t−1} + 3b_{t−1})/4⌋
+    *   s_t = ⌊(y_t − l_t + 3s_{t−7})/4⌋
+    * Init (documented convention): l₀ = ⌊Σ_{1..7} y / 7⌋ (integer div),
+    * b₀ = 0, s_i = y_i − l₀ for the first week; recursion from day 8;
+    * one-step forecast f_t = l_{t−1} + b_{t−1} + s_{t−7}. Every state
+    * is an exact 64-bit integer, so the driver fold and the oracle's
+    * WITH RECURSIVE list-carrying twin agree bit-for-bit. */
+  private[graft] def hwFold(daily: Array[(Long, Long)]): Seq[HwRow] = {
+    require(daily.length >= 8,
+      s"holt-winters needs >= 8 days, got ${daily.length}")
+    val l0 = daily.take(7).map(_._2).sum / 7
+    val ring = collection.mutable.Queue(
+      daily.take(7).map(_._2 - l0).toIndexedSeq: _*)
+    val head = daily.take(7).zipWithIndex.map { case ((d, y), i) =>
+      HwRow(i + 1L, d, r6(y / 1e6), r6(l0 / 1e6), 0.0,
+        r6((y - l0) / 1e6), None, None)
+    }
+    var l = l0
+    var b = 0L
+    val tail = daily.drop(7).zipWithIndex.map { case ((d, y), i) =>
+      val s7 = ring.dequeue()
+      val fc = l + b + s7
+      val lNew = math.floor((y - s7 + l + b) / 2.0).toLong
+      val bNew = math.floor((lNew - l + 3 * b) / 4.0).toLong
+      val sNew = math.floor((y - lNew + 3 * s7) / 4.0).toLong
+      ring.enqueue(sNew)
+      l = lNew; b = bNew
+      HwRow(i + 8L, d, r6(y / 1e6), r6(lNew / 1e6), r6(bNew / 1e6),
+        r6(sNew / 1e6), Some(r6(fc / 1e6)),
+        Some(r6(math.abs(y - fc) / 1e6)))
+    }
+    (head ++ tail).toSeq
+  }
+
+  /** L376 — additive Holt–Winters (triple exponential smoothing,
+    * Winters Mgmt Sci 1960) of daily revenue with weekly seasonality —
+    * the seasonal model L287's Holt cannot express (its forecasts lag
+    * every day-of-week swing; the seasonal ring absorbs them). Scale:
+    * the corpus collapses ONCE to the calendar-bounded daily frame
+    * (≤4 000 rows at any corpus size), the sequential fold runs on the
+    * driver through the sanctioned bounded-collect tier — the L287
+    * decision (its measured recursive-CTE alternative pays ~30 fixed
+    * per-iteration scheduling costs), with the seasonal ring riding
+    * the same fold. */
+  def holtWintersDaily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    hwFold(dailyMicros(spark, dir))
+      .toDF("rn", "day_us", "actual", "level", "trend", "seasonal",
+        "forecast", "abs_err")
+  }
+
+  /** L377 — MASE forecast backtest (Hyndman & Koehler IJF 2006 — the
+    * scale-free forecast-accuracy statistic: model MAE over the
+    * in-sample seasonal-naive MAE, so MASE < 1 means "beats the
+    * no-model baseline y_{t−7}"). Both MAEs fold over the SAME
+    * forecastable range t ≥ 8 as exact micro integers; the means are
+    * exact half-up integer-micro divisions; MASE is one double
+    * division of those exact longs. The seasonal_naive row's MASE is
+    * its own ratio (exactly 1.0) — the fixed point that anchors the
+    * scale. Honest readout on the fixture: HW scores MASE ≈ 1.4 — on a
+    * 30-day series with weak weekly structure the no-model baseline
+    * wins, which is exactly the verdict this statistic exists to
+    * surface (a backtest that always flattered its model would be the
+    * dead-alarm antipattern). */
+  def forecastMase(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = dailyMicros(spark, dir)
+    val rows = hwFold(daily)
+    val yByRn = daily.zipWithIndex.map { case ((_, y), i) => (i + 1L, y) }.toMap
+    val hwErrs = rows.filter(_.rn >= 8).map { r =>
+      math.round(r.abs_err.get * 1e6)
+    }
+    val nvErrs = (8L to daily.length.toLong).map { t =>
+      math.abs(yByRn(t) - yByRn(t - 7))
+    }
+    def maeMicro(es: Seq[Long]): Long =
+      (2 * es.sum + es.length) / (2 * es.length)
+    val (maeHw, maeNv) = (maeMicro(hwErrs), maeMicro(nvErrs))
+    require(maeNv > 0, "degenerate fixture: seasonal-naive MAE is zero")
+    Seq(
+      ("holt_winters", hwErrs.length.toLong, r6(maeHw / 1e6),
+        r6(maeHw.toDouble / maeNv)),
+      ("seasonal_naive", nvErrs.length.toLong, r6(maeNv / 1e6),
+        r6(maeNv.toDouble / maeNv)))
+      .toDF("model", "n_forecasts", "mae", "mase")
+      .orderBy("model")
+  }
+
+  /** L378 — Page–Hinkley sequential change-point monitor (Page
+    * Biometrika 1954; Hinkley 1971 — the drift detector streaming-ML
+    * stacks like river/MOA run on model-quality series). The statistic
+    * needs NO recursion: with S_t the prefix sum, the running mean is
+    * x̄_t = S_t/t, m_t = Σ_{i≤t}(x_i − x̄_i − δ), and PH_t = m_t −
+    * min_{i≤t} m_i — all prefix shapes, so the whole monitor is windows
+    * over the calendar-bounded hourly frame (corpus scanned once by
+    * the hourly aggregate at any scale). Exactness: running means are
+    * exact half-up integer-micro divisions and δ = ⌊μ/4⌋ an exact
+    * integer, so every m_t is an exact 64-bit integer in both engines.
+    * The monitored series plants the drift (the L200 PSI twin
+    * convention): the second half of the hour sequence is shifted up
+    * by the first-half mean μ (a level double), so the alarm path is
+    * SEEN to fire. Tuning is measured, not guessed: with δ = μ/4 the
+    * pre-drift PH maximum is 5.2μ (sf0.001) / 2.7μ (sf0.01) while the
+    * planted shift drives PH past any fixed multiple — λ = 12μ gives
+    * ≥2.3× noise headroom and trips 15–20 hours after the boundary
+    * (δ = 0 false-alarmed at 15.8μ on the sparse sf0.001 series —
+    * Page's δ exists precisely to absorb that drift). Round15eSpec
+    * pins silence before the boundary and the contiguous alarm suffix
+    * after it. Output = the first 24 alarm rows. */
+  def pageHinkley(spark: SparkSession, dir: String): DataFrame =
+    pageHinkleyFrameMicro(spark, dir)
+      .where(col("ph") > col("mu_micro") * 12)
+      .orderBy("rn").limit(24)
+      .select(col("rn"), col("bucket_us"), col("boundary_rn"),
+        round(col("x_micro") / 1e6, 6).as("x"),
+        round(col("x_mon") / 1e6, 6).as("x_mon"),
+        round(col("mean_run") / 1e6, 6).as("mean_run"),
+        round(col("ph") / 1e6, 6).as("ph"),
+        round(col("mu_micro") * 12 / 1e6, 6).as("lambda"))
+
+  /** The full PH frame in exact integer micros (every hour, pre-alarm
+    * filter) — shared by [[pageHinkley]] and the StreamingSpec pin of
+    * [[graft.streaming.Streams3.pageHinkleyTws]]. */
+  private[graft] def pageHinkleyFrameMicro(spark: SparkSession,
+      dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("bucket_us"))
+      .agg((sum(col("value").cast("decimal(18,6)")) * 1000000)
+        .cast("long").as("x_micro"))
+    val w = Window.orderBy(col("bucket_us"))
+    val idx = hourly
+      .withColumn("rn", row_number().over(w).cast("long"))
+    val nRow = idx.agg(count(lit(1)).as("n_hours"))
+    val withN = idx.crossJoin(broadcast(nRow))
+      .withColumn("boundary_rn", expr("n_hours div 2"))
+    val mu = withN.where(col("rn") <= col("boundary_rn"))
+      .agg(sum(col("x_micro")).as("s1"), count(lit(1)).as("n1"))
+      .select(expr("(2 * s1 + n1) div (2 * n1)").as("mu_micro"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    withN.crossJoin(broadcast(mu))
+      .withColumn("x_mon", col("x_micro") +
+        when(col("rn") > col("boundary_rn"), col("mu_micro")).otherwise(0L))
+      .withColumn("s_cum", sum(col("x_mon")).over(run))
+      .withColumn("mean_run", expr("(2 * s_cum + rn) div (2 * rn)"))
+      .withColumn("inc",
+        col("x_mon") - col("mean_run") - expr("mu_micro div 4"))
+      .withColumn("m", sum(col("inc")).over(run))
+      .withColumn("m_min", min(col("m")).over(run))
+      .withColumn("ph", col("m") - col("m_min"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_holt_winters" -> (holtWintersDaily _),
+    "ts_forecast_mase" -> (forecastMase _),
+    "drift_page_hinkley" -> (pageHinkley _),
+  )
+
+  private val evTs = "CAST(ts AS TIMESTAMP)"
+
+  /** Shared WITH RECURSIVE prefix for the Holt–Winters twin: the
+    * seasonal ring rides the recursion as a 7-element LIST column
+    * (s[1] = s_{t−7}; each step drops the head and appends s_t). */
+  private def hwCte: String =
+    s"""WITH RECURSIVE daily AS (SELECT
+           epoch_us(date_trunc('day', $evTs)) AS day_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+             AS y_micro
+         FROM events GROUP BY 1),
+       dr AS (SELECT *, ROW_NUMBER() OVER (ORDER BY day_us) AS rn
+         FROM daily),
+       init AS (SELECT CAST(SUM(y_micro) // 7 AS BIGINT) AS l0
+         FROM dr WHERE rn <= 7),
+       sinit AS (SELECT list(y_micro - l0 ORDER BY rn) AS s
+         FROM dr, init WHERE rn <= 7),
+       hw(rn, y, l, b, seas, fc, s) AS (
+         SELECT CAST(7 AS BIGINT), CAST(NULL AS BIGINT), l0,
+           CAST(0 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), s
+         FROM init, sinit
+         UNION ALL
+         SELECT d.rn, d.y_micro,
+           CAST(FLOOR((d.y_micro - h.s[1] + h.l + h.b) / 2.0) AS BIGINT),
+           CAST(FLOOR((CAST(FLOOR((d.y_micro - h.s[1] + h.l + h.b) / 2.0)
+             AS BIGINT) - h.l + 3 * h.b) / 4.0) AS BIGINT),
+           CAST(FLOOR((d.y_micro - CAST(FLOOR((d.y_micro - h.s[1] + h.l
+             + h.b) / 2.0) AS BIGINT) + 3 * h.s[1]) / 4.0) AS BIGINT),
+           h.l + h.b + h.s[1],
+           h.s[2:7] || [CAST(FLOOR((d.y_micro - CAST(FLOOR((d.y_micro
+             - h.s[1] + h.l + h.b) / 2.0) AS BIGINT) + 3 * h.s[1]) / 4.0)
+             AS BIGINT)]
+         FROM hw h JOIN dr d ON d.rn = h.rn + 1)"""
+
+  val oracles: Map[String, String] = Map(
+    "ts_holt_winters" ->
+      s"""$hwCte
+         SELECT rn, day_us, actual, level, trend, seasonal, forecast,
+           abs_err FROM (
+           SELECT d.rn, d.day_us, round(d.y_micro / 1e6, 6) AS actual,
+             round(i.l0 / 1e6, 6) AS level, 0.0 AS trend,
+             round((d.y_micro - i.l0) / 1e6, 6) AS seasonal,
+             CAST(NULL AS DOUBLE) AS forecast,
+             CAST(NULL AS DOUBLE) AS abs_err
+           FROM dr d, init i WHERE d.rn <= 7
+           UNION ALL
+           SELECT h.rn, d.day_us, round(h.y / 1e6, 6),
+             round(h.l / 1e6, 6), round(h.b / 1e6, 6),
+             round(h.seas / 1e6, 6), round(h.fc / 1e6, 6),
+             round(abs(h.y - h.fc) / 1e6, 6)
+           FROM hw h JOIN dr d ON d.rn = h.rn WHERE h.rn >= 8)
+         ORDER BY rn""",
+    "ts_forecast_mase" ->
+      s"""$hwCte,
+         err AS (SELECT abs(y - fc) AS e FROM hw WHERE rn >= 8),
+         nv AS (SELECT abs(d.y_micro - p.y_micro) AS e
+           FROM dr d JOIN dr p ON p.rn = d.rn - 7 WHERE d.rn >= 8),
+         mh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             (2 * CAST(SUM(e) AS BIGINT) + COUNT(*)) // (2 * COUNT(*))
+               AS mae_m
+           FROM err),
+         mn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             (2 * CAST(SUM(e) AS BIGINT) + COUNT(*)) // (2 * COUNT(*))
+               AS mae_m
+           FROM nv)
+         SELECT model, n_forecasts, mae, mase FROM (
+           SELECT 'holt_winters' AS model, mh.n AS n_forecasts,
+             round(mh.mae_m / 1e6, 6) AS mae,
+             round(CAST(mh.mae_m AS DOUBLE) / mn.mae_m, 6) AS mase
+           FROM mh, mn
+           UNION ALL
+           SELECT 'seasonal_naive', mn.n, round(mn.mae_m / 1e6, 6),
+             round(CAST(mn.mae_m AS DOUBLE) / mn.mae_m, 6)
+           FROM mn)
+         ORDER BY model""",
+    "drift_page_hinkley" ->
+      s"""WITH hourly AS (SELECT
+             epoch_us(date_trunc('hour', $evTs)) AS bucket_us,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+               AS x_micro
+           FROM events GROUP BY 1),
+         idx AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY bucket_us)
+             AS BIGINT) AS rn
+           FROM hourly),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) // 2 AS boundary_rn
+           FROM idx),
+         mu AS (SELECT (2 * CAST(SUM(x_micro) AS BIGINT) + COUNT(*))
+               // (2 * COUNT(*)) AS mu_micro
+           FROM idx, n WHERE rn <= boundary_rn),
+         mon AS (SELECT idx.*, n.boundary_rn, mu.mu_micro,
+             x_micro + CASE WHEN rn > boundary_rn THEN mu_micro
+               ELSE 0 END AS x_mon
+           FROM idx, n, mu),
+         run AS (SELECT *,
+             CAST((2 * SUM(x_mon) OVER (ORDER BY rn) + rn) // (2 * rn)
+               AS BIGINT) AS mean_run
+           FROM mon),
+         acc AS (SELECT *,
+             SUM(x_mon - mean_run - mu_micro // 4) OVER (ORDER BY rn) AS m
+           FROM run),
+         ph0 AS (SELECT *,
+             m - MIN(m) OVER (ORDER BY rn) AS ph
+           FROM acc)
+         SELECT rn, bucket_us, boundary_rn,
+           round(x_micro / 1e6, 6) AS x,
+           round(x_mon / 1e6, 6) AS x_mon,
+           round(mean_run / 1e6, 6) AS mean_run,
+           round(ph / 1e6, 6) AS ph,
+           round(mu_micro * 12 / 1e6, 6) AS lambda
+         FROM ph0 WHERE ph > mu_micro * 12
+         ORDER BY rn LIMIT 24""",
+  )
+}

@@ -145,4 +145,87 @@ object Streams3 {
       out.iterator
     }
   }
+
+  // -------------------------------------------------- Page–Hinkley
+
+  /** One (possibly partial) contribution to an hour's monitored total —
+    * partial sums for the same bucket accumulate in state, so a single
+    * hour may arrive split across micro-batches. */
+  case class HourPoint(bucket_us: Long, x_micro: Long)
+
+  case class PhPoint(rn: Long, bucket_us: Long, x_micro: Long,
+    mean_run: Long, m: Long, ph: Long, alarm: Boolean)
+
+  /** L379 — Page–Hinkley change-point monitor ON A STREAM (the live
+    * form of [[graft.ops.Stats4.pageHinkley]]: the drift alarm trips
+    * the hour the statistic crosses λ, not in tomorrow's batch — which
+    * is the whole point of a SEQUENTIAL change detector; Page 1954's
+    * test was designed for exactly this one-pass regime, the batch
+    * windows are the retrospective replay). Single-model-key
+    * `transformWithState`: state = one (n, S, m, m_min) integer tuple
+    * plus the open hours' partial micro sums (O(open hours), nothing
+    * corpus-proportional). An hour folds into the statistic only when
+    * a LATER hour has been seen (hour-close-by-progress — the
+    * bounded-drain analogue of an hour watermark, the
+    * [[graft.streaming.Streams.holtTws]] convention). Arithmetic is
+    * byte-for-byte the batch frame: exact half-up integer-micro
+    * running means, 64-bit m and prefix-min — StreamingSpec pins every
+    * emitted (rn, mean, m, ph) bit-equal to
+    * [[graft.ops.Stats4.pageHinkleyFrameMicro]] across RocksDB
+    * micro-batches, including hours split across batch boundaries. */
+  def pageHinkleyTws(hours: Dataset[HourPoint],
+      lambdaMicro: Long, deltaMicro: Long): Dataset[PhPoint] = {
+    import hours.sparkSession.implicits._
+    hours
+      .groupByKey(_ => 0L)
+      .transformWithState(new PageHinkleyProcessor(lambdaMicro, deltaMicro),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  class PageHinkleyProcessor(lambdaMicro: Long, deltaMicro: Long)
+      extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, HourPoint, PhPoint] {
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var hourSums: streaming.MapState[Long, Long] = _
+    // (n_closed, s_cum, m, m_min) — all exact integer micros
+    @transient private var stat:
+      streaming.ValueState[(Long, Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: streaming.TimeMode): Unit = {
+      hourSums = getHandle.getMapState[Long, Long]("ph_hour_sums",
+        Encoders.scalaLong, Encoders.scalaLong, streaming.TTLConfig.NONE)
+      stat = getHandle.getValueState[(Long, Long, Long, Long)]("ph_stat",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong, Encoders.scalaLong), streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[HourPoint],
+        timerValues: streaming.TimerValues): Iterator[PhPoint] = {
+      rows.foreach { p =>
+        val cur = if (hourSums.containsKey(p.bucket_us))
+          hourSums.getValue(p.bucket_us) else 0L
+        hourSums.updateValue(p.bucket_us, cur + p.x_micro)
+      }
+      val open = hourSums.keys().toSeq.sorted
+      if (open.length <= 1) return Iterator.empty
+      val out = scala.collection.mutable.ArrayBuffer.empty[PhPoint]
+      var (n, s, m, mMin) =
+        Option(stat.get()).getOrElse((0L, 0L, 0L, Long.MaxValue))
+      open.dropRight(1).foreach { bucket => // fold every CLOSED hour
+        val x = hourSums.getValue(bucket)
+        n += 1
+        s += x
+        val mean = (2 * s + n) / (2 * n)
+        m += x - mean - deltaMicro
+        if (m < mMin) mMin = m
+        val ph = m - mMin
+        out += PhPoint(n, bucket, x, mean, m, ph, ph > lambdaMicro)
+        hourSums.removeKey(bucket)
+      }
+      stat.update((n, s, m, mMin))
+      out.iterator
+    }
+  }
 }

@@ -1332,6 +1332,57 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("batch≡streaming: Page–Hinkley statistic bit-equal to the batch frame, hours split across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the monitored (drift-planted) series and λ come from the batch frame
+    val frame = ops.Stats4.pageHinkleyFrameMicro(spark, sf0001)
+      .select($"rn", $"bucket_us", $"x_mon", $"mean_run", $"m", $"ph",
+        $"mu_micro")
+      .collect().sortBy(_.getLong(0))
+    val lambdaMicro = frame.head.getLong(6) * 12
+    // every hour arrives as TWO partial contributions, interleaved so
+    // most hours straddle a micro-batch boundary
+    val points = frame.flatMap { r =>
+      val (b, x) = (r.getLong(1), r.getLong(2))
+      Seq(streaming.Streams3.HourPoint(b, x / 2),
+        streaming.Streams3.HourPoint(b, x - x / 2))
+    }
+    val ms = MemoryStream[streaming.Streams3.HourPoint]
+    val q = runToTable(
+      streaming.Streams3.pageHinkleyTws(ms.toDS(), lambdaMicro,
+        frame.head.getLong(6) / 4).toDF(),
+      "ph_tws", "append")
+    try {
+      points.grouped((points.length + 4) / 5).foreach { chunk =>
+        ms.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("ph_tws")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+        .sortBy(_._1).toSeq
+      val batch = frame.dropRight(1).map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(5) > lambdaMicro)).toSeq
+      assert(streamed == batch,
+        s"\nstream ${streamed.take(3)}…\nbatch ${batch.take(3)}…")
+      assert(streamed.count(_._7) > 0, "the planted drift must alarm")
+      assert(streamed.exists(!_._7), "pre-drift hours must stay silent")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("batch≡streaming: U-shaped attribution credits bit-equal to the batch query") {
     val s = spark
     import s.implicits._

@@ -198,7 +198,9 @@ class WindowGuardSpec extends AnyFunSuite {
     ("Warehouse5.scala", "hurstExponent") -> (2,
       "calendar: one row per hour"),
     ("Warehouse5.scala", "dowHourProfile") -> (1,
-      "168-row dow × hour grid"))
+      "168-row dow × hour grid"),
+    ("Stats4.scala", "pageHinkleyFrameMicro") -> (1,
+      "calendar: one row per hour"))
 
   test("every partition-less window in src/main is allowlisted with a bound") {
     // ANY def (not just query-level `def x(spark`) — hits attribute to
