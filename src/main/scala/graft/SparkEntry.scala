@@ -33,6 +33,7 @@ object SparkEntry {
       ops.Llm9.queries ++
       ops.Llm10.queries ++
       ops.Llm11.queries ++
+      ops.Llm12.queries ++
       ops.Mm2.queries ++
       ops.Mm3.queries ++
       ops.Mm4.queries ++
@@ -43,10 +44,12 @@ object SparkEntry {
       ops.Er.queries ++
       ops.Audit.queries ++
       ops.Ml.queries ++
+      ops.Ml2.queries ++
       ops.Stats.queries ++
       ops.Stats2.queries ++
       ops.Stats3.queries ++
       ops.Stats4.queries ++
+      ops.Stats5.queries ++
       ops.Warehouse.queries ++
       ops.Warehouse2.queries ++
       ops.Warehouse3.queries ++
@@ -72,6 +75,7 @@ object SparkEntry {
       ops.Llm9.oracles ++
       ops.Llm10.oracles ++
       ops.Llm11.oracles ++
+      ops.Llm12.oracles ++
       ops.Mm2.oracles ++
       ops.Mm3.oracles ++
       ops.Mm4.oracles ++
@@ -82,10 +86,12 @@ object SparkEntry {
       ops.Er.oracles ++
       ops.Audit.oracles ++
       ops.Ml.oracles ++
+      ops.Ml2.oracles ++
       ops.Stats.oracles ++
       ops.Stats2.oracles ++
       ops.Stats3.oracles ++
       ops.Stats4.oracles ++
+      ops.Stats5.oracles ++
       ops.Warehouse.oracles ++
       ops.Warehouse2.oracles ++
       ops.Warehouse3.oracles ++

@@ -61,9 +61,33 @@ object Mm5 {
       .orderBy("doc_id")
   }
 
+  /** L387 — connected-component blob labeling (Rosenfeld & Pfaltz
+    * JACM 1966 two-pass labeling — the first step of any classical
+    * blob/region detector, and the image-side connected-components
+    * beside the graph family's L67/L231: same algorithm, pixel
+    * lattice instead of an edge list). Fixture: dark background with
+    * 1–5 DISJOINT planted bright rectangles per family (row strips,
+    * ≥3-px gaps, so 4-connectivity recovers exactly the rectangles);
+    * the ENGINE must find them generically — real BMP decode,
+    * threshold at 128, union-find over the pixel lattice, per-blob
+    * area + bbox — while the oracle simply enumerates the planted
+    * rectangles in closed form. Blobs ordered by (min_y, min_x);
+    * every output an exact integer. Row-local: one task labels one
+    * image — at 100 TB the cost is the decode scan, like all the
+    * Mm ops. */
+  def imageBlobs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap(MmBlobs.blobsOf))
+      .toDF()
+      .orderBy("doc_id", "blob_no")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_audio_zcr" -> (audioZcr _),
     "mm_image_equalize" -> (imageEqualize _),
+    "mm_image_blobs" -> (imageBlobs _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -126,7 +150,124 @@ object Mm5 {
          SELECT doc_id, n_levels_before, lvl_min_before, lvl_max_before,
            n_levels_after, lvl_min_after, lvl_max_after, eq_pixel_sum
          FROM cls JOIN agg USING (f, hi) ORDER BY doc_id""",
+    // the planted rectangles in closed form: k = f%5+1 strips at
+    // y0 = 2+9r, x0 = 3+2((f+3r)%10), w = 6+((3f+r)%5), h = 4+((f+r)%3)
+    "mm_image_blobs" ->
+      """WITH cls AS (SELECT doc_id, CAST(doc_id % 20 AS INTEGER) AS f
+           FROM documents),
+         fam AS (SELECT DISTINCT f FROM cls),
+         rects AS (SELECT f, CAST(r AS BIGINT) AS blob_no,
+             CAST(3 + 2 * ((f + 3 * r) % 10) AS BIGINT) AS x0,
+             CAST(2 + 9 * r AS BIGINT) AS y0,
+             CAST(6 + (3 * f + r) % 5 AS BIGINT) AS w,
+             CAST(4 + (f + r) % 3 AS BIGINT) AS h
+           FROM fam, (SELECT unnest(range(0, 5)) AS r)
+           WHERE r < f % 5 + 1)
+         SELECT d.doc_id, rc.blob_no,
+           CAST(rc.w * rc.h AS BIGINT) AS area,
+           rc.x0, rc.y0,
+           CAST(rc.x0 + rc.w - 1 AS BIGINT) AS x1,
+           CAST(rc.y0 + rc.h - 1 AS BIGINT) AS y1
+         FROM cls d JOIN rects rc USING (f)
+         ORDER BY d.doc_id, rc.blob_no""",
   )
+}
+
+/** Blob-labeling kernel: genuine 48×48 BMPs with planted bright
+  * rectangles; real decode → threshold → union-find 4-connected
+  * labeling (generic — the kernel knows nothing about rectangles). */
+object MmBlobs {
+  javax.imageio.ImageIO.setUseCache(false)
+
+  private val Size = 48
+
+  def synthesize(docId: Long): Array[Byte] = {
+    val f = (docId % 20).toInt
+    val k = f % 5 + 1
+    val img = new java.awt.image.BufferedImage(
+      Size, Size, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < Size) {
+      var x = 0
+      while (x < Size) {
+        img.setRGB(x, y, (30 << 16) | (30 << 8) | 30)
+        x += 1
+      }
+      y += 1
+    }
+    var r = 0
+    while (r < k) {
+      val x0 = 3 + 2 * ((f + 3 * r) % 10)
+      val y0 = 2 + 9 * r
+      val w = 6 + (3 * f + r) % 5
+      val h = 4 + (f + r) % 3
+      var yy = y0
+      while (yy < y0 + h) {
+        var xx = x0
+        while (xx < x0 + w) {
+          img.setRGB(xx, yy, (200 << 16) | (200 << 8) | 200)
+          xx += 1
+        }
+        yy += 1
+      }
+      r += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "bmp", bos), "no bmp writer")
+    bos.toByteArray
+  }
+
+  case class BlobRow(doc_id: Long, blob_no: Long, area: Long,
+    x0: Long, y0: Long, x1: Long, y1: Long)
+
+  /** Generic 4-connected two-pass labeling via union-find over the
+    * thresholded raster. */
+  def blobsOf(docId: Long): Iterator[BlobRow] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(synthesize(docId)))
+    require(img != null && img.getWidth == Size && img.getHeight == Size,
+      s"bad blob payload for doc $docId")
+    val raster = img.getRaster
+    val fg = Array.tabulate(Size, Size)((y, x) =>
+      raster.getSample(x, y, 0) >= 128)
+    labelRaster(fg).zipWithIndex.iterator
+      .map { case ((area, x0, y0, x1, y1), i) =>
+        BlobRow(docId, i.toLong, area, x0, y0, x1, y1)
+      }
+  }
+
+  /** Generic 4-connected labeling over any boolean raster — shared by
+    * [[blobsOf]] and the Round15hSpec genericity legs (diagonal,
+    * L-shape). Returns (area, x0, y0, x1, y1) per blob ordered by
+    * (min_y, min_x). */
+  def labelRaster(fg: Array[Array[Boolean]]): Seq[(Long, Long, Long, Long, Long)] = {
+    val h = fg.length
+    val w = if (h == 0) 0 else fg(0).length
+    val parent = Array.tabulate(h * w)(identity)
+    def find(a: Int): Int = {
+      var x = a
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    def union(a: Int, b: Int): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    for (y <- 0 until h; x <- 0 until w if fg(y)(x)) {
+      if (x > 0 && fg(y)(x - 1)) union(y * w + x, y * w + x - 1)
+      if (y > 0 && fg(y - 1)(x)) union(y * w + x, (y - 1) * w + x)
+    }
+    val blobs = collection.mutable.HashMap
+      .empty[Int, (Long, Long, Long, Long, Long)] // area, x0, y0, x1, y1
+    for (y <- 0 until h; x <- 0 until w if fg(y)(x)) {
+      val root = find(y * w + x)
+      val (a, minx, miny, maxx, maxy) = blobs.getOrElse(root,
+        (0L, Long.MaxValue, Long.MaxValue, -1L, -1L))
+      blobs(root) = (a + 1, math.min(minx, x), math.min(miny, y),
+        math.max(maxx, x), math.max(maxy, y))
+    }
+    blobs.values.toSeq.sortBy(b => (b._3, b._2))
+  }
 }
 
 /** ZCR kernel over the [[MmVad]] fixture (SHARED payloads — two ops,

@@ -228,4 +228,126 @@ object Streams3 {
       out.iterator
     }
   }
+
+  // --------------------------------------------- streaming k-center
+
+  case class VecPoint(vec_id: Long, emb: Seq[Double])
+  /** Per-point decision log: the algorithm is a sequential fold, so
+    * the log is invariant to micro-batch boundaries — which is what
+    * the spec pins. */
+  case class KcLog(vec_id: Long, action: String, n_centers: Int,
+    r2: Double)
+
+  /** L386 — streaming k-center via the DOUBLING algorithm (Charikar,
+    * Chekuri, Feder & Motwani STOC 1997 — the one-pass 8-approximation
+    * that keeps ≤ k centers in bounded state while the batch greedy
+    * L381 needs k full passes; the form an ingest pipeline runs to
+    * maintain a diverse representative set as documents arrive).
+    * State = the ≤ k center vectors + the current threshold r² (O(k·d)
+    * — independent of stream length). Arriving point: if its min d² to
+    * the centers exceeds (2r)² it becomes a center; when the set
+    * overflows k, r doubles (r² ← 4r²) and the centers are greedily
+    * re-filtered in insertion order (keep c iff > 2r from every kept
+    * center) — each phase at least halves... the classic argument
+    * gives cover radius ≤ 8·OPT. First threshold: when the set first
+    * overflows with r = 0, r² seeds at the min pairwise d²/4 of the
+    * current centers (the standard init). Points fold in vec_id order
+    * within a batch (arrival-order contract, documented); d² uses the
+    * same index-order fold + round-6 as L381 so the JVM replica in the
+    * spec is bit-exact. Round15hSpec pins: identical decision logs
+    * across different micro-batch chunkings, log ≡ a JVM replica,
+    * ≤ k centers, and cover radius ≤ 64× the batch-greedy radius in d²
+    * (the squared form of the 8× distance guarantee vs greedy ≥ OPT). */
+  def kcenterDoublingTws(points: Dataset[VecPoint],
+      k: Int): Dataset[KcLog] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_ => 0L)
+      .transformWithState(new KcenterDoublingProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  class KcenterDoublingProcessor(k: Int)
+      extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, VecPoint, KcLog] {
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var centers: streaming.ListState[VecPoint] = _
+    @transient private var r2state: streaming.ValueState[Double] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: streaming.TimeMode): Unit = {
+      centers = getHandle.getListState[VecPoint]("kc_centers",
+        Encoders.product[VecPoint], streaming.TTLConfig.NONE)
+      r2state = getHandle.getValueState[Double]("kc_r2",
+        Encoders.scalaDouble, streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[VecPoint],
+        timerValues: streaming.TimerValues): Iterator[KcLog] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[KcLog]
+      var cs = centers.get().map(c => (c.vec_id, c.emb.toArray)).toVector
+      var r2 = Option(r2state.get()).getOrElse(0.0)
+      rows.toSeq.sortBy(_.vec_id).foreach { p =>
+        val pe = p.emb.toArray
+        val (newCs, newR2, action) =
+          KcenterDoubling.step(cs, r2, p.vec_id, pe, k)
+        cs = newCs; r2 = newR2
+        out += KcLog(p.vec_id, action, cs.length, KcenterDoubling.r6(r2))
+      }
+      centers.put(cs.map(c => VecPoint(c._1, c._2.toSeq)).toArray)
+      r2state.update(r2)
+      out.iterator
+    }
+  }
+}
+
+/** The doubling-step kernel, shared verbatim by the streaming
+  * processor and the Round15hSpec JVM replica (zero drift by
+  * construction). */
+object KcenterDoubling {
+
+  def r6(x: Double): Double =
+    BigDecimal.decimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Round-6 squared distance with the index-order dot fold (the L381
+    * ArrayMath parity order). */
+  def d2(a: Array[Double], b: Array[Double]): Double = {
+    def dot(x: Array[Double], y: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < x.length) { s += x(i) * y(i); i += 1 }
+      s
+    }
+    r6(dot(a, a) + dot(b, b) - 2.0 * dot(a, b))
+  }
+
+  /** One point through the doubling algorithm; returns (centers, r²,
+    * action). */
+  def step(cs: Vector[(Long, Array[Double])], r2in: Double, id: Long,
+      pe: Array[Double], k: Int): (Vector[(Long, Array[Double])], Double, String) = {
+    var centers = cs
+    var r2 = r2in
+    val minD2 = if (centers.isEmpty) Double.MaxValue
+      else centers.map(c => d2(c._2, pe)).min
+    if (minD2 <= 4.0 * r2 && centers.nonEmpty)
+      return (centers, r2, "assigned")
+    centers = centers :+ ((id, pe))
+    var action = "center_added"
+    while (centers.length > k) {
+      // overflow: double the threshold (seed it from the min pairwise
+      // d² on the first overflow, while r = 0) and greedily re-filter
+      // in insertion order
+      r2 = if (r2 == 0.0)
+        (for (i <- centers.indices; j <- i + 1 until centers.length)
+          yield d2(centers(i)._2, centers(j)._2)).min / 4.0
+      else 4.0 * r2
+      val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+      centers.foreach { c =>
+        if (kept.forall(kc => d2(kc._2, c._2) > 4.0 * r2)) kept += c
+      }
+      centers = kept.toVector
+      action = "merged_phase"
+    }
+    (centers, r2, action)
+  }
 }

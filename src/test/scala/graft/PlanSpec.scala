@@ -284,7 +284,19 @@ class PlanSpec extends SparkTestBase {
       "llm_cdc_chunks",
       // 1-row component-totals broadcast onto the component-size frame
       // (replaced the r12 whole-frame window — see Analytics CC notes)
-      "graph_connected_components")
+      "graph_connected_components",
+      // 1-row hour-count and first-half-mean broadcasts onto the
+      // calendar-bounded hourly frame (see Stats4.pageHinkleyFrameMicro)
+      "drift_page_hinkley",
+      // ≤k-row selected-center broadcast crossed into each maximin scan
+      // (the llm_kmeans_step centroid-probe shape; see Llm12)
+      "llm_kcenter_select",
+      // 1-row distinct-user-total broadcast onto the ≤|types|²+|types|³
+      // pattern-support frame (see Llm12.seqPatternSupport)
+      "seq_pattern_support",
+      // 1-row fit / q-hat broadcasts onto the calendar-bounded daily
+      // frame (see Stats5.conformalInterval)
+      "ml_conformal_interval")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, sf0001))

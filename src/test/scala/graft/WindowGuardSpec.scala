@@ -200,7 +200,12 @@ class WindowGuardSpec extends AnyFunSuite {
     ("Warehouse5.scala", "dowHourProfile") -> (1,
       "168-row dow × hour grid"),
     ("Stats4.scala", "pageHinkleyFrameMicro") -> (1,
-      "calendar: one row per hour"))
+      "calendar: one row per hour"),
+    ("Stats5.scala", "va") -> (2,
+      "5-row event-type panel (bhFdr's BH rank/step-up frame; nearest " +
+        "preceding def is its local variance helper)"),
+    ("Stats5.scala", "conformalInterval") -> (1,
+      "calendar: one row per day"))
 
   test("every partition-less window in src/main is allowlisted with a bound") {
     // ANY def (not just query-level `def x(spark`) — hits attribute to
