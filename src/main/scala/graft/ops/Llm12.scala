@@ -50,17 +50,22 @@ object Llm12 {
           round(dot(col("emb"), col("emb")) + dot(col("cemb"), col("cemb"))
             - lit(2.0) * dot(col("emb"), col("cemb")), 6).as("d2"))
         .groupBy(col("vec_id")).agg(min(col("d2")).as("mind"))
+    if (pts.limit(1).count() == 0) // empty corpus → empty result
+      return Seq.empty[(Long, Long, Option[Double], Double)]
+        .toDF("sel_order", "vec_id", "maximin_d2", "final_radius_d2")
     val seed = boundedCollect(
       pts.agg(min(col("vec_id")).as("v")).as[Long], 1, "k-center seed")(0)
     var selected = Vector((seed, Option.empty[Double]))
-    for (_ <- 2 to K) {
+    var exhausted = false // corpus smaller than K: select what exists
+    while (selected.length < K && !exhausted) {
       val centers = pts.where(col("vec_id").isin(selected.map(_._1): _*))
       val next = boundedCollect(
         minD2(centers)
           .where(!col("vec_id").isin(selected.map(_._1): _*))
           .orderBy(col("mind").desc, col("vec_id").asc).limit(1)
-          .as[(Long, Double)], 1, "k-center argmax")(0)
-      selected = selected :+ ((next._1, Some(next._2)))
+          .as[(Long, Double)], 1, "k-center argmax")
+      if (next.isEmpty) exhausted = true
+      else selected = selected :+ ((next(0)._1, Some(next(0)._2)))
     }
     val finalCenters = pts.where(col("vec_id").isin(selected.map(_._1): _*))
     val radius = boundedCollect(

@@ -85,9 +85,12 @@ object Stats4 {
     * the same fold. */
   def holtWintersDaily(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    hwFold(dailyMicros(spark, dir))
-      .toDF("rn", "day_us", "actual", "level", "trend", "seasonal",
-        "forecast", "abs_err")
+    val daily = dailyMicros(spark, dir)
+    // empty corpus → empty result (RobustnessSpec contract); a corpus
+    // with 1-7 days is a genuine misuse and hwFold stays loud
+    val rows = if (daily.isEmpty) Seq.empty[HwRow] else hwFold(daily)
+    rows.toDF("rn", "day_us", "actual", "level", "trend", "seasonal",
+      "forecast", "abs_err")
   }
 
   /** L377 — MASE forecast backtest (Hyndman & Koehler IJF 2006 — the
@@ -106,6 +109,9 @@ object Stats4 {
   def forecastMase(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val daily = dailyMicros(spark, dir)
+    if (daily.isEmpty)
+      return Seq.empty[(String, Long, Double, Double)]
+        .toDF("model", "n_forecasts", "mae", "mase")
     val rows = hwFold(daily)
     val yByRn = daily.zipWithIndex.map { case ((_, y), i) => (i + 1L, y) }.toMap
     val hwErrs = rows.filter(_.rn >= 8).map { r =>
@@ -190,10 +196,85 @@ object Stats4 {
       .withColumn("ph", col("m") - col("m_min"))
   }
 
+  /** L388 — time-series matrix profile over the hourly series, m = 24
+    * (Yeh et al. ICDM 2016 — the all-pairs z-normalized subsequence
+    * nearest-neighbor profile whose minima are MOTIFS (Chiu et al. KDD
+    * 2003) and maxima are DISCORDS (Keogh et al. ICDM 2005): one
+    * structure answers "what repeats?" and "what never repeats?" —
+    * the anomaly reading complements L224/L236/ESD, which all score
+    * POINTS; a discord is an anomalous day-long SHAPE). Exactness:
+    * subsequence stats and pair dot products fold through the decimal
+    * lane with round-6 at every defined point; correlation and
+    * d² = 2m(1−ρ) are closed forms over identical round-6 operands;
+    * per-i nearest neighbor = min(struct(d2, j)) (tie → smaller j).
+    * Scale: the corpus collapses ONCE to the calendar-bounded hourly
+    * frame; the (i, j, k) pair expansion is bounded×bounded×m (the
+    * stats_mann_kendall self-pair contract — never data-sized); the
+    * element join keys on the m=24 offset lanes. Exclusion zone
+    * |i−j| ≥ m (trivial-match rule). Output: top-3 motif pairs
+    * (profile minima) and top-3 discords (profile maxima). */
+  def matrixProfile(spark: SparkSession, dir: String): DataFrame = {
+    val m = 24
+    val hourly = events(spark, dir)
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("bucket_us"))
+      .agg(round(dsum(col("value")), 6).as("x"))
+    val idx = hourly
+      .withColumn("rn", row_number().over(Window.orderBy(col("bucket_us")))
+        .cast("long"))
+      .select(col("rn"), col("x"))
+    val nRow = idx.agg(count(lit(1)).as("n_hours"))
+    val el = idx.crossJoin(broadcast(nRow))
+      .select(col("rn"), col("x"), col("n_hours"),
+        explode(sequence(lit(0), lit(m - 1))).as("k"))
+      .withColumn("i", col("rn") - col("k"))
+      .where(col("i") >= 1 && col("i") <= col("n_hours") - (m - 1))
+      .select(col("i"), col("k"), col("x"))
+    val stats = el.groupBy(col("i"))
+      .agg(round(dsum(col("x")), 6).as("s"),
+        round(dsum(round(col("x") * col("x"), 6)), 6).as("ss"))
+      .withColumn("mu", round(col("s") / m, 6))
+      .withColumn("sigma", round(sqrt(greatest(lit(0.0),
+        round(col("ss") / m - col("mu") * col("mu"), 6))), 6))
+      .where(col("sigma") > 0.0)
+      .select(col("i"), col("mu"), col("sigma"))
+    val pairs = el.join(
+        el.select(col("i").as("j"), col("k").as("k2"), col("x").as("y")),
+        col("k") === col("k2") && col("j") - col("i") >= m)
+      .groupBy(col("i"), col("j"))
+      .agg(round(dsum(round(col("x") * col("y"), 6)), 6).as("sxy"))
+      .join(broadcast(stats), Seq("i"))
+      .join(broadcast(stats.select(col("i").as("j"), col("mu").as("mu2"),
+        col("sigma").as("sigma2"))), Seq("j"))
+      .withColumn("corr",
+        round((col("sxy") - lit(m) * col("mu") * col("mu2")) /
+          (lit(m) * col("sigma") * col("sigma2")), 6))
+      .withColumn("d2", round(lit(2.0 * m) * (lit(1.0) - col("corr")), 6))
+      .select(col("i"), col("j"), col("d2"))
+    val both = pairs.unionByName(
+      pairs.select(col("j").as("i"), col("i").as("j"), col("d2")))
+    val profile = both.groupBy(col("i"))
+      .agg(min(struct(col("d2"), col("j"))).as("nn"))
+      .select(col("i").as("i_sub"), col("nn.j").as("j_sub"),
+        col("nn.d2").as("d2"))
+    val motifs = profile.orderBy(col("d2").asc, col("i_sub").asc).limit(3)
+      .withColumn("kind", lit("motif"))
+    val discords = profile.orderBy(col("d2").desc, col("i_sub").asc).limit(3)
+      .withColumn("kind", lit("discord"))
+    val wKind = Window.partitionBy(col("kind")).orderBy(
+      when(col("kind") === "motif", col("d2")).otherwise(-col("d2")),
+      col("i_sub"))
+    motifs.unionByName(discords)
+      .withColumn("rank", row_number().over(wKind).cast("long"))
+      .select(col("kind"), col("rank"), col("i_sub"), col("j_sub"),
+        col("d2"))
+      .orderBy("kind", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_holt_winters" -> (holtWintersDaily _),
     "ts_forecast_mase" -> (forecastMase _),
     "drift_page_hinkley" -> (pageHinkley _),
+    "ts_matrix_profile" -> (matrixProfile _),
   )
 
   private val evTs = "CAST(ts AS TIMESTAMP)"
@@ -271,6 +352,58 @@ object Stats4 {
              round(CAST(mn.mae_m AS DOUBLE) / mn.mae_m, 6)
            FROM mn)
          ORDER BY model""",
+    "ts_matrix_profile" ->
+      s"""WITH hourly AS (SELECT
+             epoch_us(date_trunc('hour', $evTs)) AS bucket_us,
+             round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+               AS x
+           FROM events GROUP BY 1),
+         idx AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY bucket_us)
+             AS BIGINT) AS rn, x
+           FROM hourly),
+         nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hours FROM idx),
+         el AS (SELECT idx.rn - ks.k AS i, ks.k, idx.x
+           FROM idx, nh, (SELECT unnest(range(0, 24)) AS k) ks
+           WHERE idx.rn - ks.k >= 1 AND idx.rn - ks.k <= nh.n_hours - 23),
+         sums AS (SELECT i,
+             round(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE), 6) AS s,
+             round(CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(18,6)))
+               AS DOUBLE), 6) AS ss
+           FROM el GROUP BY 1),
+         mus AS (SELECT i, s, ss, round(s / 24, 6) AS mu FROM sums),
+         sig AS (SELECT i, mu,
+             round(sqrt(greatest(0.0, round(ss / 24 - mu * mu, 6))), 6)
+               AS sigma
+           FROM mus),
+         stats AS (SELECT i, mu, sigma FROM sig WHERE sigma > 0.0),
+         prs AS (SELECT a.i, b.i AS j,
+             round(CAST(SUM(CAST(round(a.x * b.x, 6) AS DECIMAL(18,6)))
+               AS DOUBLE), 6) AS sxy
+           FROM el a JOIN el b ON a.k = b.k AND b.i - a.i >= 24
+           GROUP BY 1, 2),
+         d AS (SELECT p.i, p.j,
+             round(48.0 * (1.0 - round((p.sxy - 24 * sa.mu * sb.mu)
+               / (24 * sa.sigma * sb.sigma), 6)), 6) AS d2
+           FROM prs p
+           JOIN stats sa ON p.i = sa.i
+           JOIN stats sb ON p.j = sb.i),
+         bidir AS (SELECT i, j, d2 FROM d
+           UNION ALL SELECT j AS i, i AS j, d2 FROM d),
+         prof AS (SELECT i AS i_sub, j AS j_sub, d2,
+             ROW_NUMBER() OVER (PARTITION BY i ORDER BY d2, j) AS rr
+           FROM bidir),
+         p1 AS (SELECT i_sub, j_sub, d2 FROM prof WHERE rr = 1),
+         mot AS (SELECT 'motif' AS kind,
+             CAST(ROW_NUMBER() OVER (ORDER BY d2 ASC, i_sub ASC)
+               AS BIGINT) AS rank, i_sub, j_sub, d2
+           FROM p1 ORDER BY d2 ASC, i_sub ASC LIMIT 3),
+         dis AS (SELECT 'discord' AS kind,
+             CAST(ROW_NUMBER() OVER (ORDER BY d2 DESC, i_sub ASC)
+               AS BIGINT) AS rank, i_sub, j_sub, d2
+           FROM p1 ORDER BY d2 DESC, i_sub ASC LIMIT 3)
+         SELECT kind, rank, i_sub, j_sub, d2 FROM mot
+         UNION ALL SELECT kind, rank, i_sub, j_sub, d2 FROM dis
+         ORDER BY kind, rank""",
     "drift_page_hinkley" ->
       s"""WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', $evTs)) AS bucket_us,

@@ -128,6 +128,10 @@ object Stats5 {
     val calRes = cal.crossJoin(fit).select(col("rn"), residual.as("r"))
     val nCal = boundedCollect(calRes.agg(count(lit(1)).as("n")).as[Long],
       1, "conformal calibration count")(0)
+    if (nCal == 0) // empty corpus → empty result (RobustnessSpec contract)
+      return Seq.empty[(Long, Long, Double, Double, Double, Double, Double)]
+        .toDF("n_train", "n_cal", "slope", "intercept", "q_hat",
+          "coverage_train", "target")
     val k = math.ceil((nCal + 1) * (1.0 - alpha)).toInt
     require(k <= nCal, s"alpha=$alpha needs > ${k - 1} calibration days")
     val qHat = calRes.orderBy(col("r").asc, col("rn").asc).limit(k)

@@ -296,7 +296,10 @@ class PlanSpec extends SparkTestBase {
       "seq_pattern_support",
       // 1-row fit / q-hat broadcasts onto the calendar-bounded daily
       // frame (see Stats5.conformalInterval)
-      "ml_conformal_interval")
+      "ml_conformal_interval",
+      // 1-row hour-count broadcast onto the calendar-bounded subsequence
+      // expansion (see Stats4.matrixProfile)
+      "ts_matrix_profile")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {
         val p = plan(fn(spark, sf0001))

@@ -201,6 +201,8 @@ class WindowGuardSpec extends AnyFunSuite {
       "168-row dow × hour grid"),
     ("Stats4.scala", "pageHinkleyFrameMicro") -> (1,
       "calendar: one row per hour"),
+    ("Stats4.scala", "matrixProfile") -> (1,
+      "calendar: one row per hour"),
     ("Stats5.scala", "va") -> (2,
       "5-row event-type panel (bhFdr's BH rank/step-up frame; nearest " +
         "preceding def is its local variance helper)"),
