@@ -34,10 +34,12 @@ object SparkEntry {
       ops.Llm10.queries ++
       ops.Llm11.queries ++
       ops.Llm12.queries ++
+      ops.Llm13.queries ++
       ops.Mm2.queries ++
       ops.Mm3.queries ++
       ops.Mm4.queries ++
       ops.Mm5.queries ++
+      ops.Mm6.queries ++
       ops.Warehouse5.queries ++
       ops.Warehouse6.queries ++
       ops.Layout.queries ++
@@ -76,10 +78,12 @@ object SparkEntry {
       ops.Llm10.oracles ++
       ops.Llm11.oracles ++
       ops.Llm12.oracles ++
+      ops.Llm13.oracles ++
       ops.Mm2.oracles ++
       ops.Mm3.oracles ++
       ops.Mm4.oracles ++
       ops.Mm5.oracles ++
+      ops.Mm6.oracles ++
       ops.Warehouse5.oracles ++
       ops.Warehouse6.oracles ++
       ops.Layout.oracles ++

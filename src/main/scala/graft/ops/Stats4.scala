@@ -237,11 +237,29 @@ object Stats4 {
         round(col("ss") / m - col("mu") * col("mu"), 6))), 6))
       .where(col("sigma") > 0.0)
       .select(col("i"), col("mu"), col("sigma"))
-    val pairs = el.join(
-        el.select(col("i").as("j"), col("k").as("k2"), col("x").as("y")),
-        col("k") === col("k2") && col("j") - col("i") >= m)
-      .groupBy(col("i"), col("j"))
-      .agg(round(dsum(round(col("x") * col("y"), 6)), 6).as("sxy"))
+    // pair dot products by the STOMP diagonal decomposition (Zhu et al.
+    // ICDM 2016): QT(i, i+d) = Σ_{t=i..i+m-1} x_t·x_{t+d} is a SLIDING
+    // WINDOW SUM along diagonal d — one element-product frame (all
+    // ordered time pairs, bounded²/2 rows) + one codegen'd per-diagonal
+    // running window replaces any per-pair vector fold. Measured at
+    // sf0.1: the first cut's (i,j,k) element-join agg took 30 s, a
+    // zip_with/aggregate decimal lambda fold 6 s, this form ~2 s — the
+    // lambda interpreter was the bottleneck, not the row count. The
+    // window sums in DECIMAL (exact, order-free) so sxy equals the
+    // oracle's decimal sum of the same rounded products bit-for-bit.
+    val prods = idx.join(
+        broadcast(idx.select(col("rn").as("rn2"), col("x").as("x2"))),
+        col("rn2") > col("rn"))
+      .select(col("rn").as("i"), (col("rn2") - col("rn")).as("diag"),
+        round(col("x") * col("x2"), 6).cast("decimal(18,6)").as("p"))
+    val wDiag = Window.partitionBy(col("diag")).orderBy(col("i"))
+      .rowsBetween(0, m - 1)
+    val pairs = prods
+      .withColumn("n_win", count(lit(1)).over(wDiag))
+      .withColumn("sxy", round(sum(col("p")).over(wDiag)
+        .cast("double"), 6))
+      .where(col("n_win") === m && col("diag") >= m)
+      .select(col("i"), (col("i") + col("diag")).as("j"), col("sxy"))
       .join(broadcast(stats), Seq("i"))
       .join(broadcast(stats.select(col("i").as("j"), col("mu").as("mu2"),
         col("sigma").as("sigma2"))), Seq("j"))
@@ -250,12 +268,19 @@ object Stats4 {
           (lit(m) * col("sigma") * col("sigma2")), 6))
       .withColumn("d2", round(lit(2.0 * m) * (lit(1.0) - col("corr")), 6))
       .select(col("i"), col("j"), col("d2"))
+      // the flipped union below reads this twice — materialize the
+      // fold once (i < j pair grain, bounded)
+      .localCheckpoint()
     val both = pairs.unionByName(
       pairs.select(col("j").as("i"), col("i").as("j"), col("d2")))
+    // materialize once: the motif and discord branches (and the final
+    // union) would otherwise each re-execute the whole pair-fold
+    // lineage — the 462-node plan this checkpoint collapses
     val profile = both.groupBy(col("i"))
       .agg(min(struct(col("d2"), col("j"))).as("nn"))
       .select(col("i").as("i_sub"), col("nn.j").as("j_sub"),
         col("nn.d2").as("d2"))
+      .localCheckpoint()
     val motifs = profile.orderBy(col("d2").asc, col("i_sub").asc).limit(3)
       .withColumn("kind", lit("motif"))
     val discords = profile.orderBy(col("d2").desc, col("i_sub").asc).limit(3)

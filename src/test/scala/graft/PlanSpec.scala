@@ -297,8 +297,9 @@ class PlanSpec extends SparkTestBase {
       // 1-row fit / q-hat broadcasts onto the calendar-bounded daily
       // frame (see Stats5.conformalInterval)
       "ml_conformal_interval",
-      // 1-row hour-count broadcast onto the calendar-bounded subsequence
-      // expansion (see Stats4.matrixProfile)
+      // 1-row hour-count broadcast + the calendar-bounded subsequence
+      // frame self-paired (the stats_mann_kendall shape at subsequence
+      // grain; see Stats4.matrixProfile)
       "ts_matrix_profile")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowed(name)) {

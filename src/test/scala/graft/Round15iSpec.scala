@@ -58,4 +58,50 @@ class Round15iSpec extends SparkTestBase {
       "the best motif must be tighter than the worst discord")
     assert(prof.forall(_._3 >= -1e-9), "z-normalized d2 is non-negative")
   }
+
+  test("Otsu: BigInt argmax replica from the pixel formula, and class separation on the low-contrast band") {
+    // replica for doc 1 (low contrast: v in [60, 100))
+    val f = 1
+    val hist = new Array[Long](256)
+    for (x <- 0 until 64; y <- 0 until 64)
+      hist(60 + (3 * x + 5 * y + 17 * f) % 40) += 1
+    val n = 4096L
+    val sTot = (0 until 256).map(v => v * hist(v)).sum
+    var w0 = 0L; var s0 = 0L
+    var bestT = -1; var best = BigInt(-1)
+    for (t <- 0 until 256) {
+      w0 += hist(t); s0 += t * hist(t)
+      val w1 = n - w0
+      if (w0 > 0 && w1 > 0) {
+        val num = BigInt(s0) * w1 - BigInt(sTot - s0) * w0
+        val score = num * num * 1000000 / (BigInt(w0) * w1)
+        if (score > best) { best = score; bestT = t }
+      }
+    }
+    val got = ops.MmOtsu.otsuOf(1L)
+    assert(got.otsu_threshold === bestT.toLong)
+    // the threshold lands inside the occupied band and separates means
+    assert(got.otsu_threshold >= 60L && got.otsu_threshold < 99L)
+    assert(got.mean_below < got.mean_above)
+    assert(got.n_below + got.n_above === 4096L)
+  }
+
+  test("Sobel: formula replica for one family, and both edge classes exercised") {
+    val f = 2 // doc 2: low contrast
+    def v(x: Int, y: Int) = 60 + (3 * x + 5 * y + 17 * f) % 40
+    var edges = 0L; var sum = 0L; var mx = 0L
+    for (y <- 1 until 63; x <- 1 until 63) {
+      val gx = (v(x + 1, y - 1) + 2 * v(x + 1, y) + v(x + 1, y + 1)) -
+        (v(x - 1, y - 1) + 2 * v(x - 1, y) + v(x - 1, y + 1))
+      val gy = (v(x - 1, y + 1) + 2 * v(x, y + 1) + v(x + 1, y + 1)) -
+        (v(x - 1, y - 1) + 2 * v(x, y - 1) + v(x + 1, y - 1))
+      val m = math.abs(gx).toLong + math.abs(gy)
+      if (m >= 80) edges += 1
+      sum += m; mx = math.max(mx, m)
+    }
+    val got = ops.MmSobel.sobelOf(2L)
+    assert((got.n_edges, got.sum_mag, got.max_mag) === ((edges, sum, mx)))
+    assert(got.n_edges > 0L && got.n_edges < got.n_interior,
+      "both smooth and edge pixels must exist")
+  }
 }
