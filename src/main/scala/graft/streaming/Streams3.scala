@@ -229,6 +229,89 @@ object Streams3 {
     }
   }
 
+  // ------------------------------------------------------------ ADWIN
+
+  case class AdwinPoint(rn: Long, x: Double, window_len: Long,
+    window_mean: Double, n_dropped: Long, shrank: Boolean)
+
+  /** L392 — ADWIN adaptive-window drift detection ON A STREAM (Bifet &
+    * Gavaldà SDM 2007 — the SELF-TUNING sibling of the L379
+    * Page–Hinkley twin: PH needs δ and λ chosen per series (L378's were
+    * measured against this fixture); ADWIN's only knob is a confidence
+    * and its window ADAPTS — it grows while the mean is stable and
+    * collapses to the post-change regime at a shift, which doubles as
+    * a change-point LOCATOR: the post-cut width points at the change).
+    * Exponential-histogram state (≤ M buckets per doubling level —
+    * O(M log n) for an n-wide window, the paper's bound) + the same
+    * hour-close-by-progress drain as the PH/Holt twins. The
+    * insert/compress/cut kernel is [[AdwinKernel]], shared verbatim
+    * with Round15jSpec's JVM replica; the spec pins chunking
+    * invariance, the replica equality, pre-drift stability (no mass
+    * drops) and the post-drift window collapse. */
+  def adwinTws(hours: Dataset[HourPoint],
+      delta: Double = 0.002): Dataset[AdwinPoint] = {
+    import hours.sparkSession.implicits._
+    hours
+      .groupByKey(_ => 0L)
+      .transformWithState(new AdwinProcessor(delta),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  class AdwinProcessor(delta: Double)
+      extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, HourPoint, AdwinPoint] {
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var hourSums: streaming.MapState[Long, Long] = _
+    @transient private var buckets:
+      streaming.ListState[(Double, Long, Double, Double)] = _
+    @transient private var seen: streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: streaming.TimeMode): Unit = {
+      hourSums = getHandle.getMapState[Long, Long]("adwin_hour_sums",
+        Encoders.scalaLong, Encoders.scalaLong, streaming.TTLConfig.NONE)
+      buckets = getHandle.getListState[(Double, Long, Double, Double)](
+        "adwin_buckets",
+        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong,
+          Encoders.scalaDouble, Encoders.scalaDouble),
+        streaming.TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("adwin_seen",
+        Encoders.scalaLong, streaming.TTLConfig.NONE)
+    }
+
+    private def r6(x: Double): Double =
+      BigDecimal.decimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+
+    override def handleInputRows(key: Long, rows: Iterator[HourPoint],
+        timerValues: streaming.TimerValues): Iterator[AdwinPoint] = {
+      rows.foreach { p =>
+        val cur = if (hourSums.containsKey(p.bucket_us))
+          hourSums.getValue(p.bucket_us) else 0L
+        hourSums.updateValue(p.bucket_us, cur + p.x_micro)
+      }
+      val open = hourSums.keys().toSeq.sorted
+      if (open.length <= 1) return Iterator.empty
+      val out = scala.collection.mutable.ArrayBuffer.empty[AdwinPoint]
+      var bs: AdwinKernel.Buckets = buckets.get().toVector
+      var n = Option(seen.get()).getOrElse(0L)
+      open.dropRight(1).foreach { bucket =>
+        val x = hourSums.getValue(bucket) / 1e6
+        val (nbs, dropped) = AdwinKernel.step(bs, x, delta)
+        bs = nbs
+        n += 1
+        val w = AdwinKernel.width(bs)
+        out += AdwinPoint(n, r6(x), w,
+          r6(AdwinKernel.total(bs) / w), dropped, dropped > 0)
+        hourSums.removeKey(bucket)
+      }
+      buckets.put(bs.toArray)
+      seen.update(n)
+      out.iterator
+    }
+  }
+
   // --------------------------------------------- streaming k-center
 
   case class VecPoint(vec_id: Long, emb: Seq[Double])
@@ -299,6 +382,91 @@ object Streams3 {
       r2state.update(r2)
       out.iterator
     }
+  }
+}
+
+/** ADWIN0 kernel (Bifet & Gavaldà SDM 2007 "Learning from
+  * time-changing data with adaptive windowing") — the SELF-TUNING
+  * drift detector beside the fixed-threshold Page–Hinkley twin (L379
+  * needs δ and λ chosen per series; ADWIN's only knob is the
+  * confidence δ, and its window width ADAPTS: it grows while the mean
+  * is stable and collapses to the post-change regime when it is not).
+  * Exponential-histogram state: buckets of doubling capacity, ≤ M per
+  * level — O(M·log n) state for an n-item window, the paper's bound.
+  * A cut drops the oldest bucket whenever some suffix/prefix split
+  * has |μ₀ − μ₁| ≥ ε_cut(m, δ) with m the harmonic mean of the two
+  * sizes. Shared verbatim by the streaming processor and the
+  * Round15jSpec JVM replica. */
+object AdwinKernel {
+  final val MaxPerLevel = 5
+
+  /** (sum, size, min, max) buckets, NEWEST FIRST; size is a power of
+    * two. min/max ride along because the Hoeffding cut bound assumes
+    * range-[0,1] values — ε_cut scales by the window's observed range
+    * (the standard generalization for unnormalized inputs). */
+  type Buckets = Vector[(Double, Long, Double, Double)]
+
+  def width(bs: Buckets): Long = bs.map(_._2).sum
+  def total(bs: Buckets): Double = bs.map(_._1).sum
+  def range(bs: Buckets): Double =
+    if (bs.isEmpty) 0.0 else bs.map(_._4).max - bs.map(_._3).min
+
+  /** Merge the two OLDEST buckets of any over-full level (smallest
+    * first — a merge can overflow the next level up) until every level
+    * holds ≤ M buckets. Buckets are age-ordered (newest first) with
+    * capacity non-decreasing toward the old end, so same-level buckets
+    * are adjacent and the merged bucket keeps its age position. */
+  private def compress(bs0: Buckets): Buckets = {
+    var bs = bs0
+    var merged = true
+    while (merged) {
+      merged = false
+      val over = bs.groupBy(_._2).filter(_._2.length > MaxPerLevel).keys
+      if (over.nonEmpty) {
+        val cap = over.min
+        val idxs = bs.zipWithIndex.filter(_._1._2 == cap).map(_._2)
+        val (i1, i2) = (idxs(idxs.length - 2), idxs.last)
+        val m = (bs(i1)._1 + bs(i2)._1, cap * 2,
+          math.min(bs(i1)._3, bs(i2)._3), math.max(bs(i1)._4, bs(i2)._4))
+        bs = ((bs.take(i1) :+ m) ++ bs.slice(i1 + 1, i2) ++
+          bs.drop(i2 + 1))
+        merged = true
+      }
+    }
+    bs
+  }
+
+  /** Insert one value, compress, then drop old buckets while any split
+    * violates the ADWIN cut condition. Returns (buckets, n_dropped). */
+  def step(bs0: Buckets, x: Double, delta: Double): (Buckets, Long) = {
+    var bs = compress((x, 1L, x, x) +: bs0)
+    var dropped = 0L
+    var cutting = true
+    while (cutting && bs.length > 1) {
+      cutting = false
+      val n = width(bs).toDouble
+      val r = range(bs)
+      // splits between buckets, oldest side = suffix
+      var s1 = 0.0; var n1 = 0L // newest side accumulators
+      var i = 0
+      while (i < bs.length - 1 && !cutting) {
+        s1 += bs(i)._1; n1 += bs(i)._2
+        val n0 = width(bs) - n1
+        val s0 = total(bs) - s1
+        val mu1 = s1 / n1
+        val mu0 = s0 / n0
+        val mHarm = 1.0 / (1.0 / n0 + 1.0 / n1)
+        val eps = r * math.sqrt(1.0 / (2.0 * mHarm) *
+          math.log(4.0 * n / delta))
+        if (math.abs(mu0 - mu1) >= eps) {
+          dropped += bs.last._2
+          bs = bs.dropRight(1)
+          cutting = true
+        }
+        i += 1
+      }
+    }
+    (bs, dropped)
   }
 }
 
