@@ -35,6 +35,7 @@ object SparkEntry {
       ops.Llm11.queries ++
       ops.Llm12.queries ++
       ops.Llm13.queries ++
+      ops.Llm14.queries ++
       ops.Mm2.queries ++
       ops.Mm3.queries ++
       ops.Mm4.queries ++
@@ -79,6 +80,7 @@ object SparkEntry {
       ops.Llm11.oracles ++
       ops.Llm12.oracles ++
       ops.Llm13.oracles ++
+      ops.Llm14.oracles ++
       ops.Mm2.oracles ++
       ops.Mm3.oracles ++
       ops.Mm4.oracles ++

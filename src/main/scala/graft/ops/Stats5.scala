@@ -70,8 +70,18 @@ object Stats5 {
     val wAll = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
     z.withColumn("rank", row_number().over(wRank).cast("long"))
+      // loud family-size guard (round-16 ADVICE): the crit literals are
+      // Φ⁻¹ quantiles FOR m=5 — a corpus with a sixth event type would
+      // index past the array (ANSI throw) while the oracle's CASE
+      // silently reused the rank-5 quantile; fail with the real reason
+      // instead of either
       .withColumn("crit",
-        element_at(array(BhCrit.map(lit): _*), col("rank").cast("int")))
+        when(col("rank") <= BhCrit.length,
+          element_at(array(BhCrit.map(lit): _*), col("rank").cast("int")))
+          .otherwise(raise_error(format_string(
+            s"bh_fdr: family has more than ${BhCrit.length} event types " +
+              "(rank %d) — the m=5 crit literals do not apply",
+            col("rank"))).cast("double")))
       .withColumn("passes", abs(col("z")) >= col("crit"))
       .withColumn("cutoff",
         max(when(col("passes"), col("rank")).otherwise(0L)).over(wAll))

@@ -792,8 +792,11 @@ object Warehouse {
     val cp = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
       .join(lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
         col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
-    val ni = cp.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+    // marginals off the SAME c-keyed basket frame the pair stage uses —
+    // the canonical-identical subtree makes its exchange a ReusedExchange,
+    // so the whole query pays ONE data shuffle before the pair aggregate
+    val ni = basketFrame(cp).groupBy(col("p")).agg(count(lit(1)).as("n_p"))
     val co = itemPairCounts(cp, CfBasketCap)
     co
       .join(broadcast(ni.select(col("p").as("item_a"), col("n_p").as("n_a"))),
@@ -814,44 +817,75 @@ object Warehouse {
     * synthetic hyperactive account in ScaleRehearsalSpec. */
   private[graft] val CfBasketCap = 128
 
-  /** Co-occurrence pair counts over a (c, p) incidence frame with the
-    * hyperactive-key cap: baskets ≤ cap pair exactly; larger baskets
-    * contribute only their cap h48-lowest items (p tiebreak), and every
-    * pair reports how many of its contributing customers were
-    * truncated. The row_number + filter compiles to WindowGroupLimit —
-    * partial per-partition top-k before the per-customer shuffle, so a
-    * pathological account never fills one task's window buffer. Pair
-    * generation stays the codegen'd within-customer self-join (round 14
-    * measured the L204 collect+explode alternative: faster in a fresh
-    * JVM but 6.9 → 12.5 s inside the long-lived bench JVM — the array
-    * allocation churn loses to the join's codegen under an aged heap);
-    * what round 14 DID keep is the packed pair key — (a, b) as ONE long
-    * (partkeys < 2³¹), so the near-unique-key aggregate (map-side
-    * combine can't shrink it) shuffles 8-byte keys instead of
-    * two-field structs. The 2³¹ packing bound is ENFORCED, not assumed
-    * (round-15 ADVICE fix): an item id ≥ 2³¹ would overflow the long
-    * multiply into negative keys (possible collisions) and `div`
-    * truncates toward zero on negatives, silently unpacking wrong item
-    * ids — TPC-H partkeys cross 2³¹ around SF ~10,700, inside the
-    * 100-TB regime this operator claims. The guard is an in-plan
-    * `raise_error` branch evaluated once per (customer, item) incidence
-    * row (NOT per pair — fan grain, linear), so an out-of-range id
-    * fails the job loudly instead of corrupting the ranking;
-    * Round15Spec pins both the trip and the pass-through. */
-  private[graft] def itemPairCounts(cp: DataFrame, cap: Int): DataFrame = {
+  /** The shared (c, p) basket frame: packed-key bound guard, ONE
+    * c-keyed repartition, dedup and basket size WITHIN that partition.
+    * hash(c) satisfies the clustering requirement of both the (c, p)
+    * distinct and the partitionBy(c) window, so neither adds an
+    * exchange — the round-15 plan paid FOUR data shuffles before the
+    * pair aggregate (distinct on (c,p), basket-size groupBy(c), the
+    * size join, the self-join's re-shuffle); this one pays ONE, reused
+    * across both self-join sides and [[itemItemCf]]'s marginals.
+    * Trade-off, documented: the c-exchange now carries duplicate
+    * incidences (dedup is post-shuffle). On TPC-H incidence the dup
+    * ratio is ~1.001 (599 351 distinct of 600 572 at sf0.1), so
+    * map-side dedup bought nothing; a dup-heavy source should insert
+    * its own distinct() upstream. */
+  private def basketFrame(cp: DataFrame): DataFrame = {
     val checked = cp.withColumn("p",
       when(col("p") >= 0L && col("p") < 2147483648L, col("p"))
         .otherwise(raise_error(format_string(
           "itemPairCounts: item id %d outside the packed-key bound [0, 2^31)",
           col("p"))).cast("long")))
-    val bsz = checked.groupBy(col("c")).agg(count(lit(1)).as("bs"))
-    val tagged = checked.join(bsz, "c")
+    checked.repartition(col("c")).distinct()
+      .withColumn("bs", count(lit(1)).over(Window.partitionBy(col("c"))))
+  }
+
+  /** Co-occurrence pair counts over a (c, p) incidence frame (dups
+    * tolerated — [[basketFrame]] dedupes) with the hyperactive-key cap:
+    * baskets ≤ cap pair exactly; larger baskets contribute only their
+    * cap h48-lowest items (p tiebreak), and every pair reports how many
+    * of its contributing customers were truncated. Pair generation
+    * stays the codegen'd within-customer self-join (round 14 measured
+    * the L204 collect+explode alternative: faster in a fresh JVM but
+    * 6.9 → 12.5 s inside the long-lived bench JVM — the array
+    * allocation churn loses to the join's codegen under an aged heap);
+    * the packed pair key — (a, b) as ONE long (partkeys < 2³¹) — keeps
+    * the near-unique-key aggregate (map-side combine can't shrink it)
+    * shuffling 8-byte keys instead of two-field structs. The 2³¹
+    * packing bound is ENFORCED, not assumed (round-15 ADVICE fix): an
+    * item id ≥ 2³¹ would overflow the long multiply into negative keys
+    * (possible collisions) and `div` truncates toward zero on
+    * negatives, silently unpacking wrong item ids — TPC-H partkeys
+    * cross 2³¹ around SF ~10,700, inside the 100-TB regime this
+    * operator claims. The guard is an in-plan `raise_error` branch
+    * evaluated once per (customer, item) incidence row (NOT per pair —
+    * fan grain, linear), so an out-of-range id fails the job loudly
+    * instead of corrupting the ranking; Round15Spec pins both the trip
+    * and the pass-through.
+    *
+    * ROUND-16 ROOT CAUSE + RESTRUCTURE (closes the r14/r15 aged-JVM
+    * bi-modality): CfDiag's fresh-vs-aged stage-metric diff showed the
+    * slow regime moves IDENTICAL bytes (148.2 MB shuffle read, 85
+    * tasks, 0 spill, GC ≤ 1 s) while task CPU inflates 25 s → 50 s, and
+    * a rerun with `spark.sql.codegen.cache.maxEntries=8192` held the
+    * aged regime at ZERO Catalyst recompiles yet stayed slow — so the
+    * instability is HotSpot re-JITting the suite's churning generated
+    * classes (jit_total_ms rose 1–4 s per rep even at zero recompiles),
+    * not plan or codegen-cache state. The fix is therefore to shrink
+    * the work: the four pre-pair exchanges above collapsed to one,
+    * measured (standalone JVM, sf0.1, local[32]) 3.4 s → 2.2 s steady
+    * for the pair+agg chain and 2.9 s → ~2.1 s for the full key, with a
+    * proportionally smaller JIT-warm surface. localCheckpoint of the
+    * fan was ALSO measured (2.6–3.3 s) and rejected — materialization
+    * overhead exceeds the recompute it saves. */
+  private[graft] def itemPairCounts(cp: DataFrame, cap: Int): DataFrame = {
+    val sized = basketFrame(cp)
     val hubW = Window.partitionBy(col("c"))
       .orderBy(graft.Tables.h48(concat_ws(":", col("c"), col("p"))),
         col("p"))
-    val fan = tagged.where(col("bs") <= cap)
+    val fan = sized.where(col("bs") <= cap)
       .select(col("c"), col("p"), lit(0L).as("capped"))
-      .unionAll(tagged.where(col("bs") > cap)
+      .unionAll(sized.where(col("bs") > cap)
         .withColumn("rn", row_number().over(hubW))
         .where(col("rn") <= cap)
         .select(col("c"), col("p"), lit(1L).as("capped")))

@@ -191,6 +191,12 @@ object Streams3 {
     // (n_closed, s_cum, m, m_min) — all exact integer micros
     @transient private var stat:
       streaming.ValueState[(Long, Long, Long, Long)] = _
+    // max CLOSED bucket_us — a late partial at or below it would
+    // re-create the bucket and fold the hour a SECOND time with a fresh
+    // rn (round-16 ADVICE); the hour-close-by-progress contract makes
+    // emitted rows immutable, so such partials are dropped (the
+    // StlProcessor frontier convention, StreamingSpec-pinned there)
+    @transient private var frontier: streaming.ValueState[Long] = _
 
     override def init(outputMode: OutputMode,
         timeMode: streaming.TimeMode): Unit = {
@@ -199,14 +205,19 @@ object Streams3 {
       stat = getHandle.getValueState[(Long, Long, Long, Long)]("ph_stat",
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
           Encoders.scalaLong, Encoders.scalaLong), streaming.TTLConfig.NONE)
+      frontier = getHandle.getValueState[Long]("ph_frontier",
+        Encoders.scalaLong, streaming.TTLConfig.NONE)
     }
 
     override def handleInputRows(key: Long, rows: Iterator[HourPoint],
         timerValues: streaming.TimerValues): Iterator[PhPoint] = {
+      val closed = Option(frontier.get()).getOrElse(Long.MinValue)
       rows.foreach { p =>
-        val cur = if (hourSums.containsKey(p.bucket_us))
-          hourSums.getValue(p.bucket_us) else 0L
-        hourSums.updateValue(p.bucket_us, cur + p.x_micro)
+        if (p.bucket_us > closed) {
+          val cur = if (hourSums.containsKey(p.bucket_us))
+            hourSums.getValue(p.bucket_us) else 0L
+          hourSums.updateValue(p.bucket_us, cur + p.x_micro)
+        } // else: late partial for an already-folded hour — dropped
       }
       val open = hourSums.keys().toSeq.sorted
       if (open.length <= 1) return Iterator.empty
@@ -225,6 +236,7 @@ object Streams3 {
         hourSums.removeKey(bucket)
       }
       stat.update((n, s, m, mMin))
+      if (out.nonEmpty) frontier.update(out.last.bucket_us)
       out.iterator
     }
   }
@@ -266,6 +278,9 @@ object Streams3 {
     @transient private var buckets:
       streaming.ListState[(Double, Long, Double, Double)] = _
     @transient private var seen: streaming.ValueState[Long] = _
+    // same closed-hour frontier as PageHinkleyProcessor (round-16
+    // ADVICE): a late partial for a folded hour must not re-open it
+    @transient private var frontier: streaming.ValueState[Long] = _
 
     override def init(outputMode: OutputMode,
         timeMode: streaming.TimeMode): Unit = {
@@ -278,6 +293,8 @@ object Streams3 {
         streaming.TTLConfig.NONE)
       seen = getHandle.getValueState[Long]("adwin_seen",
         Encoders.scalaLong, streaming.TTLConfig.NONE)
+      frontier = getHandle.getValueState[Long]("adwin_frontier",
+        Encoders.scalaLong, streaming.TTLConfig.NONE)
     }
 
     private def r6(x: Double): Double =
@@ -286,16 +303,20 @@ object Streams3 {
 
     override def handleInputRows(key: Long, rows: Iterator[HourPoint],
         timerValues: streaming.TimerValues): Iterator[AdwinPoint] = {
+      val closed = Option(frontier.get()).getOrElse(Long.MinValue)
       rows.foreach { p =>
-        val cur = if (hourSums.containsKey(p.bucket_us))
-          hourSums.getValue(p.bucket_us) else 0L
-        hourSums.updateValue(p.bucket_us, cur + p.x_micro)
+        if (p.bucket_us > closed) {
+          val cur = if (hourSums.containsKey(p.bucket_us))
+            hourSums.getValue(p.bucket_us) else 0L
+          hourSums.updateValue(p.bucket_us, cur + p.x_micro)
+        } // else: late partial for an already-folded hour — dropped
       }
       val open = hourSums.keys().toSeq.sorted
       if (open.length <= 1) return Iterator.empty
       val out = scala.collection.mutable.ArrayBuffer.empty[AdwinPoint]
       var bs: AdwinKernel.Buckets = buckets.get().toVector
       var n = Option(seen.get()).getOrElse(0L)
+      var lastClosed = Long.MinValue
       open.dropRight(1).foreach { bucket =>
         val x = hourSums.getValue(bucket) / 1e6
         val (nbs, dropped) = AdwinKernel.step(bs, x, delta)
@@ -305,9 +326,11 @@ object Streams3 {
         out += AdwinPoint(n, r6(x), w,
           r6(AdwinKernel.total(bs) / w), dropped, dropped > 0)
         hourSums.removeKey(bucket)
+        lastClosed = bucket
       }
       buckets.put(bs.toArray)
       seen.update(n)
+      if (lastClosed != Long.MinValue) frontier.update(lastClosed)
       out.iterator
     }
   }

@@ -154,12 +154,11 @@ class PlanSpec extends SparkTestBase {
       "llm_tfidf_topterms",
       // 1-row decimal-total broadcasts (corpus token count / weight sum)
       "llm_unigram_logprob", "llm_temperature_mix",
-      // same 1-row corpus-token-total broadcast as llm_unigram_logprob
-      // (the LM it shares — see Llm13.minKProb)
-      "llm_min_k_prob",
-      // same 1-row corpus-token-total broadcast as llm_unigram_logprob
-      // (plus the 5-row per-language tertile-cut broadcast)
-      "llm_ccnet_ppl_buckets",
+      // both reuse llm_unigram_logprob's 1-row corpus-token-total
+      // broadcast (the LM they share — see Llm13.minKProb);
+      // llm_ccnet_ppl_buckets adds the 5-row per-language
+      // tertile-cut broadcast
+      "llm_min_k_prob", "llm_ccnet_ppl_buckets",
       // 1-row train-corpus-total broadcast (N of the unigram rung); the
       // four LM tables themselves join as broadcast HASH joins
       "llm_stupid_backoff",
