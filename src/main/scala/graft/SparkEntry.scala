@@ -36,11 +36,13 @@ object SparkEntry {
       ops.Llm12.queries ++
       ops.Llm13.queries ++
       ops.Llm14.queries ++
+      ops.Llm15.queries ++
       ops.Mm2.queries ++
       ops.Mm3.queries ++
       ops.Mm4.queries ++
       ops.Mm5.queries ++
       ops.Mm6.queries ++
+      ops.Mm7.queries ++
       ops.Warehouse5.queries ++
       ops.Warehouse6.queries ++
       ops.Layout.queries ++
@@ -81,11 +83,13 @@ object SparkEntry {
       ops.Llm12.oracles ++
       ops.Llm13.oracles ++
       ops.Llm14.oracles ++
+      ops.Llm15.oracles ++
       ops.Mm2.oracles ++
       ops.Mm3.oracles ++
       ops.Mm4.oracles ++
       ops.Mm5.oracles ++
       ops.Mm6.oracles ++
+      ops.Mm7.oracles ++
       ops.Warehouse5.oracles ++
       ops.Warehouse6.oracles ++
       ops.Layout.oracles ++

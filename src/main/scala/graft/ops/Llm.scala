@@ -636,11 +636,13 @@ object Llm {
     * (weights derived from h48, portable to the oracle), bucket = 6-bit
     * signature; candidates share the bucket (equi-join — the scale path),
     * exact cosine re-rank inside the bucket. */
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    // Hyperplane weights are data-independent → computed once on the driver
-    // (via the JVM h48 twin, bit-identical to the oracle's md5 fold — see
-    // OperatorSpec) and embedded as literals: no per-row md5 in the scan,
-    // and at cluster scale the planes ship inside the serialized plan.
+  /** The LSH-bucketed embedding frame (vec_id, embedding, nrm, bucket) —
+    * shared by [[annLsh]] and Llm15's recall audit. Hyperplane weights
+    * are data-independent → computed once on the driver (via the JVM h48
+    * twin, bit-identical to the oracle's md5 fold — see OperatorSpec)
+    * and embedded as literals: no per-row md5 in the scan, and at
+    * cluster scale the planes ship inside the serialized plan. */
+  private[ops] def lshFrame(spark: SparkSession, dir: String): DataFrame = {
     def hyperWeight(j: Int, d: Int): Column =
       lit((graft.Tables.h48jvm(s"${j}_$d") % 2001L - 1000L).toDouble)
     def hyperDot(j: Int): Column =
@@ -649,8 +651,11 @@ object Llm {
     val bucketCol = (0 until 6)
       .map(j => when(hyperDot(j) >= 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
+    withNorm(embeddings(spark, dir)).withColumn("bucket", bucketCol)
+  }
 
-    val e = withNorm(embeddings(spark, dir)).withColumn("bucket", bucketCol)
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = lshFrame(spark, dir)
     val q = e.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
         col("nrm").as("qnrm"), col("bucket"))

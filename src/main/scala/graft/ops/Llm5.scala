@@ -225,7 +225,7 @@ object Llm5 {
   /** DuckDB twins: same subspace slicing, same left-to-right double
     * arithmetic (`snn - 2*dot + cnn`), same 6-dp rounding before
     * argmin/rank, same decimal-quantized ADC sum. */
-  private val subSql =
+  private[ops] val subSql =
     s"""sub AS (SELECT vec_id, label, ss.s AS s,
           list_transform(range(1, ${Dsub + 1}),
             d -> CAST(embedding[ss.s * $Dsub + d] AS DOUBLE)) AS sv
@@ -252,7 +252,7 @@ object Llm5 {
   /** The IVF probe as DuckDB CTEs — text-identical math to the
     * `llm_ivf_ann` oracle in [[Llm2]] (decimal-mean centroids, 6-dp
     * rounded cosine, label-asc tiebreak). Ends in `probed(qid, cell)`. */
-  private val ivfProbeSql =
+  private[ops] val ivfProbeSql =
     s"""ex AS (SELECT label, vec_id,
             CAST(unnest(embedding) AS DOUBLE) AS x,
             CAST(unnest(range(0, len(embedding))) AS INT) AS pos

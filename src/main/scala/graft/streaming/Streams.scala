@@ -337,6 +337,20 @@ object Streams {
   def intervalJoinLeftOuter(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     intervalJoin(events, watermark, "left_outer")
 
+  /** C6 variant — FULL OUTER stream-stream interval join (round 16,
+    * VERDICT r15 #5 — the remaining outer streaming mode beside the
+    * LEFT form above): BOTH sides null-emit on watermark eviction. A
+    * click with no purchase in its 15-minute window emits
+    * (click, null); a purchase with no click in the 15 minutes BEFORE
+    * it emits (null, purchase) — each only once the watermark proves
+    * no future partner can arrive, the eviction bound the engine
+    * derives per side from the same time-range conjunct (clicks wait
+    * out [c_ts, c_ts+15m], purchases wait out [p_ts−15m, p_ts]).
+    * StreamingSpec pins all three emission classes across micro-batch
+    * boundaries. */
+  def intervalJoinFullOuter(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    intervalJoin(events, watermark, "full_outer")
+
   /** C7 streaming side — stream-static broadcast join (Flink
     * BroadcastProcessFunction analogue): enrich the unbounded stream
     * against a bounded dimension. The static side is broadcast per

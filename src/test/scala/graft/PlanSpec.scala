@@ -136,6 +136,10 @@ class PlanSpec extends SparkTestBase {
     // matrix, bounded query-set similarity scans, k-row centroid probes.
     val allowed = Set("join_theta_price_band", "scalar_string_distance",
       "llm_ivf_ann", "llm_kmeans_step",
+      // the exact-baseline row's scan-cost count: corpus x the 5-row
+      // broadcast query frame (|Q| bounded by the simTopk contract),
+      // plus the inherited ivfProbe k-row centroid probe
+      "llm_ann_recall",
       // per-round 1-row median/MAD broadcasts over the calendar-bounded
       // surviving day frame (see Audit.esdResidual)
       "anomaly_esd_residual",

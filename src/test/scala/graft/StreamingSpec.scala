@@ -349,6 +349,44 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("C6 streaming: FULL OUTER interval join emits matched, left-null AND right-null rows") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ms = MemoryStream[Event]
+    val q = runToTable(Streams.intervalJoinFullOuter(ms.toDF()), "ijfo", "append")
+    try {
+      ms.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "click", 1.0), // matched within 15min
+        ev(2, "2024-01-01 10:10:00", 1, "purchase", 5.0),
+        ev(3, "2024-01-01 10:01:00", 2, "click", 1.0)) // no purchase follows
+      q.processAllAvailable()
+      // purchase with no click in the 15 minutes BEFORE it — the
+      // right-null class the LEFT form cannot emit; lands in a LATER
+      // micro-batch so the match-scan and eviction cross batch bounds
+      ms.addData(ev(4, "2024-01-01 11:00:00", 3, "purchase", 7.0))
+      q.processAllAvailable()
+      // advance BOTH sides' watermarks past every open eviction bound
+      // (click 3 waits out 10:16+delay, purchase 4 waits out 11:00+delay),
+      // then one more batch for the state-eviction emission pass
+      ms.addData(ev(9, "2024-01-01 13:00:00", 9, "click", 0.0),
+        ev(10, "2024-01-01 13:01:00", 8, "purchase", 0.0))
+      q.processAllAvailable()
+      ms.addData(ev(11, "2024-01-01 14:00:00", 9, "click", 0.0),
+        ev(12, "2024-01-01 14:01:00", 8, "purchase", 0.0))
+      q.processAllAvailable()
+      val pairs = spark.table("ijfo").select($"click_id", $"purchase_id")
+        .as[(Option[Long], Option[Long])].collect().toSet
+      // click 9 (window end 13:15) is also behind the final watermark →
+      // left-null; purchase 10 likewise right-null; 11/12 stay in state
+      assert(pairs === Set(
+        (Some(1L), Some(2L)),  // matched
+        (Some(3L), None),      // left-null: click never purchased-after
+        (None, Some(4L)),      // right-null: purchase never clicked-before
+        (Some(9L), None), (None, Some(10L))))
+    } finally q.stop()
+  }
+
   test("chained stateful operators in one query: watermarked dedup then windowed count") {
     val s = spark
     import s.implicits._
