@@ -32,10 +32,10 @@ import org.apache.spark.sql.functions._
   */
 object Llm {
 
-  private val P = 1000000007L
+  private[ops] val P = 1000000007L
   /** MinHash affine-permutation multipliers (k=8) and offsets. */
-  private val MinhashA = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L)
-  private def minhashB(i: Int): Long = 1000003L * (i + 1)
+  private[ops] val MinhashA = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L)
+  private[ops] def minhashB(i: Int): Long = 1000003L * (i + 1)
 
   private def wordsCol: Column = split(col("text"), " ")
 

@@ -35,6 +35,10 @@ object Llm15 {
 
   private val K = 5 // retrieval depth AND |Q| (queries = vec_id < 5)
 
+  /** Ground-truth stop-shingle document-frequency cap — see
+    * [[bandAudit]]'s scaladoc for the measured rationale. */
+  private[graft] val StopShingleDf = 8
+
   private def top5(scored: DataFrame, ord: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(ord: _*)
     scored.withColumn("rn", row_number().over(w)).where(col("rn") <= K)
@@ -116,8 +120,113 @@ object Llm15 {
       .orderBy("method")
   }
 
+  /** L399 — LSH banding-parameter audit over the SHARED k=8 MinHash
+    * signatures (Leskovec, Rajaraman & Ullman, MMDS ch. 3 — the (b, r)
+    * S-curve every dedup deployment tunes: P(candidate | s) =
+    * 1 − (1 − sʳ)ᵇ with midpoint s* = (1/b)^(1/r)): the four ways to
+    * band 8 minhashes — (8,1), (4,2), (2,4), (1,8) — each swept for
+    * candidate volume (the COST), recall and precision against the
+    * corpus's exact-Jaccard ground truth. Ground truth is planted and
+    * clean: the fixture's shingle-Jaccard pair landscape is bimodal
+    * (28 near-dup pairs ≥ 0.8, ~12k background pairs < 0.2, nothing
+    * between at any SF), so "true pair" ⟺ Jaccard ≥ 0.5 with wide
+    * margins on both sides — no boundary float risk. s* midpoints are
+    * JVM-precomputed round-6 literals shared with the oracle (the
+    * BhCrit convention — no cross-engine pow). Scale shape: signatures
+    * are the one corpus aggregate (reused across configs); candidates
+    * are bucket-collision pairs per config (the L23 discipline); the
+    * ground-truth join is stop-shingle-capped (below) — never
+    * all-pairs.
+    *
+    * STOP-SHINGLE CAP (the measured scale fix): the naive ground-truth
+    * self-join on raw shingles is NOT collision-proportional on a
+    * saturated-vocabulary corpus — at sf0.1 the median shingle sits in
+    * 9 documents and Σ C(df, 2) reaches 1.27 M pairs (measured; 15 k at
+    * sf0.001 — quadratic in corpus size). Ground truth therefore uses
+    * INFORMATIVE shingles only (document frequency ≤ [[StopShingleDf]]
+    * — the boilerplate cut every production shingle-dedup applies),
+    * bounding per-shingle pair volume at C(8,2) = linear in distinct
+    * shingles at ANY corpus size (195 k at sf0.1, 6.5× less). Measured
+    * semantics cost: ZERO at the correctness gate (max df at sf0.01 is
+    * 7 — the cap is inert there, and at sf0.001 the 28-pair truth set
+    * is IDENTICAL with and without the cut, which Round16cSpec's
+    * uncapped brute-force equality pins); near-identical replicas
+    * share their rare shingles, so informative-Jaccard keeps them. The
+    * per-config rows carry `n_stop_shingles` so the cut is visible in
+    * the output, not silent. Signatures/candidates are untouched — the
+    * production MinHash path hashes ALL shingles.
+    *
+    * Cost (measured sf0.1, local[32]): 4.3 s/rep — an audit-tier
+    * superset of llm_dedup_near's 2.0 s (same signature kernel, but
+    * FOUR band configurations instead of one, plus the exact
+    * ground-truth pass); run at tuning cadence, not per-batch. */
+  def bandAudit(spark: SparkSession, dir: String): DataFrame = {
+    val configs = Seq((8, 1), (4, 2), (2, 4), (1, 8))
+    val sigs = Llm.minhashSigs(spark, dir).localCheckpoint(true)
+
+    // exact-Jaccard ground truth over distinct INFORMATIVE 3-word shingles
+    val sh = documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(ws) - 2), " +
+          "i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"))).as("s"))
+      .localCheckpoint(true) // consumed by dfreq AND both shi self-join sides
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val shi = sh.join(dfreq.where(col("df") <= StopShingleDf), "s")
+      .select(col("doc_id"), col("s"))
+    val nStop = dfreq.where(col("df") > StopShingleDf)
+      .agg(count(lit(1)).as("n_stop_shingles"))
+    val cnt = shi.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val truePairs = shi.as("a").join(shi.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("ix"))
+      .join(cnt.select(col("doc_id").as("doc1"), col("n").as("na")), "doc1")
+      .join(cnt.select(col("doc_id").as("doc2"), col("n").as("nb")), "doc2")
+      .where(col("ix").cast("double") /
+        (col("na") + col("nb") - col("ix")).cast("double") >= 0.5)
+      .select(col("doc1"), col("doc2"))
+      .localCheckpoint(true)
+
+    def configRow(b: Int, r: Int): DataFrame = {
+      val bandsCol = array((0 until b).map { j =>
+        struct(lit(j).as("band"),
+          concat_ws("_", (0 until r).map(i => col(s"m${j * r + i}")): _*).as("sig"))
+      }: _*)
+      val cand = sigs.select(col("doc_id"), explode(bandsCol).as("bd"))
+        .select(col("doc_id"), col("bd.band").as("band"), col("bd.sig").as("sig"))
+        .groupBy("band", "sig")
+        .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+        .where(size(col("ids")) > 1)
+        .select(explode(expr(
+          "flatten(transform(ids, (x, i) -> " +
+            "transform(slice(ids, i + 2, size(ids)), " +
+            "y -> struct(x AS doc1, y AS doc2))))")).as("p"))
+        .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
+        .distinct()
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      val nTrue = truePairs.agg(count(lit(1)).as("n_true"))
+      val nDet = cand.join(truePairs, Seq("doc1", "doc2"))
+        .agg(count(lit(1)).as("n_detected"))
+      val sStar = BigDecimal(math.pow(1.0 / b, 1.0 / r))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      nCand.crossJoin(nTrue).crossJoin(nDet).crossJoin(nStop)
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          lit(sStar).as("s_star"), col("n_candidates"), col("n_true"),
+          col("n_detected"), col("n_stop_shingles"),
+          round(col("n_detected").cast("double") / col("n_true"), 6).as("recall"),
+          when(col("n_candidates") > 0,
+            round(col("n_detected").cast("double") / col("n_candidates"), 6))
+            .otherwise(lit(null).cast("double")).as("precision"))
+    }
+    configs.map { case (b, r) => configRow(b, r) }
+      .reduce(_ unionAll _).orderBy(col("bands").desc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ann_recall" -> (annRecall _),
+    "llm_dedup_band_audit" -> (bandAudit _),
   )
 
   // ---------- DuckDB oracle: the four index oracles' CTEs composed ----
@@ -139,7 +248,60 @@ object Llm15 {
         GROUP BY 1) h USING (qid)
       LEFT JOIN (SELECT qid, COUNT(*) AS ncand FROM $cand GROUP BY 1) nc USING (qid)"""
 
+  private def bandAuditOracle: String = {
+    val mins = Llm.MinhashA.zipWithIndex.map { case (a, i) =>
+      s"MIN((c*$a + ${Llm.minhashB(i)}) % ${Llm.P}) AS m$i"
+    }.mkString(", ")
+    def cfg(b: Int, r: Int): String = {
+      val bandSelects = (0 until b).map { j =>
+        val sig = (0 until r).map(i => s"CAST(m${j * r + i} AS VARCHAR)")
+          .mkString(" || '_' || ")
+        s"SELECT doc_id, $j AS band, $sig AS sig FROM m"
+      }.mkString(" UNION ALL ")
+      val sStar = BigDecimal(math.pow(1.0 / b, 1.0 / r))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+          $sStar AS s_star,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+            SELECT DISTINCT b1.doc_id, b2.doc_id FROM ($bandSelects) b1
+            JOIN ($bandSelects) b2 ON b1.band = b2.band AND b1.sig = b2.sig
+              AND b1.doc_id < b2.doc_id)) AS n_candidates,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM tp) AS n_true,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+            SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
+            FROM ($bandSelects) b1 JOIN ($bandSelects) b2
+              ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id)
+            cd JOIN tp ON cd.doc1 = tp.doc1 AND cd.doc2 = tp.doc2) AS n_detected"""
+    }
+    val rows = Seq((8, 1), (4, 2), (2, 4), (1, 8)).map { case (b, r) => cfg(b, r) }
+      .mkString("\n UNION ALL ")
+    s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents
+          WHERE len(string_split(text,' ')) >= 3),
+        sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1),
+          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s FROM w),
+        h AS (SELECT doc_id, ${graft.Tables.h48Sql("s")} AS c FROM sh),
+        m AS MATERIALIZED (SELECT doc_id, $mins FROM h GROUP BY doc_id),
+        dfq AS MATERIALIZED (SELECT s, CAST(COUNT(*) AS BIGINT) AS df
+          FROM sh GROUP BY 1),
+        shi AS MATERIALIZED (SELECT doc_id, sh.s FROM sh
+          JOIN dfq ON dfq.s = sh.s AND dfq.df <= 8),
+        cnts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shi GROUP BY 1),
+        inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+            CAST(COUNT(*) AS BIGINT) AS ix
+          FROM shi a JOIN shi b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        tp AS MATERIALIZED (SELECT doc1, doc2 FROM inter
+          JOIN cnts ca ON ca.doc_id = doc1 JOIN cnts cb ON cb.doc_id = doc2
+          WHERE ix * 1.0 / (ca.n + cb.n - ix) >= 0.5)
+      SELECT bands, rows_per_band, s_star, n_candidates, n_true, n_detected,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM dfq WHERE df > 8) AS n_stop_shingles,
+        round(n_detected * 1.0 / n_true, 6) AS recall,
+        CASE WHEN n_candidates > 0
+          THEN round(n_detected * 1.0 / n_candidates, 6) END AS precision
+      FROM ($rows) ORDER BY bands DESC"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "llm_dedup_band_audit" -> bandAuditOracle,
     "llm_ann_recall" -> {
       val hw = s"(${graft.Tables.h48Sql("(j || '_' || i)")} % 2001 - 1000)"
       s"""WITH ${Llm5.subSql},

@@ -140,6 +140,9 @@ class PlanSpec extends SparkTestBase {
       // broadcast query frame (|Q| bounded by the simTopk contract),
       // plus the inherited ivfProbe k-row centroid probe
       "llm_ann_recall",
+      // per-config 1-row count crosses (n_candidates x n_true x
+      // n_detected) assembling each audit row — the graph_rich_club shape
+      "llm_dedup_band_audit",
       // per-round 1-row median/MAD broadcasts over the calendar-bounded
       // surviving day frame (see Audit.esdResidual)
       "anomaly_esd_residual",
