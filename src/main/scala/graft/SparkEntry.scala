@@ -37,6 +37,7 @@ object SparkEntry {
       ops.Llm13.queries ++
       ops.Llm14.queries ++
       ops.Llm15.queries ++
+      ops.Llm16.queries ++
       ops.Mm2.queries ++
       ops.Mm3.queries ++
       ops.Mm4.queries ++
@@ -84,6 +85,7 @@ object SparkEntry {
       ops.Llm13.oracles ++
       ops.Llm14.oracles ++
       ops.Llm15.oracles ++
+      ops.Llm16.oracles ++
       ops.Mm2.oracles ++
       ops.Mm3.oracles ++
       ops.Mm4.oracles ++

@@ -110,10 +110,15 @@ object Llm11 {
     * broadcast-joinable lookup against the per-(lang, word) count
     * frame — at 100 TB the corpus scan is the cost, the tokenizer
     * table rides the shuffle-free side. */
-  def bpeTokenize(spark: SparkSession, dir: String): DataFrame = {
-    val segN = learn(spark, dir)._2
+  /** The learned five-merge segmentation at word grain (word, n_sym) —
+    * consumed by [[bpeTokenize]] and Llm16's tokenizer bakeoff. */
+  private[ops] def segN(spark: SparkSession, dir: String): DataFrame =
+    learn(spark, dir)._2
       .select(col("word"),
         (size(split(col("s"), Sep)) - 1).cast("long").as("n_sym"))
+
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    val segN = this.segN(spark, dir)
     val byLang = documents(spark, dir)
       .select(col("lang"), explode(split(col("text"), " ")).as("word"))
       .where(length(col("word")) > 0)
@@ -136,6 +141,18 @@ object Llm11 {
   /** One BPE iteration as a DuckDB CTE block: pairs from seg$p, the
     * arg-max row b$k, the merged segmentation seg$k, and the post-merge
     * token count n$k. */
+  /** The five unrolled BPE oracle blocks + the final (word, n_sym)
+    * table — shared with Llm16's bakeoff oracle. Defines seg0..seg5,
+    * p1..5, b1..5, n1..5, segn; assumes a `wc` CTE in scope. */
+  private[ops] def bpeChainSql: String =
+    s"""seg0 AS (SELECT word, cnt,
+           regexp_replace(word, '(.)', chr(1) || '\\1', 'g') AS s
+         FROM wc),
+       ${(1 to 5).map(bpeStepSql).mkString(",\n")},
+       segn AS (SELECT word,
+           CAST(len(string_split(s, chr(1))) - 1 AS BIGINT) AS n_sym
+         FROM seg5)"""
+
   private def bpeStepSql(k: Int): String = {
     val p = k - 1
     s"""p$k AS (SELECT pr.a AS a, pr.b AS b, CAST(SUM(cnt) AS BIGINT) AS pcnt

@@ -265,14 +265,21 @@ object Llm14 {
          WHERE len(piece) > 0 GROUP BY 1)"""
   }
 
+  /** The word-count CTE both tokenizer chains (and Llm16's bakeoff)
+    * share. */
+  private[ops] val wcSql: String =
+    """wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         WHERE len(word) > 0 GROUP BY 1)"""
+
   /** The shared training prefix: word counts, seed substring counts,
     * vocab-0 selection + costs, round-1 DP, prune, vocab-1 costs,
-    * round-2 DP. */
-  private def trainSql: String =
-    s"""wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
-         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-         WHERE len(word) > 0 GROUP BY 1),
-       subs AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS c FROM
+    * round-2 DP. [[trainSqlBody]] is the same chain WITHOUT the leading
+    * `wc` (for composition where `wc` is already in scope). */
+  private def trainSql: String = s"$wcSql,\n       $trainSqlBody"
+
+  private[ops] def trainSqlBody: String =
+    s"""subs AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS c FROM
            (SELECT substr(word, j, l) AS piece, cnt FROM
              (SELECT word, cnt, j,
                  unnest(range(1, least($MaxPieceLen, len(word) - j + 1) + 1)) AS l

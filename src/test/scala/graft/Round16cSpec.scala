@@ -43,4 +43,30 @@ class Round16cSpec extends SparkTestBase {
     }
     assert(rows.head._5 === nTrue, "oracle ground-truth pair count diverged")
   }
+
+  test("tokenizer bakeoff: totals cross-pin the BPE and unigram keys; winner is the integer verdict") {
+    val bake = SparkEntry.queries("llm_tokenizer_bakeoff")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(6)))
+    assert(bake.length === 5) // the five fixture languages
+    // per-language BPE totals must equal llm_bpe_tokenize's n_tokens —
+    // the bakeoff reads the SAME learned segmentation
+    val bpeTok = SparkEntry.queries("llm_bpe_tokenize")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    bake.foreach { case (lang, nWords, bpeT, _, _) =>
+      assert((nWords, bpeT) === bpeTok(lang), s"$lang BPE totals diverged")
+    }
+    // corpus-wide unigram total must equal llm_unigram_loss round 2's
+    // n_tokens (same round-2 segmentation, summed over languages)
+    val uniTotal = SparkEntry.queries("llm_unigram_loss")(spark, sf0001)
+      .collect().find(_.getLong(0) == 2L).get.getLong(2)
+    assert(bake.map(_._4).sum === uniTotal, "unigram totals diverged")
+    // winner is decided on integers, and on this corpus the unigram
+    // model's richer 25-piece-or-so vocabulary beats five BPE merges
+    bake.foreach { case (lang, _, bpeT, uniT, winner) =>
+      val want = if (bpeT < uniT) "bpe" else if (bpeT > uniT) "unigram" else "tie"
+      assert(winner === want, s"$lang winner")
+      assert(winner === "unigram", s"$lang: five merges cannot out-compress 2-round EM here")
+    }
+  }
 }
