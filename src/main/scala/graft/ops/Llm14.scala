@@ -72,8 +72,11 @@ object Llm14 {
     }
   }
 
-  /** Spark SQL text of [[qlogJvm]] over expression `x` (a BIGINT ≥ 0). */
-  private def qlogSpark(x: String): String =
+  /** Spark SQL text of [[qlogJvm]] over expression `x` (a BIGINT ≥ 0).
+    * Exposed to Round16Spec so the JVM/Spark parity test pins THIS
+    * definition rather than a drift-prone pasted copy (round-17
+    * ADVICE). */
+  private[graft] def qlogSpark(x: String): String =
     s"((length(bin($x)) - 1) * 64 + (CASE WHEN length(bin($x)) - 1 <= 6 " +
       s"THEN CAST(shiftleft($x, 6 - (length(bin($x)) - 1)) AS BIGINT) " +
       s"ELSE CAST(shiftright($x, (length(bin($x)) - 1) - 6) AS BIGINT) END) - 64)"
@@ -266,9 +269,17 @@ object Llm14 {
   }
 
   /** The word-count CTE both tokenizer chains (and Llm16's bakeoff)
-    * share. */
+    * share. Fail-loud bound guard (round-17 ADVICE): the oracle DP
+    * unrolls one block per character position up to [[OracleMaxLen]],
+    * so a longer word would silently vanish from the `r{r}best` UNION
+    * and surface only as an opaque hash mismatch — instead the `cnt`
+    * column divides by zero the moment such a word exists, mirroring
+    * the engine's boundedCollect fail-loud convention. (The ENGINE
+    * itself handles any length.) */
   private[ops] val wcSql: String =
-    """wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+    s"""wc AS (SELECT word,
+           CAST(COUNT(*) AS BIGINT)
+             // (CASE WHEN len(word) > $OracleMaxLen THEN 0 ELSE 1 END) AS cnt
          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
          WHERE len(word) > 0 GROUP BY 1)"""
 

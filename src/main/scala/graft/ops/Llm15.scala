@@ -284,7 +284,7 @@ object Llm15 {
         dfq AS MATERIALIZED (SELECT s, CAST(COUNT(*) AS BIGINT) AS df
           FROM sh GROUP BY 1),
         shi AS MATERIALIZED (SELECT doc_id, sh.s FROM sh
-          JOIN dfq ON dfq.s = sh.s AND dfq.df <= 8),
+          JOIN dfq ON dfq.s = sh.s AND dfq.df <= $StopShingleDf),
         cnts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shi GROUP BY 1),
         inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
             CAST(COUNT(*) AS BIGINT) AS ix
@@ -293,7 +293,7 @@ object Llm15 {
           JOIN cnts ca ON ca.doc_id = doc1 JOIN cnts cb ON cb.doc_id = doc2
           WHERE ix * 1.0 / (ca.n + cb.n - ix) >= 0.5)
       SELECT bands, rows_per_band, s_star, n_candidates, n_true, n_detected,
-        (SELECT CAST(COUNT(*) AS BIGINT) FROM dfq WHERE df > 8) AS n_stop_shingles,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM dfq WHERE df > $StopShingleDf) AS n_stop_shingles,
         round(n_detected * 1.0 / n_true, 6) AS recall,
         CASE WHEN n_candidates > 0
           THEN round(n_detected * 1.0 / n_candidates, 6) END AS precision

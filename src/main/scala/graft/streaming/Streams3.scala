@@ -211,7 +211,10 @@ object Streams3 {
 
     override def handleInputRows(key: Long, rows: Iterator[HourPoint],
         timerValues: streaming.TimerValues): Iterator[PhPoint] = {
-      val closed = Option(frontier.get()).getOrElse(Long.MinValue)
+      // exists() guard: ValueState[Long].get() on absent state returns a
+      // null that primitive unboxing turns into 0L, so Option(get()) can
+      // never yield the MinValue default (round-17 ADVICE)
+      val closed = if (frontier.exists()) frontier.get() else Long.MinValue
       rows.foreach { p =>
         if (p.bucket_us > closed) {
           val cur = if (hourSums.containsKey(p.bucket_us))
@@ -303,7 +306,10 @@ object Streams3 {
 
     override def handleInputRows(key: Long, rows: Iterator[HourPoint],
         timerValues: streaming.TimerValues): Iterator[AdwinPoint] = {
-      val closed = Option(frontier.get()).getOrElse(Long.MinValue)
+      // exists() guard: ValueState[Long].get() on absent state returns a
+      // null that primitive unboxing turns into 0L, so Option(get()) can
+      // never yield the MinValue default (round-17 ADVICE)
+      val closed = if (frontier.exists()) frontier.get() else Long.MinValue
       rows.foreach { p =>
         if (p.bucket_us > closed) {
           val cur = if (hourSums.containsKey(p.bucket_us))

@@ -16,10 +16,8 @@ class Round16Spec extends SparkTestBase {
     val vals = Seq(0L, 1L, 2L, 3L, 63L, 64L, 65L, 127L, 128L, 129L, 255L,
       256L, 1000L, 1000000L, (1L << 40) - 1, 1L << 40, (1L << 40) + 12345,
       Long.MaxValue)
-    val sql = vals.toDF("x").selectExpr("x",
-      "((length(bin(x)) - 1) * 64 + (CASE WHEN length(bin(x)) - 1 <= 6 " +
-        "THEN CAST(shiftleft(x, 6 - (length(bin(x)) - 1)) AS BIGINT) " +
-        "ELSE CAST(shiftright(x, (length(bin(x)) - 1) - 6) AS BIGINT) END) - 64) AS q")
+    // pin the engine's actual shared SQL text, not a pasted copy
+    val sql = vals.toDF("x").selectExpr("x", ops.Llm14.qlogSpark("x") + " AS q")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     vals.foreach { v =>
       assert(sql(v) === ops.Llm14.qlogJvm(v), s"qlog($v)")
