@@ -32,4 +32,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Extra JVM flags for forked runs/tests (e.g. code-cache sizing
+  // experiments: SPARK_GRAFT_XJVM="-XX:ReservedCodeCacheSize=512m")
+  sys.env.get("SPARK_GRAFT_XJVM").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -48,14 +48,20 @@ object Bench {
 
   /** Per-query outcome: best wall time plus the shuffle/spill bytes of the
     * best-timed rep (bytes are plan-deterministic, so any rep's value would
-    * do; tying them to the reported rep keeps the artifact self-consistent). */
+    * do; tying them to the reported rep keeps the artifact self-consistent).
+    * `jitMs` is the JIT-compiler time (CompilationMXBean delta) spent
+    * across ALL of the query's reps — the round-17 attribution channel for
+    * the suite-scale re-JIT churn VERDICT r16 measured: a key whose wall
+    * time balloons under load with unchanged shuffle bytes and a large
+    * jitMs is paying compilation, not data motion. */
   final case class QueryStat(
       sec: Double,
       shuffleReadMb: Double,
       shuffleWriteMb: Double,
       spillDiskMb: Double,
       spillMemMb: Double,
-      reps: Int)
+      reps: Int,
+      jitMs: Long = 0L)
 
   /** Task-end tally of shuffle/spill bytes. Registered once per bench (or
     * test) run; per-query attribution is snapshot deltas with a listener-bus
@@ -98,6 +104,27 @@ object Bench {
 
   private def mb(bytes: Long): Double = bytes / 1048576.0
 
+  /** Code-cache pool usage/max (MB) at call time — the direct
+    * confirm/refute channel for code-cache pressure (round-17: a pool at
+    * its max with UseCodeCacheFlushing on means compiled methods are
+    * being evicted and re-JIT'd, the churn VERDICT r16 root-caused).
+    * JDK 17 segments the cache into three CodeHeap pools; pre-segmented
+    * JVMs report one "Code Cache" pool — both name forms are matched. */
+  private[graft] def codeCacheJson(): String = {
+    import scala.jdk.CollectionConverters._
+    val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+      .asScala.filter(p => p.getName.contains("CodeHeap") ||
+        p.getName.contains("Code Cache"))
+    val body = pools.map { p =>
+      val u = p.getUsage
+      val pk = p.getPeakUsage // high-water mark — eviction evidence even
+      // when end-of-run usage has dropped back below max
+      val name = p.getName.replace("'", "").replace(" ", "_").toLowerCase
+      s""""$name":{"used_mb":${fmt(mb(u.getUsed))},"peak_mb":${fmt(mb(pk.getUsed))},"max_mb":${fmt(mb(u.getMax))}}"""
+    }.mkString(",")
+    s"{$body}"
+  }
+
   /** Compatibility wrapper: seconds-only view of [[timeQueriesDetailed]]. */
   def timeQueries(
       spark: SparkSession,
@@ -126,6 +153,12 @@ object Bench {
     val sc = spark.sparkContext
     val tally = new ShuffleTally
     sc.addSparkListener(tally)
+    // local-mode executors share the driver JVM, so the bean sees ALL
+    // compilation the query triggers (compiler-thread ms, cumulative)
+    val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    def jitNow(): Long =
+      if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
+        jitBean.getTotalCompilationTime else 0L
     var errors = 0
     val results =
       try queries.map { case (name, fn) =>
@@ -134,13 +167,16 @@ object Bench {
         var worst = 0.0
         var failed = false
         var done = 0
+        var jitMs = 0L
         def runRep(): Unit = {
           ListenerBridge.flush(sc)
           val (r0, w0, d0, m0) = tally.snapshot()
+          val j0 = jitNow()
           val t0 = System.nanoTime()
           try fn(spark, sfDir).count()
           catch { case _: Throwable => failed = true }
           val dt = (System.nanoTime() - t0) / 1e9
+          jitMs += jitNow() - j0
           ListenerBridge.flush(sc)
           val (r1, w1, d1, m1) = tally.snapshot()
           // a failing rep's duration must never become the query's timing
@@ -160,7 +196,7 @@ object Bench {
         // one was hit by a load spike — take one more before trusting min
         if (!failed && done >= 2 && best > 0 && worst / best > retryRatio) runRep()
         if (failed) errors += 1
-        name -> bestStat.copy(sec = best, reps = done)
+        name -> bestStat.copy(sec = best, reps = done, jitMs = jitMs)
       }
       finally sc.removeSparkListener(tally)
     (results, errors)
@@ -207,6 +243,7 @@ object Bench {
           ", \"shuffle_write_mb\": " + fmt(s.shuffleWriteMb) +
           ", \"spill_disk_mb\": " + fmt(s.spillDiskMb) +
           ", \"spill_mem_mb\": " + fmt(s.spillMemMb) +
+          ", \"jit_ms\": " + s.jitMs +
           ", \"reps\": " + s.reps + "}"
       }
       .mkString(",\n")
@@ -214,7 +251,9 @@ object Bench {
       s""""shuffle_read_mb":${fmt(stats.values.map(_.shuffleReadMb).sum)},""" +
       s""""shuffle_write_mb":${fmt(stats.values.map(_.shuffleWriteMb).sum)},""" +
       s""""spill_disk_mb":${fmt(stats.values.map(_.spillDiskMb).sum)},""" +
-      s""""spill_mem_mb":${fmt(stats.values.map(_.spillMemMb).sum)}"""
+      s""""spill_mem_mb":${fmt(stats.values.map(_.spillMemMb).sum)},""" +
+      s""""jit_total_ms":${stats.values.map(_.jitMs).sum},""" +
+      s""""code_cache":${codeCacheJson()}"""
     val hint = if (loadHint.isEmpty) "" else s"$loadHint,"
     s"""{"sf":"$sfDir","errors":$errors,"n_queries":${stats.size},$hint$totals,"queries":{\n$body\n}}"""
   }
@@ -225,6 +264,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the 381-query suite generates far more than the default 100
+      // codegen cache entries, so every rep regenerated + re-JIT-ed its
+      // classes (the r16 "re-JIT churn" tax); sized to hold the whole
+      // suite's generated classes (round-17 measurement in SURVEY §8r)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -48,10 +48,13 @@ object BenchOne {
         println(f"[benchone] $name rep$i: plan ${(t1 - t0) / 1e9}%.3f s, exec ${(t2 - t1) / 1e9}%.3f s, $n rows")
       }
     } else {
+      val jit = java.lang.management.ManagementFactory.getCompilationMXBean
       fn(spark, sfDir).count() // warmup
+      val j0 = jit.getTotalCompilationTime
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
-      println(f"[benchone] $name: ${(System.nanoTime() - t0) / 1e9}%.3f s, $n rows")
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[benchone] $name: $dt%.3f s, $n rows, jit ${jit.getTotalCompilationTime - j0} ms")
     }
     spark.stop()
   }

@@ -38,12 +38,15 @@ object SparkEntry {
       ops.Llm14.queries ++
       ops.Llm15.queries ++
       ops.Llm16.queries ++
+      ops.Llm17.queries ++
+      ops.Llm18.queries ++
       ops.Mm2.queries ++
       ops.Mm3.queries ++
       ops.Mm4.queries ++
       ops.Mm5.queries ++
       ops.Mm6.queries ++
       ops.Mm7.queries ++
+      ops.Mm8.queries ++
       ops.Warehouse5.queries ++
       ops.Warehouse6.queries ++
       ops.Layout.queries ++
@@ -86,12 +89,15 @@ object SparkEntry {
       ops.Llm14.oracles ++
       ops.Llm15.oracles ++
       ops.Llm16.oracles ++
+      ops.Llm17.oracles ++
+      ops.Llm18.oracles ++
       ops.Mm2.oracles ++
       ops.Mm3.oracles ++
       ops.Mm4.oracles ++
       ops.Mm5.oracles ++
       ops.Mm6.oracles ++
       ops.Mm7.oracles ++
+      ops.Mm8.oracles ++
       ops.Warehouse5.oracles ++
       ops.Warehouse6.oracles ++
       ops.Layout.oracles ++

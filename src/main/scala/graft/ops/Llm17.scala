@@ -1,0 +1,348 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Round-17 exact-substring dedup at SUFFIX-ARRAY grain (Lee et al. ACL
+  * 2022 "Deduplicating Training Data Makes Language Models Better" —
+  * their ExactSubstr deduper is built on a suffix array; the L358/L364
+  * shingle-grain family approximates it at 16-word resolution and
+  * cannot see a repeat shorter than the shingle). This file builds a
+  * GENERALIZED WORD-GRAIN SUFFIX ARRAY over the whole corpus by prefix
+  * doubling (Manber & Myers SIAM J. Comput. 1993; the log n
+  * rank/(rank, next-rank)/re-rank rounds), then reads two artifacts off
+  * it:
+  *
+  *   - `llm_suffix_lrs` — the longest repeated word sequence, both
+  *     anywhere and across two distinct documents. Both are EXACT: all
+  *     occurrences of a repeated string form a contiguous suffix-array
+  *     interval, so the maximum adjacent-pair LCP attains the longest
+  *     repeat, and an interval spanning ≥2 docs always contains an
+  *     ADJACENT pair from distinct docs (walk the interval until the
+  *     doc changes), so the cross-doc maximum is exact too.
+  *   - `llm_suffix_coverage` — per-doc duplicated-word coverage at
+  *     [[MinDupWords]]-word grain, strictly finer than the shingle
+  *     family: position q starts a duplicated T-gram iff its max
+  *     adjacent-suffix LCP ≥ T (the standard suffix-array duplicate
+  *     test), islands merge exactly as L358's spans do.
+  *
+  * Engine-stability design: every rank is an integer produced by a
+  * DENSE RANK over (prev-rank, next-rank) pairs, so the whole
+  * construction is bit-deterministic and engine-portable — no floats,
+  * no hashes (unlike the shingle family there are no collision
+  * caveats; this is the exact structure). Per-doc unique sentinel
+  * symbols (U+0001-prefixed, sorting below every real word) terminate
+  * each document, so no repeated prefix can cross a document boundary
+  * and a shorter suffix always sorts before its extensions.
+  *
+  * 100-TB shape: prefix doubling is the distributed-suffix-array
+  * construction precisely because each round is only (a) one
+  * equi-join on global position (gpos ↔ gpos+2^k) and (b) one dense
+  * rank — realized scalably as DISTINCT pairs → range-partitioned sort
+  * → `zipWithIndex` (the [[Er.windowPairs]] rank pattern, bit-equal to
+  * ROW_NUMBER) → join back; never a single-partition window. Rounds
+  * stop as soon as ranks are distinct — convergence at round m means
+  * NO repeat is ≥ 2^m words, so rounds track the longest repeat
+  * (log₂ LRS), not corpus size. Doc offsets come from [[PrefixScan]]
+  * (doc-count-grain driver traffic). The LCP of the N−1 adjacent pairs
+  * descends the kept rank levels greedily (rank_k equal ⇒ first 2^k
+  * words equal ⇒ extend by 2^k), two position-keyed joins per level.
+  * Everything shuffles on gpos or rank-pair keys — uniform by
+  * construction, no skew. */
+object Llm17 {
+
+  /** Doubling-round bound: the construction fails LOUDLY (rather than
+    * silently disagreeing with the fixed-unroll oracle) if ranks are
+    * still not distinct after RMax rounds — i.e. some repeat is
+    * ≥ 2^RMax = 4096 words, 40× the longest fixture document. */
+  private[graft] val RMax = 12
+
+  /** Coverage grain T: a position is duplicated if the T-gram starting
+    * there occurs ≥2 times corpus-wide. 4 words — a quarter of the
+    * shingle family's 16-word floor, so sub-shingle repeats (licence
+    * lines, short boilerplate) become visible. */
+  private[graft] val MinDupWords = 4
+
+  /** Sentinel key prefix — U+0001 sorts below every fixture word under
+    * the binary collation both engines use (the `Llm11.Sep` symbol). */
+  private val SentPrefix = "\u0001"
+
+  /** Distributed dense rank: DISTINCT keys → range-partitioned sort →
+    * zipWithIndex (+1 → 1-based like SQL DENSE_RANK) → join back.
+    * Deterministic because the keys are distinct; bit-equal to
+    * `dense_rank() OVER (ORDER BY keys)` under binary collation. */
+  private def denseRankOn(df: DataFrame, keys: Seq[String],
+      rankCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val dk = df.select(keys.map(col): _*).distinct()
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    val ranked = dk.repartitionByRange(parts, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+      .rdd.zipWithIndex.map { case (row, idx) =>
+        Row.fromSeq(row.toSeq :+ (idx + 1L)) }
+    val schema = dk.schema.add(rankCol, LongType, nullable = false)
+    df.join(spark.createDataFrame(ranked, schema), keys)
+  }
+
+  /** (gpos, doc_id, nw, pos, key0): every word position in the global
+    * doc-concatenation plus one sentinel per document (pos = nw,
+    * key0 = U+0001‖doc_id — unique, below all words). Offsets are
+    * exclusive running sums of (nw+1) in doc_id order via PrefixScan. */
+  private def positions(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("nw", size(col("ws")).cast("long"))
+    val (scanned, _) = PrefixScan(
+      docs.select(col("doc_id"), col("nw"), (col("nw") + 1).as("nw1")),
+      order = Seq("doc_id"), sumsLong = Seq("nw1" -> "cum"))
+    val offs = scanned.select(col("doc_id"),
+      (col("cum") - col("nw1")).as("off"))
+    val reals = docs.join(offs, "doc_id")
+      .select(col("doc_id"), col("nw"), col("off"),
+        posexplode(col("ws")).as(Seq("pos", "key0")))
+      .select((col("off") + col("pos")).as("gpos"), col("doc_id"),
+        col("nw"), col("pos").cast("long").as("pos"), col("key0"))
+    val sents = docs.join(offs, "doc_id")
+      .select((col("off") + col("nw")).as("gpos"), col("doc_id"),
+        col("nw"), col("nw").as("pos"),
+        concat(lit(SentPrefix), col("doc_id").cast("string")).as("key0"))
+    reals.unionByName(sents)
+  }
+
+  /** Prefix doubling to convergence. Returns (levels, m): `levels(k)`
+    * holds (gpos, doc_id, nw, pos, r) with ranks distinguishing
+    * 2^k-word prefixes; `m` is the first level whose ranks are fully
+    * distinct (the suffix array). Each level is localCheckpointed —
+    * the LCP descent re-reads all of them. */
+  private def doubling(spark: SparkSession, dir: String): (Vector[DataFrame], Int) = {
+    val p0 = positions(spark, dir)
+    val l0 = denseRankOn(p0, Seq("key0"), "r")
+      .select(col("gpos"), col("doc_id"), col("nw"), col("pos"), col("r"))
+      .localCheckpoint(true)
+    val total = l0.count()
+    var levels = Vector(l0)
+    var m = if (l0.select("r").distinct().count() == total) 0 else -1
+    var k = 0
+    while (m < 0 && k < RMax) {
+      val cur = levels.last
+      val step = 1L << k
+      val nxt = cur.select((col("gpos") - step).as("gsrc"), col("r").as("rnext"))
+      val paired = cur.join(nxt, col("gpos") === col("gsrc"), "left")
+        .select(col("gpos"), col("doc_id"), col("nw"), col("pos"), col("r"),
+          coalesce(col("rnext"), lit(Long.MinValue)).as("r2"))
+      val ln = denseRankOn(paired, Seq("r", "r2"), "rn")
+        .select(col("gpos"), col("doc_id"), col("nw"), col("pos"),
+          col("rn").as("r"))
+        .localCheckpoint(true)
+      levels = levels :+ ln
+      k += 1
+      if (ln.select("r").distinct().count() == total) m = k
+    }
+    if (m < 0) throw new IllegalStateException(
+      s"suffix-array doubling did not converge in $RMax rounds — " +
+        s"some repeat is >= ${1L << RMax} words; raise RMax (and the " +
+        "oracle unroll) rather than truncating silently")
+    (levels, m)
+  }
+
+  /** Adjacent suffix-array pairs with EXACT LCP: reals ranked to a
+    * dense suffix-array order (sentinels excluded — their unique
+    * symbols contribute 0 to any LCP but would split real adjacencies),
+    * consecutive pairs joined, then the greedy rank-level descent:
+    * rank_k(i+acc) = rank_k(j+acc) ⇔ the next 2^k words agree. */
+  private def adjacentLcp(spark: SparkSession, dir: String): DataFrame = {
+    val (levels, m) = doubling(spark, dir)
+    val sa = denseRankOn(
+      levels(m).where(col("pos") < col("nw")), Seq("r"), "t")
+    val a = sa.select(col("t"), col("gpos").as("i"),
+      col("doc_id").as("doc_a"), col("pos").as("pos_a"))
+    val b = sa.select((col("t") - 1).as("t"), col("gpos").as("j"),
+      col("doc_id").as("doc_b"), col("pos").as("pos_b"))
+    var p = a.join(b, "t").drop("t").withColumn("acc", lit(0L))
+    for (k <- (m - 1) to 0 by -1) {
+      val lk = levels(k)
+      val la = lk.select(col("gpos").as("ga"), col("r").as("ra"))
+      val lb = lk.select(col("gpos").as("gb"), col("r").as("rb"))
+      p = p.withColumn("ia", col("i") + col("acc"))
+        .withColumn("ja", col("j") + col("acc"))
+        .join(la, col("ia") === col("ga"), "left")
+        .join(lb, col("ja") === col("gb"), "left")
+        .withColumn("acc", col("acc") +
+          when(col("ra").isNotNull && col("rb").isNotNull &&
+            col("ra") === col("rb"), lit(1L << k)).otherwise(lit(0L)))
+        .select(col("i"), col("doc_a"), col("pos_a"),
+          col("j"), col("doc_b"), col("pos_b"), col("acc"))
+      if (k % 4 == 0) p = p.localCheckpoint(true) // bound lineage depth
+    }
+    p.withColumnRenamed("acc", "lcp")
+  }
+
+  /** L401 — longest repeated word sequence, two scopes: `any` (the
+    * textbook LRS) and `cross` (longest sequence present in ≥2 distinct
+    * documents — exact, see the object doc). One row per scope with the
+    * witness pair and the recovered text; tie-break (lcp desc, leftmost
+    * first-occurrence position) is a total order both engines share. */
+  def suffixLrs(spark: SparkSession, dir: String): DataFrame = {
+    val lcp = adjacentLcp(spark, dir).localCheckpoint(true)
+    def top(scopeName: String, f: DataFrame => DataFrame): DataFrame =
+      f(lcp).orderBy(col("lcp").desc, col("i").asc).limit(1)
+        .withColumn("scope", lit(scopeName))
+    val cand = top("any", identity)
+      .unionByName(top("cross", _.where(col("doc_a") =!= col("doc_b"))))
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    cand.join(docs, col("doc_a") === col("doc_id"))
+      .select(col("scope"), col("lcp").as("lrs_words"),
+        col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
+        (col("doc_a") =!= col("doc_b")).as("cross_doc"),
+        concat_ws(" ", slice(col("ws"), (col("pos_a") + 1).cast("int"),
+          col("lcp").cast("int"))).as("lrs_text"))
+      .orderBy("scope")
+  }
+
+  /** L402 — per-doc duplicated coverage at [[MinDupWords]]-word grain:
+    * position q is a duplicated start iff max(LCP with SA-neighbours)
+    * ≥ T; covered words = union of [q, q+T−1] merged gaps-and-islands
+    * (break when the next start clears the previous interval). Same
+    * readout shape as L358's `llm_dedup_substring`, strictly finer
+    * grain. */
+  def suffixCoverage(spark: SparkSession, dir: String): DataFrame =
+    coverageAt(spark, dir, MinDupWords)
+
+  /** Coverage at an arbitrary grain `t` — Round17Spec runs t=16 to pin
+    * bit-equality with the shingle family on planted ≥16-word dups. */
+  private[graft] def coverageAt(spark: SparkSession, dir: String,
+      t: Int): DataFrame = {
+    val lcp = adjacentLcp(spark, dir).localCheckpoint(true)
+    val dl = lcp.select(col("i").as("gpos"), col("doc_a").as("doc_id"),
+        col("pos_a").as("pos"), col("lcp"))
+      .unionByName(lcp.select(col("j").as("gpos"), col("doc_b").as("doc_id"),
+        col("pos_b").as("pos"), col("lcp")))
+      .groupBy("gpos", "doc_id", "pos").agg(max(col("lcp")).as("dl"))
+      .where(col("dl") >= t)
+    val nwByDoc = documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nw"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val run = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dl.withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(wd) > t, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(run))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("sp_s"),
+        (max(col("pos")) + lit(t - 1)).as("sp_e"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("sp_e") - col("sp_s") + 1).cast("long").as("dup_words"))
+      .join(nwByDoc, "doc_id")
+      .select(col("doc_id"), col("nw").as("n_words"), col("n_dup_spans"),
+        col("dup_words"),
+        round(col("dup_words").cast("double") / col("nw").cast("double"), 6)
+          .as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_suffix_lrs" -> (suffixLrs _),
+    "llm_suffix_coverage" -> (suffixCoverage _),
+  )
+
+  // ---------- DuckDB oracle: the same doubling rounds, fixed-unrolled ----------
+  //
+  // The oracle unrolls ALL RMax rounds (the L393 unrolled-CTE pattern)
+  // while the engine early-exits at convergence level m ≤ RMax; the
+  // extra oracle rounds are provably the identity (a dense rank over
+  // already-distinct dense ranks reproduces them), and the extra
+  // descent levels never fire (distinct ranks are never equal), so the
+  // two chains agree wherever the engine converged — and the engine
+  // throws if it didn't.
+
+  private def levelSql(k: Int): String =
+    s"""l${k + 1} AS MATERIALIZED (SELECT a.gpos, a.doc_id, a.nw, a.pos,
+        CAST(dense_rank() OVER (ORDER BY a.r,
+          COALESCE(b.r, ${Long.MinValue})) AS BIGINT) AS r
+        FROM l$k a LEFT JOIN l$k b ON b.gpos = a.gpos + ${1L << k})"""
+
+  private def descentSql(k: Int): String =
+    s"""pr$k AS MATERIALIZED (SELECT p.i, p.doc_a, p.pos_a, p.j, p.doc_b,
+        p.pos_b, p.acc + CASE WHEN a.r IS NOT NULL AND b.r IS NOT NULL
+          AND a.r = b.r THEN ${1L << k} ELSE 0 END AS acc
+        FROM pr${k + 1} p
+        LEFT JOIN l$k a ON a.gpos = p.i + p.acc
+        LEFT JOIN l$k b ON b.gpos = p.j + p.acc)"""
+
+  /** Shared chain: positions → l0..lRMax → suffix array → adjacent
+    * pairs → LCP descent → `lcp(i, doc_a, pos_a, j, doc_b, pos_b, lcp)`. */
+  private def lcpChainSql: String = {
+    val levels = (0 until RMax).map(levelSql).mkString(",\n       ")
+    val descent = ((RMax - 1) to 0 by -1).map(descentSql).mkString(",\n       ")
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       d AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS nw FROM w),
+       offs AS (SELECT doc_id, ws, nw, CAST(COALESCE(SUM(nw + 1) OVER
+           (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS BIGINT) AS off FROM d),
+       p0 AS (SELECT off + i - 1 AS gpos, doc_id, nw,
+           CAST(i - 1 AS BIGINT) AS pos, ws[i] AS key0
+         FROM (SELECT doc_id, ws, nw, off, unnest(range(1, nw + 1)) AS i
+           FROM offs)
+         UNION ALL
+         SELECT off + nw, doc_id, nw, nw,
+           chr(1) || CAST(doc_id AS VARCHAR) FROM offs),
+       l0 AS MATERIALIZED (SELECT gpos, doc_id, nw, pos,
+         CAST(dense_rank() OVER (ORDER BY key0) AS BIGINT) AS r FROM p0),
+       $levels,
+       sa AS MATERIALIZED (SELECT gpos, doc_id, pos,
+         row_number() OVER (ORDER BY r) AS t FROM l$RMax WHERE pos < nw),
+       pr$RMax AS (SELECT a.gpos AS i, a.doc_id AS doc_a, a.pos AS pos_a,
+           b.gpos AS j, b.doc_id AS doc_b, b.pos AS pos_b,
+           CAST(0 AS BIGINT) AS acc
+         FROM sa a JOIN sa b ON b.t = a.t + 1),
+       $descent,
+       lcp AS MATERIALIZED (SELECT i, doc_a, pos_a, j, doc_b, pos_b,
+         acc AS lcp FROM pr0)"""
+  }
+
+  val oracles: Map[String, String] = Map(
+    "llm_suffix_lrs" ->
+      s"""WITH $lcpChainSql,
+         cand AS (
+           SELECT 'any' AS scope, i, doc_a, pos_a, doc_b, pos_b, lcp
+             FROM (SELECT * FROM lcp ORDER BY lcp DESC, i ASC LIMIT 1)
+           UNION ALL
+           SELECT 'cross', i, doc_a, pos_a, doc_b, pos_b, lcp
+             FROM (SELECT * FROM lcp WHERE doc_a != doc_b
+               ORDER BY lcp DESC, i ASC LIMIT 1))
+         SELECT scope, CAST(lcp AS BIGINT) AS lrs_words, doc_a,
+           CAST(pos_a AS BIGINT) AS pos_a, doc_b,
+           CAST(pos_b AS BIGINT) AS pos_b, doc_a != doc_b AS cross_doc,
+           array_to_string(list_slice(dd.ws, pos_a + 1, pos_a + lcp), ' ')
+             AS lrs_text
+         FROM cand JOIN w dd ON dd.doc_id = cand.doc_a
+         ORDER BY scope""",
+    "llm_suffix_coverage" ->
+      s"""WITH $lcpChainSql,
+         dl AS (SELECT gpos, doc_id, pos, MAX(lcp) AS dl FROM (
+             SELECT i AS gpos, doc_a AS doc_id, pos_a AS pos, lcp FROM lcp
+             UNION ALL
+             SELECT j, doc_b, pos_b, lcp FROM lcp)
+           GROUP BY 1, 2, 3 HAVING MAX(lcp) >= $MinDupWords),
+         isl AS (SELECT doc_id, pos, SUM(brk) OVER
+             (PARTITION BY doc_id ORDER BY pos) AS island
+           FROM (SELECT doc_id, pos, CASE WHEN pos - LAG(pos) OVER
+               (PARTITION BY doc_id ORDER BY pos) > $MinDupWords
+             THEN 1 ELSE 0 END AS brk FROM dl)),
+         sp AS (SELECT doc_id, island, MIN(pos) AS sp_s,
+             MAX(pos) + ${MinDupWords - 1} AS sp_e
+           FROM isl GROUP BY 1, 2)
+         SELECT sp.doc_id, d.nw AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(sp_e - sp_s + 1) AS BIGINT) AS dup_words,
+           round(CAST(SUM(sp_e - sp_s + 1) AS DOUBLE) / d.nw, 6) AS dup_ratio
+         FROM sp JOIN d ON d.doc_id = sp.doc_id
+         GROUP BY sp.doc_id, d.nw
+         ORDER BY sp.doc_id""",
+  )
+}

@@ -234,7 +234,7 @@ object MmSsim {
     bos.toByteArray
   }
 
-  private def decode(payload: Array[Byte]): Array[Array[Long]] = {
+  private[graft] def decode(payload: Array[Byte]): Array[Array[Long]] = {
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload))
     require(img != null && img.getWidth == Size && img.getHeight == Size,

@@ -412,6 +412,111 @@ object Streams3 {
       out.iterator
     }
   }
+
+  // --------------------------------------------- source-mix monitor
+
+  /** One arriving document's provenance: ingest-hour bucket + source. */
+  case class SourceHour(bucket_us: Long, source: String)
+
+  /** Cumulative mix table emitted when `bucket_us` closes. */
+  case class MixPoint(bucket_us: Long, source: String, n_docs: Long,
+    p: Double, expected_docs: Long)
+
+  /** L406 — LIVE temperature source-mix rebalancing (the streaming form
+    * of L133's `llm_temperature_mix`: the per-source sampling weights
+    * p_s ∝ n_s^0.5 a pretraining sampler consumes, re-emitted as each
+    * ingest hour CLOSES so the sampler always reads a consistent,
+    * immutable snapshot). Same hour-close-by-progress frontier as the
+    * PH/ADWIN twins (an hour folds into the cumulative per-source
+    * totals exactly once; late partials for folded hours drop), and
+    * the weight arithmetic replays the batch query bit-for-bit: each
+    * √n quantized to DECIMAL(18,6) HALF_UP before the total (the
+    * `dsum` convention — order-free), p = round(√n/T, 6), expected
+    * docs = round(1000·√n/T) — so after the last fixture hour closes
+    * the emitted table IS the batch frame (StreamingSpec pins it).
+    * State is source-cardinality-bounded (cumulative totals) plus the
+    * open hours' partial counts — never the document stream. */
+  def sourceMixTws(docs: Dataset[SourceHour]): Dataset[MixPoint] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_ => 0L)
+      .transformWithState(new SourceMixProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  class SourceMixProcessor
+      extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, SourceHour, MixPoint] {
+    import org.apache.spark.sql.{Encoders, streaming}
+    // open-hour partial counts, keyed (bucket_us, source)
+    @transient private var hourCounts:
+      streaming.MapState[(Long, String), Long] = _
+    // cumulative per-source doc totals over CLOSED hours
+    @transient private var totals: streaming.MapState[String, Long] = _
+    @transient private var frontier: streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: streaming.TimeMode): Unit = {
+      hourCounts = getHandle.getMapState[(Long, String), Long](
+        "mix_hour_counts",
+        Encoders.tuple(Encoders.scalaLong, Encoders.STRING),
+        Encoders.scalaLong, streaming.TTLConfig.NONE)
+      totals = getHandle.getMapState[String, Long]("mix_totals",
+        Encoders.STRING, Encoders.scalaLong, streaming.TTLConfig.NONE)
+      frontier = getHandle.getValueState[Long]("mix_frontier",
+        Encoders.scalaLong, streaming.TTLConfig.NONE)
+    }
+
+    /** The batch `temperatureMix` arithmetic on the current totals:
+      * √n per source, DECIMAL(18,6) HALF_UP quantization into the
+      * total (order-free — summed in sorted-source order for
+      * determinism anyway), round-6 p, round-0 expected docs. */
+    private def mixRows(bucket: Long): Seq[MixPoint] = {
+      val ts = totals.iterator().map(p => (p._1, p._2)).toSeq.sortBy(_._1)
+      val tw = ts.map { case (_, n) =>
+        BigDecimal(math.sqrt(n.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      val twD = tw.toDouble
+      ts.map { case (src, n) =>
+        val wt = math.sqrt(n.toDouble)
+        val p = BigDecimal(wt / twD)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val exp = BigDecimal(wt / twD * 1000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        MixPoint(bucket, src, n, p, exp)
+      }
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[SourceHour],
+        timerValues: streaming.TimerValues): Iterator[MixPoint] = {
+      // exists() guard: ValueState[Long].get() on absent state returns a
+      // null that primitive unboxing turns into 0L (round-17 ADVICE)
+      val closed = if (frontier.exists()) frontier.get() else Long.MinValue
+      rows.foreach { d =>
+        if (d.bucket_us > closed) {
+          val k = (d.bucket_us, d.source)
+          val cur = if (hourCounts.containsKey(k)) hourCounts.getValue(k) else 0L
+          hourCounts.updateValue(k, cur + 1L)
+        } // else: late arrival for an already-published hour — dropped
+      }
+      val open = hourCounts.keys().map(_._1).toSeq.distinct.sorted
+      if (open.length <= 1) return Iterator.empty
+      val out = scala.collection.mutable.ArrayBuffer.empty[MixPoint]
+      open.dropRight(1).foreach { bucket => // fold every CLOSED hour
+        hourCounts.iterator().filter(_._1._1 == bucket).toSeq
+          .foreach { case ((b, src), n) =>
+            val cur = if (totals.containsKey(src)) totals.getValue(src) else 0L
+            totals.updateValue(src, cur + n)
+            hourCounts.removeKey((b, src))
+          }
+        out ++= mixRows(bucket)
+      }
+      frontier.update(open.dropRight(1).last)
+      out.iterator
+    }
+  }
 }
 
 /** ADWIN0 kernel (Bifet & Gavaldà SDM 2007 "Learning from

@@ -117,6 +117,17 @@ class BenchSpec extends SparkTestBase {
     assert(full.contains("\"shuffle_read_mb\":" + Bench.fmt(stats.values.map(_.shuffleReadMb).sum)))
   }
 
+  test("renderFull carries per-key jit_ms, a jit_total_ms total, and parseable code-cache pools") {
+    val stats = Map("q" -> Bench.QueryStat(1.0, 2.0, 3.0, 4.0, 5.0, 2, jitMs = 123L))
+    val full = Bench.renderFull(stats, 0, "/tmp/sf")
+    assert(full.contains("\"jit_ms\": 123"), full)
+    assert(full.contains("\"jit_total_ms\":123"), full)
+    assert(full.contains("\"code_cache\":{"), full)
+    assert(full.count(_ == '{') === full.count(_ == '}'))
+    // this JVM is JDK 17 segmented — the three CodeHeap pools must appear
+    assert(Bench.codeCacheJson().contains("codeheap"), Bench.codeCacheJson())
+  }
+
   test("adaptive rep: a >2x disagreement between the base reps triggers exactly one extra rep") {
     val s = spark
     import s.implicits._

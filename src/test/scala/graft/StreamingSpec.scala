@@ -2476,4 +2476,61 @@ class StreamingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("batch≡streaming: live source-mix weights equal the batch temperature mix once the last hour closes") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val Hour = 3600000000L
+    // replay the sf0.001 corpus across five ingest hours (doc_id mod 5),
+    // plus one dummy row in hour 5 whose only job is to CLOSE hour 4 —
+    // its own hour never closes, so it never pollutes the totals
+    val points = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source").collect()
+      .map(r => streaming.Streams3.SourceHour(
+        (r.getLong(0) % 5) * Hour, r.getString(1)))
+      .sortBy(_.bucket_us) :+
+      streaming.Streams3.SourceHour(5 * Hour, "zz_flush")
+    val ms = MemoryStream[streaming.Streams3.SourceHour]
+    val q = runToTable(
+      streaming.Streams3.sourceMixTws(ms.toDS()).toDF(), "mix_tws", "append")
+    try {
+      points.grouped((points.length + 4) / 5).foreach { chunk =>
+        ms.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      // the cumulative table emitted at the LAST closed hour covers the
+      // whole corpus, so it must be bit-equal to the batch query
+      val streamed = spark.table("mix_tws")
+        .where($"bucket_us" === 4 * Hour)
+        .select($"source", $"n_docs", $"p", $"expected_docs").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      val batch = ops.Llm4.temperatureMix(spark, sf0001).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      assert(streamed == batch,
+        s"\nstream ${streamed.take(3)}…\nbatch ${batch.take(3)}…")
+      // every earlier closed hour published a consistent partial table
+      val hours = spark.table("mix_tws").select($"bucket_us").distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(hours == (0 until 5).map(_ * Hour).toSeq, hours)
+      // and each published hour's p column sums to ~1
+      (0 until 5).foreach { h =>
+        val ps = spark.table("mix_tws").where($"bucket_us" === h * Hour)
+          .select($"p").collect().map(_.getDouble(0)).sum
+        assert(math.abs(ps - 1.0) < 1e-4, s"hour $h p-sum $ps")
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
