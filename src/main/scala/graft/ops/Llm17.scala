@@ -1,10 +1,9 @@
 package graft.ops
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Round-17 exact-substring dedup at SUFFIX-ARRAY grain (Lee et al. ACL
   * 2022 "Deduplicating Training Data Makes Language Models Better" —
@@ -41,17 +40,18 @@ import org.apache.spark.sql.types.LongType
   * 100-TB shape: prefix doubling is the distributed-suffix-array
   * construction precisely because each round is only (a) one
   * equi-join on global position (gpos ↔ gpos+2^k) and (b) one dense
-  * rank — realized scalably as DISTINCT pairs → range-partitioned sort
-  * → `zipWithIndex` (the [[Er.windowPairs]] rank pattern, bit-equal to
-  * ROW_NUMBER) → join back; never a single-partition window. Rounds
+  * rank — realized scalably by [[PrefixScan.denseRank]]'s two-pass
+  * range-partition scan (one exchange, partition-count-grain driver
+  * combine, free distinct total); never a single-partition window. Rounds
   * stop as soon as ranks are distinct — convergence at round m means
   * NO repeat is ≥ 2^m words, so rounds track the longest repeat
   * (log₂ LRS), not corpus size. Doc offsets come from [[PrefixScan]]
   * (doc-count-grain driver traffic). The LCP of the N−1 adjacent pairs
   * descends the kept rank levels greedily (rank_k equal ⇒ first 2^k
-  * words equal ⇒ extend by 2^k), two position-keyed joins per level.
-  * Everything shuffles on gpos or rank-pair keys — uniform by
-  * construction, no skew. */
+  * words equal ⇒ extend by 2^k) with the [[prunedMaxLcp]] argmax prune,
+  * so only the first level's join touches the full pair set. Everything
+  * shuffles on gpos or rank-pair keys — uniform by construction, no
+  * skew. */
 object Llm17 {
 
   /** Doubling-round bound: the construction fails LOUDLY (rather than
@@ -70,22 +70,12 @@ object Llm17 {
     * the binary collation both engines use (the `Llm11.Sep` symbol). */
   private val SentPrefix = "\u0001"
 
-  /** Distributed dense rank: DISTINCT keys → range-partitioned sort →
-    * zipWithIndex (+1 → 1-based like SQL DENSE_RANK) → join back.
-    * Deterministic because the keys are distinct; bit-equal to
-    * `dense_rank() OVER (ORDER BY keys)` under binary collation. */
-  private def denseRankOn(df: DataFrame, keys: Seq[String],
-      rankCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val dk = df.select(keys.map(col): _*).distinct()
-    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
-    val ranked = dk.repartitionByRange(parts, keys.map(col): _*)
-      .sortWithinPartitions(keys.map(col): _*)
-      .rdd.zipWithIndex.map { case (row, idx) =>
-        Row.fromSeq(row.toSeq :+ (idx + 1L)) }
-    val schema = dk.schema.add(rankCol, LongType, nullable = false)
-    df.join(spark.createDataFrame(ranked, schema), keys)
-  }
+  // dense ranks come from [[PrefixScan.denseRank]] — one range exchange
+  // per rank (pass 1 reduce + pass 2 assignment over the same shuffle
+  // files), with the distinct-key total returned for FREE, which is the
+  // doubling loop's convergence check. The earlier distinct →
+  // zipWithIndex → join-back form paid four exchanges per round and an
+  // extra distinct-count action; this is the same bit-exact dense_rank.
 
   /** (gpos, doc_id, nw, pos, key0): every word position in the global
     * doc-concatenation plus one sentinel per document (pos = nw,
@@ -112,72 +102,98 @@ object Llm17 {
     reals.unionByName(sents)
   }
 
-  /** Prefix doubling to convergence. Returns (levels, m): `levels(k)`
-    * holds (gpos, doc_id, nw, pos, r) with ranks distinguishing
-    * 2^k-word prefixes; `m` is the first level whose ranks are fully
-    * distinct (the suffix array). Each level is localCheckpointed —
-    * the LCP descent re-reads all of them. */
-  private def doubling(spark: SparkSession, dir: String): (Vector[DataFrame], Int) = {
+  /** Prefix doubling. With the default `upTo = RMax` it runs to
+    * convergence (ranks fully distinct — the suffix array) and FAILS
+    * LOUDLY otherwise; callers that only need a fixed prefix length
+    * (coverage needs level log₂ t) pass a smaller `upTo`, and the loop
+    * still early-stops if convergence arrives first (higher levels
+    * would be identical frames). Returns (levels, m) with m = the
+    * convergence level, or −1 when the bounded run stopped early. */
+  private def doubling(spark: SparkSession, dir: String,
+      upTo: Int = RMax): (Vector[DataFrame], Int) = {
+    val dbg = sys.env.contains("GRAFT_SUFFIX_DEBUG")
+    var t0 = System.nanoTime()
+    def lap(tag: String): Unit = if (dbg) {
+      println(f"[suffix] $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+    }
     val p0 = positions(spark, dir)
-    val l0 = denseRankOn(p0, Seq("key0"), "r")
+    val (l0r, d0) = PrefixScan.denseRank(p0, Seq("key0"), "r")
+    val l0 = l0r
       .select(col("gpos"), col("doc_id"), col("nw"), col("pos"), col("r"))
       .localCheckpoint(true)
     val total = l0.count()
+    lap("l0")
     var levels = Vector(l0)
-    var m = if (l0.select("r").distinct().count() == total) 0 else -1
+    var m = if (d0 == total) 0 else -1
     var k = 0
-    while (m < 0 && k < RMax) {
+    while (m < 0 && k < upTo) {
       val cur = levels.last
       val step = 1L << k
       val nxt = cur.select((col("gpos") - step).as("gsrc"), col("r").as("rnext"))
       val paired = cur.join(nxt, col("gpos") === col("gsrc"), "left")
         .select(col("gpos"), col("doc_id"), col("nw"), col("pos"), col("r"),
           coalesce(col("rnext"), lit(Long.MinValue)).as("r2"))
-      val ln = denseRankOn(paired, Seq("r", "r2"), "rn")
+      val (lnr, dist) = PrefixScan.denseRank(paired, Seq("r", "r2"), "rn")
+      val ln = lnr
         .select(col("gpos"), col("doc_id"), col("nw"), col("pos"),
           col("rn").as("r"))
         .localCheckpoint(true)
       levels = levels :+ ln
       k += 1
-      if (ln.select("r").distinct().count() == total) m = k
+      lap(s"round $k")
+      if (dist == total) m = k
     }
-    if (m < 0) throw new IllegalStateException(
+    if (m < 0 && upTo == RMax) throw new IllegalStateException(
       s"suffix-array doubling did not converge in $RMax rounds — " +
         s"some repeat is >= ${1L << RMax} words; raise RMax (and the " +
         "oracle unroll) rather than truncating silently")
     (levels, m)
   }
 
-  /** Adjacent suffix-array pairs with EXACT LCP: reals ranked to a
-    * dense suffix-array order (sentinels excluded — their unique
-    * symbols contribute 0 to any LCP but would split real adjacencies),
-    * consecutive pairs joined, then the greedy rank-level descent:
-    * rank_k(i+acc) = rank_k(j+acc) ⇔ the next 2^k words agree. */
-  private def adjacentLcp(spark: SparkSession, dir: String): DataFrame = {
-    val (levels, m) = doubling(spark, dir)
-    val sa = denseRankOn(
-      levels(m).where(col("pos") < col("nw")), Seq("r"), "t")
+  /** Adjacent suffix-array pairs (sentinels excluded — their unique
+    * symbols contribute 0 to any LCP but would split real adjacencies):
+    * reals ranked to a dense suffix-array order, consecutive ranks
+    * joined. Columns (i, doc_a, pos_a, j, doc_b, pos_b). */
+  private def adjacentPairs(sa: DataFrame): DataFrame = {
     val a = sa.select(col("t"), col("gpos").as("i"),
       col("doc_id").as("doc_a"), col("pos").as("pos_a"))
     val b = sa.select((col("t") - 1).as("t"), col("gpos").as("j"),
       col("doc_id").as("doc_b"), col("pos").as("pos_b"))
-    var p = a.join(b, "t").drop("t").withColumn("acc", lit(0L))
+    a.join(b, "t").drop("t")
+  }
+
+  /** PRUNED greedy descent for the MAXIMUM adjacent-pair LCP: at level
+    * k, if ANY pair's next-2^k ranks match, the argmax provably lies
+    * among the matched pairs (an unmatched pair can gain at most
+    * 2^k − 1 from all remaining levels), so the candidate set prunes to
+    * them and the shared scalar acc grows by 2^k; if none match, the
+    * set stands. The set shrinks to the near-dup hot spots after the
+    * first matching level, so all later joins are tiny — and every
+    * survivor's exact LCP equals the final acc (a survivor matched
+    * precisely at the set's matched levels), making the min-i survivor
+    * bit-equal to the oracle's unpruned (lcp desc, i asc) argmax.
+    * Returns ≤1 row: (i, doc_a, pos_a, j, doc_b, pos_b, lcp). */
+  private def prunedMaxLcp(pairs0: DataFrame, levels: Vector[DataFrame],
+      m: Int): DataFrame = {
+    var p = pairs0
+    var acc = 0L
     for (k <- (m - 1) to 0 by -1) {
       val lk = levels(k)
       val la = lk.select(col("gpos").as("ga"), col("r").as("ra"))
       val lb = lk.select(col("gpos").as("gb"), col("r").as("rb"))
-      p = p.withColumn("ia", col("i") + col("acc"))
-        .withColumn("ja", col("j") + col("acc"))
-        .join(la, col("ia") === col("ga"), "left")
-        .join(lb, col("ja") === col("gb"), "left")
-        .withColumn("acc", col("acc") +
-          when(col("ra").isNotNull && col("rb").isNotNull &&
-            col("ra") === col("rb"), lit(1L << k)).otherwise(lit(0L)))
+      val matched = p
+        .withColumn("ia", col("i") + acc)
+        .withColumn("ja", col("j") + acc)
+        .join(la, col("ia") === col("ga"))
+        .join(lb, col("ja") === col("gb"))
+        .where(col("ra") === col("rb"))
         .select(col("i"), col("doc_a"), col("pos_a"),
-          col("j"), col("doc_b"), col("pos_b"), col("acc"))
-      if (k % 4 == 0) p = p.localCheckpoint(true) // bound lineage depth
+          col("j"), col("doc_b"), col("pos_b"))
+        .localCheckpoint(true)
+      if (matched.count() > 0) { p = matched; acc += 1L << k }
     }
-    p.withColumnRenamed("acc", "lcp")
+    p.orderBy(col("i").asc).limit(1).withColumn("lcp", lit(acc))
   }
 
   /** L401 — longest repeated word sequence, two scopes: `any` (the
@@ -186,12 +202,23 @@ object Llm17 {
     * witness pair and the recovered text; tie-break (lcp desc, leftmost
     * first-occurrence position) is a total order both engines share. */
   def suffixLrs(spark: SparkSession, dir: String): DataFrame = {
-    val lcp = adjacentLcp(spark, dir).localCheckpoint(true)
-    def top(scopeName: String, f: DataFrame => DataFrame): DataFrame =
-      f(lcp).orderBy(col("lcp").desc, col("i").asc).limit(1)
-        .withColumn("scope", lit(scopeName))
-    val cand = top("any", identity)
-      .unionByName(top("cross", _.where(col("doc_a") =!= col("doc_b"))))
+    val (levels, m) = doubling(spark, dir)
+    val sa = PrefixScan.denseRank(
+      levels(m).where(col("pos") < col("nw")), Seq("r"), "t")._1
+    val pairs = adjacentPairs(sa).localCheckpoint(true)
+    val anyTop = prunedMaxLcp(pairs, levels, m)
+      .withColumn("scope", lit("any")).localCheckpoint(true)
+    // if the overall winner is already a cross-doc pair, the cross-scope
+    // maximum IS the same pair (max over a subset containing the overall
+    // argmax) — the second descent is provably redundant; the 1-row
+    // driver peek is the bounded-collect tier
+    val anyRow = anyTop.collect()
+    val crossTop =
+      if (anyRow.nonEmpty && anyRow(0).getLong(1) != anyRow(0).getLong(4))
+        anyTop.withColumn("scope", lit("cross"))
+      else prunedMaxLcp(pairs.where(col("doc_a") =!= col("doc_b")), levels, m)
+        .withColumn("scope", lit("cross"))
+    val cand = anyTop.unionByName(crossTop)
     val docs = documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
     cand.join(docs, col("doc_a") === col("doc_id"))
@@ -212,17 +239,25 @@ object Llm17 {
   def suffixCoverage(spark: SparkSession, dir: String): DataFrame =
     coverageAt(spark, dir, MinDupWords)
 
-  /** Coverage at an arbitrary grain `t` — Round17Spec runs t=16 to pin
-    * bit-equality with the shingle family on planted ≥16-word dups. */
+  /** Coverage at grain `t` (a power of two) — Round17Spec runs t=16 to
+    * pin bit-equality with the shingle family on planted ≥16-word dups.
+    * No suffix array and no descent: the t-gram at position q occurs
+    * ≥2 times corpus-wide iff q's level-log₂(t) rank is SHARED (rank
+    * equality ⟺ first t words equal, sentinel-capped), so only
+    * log₂(t) doubling rounds and one rank-keyed multiplicity count are
+    * needed — the exact-arithmetic version of the shingle family's
+    * hash-groupBy shape. */
   private[graft] def coverageAt(spark: SparkSession, dir: String,
       t: Int): DataFrame = {
-    val lcp = adjacentLcp(spark, dir).localCheckpoint(true)
-    val dl = lcp.select(col("i").as("gpos"), col("doc_a").as("doc_id"),
-        col("pos_a").as("pos"), col("lcp"))
-      .unionByName(lcp.select(col("j").as("gpos"), col("doc_b").as("doc_id"),
-        col("pos_b").as("pos"), col("lcp")))
-      .groupBy("gpos", "doc_id", "pos").agg(max(col("lcp")).as("dl"))
-      .where(col("dl") >= t)
+    require(t >= 2 && (t & (t - 1)) == 0,
+      s"coverage grain must be a power of two, got $t")
+    val kLvl = java.lang.Integer.numberOfTrailingZeros(t)
+    val (levels, _) = doubling(spark, dir, upTo = kLvl)
+    val lvl = levels(math.min(kLvl, levels.size - 1))
+    val shared = lvl.groupBy(col("r")).agg(count(lit(1)).as("n_occ"))
+      .where(col("n_occ") >= 2)
+    val dl = lvl.join(shared.select(col("r")), "r")
+      .select(col("doc_id"), col("pos"))
     val nwByDoc = documents(spark, dir)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nw"))
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -274,11 +309,9 @@ object Llm17 {
         LEFT JOIN l$k a ON a.gpos = p.i + p.acc
         LEFT JOIN l$k b ON b.gpos = p.j + p.acc)"""
 
-  /** Shared chain: positions → l0..lRMax → suffix array → adjacent
-    * pairs → LCP descent → `lcp(i, doc_a, pos_a, j, doc_b, pos_b, lcp)`. */
-  private def lcpChainSql: String = {
-    val levels = (0 until RMax).map(levelSql).mkString(",\n       ")
-    val descent = ((RMax - 1) to 0 by -1).map(descentSql).mkString(",\n       ")
+  /** Base positions + levels l0..l`upTo` (prefix length 2^k at l_k). */
+  private def levelsChainSql(upTo: Int): String = {
+    val levels = (0 until upTo).map(levelSql).mkString(",\n       ")
     s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        d AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS nw FROM w),
        offs AS (SELECT doc_id, ws, nw, CAST(COALESCE(SUM(nw + 1) OVER
@@ -293,7 +326,14 @@ object Llm17 {
            chr(1) || CAST(doc_id AS VARCHAR) FROM offs),
        l0 AS MATERIALIZED (SELECT gpos, doc_id, nw, pos,
          CAST(dense_rank() OVER (ORDER BY key0) AS BIGINT) AS r FROM p0),
-       $levels,
+       $levels"""
+  }
+
+  /** Full chain for the LRS: levels → suffix array → adjacent pairs →
+    * LCP descent → `lcp(i, doc_a, pos_a, j, doc_b, pos_b, lcp)`. */
+  private def lcpChainSql: String = {
+    val descent = ((RMax - 1) to 0 by -1).map(descentSql).mkString(",\n       ")
+    s"""${levelsChainSql(RMax)},
        sa AS MATERIALIZED (SELECT gpos, doc_id, pos,
          row_number() OVER (ORDER BY r) AS t FROM l$RMax WHERE pos < nw),
        pr$RMax AS (SELECT a.gpos AS i, a.doc_id AS doc_a, a.pos AS pos_a,
@@ -304,6 +344,9 @@ object Llm17 {
        lcp AS MATERIALIZED (SELECT i, doc_a, pos_a, j, doc_b, pos_b,
          acc AS lcp FROM pr0)"""
   }
+
+  /** Coverage grain's level index: log₂(MinDupWords). */
+  private val KCov = java.lang.Integer.numberOfTrailingZeros(MinDupWords)
 
   val oracles: Map[String, String] = Map(
     "llm_suffix_lrs" ->
@@ -323,12 +366,10 @@ object Llm17 {
          FROM cand JOIN w dd ON dd.doc_id = cand.doc_a
          ORDER BY scope""",
     "llm_suffix_coverage" ->
-      s"""WITH $lcpChainSql,
-         dl AS (SELECT gpos, doc_id, pos, MAX(lcp) AS dl FROM (
-             SELECT i AS gpos, doc_a AS doc_id, pos_a AS pos, lcp FROM lcp
-             UNION ALL
-             SELECT j, doc_b, pos_b, lcp FROM lcp)
-           GROUP BY 1, 2, 3 HAVING MAX(lcp) >= $MinDupWords),
+      s"""WITH ${levelsChainSql(KCov)},
+         dl AS (SELECT l.doc_id, l.pos FROM l$KCov l
+           JOIN (SELECT r FROM l$KCov GROUP BY r HAVING COUNT(*) >= 2) sh
+             ON sh.r = l.r),
          isl AS (SELECT doc_id, pos, SUM(brk) OVER
              (PARTITION BY doc_id ORDER BY pos) AS island
            FROM (SELECT doc_id, pos, CASE WHEN pos - LAG(pos) OVER

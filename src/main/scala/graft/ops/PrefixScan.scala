@@ -176,4 +176,78 @@ object PrefixScan {
     }
     (spark.createDataFrame(outRdd, outSchema), totals)
   }
+
+  /** Distributed DENSE RANK over `order` (bit-equal to SQL
+    * `dense_rank() OVER (ORDER BY order)`), in the same two-pass
+    * range-partition discipline as [[apply]] — ONE exchange, a
+    * partition-count-grain driver combine, and the rank pass re-reading
+    * the exchange's shuffle files; never a single-partition window and
+    * never a distinct+join round-trip (the round-17 suffix-array
+    * profile showed the distinct → range-sort → zipWithIndex → join
+    * form paying four exchanges per doubling round where this pays
+    * one). Unlike [[apply]], `order` keys need NOT be unique: pass 1
+    * reduces each partition to (distinct-run count, first key, last
+    * key); the driver stitches runs that span partition boundaries
+    * (first key == previous partition's last key) into exclusive rank
+    * offsets; pass 2 re-streams each sorted partition assigning
+    * offset + local dense rank (−1 when the first run continues).
+    *
+    * Returns the input frame + a `rankCol` LONG column, and the TOTAL
+    * distinct-key count — which callers in a fixpoint loop (prefix
+    * doubling) use as a FREE convergence check: ranks are a permutation
+    * iff totalDistinct == row count. */
+  def denseRank(df: DataFrame, order: Seq[String], rankCol: String,
+      parts: Int = 0): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val p = if (parts > 0) parts else spark.sparkContext.defaultParallelism
+    val ki = order.map(df.schema.fieldNames.zipWithIndex.toMap).toArray
+    def keyOf(r: Row): Seq[Any] = ki.map(r.get).toSeq
+
+    val ranged = df.repartitionByRange(p, order.map(col): _*)
+      .sortWithinPartitions(order.map(col): _*)
+    val rdd = ranged.rdd
+
+    // pass 1: per-partition (distinct-run count, first key, last key)
+    val partStats = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L
+      var first: Seq[Any] = null
+      var last: Seq[Any] = null
+      it.foreach { r =>
+        val k = keyOf(r)
+        if (first == null) first = k
+        if (last == null || k != last) n += 1
+        last = k
+      }
+      Iterator((pid, n, first, last))
+    }.collect().sortBy(_._1)
+
+    // driver combine: exclusive dense offsets + boundary-span stitches
+    val offsets = new Array[Long](p)
+    val spans = new Array[Boolean](p)
+    var cum = 0L
+    var prevLast: Seq[Any] = null
+    partStats.foreach { case (pid, n, first, last) =>
+      spans(pid) = first != null && prevLast != null && first == prevLast
+      offsets(pid) = cum
+      cum += n - (if (spans(pid)) 1 else 0)
+      if (last != null) prevLast = last
+    }
+    val totalDistinct = cum
+
+    val outSchema = StructType(df.schema.fields :+
+      StructField(rankCol, LongType, nullable = false))
+    // pass 2: same lineage — the range exchange's map output is reused
+    val outRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val base = offsets(pid) - (if (spans(pid)) 1L else 0L)
+      var local = 0L
+      var last: Seq[Any] = null
+      it.map { r =>
+        val k = keyOf(r)
+        if (last == null || k != last) local += 1
+        last = k
+        Row.fromSeq(r.toSeq :+ (base + local))
+      }
+    }
+    (spark.createDataFrame(outRdd, outSchema), totalDistinct)
+  }
 }

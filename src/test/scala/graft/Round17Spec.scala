@@ -227,4 +227,32 @@ class Round17Spec extends SparkTestBase {
     val last = byDoc(2L).map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1).last
     assert(last === ((24L, 9L)), "second chunk covers tokens 24..32")
   }
+
+  // --------------------------------------- PrefixScan.denseRank
+
+  test("denseRank: bit-equal to SQL dense_rank with duplicate runs spanning partitions") {
+    val s = spark
+    import s.implicits._
+    // heavy duplication (k = v/7) forces runs to straddle the range
+    // partition boundaries, exercising the driver stitch
+    val df = (0 until 5000).map(v => (v / 7, v % 13)).toDF("k", "v")
+    val (ranked, dist) = ops.PrefixScan.denseRank(df, Seq("k"), "rk", parts = 8)
+    assert(dist === ((0 until 5000).map(_ / 7).distinct.length).toLong)
+    val got = ranked.select($"k", $"rk").distinct().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val want = df.selectExpr("k", "CAST(dense_rank() OVER (ORDER BY k) AS LONG) AS rk")
+      .distinct().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    // two-key ordering with nulls absent and distinct totals
+    val df2 = (0 until 1000).map(v => (v % 10, v % 4)).toDF("a", "b")
+    val (r2, d2) = ops.PrefixScan.denseRank(df2, Seq("a", "b"), "rk", parts = 5)
+    assert(d2 === 20L) // lcm(10,4)=20 residue pairs
+    val got2 = r2.select($"a", $"b", $"rk").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val want2 = df2.selectExpr("a", "b",
+        "CAST(dense_rank() OVER (ORDER BY a, b) AS LONG) AS rk")
+      .distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got2 === want2)
+  }
 }
