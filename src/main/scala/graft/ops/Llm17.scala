@@ -110,7 +110,7 @@ object Llm17 {
     * would be identical frames). Returns (levels, m) with m = the
     * convergence level, or −1 when the bounded run stopped early. */
   private def doubling(spark: SparkSession, dir: String,
-      upTo: Int = RMax): (Vector[DataFrame], Int) = {
+      upTo: Int = RMax): (DataFrame, Vector[DataFrame], Int) = {
     val dbg = sys.env.contains("GRAFT_SUFFIX_DEBUG")
     var t0 = System.nanoTime()
     def lap(tag: String): Unit = if (dbg) {
@@ -118,10 +118,13 @@ object Llm17 {
       t0 = System.nanoTime()
     }
     val p0 = positions(spark, dir)
+    // level frames carry ONLY (gpos, r) — doc/pos provenance rejoins at
+    // the end via this side table, so every doubling exchange moves 2
+    // longs per position instead of 5 (measured 251 -> ~100 MB at sf0.1)
     val (l0r, d0) = PrefixScan.denseRank(p0, Seq("key0"), "r")
-    val l0 = l0r
-      .select(col("gpos"), col("doc_id"), col("nw"), col("pos"), col("r"))
-      .localCheckpoint(true)
+    val posFrame = l0r.select(col("gpos"), col("doc_id"), col("nw"),
+      col("pos")).localCheckpoint(true)
+    val l0 = l0r.select(col("gpos"), col("r")).localCheckpoint(true)
     val total = l0.count()
     lap("l0")
     var levels = Vector(l0)
@@ -132,13 +135,10 @@ object Llm17 {
       val step = 1L << k
       val nxt = cur.select((col("gpos") - step).as("gsrc"), col("r").as("rnext"))
       val paired = cur.join(nxt, col("gpos") === col("gsrc"), "left")
-        .select(col("gpos"), col("doc_id"), col("nw"), col("pos"), col("r"),
+        .select(col("gpos"), col("r"),
           coalesce(col("rnext"), lit(Long.MinValue)).as("r2"))
       val (lnr, dist) = PrefixScan.denseRank(paired, Seq("r", "r2"), "rn")
-      val ln = lnr
-        .select(col("gpos"), col("doc_id"), col("nw"), col("pos"),
-          col("rn").as("r"))
-        .localCheckpoint(true)
+      val ln = lnr.select(col("gpos"), col("rn").as("r")).localCheckpoint(true)
       levels = levels :+ ln
       k += 1
       lap(s"round $k")
@@ -148,7 +148,7 @@ object Llm17 {
       s"suffix-array doubling did not converge in $RMax rounds — " +
         s"some repeat is >= ${1L << RMax} words; raise RMax (and the " +
         "oracle unroll) rather than truncating silently")
-    (levels, m)
+    (posFrame, levels, m)
   }
 
   /** Adjacent suffix-array pairs (sentinels excluded — their unique
@@ -202,9 +202,10 @@ object Llm17 {
     * witness pair and the recovered text; tie-break (lcp desc, leftmost
     * first-occurrence position) is a total order both engines share. */
   def suffixLrs(spark: SparkSession, dir: String): DataFrame = {
-    val (levels, m) = doubling(spark, dir)
-    val sa = PrefixScan.denseRank(
-      levels(m).where(col("pos") < col("nw")), Seq("r"), "t")._1
+    val (posFrame, levels, m) = doubling(spark, dir)
+    val reals = posFrame.where(col("pos") < col("nw"))
+      .join(levels(m), "gpos")
+    val sa = PrefixScan.denseRank(reals, Seq("r"), "t")._1
     val pairs = adjacentPairs(sa).localCheckpoint(true)
     val anyTop = prunedMaxLcp(pairs, levels, m)
       .withColumn("scope", lit("any")).localCheckpoint(true)
@@ -252,11 +253,12 @@ object Llm17 {
     require(t >= 2 && (t & (t - 1)) == 0,
       s"coverage grain must be a power of two, got $t")
     val kLvl = java.lang.Integer.numberOfTrailingZeros(t)
-    val (levels, _) = doubling(spark, dir, upTo = kLvl)
+    val (posFrame, levels, _) = doubling(spark, dir, upTo = kLvl)
     val lvl = levels(math.min(kLvl, levels.size - 1))
     val shared = lvl.groupBy(col("r")).agg(count(lit(1)).as("n_occ"))
       .where(col("n_occ") >= 2)
     val dl = lvl.join(shared.select(col("r")), "r")
+      .join(posFrame, "gpos")
       .select(col("doc_id"), col("pos"))
     val nwByDoc = documents(spark, dir)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nw"))

@@ -893,4 +893,70 @@ class ScaleRehearsalSpec extends SparkTestBase {
       assert(r.getAs[Long]("n_capped_custs") === 0L)
     }
   }
+
+  test("tokenizer induction at 10x: bounded collects hold, BPE merges 10x-INVARIANT, bakeoff scales exactly") {
+    // the 10x corpus repeats every document verbatim under fresh ids, so
+    // every word/pair/piece count scales by exactly 10: BPE's greedy
+    // argmax (count desc, pair asc) picks the IDENTICAL merge sequence,
+    // and the driver-side vocab collects stay under their caps at any
+    // multiplier (boundedCollect THROWS otherwise — completion is the
+    // bound assertion)
+    val bpe10 = SparkEntry.queries("llm_bpe_merges")(spark, scaledDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    val bpe1 = SparkEntry.queries("llm_bpe_merges")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(bpe10.map(t => (t._1, t._2, t._3)).toSeq ===
+      bpe1.map(t => (t._1, t._2, t._3)).toSeq,
+      "merge sequence changed under uniform 10x scaling")
+    assert(bpe10.map(_._4).toSeq === bpe1.map(_._4 * 10).toSeq,
+      "pair counts must scale exactly 10x")
+    assert(bpe10.map(_._5).toSeq === bpe1.map(_._5 * 10).toSeq,
+      "token counts must scale exactly 10x")
+    // unigram-LM: the EM runs on the 10x vocab-grain frame; the piece
+    // table stays VocabCap-bounded and usage counts scale exactly 10x
+    // (identical segmentations — integer-quantized costs shift by ~log2
+    // 10 uniformly, preserving every Viterbi comparison between paths
+    // of EQUAL piece count, and count-10x ties keep the same argmax)
+    val uni10 = SparkEntry.queries("llm_unigram_tokenizer")(spark, scaledDir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val uni1 = SparkEntry.queries("llm_unigram_tokenizer")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(uni10.size <= ops.Llm14.VocabCap)
+    assert(uni10.keySet === uni1.keySet,
+      "learned unigram piece set changed under uniform 10x scaling")
+    // bakeoff: per-language word/token totals scale exactly 10x and the
+    // fertility verdicts (scale-free ratios) are unchanged
+    val bk10 = SparkEntry.queries("llm_tokenizer_bakeoff")(spark, scaledDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(6)))).toMap
+    val bk1 = SparkEntry.queries("llm_tokenizer_bakeoff")(spark, sf001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(6)))).toMap
+    assert(bk10.keySet === bk1.keySet)
+    bk1.foreach { case (lang, (w, bt, ut, win)) =>
+      val (w10, bt10, ut10, win10) = bk10(lang)
+      assert((w10, bt10, ut10) === ((w * 10, bt * 10, ut * 10)),
+        s"$lang token totals not exactly 10x")
+      assert(win10 === win, s"$lang fertility winner flipped at 10x")
+    }
+  }
+
+  test("codec family at 10x: row-local decode stays shuffle-free and wall-linear") {
+    // mm_audio_mel decodes one WAV per document through the real codec;
+    // the only exchange the plan may contain is the final presentation
+    // sort — measured shuffle for 5000 one-row results must stay tiny,
+    // and wall must scale ~linearly in the doc count (quadratic or
+    // collect-driven shapes would blast the bound)
+    val (stats, errs) = Bench.timeQueriesDetailed(spark, scaledDir,
+      Map("mm_audio_mel" -> SparkEntry.queries("mm_audio_mel")), reps = 1)
+    assert(errs === 0)
+    val st = stats("mm_audio_mel")
+    assert(st.shuffleReadMb < 5.0,
+      s"codec key moved ${st.shuffleReadMb} MB of shuffle at 10x — decode no longer row-local?")
+    assert(st.sec < 60.0, s"mm_audio_mel took ${st.sec} s at 10x")
+    val n = SparkEntry.queries("mm_audio_mel")(spark, scaledDir).count()
+    assert(n === 5000L)
+  }
 }
