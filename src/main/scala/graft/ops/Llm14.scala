@@ -82,7 +82,7 @@ object Llm14 {
       s"ELSE CAST(shiftright($x, (length(bin($x)) - 1) - 6) AS BIGINT) END) - 64)"
 
   /** DuckDB SQL text of [[qlogJvm]] over expression `x`. */
-  private def qlogDuck(x: String): String =
+  private[ops] def qlogDuck(x: String): String =
     s"((length(bin($x)) - 1) * 64 + (CASE WHEN length(bin($x)) - 1 <= 6 " +
       s"THEN $x << (6 - (length(bin($x)) - 1)) " +
       s"ELSE $x >> ((length(bin($x)) - 1) - 6) END) - 64)"

@@ -16,7 +16,16 @@ import org.apache.spark.sql.functions._
   * totals — no float in the verdict (fertilities are round-6 readouts,
   * not decision inputs). 100-TB shape: both learned segmentations are
   * vocab-bounded (word, n_tokens) tables riding broadcast joins onto
-  * one (lang, word) aggregate — the L372 contract, twice. */
+  * one (lang, word) aggregate — the L372 contract, twice.
+  *
+  * Load sensitivity (VERDICT r16 `weak`, closed r17 with a pinned
+  * measurement, SURVEY §8r): 8.5 s driver-loaded vs 1.7 s idle with
+  * byte-identical shuffle — the key re-trains both tokenizers
+  * (driver-loop rounds of small jobs), so ambient load multiplies its
+  * many-fixed-overhead-jobs profile; the round-17 JVM-flag experiment
+  * pinned that code-cache sizing does not move it, while the
+  * codegen-cache enlargement (now default) removes the regeneration
+  * share, and per-key `jit_ms` attributes the rest. */
 object Llm16 {
 
   def tokenizerBakeoff(spark: SparkSession, dir: String): DataFrame = {

@@ -213,7 +213,7 @@ object Llm17 {
     // maximum IS the same pair (max over a subset containing the overall
     // argmax) — the second descent is provably redundant; the 1-row
     // driver peek is the bounded-collect tier
-    val anyRow = anyTop.collect()
+    val anyRow = boundedCollect(anyTop, 1, "lrs any-scope winner")
     val crossTop =
       if (anyRow.nonEmpty && anyRow(0).getLong(1) != anyRow(0).getLong(4))
         anyTop.withColumn("scope", lit("cross"))

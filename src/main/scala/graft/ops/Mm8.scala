@@ -47,13 +47,24 @@ object Mm8 {
       .orderBy("doc_id")
   }
 
+  def audioMfcc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(MmMfcc.mfccOf))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_audio_mel" -> (audioMel _),
+    "mm_audio_mfcc" -> (audioMfcc _),
     "mm_image_mssim" -> (imageMssim _),
   )
 
   val oracles: Map[String, String] = Map(
     "mm_audio_mel" -> MmMel.oracleSql,
+    "mm_audio_mfcc" -> MmMfcc.oracleSql,
     "mm_image_mssim" -> MmMsSsim.oracleSql,
   )
 }
@@ -76,7 +87,7 @@ object MmMel {
   private val Norm = Q * WinLen * Q * WinLen
   /** Table strides = bins 10·kp = 500·kp Hz. */
   private val Bins = 1 to 7
-  private val NMel = 5
+  private[ops] val NMel = 5
   /** Weight quantization scale. */
   private val WQScale = 1024L
 
@@ -106,9 +117,10 @@ object MmMel {
   case class MelRow(doc_id: Long, e_fund: Long, mel1: Long, mel2: Long,
     mel3: Long, mel4: Long, mel5: Long, dom_band: Long)
 
-  /** Real decode via the shared RIFF reader, the [[MmSpectral]] exact
-    * correlation sums at all seven strides, then the integer filterbank. */
-  def melOf(docId: Long): MelRow = {
+  /** Per-doc bin energies at strides 1..7 (real decode via the shared
+    * RIFF reader, the [[MmSpectral]] exact correlation sums) — shared
+    * with [[MmMfcc]]. */
+  private[ops] def binEnergies(docId: Long): Array[Long] = {
     val samples = MmAudio.samplesOf(MmAudio.Wav(docId, MmVad.synthesize(docId)))
     require(samples.length == NWin * WinLen, s"short decode for doc $docId")
     val e = Array.fill(Bins.length)(0L)
@@ -132,8 +144,16 @@ object MmMel {
       }
       w += 1
     }
-    val mels = (0 until NMel).map(j =>
-      Bins.indices.map(b => WQ(j)(b) * e(b)).sum)
+    e
+  }
+
+  /** Band energies from bin energies — the integer filterbank. */
+  private[ops] def melBands(e: Array[Long]): IndexedSeq[Long] =
+    (0 until NMel).map(j => Bins.indices.map(b => WQ(j)(b) * e(b)).sum)
+
+  def melOf(docId: Long): MelRow = {
+    val e = binEnergies(docId)
+    val mels = melBands(e)
     // integer argmax, smallest band wins ties — mirrored in the oracle
     val dom = mels.indices.minBy(j => (-mels(j), j)) + 1L
     MelRow(docId, e(0), mels(0), mels(1), mels(2), mels(3), mels(4), dom)
@@ -142,7 +162,9 @@ object MmMel {
   /** Closed-form oracle: the L395 re-synthesis (same planting rule),
     * correlation sums at strides 1..7, the interpolated weight table,
     * and the same smallest-first argmax. */
-  private[graft] def oracleSql: String = {
+  /** Shared oracle chain ending in `bands(f, e_fund, mel1..mel5)` (plus
+    * `cls(doc_id, f)` in scope) — [[MmMfcc]] appends its cepstral CTEs. */
+  private[ops] def bandsChainSql: String = {
     val lst = MmSpectral.CosQ.mkString("[", ", ", "]")
     def sumTerm(kp: Int, phase: Int, as: String): String =
       s"CAST(SUM(x * ($lst)[((($kp * i + $phase) % 16)) + 1]) AS BIGINT) AS $as"
@@ -150,12 +172,7 @@ object MmMel {
       s"CAST((CAST(sc$kp AS HUGEINT) * sc$kp + CAST(ss$kp AS HUGEINT) * ss$kp) // $Norm AS BIGINT) AS e$kp"
     def melCol(j: Int): String =
       Bins.map(kp => s"${WQ(j - 1)(kp - 1)} * e$kp").mkString(" + ")
-    val domCase = (1 to NMel).map { j =>
-      val geAll = (1 to NMel).filter(_ != j)
-        .map(o => s"mel$j >= mel$o").mkString(" AND ")
-      s"WHEN $geAll THEN $j"
-    }.mkString(" ")
-    s"""WITH cls AS (SELECT doc_id, doc_id % 30 AS f FROM documents),
+    s"""cls AS (SELECT doc_id, doc_id % 30 AS f FROM documents),
        fam AS (SELECT DISTINCT f FROM cls),
        smp AS (SELECT f, i,
            CASE WHEN ((i // $WinLen) * 13 + f * 7) % 8 < 3
@@ -177,7 +194,16 @@ object MmMel {
        bands AS (SELECT f, e1 AS e_fund,
            ${(1 to NMel).map(j => s"CAST(${melCol(j)} AS BIGINT) AS mel$j")
              .mkString(",\n           ")}
-         FROM agg)
+         FROM agg)"""
+  }
+
+  private[graft] def oracleSql: String = {
+    val domCase = (1 to NMel).map { j =>
+      val geAll = (1 to NMel).filter(_ != j)
+        .map(o => s"mel$j >= mel$o").mkString(" AND ")
+      s"WHEN $geAll THEN $j"
+    }.mkString(" ")
+    s"""WITH $bandsChainSql
        SELECT doc_id, e_fund, mel1, mel2, mel3, mel4, mel5,
          CAST(CASE $domCase END AS BIGINT) AS dom_band
        FROM cls JOIN bands USING (f) ORDER BY doc_id"""
@@ -380,5 +406,65 @@ object MmMsSsim {
        SELECT doc_id, ssim_bright, ssim_checker, ssim_stripe,
          mssim_bright, mssim_checker, mssim_stripe
        FROM cls JOIN scores USING (f) ORDER BY doc_id"""
+  }
+}
+
+/** L407 kernel — MFCC coefficients (Davis & Mermelstein IEEE TASSP
+  * 1980: DCT-II of the log mel-band energies — the back half of the
+  * front-end whose filterbank is [[MmMel]]; together they are THE
+  * classic audio feature every speech pipeline computed before learned
+  * encoders, and the decorrelation step that turns correlated band
+  * energies into the compact cepstral vector). Exactness: the log is
+  * [[Llm14.qlogJvm]] — the 1/64-unit integer log₂ the tokenizer family
+  * already shares across engines — and the DCT basis is one quantized
+  * table CosD[m][j] = round(1024·cos(π·m·(2j+1)/10)) computed once in
+  * the JVM and interpolated VERBATIM into the oracle (the CosQ
+  * convention), so every coefficient is a pure int64 dot product:
+  * c_m = Σ_j CosD[m][j] · qlog(mel_j). c₀ collapses to 1024·Σ qlog
+  * (cos 0 = 1 — the spec's closed-form pin). Row-local decode, zero
+  * data shuffle. */
+object MmMfcc {
+
+  /** Quantized DCT-II basis over [[MmMel.NMel]] bands. */
+  private[graft] val CosD: IndexedSeq[IndexedSeq[Long]] =
+    (0 until MmMel.NMel).map { m =>
+      (0 until MmMel.NMel).map { j =>
+        Math.round(1024.0 *
+          math.cos(math.Pi * m * (2 * j + 1) / (2.0 * MmMel.NMel)))
+      }
+    }
+
+  case class MfccRow(doc_id: Long, lq1: Long, lq2: Long, lq3: Long,
+    lq4: Long, lq5: Long, c0: Long, c1: Long, c2: Long, c3: Long, c4: Long)
+
+  def mfccOf(docId: Long): MfccRow = {
+    val lq = MmMel.melBands(MmMel.binEnergies(docId))
+      .map(Llm14.qlogJvm)
+    val c = (0 until MmMel.NMel).map(m =>
+      (0 until MmMel.NMel).map(j => CosD(m)(j) * lq(j)).sum)
+    MfccRow(docId, lq(0), lq(1), lq(2), lq(3), lq(4),
+      c(0), c(1), c(2), c(3), c(4))
+  }
+
+  /** Oracle: the [[MmMel]] chain through `bands`, then qlogDuck +
+    * the interpolated DCT literals. */
+  private[graft] def oracleSql: String = {
+    val lqCols = (1 to MmMel.NMel).map(j =>
+      s"CAST(${Llm14.qlogDuck(s"mel$j")} AS BIGINT) AS lq$j")
+      .mkString(",\n           ")
+    val cCols = (0 until MmMel.NMel).map { m =>
+      val terms = (1 to MmMel.NMel)
+        .map(j => s"${CosD(m)(j - 1)} * lq$j").mkString(" + ")
+      s"CAST($terms AS BIGINT) AS c${m}"
+    }.mkString(",\n           ")
+    s"""WITH ${MmMel.bandsChainSql},
+       lq AS (SELECT f,
+           $lqCols
+         FROM bands),
+       co AS (SELECT f, lq1, lq2, lq3, lq4, lq5,
+           $cCols
+         FROM lq)
+       SELECT doc_id, lq1, lq2, lq3, lq4, lq5, c0, c1, c2, c3, c4
+       FROM cls JOIN co USING (f) ORDER BY doc_id"""
   }
 }

@@ -255,4 +255,28 @@ class Round17Spec extends SparkTestBase {
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(got2 === want2)
   }
+
+  test("MFCC: c0 is the closed-form 1024*sum(qlog mel), lq pins the mel-band parity") {
+    val mel = ops.Mm8.audioMel(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (2 to 6).map(r.getLong)).toMap
+    val mfcc = ops.Mm8.audioMfcc(spark, sf0001).collect()
+    assert(mfcc.nonEmpty)
+    mfcc.foreach { r =>
+      val id = r.getLong(0)
+      val lq = (1 to 5).map(r.getLong)
+      // lq_j is exactly the shared integer log2 of the mel band energy
+      assert(lq === mel(id).map(ops.Llm14.qlogJvm), s"doc $id lq parity")
+      // DCT row 0 is all-1024 (cos 0), so c0 = 1024 * sum(lq) exactly
+      assert(r.getLong(6) === 1024L * lq.sum, s"doc $id c0 closed form")
+      // an independent JVM replica of the remaining coefficients
+      (1 to 4).foreach { m =>
+        val want = (0 until 5).map(j => ops.MmMfcc.CosD(m)(j) * lq(j)).sum
+        assert(r.getLong(6 + m) === want, s"doc $id c$m")
+      }
+    }
+    // basis sanity: each non-DC row sums to ~0 (orthogonal to DC)
+    (1 until 5).foreach { m =>
+      assert(math.abs(ops.MmMfcc.CosD(m).sum) <= 2L, s"DCT row $m balance")
+    }
+  }
 }
