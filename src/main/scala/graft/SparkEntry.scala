@@ -40,6 +40,7 @@ object SparkEntry {
       ops.Llm16.queries ++
       ops.Llm17.queries ++
       ops.Llm18.queries ++
+      ops.Llm19.queries ++
       ops.Mm2.queries ++
       ops.Mm3.queries ++
       ops.Mm4.queries ++
@@ -91,6 +92,7 @@ object SparkEntry {
       ops.Llm16.oracles ++
       ops.Llm17.oracles ++
       ops.Llm18.oracles ++
+      ops.Llm19.oracles ++
       ops.Mm2.oracles ++
       ops.Mm3.oracles ++
       ops.Mm4.oracles ++

@@ -61,15 +61,39 @@ object Llm2 {
     val q = e.where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
 
-    // Probe: nearest centroid by cosine (broadcast nested-loop over k rows).
+    // Probe: centroids ranked by cosine (broadcast nested-loop over k
+    // rows); rn = 1 is the classic single probe, [[Llm19]] keeps rn <= p
+    ivfProbeRankedFrom(q, centroids)
+      .where(col("rn") === 1)
+      .select(col("qid"), col("qemb"), col("qnrm"), col("label").as("cell"))
+  }
+
+  /** All centroids ranked per query — (qid, qemb, qnrm, label, cos_c,
+    * rn); the multi-probe generalization reads rn <= nprobe. */
+  private[graft] def ivfProbeRanked(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+      .withColumn("emb", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("nrm", normCol(col("emb")))
+    val centroids = e
+      .select(col("label"), posexplode(col("emb")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(davg(col("x")).as("c"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cemb"))
+      .withColumn("cnrm", normCol(col("cemb")))
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
+    ivfProbeRankedFrom(q, centroids)
+  }
+
+  private def ivfProbeRankedFrom(q: DataFrame, centroids: DataFrame): DataFrame = {
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("cos_c").desc, col("label").asc)
     q.crossJoin(broadcast(centroids))
       .select(col("qid"), col("qemb"), col("qnrm"), col("label"),
         round(dotCol(col("qemb"), col("cemb")) / (col("qnrm") * col("cnrm")), 6).as("cos_c"))
       .withColumn("rn", row_number().over(wProbe))
-      .where(col("rn") === 1)
-      .select(col("qid"), col("qemb"), col("qnrm"), col("label").as("cell"))
   }
 
   /** IVF (inverted-file) ANN: cells = label groups, centroid = exact

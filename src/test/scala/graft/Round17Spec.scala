@@ -279,4 +279,24 @@ class Round17Spec extends SparkTestBase {
       assert(math.abs(ops.MmMfcc.CosD(m).sum) <= 2L, s"DCT row $m balance")
     }
   }
+
+  test("multi-probe IVF: recall monotone in nprobe, full-probe row is the exact anchor, nprobe=1 matches the L397 audit") {
+    val rows = ops.Llm19.ivfMultiprobe(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    assert(rows.keySet === Set(1L, 2L, 4L, 10L))
+    // recall and candidate cost both rise monotonically with nprobe
+    val seq = Seq(1L, 2L, 4L, 10L).map(rows)
+    seq.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._1 <= b._1, "avg_recall must be monotone in nprobe")
+      assert(a._3 < b._3, "candidate cost must grow with nprobe")
+    }
+    // probing every cell IS the exact scan: recall 1 by construction
+    assert(rows(10L)._1 === 1.0 && rows(10L)._2 === 1.0)
+    // the single-probe row reproduces the L397 audit's ivf row
+    val audit = ops.Llm15.annRecall(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(4)))).toMap
+    assert((rows(1L)._1, rows(1L)._3) === audit("ivf"),
+      "nprobe=1 must equal the audited single-probe ivf row")
+  }
 }
