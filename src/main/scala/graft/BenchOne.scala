@@ -49,6 +49,62 @@ object BenchOne {
         val t2 = System.nanoTime()
         println(f"[benchone] $name rep$i: plan ${(t1 - t0) / 1e9}%.3f s, exec ${(t2 - t1) / 1e9}%.3f s, $n rows")
       }
+    } else if (args.contains("stages")) {
+      // Stage-level attribution: warm rep, then one timed rep with a
+      // listener printing every stage's wall, task count, and task-time
+      // sum — decomposes a query's cost into its stages (job overhead
+      // vs compute vs exchange).
+      import org.apache.spark.scheduler._
+      val stages = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+      val listener = new SparkListener {
+        override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+          val i = s.stageInfo
+          val wall = (i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)) / 1e3
+          stages.put(i.stageId,
+            f"stage ${i.stageId}%3d ${i.name.take(60)}%-60s wall $wall%6.3f s tasks ${i.numTasks}%4d")
+        }
+      }
+      fn(spark, sfDir).count() // warm
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // listener drain
+      import scala.jdk.CollectionConverters._
+      stages.asScala.toSeq.sortBy(_._1).foreach { case (_, l) => println(s"[benchone] $l") }
+      println(f"[benchone] $name: $dt%.3f s, $n rows")
+    } else if (args.contains("warmprobe")) {
+      // Warm-strategy probe: run the key N times at a WARM dir first
+      // (default sf0.01), then time reps at the target — answers whether
+      // a stronger warm pass absorbs the HotSpot tier-up tax that
+      // min-of-3 at the target otherwise pays.
+      val jit = java.lang.management.ManagementFactory.getCompilationMXBean
+      val wi = args.indexOf("warmprobe")
+      val warmDir = args(wi + 1)
+      val warmReps = args(wi + 2).toInt
+      val tw0 = System.nanoTime()
+      for (_ <- 1 to warmReps) fn(spark, warmDir).count()
+      println(f"[benchone] $name warm ${warmReps}x$warmDir: ${(System.nanoTime() - tw0) / 1e9}%.3f s")
+      for (i <- 1 to 3) {
+        val j0 = jit.getTotalCompilationTime
+        val t0 = System.nanoTime()
+        val rows = fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[benchone] $name rep$i: $dt%.3f s, $rows rows, jit ${jit.getTotalCompilationTime - j0} ms")
+      }
+    } else if (args.contains("reps")) {
+      // JIT-convergence probe: N timed reps, per-rep wall + JIT-compiler
+      // delta, no warmup — rep1 IS the cold measurement. Shows how many
+      // executions a key needs before HotSpot reaches steady state.
+      val jit = java.lang.management.ManagementFactory.getCompilationMXBean
+      val n = args(args.indexOf("reps") + 1).toInt
+      for (i <- 1 to n) {
+        val j0 = jit.getTotalCompilationTime
+        val t0 = System.nanoTime()
+        val rows = fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[benchone] $name rep$i: $dt%.3f s, $rows rows, jit ${jit.getTotalCompilationTime - j0} ms")
+      }
     } else {
       val jit = java.lang.management.ManagementFactory.getCompilationMXBean
       fn(spark, sfDir).count() // warmup

@@ -67,6 +67,24 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
+  /** Scan-stage parallelism for compute-heavy row-local operators
+    * (round-17 optimization, guide §2.5 "input skew"). Spark derives
+    * scan task count from file SPLITS; the fixture tables are single
+    * row-group parquet files, so every scan — and with it all per-row
+    * work up to the first exchange (codec kernels, tokenization,
+    * hashing) — runs in ONE task regardless of core count (measured:
+    * mm_video_scene_cut 3.9 s at local[32] ≈ the single-thread kernel
+    * cost). `fanout` round-robin-repartitions to the session's
+    * parallelism so those stages use the machine; it never SHRINKS a
+    * frame that already has more partitions (at production scale, file
+    * splits supply the parallelism and this is the identity). Apply it
+    * only where per-row compute is the measured cost — it buys nothing
+    * on scan-cheap relational paths and would add one (tiny) exchange. */
+  def fanout(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
+
   // ---- float-determinism helpers (see scaladoc above) ----
 
   /** Exact, order-independent sum of a double column, returned as double. */

@@ -847,9 +847,9 @@ object Llm {
     * nothing shuffles before the final sort at any corpus size. */
   def mmDecodeMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    documents(spark, dir)
-      .select(col("doc_id"), col("n_chars").cast("int").as("n_chars"))
-      .as[(Long, Int)]
+    fanout(documents(spark, dir)
+        .select(col("doc_id"), col("n_chars").cast("int").as("n_chars")))
+      .as[(Long, Int)] // fanout: r17, see Tables.fanout
       .mapPartitions(_.map { case (id, nc) =>
         MmDecode.Payload(id, MmDecode.synthesize(id, nc))
       })
@@ -1226,24 +1226,29 @@ object MmDecode {
     * r=(id+y)%256, g=(2id+x)%256, b=(3id+x+y)%256. */
   def synthesize(docId: Long, nChars: Int): Array[Byte] = {
     val (w, h) = dims(nChars)
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val r = ((docId + y) % 256).toInt
-        val g = ((docId * 2 + x) % 256).toInt
-        val b = ((docId * 3 + x + y) % 256).toInt
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
-        x += 1
-      }
-      y += 1
+    def rgb(x: Int, y: Int): Int = {
+      val r = ((docId + y) % 256).toInt
+      val g = ((docId * 2 + x) % 256).toInt
+      val b = ((docId * 3 + x + y) % 256).toInt
+      (r << 16) | (g << 8) | b
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    val fmt = if (docId % 2 == 0) "png" else "bmp"
-    require(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
-    bos.toByteArray
+    if (docId % 2 != 0)
+      // BMP branch: direct bytes (byte-identical to the ImageIO round
+      // trip — FastCodec doc + Round17OptSpec); DECODE stays ImageIO
+      FastCodec.bmp24(w, h, rgb)
+    else {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "png", bos), "no png writer")
+      bos.toByteArray
+    }
   }
 
   /** Real decode: container sniff (reader selection), header parse, raster

@@ -137,8 +137,8 @@ object Llm12 {
     * end to end. */
   def audioResample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    documents(spark, dir)
-      .select(col("doc_id")).as[Long]
+    fanout(documents(spark, dir)
+        .select(col("doc_id"))).as[Long] // fanout: r17, see Tables.fanout
       .mapPartitions(_.map(MmResample.resampleOf))
       .toDF()
       .orderBy("doc_id")

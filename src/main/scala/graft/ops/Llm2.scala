@@ -255,9 +255,9 @@ object Llm2 {
     * fails the hash gate. Row-local end-to-end. */
   def mmResizeFeature(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    documents(spark, dir)
-      .select(col("doc_id"), col("n_chars").cast("int").as("n_chars"))
-      .as[(Long, Int)]
+    fanout(documents(spark, dir)
+        .select(col("doc_id"), col("n_chars").cast("int").as("n_chars")))
+      .as[(Long, Int)] // fanout: r17, see Tables.fanout
       .mapPartitions(_.map { case (id, nc) =>
         graft.ops.MmDecode.resizeFeature(
           graft.ops.MmDecode.Payload(id, graft.ops.MmDecode.synthesize(id, nc)))
@@ -288,11 +288,10 @@ object Llm2 {
       // codec work is CPU-bound per ROW while the input is a tiny
       // 2-column projection: spread it across cores even when the scan
       // is one parquet file (the local fixture), at the price of one
-      // negligible 16-byte-per-row shuffle. At warehouse scale the scan
-      // has real parallelism and AQE coalesces this to a no-op-sized
-      // exchange; without it the local bench serializes 5k decodes on
-      // one task.
-      .repartition(32)
+      // negligible 16-byte-per-row shuffle. Round 17: the hard-coded 32
+      // became Tables.fanout — parallelism now derives from the session
+      // core count and never shrinks an already-parallel scan.
+      .transform(fanout)
       .as[(Long, Int)]
       .mapPartitions(_.flatMap { case (id, nc) =>
         graft.ops.MmDecode.sampleFrames(

@@ -271,9 +271,9 @@ object Llm6 {
     * shuffles before the final sort at any corpus size. */
   def mmAudioDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    documents(spark, dir)
-      .select(col("doc_id"), col("n_chars").cast("int").as("n_chars"))
-      .as[(Long, Int)]
+    fanout(documents(spark, dir)
+        .select(col("doc_id"), col("n_chars").cast("int").as("n_chars")))
+      .as[(Long, Int)] // fanout: r17, see Tables.fanout
       .mapPartitions(_.map { case (id, nc) =>
         MmAudio.Wav(id, MmAudio.synthesize(id, nc))
       })
@@ -297,9 +297,9 @@ object Llm6 {
   def mmAudioEnergy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val W = 64
-    documents(spark, dir)
-      .select(col("doc_id"), col("n_chars").cast("int").as("n_chars"))
-      .as[(Long, Int)]
+    fanout(documents(spark, dir)
+        .select(col("doc_id"), col("n_chars").cast("int").as("n_chars")))
+      .as[(Long, Int)] // fanout: r17, see Tables.fanout
       .mapPartitions(_.map { case (id, nc) =>
         val s = MmAudio.samplesOf(MmAudio.Wav(id, MmAudio.synthesize(id, nc)))
         val frames = s.grouped(W).filter(_.length == W).toArray
@@ -543,21 +543,43 @@ object MmAudio {
       pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(
-      rate(docId).toFloat, 16, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    // direct RIFF/WAVE bytes (byte-identical to AudioSystem.write —
+    // FastCodec doc + Round17OptSpec); the DECODE side stays javax.sound
+    FastCodec.wavPcm16Mono(rate(docId), pcm)
   }
+
+  /** The JDK's WAVE AudioFileReader, resolved from the SPI registry ONCE.
+    * Round-17 optimization (guide §1.2 per-task work, measured in
+    * MmProbe): `AudioSystem.getAudioInputStream` re-walks the provider
+    * registry on EVERY call behind a shared lock, so the row-local audio
+    * kernels got SLOWER with more cores (0.39 s on 1 thread → 0.90 s on
+    * 32 for the same 5 000 decodes). Calling the resolved provider
+    * directly runs the identical JDK WAVE decoder — same parse, same
+    * failure modes, pinned by Round17OptSpec against the AudioSystem
+    * path — without the global registry walk. Falls back to AudioSystem
+    * if the SPI enumeration yields no WAVE reader (never on this JDK). */
+  private lazy val waveReader: Option[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    val probe = FastCodec.wavPcm16Mono(8000, new Array[Byte](2))
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.find { r =>
+        try { r.getAudioInputStream(new java.io.ByteArrayInputStream(probe)).close(); true }
+        catch { case _: Throwable => false }
+      }
+  }
+
+  private def openWav(payload: Array[Byte]): javax.sound.sampled.AudioInputStream =
+    waveReader match {
+      case Some(r) => r.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      case None => javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+    }
 
   /** Decoded PCM sample vector — the same RIFF parse as [[decode]],
     * returning the raw samples for downstream frame-level features. */
   def samplesOf(w: Wav): Array[Int] = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(w.payload))
+    val ais = openWav(w.payload)
     try {
       val f = ais.getFormat
       require(!f.isBigEndian && f.getSampleSizeInBits == 16 &&
@@ -576,8 +598,7 @@ object MmAudio {
     * single correctly-rounded double operations of the same rationals
     * DuckDB computes — bit-identical with no quantization. */
   def decode(w: Wav): AMeta = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(w.payload))
+    val ais = openWav(w.payload)
     try {
       val f = ais.getFormat
       require(!f.isBigEndian && f.getSampleSizeInBits == 16 &&

@@ -36,8 +36,8 @@ object Mm2 {
     * not. */
   def imageAHashDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val hashes = documents(spark, dir)
-      .select(col("doc_id")).as[Long]
+    val hashes = fanout(documents(spark, dir)
+        .select(col("doc_id"))).as[Long] // fanout: r17, see Tables.fanout
       .mapPartitions(_.map(id =>
         MmAHash.decodeHash(id, MmAHash.synthesize(id))))
       .toDF()
@@ -132,22 +132,13 @@ object MmAHash {
   def synthesize(docId: Long): Array[Byte] = {
     val f = (docId % 50).toInt
     val diag = docId % 3 == 0
-    val img = new java.awt.image.BufferedImage(
-      Size, Size, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-    var y = 0
-    while (y < Size) {
-      var x = 0
-      while (x < Size) {
-        var v = (x * 7 + y * 13 + f * 31) % 255
-        if (diag && x == y) v += 1
-        img.setRGB(x, y, (v << 16) | (v << 8) | v)
-        x += 1
-      }
-      y += 1
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    require(javax.imageio.ImageIO.write(img, "bmp", bos), "no bmp writer")
-    bos.toByteArray
+    // direct BMP bytes (byte-identical to the ImageIO round trip —
+    // FastCodec doc + Round17OptSpec); the DECODE side stays ImageIO
+    FastCodec.bmpGray(Size, Size, (x, y) => {
+      var v = (x * 7 + y * 13 + f * 31) % 255
+      if (diag && x == y) v += 1
+      v
+    })
   }
 
   case class HashRow(doc_id: Long, n_bits: Int,

@@ -83,8 +83,8 @@ object Mm3 {
   def imagePHashDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     pairHistogram(
-      documents(spark, dir)
-        .select(col("doc_id")).as[Long]
+      fanout(documents(spark, dir)
+          .select(col("doc_id"))).as[Long] // fanout: r17, see Tables.fanout
         .mapPartitions(_.map(id =>
           MmPHash.decodeHash(id, MmPHash.synthesize(id))))
         .toDF(),
@@ -102,8 +102,8 @@ object Mm3 {
   def imageDHashDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     pairHistogram(
-      documents(spark, dir)
-        .select(col("doc_id")).as[Long]
+      fanout(documents(spark, dir)
+          .select(col("doc_id"))).as[Long] // fanout: r17, see Tables.fanout
         .mapPartitions(_.map(id =>
           MmDHash.decodeHash(id, MmDHash.synthesize(id))))
         .toDF(),
@@ -297,23 +297,10 @@ object MmDHash {
 
   /** Write the closed-form field as a genuine grayscale BMP through
     * the real `javax.imageio` encoder. */
-  private[ops] def writeBmp(w: Int, h: Int, f: Int, pert: Boolean): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val v = MmPHash.pixel(f, pert, x, y)
-        img.setRGB(x, y, (v << 16) | (v << 8) | v)
-        x += 1
-      }
-      y += 1
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    require(javax.imageio.ImageIO.write(img, "bmp", bos), "no bmp writer")
-    bos.toByteArray
-  }
+  private[ops] def writeBmp(w: Int, h: Int, f: Int, pert: Boolean): Array[Byte] =
+    // direct BMP bytes (byte-identical to the ImageIO round trip —
+    // FastCodec doc + Round17OptSpec); the DECODE side stays ImageIO
+    FastCodec.bmpGray(w, h, (x, y) => MmPHash.pixel(f, pert, x, y))
 
   /** Real decode; rejects a wrong-shaped or unparseable payload. */
   private[graft] def readRaster(docId: Long, payload: Array[Byte],

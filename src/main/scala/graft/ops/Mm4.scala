@@ -36,8 +36,8 @@ object Mm4 {
     * frame-decode scan, exactly like batch image hashing. */
   def videoSceneCut(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    documents(spark, dir)
-      .select(col("doc_id")).as[Long]
+    fanout(documents(spark, dir)
+        .select(col("doc_id"))).as[Long] // fanout: r17, see Tables.fanout
       .mapPartitions(_.flatMap(MmVideo.cutsOf))
       .toDF()
       .orderBy("doc_id", "frame_no")
@@ -58,8 +58,8 @@ object Mm4 {
     * row-local (a doc's windows live in its own payload). */
   def audioVad(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    documents(spark, dir)
-      .select(col("doc_id")).as[Long]
+    fanout(documents(spark, dir)
+        .select(col("doc_id"))).as[Long] // fanout: r17, see Tables.fanout
       .mapPartitions(_.map(MmVad.vadOf))
       .toDF()
       .orderBy("doc_id")
@@ -77,8 +77,8 @@ object Mm4 {
     * Same row-local decode shape as L366. */
   def videoKeyframes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    documents(spark, dir)
-      .select(col("doc_id")).as[Long]
+    fanout(documents(spark, dir)
+        .select(col("doc_id"))).as[Long] // fanout: r17, see Tables.fanout
       .mapPartitions(_.flatMap(MmVideo.keyframesOf))
       .toDF()
       .orderBy("doc_id", "shot_no")
@@ -217,21 +217,9 @@ object MmVideo {
     var s = 0
     var j = 1
     while (j <= t) { if (isCut(j, f)) s += 1; j += 1 }
-    val img = new java.awt.image.BufferedImage(
-      W, H, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-    var y = 0
-    while (y < H) {
-      var x = 0
-      while (x < W) {
-        val v = px(f, s)(x, y)
-        img.setRGB(x, y, (v << 16) | (v << 8) | v)
-        x += 1
-      }
-      y += 1
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    require(javax.imageio.ImageIO.write(img, "bmp", bos), "no bmp writer")
-    bos.toByteArray
+    // direct BMP bytes (byte-identical to the ImageIO round trip —
+    // FastCodec doc + Round17OptSpec); the DECODE side stays ImageIO
+    FastCodec.bmpGray(W, H, px(f, s))
   }
 
   case class CutRow(doc_id: Long, frame_no: Long, sad: Long)
@@ -325,13 +313,9 @@ object MmVad {
       pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    // direct RIFF/WAVE bytes (byte-identical to AudioSystem.write —
+    // FastCodec doc + Round17OptSpec); the DECODE side stays javax.sound
+    FastCodec.wavPcm16Mono(8000, pcm)
   }
 
   case class VadRow(doc_id: Long, n_windows: Long, n_speech: Long,

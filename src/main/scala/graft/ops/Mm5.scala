@@ -32,8 +32,8 @@ object Mm5 {
     * parallelism = scan parallelism, no shuffle before the final sort. */
   def audioZcr(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    documents(spark, dir)
-      .select(col("doc_id")).as[Long]
+    fanout(documents(spark, dir)
+        .select(col("doc_id"))).as[Long] // fanout: r17, see Tables.fanout
       .mapPartitions(_.map(MmZcr.zcrOf))
       .toDF()
       .orderBy("doc_id")
@@ -54,8 +54,8 @@ object Mm5 {
     * factor. Row-local: one task decodes + equalizes one image. */
   def imageEqualize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    documents(spark, dir)
-      .select(col("doc_id")).as[Long]
+    fanout(documents(spark, dir)
+        .select(col("doc_id"))).as[Long] // fanout: r17, see Tables.fanout
       .mapPartitions(_.map(MmEq.equalizeOf))
       .toDF()
       .orderBy("doc_id")
@@ -77,8 +77,8 @@ object Mm5 {
     * Mm ops. */
   def imageBlobs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    documents(spark, dir)
-      .select(col("doc_id")).as[Long]
+    fanout(documents(spark, dir)
+        .select(col("doc_id"))).as[Long] // fanout: r17, see Tables.fanout
       .mapPartitions(_.flatMap(MmBlobs.blobsOf))
       .toDF()
       .orderBy("doc_id", "blob_no")
@@ -184,17 +184,10 @@ object MmBlobs {
   def synthesize(docId: Long): Array[Byte] = {
     val f = (docId % 20).toInt
     val k = f % 5 + 1
-    val img = new java.awt.image.BufferedImage(
-      Size, Size, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-    var y = 0
-    while (y < Size) {
-      var x = 0
-      while (x < Size) {
-        img.setRGB(x, y, (30 << 16) | (30 << 8) | 30)
-        x += 1
-      }
-      y += 1
-    }
+    // the planted rectangles, painted into a pixel buffer once; the BMP
+    // bytes come from the direct writer (byte-identical to the ImageIO
+    // round trip — FastCodec doc + Round17OptSpec); DECODE stays ImageIO
+    val buf = Array.fill(Size * Size)(30)
     var r = 0
     while (r < k) {
       val x0 = 3 + 2 * ((f + 3 * r) % 10)
@@ -204,17 +197,12 @@ object MmBlobs {
       var yy = y0
       while (yy < y0 + h) {
         var xx = x0
-        while (xx < x0 + w) {
-          img.setRGB(xx, yy, (200 << 16) | (200 << 8) | 200)
-          xx += 1
-        }
+        while (xx < x0 + w) { buf(yy * Size + xx) = 200; xx += 1 }
         yy += 1
       }
       r += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    require(javax.imageio.ImageIO.write(img, "bmp", bos), "no bmp writer")
-    bos.toByteArray
+    FastCodec.bmpGray(Size, Size, (x, y) => buf(y * Size + x))
   }
 
   case class BlobRow(doc_id: Long, blob_no: Long, area: Long,
@@ -314,22 +302,11 @@ object MmEq {
   def synthesize(docId: Long): Array[Byte] = {
     val f = (docId % 20).toInt
     val hi = docId % 4 == 0
-    val img = new java.awt.image.BufferedImage(
-      Size, Size, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-    var y = 0
-    while (y < Size) {
-      var x = 0
-      while (x < Size) {
-        val v = if (hi) (9 * x + 11 * y + 23 * f) % 250
-          else 60 + (3 * x + 5 * y + 17 * f) % 40
-        img.setRGB(x, y, (v << 16) | (v << 8) | v)
-        x += 1
-      }
-      y += 1
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    require(javax.imageio.ImageIO.write(img, "bmp", bos), "no bmp writer")
-    bos.toByteArray
+    // direct BMP bytes (byte-identical to the ImageIO round trip —
+    // FastCodec doc + Round17OptSpec); the DECODE side stays ImageIO
+    FastCodec.bmpGray(Size, Size, (x, y) =>
+      if (hi) (9 * x + 11 * y + 23 * f) % 250
+      else 60 + (3 * x + 5 * y + 17 * f) % 40)
   }
 
   case class EqRow(doc_id: Long, n_levels_before: Long,

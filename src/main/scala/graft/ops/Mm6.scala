@@ -22,8 +22,8 @@ object Mm6 {
     * one task decodes and sweeps one image's 256-bin histogram. */
   def imageOtsu(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    documents(spark, dir)
-      .select(col("doc_id")).as[Long]
+    fanout(documents(spark, dir)
+        .select(col("doc_id"))).as[Long] // fanout: r17, see Tables.fanout
       .mapPartitions(_.map(MmOtsu.otsuOf))
       .toDF()
       .orderBy("doc_id")
@@ -52,8 +52,8 @@ object Mm6 {
     * visible per run. */
   def imageSobel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    documents(spark, dir)
-      .select(col("doc_id")).as[Long]
+    fanout(documents(spark, dir)
+        .select(col("doc_id"))).as[Long] // fanout: r17, see Tables.fanout
       .mapPartitions(_.map(MmSobel.sobelOf))
       .toDF()
       .orderBy("doc_id")

@@ -20,8 +20,8 @@ object Mm7 {
 
   def audioSpectral(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    documents(spark, dir)
-      .select(col("doc_id")).as[Long]
+    fanout(documents(spark, dir)
+        .select(col("doc_id"))).as[Long] // fanout: r17, see Tables.fanout
       .mapPartitions(_.map(MmSpectral.spectralOf))
       .toDF()
       .orderBy("doc_id")
@@ -29,8 +29,8 @@ object Mm7 {
 
   def imageSsim(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    documents(spark, dir)
-      .select(col("doc_id")).as[Long]
+    fanout(documents(spark, dir)
+        .select(col("doc_id"))).as[Long] // fanout: r17, see Tables.fanout
       .mapPartitions(_.map(MmSsim.ssimOf))
       .toDF()
       .orderBy("doc_id")
@@ -216,23 +216,10 @@ object MmSsim {
     case _ => base(f)(x, y) + (if ((x + y) % 2 == 0) Shift else -Shift)
   }
 
-  private def synthesize(f: Int, kind: Int): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      Size, Size, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-    var y = 0
-    while (y < Size) {
-      var x = 0
-      while (x < Size) {
-        val v = pixel(f, kind)(x, y).toInt
-        img.setRGB(x, y, (v << 16) | (v << 8) | v)
-        x += 1
-      }
-      y += 1
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    require(javax.imageio.ImageIO.write(img, "bmp", bos), "no bmp writer")
-    bos.toByteArray
-  }
+  private def synthesize(f: Int, kind: Int): Array[Byte] =
+    // direct BMP bytes (byte-identical to the ImageIO round trip —
+    // FastCodec doc + Round17OptSpec); the DECODE side stays ImageIO
+    FastCodec.bmpGray(Size, Size, (x, y) => pixel(f, kind)(x, y).toInt)
 
   private[graft] def decode(payload: Array[Byte]): Array[Array[Long]] = {
     val img = javax.imageio.ImageIO.read(

@@ -31,8 +31,8 @@ object Mm8 {
 
   def audioMel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    documents(spark, dir)
-      .select(col("doc_id")).as[Long]
+    fanout(documents(spark, dir)
+        .select(col("doc_id"))).as[Long] // fanout: r17, see Tables.fanout
       .mapPartitions(_.map(MmMel.melOf))
       .toDF()
       .orderBy("doc_id")
@@ -40,8 +40,8 @@ object Mm8 {
 
   def imageMssim(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    documents(spark, dir)
-      .select(col("doc_id")).as[Long]
+    fanout(documents(spark, dir)
+        .select(col("doc_id"))).as[Long] // fanout: r17, see Tables.fanout
       .mapPartitions(_.map(MmMsSsim.mssimOf))
       .toDF()
       .orderBy("doc_id")
@@ -49,8 +49,8 @@ object Mm8 {
 
   def audioMfcc(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    documents(spark, dir)
-      .select(col("doc_id")).as[Long]
+    fanout(documents(spark, dir)
+        .select(col("doc_id"))).as[Long] // fanout: r17, see Tables.fanout
       .mapPartitions(_.map(MmMfcc.mfccOf))
       .toDF()
       .orderBy("doc_id")
@@ -249,23 +249,10 @@ object MmMsSsim {
       (if ((x / 2 + y / 2) % 2 == 0) Shift else -Shift)
   }
 
-  private def synthesize(f: Int, kind: Int): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      Size, Size, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-    var y = 0
-    while (y < Size) {
-      var x = 0
-      while (x < Size) {
-        val v = pixel(f, kind)(x, y).toInt
-        img.setRGB(x, y, (v << 16) | (v << 8) | v)
-        x += 1
-      }
-      y += 1
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    require(javax.imageio.ImageIO.write(img, "bmp", bos), "no bmp writer")
-    bos.toByteArray
-  }
+  private def synthesize(f: Int, kind: Int): Array[Byte] =
+    // direct BMP bytes (byte-identical to the ImageIO round trip —
+    // FastCodec doc + Round17OptSpec); the DECODE side stays ImageIO
+    FastCodec.bmpGray(Size, Size, (x, y) => pixel(f, kind)(x, y).toInt)
 
   /** 2×2 sum-pool — integer-exact downsample to 32×32. */
   private def pool(a: Array[Array[Long]]): Array[Array[Long]] =
