@@ -56,12 +56,25 @@ object BenchOne {
       // vs compute vs exchange).
       import org.apache.spark.scheduler._
       val stages = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+      val runMs = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
+      val cpuMs = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
       val listener = new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            runMs.computeIfAbsent(t.stageId, _ => new java.util.concurrent.atomic.AtomicLong)
+              .addAndGet(m.executorRunTime)
+            cpuMs.computeIfAbsent(t.stageId, _ => new java.util.concurrent.atomic.AtomicLong)
+              .addAndGet(m.executorCpuTime / 1000000)
+          }
+        }
         override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
           val i = s.stageInfo
           val wall = (i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)) / 1e3
+          val rm = Option(runMs.get(i.stageId)).map(_.get).getOrElse(0L)
+          val cm = Option(cpuMs.get(i.stageId)).map(_.get).getOrElse(0L)
           stages.put(i.stageId,
-            f"stage ${i.stageId}%3d ${i.name.take(60)}%-60s wall $wall%6.3f s tasks ${i.numTasks}%4d")
+            f"stage ${i.stageId}%3d ${i.name.take(44)}%-44s wall $wall%6.3f s tasks ${i.numTasks}%4d run ${rm / 1e3}%6.2f cpu ${cm / 1e3}%6.2f")
         }
       }
       fn(spark, sfDir).count() // warm

@@ -81,11 +81,14 @@ object Llm17 {
     * doc-concatenation plus one sentinel per document (pos = nw,
     * key0 = U+0001‖doc_id — unique, below all words). Offsets are
     * exclusive running sums of (nw+1) in doc_id order via PrefixScan. */
-  private def positions(spark: SparkSession, dir: String): DataFrame = {
+  /** Returns the position frame plus the TOTAL position count — the
+    * latter rides back free on [[PrefixScan]]'s offset totals (round 17:
+    * it previously cost a separate `l0.count()` job). */
+  private def positions(spark: SparkSession, dir: String): (DataFrame, Long) = {
     val docs = documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .withColumn("nw", size(col("ws")).cast("long"))
-    val (scanned, _) = PrefixScan(
+    val (scanned, tot) = PrefixScan(
       docs.select(col("doc_id"), col("nw"), (col("nw") + 1).as("nw1")),
       order = Seq("doc_id"), sumsLong = Seq("nw1" -> "cum"))
     val offs = scanned.select(col("doc_id"),
@@ -99,7 +102,7 @@ object Llm17 {
       .select((col("off") + col("nw")).as("gpos"), col("doc_id"),
         col("nw"), col("nw").as("pos"),
         concat(lit(SentPrefix), col("doc_id").cast("string")).as("key0"))
-    reals.unionByName(sents)
+    (reals.unionByName(sents), tot.longs.getOrElse("nw1", 0L))
   }
 
   /** Prefix doubling. With the default `upTo = RMax` it runs to
@@ -110,26 +113,30 @@ object Llm17 {
     * would be identical frames). Returns (levels, m) with m = the
     * convergence level, or −1 when the bounded run stopped early. */
   private def doubling(spark: SparkSession, dir: String,
-      upTo: Int = RMax): (DataFrame, Vector[DataFrame], Int) = {
+      upTo: Int = RMax): (DataFrame, Vector[DataFrame], Int, Long) = {
     val dbg = sys.env.contains("GRAFT_SUFFIX_DEBUG")
     var t0 = System.nanoTime()
     def lap(tag: String): Unit = if (dbg) {
       println(f"[suffix] $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
       t0 = System.nanoTime()
     }
-    val p0 = positions(spark, dir)
-    // level frames carry ONLY (gpos, r) — doc/pos provenance rejoins at
-    // the end via this side table, so every doubling exchange moves 2
-    // longs per position instead of 5 (measured 251 -> ~100 MB at sf0.1)
+    // materialize the exploded position frame ONCE: the l0 dense rank's
+    // generic (sampled) path executes its input lineage for the sample
+    // pass AND pass 1 — off the checkpoint both read a cache (round 17)
+    val (p0raw, total) = positions(spark, dir)
+    val p0 = p0raw.localCheckpoint(true)
     val (l0r, d0) = PrefixScan.denseRank(p0, Seq("key0"), "r")
     val posFrame = l0r.select(col("gpos"), col("doc_id"), col("nw"),
       col("pos")).localCheckpoint(true)
+    // level frames carry ONLY (gpos, r) — doc/pos provenance rejoins at
+    // the end via this side table, so every doubling exchange moves 2
+    // longs per position instead of 5 (measured 251 -> ~100 MB at sf0.1)
     val l0 = l0r.select(col("gpos"), col("r")).localCheckpoint(true)
-    val total = l0.count()
     lap("l0")
     var levels = Vector(l0)
     var m = if (d0 == total) 0 else -1
     var k = 0
+    var dPrev = d0 // rank domain of the CURRENT level: [1, dPrev]
     while (m < 0 && k < upTo) {
       val cur = levels.last
       val step = 1L << k
@@ -137,10 +144,15 @@ object Llm17 {
       val paired = cur.join(nxt, col("gpos") === col("gsrc"), "left")
         .select(col("gpos"), col("r"),
           coalesce(col("rnext"), lit(Long.MinValue)).as("r2"))
-      val (lnr, dist) = PrefixScan.denseRank(paired, Seq("r", "r2"), "rn")
+      // ranks are dense in [1, dPrev] by construction, so the rank pass
+      // takes the sampling-free bucketed path (round 17: the generic
+      // path's RangePartitioner sample re-executed the join every round)
+      val (lnr, dist) = PrefixScan.denseRankDense(
+        paired, "r", Some("r2"), "rn", keyMax = dPrev)
       val ln = lnr.select(col("gpos"), col("rn").as("r")).localCheckpoint(true)
       levels = levels :+ ln
       k += 1
+      dPrev = dist
       lap(s"round $k")
       if (dist == total) m = k
     }
@@ -148,20 +160,37 @@ object Llm17 {
       s"suffix-array doubling did not converge in $RMax rounds — " +
         s"some repeat is >= ${1L << RMax} words; raise RMax (and the " +
         "oracle unroll) rather than truncating silently")
-    (posFrame, levels, m)
+    (posFrame, levels, m, total)
   }
 
   /** Adjacent suffix-array pairs (sentinels excluded — their unique
     * symbols contribute 0 to any LCP but would split real adjacencies):
     * reals ranked to a dense suffix-array order, consecutive ranks
-    * joined. Columns (i, doc_a, pos_a, j, doc_b, pos_b). */
+    * joined. Columns (i, doc_a, pos_a, j, doc_b, pos_b) plus — round-17
+    * optimization — the two sides' level-(m−1) ranks (rpa, rpb), which
+    * the descent's FIRST level needs at exactly these positions (acc is
+    * still 0 there): carrying them through this join turns the
+    * descent's only full-pair-set level from a 4-exchange double join
+    * into a filter. When m = 0 the rank columns are absent (no level
+    * below the converged one; the descent loop is empty anyway). */
   private def adjacentPairs(sa: DataFrame): DataFrame = {
-    val a = sa.select(col("t"), col("gpos").as("i"),
-      col("doc_id").as("doc_a"), col("pos").as("pos_a"))
-    val b = sa.select((col("t") - 1).as("t"), col("gpos").as("j"),
-      col("doc_id").as("doc_b"), col("pos").as("pos_b"))
-    a.join(b, "t").drop("t")
+    val aCols = Seq(col("t"), col("gpos").as("i"),
+      col("doc_id").as("doc_a"), col("pos").as("pos_a")) ++
+      (if (sa.columns.contains("rp")) Seq(col("rp").as("rpa")) else Nil)
+    val bCols = Seq((col("t") - 1).as("t"), col("gpos").as("j"),
+      col("doc_id").as("doc_b"), col("pos").as("pos_b")) ++
+      (if (sa.columns.contains("rp")) Seq(col("rp").as("rpb")) else Nil)
+    sa.select(aCols: _*).join(sa.select(bCols: _*), "t").drop("t")
   }
+
+  /** Auto-broadcast ceiling for the descent's shrunken candidate set:
+    * survivor counts are MEASURED (each level's checkpoint is counted
+    * anyway), so below this many rows the next level probes the cached
+    * level frame with a broadcast hash join — no exchange of the
+    * 1.1M-row level frame — and above it the exchange join stands
+    * (adversarial corpora can keep the survivor set large; broadcast
+    * must never be assumed). ~60 MB worst case at 56 B/row. */
+  private val DescentBroadcastRows = 1000000L
 
   /** PRUNED greedy descent for the MAXIMUM adjacent-pair LCP: at level
     * k, if ANY pair's next-2^k ranks match, the argmax provably lies
@@ -173,25 +202,54 @@ object Llm17 {
     * survivor's exact LCP equals the final acc (a survivor matched
     * precisely at the set's matched levels), making the min-i survivor
     * bit-equal to the oracle's unpruned (lcp desc, i asc) argmax.
-    * Returns ≤1 row: (i, doc_a, pos_a, j, doc_b, pos_b, lcp). */
+    *
+    * Round-17 cost shape: the first level (k = m−1, acc = 0) is the
+    * only one that touches the FULL pair set, and its ranks ride in on
+    * the pair frame (rpa/rpb — see [[adjacentPairs]]), so it is a
+    * filter, not a join; later levels run on the measured survivor
+    * count and broadcast the candidate side below
+    * [[DescentBroadcastRows]], leaving the cached level frames
+    * un-exchanged. Returns ≤1 row:
+    * (i, doc_a, pos_a, j, doc_b, pos_b, lcp). */
   private def prunedMaxLcp(pairs0: DataFrame, levels: Vector[DataFrame],
       m: Int): DataFrame = {
-    var p = pairs0
+    val pairCols = Seq(col("i"), col("doc_a"), col("pos_a"),
+      col("j"), col("doc_b"), col("pos_b"))
+    var p = pairs0.select(pairCols: _*)
+    var pRows = -1L // unknown until first checkpointed count
     var acc = 0L
-    for (k <- (m - 1) to 0 by -1) {
+    var startK = m - 1
+    if (m >= 1 && pairs0.columns.contains("rpa")) {
+      // level m−1 as a filter over the carried ranks (acc = 0 here)
+      val matched = pairs0.where(col("rpa") === col("rpb"))
+        .select(pairCols: _*).localCheckpoint(true)
+      val cnt = matched.count()
+      if (cnt > 0) { p = matched; pRows = cnt; acc += 1L << (m - 1) }
+      startK = m - 2
+    }
+    for (k <- startK to 0 by -1) {
       val lk = levels(k)
       val la = lk.select(col("gpos").as("ga"), col("r").as("ra"))
       val lb = lk.select(col("gpos").as("gb"), col("r").as("rb"))
-      val matched = p
+      val probe0 = p
         .withColumn("ia", col("i") + acc)
         .withColumn("ja", col("j") + acc)
-        .join(la, col("ia") === col("ga"))
-        .join(lb, col("ja") === col("gb"))
-        .where(col("ra") === col("rb"))
-        .select(col("i"), col("doc_a"), col("pos_a"),
-          col("j"), col("doc_b"), col("pos_b"))
+      // candidate side measured small → broadcast BOTH probe steps so the
+      // cached level frame is scanned in place, never exchanged; the
+      // first inner join can only shrink the candidate set, so the
+      // second broadcast is bounded by the same measured count
+      val small = pRows >= 0 && pRows <= DescentBroadcastRows
+      val matched = (if (small) {
+        val j1 = la.join(broadcast(probe0), col("ia") === col("ga"))
+        lb.join(broadcast(j1), col("ja") === col("gb"))
+      } else {
+        probe0.join(la, col("ia") === col("ga"))
+          .join(lb, col("ja") === col("gb"))
+      }).where(col("ra") === col("rb"))
+        .select(pairCols: _*)
         .localCheckpoint(true)
-      if (matched.count() > 0) { p = matched; acc += 1L << k }
+      val cnt = matched.count()
+      if (cnt > 0) { p = matched; pRows = cnt; acc += 1L << k }
     }
     p.orderBy(col("i").asc).limit(1).withColumn("lcp", lit(acc))
   }
@@ -202,10 +260,18 @@ object Llm17 {
     * witness pair and the recovered text; tie-break (lcp desc, leftmost
     * first-occurrence position) is a total order both engines share. */
   def suffixLrs(spark: SparkSession, dir: String): DataFrame = {
-    val (posFrame, levels, m) = doubling(spark, dir)
-    val reals = posFrame.where(col("pos") < col("nw"))
+    val (posFrame, levels, m, total) = doubling(spark, dir)
+    // attach the level-(m−1) rank (rp) alongside the converged rank so
+    // the descent's first — and only full-pair-set — level is a filter
+    // over the pair frame instead of a double join (see adjacentPairs)
+    val withPrev = if (m >= 1)
+      posFrame.join(levels(m - 1).withColumnRenamed("r", "rp"), "gpos")
+    else posFrame
+    val reals = withPrev.where(col("pos") < col("nw"))
       .join(levels(m), "gpos")
-    val sa = PrefixScan.denseRank(reals, Seq("r"), "t")._1
+    // converged ranks are distinct in [1, total] — bucketed fast path
+    val sa = PrefixScan.denseRankDense(reals, "r", None, "t",
+      keyMax = total)._1
     val pairs = adjacentPairs(sa).localCheckpoint(true)
     val anyTop = prunedMaxLcp(pairs, levels, m)
       .withColumn("scope", lit("any")).localCheckpoint(true)
@@ -253,7 +319,7 @@ object Llm17 {
     require(t >= 2 && (t & (t - 1)) == 0,
       s"coverage grain must be a power of two, got $t")
     val kLvl = java.lang.Integer.numberOfTrailingZeros(t)
-    val (posFrame, levels, _) = doubling(spark, dir, upTo = kLvl)
+    val (posFrame, levels, _, _) = doubling(spark, dir, upTo = kLvl)
     val lvl = levels(math.min(kLvl, levels.size - 1))
     val shared = lvl.groupBy(col("r")).agg(count(lit(1)).as("n_occ"))
       .where(col("n_occ") >= 2)

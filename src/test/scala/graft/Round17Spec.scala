@@ -256,6 +256,38 @@ class Round17Spec extends SparkTestBase {
     assert(got2 === want2)
   }
 
+  test("denseRankDense: bit-equal to denseRank and SQL dense_rank on dense Long keys") {
+    val s = spark
+    import s.implicits._
+    // dense leading key in [1, 500], Long tiebreak including MinValue —
+    // the exact shape the doubling loop feeds the bucketed fast path
+    val df = (0 until 4000)
+      .map(v => (v.toLong, (v % 500 + 1).toLong,
+        if (v % 11 == 0) Long.MinValue else (v % 7).toLong))
+      .toDF("g", "r", "r2")
+    val (fast, dFast) = ops.PrefixScan.denseRankDense(
+      df, "r", Some("r2"), "rk", keyMax = 500L, parts = 8)
+    val (ref, dRef) = ops.PrefixScan.denseRank(df, Seq("r", "r2"), "rk", parts = 8)
+    assert(dFast === dRef)
+    val gotF = fast.select($"g", $"rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotR = ref.select($"g", $"rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotF === gotR)
+    val want = df.selectExpr("g",
+        "CAST(dense_rank() OVER (ORDER BY r, r2) AS LONG) AS rk")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotF === want)
+    // single-key form (the SA rank) + keyMax far above max(key)
+    val df1 = (0 until 1000).map(v => (v.toLong, (v % 37 + 1).toLong)).toDF("g", "r")
+    val (f1, d1) = ops.PrefixScan.denseRankDense(df1, "r", None, "rk",
+      keyMax = 100000L, parts = 8)
+    assert(d1 === 37L)
+    val got1 = f1.select($"g", $"rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want1 = df1.selectExpr("g",
+        "CAST(dense_rank() OVER (ORDER BY r) AS LONG) AS rk")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got1 === want1)
+  }
+
   test("MFCC: c0 is the closed-form 1024*sum(qlog mel), lq pins the mel-band parity") {
     val mel = ops.Mm8.audioMel(spark, sf0001).collect()
       .map(r => r.getLong(0) -> (2 to 6).map(r.getLong)).toMap
