@@ -57,6 +57,13 @@ object Tables {
     }
   }
 
+  // NOTE (round 17, measured): fanout does NOT belong in these loaders.
+  // Wrapping lineitem/orders in fanout regressed every probe key
+  // (rev_hhi_parts 1.51→2.03 s, tpch_q21 1.44→2.14, tpch_q18 1.02→1.57,
+  // agg_pricing_summary 0.49→0.72, join_orders_customer 0.72→0.95 at
+  // sf0.1): the raw-row exchange costs more than the single-task
+  // map-side work it parallelizes at these row counts. fanout is applied
+  // per operator where the per-row compute is the measured cost.
   def lineitem(spark: SparkSession, dir: String): DataFrame = tsNorm(table(spark, dir, "lineitem"))
   def orders(spark: SparkSession, dir: String): DataFrame = tsNorm(table(spark, dir, "orders"))
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")

@@ -567,6 +567,14 @@ object Analytics {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
       .distinct()
+      // explicit c-exchange (round 17): AQE coalesces the self-join's
+      // post-shuffle partitions by INPUT bytes (the ~7 MB edge frame →
+      // 8 partitions) but the join EXPLODES to 12.5M wedges, so each
+      // coalesced task carried ~1.5M wedges (measured 2.7 s stage wall,
+      // 17 s task CPU on 8 tasks). An explicit repartition is exempt
+      // from AQE coalescing and is reused by both self-join sides, so
+      // the wedge stream runs at full session parallelism.
+      .repartition(col("c"))
     // Wedge counting as the c-keyed equi self-join — the measured winner
     // of FIVE kernels at sf0.1/local[32] (exec seconds): this join 2.8;
     // adjacency-list + nested-HOF pair explosion 5.3 (structs) / 4.4
@@ -665,6 +673,9 @@ object Analytics {
         pmod(graft.Tables.h48(concat_ws(":", col("s"), col("c"))),
           lit(ButterflySampleK)) === 0)
       .select(col("s"), col("c"), col("is_hub"))
+      // same AQE-vs-exploding-join fix as butterflyCount: pin the wedge
+      // join's parallelism; both self-join sides reuse this exchange
+      .repartition(col("c"))
     val pairs = kept.as("a").join(kept.as("b"),
         col("a.c") === col("b.c") && col("a.s") < col("b.s"))
       .groupBy(col("a.s").as("s1"), col("b.s").as("s2"))

@@ -117,7 +117,9 @@ object Llm {
     * that the fixture corpus never contains. */
   private[graft] def minhashSigsOf(docs: DataFrame): DataFrame = {
     val n3 = size(col("ws")) - 2
-    val hashed = docs
+    // fanout: 64 minhash lanes × every shingle hash in the SCAN stage —
+    // one task on the single-row-group fixtures (Tables.fanout, r17)
+    val hashed = fanout(docs)
       .select(col("doc_id"), wordsCol.as("ws"))
       .where(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(arrays_zip(

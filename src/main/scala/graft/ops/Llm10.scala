@@ -29,7 +29,9 @@ object Llm10 {
     * materialized shingle strings exists transiently per row, never in
     * a shuffle. */
   private[graft] def shingleStarts(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
+    // fanout: ~nw md5s per doc run in the SCAN stage, which is one task
+    // on the single-row-group fixtures (Tables.fanout scaladoc, r17)
+    fanout(documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .withColumn("nw", size(col("w")).cast("long"))
       .where(col("nw") >= ShingleK)

@@ -165,7 +165,9 @@ object Llm15 {
     val sigs = Llm.minhashSigs(spark, dir).localCheckpoint(true)
 
     // exact-Jaccard ground truth over distinct INFORMATIVE 3-word shingles
-    val sh = documents(spark, dir)
+    // (fanout: the shingle explode+distinct is scan-stage work — one task
+    // on the single-row-group fixtures; Tables.fanout scaladoc, r17)
+    val sh = fanout(documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .where(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(

@@ -265,7 +265,9 @@ object Llm9 {
     * auditor reads. */
   def kneserNeyPpl(spark: SparkSession, dir: String): DataFrame = {
     val d = 0.75
-    val bg = documents(spark, dir)
+    // fanout: the bigram explode feeds three aggregations and a join —
+    // all from a one-task scan on the single-row-group fixtures (r17)
+    val bg = fanout(documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .where(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(arrays_zip(

@@ -737,6 +737,11 @@ object Warehouse {
     // trip, no second o-keyed exchange. Marginals and the order total
     // fold off the same basket frame.
     val baskets = lineitem(spark, dir)
+      // explicit o-exchange (round 17): AQE coalesces the basket agg's
+      // post-shuffle partitions by input bytes, but the pair explosion
+      // below blows each basket up C(k,2)-fold — pin full parallelism;
+      // the groupBy reuses this exchange, so no shuffle is added
+      .repartition(col("l_orderkey"))
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
     val pairs = baskets

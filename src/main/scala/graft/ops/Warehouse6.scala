@@ -19,6 +19,10 @@ object Warehouse6 {
     * triple). */
   def basketTopTriples(spark: SparkSession, dir: String): DataFrame = {
     val triples = lineitem(spark, dir)
+      // explicit o-exchange (round 17): AQE coalesces the basket agg by
+      // input bytes while the triple explosion below is C(k,3)-fold —
+      // pin full parallelism; the groupBy reuses this exchange
+      .repartition(col("l_orderkey"))
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
       .select(explode(flatten(flatten(expr(
