@@ -31,7 +31,10 @@ class CollectGuardSpec extends AnyFunSuite {
         // PrefixScan pass 1 collects ONE totals row per partition — the
         // transfer is partition-count-grain (≤ the scan's `parts`
         // argument) by construction, never data-grain
-        (h.contains("PrefixScan.scala") && h.contains(".collect().sortBy(_._1)")))
+        (h.contains("PrefixScan.scala") && h.contains(".collect().sortBy(_._1)")) ||
+        // denseRankDense pass 1 collects ONE count per key-range bucket
+        // (16·parts buckets) — bucket-count-grain, never data-grain
+        (h.contains("PrefixScan.scala") && h.endsWith("}.collect()")))
     assert(hits == allowed,
       s"bare collect() found — route through Tables.boundedCollect:\n${(hits.toSet -- allowed).mkString("\n")}")
   }

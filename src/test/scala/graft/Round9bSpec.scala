@@ -146,7 +146,12 @@ class Round9bSpec extends SparkTestBase {
   test("audio decode is row-local: no exchange before the final sort") {
     val plan = Llm6.mmAudioDecode(spark, sf0001)
       .queryExecution.executedPlan.toString
-    // exactly the one range-partitioning exchange the orderBy demands
-    assert(plan.split("Exchange").length - 1 == 1, plan)
+    // the orderBy's range exchange plus the round-17 fanout's RoundRobin
+    // (Tables.fanout: id-frame spread for the codec kernels — moves only
+    // the 2-column id projection, never decoded payloads); no OTHER
+    // exchange may appear — the decode itself stays row-local
+    assert(plan.split("Exchange").length - 1 == 2, plan)
+    assert(plan.contains("RoundRobinPartitioning"), plan)
+    assert(plan.split("rangepartitioning").length - 1 == 1, plan)
   }
 }
