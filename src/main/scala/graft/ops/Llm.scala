@@ -117,9 +117,13 @@ object Llm {
     * that the fixture corpus never contains. */
   private[graft] def minhashSigsOf(docs: DataFrame): DataFrame = {
     val n3 = size(col("ws")) - 2
-    // fanout: 64 minhash lanes × every shingle hash in the SCAN stage —
-    // one task on the single-row-group fixtures (Tables.fanout, r17)
-    val hashed = fanout(docs)
+    // NOTE (round 17, measured): Tables.fanout here was tried and
+    // REVERTED — the signature pass is cheap enough (~0.3 s single-task
+    // at sf0.1) that the raw-text exchange made every consumer slower
+    // (llm_dedup_near 0.51→1.30 s, keep_best 1.40→1.55, clusters
+    // 1.11→1.32 in the same full-suite run). Contrast Llm10's md5
+    // shingle pass, where fanout measurably wins.
+    val hashed = docs
       .select(col("doc_id"), wordsCol.as("ws"))
       .where(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(arrays_zip(

@@ -165,9 +165,10 @@ object Llm15 {
     val sigs = Llm.minhashSigs(spark, dir).localCheckpoint(true)
 
     // exact-Jaccard ground truth over distinct INFORMATIVE 3-word shingles
-    // (fanout: the shingle explode+distinct is scan-stage work — one task
-    // on the single-row-group fixtures; Tables.fanout scaladoc, r17)
-    val sh = fanout(documents(spark, dir).select(col("doc_id"), col("text")))
+    // (round 17: Tables.fanout here was tried and REVERTED — the audit's
+    // cost is the self-join/aggregate chain, not this scan, and the key
+    // regressed 2.15→3.53 s with the extra exchanges in the suite run)
+    val sh = documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .where(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(

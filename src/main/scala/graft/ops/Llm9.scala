@@ -265,9 +265,11 @@ object Llm9 {
     * auditor reads. */
   def kneserNeyPpl(spark: SparkSession, dir: String): DataFrame = {
     val d = 0.75
-    // fanout: the bigram explode feeds three aggregations and a join —
-    // all from a one-task scan on the single-row-group fixtures (r17)
-    val bg = fanout(documents(spark, dir).select(col("doc_id"), col("text")))
+    // NOTE (round 17, measured): Tables.fanout here was tried and
+    // REVERTED — the bigram explode is cheap and the raw-text exchange
+    // plus the re-planned joins regressed the key 0.80→2.64 s in the
+    // full-suite run.
+    val bg = documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .where(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(arrays_zip(
