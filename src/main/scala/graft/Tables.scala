@@ -89,7 +89,14 @@ object Tables {
     * on scan-cheap relational paths and would add one (tiny) exchange. */
   def fanout(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+    // plan-time split count from the UNOPTIMIZED physical plan: a
+    // `.rdd`-based probe was measured re-materializing AQE query stages
+    // on every call (mm_frame_sample 0.7 → 8.1 s across three suite
+    // runs); `sparkPlan` only plans. Scans report their file-split
+    // count; anything unknown (0) is treated as narrow and spread.
+    val known = try df.queryExecution.sparkPlan.outputPartitioning.numPartitions
+      catch { case _: Throwable => 0 }
+    if (known >= p) df else df.repartition(p)
   }
 
   // ---- float-determinism helpers (see scaladoc above) ----
